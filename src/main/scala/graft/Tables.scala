@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Test-data table registry.
+  *
+  * Loads the driver-generated parquet tables (TESTDATA.md) from a scale-factor
+  * directory and registers them as temp views so both the DataFrame API and
+  * `spark.sql` can reach them. Column pruning / predicate pushdown reach the
+  * parquet scans automatically (DataSource V2).
+  *
+  * Reference surface: risinglight's catalog + table scan
+  * (`/root/reference/src/catalog/root.rs`, `src/executor/table_scan.rs`) —
+  * re-expressed as Spark temp views over parquet.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Session defaults every entry point (Verify/Bench/tests) should apply.
+    * - ANSI off: reference semantics (div-by-zero -> NULL, lenient casts),
+    *   matches risinglight `safen_dividend` (`src/array/ops.rs:759+`).
+    * - UTC: oracle (DuckDB) reads parquet timestamps as naive; UTC session
+    *   makes Spark agree on the same wall-clock values.
+    * - nanosAsLong: events.parquet carries timestamp[ns]; read as Long and
+    *   convert explicitly (see [[events]]).
+    */
+  def sessionConfs: Map[String, String] = Map(
+    "spark.sql.ansi.enabled" -> "false",
+    "spark.sql.session.timeZone" -> "UTC",
+    "spark.sql.legacy.parquet.nanosAsLong" -> "true",
+    "spark.sql.adaptive.enabled" -> "true",
+    "spark.sql.autoBroadcastJoinThreshold" -> (64L * 1024 * 1024).toString
+  )
+
+  def configure(b: SparkSession.Builder): SparkSession.Builder =
+    sessionConfs.foldLeft(b) { case (bb, (k, v)) => bb.config(k, v) }
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** `events` with `ts` normalized to a microsecond timestamp regardless of
+    * the parquet physical unit (ns at the driver's generator). DuckDB oracle
+    * side does the same with `CAST(ts AS TIMESTAMP)`.
+    */
+  def events(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+      case _ => raw
+    }
+  }
+
+  def df(spark: SparkSession, dir: String, name: String): DataFrame =
+    if (name == "events") events(spark, dir) else load(spark, dir, name)
+
+  /** Register all tables as temp views named exactly like the oracle side. */
+  def register(spark: SparkSession, dir: String): Unit =
+    names.foreach(n => df(spark, dir, n).createOrReplaceTempView(n))
+}

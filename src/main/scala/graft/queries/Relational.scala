@@ -1,0 +1,226 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational surface: scans, projection/filter, values, DML-as-query,
+  * aggregation, distinct, having, sort/limit/top-n.
+  *
+  * Mirrors SURVEY.md §2.1/§2.2/§2.4/§2.6 (risinglight executors
+  * `table_scan.rs`, `projection.rs`, `filter.rs`, `values.rs`, `insert.rs`,
+  * `delete.rs`, `copy_{from,to}_file.rs`, `simple_agg.rs`, `hash_agg.rs`,
+  * `sort_agg.rs`, `order.rs`, `limit.rs`, `top_n.rs`) — each re-expressed as
+  * a declarative Spark plan so Catalyst handles pushdown, partial
+  * aggregation, and TakeOrderedAndProject.
+  */
+object Relational {
+
+  def all: Registry = Map(
+    // -- 2.1 scan + 2.2 projection/filter: predicate & column pruning reach
+    //    the parquet scan (verified in PlanSpec via PushedFilters).
+    "scan_project_filter" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_quantity") < 10 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+      Some("""SELECT l_orderkey, l_linenumber, l_extendedprice
+             |FROM lineitem WHERE l_quantity < 10 AND l_returnflag = 'R'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // filter-false → empty relation (reference `empty` plan node)
+    "empty_relation" -> Q(
+      (s, d) => t(s, d, "nation").filter(lit(false))
+        .select(col("n_nationkey"), col("n_name")),
+      Some("SELECT n_nationkey, n_name FROM nation WHERE false")),
+
+    // -- 2.1 values: literal rows
+    "values_literal" -> Q(
+      (s, d) => {
+        import s.implicits._
+        Seq((1L, "a", 1.5), (2L, "b", 2.5), (3L, "c", -0.5))
+          .toDF("a", "b", "c").orderBy("a")
+      },
+      Some("""SELECT a, b, c FROM (VALUES
+             |  (CAST(1 AS BIGINT),'a',CAST(1.5 AS DOUBLE)),
+             |  (2,'b',2.5), (3,'c',-0.5)) AS t(a,b,c) ORDER BY a""".stripMargin)),
+
+    // -- 2.1 insert: append semantics expressed as a pure query
+    "insert_append" -> Q(
+      (s, d) => {
+        import s.implicits._
+        t(s, d, "region").select(col("r_regionkey"), col("r_name"))
+          .unionAll(Seq((99, "NEWREGION")).toDF("r_regionkey", "r_name"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name FROM region
+             |UNION ALL SELECT CAST(99 AS INT), 'NEWREGION'
+             |ORDER BY r_regionkey""".stripMargin)),
+
+    // -- 2.1 delete: anti-filter rewrite (reference delete.rs scans + filters)
+    "delete_rewrite" -> Q(
+      (s, d) => t(s, d, "customer")
+        .filter(!(col("c_acctbal") < 0))
+        .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
+             |WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin)),
+
+    // -- 2.1 copy_to + copy_from: CSV round-trip through a managed dir
+    "copy_csv_roundtrip" -> Q(
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/copy_nation"
+        val n = t(s, d, "nation")
+        n.write.mode("overwrite").option("header", "true").csv(out)
+        s.read.option("header", "true").schema(n.schema).csv(out)
+          .orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
+    // -- 2.4 simple agg (no keys): one-row fold
+    "agg_simple" -> Q(
+      (s, d) => t(s, d, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        dsum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        davg(col("l_discount")).as("avg_disc")),
+      Some(s"""SELECT COUNT(*) AS n_rows, ${oSum("l_quantity")} AS sum_qty,
+              |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
+              |${oAvg("l_discount")} AS avg_disc FROM lineitem""".stripMargin)),
+
+    // -- 2.4 hash agg + sort: TPC-H Q1 (flagship; reference tests/sql/tpch/q1.sql)
+    "q1_agg" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") <= tsLit("1998-09-02 00:00:00"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+          dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+          davg(col("l_quantity")).as("avg_qty"),
+          davg(col("l_extendedprice")).as("avg_price"),
+          davg(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |${oSum("l_quantity")} AS sum_qty,
+              |${oSum("l_extendedprice")} AS sum_base_price,
+              |${oSum("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+              |${oSum("l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)")} AS sum_charge,
+              |${oAvg("l_quantity")} AS avg_qty,
+              |${oAvg("l_extendedprice")} AS avg_price,
+              |${oAvg("l_discount")} AS avg_disc,
+              |COUNT(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      bench = true),
+
+    // -- 2.4 count distinct (per-group distinct state in reference)
+    "agg_count_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, COUNT(DISTINCT l_suppkey) AS n_supp,
+             |COUNT(DISTINCT l_partkey) AS n_part, COUNT(*) AS n_rows
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -- 2.4 first/last: reference is scan-order; we pin a deterministic
+    //    order (min/max of the unique (orderkey,linenumber) pair) so the
+    //    result is well-defined under any partitioning.
+    "agg_first_last" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .withColumn("seq", col("l_orderkey") * 100 + col("l_linenumber"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min_by(col("l_extendedprice"), col("seq")).as("first_price"),
+          max_by(col("l_extendedprice"), col("seq")).as("last_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |ARG_MIN(l_extendedprice, l_orderkey*100 + l_linenumber) AS first_price,
+             |ARG_MAX(l_extendedprice, l_orderkey*100 + l_linenumber) AS last_price
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+
+    // -- 2.4 HAVING (filter above agg referencing agg exprs)
+    "agg_having" -> Q(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(dsum(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+        .filter(col("n") >= 3)
+        .orderBy(col("o_custkey")),
+      Some(s"""SELECT o_custkey, ${oSum("o_totalprice")} AS total, COUNT(*) AS n
+              |FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 3
+              |ORDER BY o_custkey""".stripMargin)),
+
+    // -- 2.4 DISTINCT (rewritten to hash agg in reference)
+    "distinct_rows" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus")).distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+
+    // -- 2.4 DISTINCT ON: reference rewrites to hashagg + first(); we pin
+    //    first = row with min c_custkey per nation (deterministic).
+    "distinct_on" -> Q(
+      (s, d) => t(s, d, "customer")
+        .groupBy(col("c_nationkey"))
+        .agg(min(col("c_custkey")).as("c_custkey"),
+          min_by(col("c_name"), col("c_custkey")).as("c_name"))
+        .select(col("c_nationkey"), col("c_custkey"), col("c_name"))
+        .orderBy("c_nationkey"),
+      Some("""SELECT c_nationkey, MIN(c_custkey) AS c_custkey,
+             |ARG_MIN(c_name, c_custkey) AS c_name
+             |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
+
+    // -- 2.6 full sort incl. NULLS FIRST parity (reference: NULL < values)
+    "order_by_nulls_first" -> Q(
+      (s, d) => t(s, d, "customer")
+        .select(col("c_custkey"),
+          nullif(col("c_mktsegment"), lit("BUILDING")).as("seg"))
+        .orderBy(col("seg").asc_nulls_first, col("c_custkey")),
+      Some("""SELECT c_custkey, NULLIF(c_mktsegment,'BUILDING') AS seg
+             |FROM customer ORDER BY seg ASC NULLS FIRST, c_custkey""".stripMargin)),
+
+    // -- 2.6 limit/offset (deterministic under unique total order)
+    "limit_offset" -> Q(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey"))
+        .offset(10).limit(50),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 50 OFFSET 10""".stripMargin)),
+
+    // -- 2.6 top-n: sort+limit → TakeOrderedAndProject (reference top_n.rs heap)
+    "topn" -> Q(
+      (s, d) => t(s, d, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin)),
+
+    // -- TPC-H Q6 adapted: tight range filters fully pushed to parquet
+    "q6_filter_agg" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .filter(col("l_shipdate") >= tsLit("1994-01-01 00:00:00") &&
+          col("l_shipdate") < tsLit("1995-01-01 00:00:00") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(dsum(col("l_extendedprice") * col("l_discount")).as("revenue")),
+      Some(s"""SELECT ${oSum("l_extendedprice * l_discount")} AS revenue
+              |FROM lineitem
+              |WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+              |AND l_shipdate < TIMESTAMP '1995-01-01 00:00:00'
+              |AND l_discount BETWEEN CAST(0.05 AS DOUBLE) AND CAST(0.07 AS DOUBLE)
+              |AND l_quantity < 24""".stripMargin),
+      bench = true)
+  )
+}
