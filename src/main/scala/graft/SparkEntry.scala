@@ -12,7 +12,9 @@ import graft.queries._
 object SparkEntry {
 
   /** Full query registry (name → Spark program + oracle + bench flag). */
-  def registry: Map[String, Q] = Relational.all
+  def registry: Map[String, Q] =
+    Relational.all ++ Joins.all ++ Subqueries.all ++ Windows.all ++
+      Functions.all ++ Tpch.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,73 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Subqueries, CTEs, and set operations — SURVEY.md §2.3 (`apply`
+  * decorrelation, `/root/reference/src/planner/rules/plan.rs:205-280`) and
+  * §2.7 (set ops are *absent* in the reference; provided here as the
+  * extension surface Spark gives for free).
+  *
+  * SQL-bodied entries run through `spark.sql` over registered temp views —
+  * Catalyst's `RewritePredicateSubquery` / `RewriteCorrelatedScalarSubquery`
+  * replace the reference's egg apply-pushdown rules.
+  */
+object Subqueries {
+
+  private def sql(text: String): (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+    (s, d) => { Tables.register(s, d); s.sql(text) }
+
+  def all: Registry = {
+    // scalar subquery with the decimal-avg detour so both engines agree
+    val scalarAvg = s"""SELECT o_orderkey, o_totalprice FROM orders
+      |WHERE o_totalprice > 2 * (SELECT ${oAvg("o_totalprice")} FROM orders)
+      |ORDER BY o_orderkey""".stripMargin
+    val inUncorr = """SELECT l_orderkey, l_linenumber, l_partkey FROM lineitem
+      |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_size > 45)
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    val existsCorr = """SELECT o_orderkey FROM orders
+      |WHERE EXISTS (SELECT 1 FROM lineitem
+      |  WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+      |ORDER BY o_orderkey""".stripMargin
+    val notExistsCorr = """SELECT p_partkey FROM part
+      |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |ORDER BY p_partkey""".stripMargin
+    val scalarCorr = s"""SELECT o.o_orderkey, o.o_totalprice FROM orders o
+      |WHERE o.o_totalprice > 3 * (SELECT ${oAvg("o2.o_totalprice")}
+      |  FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      |ORDER BY o.o_orderkey""".stripMargin
+    val cteChain = s"""WITH nation_cust AS (
+      |  SELECT n_nationkey, n_name, COUNT(c_custkey) AS n_cust
+      |  FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+      |  GROUP BY n_nationkey, n_name
+      |), ranked AS (
+      |  SELECT n_name, n_cust FROM nation_cust WHERE n_cust > 0
+      |)
+      |SELECT n_name, n_cust FROM ranked ORDER BY n_cust DESC, n_name""".stripMargin
+    val unionAll = """SELECT c_nationkey AS nationkey FROM customer
+      |UNION ALL SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+    val unionDistinct = """SELECT c_nationkey AS nationkey FROM customer
+      |UNION SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+    val intersect = """SELECT c_nationkey AS nationkey FROM customer
+      |INTERSECT SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+    val except = """SELECT c_nationkey AS nationkey FROM customer
+      |EXCEPT SELECT s_nationkey FROM supplier
+      |ORDER BY nationkey""".stripMargin
+
+    Map(
+      "subq_scalar_uncorrelated" -> Q(sql(scalarAvg), Some(scalarAvg)),
+      "subq_in_uncorrelated" -> Q(sql(inUncorr), Some(inUncorr)),
+      "subq_exists_correlated" -> Q(sql(existsCorr), Some(existsCorr)),
+      "subq_not_exists_correlated" -> Q(sql(notExistsCorr), Some(notExistsCorr)),
+      "subq_scalar_correlated" -> Q(sql(scalarCorr), Some(scalarCorr)),
+      "cte_chain" -> Q(sql(cteChain), Some(cteChain)),
+      "setop_union_all" -> Q(sql(unionAll), Some(unionAll)),
+      "setop_union_distinct" -> Q(sql(unionDistinct), Some(unionDistinct)),
+      "setop_intersect" -> Q(sql(intersect), Some(intersect)),
+      "setop_except" -> Q(sql(except), Some(except))
+    )
+  }
+}

@@ -23,8 +23,9 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
             df[c] = pd.to_datetime(df[c]).dt.tz_localize(None)
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
-        elif df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        elif pd.api.types.is_bool_dtype(df[c]) or str(df[c].dtype) == "boolean" or df[c].dtype == object:
+            # unify None/<NA>/nan and bools/Decimals across engines
+            df[c] = df[c].map(lambda v: "NULL" if pd.isna(v) else str(v))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
