@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector distance primitives over `ArrayType(Float|Double)` columns —
+  * the reference's `<->` (L2), `<=>` (cosine distance), `<#>` (negative
+  * inner product) operators (`/root/reference/src/planner/mod.rs:74-76`,
+  * kernels `src/array/ops.rs:655-723`).
+  *
+  * Implemented as Catalyst higher-order functions with a strict
+  * left-to-right fold so the float→double accumulation order is identical
+  * on every engine/partitioning — the DuckDB oracle mirrors the same fold.
+  */
+object Vectors {
+
+  /** Element-wise products folded left-to-right in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm2(a: Column): Column = sqrt(dot(a, a))
+
+  /** `<->` L2 distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(a, b, (x, y) => {
+        val d = x.cast("double") - y.cast("double"); d * d
+      }),
+      lit(0.0), (acc, v) => acc + v))
+
+  /** `<=>` cosine distance = 1 - cos similarity. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - dot(a, b) / (norm2(a) * norm2(b))
+
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm2(a) * norm2(b))
+
+  /** `<#>` negative inner product. */
+  def negInnerProduct(a: Column, b: Column): Column = -dot(a, b)
+
+  /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
+    * integer-mixed then scaled to (-1, 1]. Same formula in oracle SQL.
+    */
+  def planeWeight(j: Column, dIdx: Column): Column =
+    (((j * 64 + dIdx) * 2654435761L % 1000003L) - lit(500001L)).cast("double") / 500001.0
+
+  /** Sign-of-projection LSH bucket over `nPlanes` deterministic
+    * hyperplanes: bit j = 1 iff dot(w_j, v) > 0. Bucket ∈ [0, 2^nPlanes).
+    */
+  def lshBucket(v: Column, nPlanes: Int): Column =
+    aggregate(
+      sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+      (acc, j) => {
+        val proj = aggregate(
+          zip_with(v, sequence(lit(0), size(v) - 1),
+            (x, dIdx) => x.cast("double") * planeWeight(j.cast("long"), dIdx.cast("long"))),
+          lit(0.0), (a2, p) => a2 + p)
+        acc + when(proj > 0,
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
+      })
+}

@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing._
+
+/** Deduplication operators for large-scale corpus curation.
+  *
+  * Scale design (the point of each choice):
+  *  - exact dedup = hash-groupBy on the dedup key → one shuffle, map-side
+  *    partial aggregation, no driver-side state.
+  *  - MinHash+LSH near-dup = signature (narrow map) → explode band keys →
+  *    shuffle on (band, key) buckets only → pair-join inside buckets →
+  *    exact Jaccard verify on the (tiny) candidate set. Never an O(n²)
+  *    cross join; cost is O(n·k + Σ bucket²) and buckets are bounded by
+  *    the band hash. Skewed buckets (boilerplate docs) can be salted or
+  *    capped upstream.
+  *  - SimHash = 48-bit fingerprint (narrow map); pairing joins on
+  *    fingerprint bands for hamming-radius search.
+  *  - All hashes are deterministic integer math (Hashing.scala) so
+  *    re-runs/retries produce identical pair sets.
+  */
+object Dedup {
+
+  /** Exact dedup: keep the row with the minimum `idCol` per key. */
+  def exact(df: DataFrame, keyCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(keyCols.map(col): _*)
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
+
+  /** Per-doc MinHash signature + LSH band keys.
+    * Output: idCol, shingles (distinct hash array), sig, bands.
+    */
+  def minhashed(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    df.select(col(idCol),
+        shingleHashes(col(textCol), shingleWidth).as("shingles"))
+      .withColumn("sig", minhashSignature(col("shingles"), numHashes))
+      .withColumn("bands", lshBandKeys(col("sig"), bands, rows))
+  }
+
+  /** Candidate near-dup pairs via LSH banding, verified with exact Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol), col("shingles"), col("bands"))
+    // explode to (bandIdx, bandKey) → bucket join; distinct pair before verify
+    val banded = m.select(col(idCol), col("shingles"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val a = banded.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
+      col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
+      col("band_idx"), col("band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** 48-bit SimHash fingerprint per document. */
+  def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), simhash48(col(textCol)).as("fingerprint"))
+
+  /** SimHash near-dup pairs within a hamming radius. Pairs are generated
+    * inside blocking buckets (fingerprint high bits) to avoid n²; radius
+    * must be detectable within the retained bit-blocks for recall 1.0 —
+    * for corpus-scale use, run multiple rotated blockings.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8): DataFrame = {
+    val f = simhashed(df, idCol, textCol)
+    val a = f.select(col(idCol).as("id_a"), col("fingerprint").as("fp_a"))
+    val b = f.select(col(idCol).as("id_b"), col("fingerprint").as("fp_b"))
+    // block on top 16 bits: near-identical docs collide there
+    val ab = a.withColumn("blk", shiftright(col("fp_a"), 32))
+      .join(b.withColumn("blk", shiftright(col("fp_b"), 32)), "blk")
+      .filter(col("id_a") < col("id_b"))
+    ab.withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Exact n-gram Jaccard similarity for all pairs within a blocking key
+    * (e.g. language) — the verify-stage primitive exposed standalone.
+    */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+      blockCol: String, shingleWidth: Int, threshold: Double): DataFrame = {
+    val h = df.select(col(idCol), col(blockCol),
+      shingleHashes(col(textCol), shingleWidth).as("sh"))
+    val a = h.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
+    val b = h.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
+    a.join(b, blockCol).filter(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+}

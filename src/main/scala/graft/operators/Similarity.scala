@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Vectors._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Two tiers:
+  *  - [[bruteForceTopK]]: exact cosine top-k. The query side is small by
+  *    construction (it's broadcast); the corpus side streams — per
+  *    partition this is a scan+heap (TakeOrdered per window), no corpus
+  *    shuffle. This is the correctness baseline and is already the right
+  *    plan for "few queries × huge corpus".
+  *  - [[lshTopK]]: sign-random-projection LSH. Corpus is bucketed by a
+  *    deterministic hyperplane signature (narrow map, no shuffle to
+  *    build); each query probes only its bucket → joins touch a 1/2^p
+  *    fraction of the corpus. The scale path when queries are many.
+  *
+  * Cosine near-duplicate detection ([[cosineNearDupPairs]]) blocks on a
+  * coarse key before pairing — never an unblocked n² cross join.
+  */
+object Similarity {
+
+  /** Exact top-k cosine neighbors for each query vector. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** Approximate top-k via sign-LSH bucket probing (single-probe). */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), nPlanes))
+    val qb = queries.withColumn("bucket", lshBucket(col(qVec), nPlanes))
+    val scored = cb.join(broadcast(qb), "bucket")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+  }
+
+  /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by
+    * `blockCol` so the pair space stays bounded.
+    */
+  def cosineNearDupPairs(corpus: DataFrame, threshold: Double,
+      blockCol: String = "label", cId: String = "vec_id",
+      cVec: String = "embedding"): DataFrame = {
+    val a = corpus.select(col(blockCol), col(cId).as("id_a"), col(cVec).as("v_a"))
+    val b = corpus.select(col(blockCol), col(cId).as("id_b"), col(cVec).as("v_b"))
+    a.join(b, blockCol).filter(col("id_a") < col("id_b"))
+      .withColumn("cos_sim", cosineSimilarity(col("v_a"), col("v_b")))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cos_sim"))
+  }
+}

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing._
+
+/** Text-analysis operators for corpus curation: language ID, quality
+  * scoring, token counting, document fingerprinting. All are narrow
+  * per-row transforms (no shuffle) built from codegen-friendly native
+  * functions — at 100 TB these run at scan speed behind the parquet
+  * reader.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic
+    * language scorer. Deterministic tie-break: first language in this list
+    * wins ties (score compared strictly greater).
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "nicht"),
+    "en" -> Seq("the", "a", "of", "and", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "zh" -> Seq("de", "le", "shi", "bu", "wo"))
+
+  def stopwordHits(textCol: Column, words: Seq[String]): Column =
+    size(filter(tokens(textCol),
+      t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  /** Language prediction: argmax of stopword hits, ties broken by the
+    * profile order above (strict `>` comparison chain).
+    */
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val scoreCols = col(idCol) +: langProfiles.map { case (lang, words) =>
+      stopwordHits(col(textCol), words).as(s"score_$lang")
+    }
+    val scored = df.select(scoreCols: _*)
+    val best = langProfiles.map(_._1).foldLeft(struct(lit(-1).as("s"), lit("und").as("l"))) {
+      case (acc, lang) =>
+        when(col(s"score_$lang") > acc.getField("s"),
+          struct(col(s"score_$lang").as("s"), lit(lang).as("l"))).otherwise(acc)
+    }
+    scored.withColumn("pred", best)
+      .select(col(idCol), col("pred.l").as("pred_lang"), col("pred.s").as("score"))
+  }
+
+  /** Quality features + a weighted score (all ratios rounded to 6 decimals
+    * for cross-engine stability of the derived score).
+    */
+  def qualityScore(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val nChar = length(col(textCol))
+    val punct = (nChar - length(regexp_replace(col(textCol), "[.,!?;:]", ""))).cast("double")
+    val stopHits = stopwordHits(col(textCol), stopwords)
+    df.select(col(idCol),
+        nTok.as("n_tokens"),
+        nChar.as("n_chars"),
+        round(nChar.cast("double") / nTok, 6).as("avg_token_len"),
+        round(punct / nChar, 6).as("punct_ratio"),
+        round(stopHits.cast("double") / nTok, 6).as("stopword_ratio"))
+      .withColumn("quality",
+        round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
+          + col("stopword_ratio") * 0.4
+          + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+  }
+
+  /** Token counts: whitespace words + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single other non-space chars).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      size(tokens(col(textCol))).as("ws_tokens"),
+      size(regexp_extract_all(lower(col(textCol)),
+        lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
+
+  /** Document fingerprints: full-text rolling hash + min-shingle hash
+    * (winnowing-style representative) — both stable across engines.
+    */
+  def fingerprints(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3): DataFrame =
+    df.select(col(idCol),
+      polyHash(col(textCol)).as("doc_hash"),
+      array_min(shingleHashes(col(textCol), shingleWidth)).as("min_shingle_hash"))
+}

@@ -1,0 +1,98 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics over the `events` table — the batch expression
+  * of the Structured Streaming operators (graft.streaming runs the same
+  * aggregations incrementally; StreamingSpec asserts batch/stream parity).
+  * The reference has no streaming (SURVEY.md §2.10) — this is extension
+  * surface.
+  */
+object Events {
+
+  def all: Registry = Map(
+    // tumbling time-window aggregation (streaming: groupBy(window($"ts",...)))
+    "events_tumbling_window" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy(
+          date_format(date_trunc("hour", col("ts")), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n_events"), dsum(col("value")).as("sum_value"))
+        .orderBy("hour_start", "event_type"),
+      Some(s"""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
+              |event_type, COUNT(*) AS n_events, ${oSum("value")} AS sum_value
+              |FROM events GROUP BY hour_start, event_type
+              |ORDER BY hour_start, event_type""".stripMargin)),
+
+    // sliding-window flavor: daily activity per user over a 7-day window
+    // expressed with a range window (streaming analogue: sliding window)
+    "events_user_daily" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy(col("user_id"),
+          date_format(date_trunc("day", col("ts")), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("v"))
+        .orderBy("user_id", "day"),
+      Some(s"""SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+              |COUNT(*) AS n, ${oSum("value")} AS v
+              |FROM events GROUP BY user_id, day ORDER BY user_id, day""".stripMargin)),
+
+    // sessionization: 30-minute inactivity gap → session id via running sum
+    // of gap markers (streaming analogue: session window / mapGroupsWithState)
+    "events_sessionize" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        t(s, d, "events")
+          .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+          .withColumn("new_sess",
+            when(col("prev_ts").isNull ||
+              col("ts").cast("long") - col("prev_ts").cast("long") > 1800, 1L)
+              .otherwise(0L))
+          .withColumn("session_id", sum(col("new_sess")).over(wRun))
+          .groupBy(col("user_id"), col("session_id"))
+          .agg(count(lit(1)).as("n_events"),
+            (max(col("ts").cast("long")) - min(col("ts").cast("long"))).as("dur_s"))
+          .orderBy("user_id", "session_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+             |  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+             |  FROM events),
+             |y AS (SELECT user_id, event_id, ts,
+             |  CASE WHEN prev_ts IS NULL
+             |    OR CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(prev_ts)) AS BIGINT) > 1800
+             |  THEN 1 ELSE 0 END AS new_sess FROM x),
+             |z AS (SELECT user_id, ts,
+             |  SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id FROM y)
+             |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+             |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_s
+             |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
+
+    // event funnel: per-user ordered pattern detection (view → click →
+    // purchase) via min event times
+    "events_funnel" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+        def firstOf(tpe: String) = e.filter(col("event_type") === tpe)
+          .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$tpe"))
+        firstOf("view")
+          .join(firstOf("click"), Seq("user_id"), "left")
+          .join(firstOf("purchase"), Seq("user_id"), "left")
+          .select(col("user_id"),
+            (col("t_click").isNotNull && col("t_click") > col("t_view")).as("clicked_after_view"),
+            (col("t_purchase").isNotNull && col("t_click").isNotNull &&
+              col("t_purchase") > col("t_click")).as("purchased_after_click"))
+          .orderBy("user_id")
+      },
+      Some("""WITH v AS (SELECT user_id, MIN(ts) AS t_view FROM events WHERE event_type='view' GROUP BY user_id),
+             |c AS (SELECT user_id, MIN(ts) AS t_click FROM events WHERE event_type='click' GROUP BY user_id),
+             |p AS (SELECT user_id, MIN(ts) AS t_purchase FROM events WHERE event_type='purchase' GROUP BY user_id)
+             |SELECT v.user_id,
+             |  (t_click IS NOT NULL AND t_click > t_view) AS clicked_after_view,
+             |  (t_purchase IS NOT NULL AND t_click IS NOT NULL AND t_purchase > t_click) AS purchased_after_click
+             |FROM v LEFT JOIN c ON v.user_id = c.user_id
+             |LEFT JOIN p ON v.user_id = p.user_id
+             |ORDER BY v.user_id""".stripMargin))
+  )
+}

@@ -1,0 +1,257 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+
+/** Training-data pipeline operators as query entries: deduplication
+  * (exact / MinHash+LSH / SimHash / n-gram Jaccard / embedding-cosine),
+  * similarity search (brute-force + LSH ANN), text analysis (language ID,
+  * quality, tokens, fingerprints), and multimodal feature plumbing.
+  *
+  * Every oracle reproduces the exact integer/double arithmetic of
+  * graft.functions.Hashing / Vectors with DuckDB list comprehensions, so
+  * the driver's hash compare is exact — no tolerance needed.
+  */
+object Pipeline {
+
+  // ---- DuckDB-dialect oracle fragments mirroring Hashing.scala ----------
+  private val P = "2147483647"
+  private val toks = "list_filter(string_split(lower(text), ' '), t -> length(t) > 0)"
+  private def polyHash(s: String) =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), [CAST(ord(substring($s, ci, 1)) AS BIGINT) " +
+      s"for ci in generate_series(1, length($s))]), (acc, c) -> (acc * 31 + c) % $P)"
+  /** CTE producing doc_id, lang, distinct shingle hashes (width 3). */
+  private val shingleCte =
+    s"""tk AS (SELECT doc_id, lang, $toks AS tks FROM documents),
+       |sh AS (SELECT doc_id, lang,
+       |  CASE WHEN len(tks) >= 3
+       |    THEN [array_to_string(list_slice(tks, i+1, i+3), ' ') for i in generate_series(0, len(tks)-3)]
+       |    ELSE [array_to_string(tks, ' ')] END AS shingles FROM tk),
+       |hs AS (SELECT doc_id, lang, list_distinct([${polyHash("sg")} for sg in shingles]) AS shash FROM sh)"""
+      .stripMargin
+  private def aCoef(j: String) = s"(($j * 2654435761 + 1) % $P)"
+  private def bCoef(j: String) = s"(($j * 40503 + 17) % $P)"
+  private val jacc =
+    "len(list_intersect(a.shash, b.shash))::DOUBLE / " +
+      "(len(a.shash) + len(b.shash) - len(list_intersect(a.shash, b.shash)))::DOUBLE"
+
+  /** Double-precision left-fold dot product of two DuckDB float lists. */
+  private def oDot(a: String, b: String) =
+    s"list_reduce(list_prepend(0.0, [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1, 64)]), (x, y) -> x + y)"
+  private def oCos(a: String, b: String) =
+    s"${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
+
+  def all: Registry = Map(
+    // ---- dedup ----------------------------------------------------------
+    "dedup_exact" -> Q(
+      (s, d) => Dedup.exact(t(s, d, "documents"), Seq("lang", "source"), "doc_id")
+        .orderBy("lang", "source"),
+      Some("""SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
+             |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
+
+    "dedup_minhash_lsh" -> Q(
+      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleWidth = 3, numHashes = 16, bands = 4, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id)
+              |SELECT c.id_a, c.id_b, $jacc AS jaccard
+              |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "dedup_simhash" -> Q(
+      (s, d) => Dedup.simhashed(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |th AS (SELECT doc_id, [${polyHash("tok")} for tok in tks] AS thash FROM tk),
+              |bits AS (SELECT doc_id,
+              |  [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |     [(((${aCoef("j")} * h + ${bCoef("j")}) % $P) % 2) * 2 - 1 for h in thash]),
+              |     (x, y) -> x + y) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+              |   for j in generate_series(0, 47)] AS bt FROM th)
+              |SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), bt), (x, y) -> x + y) AS fingerprint
+              |FROM bits ORDER BY doc_id""".stripMargin)),
+
+    "dedup_simhash_pairs" -> Q(
+      (s, d) => Dedup.simhashPairs(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |th AS (SELECT doc_id, [${polyHash("tok")} for tok in tks] AS thash FROM tk),
+              |bits AS (SELECT doc_id,
+              |  [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |     [(((${aCoef("j")} * h + ${bCoef("j")}) % $P) % 2) * 2 - 1 for h in thash]),
+              |     (x, y) -> x + y) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+              |   for j in generate_series(0, 47)] AS bt FROM th),
+              |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), bt), (x, y) -> x + y) AS f
+              |  FROM bits)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+              |FROM fp a JOIN fp b ON (a.f >> 32) = (b.f >> 32) AND a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.f, b.f)) <= 8 ORDER BY id_a, id_b""".stripMargin)),
+
+    "dedup_ngram_jaccard" -> Q(
+      (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
+          blockCol = "lang", shingleWidth = 3, threshold = 0.5)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, $jacc AS jaccard
+              |FROM hs a JOIN hs b ON a.lang = b.lang AND a.doc_id < b.doc_id
+              |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
+    "dedup_embedding_cosine" -> Q(
+      (s, d) => Similarity.cosineNearDupPairs(t(s, d, "embeddings"),
+          threshold = 0.4).orderBy("id_a", "id_b"),
+      Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              |${oCos("a.embedding", "b.embedding")} AS cos_sim
+              |FROM embeddings a JOIN embeddings b
+              |ON a.label = b.label AND a.vec_id < b.vec_id
+              |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4
+              |ORDER BY id_a, id_b""".stripMargin)),
+
+    // ---- similarity search ---------------------------------------------
+    "ann_brute_force_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.bruteForceTopK(q, e, k = 5).orderBy("q_id", "rnk")
+      },
+      Some(s"""SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+              |    ${oCos("q.embedding", "c.embedding")} AS cos_sim,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+              |  WHERE q.vec_id < 8) x
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
+    "ann_lsh_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.lshTopK(q, e, k = 5, nPlanes = 6).orderBy("q_id", "rnk")
+      },
+      Some {
+        val bucket = (v: String) =>
+          s"""list_reduce(list_prepend(CAST(0 AS BIGINT), [
+             |  CASE WHEN list_reduce(list_prepend(0.0,
+             |    [CAST($v[i] AS DOUBLE) * ((((j*64 + (i-1)) * 2654435761) % 1000003 - 500001)::DOUBLE / 500001.0)
+             |     for i in generate_series(1, 64)]), (x, y) -> x + y) > 0
+             |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+             |  for j in generate_series(0, 5)]), (x, y) -> x + y)""".stripMargin
+        s"""WITH cb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
+           |qb AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM cb WHERE vec_id < 8)
+           |SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+           |  SELECT q.q_id, c.vec_id AS neighbor_id,
+           |    ${oCos("q.q_vec", "c.embedding")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${oCos("q.q_vec", "c.embedding")} DESC, c.vec_id) AS rnk
+           |  FROM cb c JOIN qb q ON c.bucket = q.bucket AND q.q_id <> c.vec_id) x
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      }),
+
+    // reference vector ops: ORDER BY v <-> const (exact top-k by L2)
+    "vector_l2_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val probe = e.filter(col("vec_id") === 0)
+          .select(col("embedding").as("probe"))
+        e.crossJoin(broadcast(probe))
+          .withColumn("l2", graft.functions.Vectors.l2Distance(col("embedding"), col("probe")))
+          .select(col("vec_id"), col("l2"))
+          .orderBy(col("l2"), col("vec_id")).limit(10)
+      },
+      Some {
+        val l2 = "sqrt(list_reduce(list_prepend(0.0, " +
+          "[(CAST(e.embedding[i] AS DOUBLE) - CAST(p.embedding[i] AS DOUBLE)) * " +
+          "(CAST(e.embedding[i] AS DOUBLE) - CAST(p.embedding[i] AS DOUBLE)) " +
+          "for i in generate_series(1, 64)]), (x, y) -> x + y))"
+        s"""SELECT e.vec_id, $l2 AS l2
+           |FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) p
+           |ORDER BY l2, e.vec_id LIMIT 10""".stripMargin
+      }),
+
+    // ---- text analysis --------------------------------------------------
+    "text_lang_id" -> Q(
+      (s, d) => TextAnalysis.langId(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some {
+        val hits = (ws: Seq[String]) =>
+          s"len(list_filter($toks, t -> list_contains([${ws.map("'" + _ + "'").mkString(",")}], t)))"
+        val scores = TextAnalysis.langProfiles
+          .map { case (l, ws) => s"${hits(ws)} AS score_$l" }.mkString(",\n")
+        val langs = TextAnalysis.langProfiles.map(_._1)
+        val m = s"GREATEST(${langs.map("score_" + _).mkString(", ")})"
+        val pred = langs.map(l => s"WHEN score_$l = $m THEN '$l'").mkString(" ")
+        s"""WITH sc AS (SELECT doc_id, $scores FROM documents)
+           |SELECT doc_id, CASE $pred END AS pred_lang, $m AS score
+           |FROM sc ORDER BY doc_id""".stripMargin
+      }),
+
+    "text_quality_score" -> Q(
+      (s, d) => TextAnalysis.qualityScore(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id,
+              |  len($toks) AS n_tokens,
+              |  CAST(length(text) AS INT) AS n_chars,
+              |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+              |  len(list_filter($toks, t -> list_contains(['the','a','of','and','is'], t))) AS stop_hits
+              |  FROM documents),
+              |y AS (SELECT doc_id, n_tokens, n_chars,
+              |  round(n_chars::DOUBLE / n_tokens, 6) AS avg_token_len,
+              |  round(punct / n_chars, 6) AS punct_ratio,
+              |  round(stop_hits::DOUBLE / n_tokens, 6) AS stopword_ratio FROM x)
+              |SELECT doc_id, n_tokens, n_chars, avg_token_len, punct_ratio, stopword_ratio,
+              |  round(LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+              |    + stopword_ratio * 0.4 + (1.0 - punct_ratio) * 0.2, 6) AS quality
+              |FROM y ORDER BY doc_id""".stripMargin)),
+
+    "text_token_count" -> Q(
+      (s, d) => TextAnalysis.tokenCounts(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id, len($toks) AS ws_tokens,
+              |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
+              |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    "text_fingerprint" -> Q(
+      (s, d) => TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH $shingleCte,
+              |ph AS (SELECT doc_id, ${polyHash("text")} AS doc_hash FROM documents)
+              |SELECT ph.doc_id, ph.doc_hash, list_min(hs.shash) AS min_shingle_hash
+              |FROM ph JOIN hs ON ph.doc_id = hs.doc_id ORDER BY ph.doc_id""".stripMargin)),
+
+    // ---- multimodal plumbing (decode stubbed, see Multimodal.scala) -----
+    "multimodal_features" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+        Multimodal.extractFeatures(media)
+          .select(col("media_id"), col("n_bytes"), col("byte_hash"),
+            col("features").getItem(0).as("f0"), col("features").getItem(1).as("f1"),
+            col("features").getItem(2).as("f2"), col("features").getItem(3).as("f3"))
+          .orderBy("media_id")
+      },
+      // text is pure ASCII in this corpus → byte fold == codepoint fold
+      Some(s"""WITH h AS (SELECT doc_id AS media_id,
+              |  CAST(length(text) AS INT) AS n_bytes, ${polyHash("text")} AS byte_hash
+              |  FROM documents)
+              |SELECT media_id, n_bytes, byte_hash,
+              |  ((byte_hash >> 0) & 255)::DOUBLE / 255.0 AS f0,
+              |  ((byte_hash >> 8) & 255)::DOUBLE / 255.0 AS f1,
+              |  ((byte_hash >> 16) & 255)::DOUBLE / 255.0 AS f2,
+              |  ((byte_hash >> 24) & 255)::DOUBLE / 255.0 AS f3
+              |FROM h ORDER BY media_id""".stripMargin))
+  )
+}
