@@ -1,0 +1,65 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the 100 TB story: filters/projections must
+  * reach the parquet scan, dim joins must broadcast, top-n must not be a
+  * global sort.
+  */
+class PlanSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private def planOf(name: String): String = {
+    val df = SparkEntry.registry(name).fn(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("scan_project_filter pushes predicates and prunes columns") {
+    val p = planOf("scan_project_filter")
+    assert(p.contains("PushedFilters: ["), p)
+    assert(p.contains("LessThan(l_quantity"), p)
+    // pruned read schema: only the 5 referenced columns, not all 11
+    assert(!p.contains("l_tax"), p)
+  }
+
+  test("q6 range predicates are pushed to parquet") {
+    val p = planOf("q6_filter_agg")
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("GreaterThanOrEqual(l_shipdate") || p.contains("l_shipdate"), p)
+  }
+
+  test("q5 joins broadcast the dimension sides") {
+    val p = planOf("q5_local_supplier_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("topn compiles to TakeOrderedAndProject, not global sort+limit") {
+    val p = planOf("topn")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q1 aggregation is partial (map-side) before the shuffle") {
+    val p = planOf("q1_agg")
+    assert(p.contains("partial_"), p)
+  }
+
+  test("whole-stage codegen covers the q1 pipeline") {
+    // AQE finalizes the plan only after execution
+    val df = SparkEntry.registry("q1_agg").fn(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // codegen'd spans print as "*(n) Operator" in the final adaptive plan
+    assert(p.contains("*("), p)
+  }
+
+  test("minhash pair generation never degenerates to a cartesian product") {
+    val p = planOf("dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("brute-force ANN broadcasts the query side") {
+    val p = planOf("ann_brute_force_topk")
+    assert(p.contains("Broadcast"), p)
+  }
+}

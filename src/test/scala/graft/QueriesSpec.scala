@@ -1,0 +1,50 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Every registry entry must execute on sf0.001; spot checks pin known
+  * semantics (the DuckDB hash gate does the exhaustive value checking).
+  */
+class QueriesSpec extends AnyFunSuite {
+  import TestSpark._
+
+  // one test per query: executes and yields a well-formed result
+  SparkEntry.registry.toSeq.sortBy(_._1).foreach { case (name, q) =>
+    test(s"query $name runs") {
+      val df = q.fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      assert(df.count() >= 0)
+    }
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("q1_agg groups are the 4 flag/status combos plus") {
+    val rows = SparkEntry.registry("q1_agg").fn(spark, sf).collect()
+    assert(rows.length >= 3 && rows.length <= 6)
+    val flags = rows.map(_.getString(0)).toSet
+    assert(flags.subsetOf(Set("A", "N", "R")))
+  }
+
+  test("topn returns exactly 10 ordered by price desc") {
+    val rows = SparkEntry.registry("topn").fn(spark, sf).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getDouble(1))
+    assert(prices.sameElements(prices.sortBy(-_)))
+  }
+
+  test("join_anti + join_semi partition the customers with/without orders") {
+    val semi = SparkEntry.registry("join_semi"). fn(spark, sf).count()
+    val anti = SparkEntry.registry("join_anti").fn(spark, sf).count()
+    val withOrders = Tables.df(spark, sf, "orders").select("o_custkey").distinct().count()
+    val total = Tables.df(spark, sf, "customer").count()
+    assert(anti == total - withOrders)
+    assert(semi <= withOrders)
+  }
+
+  test("every oracleSql key exists in queries") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
