@@ -1,0 +1,353 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.{Files, Paths}
+import scala.collection.mutable
+
+/** SQL entry point with the reference's statement surface
+  * (risinglight `Database::run`, `/root/reference/src/db.rs:84-127`):
+  * CREATE TABLE/VIEW/INDEX/FUNCTION, INSERT, DELETE, COPY FROM/TO,
+  * DROP, PRAGMA/SET, EXPLAIN, `\dt`-style sugar, system tables — routed
+  * over a parquet-backed managed warehouse; everything else goes straight
+  * to `spark.sql` (Catalyst replaces the reference's binder + egg
+  * optimizer wholesale).
+  *
+  * Storage model: one parquet directory per table under `warehouse/`
+  * (INSERT appends files — the analogue of the reference's LSM rowset
+  * appends; DELETE rewrites — the analogue of its delete-vector compaction,
+  * coarse but single-writer-correct, `src/executor/delete.rs`). At cluster
+  * scale the same layout partitions by file; no driver state grows with
+  * data size.
+  */
+class Engine(val spark: SparkSession, val warehouse: String) {
+
+  Files.createDirectories(Paths.get(warehouse))
+
+  /** table name → (schema, primary-key columns) */
+  private val tables = mutable.LinkedHashMap[String, (StructType, Seq[String])]()
+  /** view name → SQL text (re-planned at each scan, like the reference) */
+  private val views = mutable.LinkedHashMap[String, String]()
+  /** function name → (params, body) for bind-time inlining */
+  private val functions = mutable.LinkedHashMap[String, (Seq[String], String)]()
+  /** index name → (table, column, method, options) — metadata only */
+  private val indexes = mutable.LinkedHashMap[String, (String, String, String, String)]()
+
+  private def tableDir(name: String) = s"$warehouse/$name"
+
+  private def refresh(name: String): Unit = {
+    val dir = tableDir(name)
+    val df =
+      if (Files.list(Paths.get(dir)).anyMatch(p => p.toString.endsWith(".parquet")))
+        spark.read.schema(tables(name)._1).parquet(dir)
+      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name)._1)
+    df.createOrReplaceTempView(name)
+  }
+
+  // ---- statement router ---------------------------------------------------
+
+  private val reCreateTable = """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*""".r
+  private val reCreateView = """(?is)\s*create\s+view\s+(\w+)\s+as\s+(.*)""".r
+  private val reCreateIndex =
+    """(?is)\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*(?:using\s+(\w+))?\s*\((\w+)\)\s*(?:with\s*\((.*)\))?\s*""".r
+  private val reCreateFunction =
+    """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+as\s+'(.*)'\s*""".r
+  private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(values\s*.*|select\s+.*)""".r
+  private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
+  private val reCopyFrom =
+    """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val reCopyTo =
+    """(?is)\s*copy\s+(\w+)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val reDrop = """(?is)\s*drop\s+(table|view)\s+(\w+)\s*""".r
+  private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
+  private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
+  private val reExplain = """(?is)\s*explain\s+(.*)""".r
+
+  def run(sql: String): DataFrame = sql.trim match {
+    case """\dt""" => systemTable("pg_tables")
+    case reCreateTable(name, colsSpec) => createTable(name, colsSpec)
+    case reCreateView(name, body) =>
+      views(name) = body
+      spark.sql(inlineFunctions(body)).createOrReplaceTempView(name)
+      emptyResult
+    case reCreateIndex(name, table, method, column, opts) =>
+      indexes(name) = (table, column, Option(method).getOrElse("btree"),
+        Option(opts).getOrElse(""))
+      emptyResult
+    case reCreateFunction(name, params, body) =>
+      val ps = params.split(",").map(_.trim).filter(_.nonEmpty)
+        .map(_.split("\\s+")(0)).toSeq
+      functions(name.toLowerCase) = (ps, body)
+      emptyResult
+    case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
+    case reDelete(table, cond) => delete(table, Option(cond))
+    case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
+    case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
+    case reDrop(kind, name) => drop(kind.toLowerCase, name)
+    case rePragma(key, value) =>
+      spark.conf.set(s"graft.pragma.$key", Option(value).getOrElse("true"))
+      emptyResult
+    case reSet(key, value) =>
+      spark.conf.set(key, value.stripPrefix("'").stripSuffix("'"))
+      emptyResult
+    case reExplain(body) =>
+      import spark.implicits._
+      val plan = spark.sql(inlineFunctions(body)).queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      Seq(plan).toDF("plan")
+    case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
+        q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
+      spark.sql(inlineFunctions(q))
+    case other => spark.sql(inlineFunctions(other))
+  }
+
+  private def emptyResult: DataFrame =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("ok", BooleanType))))
+
+  // ---- DDL ---------------------------------------------------------------
+
+  /** Reference type names → Spark types (SURVEY.md §1.2). */
+  private def parseType(t: String): DataType = t.trim.toLowerCase match {
+    case s if s.startsWith("smallint") => ShortType
+    case s if s.startsWith("int") || s.startsWith("integer") => IntegerType
+    case s if s.startsWith("bigint") => LongType
+    case s if s.startsWith("double") || s.startsWith("float") || s.startsWith("real") => DoubleType
+    case s if s.startsWith("decimal") || s.startsWith("numeric") =>
+      val m = """\w+\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)""".r.findFirstMatchIn(s)
+      m.map(g => DecimalType(g.group(1).toInt, g.group(2).toInt)).getOrElse(DecimalType(38, 10))
+    case s if s.startsWith("varchar") || s.startsWith("char") || s.startsWith("text") ||
+        s.startsWith("string") => StringType
+    case s if s.startsWith("bool") => BooleanType
+    case s if s.startsWith("date") => DateType
+    case s if s.startsWith("timestamp") => TimestampNTZType
+    case s if s.startsWith("blob") || s.startsWith("bytea") || s.startsWith("binary") => BinaryType
+    case s if s.startsWith("vector") =>
+      // reference VECTOR(n) — fixed-length double vector (types/vector.rs)
+      ArrayType(DoubleType, containsNull = false)
+    case s if s.startsWith("interval") => CalendarIntervalType
+    case other => throw new IllegalArgumentException(s"unknown type: $other")
+  }
+
+  private def createTable(name: String, colsSpec: String): DataFrame = {
+    // split on top-level commas (parens may nest inside DECIMAL(p,s))
+    val parts = mutable.Buffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    colsSpec.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) parts += cur.toString
+
+    val pk = mutable.Buffer[String]()
+    val fields = parts.flatMap { p =>
+      val toks = p.trim.split("\\s+", 2)
+      if (toks(0).equalsIgnoreCase("primary")) {
+        // table-level: PRIMARY KEY (a, b)
+        pk ++= "\\((.*)\\)".r.findFirstMatchIn(p).toSeq
+          .flatMap(_.group(1).split(",").map(_.trim))
+        None
+      } else {
+        val colName = toks(0)
+        val rest = toks(1)
+        val lower = rest.toLowerCase
+        if (lower.contains("primary key")) pk += colName
+        val notNull = lower.contains("not null") || lower.contains("primary key")
+        Some(StructField(colName, parseType(rest), nullable = !notNull))
+      }
+    }
+    val schema = StructType(fields.toSeq)
+    tables(name) = (schema, pk.toSeq)
+    Files.createDirectories(Paths.get(tableDir(name)))
+    refresh(name)
+    saveManifest()
+    emptyResult
+  }
+
+  private def drop(kind: String, name: String): DataFrame = {
+    if (kind == "table") {
+      tables.remove(name)
+      val dir = Paths.get(tableDir(name))
+      if (Files.exists(dir)) {
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => Files.deleteIfExists(p))
+      }
+    } else views.remove(name)
+    spark.catalog.dropTempView(name)
+    saveManifest()
+    emptyResult
+  }
+
+  // ---- DML ---------------------------------------------------------------
+
+  /** INSERT: align/reorder columns, null-fill missing, cast to the column
+    * types (reference `src/executor/insert.rs:13-52`), append parquet.
+    */
+  private def insert(table: String, colList: Option[String], source: String): DataFrame = {
+    val (schema, _) = tables(table)
+    val src = spark.sql(inlineFunctions(source))
+    val given = colList.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(schema.fields.map(_.name).toSeq)
+    require(given.length == src.columns.length,
+      s"INSERT column count mismatch: ${given.length} vs ${src.columns.length}")
+    val renamed = src.toDF(given: _*)
+    val aligned = schema.fields.map { f =>
+      if (given.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    val n = renamed.count()
+    renamed.select(aligned.toIndexedSeq: _*).write.mode("append").parquet(tableDir(table))
+    refresh(table)
+    rowCountResult(n)
+  }
+
+  /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL). */
+  private def delete(table: String, cond: Option[String]): DataFrame = {
+    val (schema, _) = tables(table)
+    val cur = spark.table(table).cache()
+    val total = cur.count()
+    val remaining = cond match {
+      case Some(c) => cur.filter(!coalesce(expr(inlineFunctions(c)), lit(false)))
+      case None => cur.limit(0)
+    }
+    val keep = remaining.collectAsList()
+    cur.unpersist()
+    // rewrite: coarse but atomic-enough for the single-writer model
+    val dir = Paths.get(tableDir(table))
+    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .filter(p => p != dir).forEach(p => Files.deleteIfExists(p))
+    val kept = spark.createDataFrame(keep, schema)
+    if (!kept.isEmpty) kept.write.mode("overwrite").parquet(tableDir(table))
+    refresh(table)
+    rowCountResult(total - keep.size())
+  }
+
+  private def rowCountResult(n: Long): DataFrame = {
+    import spark.implicits._
+    Seq(n).toDF("rows_affected")
+  }
+
+  // ---- COPY (CSV only, like the reference: src/binder/copy.rs) -----------
+
+  private def csvOptions(opts: Option[String]): Map[String, String] = {
+    val m = mutable.Map("delimiter" -> ",", "header" -> "false")
+    opts.foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { o =>
+      val kv = o.split("\\s+|=", 2)
+      val key = kv(0).toLowerCase
+      val value = if (kv.length > 1) kv(1).trim.stripPrefix("'").stripSuffix("'") else "true"
+      key match {
+        case "delimiter" => m("delimiter") = value
+        case "header" => m("header") = value
+        case "quote" => m("quote") = value
+        case "escape" => m("escape") = value
+        case _ =>
+      }
+    })
+    m.toMap
+  }
+
+  private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
+    val (schema, _) = tables(table)
+    val df = spark.read.options(csvOptions(opts)).schema(schema).csv(path)
+    val n = df.count()
+    df.write.mode("append").parquet(tableDir(table))
+    refresh(table)
+    rowCountResult(n)
+  }
+
+  private def copyTo(table: String, path: String, opts: Option[String]): DataFrame = {
+    val df = spark.table(table)
+    val n = df.count()
+    df.write.options(csvOptions(opts)).mode("overwrite").csv(path)
+    rowCountResult(n)
+  }
+
+  // ---- SQL UDF bind-time inlining (reference src/binder/expr.rs:378-434) --
+
+  /** Expand calls `f(e1, e2)` of registered SQL functions by substituting
+    * `$1`/`$2` (or named params) in the stored body; repeats to a fixed
+    * point so UDFs may call UDFs.
+    */
+  def inlineFunctions(sql: String): String = {
+    var out = sql
+    var changed = true
+    var guard = 0
+    while (changed && guard < 10) {
+      changed = false; guard += 1
+      functions.foreach { case (name, (params, body)) =>
+        val call = (s"(?i)\\b$name\\s*\\(").r
+        call.findFirstMatchIn(out).foreach { m =>
+          val (args, end) = parseArgs(out, m.end)
+          var expanded = body
+          // body is usually 'select <expr>' — take the expression
+          expanded = expanded.trim.replaceAll("(?i)^select\\s+", "")
+          params.zipWithIndex.foreach { case (p, i) =>
+            expanded = expanded
+              .replace(s"$$${i + 1}", s"(${args(i)})")
+              .replaceAll(s"(?i)\\b$p\\b", s"(${args(i)})")
+          }
+          out = out.substring(0, m.start) + s"($expanded)" + out.substring(end)
+          changed = true
+        }
+      }
+    }
+    out
+  }
+
+  /** Parse balanced comma-separated args starting after the open paren. */
+  private def parseArgs(s: String, from: Int): (Seq[String], Int) = {
+    val args = mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var depth = 1; var i = from
+    while (i < s.length && depth > 0) {
+      s(i) match {
+        case '(' => depth += 1; cur += '('
+        case ')' => depth -= 1; if (depth > 0) cur += ')'
+        case ',' if depth == 1 => args += cur.toString.trim; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) args += cur.toString.trim
+    (args.toSeq, i)
+  }
+
+  // ---- system tables (reference src/executor/system_table_scan.rs) -------
+
+  def systemTable(name: String): DataFrame = {
+    import spark.implicits._
+    name match {
+      case "pg_tables" =>
+        (tables.keys.map(t => ("postgres", t, "table")) ++
+          views.keys.map(v => ("postgres", v, "view"))).toSeq
+          .toDF("schemaname", "tablename", "kind")
+      case "pg_indexes" =>
+        indexes.map { case (n, (t, c, m, o)) => (n, t, c, m, o) }.toSeq
+          .toDF("indexname", "tablename", "columnname", "method", "options")
+      case "pg_attribute" =>
+        tables.toSeq.flatMap { case (t, (schema, pk)) =>
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            (t, f.name, f.dataType.simpleString, i + 1, !f.nullable, pk.contains(f.name))
+          }.toSeq
+        }.toDF("tablename", "attname", "atttype", "attnum", "notnull", "is_pk")
+      case "pg_stat" =>
+        tables.keys.map { t =>
+          (t, spark.table(t).count())
+        }.toSeq.toDF("tablename", "n_rows")
+      case other => throw new IllegalArgumentException(s"unknown system table $other")
+    }
+  }
+
+  // ---- catalog manifest ---------------------------------------------------
+
+  private def saveManifest(): Unit = {
+    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    val body = tables.map { case (n, (schema, pk)) =>
+      s"${q(n)}: {${q("ddl")}: ${q(schema.toDDL)}, ${q("pk")}: [${pk.map(q).mkString(",")}]}"
+    }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$warehouse/_catalog.json"), body)
+  }
+}

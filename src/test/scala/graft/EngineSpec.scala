@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Engine
+
+/** Engine statement-surface parity with the reference slt suite
+  * (create/insert/select/delete/copy/view/udf/index/pragma/system tables —
+  * the feature areas of the .slt files under /root/reference/tests/sql/).
+  */
+class EngineSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val engine = {
+    val dir = "/root/repo/target/graft-tmp/warehouse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    new Engine(spark, dir)
+  }
+
+  test("create table + insert values + select") {
+    engine.run("create table t1(v1 int not null, v2 int not null)")
+    engine.run("insert into t1 values (1, 10), (2, 20), (3, 30)")
+    val rows = engine.run("select v1, v2 from t1 order by v1").collect()
+    assert(rows.map(r => (r.getInt(0), r.getInt(1))).toSeq ==
+      Seq((1, 10), (2, 20), (3, 30)))
+  }
+
+  test("insert with column list null-fills and reorders") {
+    engine.run("create table t2(a int, b int, c varchar)")
+    engine.run("insert into t2 (c, a) select 'x', 7")
+    val r = engine.run("select a, b, c from t2").collect()(0)
+    assert(r.getInt(0) == 7 && r.isNullAt(1) && r.getString(2) == "x")
+  }
+
+  test("delete with predicate removes matching rows only") {
+    engine.run("create table t3(v int)")
+    engine.run("insert into t3 values (1), (2), (3), (4)")
+    val affected = engine.run("delete from t3 where v >= 3").collect()(0).getLong(0)
+    assert(affected == 2)
+    assert(engine.run("select v from t3 order by v").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
+  }
+
+  test("copy to + copy from round-trips CSV with delimiter option") {
+    engine.run("create table t4(k int, s varchar)")
+    engine.run("insert into t4 values (1, 'alpha'), (2, 'beta')")
+    val path = "/root/repo/target/graft-tmp/t4_csv"
+    engine.run(s"copy t4 to '$path' (delimiter '|')")
+    engine.run("create table t5(k int, s varchar)")
+    engine.run(s"copy t5 from '$path' (delimiter '|')")
+    assert(engine.run("select k, s from t5 order by k").collect().map(_.getString(1)).toSeq ==
+      Seq("alpha", "beta"))
+  }
+
+  test("create view re-plans over current table state") {
+    engine.run("create table t6(v int)")
+    engine.run("insert into t6 values (1), (2)")
+    engine.run("create view v6 as select sum(v) as s from t6")
+    assert(engine.run("select s from v6").collect()(0).getLong(0) == 3L)
+  }
+
+  test("sql udf is inlined at bind time, including nesting") {
+    engine.run("create function addf(a int, b int) returns int language sql as 'select $1 + $2'")
+    engine.run("create function quad(x int) returns int language sql as 'select addf(x, x) + addf(x, x)'")
+    assert(engine.run("select addf(2, 3) as r").collect()(0).get(0) == 5)
+    assert(engine.run("select quad(5) as r").collect()(0).get(0) == 20)
+  }
+
+  test("create index records metadata; pg_indexes lists it") {
+    engine.run("create table t7(v vector(3) not null)")
+    engine.run("create index idx7 on t7 using ivfflat (v) with (distfn = 'l2', nlists = 3)")
+    val idx = engine.systemTable("pg_indexes").collect()
+    assert(idx.exists(r => r.getString(0) == "idx7" && r.getString(3) == "ivfflat"))
+  }
+
+  test("pg_tables and pg_attribute reflect the catalog") {
+    val t = engine.systemTable("pg_tables").collect().map(_.getString(1)).toSet
+    assert(t.contains("t1"))
+    val attrs = engine.systemTable("pg_attribute")
+      .filter("tablename = 't1'").collect()
+    assert(attrs.length == 2 && attrs.forall(_.getBoolean(4))) // not null
+  }
+
+  test("pragma and set are accepted") {
+    engine.run("pragma enable_optimizer")
+    engine.run("set spark.sql.shuffle.partitions = 8")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+
+  test("explain returns a formatted plan") {
+    val plan = engine.run("explain select 1 as one").collect()(0).getString(0)
+    assert(plan.contains("Project") || plan.contains("(1)"))
+  }
+
+  test("drop table removes data and catalog entry") {
+    engine.run("create table t8(v int)")
+    engine.run("insert into t8 values (1)")
+    engine.run("drop table t8")
+    assert(!engine.systemTable("pg_tables").collect().map(_.getString(1)).contains("t8"))
+  }
+}
