@@ -229,7 +229,7 @@ object Tpch {
               |FROM customer, orders, lineitem
               |WHERE o_orderkey IN (
               |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
-              |  HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(28,6))) AS DOUBLE) > 150)
+              |  HAVING CAST(SUM(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 > 150)
               |AND c_custkey = o_custkey AND o_orderkey = l_orderkey
               |GROUP BY c_name, c_custkey, o_orderkey, o_date, o_totalprice
               |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin),
