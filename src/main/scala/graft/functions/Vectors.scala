@@ -14,30 +14,36 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Element-wise products folded left-to-right in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Element-wise products folded left-to-right in double precision.
+    * HOF form — kept as the reference semantics / parity baseline; the
+    * hot-path entry points below delegate to the codegen'd expressions in
+    * graft.expr.VectorDistance, which accumulate in the same ascending
+    * order and are therefore bit-identical.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)
 
+  def dot(a: Column, b: Column): Column =
+    -graft.expr.VectorFunctions.neg_inner_product(a, b)
+
   def norm2(a: Column): Column = sqrt(dot(a, a))
 
-  /** `<->` L2 distance. */
+  /** `<->` L2 distance (native codegen kernel). */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double"); d * d
-      }),
-      lit(0.0), (acc, v) => acc + v))
+    graft.expr.VectorFunctions.l2_distance(a, b)
 
   /** `<=>` cosine distance = 1 - cos similarity. */
   def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - dot(a, b) / (norm2(a) * norm2(b))
+    lit(1.0) - cosineSimilarity(a, b)
 
+  /** Single-pass native cosine similarity. */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm2(a) * norm2(b))
+    graft.expr.VectorFunctions.cosine_sim(a, b)
 
-  /** `<#>` negative inner product. */
-  def negInnerProduct(a: Column, b: Column): Column = -dot(a, b)
+  /** `<#>` negative inner product (native codegen kernel). */
+  def negInnerProduct(a: Column, b: Column): Column =
+    graft.expr.VectorFunctions.neg_inner_product(a, b)
 
   /** Deterministic pseudo-random hyperplane weight for (plane j, dim d):
     * integer-mixed then scaled to (-1, 1]. Same formula in oracle SQL.
