@@ -258,6 +258,127 @@ object Tpch {
               |  (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40))""".stripMargin),
       bench = true),
 
+    // Q8-shape: market share of one supplier nation within a region, by year
+    "q8_market_share" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
+        val p = t(s, d, "part").filter(col("p_type") === "STANDARD")
+        val n1 = t(s, d, "nation").select(col("n_nationkey").as("ck"), col("n_regionkey"))
+        val r = t(s, d, "region").filter(col("r_name") === "ASIA")
+        val n2 = t(s, d, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(n1, c("c_nationkey") === col("ck"))
+          .join(r, col("n_regionkey") === r("r_regionkey"))
+          .join(su, l("l_suppkey") === su("s_suppkey"))
+          .join(n2, su("s_nationkey") === col("sk"))
+          .groupBy(year(col("o_orderdate")).as("o_year"))
+          .agg((dsum(when(col("supp_nation") === "CHINA",
+              col("l_extendedprice") * (lit(1.0) - col("l_discount"))).otherwise(0.0)) /
+            dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount")))).as("mkt_share"))
+          .orderBy("o_year")
+      },
+      Some(s"""SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS o_year,
+              |${oSum("CASE WHEN n2.n_name = 'CHINA' THEN l_extendedprice * (1.0 - l_discount) ELSE 0.0 END")} /
+              |${oSum("l_extendedprice * (1.0 - l_discount)")} AS mkt_share
+              |FROM lineitem
+              |JOIN part ON l_partkey = p_partkey AND p_type = 'STANDARD'
+              |JOIN orders ON l_orderkey = o_orderkey
+              |JOIN customer ON o_custkey = c_custkey
+              |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              |JOIN region ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+              |JOIN supplier ON l_suppkey = s_suppkey
+              |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              |GROUP BY o_year ORDER BY o_year""".stripMargin),
+      bench = true),
+
+    // Q13: customer order-count distribution (left join + double aggregation)
+    "q13_order_distribution" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        c.join(o, c("c_custkey") === o("o_custkey"), "left")
+          .groupBy(col("c_custkey"))
+          .agg(count(col("o_orderkey")).as("c_count"))
+          .groupBy(col("c_count"))
+          .agg(count(lit(1)).as("custdist"))
+          .orderBy(col("custdist").desc, col("c_count").desc)
+      },
+      Some("""SELECT c_count, COUNT(*) AS custdist FROM (
+             |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey) x
+             |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin),
+      bench = true),
+
+    // Q15: top supplier by revenue (agg view + scalar-subquery max)
+    "q15_top_supplier" -> Q(
+      (s, d) => {
+        val su = t(s, d, "supplier")
+        val rev = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
+            col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
+          .groupBy(col("l_suppkey"))
+          .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+        val maxRev = rev.agg(max(col("total_revenue")).as("m"))
+        su.join(rev, su("s_suppkey") === rev("l_suppkey"))
+          .join(broadcast(maxRev), col("total_revenue") === col("m"))
+          .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+          .orderBy("s_suppkey")
+      },
+      Some(s"""WITH revenue AS (
+              |  SELECT l_suppkey, ${oSum("l_extendedprice * (1.0 - l_discount)")} AS total_revenue
+              |  FROM lineitem
+              |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+              |  GROUP BY l_suppkey)
+              |SELECT s_suppkey, s_name, total_revenue
+              |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+              |WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+              |ORDER BY s_suppkey""".stripMargin),
+      bench = true),
+
+    // Q17: small-quantity revenue with per-part correlated average threshold
+    "q17_small_quantity" -> Q(
+      (s, d) => {
+        val p = t(s, d, "part").filter(col("p_brand") === "Brand#3")
+        val l = t(s, d, "lineitem")
+        val avgQty = l.groupBy(col("l_partkey").as("ap_key"))
+          .agg((davg(col("l_quantity")) * 0.2).as("qty_thresh"))
+        l.join(p, l("l_partkey") === p("p_partkey"))
+          .join(avgQty, l("l_partkey") === col("ap_key"))
+          .filter(col("l_quantity") < col("qty_thresh"))
+          .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
+      },
+      Some(s"""SELECT ${oSum("l_extendedprice")} / 7.0 AS avg_yearly
+              |FROM lineitem JOIN part ON p_partkey = l_partkey
+              |WHERE p_brand = 'Brand#3'
+              |AND l_quantity < (
+              |  SELECT ${oAvg("l2.l_quantity")} * 0.2 FROM lineitem l2
+              |  WHERE l2.l_partkey = p_partkey)""".stripMargin),
+      bench = true),
+
+    // Q22-shape: wealthy customers with no orders, per nation (no phone
+    // column → grouped by nation key instead of phone prefix)
+    "q22_idle_balances" -> Q(
+      (s, d) => {
+        val c = t(s, d, "customer"); val o = t(s, d, "orders")
+        val avgBal = c.filter(col("c_acctbal") > 0.0)
+          .agg(davg(col("c_acctbal")).as("ab"))
+        c.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
+          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .groupBy(col("c_nationkey"))
+          .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
+          .orderBy("c_nationkey")
+      },
+      Some(s"""SELECT c_nationkey, COUNT(*) AS numcust, ${oSum("c_acctbal")} AS totacctbal
+              |FROM customer
+              |WHERE c_acctbal > (SELECT ${oAvg("c_acctbal")} FROM customer WHERE c_acctbal > 0.0)
+              |AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+              |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin),
+      bench = true),
+
     // extension: grouping sets / rollup (absent in reference, free in Spark)
     "agg_rollup" -> Q(
       (s, d) => t(s, d, "lineitem")
