@@ -62,6 +62,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDrop = """(?is)\s*drop\s+(table|view)\s+(\w+)\s*""".r
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
+  private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
 
   def run(sql: String): DataFrame = sql.trim match {
@@ -91,6 +92,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reSet(key, value) =>
       spark.conf.set(key, value.stripPrefix("'").stripSuffix("'"))
       emptyResult
+    case reExplainAnalyze(body) => explainAnalyze(body)
     case reExplain(body) =>
       import spark.implicits._
       val plan = spark.sql(inlineFunctions(body)).queryExecution.explainString(
@@ -313,6 +315,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     if (cur.nonEmpty) args += cur.toString.trim
     (args.toSeq, i)
+  }
+
+  // ---- EXPLAIN ANALYZE (reference src/executor/analyze.rs:19-77) ---------
+
+  /** Run the query, then report per-operator output rows and timing from
+    * the executed plan's SQL metrics — the analogue of the reference's
+    * `Analyze` executor which wraps each node with row/time counters.
+    */
+  private def explainAnalyze(body: String): DataFrame = {
+    import spark.implicits._
+    val df = spark.sql(inlineFunctions(body))
+    // run through THIS queryExecution instance (df.write would plan a
+    // separate execution and leave these metrics untouched); rows are
+    // consumed executor-side, nothing is collected
+    df.queryExecution.toRdd.foreach(_ => ())
+    val rows = mutable.Buffer[(Int, String, Long, Long)]()
+    def walk(p: org.apache.spark.sql.execution.SparkPlan, depth: Int): Unit = {
+      val outRows = p.metrics.get("numOutputRows").map(_.value).getOrElse(-1L)
+      val timeMs = p.metrics.collect {
+        case (k, m) if k.toLowerCase.contains("time") => m.value
+      }.foldLeft(0L)(math.max) // ns/ms mixed; report the dominant counter
+      rows += ((depth, p.nodeName, outRows, timeMs))
+      val children = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          Seq(a.executedPlan)
+        case q: org.apache.spark.sql.execution.adaptive.QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      children.foreach(walk(_, depth + 1))
+    }
+    walk(df.queryExecution.executedPlan, 0)
+    rows.toSeq.toDF("depth", "operator", "num_output_rows", "max_time_metric")
   }
 
   // ---- system tables (reference src/executor/system_table_scan.rs) -------

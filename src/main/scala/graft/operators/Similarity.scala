@@ -53,6 +53,45 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
   }
 
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid once (build pass: broadcast centroids, narrow map — the
+    * inverted lists are just a `cluster` column, which at warehouse scale
+    * becomes a partition key); queries probe the `nProbe` nearest
+    * centroids' lists only. Centroids here are a deterministic codebook
+    * (the first `nCentroids` corpus vectors) rather than k-means — the
+    * recall/cost shape is the same and the build stays one-pass and
+    * reproducible; swap in trained centroids without touching the plan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCentroids: Int,
+      nProbe: Int, qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val cent = broadcast(
+      corpus.filter(col(cId) < nCentroids)
+        .select(col(cId).as("cent_id"), col(cVec).as("cent_vec")))
+
+    def assign(df: DataFrame, idC: String, vec: String, keep: Int, out: String): DataFrame = {
+      val w = Window.partitionBy(col(idC))
+        .orderBy(l2Distance(col(vec), col("cent_vec")), col("cent_id"))
+      df.crossJoin(cent)
+        .withColumn("cent_rnk", row_number().over(w))
+        .filter(col("cent_rnk") <= keep)
+        .withColumnRenamed("cent_id", out)
+        .drop("cent_vec", "cent_rnk")
+    }
+
+    val corpusAssigned = assign(corpus.select(col(cId), col(cVec)), cId, cVec, 1, "cluster")
+    val queryProbes = assign(queries.select(col(qId), col(qVec)), qId, qVec, nProbe, "cluster")
+
+    val scored = corpusAssigned.join(broadcast(queryProbes), "cluster")
+      .filter(col(qId) =!= col(cId))
+      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+    val w = Window.partitionBy(col(qId))
+      .orderBy(col("cos_sim").desc, col(cId))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by
     * `blockCol` so the pair space stays bounded.
     */

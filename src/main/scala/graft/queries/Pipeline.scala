@@ -162,6 +162,41 @@ object Pipeline {
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
       }),
 
+    "ann_ivf_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.ivfTopK(q, e, k = 5, nCentroids = 16, nProbe = 4)
+          .orderBy("q_id", "rnk")
+      },
+      Some {
+        val l2 = (a: String, b: String) =>
+          "sqrt(list_reduce(list_prepend(0.0, [" +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * " +
+            s"(CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) " +
+            "for i in generate_series(1, 64)]), (x, y) -> x + y))"
+        s"""WITH cent AS (SELECT vec_id AS cent_id, embedding AS cent_vec
+           |  FROM embeddings WHERE vec_id < 16),
+           |ca AS (SELECT vec_id, embedding, cluster FROM (
+           |  SELECT e.vec_id, e.embedding, c.cent_id AS cluster,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${l2("e.embedding", "c.cent_vec")}, c.cent_id) AS rnk
+           |  FROM embeddings e CROSS JOIN cent c) x WHERE rnk = 1),
+           |qp AS (SELECT q_id, q_vec, cluster FROM (
+           |  SELECT e.vec_id AS q_id, e.embedding AS q_vec, c.cent_id AS cluster,
+           |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+           |      ORDER BY ${l2("e.embedding", "c.cent_vec")}, c.cent_id) AS rnk
+           |  FROM embeddings e CROSS JOIN cent c WHERE e.vec_id < 8) x WHERE rnk <= 4)
+           |SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+           |  SELECT q.q_id, ca.vec_id AS neighbor_id,
+           |    ${oCos("q.q_vec", "ca.embedding")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q.q_id
+           |      ORDER BY ${oCos("q.q_vec", "ca.embedding")} DESC, ca.vec_id) AS rnk
+           |  FROM ca JOIN qp q ON ca.cluster = q.cluster AND q.q_id <> ca.vec_id) y
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      }),
+
     // reference vector ops: ORDER BY v <-> const (exact top-k by L2)
     "vector_l2_topk" -> Q(
       (s, d) => {

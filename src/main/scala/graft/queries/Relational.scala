@@ -89,6 +89,17 @@ object Relational {
               |MIN(l_extendedprice) AS min_price, MAX(l_extendedprice) AS max_price,
               |${oAvg("l_discount")} AS avg_disc FROM lineitem""".stripMargin)),
 
+    // -- extension: approximate distinct counting (HLL sketch — the cheap
+    //    variant of the reference's per-group DistinctValue HashSet state).
+    //    No cross-engine oracle (different sketch impls) → rows-only check.
+    "agg_approx_count_distinct" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag"),
+      None),
+
     // -- 2.4 hash agg + sort: TPC-H Q1 (flagship; reference tests/sql/tpch/q1.sql)
     "q1_agg" -> Q(
       (s, d) => t(s, d, "lineitem")

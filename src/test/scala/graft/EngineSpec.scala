@@ -90,6 +90,16 @@ class EngineSpec extends AnyFunSuite {
     assert(spark.conf.get("spark.sql.shuffle.partitions") == "8")
   }
 
+  test("explain analyze runs the query and reports per-operator metrics") {
+    engine.run("create table ta(v int)")
+    engine.run("insert into ta values (1), (2), (3)")
+    val rows = engine.run("explain analyze select v from ta where v > 1").collect()
+    assert(rows.nonEmpty)
+    assert(rows.exists(r => r.getString(1).toLowerCase.contains("scan")))
+    // the scan/filter chain must report the 2 surviving rows somewhere
+    assert(rows.exists(_.getLong(2) == 2L))
+  }
+
   test("explain returns a formatted plan") {
     val plan = engine.run("explain select 1 as one").collect()(0).getString(0)
     assert(plan.contains("Project") || plan.contains("(1)"))

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.functions.Hashing
+
+/** Property-based invariants for the portable hashing layer (SURVEY.md §5:
+  * the reference has no property tests; we add them for the primitives the
+  * whole dedup stack leans on). Raw ScalaCheck `Properties` — sbt runs the
+  * ScalaCheck framework natively.
+  */
+object PropertySpec extends Properties("Hashing") {
+  import TestSpark._
+  import spark.implicits._
+
+  private val word = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString)
+  private val doc = Gen.listOfN(8, word).map(_.mkString(" "))
+
+  property("polyHash in [0,P) and pure") = forAll(Gen.listOfN(10, doc)) { docs =>
+    docs.isEmpty || {
+      def run() = docs.toDF("s")
+        .select(Hashing.polyHash(col("s")).as("h"))
+        .collect().map(_.getLong(0))
+      val out = run()
+      out.forall(h => h >= 0 && h < Hashing.P) && out.sameElements(run())
+    }
+  }
+
+  private val hashSet = Gen.nonEmptyListOf(Gen.choose(0L, Hashing.P - 1)).map(_.distinct)
+
+  property("jaccard symmetric and bounded") = forAll(hashSet, hashSet) { (a, b) =>
+    val Array(r) = Seq((a, b)).toDF("a", "b").select(
+      Hashing.jaccard(col("a"), col("b")).as("ab"),
+      Hashing.jaccard(col("b"), col("a")).as("ba")).collect()
+    r.getDouble(0) == r.getDouble(1) && r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0
+  }
+
+  property("minhash of superset dominates elementwise") = forAll(hashSet) { hs =>
+    val sub = hs.take(math.max(1, hs.length / 2))
+    val Array(r) = Seq((hs, sub)).toDF("all", "sub").select(
+      Hashing.minhashSignature(col("all"), 8).as("sa"),
+      Hashing.minhashSignature(col("sub"), 8).as("sb")).collect()
+    val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1)
+    sa.zip(sb).forall { case (x, y) => x <= y }
+  }
+}
