@@ -1,0 +1,39 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing
+
+/** Deterministic sampling and dataset splitting for training pipelines.
+  *
+  * `rand()`-based sampling is partitioning-dependent and irreproducible
+  * across retries; these operators hash a stable id instead, so the same
+  * row lands in the same split on every run, any cluster, any engine —
+  * and membership is auditable with plain SQL (the gate oracle recomputes
+  * it in DuckDB). Narrow per-row transforms: no shuffle, scan speed.
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from a salted hash of the id column. */
+  def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
+    Hashing.polyHash(concat(id.cast("string"), lit(salt))) % buckets
+
+  /** Keep ~pct% of rows, deterministically. */
+  def sample(df: DataFrame, idCol: String, pct: Int, salt: String = ""): DataFrame =
+    df.filter(hashBucket(col(idCol), 100, salt) < pct)
+
+  /** Train/valid/test split with group-awareness: every row of the same
+    * `groupCol` value lands in the same split (prevents near-duplicate
+    * leakage across splits — group by source/domain/cluster id).
+    * Split: [0, trainPct) → train, [trainPct, trainPct+validPct) → valid,
+    * rest → test.
+    */
+  def split(df: DataFrame, groupCol: String, trainPct: Int, validPct: Int,
+      salt: String = ""): DataFrame = {
+    val b = hashBucket(col(groupCol), 100, salt)
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + validPct, "valid")
+        .otherwise("test"))
+  }
+}

@@ -69,6 +69,53 @@ object Events {
              |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_s
              |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // as-of join (no native Spark op — composed per operators/AsOfJoin):
+    // each click paired with the user's latest view at or before it.
+    // Right side deduped per (user, ts) so the as-of pick is total-ordered.
+    "events_asof_join" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.operators.AsOfJoin.asof(clicks, views, "user_id", "ts",
+            "event_id", "view_id")
+          .select(col("event_id"), col("user_id"), col("asof_view_id"),
+            col("asof_time").cast("long").as("asof_epoch"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id, ts),
+             |u AS (
+             |  SELECT user_id, ts, event_id, 1 AS side,
+             |    CAST(NULL AS BIGINT) AS payload, CAST(NULL AS TIMESTAMP) AS rtime FROM clicks
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, 0, view_id, ts FROM views),
+             |w AS (SELECT user_id, event_id, side,
+             |  last_value(payload IGNORE NULLS) OVER win AS asof_view_id,
+             |  last_value(rtime IGNORE NULLS) OVER win AS asof_time
+             |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts, side
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, asof_view_id,
+             |  CAST(floor(epoch(asof_time)) AS BIGINT) AS asof_epoch
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // banded range join (operators/RangeJoin): same-user event pairs within
+    // 10 minutes — bucketed band join, never a cross product (PlanSpec).
+    "events_range_join" -> Q(
+      (s, d) => graft.operators.RangeJoin.bandedPairs(
+          t(s, d, "events"), "user_id", "ts", "event_id", bandSeconds = 600)
+        .orderBy("id_a", "id_b"),
+      Some("""SELECT a.event_id AS id_a, b.event_id AS id_b,
+             |abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) AS gap_s
+             |FROM events a JOIN events b ON a.user_id = b.user_id
+             |AND a.event_id < b.event_id
+             |AND abs(CAST(floor(epoch(a.ts)) AS BIGINT) - CAST(floor(epoch(b.ts)) AS BIGINT)) <= 600
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     // event funnel: per-user ordered pattern detection (view → click →
     // purchase) via min event times
     "events_funnel" -> Q(

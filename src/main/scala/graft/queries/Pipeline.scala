@@ -268,6 +268,35 @@ object Pipeline {
               |SELECT ph.doc_id, ph.doc_hash, list_min(hs.shash) AS min_shingle_hash
               |FROM ph JOIN hs ON ph.doc_id = hs.doc_id ORDER BY ph.doc_id""".stripMargin)),
 
+    // ---- deterministic sampling / splits (operators/Sampling) -----------
+    // group-aware train/valid/test split keyed on `source` so correlated
+    // docs never straddle splits; reproducible on any cluster and
+    // recomputable by the oracle.
+    "sample_split" -> Q(
+      (s, d) => graft.operators.Sampling.split(
+          t(s, d, "documents"), "source", trainPct = 80, validPct = 10, salt = "v1")
+        .select(col("doc_id"), col("source"), col("split"))
+        .orderBy("doc_id"),
+      Some {
+        val h = polyHash("(source || 'v1')")
+        s"""SELECT doc_id, source,
+           |  CASE WHEN $h % 100 < 80 THEN 'train'
+           |       WHEN $h % 100 < 90 THEN 'valid'
+           |       ELSE 'test' END AS split
+           |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "sample_hash_pct" -> Q(
+      (s, d) => graft.operators.Sampling.sample(
+          t(s, d, "documents"), "doc_id", pct = 10, salt = "s1")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some {
+        val h = polyHash("(CAST(doc_id AS VARCHAR) || 's1')")
+        s"""SELECT doc_id, lang FROM documents
+           |WHERE $h % 100 < 10 ORDER BY doc_id""".stripMargin
+      }),
+
     // ---- multimodal plumbing (decode stubbed, see Multimodal.scala) -----
     "multimodal_features" -> Q(
       (s, d) => {

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.{AsOfJoin, RangeJoin, Sampling}
+
+class AdvancedOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("asof picks the latest right row at-or-before each left time") {
+    val trades = Seq(("A", 10L, 1L), ("A", 20L, 2L), ("B", 15L, 3L))
+      .toDF("sym", "t", "trade_id")
+      .withColumn("t", col("t").cast("timestamp"))
+    val quotes = Seq(("A", 5L, 100.0), ("A", 10L, 101.0), ("A", 18L, 102.0),
+      ("B", 30L, 200.0))
+      .toDF("sym", "t", "px")
+      .withColumn("t", col("t").cast("timestamp"))
+    val out = AsOfJoin.asof(trades, quotes, "sym", "t", "trade_id", "px")
+      .select("trade_id", "asof_px").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L) == Some(101.0)) // exact-time quote visible
+    assert(out(2L) == Some(102.0)) // latest before 20
+    assert(out(3L) == None)        // B has no quote before 15
+  }
+
+  test("banded range pairs equal the naive theta join") {
+    val e = Tables.df(spark, sf, "events")
+    val banded = RangeJoin.bandedPairs(e, "user_id", "ts", "event_id", 600)
+    val a = e.select(col("user_id"), col("event_id").as("ia"), col("ts").cast("long").as("ta"))
+    val b = e.select(col("user_id").as("u2"), col("event_id").as("ib"), col("ts").cast("long").as("tb"))
+    val naive = a.join(b, col("user_id") === col("u2") && col("ia") < col("ib") &&
+        abs(col("ta") - col("tb")) <= 600)
+      .select(col("ia").as("id_a"), col("ib").as("id_b"),
+        abs(col("ta") - col("tb")).as("gap_s"))
+    assert(banded.count() == naive.count())
+    assert(banded.exceptAll(naive).isEmpty)
+  }
+
+  test("hash split is deterministic, group-coherent, and roughly sized") {
+    val docs = Tables.df(spark, sf, "documents")
+    val s1 = Sampling.split(docs, "source", 80, 10, "v1")
+    val s2 = Sampling.split(docs, "source", 80, 10, "v1")
+    assert(s1.exceptAll(s2).isEmpty) // reproducible
+    // group coherence: one split per source
+    val multi = s1.groupBy("source")
+      .agg(countDistinct(col("split")).as("n")).filter(col("n") > 1).count()
+    assert(multi == 0)
+    val frac = s1.filter(col("split") === "train").count().toDouble / docs.count()
+    assert(frac > 0.5 && frac < 1.0) // rough: source cardinality is small
+  }
+
+  test("hash sample subsets are nested for growing pct") {
+    val docs = Tables.df(spark, sf, "documents")
+    val p10 = Sampling.sample(docs, "doc_id", 10, "s1").select("doc_id")
+    val p20 = Sampling.sample(docs, "doc_id", 20, "s1").select("doc_id")
+    assert(p10.exceptAll(p20).isEmpty) // monotone: bucket < 10 ⊂ bucket < 20
+    assert(p20.count() >= p10.count())
+  }
+}
