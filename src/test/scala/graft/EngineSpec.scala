@@ -105,6 +105,27 @@ class EngineSpec extends AnyFunSuite {
     assert(plan.contains("Project") || plan.contains("(1)"))
   }
 
+  test("error parity: aggregate in WHERE is rejected (reference bind error)") {
+    engine.run("create table te(v int)")
+    engine.run("insert into te values (1)")
+    val e = intercept[Exception](engine.run("select v from te where sum(v) > 0").collect())
+    assert(e.getMessage.toLowerCase.contains("where") ||
+      e.getMessage.toLowerCase.contains("aggregate"))
+  }
+
+  test("error parity: window function in WHERE is rejected") {
+    val e = intercept[Exception](
+      engine.run("select v from te where row_number() over (order by v) = 1").collect())
+    assert(e.getMessage.toLowerCase.contains("window"))
+  }
+
+  test("error parity: nested aggregates are rejected") {
+    val e = intercept[Exception](
+      engine.run("select sum(sum(v)) from te").collect())
+    assert(e.getMessage.toLowerCase.contains("aggregate") ||
+      e.getMessage.toLowerCase.contains("nested"))
+  }
+
   test("drop table removes data and catalog entry") {
     engine.run("create table t8(v int)")
     engine.run("insert into t8 values (1)")

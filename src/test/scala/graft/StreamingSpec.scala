@@ -32,4 +32,25 @@ class StreamingSpec extends AnyFunSuite {
 
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
+
+  test("streaming dedup drops repeated fingerprints across the stream") {
+    import graft.functions.Hashing
+    val srcDir = "/root/repo/target/graft-tmp/stream_docs"
+    // stage documents twice → every fingerprint appears at least twice
+    val docs = Tables.df(spark, sf, "documents").select("doc_id", "text")
+    docs.unionAll(docs).coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+      .withColumn("doc_hash", Hashing.polyHash(col("text")))
+      .dropDuplicates("doc_hash")
+
+    val q = stream.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_test")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val out = spark.table("dedup_test")
+    assert(out.count() == docs.select("text").distinct().count())
+  }
 }

@@ -8,6 +8,7 @@ object TestSpark {
     val s = Tables.configure(SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.warehouse.dir", "/root/repo/target/graft-tmp/spark-warehouse")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
