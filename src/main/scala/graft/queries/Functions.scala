@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.Tables
 
 /** Scalar expression surface — SURVEY.md §2.8: arithmetic with
@@ -153,6 +154,42 @@ object Functions {
                |CAST(CAST(c_acctbal AS DECIMAL(15,2)) * 2 AS DOUBLE) AS dec_mul,
                |CAST(CAST(c_acctbal AS DECIMAL(15,2)) + CAST(c_custkey AS DECIMAL(15,2)) AS DOUBLE) AS dec_add
                |FROM customer ORDER BY c_custkey""".stripMargin)),
+
+      // BLOB surface (reference blob.slt: BYTEA literals, concat, length)
+      "expr_blob" -> Q(
+        (s, d) => t(s, d, "nation")
+          .select(col("n_nationkey"),
+            hex(col("n_name").cast("binary")).as("hex_"),
+            length(col("n_name").cast("binary")).as("blen"),
+            concat(col("n_name").cast("binary"), lit("!").cast("binary"))
+              .cast("string").as("bconcat_str"))
+          .orderBy("n_nationkey"),
+        Some("""SELECT n_nationkey, hex(encode(n_name)) AS hex_,
+               |CAST(octet_length(encode(n_name)) AS INT) AS blen,
+               |CAST(encode(n_name) || encode('!') AS VARCHAR) AS bconcat_str
+               |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+      // VECTOR(n) literal parsing — reference `'[1,2,3]'::VECTOR(3)`
+      // (vector.slt); Spark side parses via from_json to array<double>,
+      // then applies the native distance expression.
+      "expr_vector_literal" -> Q(
+        (s, d) => {
+          val v = from_json(lit("[3.0,4.0]"), ArrayType(DoubleType))
+          t(s, d, "region")
+            .select(col("r_regionkey"),
+              element_at(v, 1).as("v0"),
+              element_at(v, 2).as("v1"),
+              size(v).as("dim"),
+              graft.expr.VectorFunctions.l2_distance(v,
+                from_json(lit("[0.0,0.0]"), ArrayType(DoubleType))).as("norm"))
+            .orderBy("r_regionkey")
+        },
+        Some("""SELECT r_regionkey,
+               |list_element(CAST('[3.0,4.0]' AS DOUBLE[]), 1) AS v0,
+               |list_element(CAST('[3.0,4.0]' AS DOUBLE[]), 2) AS v1,
+               |CAST(len(CAST('[3.0,4.0]' AS DOUBLE[])) AS INT) AS dim,
+               |sqrt(3.0*3.0 + 4.0*4.0) AS norm
+               |FROM region ORDER BY r_regionkey""".stripMargin)),
 
       // JSON extraction from the events.props string column (extension;
       // reference has no JSON functions)
