@@ -69,6 +69,62 @@ object Events {
              |  MAX(CAST(floor(epoch(ts)) AS BIGINT)) - MIN(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_s
              |FROM z GROUP BY user_id, session_id ORDER BY user_id, session_id""".stripMargin)),
 
+    // time-based moving aggregate: RANGE window over event-time seconds —
+    // the batch form of a sliding-window stream aggregation
+    "events_moving_sum" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").cast("long"))
+          .rangeBetween(-600, 0)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t_s"),
+            sum(round(col("value") * 1e6).cast("long")).over(w)
+              .cast("double").divide(1e6).as("moving_sum"))
+          .orderBy("user_id", "t_s", "event_id")
+      },
+      Some("""SELECT user_id, event_id, CAST(floor(epoch(ts)) AS BIGINT) AS t_s,
+             |CAST(SUM(CAST(round(value * 1000000.0) AS BIGINT)) OVER (
+             |  PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS moving_sum
+             |FROM events ORDER BY user_id, t_s, event_id""".stripMargin)),
+
+    // value histogram via integer bucketing (width_bucket differs across
+    // engines; floor arithmetic is portable)
+    "events_value_histogram" -> Q(
+      (s, d) => t(s, d, "events")
+        .withColumn("bucket", floor(col("value") / 10.0).cast("long"))
+        .groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"),
+      Some("""SELECT event_type, CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+             |COUNT(*) AS n FROM events GROUP BY event_type, bucket
+             |ORDER BY event_type, bucket""".stripMargin)),
+
+    // numerically-stable variance/stddev from exact fixed-point sums
+    // (reference has no stddev/var — extension; naive float accumulation
+    // would not be cross-engine reproducible, micro-sums are)
+    "events_variance_stable" -> Q(
+      (s, d) => {
+        // centi-scale: keeps sum(x²) < 2^63 for ~1e9 rows of |value|<1e4
+        // (micro-scale squares overflow int64 — DuckDB would silently
+        // promote to HUGEINT, Spark would wrap)
+        val x = round(col("value") * 1e2).cast("long")
+        t(s, d, "events")
+          .groupBy(col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(x).as("s1"), sum(x * x).as("s2"))
+          .select(col("event_type"), col("n"),
+            round(((col("s2").cast("double") - col("s1").cast("double") * col("s1") / col("n")) /
+              (col("n") - 1)) / 1e4, 6).as("variance"))
+          .orderBy("event_type")
+      },
+      Some("""SELECT event_type, COUNT(*) AS n,
+             |round(((CAST(SUM(m * m) AS DOUBLE) - CAST(SUM(m) AS DOUBLE) * SUM(m) / COUNT(*)) /
+             |  (COUNT(*) - 1)) / 10000.0, 6) AS variance
+             |FROM (SELECT event_type, CAST(round(value * 100.0) AS BIGINT) AS m
+             |      FROM events) x
+             |GROUP BY event_type ORDER BY event_type""".stripMargin)),
+
     // as-of join (no native Spark op — composed per operators/AsOfJoin):
     // each click paired with the user's latest view at or before it.
     // Right side deduped per (user, ts) so the as-of pick is total-ordered.
