@@ -38,9 +38,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private def refresh(name: String): Unit = {
     val dir = tableDir(name)
+    val stream = Files.list(Paths.get(dir))
+    val hasData = try stream.anyMatch(p => p.toString.endsWith(".parquet"))
+    finally stream.close()
     val df =
-      if (Files.list(Paths.get(dir)).anyMatch(p => p.toString.endsWith(".parquet")))
-        spark.read.schema(tables(name)._1).parquet(dir)
+      if (hasData) spark.read.schema(tables(name)._1).parquet(dir)
       else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name)._1)
     df.createOrReplaceTempView(name)
   }
@@ -173,10 +175,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (kind == "table") {
       tables.remove(name)
       val dir = Paths.get(tableDir(name))
-      if (Files.exists(dir)) {
-        Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => Files.deleteIfExists(p))
-      }
+      if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
     } else views.remove(name)
     spark.catalog.dropTempView(name)
     saveManifest()
@@ -218,13 +217,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val keep = remaining.collectAsList()
     cur.unpersist()
     // rewrite: coarse but atomic-enough for the single-writer model
-    val dir = Paths.get(tableDir(table))
-    Files.walk(dir).sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-      .filter(p => p != dir).forEach(p => Files.deleteIfExists(p))
+    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
     val kept = spark.createDataFrame(keep, schema)
     if (!kept.isEmpty) kept.write.mode("overwrite").parquet(tableDir(table))
     refresh(table)
     rowCountResult(total - keep.size())
+  }
+
+  private def deleteRecursively(dir: java.nio.file.Path, keepRoot: Boolean): Unit = {
+    val stream = Files.walk(dir)
+    try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+      .filter(p => !(keepRoot && p == dir)).forEach(p => Files.deleteIfExists(p))
+    finally stream.close()
   }
 
   private def rowCountResult(n: Long): DataFrame = {
