@@ -278,7 +278,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * point so UDFs may call UDFs.
     */
   def inlineFunctions(sql: String): String = {
+    // type-alias parity: the reference collapses bare VARCHAR/TEXT to its
+    // string type (`src/types/mod.rs:114`); Spark requires VARCHAR(n)
     var out = sql
+      .replaceAll("(?i)\\bas\\s+varchar\\s*([,)])", "AS STRING$1")
+      .replaceAll("(?i)\\bas\\s+text\\s*([,)])", "AS STRING$1")
     var changed = true
     var guard = 0
     while (changed && guard < 10) {
