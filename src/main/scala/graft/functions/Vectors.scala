@@ -52,17 +52,37 @@ object Vectors {
     (((j * 64 + dIdx) * 2654435761L % 1000003L) - lit(500001L)).cast("double") / 500001.0
 
   /** Sign-of-projection LSH bucket over `nPlanes` deterministic
-    * hyperplanes: bit j = 1 iff dot(w_j, v) > 0. Bucket ∈ [0, 2^nPlanes).
+    * hyperplanes starting at plane index `planeOffset`: bit j = 1 iff
+    * dot(w_{offset+j}, v) > 0. Bucket ∈ [0, 2^nPlanes).
     */
-  def lshBucket(v: Column, nPlanes: Int): Column =
+  def lshBucket(v: Column, nPlanes: Int, planeOffset: Int = 0): Column =
     aggregate(
       sequence(lit(0), lit(nPlanes - 1)), lit(0L),
       (acc, j) => {
         val proj = aggregate(
           zip_with(v, sequence(lit(0), size(v) - 1),
-            (x, dIdx) => x.cast("double") * planeWeight(j.cast("long"), dIdx.cast("long"))),
+            (x, dIdx) => x.cast("double") *
+              planeWeight(j.cast("long") + planeOffset, dIdx.cast("long"))),
           lit(0.0), (a2, p) => a2 + p)
         acc + when(proj > 0,
           call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
       })
+
+  /** Multi-table LSH buckets: one independent `nPlanes`-bit bucket per
+    * table (plane indices offset by table·nPlanes). Candidate recall for
+    * L tables is 1-(1-p^nPlanes)^L per neighbor.
+    */
+  def lshBuckets(v: Column, nPlanes: Int, nTables: Int): Column =
+    transform(sequence(lit(0), lit(nTables - 1)),
+      tt => aggregate(
+        sequence(lit(0), lit(nPlanes - 1)), lit(0L),
+        (acc, j) => {
+          val proj = aggregate(
+            zip_with(v, sequence(lit(0), size(v) - 1),
+              (x, dIdx) => x.cast("double") *
+                planeWeight(tt.cast("long") * nPlanes + j.cast("long"), dIdx.cast("long"))),
+            lit(0.0), (a2, p) => a2 + p)
+          acc + when(proj > 0,
+            call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
+        }))
 }

@@ -37,15 +37,25 @@ object Similarity {
       .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
   }
 
-  /** Approximate top-k via sign-LSH bucket probing (single-probe). */
+  /** Approximate top-k via multi-table sign-LSH: candidates are the union
+    * of bucket collisions across `nTables` independent hash tables
+    * (recall ≈ 1-(1-p^nPlanes)^nTables per neighbor). Corpus bucketing is
+    * a narrow map; each (table, bucket) pair is a join key, so the probe
+    * join touches ~nTables/2^nPlanes of the corpus per query.
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
-      qId: String = "q_id", qVec: String = "q_vec",
+      nTables: Int = 8, qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cb = corpus.withColumn("bucket", lshBucket(col(cVec), nPlanes))
-    val qb = queries.withColumn("bucket", lshBucket(col(qVec), nPlanes))
-    val scored = cb.join(broadcast(qb), "bucket")
+    def banded(df: DataFrame, vec: String) =
+      df.withColumn("_buckets", lshBuckets(col(vec), nPlanes, nTables))
+        .select(df.columns.map(col) :+
+          posexplode(col("_buckets")).as(Seq("tbl", "bucket")): _*)
+    val cb = banded(corpus.select(col(cId), col(cVec)), cVec)
+    val qb = banded(queries.select(col(qId), col(qVec)), qVec)
+    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
       .filter(col(qId) =!= col(cId))
-      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+      .select(col(qId), col(qVec), col(cId), col(cVec)).distinct()
+    val scored = cand.withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
     val w = Window.partitionBy(col(qId))
       .orderBy(col("cos_sim").desc, col(cId))
     scored.withColumn("rnk", row_number().over(w))

@@ -141,24 +141,32 @@ object Pipeline {
         val e = t(s, d, "embeddings")
         val q = e.filter(col("vec_id") < 8)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
-        Similarity.lshTopK(q, e, k = 5, nPlanes = 6).orderBy("q_id", "rnk")
+        Similarity.lshTopK(q, e, k = 5, nPlanes = 6, nTables = 8)
+          .orderBy("q_id", "rnk")
       },
       Some {
-        val bucket = (v: String) =>
-          s"""list_reduce(list_prepend(CAST(0 AS BIGINT), [
+        // per-table bucket: 6 sign bits from planes tt*6+j
+        val buckets = (v: String) =>
+          s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [
              |  CASE WHEN list_reduce(list_prepend(0.0,
-             |    [CAST($v[i] AS DOUBLE) * ((((j*64 + (i-1)) * 2654435761) % 1000003 - 500001)::DOUBLE / 500001.0)
+             |    [CAST($v[i] AS DOUBLE) * ((((((tt*6)+j)*64 + (i-1)) * 2654435761) % 1000003 - 500001)::DOUBLE / 500001.0)
              |     for i in generate_series(1, 64)]), (x, y) -> x + y) > 0
              |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-             |  for j in generate_series(0, 5)]), (x, y) -> x + y)""".stripMargin
-        s"""WITH cb AS (SELECT vec_id, embedding, ${bucket("embedding")} AS bucket FROM embeddings),
-           |qb AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket FROM cb WHERE vec_id < 8)
+             |  for j in generate_series(0, 5)]), (x, y) -> x + y)
+             |  for tt in generate_series(0, 7)]""".stripMargin
+        s"""WITH cb AS (SELECT vec_id, embedding, ${buckets("embedding")} AS bks FROM embeddings),
+           |ce AS (SELECT vec_id, embedding, unnest(bks) AS bucket,
+           |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
+           |qe AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket, tbl FROM ce WHERE vec_id < 8),
+           |cand AS (SELECT DISTINCT q.q_id, q.q_vec, c.vec_id, c.embedding
+           |  FROM ce c JOIN qe q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |  WHERE q.q_id <> c.vec_id)
            |SELECT q_id, neighbor_id, cos_sim, rnk FROM (
-           |  SELECT q.q_id, c.vec_id AS neighbor_id,
-           |    ${oCos("q.q_vec", "c.embedding")} AS cos_sim,
-           |    ROW_NUMBER() OVER (PARTITION BY q.q_id
-           |      ORDER BY ${oCos("q.q_vec", "c.embedding")} DESC, c.vec_id) AS rnk
-           |  FROM cb c JOIN qb q ON c.bucket = q.bucket AND q.q_id <> c.vec_id) x
+           |  SELECT q_id, vec_id AS neighbor_id,
+           |    ${oCos("q_vec", "embedding")} AS cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${oCos("q_vec", "embedding")} DESC, vec_id) AS rnk
+           |  FROM cand) x
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
       }),
 
