@@ -85,6 +85,46 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** Connected components over a near-duplicate pair graph: every doc in a
+    * cluster is labeled with the cluster's minimum id (the representative
+    * to keep). Iterative min-label propagation — each round joins the
+    * label table with the (bidirectional) edge list and takes the min
+    * neighbor label; rounds needed = graph diameter, which for near-dup
+    * clusters is tiny (dup clusters are near-cliques). Each round is one
+    * shuffle on id; no driver-side graph state.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("rep", col("id"))
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
+        .select(edges("src").as("id"), col("rep"))
+      val next = labels.select(col("id"), col("rep")).unionAll(viaNeighbor)
+        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
+        .cache()
+      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
+        .filter(col("rep") =!= col("prev")).isEmpty
+      labels.unpersist()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  /** Full keep-one-representative dedup: pair detection (MinHash+LSH) →
+    * clustering → every clustered doc mapped to its representative.
+    */
+  def representatives(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+    connectedComponents(pairs)
+      .select(col("id").as(idCol), col("rep").as("keep_id"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key
     * (e.g. language) — the verify-stage primitive exposed standalone.
     */

@@ -22,6 +22,20 @@ object Sampling {
   def sample(df: DataFrame, idCol: String, pct: Int, salt: String = ""): DataFrame =
     df.filter(hashBucket(col(idCol), 100, salt) < pct)
 
+  /** Exactly-n-per-stratum sample, deterministic: rows are ranked inside
+    * each stratum by their salted hash (a stable pseudo-random order) and
+    * the first n are kept. One shuffle on the stratum key.
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String, n: Int,
+      salt: String = ""): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+      .orderBy(hashBucket(col(idCol), 1000000007, salt), col(idCol))
+    df.withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= n)
+      .drop("_rk")
+  }
+
   /** Train/valid/test split with group-awareness: every row of the same
     * `groupCol` value lands in the same split (prevents near-duplicate
     * leakage across splits — group by source/domain/cluster id).

@@ -70,6 +70,37 @@ object Pipeline {
               |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
               |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // pairs → connected components → keep-one-representative (the actual
+    // curation output). Oracle: recursive-CTE transitive closure.
+    "dedup_clusters" -> Q(
+      (s, d) => graft.operators.Dedup.representatives(
+          t(s, d, "documents"), "doc_id", "text", threshold = 0.5)
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id),
+              |pairs AS (SELECT c.id_a, c.id_b
+              |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |  WHERE $jacc >= 0.5),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |ids AS (SELECT DISTINCT s AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM ids
+              |  UNION
+              |  SELECT e.s, rc.r FROM edges e JOIN reach rc ON e.d = rc.id)
+              |SELECT id AS doc_id, MIN(r) AS keep_id FROM reach
+              |GROUP BY id ORDER BY doc_id""".stripMargin)),
+
     "dedup_simhash" -> Q(
       (s, d) => Dedup.simhashed(t(s, d, "documents"), "doc_id", "text")
         .orderBy("doc_id"),
@@ -292,6 +323,20 @@ object Pipeline {
            |       WHEN $h % 100 < 90 THEN 'valid'
            |       ELSE 'test' END AS split
            |FROM documents ORDER BY doc_id""".stripMargin
+      }),
+
+    "sample_stratified" -> Q(
+      (s, d) => graft.operators.Sampling.stratified(
+          t(s, d, "documents"), "lang", "doc_id", n = 20, salt = "st")
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id"),
+      Some {
+        val h = polyHash("(CAST(doc_id AS VARCHAR) || 'st')")
+        s"""SELECT doc_id, lang FROM (
+           |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY $h % 1000000007, doc_id) AS rk
+           |  FROM documents) x
+           |WHERE rk <= 20 ORDER BY doc_id""".stripMargin
       }),
 
     "sample_hash_pct" -> Q(
