@@ -144,19 +144,22 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // -- 2.4 first/last: reference is scan-order; we pin a deterministic
-    //    order (min/max of the unique (orderkey,linenumber) pair) so the
-    //    result is well-defined under any partitioning.
+    //    TOTAL order. (l_orderkey, l_linenumber) is not unique in the
+    //    testdata (duplicated rows), so the value itself is folded into
+    //    the order key — ties then carry identical values by construction.
     "agg_first_last" -> Q(
       (s, d) => t(s, d, "lineitem")
-        .withColumn("seq", col("l_orderkey") * 100 + col("l_linenumber"))
+        .withColumn("seq",
+          (col("l_orderkey") * 100 + col("l_linenumber")).cast("double") * 1e7
+            + col("l_extendedprice"))
         .groupBy(col("l_returnflag"))
         .agg(
           min_by(col("l_extendedprice"), col("seq")).as("first_price"),
           max_by(col("l_extendedprice"), col("seq")).as("last_price"))
         .orderBy("l_returnflag"),
       Some("""SELECT l_returnflag,
-             |ARG_MIN(l_extendedprice, l_orderkey*100 + l_linenumber) AS first_price,
-             |ARG_MAX(l_extendedprice, l_orderkey*100 + l_linenumber) AS last_price
+             |ARG_MIN(l_extendedprice, CAST(l_orderkey*100 + l_linenumber AS DOUBLE)*10000000.0 + l_extendedprice) AS first_price,
+             |ARG_MAX(l_extendedprice, CAST(l_orderkey*100 + l_linenumber AS DOUBLE)*10000000.0 + l_extendedprice) AS last_price
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // -- 2.4 HAVING (filter above agg referencing agg exprs)
