@@ -1,0 +1,169 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native kernels for the dedup hot path. The HOF formulation in
+  * graft.functions.Hashing interprets a lambda per character/shingle
+  * (~30M lambda evals for a 5k-doc corpus); these expressions run the
+  * same arithmetic as tight JVM loops — results are bit-identical (same
+  * tokenization: lowercase, split on single space, drop empties; same
+  * fold (acc*31 + codepoint) mod 2^31-1; same first-occurrence distinct).
+  *
+  * CodegenFallback: one JVM call per row replaces thousands of interpreted
+  * lambda steps, which is where the time was; the ops around it stay in
+  * codegen.
+  */
+case class ShingleHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  private final val P = 2147483647L
+
+  private def polyHash(s: String, from: Int, until: Int): Long = {
+    var acc = 0L
+    var i = from
+    while (i < until) { acc = (acc * 31 + s.charAt(i)) % P; i += 1 }
+    acc
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString.toLowerCase
+    // tokens: split on single space, drop empties (== HOF filter(split(lower)))
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) toks += text.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    val shingles =
+      if (toks.length >= width)
+        (0 to toks.length - width).iterator.map(j => toks.slice(j, j + width).mkString(" "))
+      else Iterator.single(toks.mkString(" "))
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    shingles.foreach { sh => seen.add(polyHash(sh, 0, sh.length)) }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** MinHash signature over a hash array: k minima of g_j(h) = (a_j·h+b_j)
+  * mod P with the same index-derived coefficients as Hashing.minhashSignature.
+  */
+case class MinHashSig(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sig"
+
+  private final val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val hashes = input.asInstanceOf[ArrayData].toLongArray()
+    val sig = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val a = (j.toLong * 2654435761L + 1L) % P
+      val b = (j.toLong * 40503L + 17L) % P
+      var m = Long.MaxValue
+      var i = 0
+      while (i < hashes.length) {
+        val g = (a * hashes(i) + b) % P
+        if (g < m) m = g
+        i += 1
+      }
+      sig(j) = m
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard similarity of two distinct-element long arrays in one pass —
+  * the HOF/built-in form evaluates array_intersect twice per pair, which
+  * dominates the verify stage of blocked n² dedup.
+  */
+case class ArrayJaccard(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression with CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_jaccard"
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData].toLongArray()
+    val b = r.asInstanceOf[ArrayData].toLongArray()
+    val set = new java.util.HashSet[java.lang.Long](a.length * 2)
+    var i = 0
+    while (i < a.length) { set.add(a(i)); i += 1 }
+    var inter = 0
+    i = 0
+    while (i < b.length) { if (set.contains(b(i))) inter += 1; i += 1 }
+    inter.toDouble / (a.length + b.length - inter).toDouble
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** 48-bit SimHash over the word-token hashes of a string — same votes as
+  * Hashing.simhash48 (g_j low bit → ±1), same tokenization as ShingleHashes.
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash48"
+
+  private final val P = 2147483647L
+
+  override def nullSafeEval(input: Any): Any = {
+    val text = input.toString.toLowerCase
+    val tokHashes = new scala.collection.mutable.ArrayBuffer[Long]()
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) {
+          var acc = 0L
+          var c = start
+          while (c < i) { acc = (acc * 31 + text.charAt(c)) % P; c += 1 }
+          tokHashes += acc
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 48) {
+      val a = (j.toLong * 2654435761L + 1L) % P
+      val b = (j.toLong * 40503L + 17L) % P
+      var vote = 0L
+      var t = 0
+      while (t < tokHashes.length) {
+        vote += (((a * tokHashes(t) + b) % P) % 2) * 2 - 1
+        t += 1
+      }
+      if (vote > 0) fp |= 1L << j
+      j += 1
+    }
+    java.lang.Long.valueOf(fp)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

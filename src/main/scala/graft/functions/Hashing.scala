@@ -48,8 +48,15 @@ object Hashing {
       .otherwise(array(array_join(toks, " ")))
   }
 
-  /** Hashes of the distinct w-shingles of a document. */
+  /** Hashes of the distinct w-shingles of a document (native kernel; the
+    * HOF formulation below is the cross-engine spec and parity baseline).
+    */
   def shingleHashes(s: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.ShingleHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s), w))
+
+  def shingleHashesHof(s: Column, w: Int): Column =
     array_distinct(transform(wordShingles(s, w), sh => polyHash(sh)))
 
   /** j-th universal hash g_j(x) = (a_j * x + b_j) mod P with fixed,
@@ -58,8 +65,15 @@ object Hashing {
   def aCoef(j: Int): Long = (j.toLong * 2654435761L + 1L) % P
   def bCoef(j: Int): Long = (j.toLong * 40503L + 17L) % P
 
-  /** MinHash signature: array of k minima of g_j over the shingle hashes. */
+  /** MinHash signature: array of k minima of g_j over the shingle hashes
+    * (native kernel; [[minhashSignatureHof]] is the spec baseline).
+    */
   def minhashSignature(shingles: Column, k: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.MinHashSig(
+        org.apache.spark.sql.graftbridge.Bridge.expression(shingles), k))
+
+  def minhashSignatureHof(shingles: Column, k: Int): Column =
     transform(sequence(lit(0), lit(k - 1)), j => {
       // j is a runtime column; coefficients computed in-expression
       val a = (j.cast("long") * 2654435761L + 1L) % P
@@ -77,9 +91,14 @@ object Hashing {
         (acc, v) => (acc * 31 + v) % P))
 
   /** 48-bit SimHash over token hashes: bit j is the sign of the sum of
-    * ±1 votes derived from universal hash g_j's low bit.
+    * ±1 votes derived from universal hash g_j's low bit (native kernel).
     */
-  def simhash48(s: Column): Column = {
+  def simhash48(s: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.SimHash48(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s)))
+
+  def simhash48Hof(s: Column): Column = {
     val tokHashes = transform(tokens(s), t => polyHash(t))
     aggregate(
       sequence(lit(0), lit(47)),
@@ -94,10 +113,17 @@ object Hashing {
       })
   }
 
-  /** Exact Jaccard similarity of two distinct-element arrays.
-    * union = |A| + |B| - |A∩B| so both engines use set-intersection only.
+  /** Exact Jaccard similarity of two distinct-element arrays — native
+    * single-pass kernel; union = |A| + |B| - |A∩B| (same formula the
+    * DuckDB oracle computes with list_intersect).
     */
-  def jaccard(a: Column, b: Column): Column = {
+  def jaccard(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.ArrayJaccard(
+        org.apache.spark.sql.graftbridge.Bridge.expression(a.cast("array<long>")),
+        org.apache.spark.sql.graftbridge.Bridge.expression(b.cast("array<long>"))))
+
+  def jaccardHof(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
   }

@@ -45,18 +45,23 @@ object Dedup {
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
       threshold: Double = 0.5): DataFrame = {
+    // materialize signatures once: the self-join would otherwise recompute
+    // the (expensive) shingle hashing for both sides of every probe
     val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
-      .select(col(idCol), col("shingles"), col("bands"))
-    // explode to (bandIdx, bandKey) → bucket join; distinct pair before verify
-    val banded = m.select(col(idCol), col("shingles"),
+      .select(col(idCol), col("shingles"), col("bands")).cache()
+    // explode to (bandIdx, bandKey) → bucket join on slim (id, band) rows;
+    // shingle arrays stay out of the pair shuffle and are re-joined only
+    // for the (small) candidate set's Jaccard verification
+    val banded = m.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    val a = banded.select(col(idCol).as("id_a"), col("shingles").as("sh_a"),
-      col("band_idx"), col("band_key"))
-    val b = banded.select(col(idCol).as("id_b"), col("shingles").as("sh_b"),
-      col("band_idx"), col("band_key"))
-    a.join(b, Seq("band_idx", "band_key"))
+    val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
+    val cand = a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b")).distinct()
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(m.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(m.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
@@ -94,8 +99,11 @@ object Dedup {
     * shuffle on id; no driver-side graph state.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+    // cache: the loop re-reads edges every iteration; without this the
+    // whole upstream pair-detection lineage re-executes per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .unionAll(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .cache()
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("rep", col("id"))
     var converged = false

@@ -53,6 +53,23 @@ class HashingSpec extends AnyFunSuite {
     assert(v1 >= 0L && v1 < (1L << 48))
   }
 
+  test("native text-hash kernels are bit-identical to the HOF spec over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.df(spark, sf, "documents")
+    val cmp = docs.select(
+      Hashing.shingleHashes(col("text"), 3).as("nat_sh"),
+      Hashing.shingleHashesHof(col("text"), 3).as("hof_sh"),
+      Hashing.simhash48(col("text")).as("nat_fp"),
+      Hashing.simhash48Hof(col("text")).as("hof_fp"))
+      .withColumn("sig_nat", Hashing.minhashSignature(col("nat_sh"), 16))
+      .withColumn("sig_hof", Hashing.minhashSignatureHof(col("hof_sh"), 16))
+    val bad = cmp.filter(
+      col("nat_sh") =!= col("hof_sh") ||
+        col("nat_fp") =!= col("hof_fp") ||
+        col("sig_nat") =!= col("sig_hof")).count()
+    assert(bad == 0)
+  }
+
   test("vector distances: orthogonal, identical, opposite") {
     val a = array(lit(1.0f), lit(0.0f))
     val b = array(lit(0.0f), lit(1.0f))
