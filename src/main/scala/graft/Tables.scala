@@ -49,7 +49,9 @@ object Tables {
     val raw = load(spark, dir, "events")
     raw.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType =>
-        raw.withColumn("ts", timestamp_micros(col("ts") / 1000 cast "long"))
+        // Integer division: `/` on Long promotes to Double, whose 53-bit
+        // mantissa loses 1µs on ns-scale epochs; `div` stays exact.
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case _ => raw
     }
   }

@@ -115,6 +115,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** Reference type names → Spark types (SURVEY.md §1.2). */
   private def parseType(t: String): DataType = t.trim.toLowerCase match {
     case s if s.startsWith("smallint") => ShortType
+    // INTERVAL must precede the int prefix match ("interval".startsWith("int")).
+    // Day-to-second ANSI interval: parquet-writable (CalendarIntervalType is
+    // not); reference intervals with month parts are out of this envelope
+    // (`/root/reference/src/types/interval.rs`).
+    case s if s.startsWith("interval") => DayTimeIntervalType()
     case s if s.startsWith("int") || s.startsWith("integer") => IntegerType
     case s if s.startsWith("bigint") => LongType
     case s if s.startsWith("double") || s.startsWith("float") || s.startsWith("real") => DoubleType
@@ -130,7 +135,6 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case s if s.startsWith("vector") =>
       // reference VECTOR(n) — fixed-length double vector (types/vector.rs)
       ArrayType(DoubleType, containsNull = false)
-    case s if s.startsWith("interval") => CalendarIntervalType
     case other => throw new IllegalArgumentException(s"unknown type: $other")
   }
 
@@ -205,23 +209,34 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     rowCountResult(n)
   }
 
-  /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL). */
+  /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL).
+    *
+    * Fully distributed: survivors stream executor-side into a sibling temp
+    * dir, then the table dir is swapped under the single-writer model. No
+    * driver materialization, so the rewrite cost is a scan+write regardless
+    * of table size (the analogue of the reference's delete-vector compaction,
+    * `src/executor/delete.rs`).
+    */
   private def delete(table: String, cond: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
-    val cur = spark.table(table).cache()
+    val cur = spark.table(table)
     val total = cur.count()
     val remaining = cond match {
       case Some(c) => cur.filter(!coalesce(expr(inlineFunctions(c)), lit(false)))
       case None => cur.limit(0)
     }
-    val keep = remaining.collectAsList()
-    cur.unpersist()
-    // rewrite: coarse but atomic-enough for the single-writer model
+    val tmp = s"${tableDir(table)}__rewrite"
+    remaining.write.mode("overwrite").parquet(tmp) // materializes BEFORE the swap
+    val kept = spark.read.schema(schema).parquet(tmp).count()
     deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
-    val kept = spark.createDataFrame(keep, schema)
-    if (!kept.isEmpty) kept.write.mode("overwrite").parquet(tableDir(table))
+    val stream = Files.list(Paths.get(tmp))
+    try stream.forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.move(p, Paths.get(tableDir(table)).resolve(p.getFileName.toString))
+    } finally stream.close()
+    deleteRecursively(Paths.get(tmp), keepRoot = false)
     refresh(table)
-    rowCountResult(total - keep.size())
+    rowCountResult(total - kept)
   }
 
   private def deleteRecursively(dir: java.nio.file.Path, keepRoot: Boolean): Unit = {

@@ -22,14 +22,21 @@ object RangeJoin {
     val withBucket = df.select(col(keyCol), col(idCol),
         col(timeCol).cast("long").as("_t"))
       .withColumn("_bucket", floor(col("_t") / bandSeconds))
+    // Explode side A into its own + adjacent buckets so adjacency is part
+    // of the EQUI-join key (keyCol, _probe): the shuffle partitions by
+    // (key, bucket) and each A-row meets only the three candidate buckets —
+    // 3 probes/row. An OR-disjunction on buckets would be a residual
+    // filter instead, leaving keyCol as the only equi-key and degrading to
+    // all-pairs within each key.
     val a = withBucket.select(col(keyCol), col(idCol).as("id_a"),
-      col("_t").as("t_a"), col("_bucket"))
+      col("_t").as("t_a"),
+      explode(array(col("_bucket") - 1, col("_bucket"), col("_bucket") + 1))
+        .as("_probe"))
     val b = withBucket.select(col(keyCol), col(idCol).as("id_b"),
-      col("_t").as("t_b"), col("_bucket").as("_bucket_b"))
-    a.join(b, a(keyCol) === b(keyCol) &&
-        (col("_bucket_b") === col("_bucket") - 1 ||
-          col("_bucket_b") === col("_bucket") ||
-          col("_bucket_b") === col("_bucket") + 1))
+      col("_t").as("t_b"), col("_bucket").as("_probe"))
+    // exactly one exploded A-bucket equals B's bucket for any in-band pair,
+    // so no pair is emitted twice
+    a.join(b, Seq(keyCol, "_probe"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("t_a") - col("t_b")) <= bandSeconds)
       .select(col("id_a"), col("id_b"), abs(col("t_a") - col("t_b")).as("gap_s"))

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.Vectors._
 
@@ -9,10 +8,12 @@ import graft.functions.Vectors._
   *
   * Two tiers:
   *  - [[bruteForceTopK]]: exact cosine top-k. The query side is small by
-  *    construction (it's broadcast); the corpus side streams — per
-  *    partition this is a scan+heap (TakeOrdered per window), no corpus
-  *    shuffle. This is the correctness baseline and is already the right
-  *    plan for "few queries × huge corpus".
+  *    construction (it's broadcast); the corpus side streams — scoring is
+  *    a narrow map, and the final top-k is a k-bounded partial aggregate
+  *    ([[graft.functions.TopKByScore]]) so only nPartitions×k candidate
+  *    rows per query reach the shuffle; the corpus itself is never
+  *    re-partitioned. The correctness baseline for "few queries × huge
+  *    corpus".
   *  - [[lshTopK]]: sign-random-projection LSH. Corpus is bucketed by a
   *    deterministic hyperplane signature (narrow map, no shuffle to
   *    build); each query probes only its bucket → joins touch a 1/2^p
@@ -23,6 +24,12 @@ import graft.functions.Vectors._
   */
 object Similarity {
 
+  /** Final ranking stage shared by all tiers: k-bounded per-group
+    * aggregate, no Window over the scored set.
+    */
+  private def rankTopK(scored: DataFrame, k: Int, qId: String, cId: String): DataFrame =
+    graft.functions.TopK.rank(scored, k, qId, cId, "cos_sim")
+
   /** Exact top-k cosine neighbors for each query vector. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
       qId: String = "q_id", qVec: String = "q_vec",
@@ -30,11 +37,7 @@ object Similarity {
     val scored = corpus.crossJoin(broadcast(queries))
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+    rankTopK(scored, k, qId, cId)
   }
 
   /** Approximate top-k via multi-table sign-LSH: candidates are the union
@@ -56,11 +59,7 @@ object Similarity {
       .filter(col(qId) =!= col(cId))
       .select(col(qId), col(qVec), col(cId), col(cVec)).distinct()
     val scored = cand.withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+    rankTopK(scored, k, qId, cId)
   }
 
   /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
@@ -75,31 +74,38 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCentroids: Int,
       nProbe: Int, qId: String = "q_id", qVec: String = "q_vec",
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val cent = broadcast(
-      corpus.filter(col(cId) < nCentroids)
-        .select(col(cId).as("cent_id"), col(cVec).as("cent_vec")))
+    // Codebook: collected once to the driver — bounded by construction (the
+    // codebook IS the small trained artifact in IVF, independent of corpus
+    // size) — and re-broadcast as a literal array. Assignment is then a
+    // narrow per-row argmin: NO crossJoin, NO window, NO shuffle touches
+    // the corpus during the build pass.
+    val cents = corpus.filter(col(cId) < nCentroids)
+      .select(col(cId).cast("long").as("cent_id"),
+        col(cVec).cast("array<double>").as("cent_vec"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    val codebook = array(cents.map { case (id, v) =>
+      struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
 
-    def assign(df: DataFrame, idC: String, vec: String, keep: Int, out: String): DataFrame = {
-      val w = Window.partitionBy(col(idC))
-        .orderBy(l2Distance(col(vec), col("cent_vec")), col("cent_id"))
-      df.crossJoin(cent)
-        .withColumn("cent_rnk", row_number().over(w))
-        .filter(col("cent_rnk") <= keep)
-        .withColumnRenamed("cent_id", out)
-        .drop("cent_vec", "cent_rnk")
-    }
+    // nearest `keep` centroids for one vector: (distance asc, cid asc) —
+    // array_sort on struct<d,cid> compares fields in order, matching the
+    // old window's ORDER BY (l2, cent_id) tie-break exactly.
+    def nearest(vec: Column, keep: Int): Column =
+      slice(array_sort(transform(codebook, c =>
+        struct(l2Distance(vec, c.getField("vec")).as("d"),
+          c.getField("cid").as("cid")))), 1, keep)
 
-    val corpusAssigned = assign(corpus.select(col(cId), col(cVec)), cId, cVec, 1, "cluster")
-    val queryProbes = assign(queries.select(col(qId), col(qVec)), qId, qVec, nProbe, "cluster")
+    val corpusAssigned = corpus.select(col(cId), col(cVec))
+      .withColumn("cluster", nearest(col(cVec), 1).getItem(0).getField("cid"))
+    val queryProbes = queries.select(col(qId), col(qVec))
+      .withColumn("cluster",
+        explode(transform(nearest(col(qVec), nProbe), s => s.getField("cid"))))
 
     val scored = corpusAssigned.join(broadcast(queryProbes), "cluster")
       .filter(col(qId) =!= col(cId))
       .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
-    val w = Window.partitionBy(col(qId))
-      .orderBy(col("cos_sim").desc, col(cId))
-    scored.withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col(qId), col(cId).as("neighbor_id"), col("cos_sim"), col("rnk"))
+    rankTopK(scored, k, qId, cId)
   }
 
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by

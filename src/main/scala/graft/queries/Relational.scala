@@ -91,14 +91,22 @@ object Relational {
 
     // -- extension: approximate distinct counting (HLL sketch — the cheap
     //    variant of the reference's per-group DistinctValue HashSet state).
-    //    No cross-engine oracle (different sketch impls) → rows-only check.
+    //    Sketch values differ across engines, so the oracle checks the
+    //    PROPERTY: exact count + a relative-error-within-5% boolean. DuckDB
+    //    recomputes the exact count and asserts TRUE; the hash matches iff
+    //    the sketch actually lands within tolerance.
     "agg_approx_count_distinct" -> Q(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          countDistinct(col("l_partkey")).as("exact_parts"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          (abs(approx_count_distinct(col("l_partkey")) - countDistinct(col("l_partkey")))
+            / countDistinct(col("l_partkey")) < 0.05).as("within_tol"))
         .orderBy("l_returnflag"),
-      None),
+      Some("""SELECT l_returnflag,
+             |CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             |TRUE AS within_tol
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
     // -- 2.4 hash agg + sort: TPC-H Q1 (flagship; reference tests/sql/tpch/q1.sql)
     "q1_agg" -> Q(

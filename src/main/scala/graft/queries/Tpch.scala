@@ -115,7 +115,7 @@ object Tpch {
     // Q9-shape: profit by nation and year (no partsupp → cost term dropped)
     "q9_profit_by_nation_year" -> Q(
       (s, d) => {
-        val p = t(s, d, "part").filter(col("p_name").like("%part%") || col("p_name").isNotNull)
+        val p = t(s, d, "part")
         val l = t(s, d, "lineitem"); val su = t(s, d, "supplier")
         val o = t(s, d, "orders"); val n = t(s, d, "nation")
         l.join(p, l("l_partkey") === p("p_partkey"))
@@ -176,9 +176,11 @@ object Tpch {
             sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L).otherwise(0L)).as("low_line_count"))
           .orderBy("l_returnflag")
       },
+      // CAST to BIGINT: DuckDB SUM(int) yields HUGEINT, which the driver's
+      // hasher distinguishes from Spark's LongType even when values agree.
       Some("""SELECT l_returnflag,
-             |SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-             |SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+             |CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             |CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
              |FROM orders, lineitem
              |WHERE o_orderkey = l_orderkey
              |AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
