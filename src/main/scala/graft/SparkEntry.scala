@@ -14,7 +14,7 @@ object SparkEntry {
   /** Full query registry (name → Spark program + oracle + bench flag). */
   def registry: Map[String, Q] =
     Relational.all ++ Joins.all ++ Subqueries.all ++ Windows.all ++
-      Functions.all ++ Tpch.all ++ Pipeline.all ++ Events.all
+      Functions.all ++ Tpch.all ++ TpchExt.all ++ Pipeline.all ++ Events.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -67,8 +67,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
 
+  private val reDescribe = """\\d\s+(\w+)""".r
+  private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
+
   def run(sql: String): DataFrame = sql.trim match {
     case """\dt""" => systemTable("pg_tables")
+    // shell sugar parity with the reference REPL (src/db.rs:64-81)
+    case """\di""" => systemTable("pg_indexes")
+    case reDescribe(name) =>
+      systemTable("pg_attribute").where(col("tablename") === name)
+    case reStat(tbl, column) => stat(Option(tbl), Option(column))
     case reCreateTable(name, colsSpec) => createTable(name, colsSpec)
     case reCreateView(name, body) =>
       views(name) = body
@@ -102,8 +110,72 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Seq(plan).toDF("plan")
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
-      spark.sql(inlineFunctions(q))
+      val inlined = inlineFunctions(q)
+      analysisErrorParity(inlined)
+      spark.sql(inlined)
     case other => spark.sql(inlineFunctions(other))
+  }
+
+  // ---- analysis-error parity (reference src/binder/select.rs) -------------
+
+  /** Reject the statements the reference's binder rejects but Spark's
+    * analyzer would accept (or reject with an unrelated message):
+    * ORDER-BY⊄DISTINCT (`select.rs:296-345`), aggregates in WHERE /
+    * GROUP BY (`select.rs:156,188,242`), window functions in WHERE /
+    * HAVING (`select.rs:159-171`). Operates on the parsed (unresolved)
+    * plan, so it costs one parse and no analysis.
+    */
+  private def analysisErrorParity(sql: String): Unit = {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, WindowExpression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter => LFilter, Project, Sort}
+    val plan =
+      try spark.sessionState.sqlParser.parsePlan(sql)
+      catch { case _: Exception => return } // parse errors surface in spark.sql
+    val aggNames = Set("sum", "min", "max", "count", "avg", "first", "last",
+      "first_value", "last_value", "stddev", "variance", "var_samp", "stddev_samp")
+    def hasAgg(e: Expression): Boolean = e.exists {
+      case f: UnresolvedFunction => aggNames.contains(f.nameParts.last.toLowerCase)
+      case _ => false
+    }
+    def hasWindow(e: Expression): Boolean = e.exists {
+      case _: WindowExpression => true
+      case _ => false
+    }
+    def err(msg: String) = throw new IllegalArgumentException(s"bind error: $msg")
+    plan.foreach {
+      case f: LFilter =>
+        if (hasAgg(f.condition)) err("aggregate functions are not allowed in WHERE clause")
+        if (hasWindow(f.condition)) err("window functions are not allowed in WHERE clause")
+      case a: Aggregate =>
+        if (a.groupingExpressions.exists(hasAgg))
+          err("aggregate functions are not allowed in GROUP BY")
+      case h if h.nodeName == "UnresolvedHaving" =>
+        h.expressions.foreach { e =>
+          if (hasWindow(e)) err("window functions are not allowed in HAVING clause")
+        }
+      case s: Sort =>
+        s.child match {
+          case Distinct(Project(projectList, _)) =>
+            val visible: Set[String] = projectList.flatMap {
+              case a: Alias => Seq(a.name.toLowerCase, a.child.sql.toLowerCase)
+              case e => Seq(e.sql.toLowerCase)
+            }.toSet ++ projectList.collect {
+              case u: UnresolvedAttribute => u.name.toLowerCase
+            }
+            s.order.foreach { so =>
+              so.child match {
+                case _: Literal => // constant — trivially fine
+                case o if o.nodeName == "UnresolvedOrdinal" => // position — in-list by construction
+                case _ if visible.contains(so.child.sql.toLowerCase) =>
+                case other =>
+                  err(s"ORDER BY expression ${other.sql} must appear in the DISTINCT list")
+              }
+            }
+          case _ =>
+        }
+      case _ =>
+    }
   }
 
   private def emptyResult: DataFrame =
@@ -394,7 +466,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         tables.keys.map { t =>
           (t, spark.table(t).count())
         }.toSeq.toDF("tablename", "n_rows")
+      case "contributors" =>
+        // the reference hardcodes its project's contributor logins
+        // (src/executor/system_table_scan.rs:27-35); this engine does the same
+        Seq("spark-graft").toDF("login")
       case other => throw new IllegalArgumentException(s"unknown system table $other")
+    }
+  }
+
+  /** `\stat [table [column]]` — reference `src/db.rs:64-81`. Table level:
+    * row counts; column level: count / distinct / nulls computed
+    * distributed (one aggregate scan, no driver materialization).
+    */
+  private def stat(table: Option[String], column: Option[String]): DataFrame = {
+    import spark.implicits._
+    (table, column) match {
+      case (None, _) => systemTable("pg_stat")
+      case (Some(tn), None) => systemTable("pg_stat").where(col("tablename") === tn)
+      case (Some(tn), Some(cn)) =>
+        spark.table(tn).agg(
+          lit(tn).as("tablename"), lit(cn).as("colname"),
+          count(col(cn)).as("n_values"),
+          count_distinct(col(cn)).as("n_distinct"),
+          sum(when(col(cn).isNull, 1L).otherwise(0L)).as("n_nulls"))
     }
   }
 

@@ -1,0 +1,244 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The five TPC-H queries whose canonical form needs `partsupp` and
+  * `l_commitdate`/`l_receiptdate` — absent from the driver testdata
+  * (TESTDATA.md). The reference runs all 22 on its own dataset
+  * (`/root/reference/tests/sql/tpch/tpch.slt:1-25`), so full-suite parity
+  * derives the missing data deterministically from the driver parquet with
+  * fixed integer hashing: the Spark side and the DuckDB oracle (CTE twins
+  * over the SAME files) compute identical rows, keeping the hash gate
+  * end-to-end honest.
+  *
+  * Scale: the derivations are narrow maps (partsupp = part × 4-literal
+  * explode with a broadcast 1-row count; date columns = per-row
+  * timestampadd), so they add no shuffle to any plan.
+  */
+object TpchExt {
+
+  /** Derived partsupp: 4 deterministic suppliers per part.
+    * ps_suppkey ∈ [0, |supplier|) matches the driver's 0-based s_suppkey;
+    * (ps_partkey, ps_suppkey) is unique while |supplier| ∤ 13·{1,2,3}.
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "part").select(col("p_partkey"))
+    val ns = t(s, d, "supplier").agg(count(lit(1)).as("_ns"))
+    p.crossJoin(broadcast(ns))
+      .select(col("p_partkey"), col("_ns"),
+        explode(array(lit(0), lit(1), lit(2), lit(3))).as("i"))
+      .select(
+        col("p_partkey").as("ps_partkey"),
+        ((col("p_partkey") * 7 + col("i") * 13) % col("_ns")).as("ps_suppkey"),
+        ((col("p_partkey") * 31 + col("i") * 17) % 9999 + 1).as("ps_availqty"),
+        (((col("p_partkey") * 131 + col("i") * 37) % 100000).cast("double") / 100.0)
+          .as("ps_supplycost"))
+  }
+
+  /** DuckDB twin of [[partsupp]] (CTE named `ps`). */
+  private val psCte =
+    """ps AS (
+      |  SELECT p_partkey AS ps_partkey,
+      |         (p_partkey * 7 + i * 13) % ns AS ps_suppkey,
+      |         ((p_partkey * 31 + i * 17) % 9999) + 1 AS ps_availqty,
+      |         CAST((p_partkey * 131 + i * 37) % 100000 AS DOUBLE) / 100.0 AS ps_supplycost
+      |  FROM part CROSS JOIN (SELECT COUNT(*) AS ns FROM supplier)
+      |  CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(i))""".stripMargin
+
+  /** lineitem + derived commit/receipt dates: commit ∈ ship ± 30d,
+    * receipt ∈ (ship, ship + 30d] — both offsets keyed on
+    * (l_orderkey, l_linenumber) so every row is reproducible anywhere.
+    */
+  def lineitemExt(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .withColumn("l_commitdate", expr(
+        "timestampadd(DAY, CAST((l_orderkey * 3 + l_linenumber * 5) % 61 - 30 AS INT), l_shipdate)"))
+      .withColumn("l_receiptdate", expr(
+        "timestampadd(DAY, CAST((l_orderkey * 7 + l_linenumber * 11) % 30 + 1 AS INT), l_shipdate)"))
+
+  /** DuckDB twin of [[lineitemExt]] (CTE named `li`). */
+  private val liCte =
+    """li AS (SELECT *,
+      |  l_shipdate + INTERVAL (((l_orderkey * 3 + l_linenumber * 5) % 61) - 30) DAY AS l_commitdate,
+      |  l_shipdate + INTERVAL (((l_orderkey * 7 + l_linenumber * 11) % 30) + 1) DAY AS l_receiptdate
+      |  FROM lineitem)""".stripMargin
+
+  def all: Registry = Map(
+    // Q2: min-cost supplier per qualifying part within a region. The
+    // correlated-MIN subquery decorrelates to a grouped min + equi-join.
+    "q2_min_cost_supplier" -> Q(
+      (s, d) => {
+        val ps = partsupp(s, d)
+        val su = t(s, d, "supplier"); val n = t(s, d, "nation")
+        val r = t(s, d, "region").filter(col("r_name") === "EUROPE")
+        val p = t(s, d, "part").filter(col("p_size") <= 10 && col("p_type") === "LARGE")
+        val euro = ps.join(su, ps("ps_suppkey") === su("s_suppkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(r, n("n_regionkey") === r("r_regionkey"))
+        val minCost = euro.groupBy(col("ps_partkey").as("mc_partkey"))
+          .agg(min(col("ps_supplycost")).as("min_cost"))
+        euro.join(p, euro("ps_partkey") === p("p_partkey"))
+          .join(minCost,
+            col("ps_partkey") === col("mc_partkey") &&
+              col("ps_supplycost") === col("min_cost"))
+          .select(col("s_acctbal"), col("s_name"), col("n_name"),
+            col("p_partkey"), col("p_brand"))
+          .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+          .limit(100)
+      },
+      Some(s"""WITH $psCte
+              |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+              |FROM part, supplier, ps, nation, region
+              |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+              |AND p_size <= 10 AND p_type = 'LARGE'
+              |AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              |AND r_name = 'EUROPE'
+              |AND ps_supplycost = (
+              |  SELECT MIN(ps_supplycost) FROM ps ps2, supplier s2, nation n2, region r2
+              |  WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+              |  AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey
+              |  AND r2.r_name = 'EUROPE')
+              |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100""".stripMargin),
+      bench = true),
+
+    // Q11: important stock — per-part value in one nation vs a fraction of
+    // the nation total (uncorrelated scalar subquery → broadcast 1-row join).
+    "q11_important_stock" -> Q(
+      (s, d) => {
+        val ps = partsupp(s, d)
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation").filter(col("n_name") === "NATION_7")
+        val natPs = ps.join(su, ps("ps_suppkey") === su("s_suppkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+        val byPart = natPs.groupBy(col("ps_partkey"))
+          .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
+        val total = natPs
+          .agg((dsum(col("ps_supplycost") * col("ps_availqty")) * 0.004).as("_threshold"))
+        byPart.crossJoin(broadcast(total))
+          .filter(col("value") > col("_threshold"))
+          .select(col("ps_partkey"), col("value"))
+          .orderBy(col("value").desc, col("ps_partkey"))
+      },
+      Some(s"""WITH $psCte
+              |SELECT ps_partkey, value FROM (
+              |  SELECT ps_partkey, ${oSum("ps_supplycost * ps_availqty")} AS value
+              |  FROM ps, supplier, nation
+              |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              |  AND n_name = 'NATION_7'
+              |  GROUP BY ps_partkey)
+              |WHERE value > (
+              |  SELECT ${oSum("ps_supplycost * ps_availqty")} * 0.004
+              |  FROM ps, supplier, nation
+              |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              |  AND n_name = 'NATION_7')
+              |ORDER BY value DESC, ps_partkey""".stripMargin),
+      bench = true),
+
+    // Q16: supplier count per brand/type/size, excluding flagged suppliers
+    // (no s_comment in testdata → negative balance is the complaint flag).
+    "q16_supplier_part_counts" -> Q(
+      (s, d) => {
+        val ps = partsupp(s, d)
+        val p = t(s, d, "part").filter(col("p_brand") =!= "Brand#5" &&
+          !col("p_type").isin("PROMO", "ECONOMY") &&
+          col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+        val flagged = t(s, d, "supplier").filter(col("s_acctbal") < 0)
+          .select(col("s_suppkey"))
+        ps.join(p, ps("ps_partkey") === p("p_partkey"))
+          .join(flagged, ps("ps_suppkey") === flagged("s_suppkey"), "left_anti")
+          .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+          .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
+          .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+      },
+      Some(s"""WITH $psCte
+              |SELECT p_brand, p_type, p_size, COUNT(DISTINCT ps_suppkey) AS supplier_cnt
+              |FROM ps, part
+              |WHERE p_partkey = ps_partkey AND p_brand <> 'Brand#5'
+              |AND p_type NOT IN ('PROMO','ECONOMY')
+              |AND p_size IN (1,4,9,14,19,23,36,45)
+              |AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+              |GROUP BY p_brand, p_type, p_size
+              |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin),
+      bench = true),
+
+    // Q20: suppliers holding excess stock of a part type — correlated
+    // half-of-shipped-quantity threshold decorrelated to a grouped sum.
+    "q20_excess_stock" -> Q(
+      (s, d) => {
+        val shipped = t(s, d, "lineitem")
+          .filter(col("l_shipdate") >= tsLit("1997-01-01 00:00:00") &&
+            col("l_shipdate") < tsLit("1998-01-01 00:00:00"))
+          .groupBy(col("l_partkey"), col("l_suppkey"))
+          .agg(dsum(col("l_quantity")).as("_qty"))
+        val smallParts = t(s, d, "part").filter(col("p_type") === "SMALL")
+          .select(col("p_partkey"))
+        val excess = partsupp(s, d)
+          .join(smallParts, col("ps_partkey") === col("p_partkey"), "left_semi")
+          .join(shipped,
+            col("ps_partkey") === col("l_partkey") && col("ps_suppkey") === col("l_suppkey"))
+          .filter(col("ps_availqty") > lit(0.5) * col("_qty"))
+          .select(col("ps_suppkey"))
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation").filter(col("n_name") === "NATION_6")
+        su.join(excess, su("s_suppkey") === excess("ps_suppkey"), "left_semi")
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .select(col("s_name"), col("s_suppkey"))
+          .orderBy(col("s_name"))
+      },
+      Some(s"""WITH $psCte
+              |SELECT s_name, s_suppkey FROM supplier, nation
+              |WHERE s_suppkey IN (
+              |  SELECT ps_suppkey FROM ps
+              |  WHERE ps_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'SMALL')
+              |  AND ps_availqty > (
+              |    SELECT 0.5 * ${oSum("l_quantity")} FROM lineitem
+              |    WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+              |    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              |    AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'))
+              |AND s_nationkey = n_nationkey AND n_name = 'NATION_6'
+              |ORDER BY s_name""".stripMargin),
+      bench = true),
+
+    // Q21: suppliers who were the SOLE late supplier on a finished
+    // multi-supplier order — EXISTS → left-semi, NOT EXISTS → left-anti.
+    "q21_waiting_suppliers" -> Q(
+      (s, d) => {
+        val li = lineitemExt(s, d)
+          .select(col("l_orderkey"), col("l_suppkey"),
+            col("l_receiptdate"), col("l_commitdate"))
+        val late = li.filter(col("l_receiptdate") > col("l_commitdate"))
+        val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+        val su = t(s, d, "supplier")
+        val n = t(s, d, "nation").filter(col("n_name") === "NATION_1")
+        val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+        val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+        late.join(o, late("l_orderkey") === o("o_orderkey"))
+          .join(su, late("l_suppkey") === su("s_suppkey"))
+          .join(n, su("s_nationkey") === n("n_nationkey"))
+          .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+            col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+          .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+            col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("numwait"))
+          .orderBy(col("numwait").desc, col("s_name"))
+          .limit(100)
+      },
+      Some(s"""WITH $liCte
+              |SELECT s_name, COUNT(*) AS numwait
+              |FROM supplier, li l1, orders, nation
+              |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+              |AND o_orderstatus = 'F'
+              |AND l1.l_receiptdate > l1.l_commitdate
+              |AND EXISTS (SELECT 1 FROM li l2
+              |  WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+              |AND NOT EXISTS (SELECT 1 FROM li l3
+              |  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+              |  AND l3.l_receiptdate > l3.l_commitdate)
+              |AND s_nationkey = n_nationkey AND n_name = 'NATION_1'
+              |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100""".stripMargin),
+      bench = true))
+}

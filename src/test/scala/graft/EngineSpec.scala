@@ -119,11 +119,57 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.toLowerCase.contains("window"))
   }
 
+  test("error parity: ORDER BY column outside DISTINCT list is rejected") {
+    engine.run("create table td(a int, b int)")
+    engine.run("insert into td values (1, 2)")
+    val e = intercept[Exception](
+      engine.run("select distinct a from td order by b").collect())
+    assert(e.getMessage.toLowerCase.contains("distinct"))
+    // in-list ordering still works, by name and by ordinal
+    assert(engine.run("select distinct a from td order by a").collect().length == 1)
+    assert(engine.run("select distinct a from td order by 1").collect().length == 1)
+  }
+
+  test("error parity: aggregate in GROUP BY is rejected") {
+    val e = intercept[Exception](
+      engine.run("select sum(v) from te group by sum(v)").collect())
+    assert(e.getMessage.toLowerCase.contains("group by"))
+  }
+
+  test("error parity: window function in HAVING is rejected") {
+    val e = intercept[Exception](
+      engine.run("select v, count(*) from te group by v having row_number() over (order by v) = 1")
+        .collect())
+    assert(e.getMessage.toLowerCase.contains("window"))
+  }
+
+  test("interval column type round-trips through create + insert") {
+    engine.run("create table ti(d interval)")
+    engine.run("insert into ti values (interval '2' day)")
+    val r = engine.run("select d from ti").collect()(0)
+    assert(r.get(0) == java.time.Duration.ofDays(2))
+    assert(spark.table("ti").schema("d").dataType
+      .isInstanceOf[org.apache.spark.sql.types.DayTimeIntervalType])
+  }
+
   test("error parity: nested aggregates are rejected") {
     val e = intercept[Exception](
       engine.run("select sum(sum(v)) from te").collect())
     assert(e.getMessage.toLowerCase.contains("aggregate") ||
       e.getMessage.toLowerCase.contains("nested"))
+  }
+
+  test("shell sugar: \\di, \\d <table>, \\stat, contributors") {
+    engine.run("create table ts1(a int, b varchar)")
+    engine.run("insert into ts1 values (1, 'x'), (2, NULL), (2, 'y')")
+    engine.run("create index ts1_a on ts1(a)")
+    assert(engine.run("""\di""").collect().exists(_.getString(0) == "ts1_a"))
+    val cols = engine.run("""\d ts1""").collect().map(_.getString(1)).toSet
+    assert(cols == Set("a", "b"))
+    assert(engine.run("""\stat ts1""").collect()(0).getLong(1) == 3L)
+    val cs = engine.run("""\stat ts1 b""").collect()(0)
+    assert(cs.getLong(2) == 2L && cs.getLong(3) == 2L && cs.getLong(4) == 1L)
+    assert(engine.systemTable("contributors").collect().nonEmpty)
   }
 
   test("drop table removes data and catalog entry") {
