@@ -36,6 +36,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private def tableDir(name: String) = s"$warehouse/$name"
 
+  /** Re-register every view from its SQL text so each scan re-plans over
+    * the CURRENT table state (reference semantics: views store SQL, not
+    * plans — `src/binder/create_view.rs`). A view created earlier would
+    * otherwise pin the parquet file listing captured at creation time and
+    * miss subsequent inserts/deletes. Insertion order handles view-of-view
+    * chains. Metadata-only cost per statement.
+    */
+  private def refreshViews(): Unit =
+    views.foreach { case (n, body) =>
+      // a broken view (e.g. base table dropped) errors only when scanned,
+      // not on unrelated statements — its stale registration stays
+      try spark.sql(inlineFunctions(body)).createOrReplaceTempView(n)
+      catch { case _: Exception => }
+    }
+
   private def refresh(name: String): Unit = {
     val dir = tableDir(name)
     val stream = Files.list(Paths.get(dir))
@@ -112,8 +127,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
       val inlined = inlineFunctions(q)
       analysisErrorParity(inlined)
+      refreshViews()
       spark.sql(inlined)
-    case other => spark.sql(inlineFunctions(other))
+    case other => refreshViews(); spark.sql(inlineFunctions(other))
   }
 
   // ---- analysis-error parity (reference src/binder/select.rs) -------------

@@ -24,15 +24,22 @@ case class ShingleHashes(child: Expression, width: Int)
 
   private final val P = 2147483647L
 
+  // Fold over CODE POINTS, not UTF-16 units: the HOF spec hashes
+  // ascii(substring(s,i,1)) (= code point) and the DuckDB oracle ord() —
+  // charAt would diverge on non-BMP text (emoji, astral CJK).
   private def polyHash(s: String, from: Int, until: Int): Long = {
     var acc = 0L
     var i = from
-    while (i < until) { acc = (acc * 31 + s.charAt(i)) % P; i += 1 }
+    while (i < until) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 31 + cp) % P
+      i += Character.charCount(cp)
+    }
     acc
   }
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString.toLowerCase
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     // tokens: split on single space, drop empties (== HOF filter(split(lower)))
     val toks = new scala.collection.mutable.ArrayBuffer[String]()
     var start = 0
@@ -132,16 +139,21 @@ case class SimHash48(child: Expression)
   private final val P = 2147483647L
 
   override def nullSafeEval(input: Any): Any = {
-    val text = input.toString.toLowerCase
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
     val tokHashes = new scala.collection.mutable.ArrayBuffer[Long]()
     var start = 0
     var i = 0
     while (i <= text.length) {
       if (i == text.length || text.charAt(i) == ' ') {
         if (i > start) {
+          // code-point fold — see ShingleHashes.polyHash
           var acc = 0L
           var c = start
-          while (c < i) { acc = (acc * 31 + text.charAt(c)) % P; c += 1 }
+          while (c < i) {
+            val cp = text.codePointAt(c)
+            acc = (acc * 31 + cp) % P
+            c += Character.charCount(cp)
+          }
           tokHashes += acc
         }
         start = i + 1

@@ -41,37 +41,26 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"))
 
-  /** STUB decode: a real deployment calls the media codec here. The fake
-    * derives deterministic "features" from the raw bytes so the batch
-    * shape, schema, and partition-wise execution are fully testable.
-    */
-  private def decodeStub(payload: Array[Byte]): (Int, Long, Array[Double]) = {
-    // ??? <- real codec goes here (e.g. JPEG decode → pixels)
-    val nBytes = payload.length
-    var h = 0L
-    var i = 0
-    while (i < nBytes) { h = (h * 31 + (payload(i) & 0xff)) % 2147483647L; i += 1 }
-    val feat = Array.tabulate(4)(j => ((h >> (j * 8)) & 0xff) / 255.0)
-    (nBytes, h, feat)
-  }
-
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("byte_hash", LongType, nullable = false),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
-  /** Partition-wise feature extraction over the opaque payload column. */
+  /** Feature extraction over the opaque payload column.
+    *
+    * The STUB decode ([[graft.expr.MediaFeatures]]) is a native expression
+    * — pure byte arithmetic stays inside the scan pipeline (pruning and
+    * pushdown intact, no RDD round-trip). When a real codec replaces the
+    * stub, move the call behind `mapInPandas`/`mapPartitions` to amortize
+    * codec init per batch; the schema and callers don't change.
+    */
   def extractFeatures(media: DataFrame): DataFrame = {
-    val spark = media.sparkSession
-    val rdd = media.select("media_id", "payload").rdd.mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val payload = if (r.isNullAt(1)) Array.empty[Byte] else r.getAs[Array[Byte]](1)
-        val (n, h, feat) = decodeStub(payload)
-        Row(id, n, h, feat.toSeq)
-      }
-    }
-    spark.createDataFrame(rdd, featureSchema)
+    import org.apache.spark.sql.graftbridge.Bridge
+    val payload = coalesce(col("payload"), lit(Array.empty[Byte]))
+    media.select(col("media_id"),
+      Bridge.column(graft.expr.MediaFeatures(Bridge.expression(payload))).as("_f"))
+      .select(col("media_id"), col("_f.n_bytes").as("n_bytes"),
+        col("_f.byte_hash").as("byte_hash"), col("_f.features").as("features"))
   }
 }

@@ -70,6 +70,20 @@ class HashingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native kernels match the HOF spec on non-BMP text (code points, not UTF-16 units)") {
+    // 😀 = U+1F600 (surrogate pair in UTF-16); 𝒜 = U+1D49C
+    val astral = Seq("hello 😀 world", "𝒜 math text 😀😀", "mixed é 𝒜 😀 ascii")
+    val df = astral.toDF("text")
+    val bad = df.select(
+      Hashing.shingleHashes(col("text"), 2).as("nat_sh"),
+      Hashing.shingleHashesHof(col("text"), 2).as("hof_sh"),
+      Hashing.simhash48(col("text")).as("nat_fp"),
+      Hashing.simhash48Hof(col("text")).as("hof_fp"))
+      .filter(col("nat_sh") =!= col("hof_sh") || col("nat_fp") =!= col("hof_fp"))
+      .count()
+    assert(bad == 0)
+  }
+
   test("vector distances: orthogonal, identical, opposite") {
     val a = array(lit(1.0f), lit(0.0f))
     val b = array(lit(0.0f), lit(1.0f))

@@ -86,10 +86,12 @@ class OperatorsSpec extends AnyFunSuite {
 
   test("multimodal feature extraction preserves ids and byte counts") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
-    val feats = Multimodal.extractFeatures(media)
+    // features share lineage with `docs` now (expression, not an RDD
+    // round-trip) → alias both sides of the self-join
+    val feats = Multimodal.extractFeatures(media).alias("f")
     assert(feats.count() == docs.count())
-    val j = feats.join(docs, feats("media_id") === docs("doc_id"))
-      .filter(feats("n_bytes") =!= length(docs("text"))).count()
+    val j = feats.join(docs.alias("d"), col("f.media_id") === col("d.doc_id"))
+      .filter(col("f.n_bytes") =!= length(col("d.text"))).count()
     assert(j == 0) // ASCII corpus: bytes == chars
   }
 }

@@ -62,4 +62,28 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("ann_brute_force_topk")
     assert(p.contains("Broadcast"), p)
   }
+
+  test("ANN top-k ranks via a k-bounded aggregate, not a corpus-wide window") {
+    for (q <- Seq("ann_brute_force_topk", "ann_lsh_topk", "ann_ivf_topk")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q still windows the scored set:\n$p")
+      assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+        s"$q lacks the bounded-buffer aggregate:\n$p")
+    }
+  }
+
+  test("IVF assignment is a narrow map — no crossJoin against centroids") {
+    val p = planOf("ann_ivf_topk")
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly one broadcast join feeds the probe (queries side); the corpus
+    // assignment itself adds no join at all
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("range join carries the bucket in the equi-join key") {
+    val p = planOf("events_range_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the shuffle/broadcast hash join keys on (user_id, _probe)
+    assert(p.contains("_probe"), p)
+  }
 }

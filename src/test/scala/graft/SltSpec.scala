@@ -29,6 +29,7 @@ class SltSpec extends AnyFunSuite {
 
   private def fmt(v: Any): String = v match {
     case null => "NULL"
+    case "" => "(empty)" // standard sqllogictest rendering
     case d: java.lang.Double =>
       if (d == d.longValue().toDouble) d.longValue().toString else d.toString
     case b: java.lang.Boolean => if (b) "true" else "false"
@@ -85,6 +86,9 @@ class SltSpec extends AnyFunSuite {
     }
   }
 
-  Seq("core.slt", "nulls.slt", "joins.slt", "strings_types.slt", "udf_view.slt")
+  Seq("core.slt", "nulls.slt", "joins.slt", "strings_types.slt", "udf_view.slt",
+    "join_semi_anti.slt", "nullable_bool.slt", "subquery.slt", "cte.slt",
+    "delete.slt", "view.slt", "blob.slt", "timestamp.slt", "distinct.slt",
+    "having.slt", "group_agg.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
