@@ -44,7 +44,7 @@ object Dedup {
     */
   def minhashPairs(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     // materialize signatures once: the self-join would otherwise recompute
     // the (expensive) shingle hashing for both sides of every probe
     val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
@@ -52,8 +52,20 @@ object Dedup {
     // explode to (bandIdx, bandKey) → bucket join on slim (id, band) rows;
     // shingle arrays stay out of the pair shuffle and are re-joined only
     // for the (small) candidate set's Jaccard verification
-    val banded = m.select(col(idCol),
+    val bandedAll = m.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    // hot-bucket cap for boilerplate-heavy corpora: a band bucket holding
+    // B docs emits B² candidates — above the cap the bucket is dropped
+    // (those docs still pair through their other, more selective bands).
+    // None (default) = exact LSH semantics, used by the oracle gate.
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val sizes = bandedAll.groupBy("band_idx", "band_key")
+          .agg(count(lit(1)).as("_bsz"))
+        bandedAll.join(sizes.filter(col("_bsz") <= cap), Seq("band_idx", "band_key"))
+          .drop("_bsz")
+    }
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
     val cand = a.join(b, Seq("band_idx", "band_key"))
@@ -120,6 +132,13 @@ object Dedup {
       labels = next
       i += 1
     }
+    // near-dup clusters are near-cliques (diameter ≈ 2), so hitting the
+    // iteration cap means the input is not a dup graph — failing loudly
+    // beats silently mislabeled clusters at 100 TB
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIters rounds; " +
+          "raise maxIters or check the pair graph for long chains")
     labels
   }
 
@@ -135,14 +154,29 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs within a blocking key
     * (e.g. language) — the verify-stage primitive exposed standalone.
+    *
+    * Scale: a coarse key alone (a language at corpus scale ≈ the whole
+    * corpus) would be O(block²), so the join key also carries a LOG-SIZE
+    * BUCKET derived from the length filter bound: J(A,B) ≥ τ implies
+    * max(|A|,|B|)/min(|A|,|B|) ≤ 1/τ, so qualifying pairs sit in the same
+    * or an adjacent ln(1/τ)-wide bucket of ln|shingles|. Side A explodes
+    * into its neighbor buckets (RangeJoin pattern — adjacency stays in the
+    * equi-key); ±2 absorbs any floating-point boundary, far inside the
+    * mathematical bound. NO recall loss: the output is identical to the
+    * unbucketed block join, it just never materializes far-apart pairs.
     */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleWidth: Int, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
+    val w = math.log(1.0 / threshold)
     val h = df.select(col(idCol), col(blockCol),
-      shingleHashes(col(textCol), shingleWidth).as("sh"))
-    val a = h.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"))
-    val b = h.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"))
-    a.join(b, blockCol).filter(col("id_a") < col("id_b"))
+        shingleHashes(col(textCol), shingleWidth).as("sh"))
+      .withColumn("_szb", floor(log(size(col("sh")).cast("double")) / w).cast("long"))
+    val a = h.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"),
+      explode(array((-2 to 2).map(d => col("_szb") + d): _*)).as("_szb"))
+    val b = h.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"),
+      col("_szb"))
+    a.join(b, Seq(blockCol, "_szb")).filter(col("id_a") < col("id_b"))
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))

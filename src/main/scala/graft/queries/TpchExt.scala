@@ -113,8 +113,12 @@ object TpchExt {
           .join(n, su("s_nationkey") === n("n_nationkey"))
         val byPart = natPs.groupBy(col("ps_partkey"))
           .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
-        val total = natPs
-          .agg((dsum(col("ps_supplycost") * col("ps_availqty")) * 0.004).as("_threshold"))
+        // total from the grouped result: dsum re-quantizes each group value
+        // (m/1e6 doubles) back to exact micros, so Σ groups == Σ rows
+        // bit-for-bit — and Spark reuses byPart's shuffle instead of
+        // aggregating the join twice
+        val total = byPart
+          .agg((dsum(col("value")) * 0.004).as("_threshold"))
         byPart.crossJoin(broadcast(total))
           .filter(col("value") > col("_threshold"))
           .select(col("ps_partkey"), col("value"))
