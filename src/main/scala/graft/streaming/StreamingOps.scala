@@ -43,9 +43,9 @@ object StreamingOps {
   /** Run a streaming query over a bounded source into an in-memory table
     * and block until all available input is processed (test/dev harness).
     */
-  def runToMemory(df: DataFrame, name: String): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "complete"): DataFrame = {
     val q = df.writeStream
-      .outputMode("complete")
+      .outputMode(outputMode)
       .format("memory")
       .queryName(name)
       .trigger(Trigger.AvailableNow())
@@ -53,4 +53,63 @@ object StreamingOps {
     q.awaitTermination()
     df.sparkSession.table(name)
   }
+
+  /** Gap-based sessionization with CUSTOM state (flatMapGroupsWithState —
+    * the extension point the built-in windowed aggs can't express): one
+    * `SessionAcc` per live (user, session); a session closes and emits
+    * when the event-time watermark passes its end + gap.
+    *
+    * Scale/semantics: state is one small struct per ACTIVE user (bounded
+    * by the timeout, not by history); events inside a micro-batch are
+    * sorted per user before folding, and the watermark bounds cross-batch
+    * disorder. Batch twin: the `events_sessionize` gate query (same gap,
+    * same session stats) — StreamingSpec proves stream == batch on the
+    * flushed prefix.
+    */
+  def sessionizeStream(events: DataFrame, gapSeconds: Long = 1800): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long").as("user_id"), col("ts").cast("timestamp").as("ts"))
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, it, state) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, s.start_s, s.end_s, s.n_events))
+          } else {
+            val times = it.map(_._2.getTime / 1000).toArray.sorted
+            val out = scala.collection.mutable.ArrayBuffer[SessionOut]()
+            var cur = state.getOption
+            times.foreach { t =>
+              cur match {
+                case Some(p) if t - p.end_s <= gapSeconds =>
+                  cur = Some(SessionAcc(p.start_s, math.max(p.end_s, t), p.n_events + 1))
+                case Some(p) =>
+                  out += SessionOut(uid, p.start_s, p.end_s, p.n_events)
+                  cur = Some(SessionAcc(t, t, 1))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { p =>
+              state.update(p)
+              state.setTimeoutTimestamp((p.end_s + gapSeconds) * 1000 + 1000)
+            }
+            out.iterator
+          }
+      }
+      .toDF()
+  }
 }
+
+/** Live-session state: one per (user, open session). */
+case class SessionAcc(start_s: Long, end_s: Long, n_events: Long)
+
+/** Emitted closed session. */
+case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)

@@ -33,6 +33,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("custom-state sessionization (flatMapGroupsWithState) equals batch sessions on the flushed prefix") {
+    val srcDir = "/root/repo/target/graft-tmp/stream_events"
+    Tables.df(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.sessionizeStream(stream, 1800), "sessionize_test", "append")
+      .select("user_id", "start_s", "end_s", "n_events")
+
+    // batch twin: same gap rule over the same file
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("t_s"))
+    val batch = spark.read.parquet(srcDir)
+      .select(col("user_id"), col("ts").cast("timestamp").cast("long").as("t_s"))
+      .withColumn("prev", lag(col("t_s"), 1).over(w))
+      .withColumn("new_sess", when(col("prev").isNull || col("t_s") - col("prev") > 1800, 1L).otherwise(0L))
+      .withColumn("sess", sum(col("new_sess")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "sess")
+      .agg(min(col("t_s")).as("start_s"), max(col("t_s")).as("end_s"),
+        count(lit(1)).as("n_events"))
+      .select("user_id", "start_s", "end_s", "n_events")
+
+    // sessions still open at end-of-stream may not flush under AvailableNow;
+    // everything the stream DID emit must be a batch session, and every
+    // batch session that ended a full gap before the watermark must appear
+    val maxTs = spark.read.parquet(srcDir)
+      .agg(max(col("ts").cast("timestamp").cast("long"))).collect()(0).getLong(0)
+    val mustFlush = batch.filter(col("end_s") + 1800 + 2 < maxTs)
+    assert(streamed.exceptAll(batch).isEmpty, "stream emitted a session batch does not have")
+    assert(mustFlush.exceptAll(streamed).isEmpty, "a closed session was never emitted")
+    assert(streamed.count() > 0)
+  }
+
   test("streaming dedup drops repeated fingerprints across the stream") {
     import graft.functions.Hashing
     val srcDir = "/root/repo/target/graft-tmp/stream_docs"
