@@ -89,6 +89,8 @@ class SltSpec extends AnyFunSuite {
   Seq("core.slt", "nulls.slt", "joins.slt", "strings_types.slt", "udf_view.slt",
     "join_semi_anti.slt", "nullable_bool.slt", "subquery.slt", "cte.slt",
     "delete.slt", "view.slt", "blob.slt", "timestamp.slt", "distinct.slt",
-    "having.slt", "group_agg.slt")
+    "having.slt", "group_agg.slt", "order_by.slt", "limit_offset.slt",
+    "strings_fn.slt", "types_numeric.slt", "where_filter.slt",
+    "insert_select.slt", "windows.slt", "catalog.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
