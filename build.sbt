@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
+  // 22 bench query plans × whole-stage codegen in one JVM overflow the
+  // default 240m JIT code cache (and 8g heap GC pressure compounds it):
+  // measured +13-20% on the shared-17 bench subset until raised.
+  "-XX:ReservedCodeCacheSize=512m",
 )

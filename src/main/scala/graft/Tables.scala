@@ -28,6 +28,10 @@ object Tables {
     *   convert explicitly (see [[events]]).
     */
   def sessionConfs: Map[String, String] = Map(
+    // native vector-distance expressions (l2_distance / cosine_sim /
+    // neg_inner_product) available to SQL in every entry point — the
+    // Engine rewrites the reference's `<->`/`<=>`/`<#>` onto them
+    "spark.sql.extensions" -> "graft.GraftExtensions",
     "spark.sql.ansi.enabled" -> "false",
     "spark.sql.session.timeZone" -> "UTC",
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",

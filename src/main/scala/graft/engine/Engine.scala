@@ -24,6 +24,10 @@ import scala.collection.mutable
 class Engine(val spark: SparkSession, val warehouse: String) {
 
   Files.createDirectories(Paths.get(warehouse))
+  // cost-based planning on by default: ANALYZE TABLE stats feed join
+  // reorder + EXPLAIN row estimates (reference keeps per-table stats
+  // always, src/db.rs:140-158)
+  spark.conf.set("spark.sql.cbo.enabled", "true")
 
   /** table name → (schema, primary-key columns) */
   private val tables = mutable.LinkedHashMap[String, (StructType, Seq[String])]()
@@ -51,15 +55,33 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       catch { case _: Exception => }
     }
 
+  /** (Re-)register `name` in the session catalog as an EXTERNAL parquet
+    * table over its warehouse directory. A real catalog table (not a temp
+    * view) so the native `ANALYZE TABLE ... COMPUTE STATISTICS` works and
+    * CBO row estimates flow into EXPLAIN — the analogue of the reference's
+    * per-table stats in `src/planner/explain.rs`/`db.rs:140-158`.
+    */
+  private def register(name: String): Unit = {
+    spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.catalog.createTable(name, "parquet", tables(name)._1,
+      Map("path" -> Paths.get(tableDir(name)).toAbsolutePath.toString))
+    applyMockHint(name)
+  }
+
   private def refresh(name: String): Unit = {
-    val dir = tableDir(name)
-    val stream = Files.list(Paths.get(dir))
-    val hasData = try stream.anyMatch(p => p.toString.endsWith(".parquet"))
-    finally stream.close()
-    val df =
-      if (hasData) spark.read.schema(tables(name)._1).parquet(dir)
-      else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], tables(name)._1)
-    df.createOrReplaceTempView(name)
+    spark.catalog.refreshTable(name)
+    applyMockHint(name)
+  }
+
+  /** Mocked-small tables (`SET mock_rowcount_<t> = n`) shadow their catalog
+    * table with a broadcast-hinted temp view, so the planner treats them as
+    * the reference's mocked stats would (`db.rs:176-196`).
+    */
+  private def applyMockHint(name: String): Unit = mockRowCounts.get(name) match {
+    case Some(n) if n <= 100000 =>
+      spark.read.schema(tables(name)._1)
+        .parquet(tableDir(name)).hint("broadcast").createOrReplaceTempView(name)
+    case _ =>
   }
 
   // ---- statement router ---------------------------------------------------
@@ -68,8 +90,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reCreateView = """(?is)\s*create\s+view\s+(\w+)\s+as\s+(.*)""".r
   private val reCreateIndex =
     """(?is)\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*(?:using\s+(\w+))?\s*\((\w+)\)\s*(?:with\s*\((.*)\))?\s*""".r
+  // body forms (reference src/binder/create_function.rs): quoted
+  // `as '...'`, dollar-quoted `as $$...$$`, or bare `return <expr>`
   private val reCreateFunction =
-    """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+as\s+'(.*)'\s*""".r
+    """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+(?:as\s+(?:'(.*)'|\$\$(.*)\$\$)|return\s+(.*))\s*""".r
   private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(values\s*.*|select\s+.*)""".r
   private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
   private val reCopyFrom =
@@ -85,7 +109,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDescribe = """\\d\s+(\w+)""".r
   private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
 
-  def run(sql: String): DataFrame = sql.trim match {
+  def run(sql: String): DataFrame = sql.trim.replaceAll(";\\s*$", "") match {
     case """\dt""" => systemTable("pg_tables")
     // shell sugar parity with the reference REPL (src/db.rs:64-81)
     case """\di""" => systemTable("pg_indexes")
@@ -101,9 +125,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       indexes(name) = (table, column, Option(method).getOrElse("btree"),
         Option(opts).getOrElse(""))
       emptyResult
-    case reCreateFunction(name, params, body) =>
-      val ps = params.split(",").map(_.trim).filter(_.nonEmpty)
-        .map(_.split("\\s+")(0)).toSeq
+    case reCreateFunction(name, params, bodyQ, bodyD, bodyR) =>
+      // a type-only spec (`INT`) is an UNNAMED parameter — reachable via $n
+      // only; recording its type as a "name" would corrupt bodies that
+      // mention the type word (e.g. `cast($1 as int)`)
+      val ps = params.split(",").map(_.trim).filter(_.nonEmpty).map { spec =>
+        val toks = spec.split("\\s+")
+        if (toks.length >= 2) toks(0) else ""
+      }.toSeq
+      val body = Option(bodyQ).orElse(Option(bodyD))
+        .getOrElse("select " + bodyR)
       functions(name.toLowerCase) = (ps, body)
       emptyResult
     case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
@@ -111,17 +142,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
-    case rePragma(key, value) =>
-      spark.conf.set(s"graft.pragma.$key", Option(value).getOrElse("true"))
-      emptyResult
-    case reSet(key, value) =>
-      spark.conf.set(key, value.stripPrefix("'").stripSuffix("'"))
-      emptyResult
+    case rePragma(key, value) => pragma(key, Option(value))
+    case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
     case reExplainAnalyze(body) => explainAnalyze(body)
     case reExplain(body) =>
       import spark.implicits._
-      val plan = spark.sql(inlineFunctions(body)).queryExecution.explainString(
-        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      // cost section carries per-node Statistics (sizeInBytes, and
+      // rowCount once the table is ANALYZEd — CBO is on for the engine
+      // session), the behavior-level analogue of the reference's
+      // per-node cost+rows explain (src/planner/explain.rs)
+      val qe = spark.sql(inlineFunctions(body)).queryExecution
+      val plan =
+        qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("cost")) +
+          "\n" +
+          qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Seq(plan).toDF("plan")
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
@@ -142,7 +176,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * plan, so it costs one parse and no analysis.
     */
   private def analysisErrorParity(sql: String): Unit = {
-    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction, UnresolvedStar}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Expression, Literal, WindowExpression}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Distinct, Filter => LFilter, Project, Sort}
     val plan =
@@ -158,7 +192,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case _: WindowExpression => true
       case _ => false
     }
+    // `sum(sum(a) over w) over w` — Spark's window extraction would accept
+    // it; the reference binder rejects (select.rs window nesting check)
+    def nestedWindow(e: Expression): Boolean = e.exists {
+      case w: WindowExpression => w.children.exists(hasWindow)
+      case _ => false
+    }
     def err(msg: String) = throw new IllegalArgumentException(s"bind error: $msg")
+    plan.foreach { node =>
+      node.expressions.foreach { e =>
+        if (nestedWindow(e)) err("window function calls cannot be nested")
+      }
+    }
     plan.foreach {
       case f: LFilter =>
         if (hasAgg(f.condition)) err("aggregate functions are not allowed in WHERE clause")
@@ -172,17 +217,30 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         }
       case s: Sort =>
         s.child match {
-          case Distinct(Project(projectList, _)) =>
+          // `SELECT DISTINCT * ...` exposes every column — skip the check
+          // (the reference binder resolves the star before the membership
+          // test, `select.rs plan_distinct`)
+          case Distinct(Project(projectList, _))
+              if !projectList.exists(_.exists(_.isInstanceOf[UnresolvedStar])) =>
+            // membership is checked on full SQL text AND the unqualified
+            // name, so `SELECT DISTINCT a ... ORDER BY t.a` passes like the
+            // reference's post-resolution check does
             val visible: Set[String] = projectList.flatMap {
-              case a: Alias => Seq(a.name.toLowerCase, a.child.sql.toLowerCase)
+              case a: Alias => Seq(a.name.toLowerCase, a.child.sql.toLowerCase) ++
+                (a.child match {
+                  case u: UnresolvedAttribute => Seq(u.nameParts.last.toLowerCase)
+                  case _ => Nil
+                })
+              case u: UnresolvedAttribute =>
+                Seq(u.sql.toLowerCase, u.nameParts.last.toLowerCase)
               case e => Seq(e.sql.toLowerCase)
-            }.toSet ++ projectList.collect {
-              case u: UnresolvedAttribute => u.name.toLowerCase
-            }
+            }.toSet
             s.order.foreach { so =>
               so.child match {
                 case _: Literal => // constant — trivially fine
                 case o if o.nodeName == "UnresolvedOrdinal" => // position — in-list by construction
+                case u: UnresolvedAttribute
+                    if visible.contains(u.nameParts.last.toLowerCase) =>
                 case _ if visible.contains(so.child.sql.toLowerCase) =>
                 case other =>
                   err(s"ORDER BY expression ${other.sql} must appear in the DISTINCT list")
@@ -197,6 +255,50 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def emptyResult: DataFrame =
     spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
       StructType(Seq(StructField("ok", BooleanType))))
+
+  // ---- PRAGMA / SET (reference src/db.rs:160-199) -------------------------
+
+  /** mocked row counts (`SET mock_rowcount_<table> = n`) — planner-test
+    * stats injection, applied as a broadcast hint on small-mocked tables
+    * when their views are (re-)registered.
+    */
+  private val mockRowCounts = mutable.Map[String, Long]()
+
+  /** The reference validates pragma names against a closed list and its
+    * optimizer toggle actually changes planning (`db.rs:160-180,199`).
+    * Spark analogue: AQE + CBO are the cost-based re-planning layers, so
+    * enable/disable_optimizer maps onto their flags — EXPLAIN visibly
+    * gains/loses the AdaptiveSparkPlan wrapper under the toggle.
+    */
+  private def pragma(key: String, value: Option[String]): DataFrame = {
+    key.toLowerCase match {
+      case "enable_optimizer" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+      case "disable_optimizer" =>
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        spark.conf.set("spark.sql.cbo.enabled", "false")
+      case other =>
+        throw new IllegalArgumentException(s"no such pragma: $other")
+    }
+    spark.conf.set(s"graft.pragma.$key", value.getOrElse("true"))
+    emptyResult
+  }
+
+  /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats
+    * mock: a table mocked small enough to broadcast gets a broadcast hint
+    * at view-registration time, visibly flipping join strategy in EXPLAIN.
+    * Any other SET is a session conf passthrough.
+    */
+  private def setVar(key: String, value: String): DataFrame = {
+    if (key.toLowerCase.startsWith("mock_rowcount_")) {
+      val table = key.substring("mock_rowcount_".length)
+      require(tables.contains(table), s"table not found: $table")
+      mockRowCounts(table) = value.toLong
+      refresh(table)
+    } else spark.conf.set(key, value)
+    emptyResult
+  }
 
   // ---- DDL ---------------------------------------------------------------
 
@@ -258,7 +360,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val schema = StructType(fields.toSeq)
     tables(name) = (schema, pk.toSeq)
     Files.createDirectories(Paths.get(tableDir(name)))
-    refresh(name)
+    register(name)
     saveManifest()
     emptyResult
   }
@@ -266,6 +368,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def drop(kind: String, name: String): DataFrame = {
     if (kind == "table") {
       tables.remove(name)
+      spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
     } else views.remove(name)
@@ -288,13 +391,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"INSERT column count mismatch: ${given.length} vs ${src.columns.length}")
     val renamed = src.toDF(given: _*)
     val aligned = schema.fields.map { f =>
-      if (given.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+      if (given.contains(f.name)) (f.dataType, renamed.schema(f.name).dataType) match {
+        // VECTOR(n) columns accept the reference's string literal form
+        // ('[1, 2.0, 3]', src/binder/insert.rs vector path)
+        case (at: ArrayType, StringType) => from_json(col(f.name), at).as(f.name)
+        case _ => col(f.name).cast(f.dataType).as(f.name)
+      }
       else lit(null).cast(f.dataType).as(f.name)
     }
-    val n = renamed.count()
-    renamed.select(aligned.toIndexedSeq: _*).write.mode("append").parquet(tableDir(table))
+    // rows_affected rides the write as an observe metric — one execution of
+    // the source, not a count() pre-pass (an `INSERT INTO t SELECT <expensive>`
+    // would otherwise run <expensive> twice).
+    val obs = org.apache.spark.sql.Observation()
+    renamed.select(aligned.toIndexedSeq: _*).observe(obs, count(lit(1)).as("n"))
+      .write.mode("append").parquet(tableDir(table))
     refresh(table)
-    rowCountResult(n)
+    rowCountResult(observedCount(obs))
   }
 
   /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL).
@@ -306,16 +418,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * `src/executor/delete.rs`).
     */
   private def delete(table: String, cond: Option[String]): DataFrame = {
-    val (schema, _) = tables(table)
     val cur = spark.table(table)
-    val total = cur.count()
-    val remaining = cond match {
-      case Some(c) => cur.filter(!coalesce(expr(inlineFunctions(c)), lit(false)))
-      case None => cur.limit(0)
-    }
-    val tmp = s"${tableDir(table)}__rewrite"
+    // both counts ride the single rewrite job as observe metrics: total on
+    // the scan side, kept on the filtered side (the former triple pass —
+    // count, write, re-count — scanned the table three times).
+    val totalObs = org.apache.spark.sql.Observation()
+    val keptObs = org.apache.spark.sql.Observation()
+    val scanned = cur.observe(totalObs, count(lit(1)).as("n"))
+    val remaining = (cond match {
+      case Some(c) => scanned.filter(!coalesce(expr(inlineFunctions(c)), lit(false)))
+      // unconditional DELETE still streams the (empty) filter so the observe
+      // metrics fire — filter(false) scans, limit(0) would short-circuit
+      case None => scanned.filter(lit(false))
+    }).observe(keptObs, count(lit(1)).as("n"))
+    // dotted temp name sits outside the \w+ table-name alphabet, so it can
+    // never collide with a real table directory (a table named `x__rewrite`
+    // used to be clobbered by `DELETE FROM x`)
+    val tmp = s"$warehouse/.$table.rewrite.tmp"
     remaining.write.mode("overwrite").parquet(tmp) // materializes BEFORE the swap
-    val kept = spark.read.schema(schema).parquet(tmp).count()
+    val total = observedCount(totalObs)
+    val kept = observedCount(keptObs)
     deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
     val stream = Files.list(Paths.get(tmp))
     try stream.forEach { p =>
@@ -339,6 +461,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     Seq(n).toDF("rows_affected")
   }
 
+  /** Read an observe() count after its action ran. When the optimizer
+    * proves a subtree empty (PropagateEmptyRelation collapses e.g.
+    * `filter(false)` or a scan of an empty table), the CollectMetrics node
+    * is pruned with it and the metric never materializes — in exactly
+    * those cases the true count is 0.
+    */
+  private def observedCount(o: org.apache.spark.sql.Observation): Long =
+    try o.get("n").asInstanceOf[Long]
+    catch { case _: NoSuchElementException => 0L }
+
   // ---- COPY (CSV only, like the reference: src/binder/copy.rs) -----------
 
   private def csvOptions(opts: Option[String]): Map[String, String] = {
@@ -361,17 +493,50 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
     val df = spark.read.options(csvOptions(opts)).schema(schema).csv(path)
-    val n = df.count()
-    df.write.mode("append").parquet(tableDir(table))
+    // single pass: rows_affected observed on the same job that writes (the
+    // former count() pre-pass re-read the whole CSV)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(tableDir(table))
     refresh(table)
-    rowCountResult(n)
+    rowCountResult(observedCount(obs))
   }
 
   private def copyTo(table: String, path: String, opts: Option[String]): DataFrame = {
     val df = spark.table(table)
-    val n = df.count()
-    df.write.options(csvOptions(opts)).mode("overwrite").csv(path)
-    rowCountResult(n)
+    val obs = org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("n"))
+      .write.options(csvOptions(opts)).mode("overwrite").csv(path)
+    rowCountResult(observedCount(obs))
+  }
+
+  // ---- vector operator surface (reference src/binder/expr.rs vector ops) --
+
+  /** Rewrite the reference's vector SQL surface onto the native Catalyst
+    * expressions GraftExtensions registers:
+    * `'[..]'::VECTOR(n)` → `from_json(.., 'array<double>')`,
+    * `a <-> b` → `l2_distance`, `a <=> b` → cosine DISTANCE
+    * (1 - cosine_sim), `a <#> b` → `neg_inner_product`. Operands may be
+    * column refs, function calls, or rewritten vector literals.
+    */
+  private val vecAtom =
+    """(?:from_json\('[^']*',\s*'array<double>'\)|[\w.]+\s*\([^()]*\)|[\w.]+|'[^']*')"""
+  private val reVecLit = """'(\[[^']*\])'\s*::\s*(?i:vector)\s*\(\s*\d+\s*\)""".r
+  private val reL2 = s"($vecAtom)\\s*<->\\s*($vecAtom)".r
+  private val reCosDist = s"($vecAtom)\\s*<=>\\s*($vecAtom)".r
+  private val reNegDot = s"($vecAtom)\\s*<#>\\s*($vecAtom)".r
+
+  private def rewriteVectorOps(sql: String): String = {
+    import scala.util.matching.Regex
+    var out = reVecLit.replaceAllIn(sql,
+      m => Regex.quoteReplacement(s"from_json('${m.group(1)}', 'array<double>')"))
+    out = reL2.replaceAllIn(out,
+      m => Regex.quoteReplacement(s"l2_distance(${m.group(1)}, ${m.group(2)})"))
+    out = reCosDist.replaceAllIn(out,
+      m => Regex.quoteReplacement(
+        s"(cast(1.0 as double) - cosine_sim(${m.group(1)}, ${m.group(2)}))"))
+    out = reNegDot.replaceAllIn(out,
+      m => Regex.quoteReplacement(s"neg_inner_product(${m.group(1)}, ${m.group(2)})"))
+    out
   }
 
   // ---- SQL UDF bind-time inlining (reference src/binder/expr.rs:378-434) --
@@ -383,7 +548,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   def inlineFunctions(sql: String): String = {
     // type-alias parity: the reference collapses bare VARCHAR/TEXT to its
     // string type (`src/types/mod.rs:114`); Spark requires VARCHAR(n)
-    var out = sql
+    var out = rewriteVectorOps(sql)
       .replaceAll("(?i)\\bas\\s+varchar\\s*([,)])", "AS STRING$1")
       .replaceAll("(?i)\\bas\\s+text\\s*([,)])", "AS STRING$1")
     var changed = true
@@ -398,9 +563,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // body is usually 'select <expr>' — take the expression
           expanded = expanded.trim.replaceAll("(?i)^select\\s+", "")
           params.zipWithIndex.foreach { case (p, i) =>
-            expanded = expanded
-              .replace(s"$$${i + 1}", s"(${args(i)})")
-              .replaceAll(s"(?i)\\b$p\\b", s"(${args(i)})")
+            expanded = expanded.replace(s"$$${i + 1}", s"(${args(i)})")
+            if (p.nonEmpty) // unnamed (type-only) params bind via $n alone
+              expanded = expanded.replaceAll(s"(?i)\\b$p\\b",
+                scala.util.matching.Regex.quoteReplacement(s"(${args(i)})"))
           }
           out = out.substring(0, m.start) + s"($expanded)" + out.substring(end)
           changed = true

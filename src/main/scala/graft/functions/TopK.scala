@@ -23,8 +23,14 @@ case class Scored(id: Long, score: Double)
   * comparator is a total order over distinct ids.
   */
 class TopKByScore(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
-  private def beats(a: Scored, b: Scored): Boolean =
-    a.score > b.score || (a.score == b.score && a.id < b.id)
+  // java.lang.Double.compare gives a TOTAL order (NaN sorts greatest,
+  // consistently) — a raw `>` comparator treats NaN as equal to everything
+  // while real scores still order, which violates sortWith's contract
+  // (TimSort can throw) and ranks NaN neighbors nondeterministically.
+  private def beats(a: Scored, b: Scored): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.id < b.id)
+  }
 
   override def zero: Seq[Scored] = Vector.empty
 
@@ -51,6 +57,15 @@ object TopK {
     */
   def rank(scored: DataFrame, k: Int, qId: String, cId: String,
       scoreCol: String): DataFrame = {
+    // the buffer keys candidates by Long — a non-integral id column (e.g.
+    // string doc ids) would silently cast to null for every row and return
+    // garbage; fail loudly instead
+    import org.apache.spark.sql.types._
+    scored.schema(cId).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+      case other => throw new IllegalArgumentException(
+        s"TopK.rank: candidate id column '$cId' must be integral, got $other")
+    }
     val topk = udaf(new TopKByScore(k), Encoders.product[Scored])
     scored.groupBy(col(qId))
       .agg(topk(col(cId).cast("long"), col(scoreCol)).as("_topk"))

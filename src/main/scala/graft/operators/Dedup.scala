@@ -102,6 +102,45 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
+  /** SimHash near-dup pairs with GUARANTEED radius-r recall: the 48
+    * fingerprint bits are split into r+1 disjoint blocks, and by pigeonhole
+    * any pair within hamming distance r agrees EXACTLY on at least one
+    * block — so joining on (block index, block value) over all r+1
+    * blockings finds every qualifying pair. This is the corpus-scale
+    * completion of `simhashPairs`' single top-16-bit blocking, which
+    * misses pairs whose differing bits fall inside the block.
+    *
+    * Cost: r+1 slim (id, fp, key) rows per doc, one equi-join shuffle on
+    * (blk_idx, blk_key), distinct over the candidate ids. Exactly the
+    * `simhashPairs` plan run r+1 times in one join — no all-pairs stage.
+    * Fingerprints (8 bytes) ride the candidate shuffle so hamming is
+    * computed without re-joining the fingerprint table.
+    */
+  def simhashPairsRotated(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 8, bits: Int = 48): DataFrame = {
+    val nBlocks = maxHamming + 1
+    val base = bits / nBlocks
+    val extra = bits % nBlocks
+    val lens = (0 until nBlocks).map(p => if (p < extra) base + 1 else base)
+    val los = lens.scanLeft(0)(_ + _)
+    val f = simhashed(df, idCol, textCol)
+    val keyed = f.select(col(idCol), col("fingerprint"),
+      posexplode(array((0 until nBlocks).map { p =>
+        shiftright(col("fingerprint"), los(p))
+          .bitwiseAND(lit((1L << lens(p)) - 1))
+      }: _*)).as(Seq("blk_idx", "blk_key")))
+    val a = keyed.select(col(idCol).as("id_a"), col("fingerprint").as("fp_a"),
+      col("blk_idx"), col("blk_key"))
+    val b = keyed.select(col(idCol).as("id_b"), col("fingerprint").as("fp_b"),
+      col("blk_idx"), col("blk_key"))
+    a.join(b, Seq("blk_idx", "blk_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
+      .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
   /** Connected components over a near-duplicate pair graph: every doc in a
     * cluster is labeled with the cluster's minimum id (the representative
     * to keep). Iterative min-label propagation — each round joins the

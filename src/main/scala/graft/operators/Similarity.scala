@@ -55,10 +55,17 @@ object Similarity {
           posexplode(col("_buckets")).as(Seq("tbl", "bucket")): _*)
     val cb = banded(corpus.select(col(cId), col(cVec)), cVec)
     val qb = banded(queries.select(col(qId), col(qVec)), qVec)
-    val cand = cb.join(broadcast(qb), Seq("tbl", "bucket"))
+    // The multi-table dedup key is (q_id, c_id); the query vector is NOT
+    // carried through the distinct's exchange — it is re-attached after,
+    // from the (broadcast-small) query table. Only the corpus vector rides
+    // the shuffle (it has no broadcast home), halving the exchange width
+    // at 64 dims and more at real embedding widths.
+    val cand = cb.join(broadcast(qb.drop(qVec)), Seq("tbl", "bucket"))
       .filter(col(qId) =!= col(cId))
-      .select(col(qId), col(qVec), col(cId), col(cVec)).distinct()
-    val scored = cand.withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+      .select(col(qId), col(cId), col(cVec)).distinct()
+    val scored = cand
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
     rankTopK(scored, k, qId, cId)
   }
 

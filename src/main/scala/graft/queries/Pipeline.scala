@@ -131,6 +131,26 @@ object Pipeline {
               |FROM fp a JOIN fp b ON (a.f >> 32) = (b.f >> 32) AND a.doc_id < b.doc_id
               |WHERE bit_count(xor(a.f, b.f)) <= 8 ORDER BY id_a, id_b""".stripMargin)),
 
+    // rotated-block variant: r+1 disjoint bit-blocks guarantee full
+    // radius-r recall (pigeonhole), so the oracle is the UNBLOCKED
+    // all-pairs join — hash-matching it proves the blocking loses nothing.
+    "dedup_simhash_rotated" -> Q(
+      (s, d) => Dedup.simhashPairsRotated(t(s, d, "documents"), "doc_id", "text",
+          maxHamming = 8)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |th AS (SELECT doc_id, [${polyHash("tok")} for tok in tks] AS thash FROM tk),
+              |bits AS (SELECT doc_id,
+              |  [CASE WHEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+              |     [(((${aCoef("j")} * h + ${bCoef("j")}) % $P) % 2) * 2 - 1 for h in thash]),
+              |     (x, y) -> x + y) > 0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+              |   for j in generate_series(0, 47)] AS bt FROM th),
+              |fp AS (SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT), bt), (x, y) -> x + y) AS f
+              |  FROM bits)
+              |SELECT a.doc_id AS id_a, b.doc_id AS id_b, bit_count(xor(a.f, b.f)) AS hamming
+              |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+              |WHERE bit_count(xor(a.f, b.f)) <= 8 ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_ngram_jaccard" -> Q(
       (s, d) => Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text",
           blockCol = "lang", shingleWidth = 3, threshold = 0.5)

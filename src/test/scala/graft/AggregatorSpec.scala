@@ -42,4 +42,41 @@ class AggregatorSpec extends AnyFunSuite {
     assert(lshRecall > 0.0 && ivfRecall > 0.0)
     assert(ivf.size <= 40 && lsh.size <= 40)
   }
+
+  test("TopK.rank handles NaN scores with a total order (NaN ranks first)") {
+    import spark.implicits._
+    // zero vectors make cos_sim 0/0 = NaN; a naive > comparator violates
+    // sortWith's contract and can throw in TimSort
+    val scored = Seq(
+      (1L, 10L, Double.NaN), (1L, 11L, 0.9), (1L, 12L, 0.8),
+      (1L, 13L, Double.NaN), (1L, 14L, 0.7))
+      .toDF("q_id", "c_id", "cos_sim")
+    val got = graft.functions.TopK.rank(scored, 3, "q_id", "c_id", "cos_sim")
+      .orderBy("rnk").collect().map(r => (r.getLong(1), r.getInt(3)))
+    // java.lang.Double.compare sorts NaN greatest — same as the Window
+    // desc ordering this aggregator replaced; ties break on id asc
+    assert(got.toSeq == Seq((10L, 1), (13L, 2), (11L, 3)))
+  }
+
+  test("TopK.rank rejects non-integral candidate id columns loudly") {
+    import spark.implicits._
+    val scored = Seq((1L, "doc-a", 0.5)).toDF("q_id", "c_id", "cos_sim")
+    val e = intercept[IllegalArgumentException](
+      graft.functions.TopK.rank(scored, 3, "q_id", "c_id", "cos_sim"))
+    assert(e.getMessage.contains("must be integral"))
+  }
+
+  test("rotated simhash finds exactly the unblocked radius-8 pair set") {
+    val docs = Tables.df(spark, sf, "documents")
+    val fp = graft.operators.Dedup.simhashed(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val want = (for {
+      (ia, fa) <- fp; (ib, fb) <- fp
+      if ia < ib && java.lang.Long.bitCount(fa ^ fb) <= 8
+    } yield (ia, ib)).toSet
+    val got = graft.operators.Dedup
+      .simhashPairsRotated(docs, "doc_id", "text", maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want, s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+  }
 }

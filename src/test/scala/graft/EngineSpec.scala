@@ -178,4 +178,94 @@ class EngineSpec extends AnyFunSuite {
     engine.run("drop table t8")
     assert(!engine.systemTable("pg_tables").collect().map(_.getString(1)).contains("t8"))
   }
+
+  test("INSERT executes its source exactly once (observe, not pre-count)") {
+    // a side-effecting UDF in the source counts per-row evaluations: a
+    // count() pre-pass before the write would double it
+    val acc = spark.sparkContext.longAccumulator("graft-insert-evals")
+    spark.udf.register("graft_count_eval", (x: Int) => { acc.add(1); x })
+    engine.run("create table sx1(a int)")
+    engine.run("insert into sx1 select graft_count_eval(v) from (values (1), (2), (3)) as s(v)")
+    assert(acc.value == 3L, s"source evaluated ${acc.value} times for 3 rows")
+    assert(engine.run("select count(*) from sx1").collect()(0).getLong(0) == 3L)
+  }
+
+  test("COPY FROM runs one execution (rows_affected rides the write)") {
+    var execs = 0
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        synchronized { execs += 1 }
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, ex: Exception): Unit = ()
+    }
+    engine.run("create table sx2(a int, b varchar)")
+    engine.run("insert into sx2 values (1, 'p'), (2, 'q')")
+    val path = "/root/repo/target/graft-tmp/sx2_csv"
+    engine.run(s"copy sx2 to '$path'")
+    engine.run("create table sx3(a int, b varchar)")
+    // drain pending listener events from prior statements before counting
+    Thread.sleep(500)
+    spark.listenerManager.register(listener)
+    try {
+      engine.run(s"copy sx3 from '$path'")
+      // listener events are async — wait until the count stabilizes
+      var last = -1
+      var spins = 0
+      while (execs != last && spins < 20) {
+        last = execs; Thread.sleep(250); spins += 1
+      }
+      assert(execs == 1, s"COPY FROM ran $execs executions, expected 1")
+    } finally spark.listenerManager.unregister(listener)
+    assert(engine.run("select count(*) from sx3").collect()(0).getLong(0) == 2L)
+  }
+
+  test("ANALYZE TABLE feeds row estimates into EXPLAIN (cost mode)") {
+    engine.run("create table sx4(a int, b int)")
+    engine.run("insert into sx4 values (1, 1), (2, 2), (3, 3), (4, 4)")
+    engine.run("analyze table sx4 compute statistics")
+    val plan = engine.run("explain select a from sx4 where b > 1").collect()(0).getString(0)
+    assert(plan.contains("rowCount=4"), s"no row estimate in:\n$plan")
+  }
+
+  test("pragma enable/disable_optimizer changes the plan (AQE wrapper)") {
+    engine.run("create table sx5(a int)")
+    engine.run("insert into sx5 values (1), (2)")
+    engine.run("pragma disable_optimizer")
+    val off = engine.run("explain select a, count(*) from sx5 group by a")
+      .collect()(0).getString(0)
+    engine.run("pragma enable_optimizer")
+    val on = engine.run("explain select a, count(*) from sx5 group by a")
+      .collect()(0).getString(0)
+    assert(!off.contains("AdaptiveSparkPlan") && on.contains("AdaptiveSparkPlan"))
+    assert(intercept[Exception](engine.run("pragma no_such_flag"))
+      .getMessage.contains("no such pragma"))
+  }
+
+  test("SET mock_rowcount_<t> flips join strategy to broadcast") {
+    engine.run("create table sx6(k int, v int)")
+    engine.run("create table sx7(k int, w int)")
+    engine.run("insert into sx6 values (1, 10), (2, 20)")
+    engine.run("insert into sx7 values (1, 100), (2, 200)")
+    engine.run("set spark.sql.autoBroadcastJoinThreshold=-1")
+    try {
+      val before = engine.run("explain select v, w from sx6 join sx7 on sx6.k = sx7.k")
+        .collect()(0).getString(0)
+      engine.run("set mock_rowcount_sx7 = 1")
+      val after = engine.run("explain select v, w from sx6 join sx7 on sx6.k = sx7.k")
+        .collect()(0).getString(0)
+      assert(!before.contains("BroadcastHashJoin") && after.contains("BroadcastHashJoin"),
+        s"mock_rowcount did not flip the join strategy")
+    } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
+  }
+
+  test("DISTINCT ORDER-BY parity accepts star and qualified names") {
+    engine.run("create table sx8(a int, b int)")
+    engine.run("insert into sx8 values (2, 1), (1, 2)")
+    assert(engine.run("select distinct * from sx8 order by a").collect().length == 2)
+    assert(engine.run("select distinct a from sx8 order by sx8.a").collect().length == 2)
+    val e = intercept[Exception](
+      engine.run("select distinct a from sx8 order by b").collect())
+    assert(e.getMessage.contains("DISTINCT"))
+  }
 }

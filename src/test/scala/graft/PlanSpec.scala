@@ -80,6 +80,35 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("LSH ANN candidate dedup exchange carries no query vector") {
+    // the distinct over (q_id, c_id) must not shuffle q_vec — it is
+    // re-attached from the broadcast query table after the dedup
+    val df = SparkEntry.registry("ann_lsh_topk").fn(spark, sf)
+    df.collect() // finalize the adaptive plan so its stages are visible
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def flatten(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => flatten(a.executedPlan)
+      case q: QueryStageExec => flatten(q.plan)
+      case o => o.children.flatMap(flatten)
+    })
+    val exchanges = flatten(df.queryExecution.executedPlan).collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    val dedupExchanges = exchanges.filter(_.output.exists(_.name == "vec_id"))
+    assert(dedupExchanges.nonEmpty, "expected a candidate-dedup shuffle")
+    dedupExchanges.foreach { e =>
+      assert(!e.output.exists(_.name == "q_vec"),
+        s"q_vec rides the dedup exchange: ${e.output.map(_.name)}")
+    }
+  }
+
+  test("rotated simhash blocks join on the equi-key, no all-pairs stage") {
+    val p = planOf("dedup_simhash_rotated")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("blk_idx"), p)
+  }
+
   test("range join carries the bucket in the equi-join key") {
     val p = planOf("events_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)

@@ -27,14 +27,7 @@ class SltSpec extends AnyFunSuite {
     new Engine(spark, dir)
   }
 
-  private def fmt(v: Any): String = v match {
-    case null => "NULL"
-    case "" => "(empty)" // standard sqllogictest rendering
-    case d: java.lang.Double =>
-      if (d == d.longValue().toDouble) d.longValue().toString else d.toString
-    case b: java.lang.Boolean => if (b) "true" else "false"
-    case other => other.toString
-  }
+  private def fmt(v: Any): String = Main.fmt(v) // shared slt rendering
 
   private def runFile(name: String): Unit = {
     val src = scala.io.Source.fromInputStream(
@@ -91,6 +84,12 @@ class SltSpec extends AnyFunSuite {
     "delete.slt", "view.slt", "blob.slt", "timestamp.slt", "distinct.slt",
     "having.slt", "group_agg.slt", "order_by.slt", "limit_offset.slt",
     "strings_fn.slt", "types_numeric.slt", "where_filter.slt",
-    "insert_select.slt", "windows.slt", "catalog.slt")
+    "insert_select.slt", "windows.slt", "catalog.slt",
+    // round-4 ports of the remaining reference feature areas
+    "vector.slt", "vector_index.slt", "window_function.slt", "sort_agg.slt",
+    "merge_join.slt", "pragma.slt", "statistics.slt", "create_drop.slt",
+    "operator.slt", "count.slt", "bigint.slt", "filter_null.slt",
+    "stringconcat.slt", "substring.slt", "repeat.slt", "replace.slt",
+    "copy_csv.slt", "sql_udf.slt", "select_misc.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
