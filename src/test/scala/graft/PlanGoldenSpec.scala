@@ -22,10 +22,29 @@ class PlanGoldenSpec extends AnyFunSuite {
   private val goldenDir = Paths.get("src/test/resources/plans")
   private val update = sys.env.get("GRAFT_UPDATE_PLANS").contains("1")
 
+  /** Planning-relevant confs are PINNED to the entry-point defaults while
+    * shapes are computed — other suites sharing this session mutate them
+    * (the Engine turns CBO on, pragma tests toggle AQE) and goldens must
+    * not depend on suite ordering.
+    */
+  private def pinned[A](body: => A): A = {
+    // spark.sql.extensions is a static conf — cannot (and need not) be
+    // re-set on a live session
+    val confs = (Tables.sessionConfs - "spark.sql.extensions") +
+      ("spark.sql.cbo.enabled" -> "false")
+    val saved = confs.keys.toSeq.map(k => k -> spark.conf.getOption(k))
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try body
+    finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   /** One line per operator: leading tree art preserved, `*(n)` codegen
     * tags and argument lists stripped, so only structure remains.
     */
-  private def shape(name: String): String = {
+  private def shape(name: String): String = pinned {
     val df = SparkEntry.registry(name).fn(spark, sf)
     df.queryExecution.executedPlan.toString.linesIterator
       .map(_.replaceAll("""\*\(\d+\)\s*""", "")) // codegen stage tags
@@ -42,6 +61,9 @@ class PlanGoldenSpec extends AnyFunSuite {
   }
 
   test("every registry query's plan shape matches its golden") {
+    // cached frames from other suites would substitute InMemoryTableScan
+    // into plan shapes — goldens pin the cold-plan structure
+    spark.catalog.clearCache()
     if (update) Files.createDirectories(goldenDir)
     val failures = scala.collection.mutable.Buffer[String]()
     SparkEntry.registry.keys.toSeq.sorted.foreach { name =>
