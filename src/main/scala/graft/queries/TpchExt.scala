@@ -207,27 +207,45 @@ object TpchExt {
     // Q21: suppliers who were the SOLE late supplier on a finished
     // multi-supplier order — EXISTS → left-semi, NOT EXISTS → left-anti.
     "q21_waiting_suppliers" -> Q(
+      // ONE lineitem scan + shuffle instead of three: the EXISTS (another
+      // supplier in the order) and NOT EXISTS (no OTHER late supplier)
+      // subqueries fold into per-order counts — a supplier qualifies iff
+      // it has a late line in an F order with ≥2 suppliers where it is the
+      // ONLY late supplier, contributing its late-line count to numwait.
+      // One exchange on l_orderkey feeds the (order, supplier) aggregate;
+      // the per-order rollup rides the SAME partitioning as window
+      // aggregates (partition sizes = suppliers-per-order, tiny) — a
+      // groupBy+self-join formulation would re-scan and re-shuffle
+      // lineitem because the two aggregate subtrees don't unify, and the
+      // canonical semi/anti formulation shuffles the fact table three
+      // times for the same answer.
       (s, d) => {
+        import org.apache.spark.sql.expressions.Window
         val li = lineitemExt(s, d)
           .select(col("l_orderkey"), col("l_suppkey"),
-            col("l_receiptdate"), col("l_commitdate"))
-        val late = li.filter(col("l_receiptdate") > col("l_commitdate"))
+            (col("l_receiptdate") > col("l_commitdate")).as("is_late"))
+          // hash(l_orderkey) satisfies the (l_orderkey, l_suppkey)
+          // aggregation AND the per-order window: one exchange total
+          .repartition(col("l_orderkey"))
+        val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
+          .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
+        val w = Window.partitionBy(col("l_orderkey"))
+        val annotated = perSupp
+          .withColumn("n_supp", count(lit(1)).over(w))
+          .withColumn("n_late_supp",
+            sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(w))
         val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
+          .select(col("o_orderkey"))
         val su = t(s, d, "supplier")
         val n = t(s, d, "nation").filter(col("n_name") === "NATION_1")
-        val l2 = li.select(col("l_orderkey").as("l2_orderkey"),
-          col("l_suppkey").as("l2_suppkey"))
-        val l3 = late.select(col("l_orderkey").as("l3_orderkey"),
-          col("l_suppkey").as("l3_suppkey"))
-        late.join(o, late("l_orderkey") === o("o_orderkey"))
-          .join(su, late("l_suppkey") === su("s_suppkey"))
-          .join(n, su("s_nationkey") === n("n_nationkey"))
-          .join(l2, col("l_orderkey") === col("l2_orderkey") &&
-            col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-          .join(l3, col("l_orderkey") === col("l3_orderkey") &&
-            col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        annotated
+          .filter(col("n_late_lines") > 0 && col("n_supp") >= 2 &&
+            col("n_late_supp") === 1)
+          .join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(broadcast(su), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
           .groupBy(col("s_name"))
-          .agg(count(lit(1)).as("numwait"))
+          .agg(sum(col("n_late_lines")).cast("long").as("numwait"))
           .orderBy(col("numwait").desc, col("s_name"))
           .limit(100)
       },
