@@ -80,20 +80,52 @@ object Similarity {
     */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCentroids: Int,
       nProbe: Int, qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
     // Codebook: collected once to the driver — bounded by construction (the
     // codebook IS the small trained artifact in IVF, independent of corpus
     // size) — and re-broadcast as a literal array. Assignment is then a
     // narrow per-row argmin: NO crossJoin, NO window, NO shuffle touches
     // the corpus during the build pass.
-    val cents = corpus.filter(col(cId) < nCentroids)
+    var cents = corpus.filter(col(cId) < nCentroids)
       .select(col(cId).cast("long").as("cent_id"),
         col(cVec).cast("array<double>").as("cent_vec"))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
-    val codebook = array(cents.map { case (id, v) =>
+
+    def codebookOf(cs: Array[(Long, Seq[Double])]) = array(cs.map { case (id, v) =>
       struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
+
+    // Optional Lloyd refinement (trainIters > 0): one pass per iteration —
+    // assign (narrow broadcast argmin) → per-(cluster, dim) FIXED-POINT
+    // mean (map-side combined; the shuffle carries ≤ centroids×dims rows
+    // per partition) → collect the (bounded) new codebook. Quantized longs
+    // keep the centroids bit-identical at any partitioning, preserving the
+    // operator's determinism guarantee. Empty clusters keep their old
+    // centroid. Default 0 iterations = the reproducible untrained codebook.
+    for (_ <- 0 until trainIters) {
+      val cb = codebookOf(cents)
+      val assignExpr = slice(array_sort(transform(cb, c =>
+        struct(l2Distance(col(cVec), c.getField("vec")).as("d"),
+          c.getField("cid").as("cid")))), 1, 1).getItem(0).getField("cid")
+      val sums = corpus.select(assignExpr.as("cluster"),
+          posexplode(col(cVec).cast("array<double>")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(round(col("x") * 1e6).cast("long")).as("s"),
+          count(lit(1)).as("n"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+        .toMap
+      val dims = cents.head._2.length
+      cents = cents.map { case (id, old) =>
+        val trained = (0 until dims).map { p =>
+          sums.get((id, p)).map { case (s, n) => s.toDouble / 1e6 / n }
+        }
+        id -> (if (trained.forall(_.isDefined)) trained.map(_.get) else old)
+      }
+    }
+    val codebook = codebookOf(cents)
 
     // nearest `keep` centroids for one vector: (distance asc, cid asc) —
     // array_sort on struct<d,cid> compares fields in order, matching the

@@ -211,18 +211,24 @@ object Tpch {
 
     // Q18: large-quantity orders (agg subquery as semi-join filter)
     "q18_large_orders" -> Q(
+      // ONE lineitem pass: the output's per-order quantity sum IS the
+      // HAVING sum (the final group is one order), so the canonical
+      // semi-join + re-join + re-aggregate would scan and shuffle lineitem
+      // twice to recompute a value the first aggregate already holds. The
+      // filtered aggregate is tiny (orders over the threshold), so AQE
+      // broadcasts it into the orders join — lineitem is aggregated once
+      // and never revisited.
       (s, d) => {
         val l = t(s, d, "lineitem"); val o = t(s, d, "orders")
         val c = t(s, d, "customer")
         val big = l.groupBy(col("l_orderkey").as("big_okey"))
-          .agg(dsum(col("l_quantity")).as("tot_qty"))
-          .filter(col("tot_qty") > 150)
-        o.join(big, o("o_orderkey") === col("big_okey"), "left_semi")
-          .join(c, o("o_custkey") === c("c_custkey"))
-          .join(l, o("o_orderkey") === l("l_orderkey"))
-          .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"), col("o_totalprice"))
           .agg(dsum(col("l_quantity")).as("sum_qty"))
+          .filter(col("sum_qty") > 150)
+        o.join(big, o("o_orderkey") === col("big_okey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+            date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_date"),
+            col("o_totalprice"), col("sum_qty"))
           .orderBy(col("o_totalprice").desc, col("o_orderkey"))
           .limit(100)
       },

@@ -43,6 +43,27 @@ class AggregatorSpec extends AnyFunSuite {
     assert(ivf.size <= 40 && lsh.size <= 40)
   }
 
+  test("k-means-trained IVF is deterministic and reports recall") {
+    val e = Tables.df(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(graft.operators.Similarity.bruteForceTopK(q, e, 5))
+    def trained() = pairs(graft.operators.Similarity.ivfTopK(
+      q, e, 5, nCentroids = 16, nProbe = 4, trainIters = 2))
+    val t1 = trained()
+    // fixed-point centroid means ⇒ bit-identical codebook ⇒ identical
+    // results on re-run at a different parallelism
+    assert(t1 == pairs(graft.operators.Similarity.ivfTopK(
+      q.repartition(3), e.repartition(5), 5, nCentroids = 16, nProbe = 4,
+      trainIters = 2)))
+    val recall = (bf & t1).size.toDouble / bf.size
+    info(f"trained-IVF recall@5 = $recall%.2f (n=${bf.size})")
+    assert(recall > 0.0)
+  }
+
   test("TopK.rank handles NaN scores with a total order (NaN ranks first)") {
     import spark.implicits._
     // zero vectors make cos_sim 0/0 = NaN; a naive > comparator violates
