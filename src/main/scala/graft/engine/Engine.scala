@@ -162,6 +162,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val inlined = inlineFunctions(q)
       analysisErrorParity(inlined)
       refreshViews()
+      // system tables resolve from plain SQL too (reference internal.slt):
+      // registered lazily, only when the statement names one
+      Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
+        .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
+        .foreach(n => systemTable(n).createOrReplaceTempView(n))
       spark.sql(inlined)
     case other => refreshViews(); spark.sql(inlineFunctions(other))
   }

@@ -90,6 +90,7 @@ class SltSpec extends AnyFunSuite {
     "merge_join.slt", "pragma.slt", "statistics.slt", "create_drop.slt",
     "operator.slt", "count.slt", "bigint.slt", "filter_null.slt",
     "stringconcat.slt", "substring.slt", "repeat.slt", "replace.slt",
-    "copy_csv.slt", "sql_udf.slt", "select_misc.slt")
+    "copy_csv.slt", "sql_udf.slt", "select_misc.slt",
+    "type.slt", "insert.slt", "internal.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
