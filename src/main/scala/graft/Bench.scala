@@ -27,12 +27,13 @@ object Bench {
 
     // Criterion-style measurement (the reference bench does warmup +
     // sample_size=10): one warm-up run amortizes codegen/JIT, then report
-    // the best of two timed runs — steady-state throughput, which is what
-    // a long-running cluster job sees.
+    // the best of three timed runs — steady-state throughput, which is
+    // what a long-running cluster job sees. Observed inter-run noise at
+    // best-of-2 was up to ±50% per query; three samples tighten it.
     def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       once(fn)
-      val a = once(fn); val b = once(fn)
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+      val ts = Seq(once(fn), once(fn), once(fn))
+      if (ts.exists(_ < 0)) -1.0 else ts.min
     }
 
     val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
