@@ -43,7 +43,7 @@ object Main {
     try {
       val rows = renderRows(engine.run(sql))
       rows.foreach(out)
-      out(f"(${rows.size} rows in ${(System.nanoTime() - t0) / 1e3}%.0f µs)")
+      out(f"(${rows.size} rows in ${(System.nanoTime() - t0) / 1e6}%.1f ms)")
       true
     } catch {
       case e: Exception =>
