@@ -170,6 +170,25 @@ object Pipeline {
               |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // salted skew join: the oracle is the PLAIN join — salting only routes
+    // rows across tasks, so hash-matching the unsalted result proves the
+    // mitigation is semantics-free.
+    "join_skew_salted" -> Q(
+      (s, d) => {
+        val l = t(s, d, "lineitem")
+          .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+        val su = t(s, d, "supplier")
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        graft.operators.Skew.saltedJoin(l, su, "suppkey", 8)
+          .groupBy(col("s_name"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("s_name")
+      },
+      Some("""SELECT s_name, COUNT(*) AS n,
+             |CAST(SUM(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS qty
+             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
     // ---- similarity search ---------------------------------------------
     "ann_brute_force_topk" -> Q(
       (s, d) => {

@@ -109,6 +109,27 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("blk_idx"), p)
   }
 
+  test("q21 scans and shuffles lineitem exactly once") {
+    val p = planOf("q21_waiting_suppliers")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem scanned more than once:\n$p")
+    assert(p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning(l_orderkey")) == 1,
+      s"more than one lineitem-keyed exchange:\n$p")
+  }
+
+  test("q18 aggregates lineitem once — no re-join re-aggregate") {
+    val p = planOf("q18_large_orders")
+    assert(p.linesIterator.count(_.contains("lineitem.parquet")) == 1,
+      s"lineitem scanned more than once:\n$p")
+  }
+
+  test("salted skew join spreads the key without changing the plan class") {
+    val p = planOf("join_skew_salted")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("_salt"), p)
+  }
+
   test("range join carries the bucket in the equi-join key") {
     val p = planOf("events_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
