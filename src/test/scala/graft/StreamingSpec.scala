@@ -33,6 +33,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("curation operators run unchanged on a stream (quality-filter pipeline)") {
+    // per-row curation transforms (language ID, quality scoring, token
+    // counts, fingerprints) are narrow maps, so the SAME operator code
+    // drives a streaming quality-filter pipeline — the shape a continuous
+    // ingestion corpus filter runs at scale
+    val srcDir = "/root/repo/target/graft-tmp/stream_docs"
+    Tables.df(spark, sf, "documents").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+
+    val streamed = StreamingOps.runToMemory(
+      graft.operators.TextAnalysis.qualityScore(stream, "doc_id", "text")
+        .filter(col("quality") >= 0.5),
+      "quality_stream", outputMode = "append")
+    val batch = graft.operators.TextAnalysis
+      .qualityScore(spark.read.parquet(srcDir), "doc_id", "text")
+      .filter(col("quality") >= 0.5)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("custom-state sessionization (flatMapGroupsWithState) equals batch sessions on the flushed prefix") {
     val srcDir = "/root/repo/target/graft-tmp/stream_events"
     Tables.df(spark, sf, "events").coalesce(1)
