@@ -334,6 +334,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def createTable(name: String, colsSpec: String): DataFrame = {
+    // duplicate-create parity: the reference catalog rejects an existing
+    // name (src/catalog/root.rs add_table)
+    require(!tables.contains(name) && !views.contains(name),
+      s"table or view already exists: $name")
     // split on top-level commas (parens may nest inside DECIMAL(p,s))
     val parts = mutable.Buffer[String]()
     var depth = 0; val cur = new StringBuilder
@@ -371,6 +375,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def drop(kind: String, name: String): DataFrame = {
+    // dropping a missing object errors like the reference binder
+    require(if (kind == "table") tables.contains(name) else views.contains(name),
+      s"no such $kind: $name")
     if (kind == "table") {
       tables.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
@@ -388,6 +395,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * types (reference `src/executor/insert.rs:13-52`), append parquet.
     */
   private def insert(table: String, colList: Option[String], source: String): DataFrame = {
+    require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
     val src = spark.sql(inlineFunctions(source))
     val given = colList.map(_.split(",").map(_.trim).toSeq)
