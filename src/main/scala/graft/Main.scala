@@ -121,11 +121,12 @@ object Main {
   /** Interactive loop: accumulate until `;` (or a `\`-sugar line), run,
     * print. EOF, `\q`, `exit`, `quit` end the session.
     */
-  def repl(engine: Engine, in: () => String, out: String => Unit): Unit = {
+  def repl(engine: Engine, in: () => String, out: String => Unit,
+      prompt: String => Unit = print): Unit = {
     val buf = new StringBuilder
     var done = false
     while (!done) {
-      out(if (buf.isEmpty) "graft> " else "    -> ")
+      prompt(if (buf.isEmpty) "graft> " else "    -> ")
       val line = in()
       if (line == null) done = true
       else {
@@ -165,7 +166,7 @@ object Main {
       case Some(f) => runFile(engine, f)
       case None =>
         println("graft shell — SQL statements end with ';', \\q quits")
-        repl(engine, () => scala.io.StdIn.readLine(), print)
+        repl(engine, () => scala.io.StdIn.readLine(), println)
         0
     }
     if (!preExisting) spark.stop()

@@ -51,8 +51,8 @@ object Similarity {
       cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
     def banded(df: DataFrame, vec: String) =
       df.withColumn("_buckets", lshBuckets(col(vec), nPlanes, nTables))
-        .select(df.columns.map(col) :+
-          posexplode(col("_buckets")).as(Seq("tbl", "bucket")): _*)
+        .select((df.columns.map(col) :+
+          posexplode(col("_buckets")).as(Seq("tbl", "bucket"))).toIndexedSeq: _*)
     val cb = banded(corpus.select(col(cId), col(cVec)), cVec)
     val qb = banded(queries.select(col(qId), col(qVec)), qVec)
     // The multi-table dedup key is (q_id, c_id); the query vector is NOT
@@ -94,8 +94,8 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
-    def codebookOf(cs: Array[(Long, Seq[Double])]) = array(cs.map { case (id, v) =>
-      struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
+    def codebookOf(cs: Array[(Long, Seq[Double])]) = array(cs.toIndexedSeq.map {
+      case (id, v) => struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
 
     // Optional Lloyd refinement (trainIters > 0): one pass per iteration —
     // assign (narrow broadcast argmin) → per-(cluster, dim) FIXED-POINT
