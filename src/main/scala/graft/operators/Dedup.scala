@@ -79,6 +79,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup detection — the corpus-curation steady state: a
+    * NEW batch arrives and must be checked against the existing corpus and
+    * itself, without ever re-pairing corpus×corpus. Band keys for the
+    * batch probe the banded union, so candidates are exactly the full-LSH
+    * pairs that touch the batch; corpus-only pairs never materialize. The
+    * probe shuffle is proportional to |batch|×bands + the buckets it
+    * lands in, not the corpus pair space — at 100 TB the corpus side's
+    * signatures would be precomputed and stored, leaving the batch
+    * signature pass as the only full-text work.
+    */
+  def minhashPairsIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, shingleWidth: Int = 3,
+      numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5): DataFrame = {
+    val mc = minhashed(corpus, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol), col("shingles"), col("bands"))
+    val mb = minhashed(batch, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol), col("shingles"), col("bands"))
+    val all = mc.unionAll(mb).cache()
+    val bandedAll = all.select(col(idCol).as("id_x"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val bandedBatch = mb.select(col(idCol).as("id_p"),
+      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    val cand = bandedAll.join(bandedBatch, Seq("band_idx", "band_key"))
+      .filter(col("id_x") =!= col("id_p"))
+      .select(least(col("id_x"), col("id_p")).as("id_a"),
+        greatest(col("id_x"), col("id_p")).as("id_b"))
+      .distinct()
+    cand
+      .join(all.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
+      .join(all.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** 48-bit SimHash fingerprint per document. */
   def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol), simhash48(col(textCol)).as("fingerprint"))

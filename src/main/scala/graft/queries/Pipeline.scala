@@ -70,6 +70,35 @@ object Pipeline {
               |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
               |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // incremental curation: new batch (doc_id >= 400) vs existing corpus
+    // — the oracle is the FULL LSH pair set restricted to pairs touching
+    // the batch, proving the probe-only plan finds exactly those pairs
+    // without ever forming corpus-corpus candidates.
+    "dedup_incremental" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.minhashPairsIncremental(
+            docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+            "doc_id", "text", shingleWidth = 3, numHashes = 16, bands = 4,
+            threshold = 0.5)
+          .orderBy("id_a", "id_b")
+      },
+      Some(s"""WITH $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id AND (a.doc_id >= 400 OR b.doc_id >= 400))
+              |SELECT c.id_a, c.id_b, $jacc AS jaccard
+              |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
+
     // pairs → connected components → keep-one-representative (the actual
     // curation output). Oracle: recursive-CTE transitive closure.
     "dedup_clusters" -> Q(
