@@ -41,6 +41,33 @@ object Multimodal {
       lit(null).cast("int").as("width"),
       lit(null).cast("int").as("height"))
 
+  /** Frame sampling over an opaque video/audio payload: treat the payload
+    * as `ceil(n_bytes / frameBytes)` fixed-size frames and emit every
+    * `stride`-th one as (media_id, frame_idx, byte_offset, frame_hash).
+    * The plumbing — per-row frame-count arithmetic, `sequence`+`explode`
+    * with a stride, offset computation, payload dropped immediately after
+    * the per-frame transform — is the real distributed shape; the frame
+    * "decode" is the STUBBED deterministic hash of the frame's byte slice
+    * (a real codec call replaces exactly that expression). Output is
+    * narrow (4 numeric columns), so nothing downstream carries payloads.
+    */
+  def sampleFrames(media: DataFrame, frameBytes: Int, stride: Int): DataFrame = {
+    require(frameBytes > 0 && stride > 0, "frameBytes and stride must be positive")
+    media.select(col("media_id"), col("payload"))
+      .withColumn("n_frames",
+        ceil(length(col("payload")).cast("double") / frameBytes).cast("int"))
+      .filter(col("n_frames") > 0)
+      .select(col("media_id"), col("payload"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
+      .withColumn("byte_offset", (col("frame_idx") * frameBytes).cast("long"))
+      // stub decode: hash the frame's byte slice (ASCII corpus ⇒ byte
+      // slice == character slice, mirrored exactly by the oracle)
+      .withColumn("frame_hash", graft.functions.Hashing.polyHash(
+        col("payload").cast("string")
+          .substr((col("frame_idx") * frameBytes) + 1, lit(frameBytes))))
+      .select(col("media_id"), col("frame_idx"), col("byte_offset"), col("frame_hash"))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),

@@ -437,6 +437,25 @@ object Pipeline {
               |  ((byte_hash >> 8) & 255)::DOUBLE / 255.0 AS f1,
               |  ((byte_hash >> 16) & 255)::DOUBLE / 255.0 AS f2,
               |  ((byte_hash >> 24) & 255)::DOUBLE / 255.0 AS f3
-              |FROM h ORDER BY media_id""".stripMargin))
+              |FROM h ORDER BY media_id""".stripMargin)),
+
+    // frame sampling: payload treated as 64-byte frames, every 3rd frame
+    // emitted with its offset and stub-decoded hash — the oracle rebuilds
+    // the same strided frame index set with generate_series and hashes the
+    // same character slices (ASCII corpus ⇒ byte slice == char slice).
+    "multimodal_frame_sample" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+        Multimodal.sampleFrames(media, frameBytes = 64, stride = 3)
+          .orderBy("media_id", "frame_idx")
+      },
+      Some(s"""WITH m AS (SELECT doc_id AS media_id, text,
+              |  CAST(ceil(length(text) / 64.0) AS INT) AS n_frames FROM documents),
+              |fr AS (SELECT media_id, text, unnest(generate_series(0, n_frames - 1, 3)) AS frame_idx
+              |  FROM m WHERE n_frames > 0)
+              |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+              |  CAST(frame_idx * 64 AS BIGINT) AS byte_offset,
+              |  ${polyHash("substring(text, frame_idx * 64 + 1, 64)")} AS frame_hash
+              |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
   )
 }
