@@ -68,6 +68,24 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("byte_offset"), col("frame_hash"))
   }
 
+  /** Resize plumbing: emit a new payload sized for `w`×`h` with updated
+    * metadata. The real resample is STUBBED as a deterministic byte
+    * truncation/pad to w×h bytes (1 "byte per pixel"); schema flow —
+    * payload replaced in place, metadata columns updated, output width
+    * bounded regardless of input size — is the production shape, and a
+    * codec-backed scaler replaces exactly the payload expression.
+    */
+  def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
+    require(w > 0 && h > 0, "target dimensions must be positive")
+    val target = w * h
+    media
+      .withColumn("payload",
+        rpad(col("payload").cast("string").substr(lit(1), lit(target)), target, " ")
+          .cast("binary"))
+      .withColumn("width", lit(w))
+      .withColumn("height", lit(h))
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),

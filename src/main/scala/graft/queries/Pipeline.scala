@@ -456,6 +456,25 @@ object Pipeline {
               |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
               |  CAST(frame_idx * 64 AS BIGINT) AS byte_offset,
               |  ${polyHash("substring(text, frame_idx * 64 + 1, 64)")} AS frame_hash
-              |FROM fr ORDER BY media_id, frame_idx""".stripMargin))
+              |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
+
+    // resize: payload stub-resampled to 16x8 "pixels" (truncate/pad to 128
+    // bytes), metadata updated — oracle rebuilds the same truncated/padded
+    // slice and hashes it.
+    "multimodal_resize" -> Q(
+      (s, d) => {
+        val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
+        Multimodal.resize(media, w = 16, h = 8)
+          .select(col("media_id"), col("width"), col("height"),
+            length(col("payload")).as("n_bytes"),
+            graft.functions.Hashing.polyHash(col("payload").cast("string"))
+              .as("payload_hash"))
+          .orderBy("media_id")
+      },
+      Some(s"""WITH r AS (SELECT doc_id AS media_id,
+              |  rpad(substring(text, 1, 128), 128, ' ') AS px FROM documents)
+              |SELECT media_id, 16 AS width, 8 AS height,
+              |  CAST(length(px) AS INT) AS n_bytes, ${polyHash("px")} AS payload_hash
+              |FROM r ORDER BY media_id""".stripMargin))
   )
 }
