@@ -48,13 +48,29 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
       nTables: Int = 8, qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+      cId: String = "vec_id", cVec: String = "embedding",
+      multiProbe: Int = 0): DataFrame = {
     def banded(df: DataFrame, vec: String) =
       df.withColumn("_buckets", lshBuckets(col(vec), nPlanes, nTables))
         .select((df.columns.map(col) :+
           posexplode(col("_buckets")).as(Seq("tbl", "bucket"))).toIndexedSeq: _*)
     val cb = banded(corpus.select(col(cId), col(cVec)), cVec)
-    val qb = banded(queries.select(col(qId), col(qVec)), qVec)
+    val qbBase = banded(queries.select(col(qId), col(qVec)), qVec)
+    // Multiprobe (query side only): additionally probe the buckets that
+    // differ in one sign bit — a near neighbor lost to a single hyperplane
+    // boundary lands one bit away. Probing m extra buckets per table
+    // multiplies CANDIDATES (not corpus work: the corpus bucketing is
+    // untouched and the query table is broadcast-small) for recall
+    // 1-(1-p^(nPlanes-1))-ish per flipped plane. The candidate set is a
+    // superset of the unprobed one, so recall can only increase.
+    val qb = if (multiProbe <= 0) qbBase else {
+      val masks = array((0 to math.min(multiProbe, nPlanes)).map {
+        case 0 => lit(0L)
+        case b => lit(1L << (b - 1))
+      }: _*)
+      qbBase.withColumn("bucket",
+        explode(array_distinct(transform(masks, m => col("bucket").bitwiseXOR(m)))))
+    }
     // The multi-table dedup key is (q_id, c_id); the query vector is NOT
     // carried through the distinct's exchange — it is re-attached after,
     // from the (broadcast-small) query table. Only the corpus vector rides

@@ -43,6 +43,23 @@ class AggregatorSpec extends AnyFunSuite {
     assert(ivf.size <= 40 && lsh.size <= 40)
   }
 
+  test("multiprobe LSH candidates are a recall superset of single-probe") {
+    val e = Tables.df(spark, sf, "embeddings")
+    val q = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("q_id", "neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val bf = pairs(graft.operators.Similarity.bruteForceTopK(q, e, 5))
+    val plain = pairs(graft.operators.Similarity.lshTopK(q, e, 5, nPlanes = 6))
+    val probed = pairs(graft.operators.Similarity.lshTopK(q, e, 5, nPlanes = 6,
+      multiProbe = 6))
+    val r0 = (bf & plain).size.toDouble / bf.size
+    val r1 = (bf & probed).size.toDouble / bf.size
+    info(f"LSH recall@5: single-probe $r0%.2f -> multiprobe $r1%.2f (n=${bf.size})")
+    assert(r1 >= r0, "multiprobe candidates are a superset; recall cannot drop")
+  }
+
   test("k-means-trained IVF is deterministic and reports recall") {
     val e = Tables.df(spark, sf, "embeddings")
     val q = e.filter(col("vec_id") < 8)
