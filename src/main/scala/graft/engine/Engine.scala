@@ -486,8 +486,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   // ---- COPY (CSV only, like the reference: src/binder/copy.rs) -----------
 
-  private def csvOptions(opts: Option[String]): Map[String, String] = {
-    val m = mutable.Map("delimiter" -> ",", "header" -> "false")
+  /** COPY options: csv delimiter/header/quote/escape (reference surface,
+    * `src/binder/copy.rs`) plus a FORMAT extension ('csv' default,
+    * 'json'/'jsonl' for line-delimited JSON — the dominant corpus
+    * interchange format — and 'parquet').
+    */
+  private def copyOptions(opts: Option[String]): Map[String, String] = {
+    val m = mutable.Map("delimiter" -> ",", "header" -> "false", "format" -> "csv")
     opts.foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { o =>
       val kv = o.split("\\s+|=", 2)
       val key = kv(0).toLowerCase
@@ -497,6 +502,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case "header" => m("header") = value
         case "quote" => m("quote") = value
         case "escape" => m("escape") = value
+        case "format" => m("format") = value.toLowerCase
         case _ =>
       }
     })
@@ -505,9 +511,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
-    val df = spark.read.options(csvOptions(opts)).schema(schema).csv(path)
+    val o = copyOptions(opts)
+    val df = o("format") match {
+      case "json" | "jsonl" => spark.read.schema(schema).json(path)
+      case "parquet" => spark.read.schema(schema).parquet(path)
+      case _ => spark.read.options(o - "format").schema(schema).csv(path)
+    }
     // single pass: rows_affected observed on the same job that writes (the
-    // former count() pre-pass re-read the whole CSV)
+    // former count() pre-pass re-read the whole source)
     val obs = org.apache.spark.sql.Observation()
     df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(tableDir(table))
     refresh(table)
@@ -516,9 +527,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private def copyTo(table: String, path: String, opts: Option[String]): DataFrame = {
     val df = spark.table(table)
+    val o = copyOptions(opts)
     val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("n"))
-      .write.options(csvOptions(opts)).mode("overwrite").csv(path)
+    val observed = df.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite")
+    o("format") match {
+      case "json" | "jsonl" => observed.json(path)
+      case "parquet" => observed.parquet(path)
+      case _ => observed.options(o - "format").csv(path)
+    }
     rowCountResult(observedCount(obs))
   }
 

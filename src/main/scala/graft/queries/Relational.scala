@@ -77,6 +77,21 @@ object Relational {
       },
       Some("SELECT * FROM nation ORDER BY n_nationkey")),
 
+    // JSONL round-trip — the dominant corpus interchange format; DuckDB
+    // independently parses the written lines, so the oracle verifies the
+    // actual serialized bytes, not just a Spark-side identity.
+    "copy_jsonl_roundtrip" -> Q(
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/copy_nation_jsonl"
+        val n = t(s, d, "nation")
+        n.write.mode("overwrite").json(out)
+        s.read.schema(n.schema).json(out).orderBy("n_nationkey")
+      },
+      Some(s"""SELECT CAST(n_nationkey AS INTEGER) AS n_nationkey, n_name,
+              |CAST(n_regionkey AS INTEGER) AS n_regionkey
+              |FROM read_json_auto('/root/repo/target/graft-tmp/copy_nation_jsonl/*.json')
+              |ORDER BY n_nationkey""".stripMargin)),
+
     // -- 2.4 simple agg (no keys): one-row fold
     "agg_simple" -> Q(
       (s, d) => t(s, d, "lineitem").agg(
