@@ -329,9 +329,14 @@ object Tpch {
             col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
-        val maxRev = rev.agg(max(col("total_revenue")).as("m"))
-        su.join(rev, su("s_suppkey") === rev("l_suppkey"))
-          .join(broadcast(maxRev), col("total_revenue") === col("m"))
+        // max as a window over the SMALL per-supplier aggregate — joining
+        // rev against rev.agg(max) re-executed the whole lineitem
+        // aggregation (Spark doesn't unify a plan with its own aggregate)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val top = rev.withColumn("_m", max(col("total_revenue")).over(w))
+          .filter(col("total_revenue") === col("_m"))
+        su.join(top, su("s_suppkey") === top("l_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
           .orderBy("s_suppkey")
       },
@@ -352,10 +357,16 @@ object Tpch {
       (s, d) => {
         val p = t(s, d, "part").filter(col("p_brand") === "Brand#3")
         val l = t(s, d, "lineitem")
-        val avgQty = l.groupBy(col("l_partkey").as("ap_key"))
-          .agg((davg(col("l_quantity")) * 0.2).as("qty_thresh"))
-        l.join(p, l("l_partkey") === p("p_partkey"))
-          .join(avgQty, l("l_partkey") === col("ap_key"))
+        // one lineitem pass: the broadcast part join keeps EVERY line of
+        // the qualifying parts, so the correlated per-part average is a
+        // window over the joined rows (partition = lines-per-part, tiny)
+        // — the groupBy-subquery formulation scanned lineitem twice, the
+        // second time unfiltered.
+        val joined = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+        val qtyThresh = (sum(round(col("l_quantity") * 1e6).cast("long")).over(wp)
+          .cast("double") / 1e6 / count(col("l_quantity")).over(wp)) * 0.2
+        joined.withColumn("qty_thresh", qtyThresh)
           .filter(col("l_quantity") < col("qty_thresh"))
           .agg((dsum(col("l_extendedprice")) / 7.0).as("avg_yearly"))
       },

@@ -113,13 +113,20 @@ object TpchExt {
           .join(n, su("s_nationkey") === n("n_nationkey"))
         val byPart = natPs.groupBy(col("ps_partkey"))
           .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
-        // total from the grouped result: dsum re-quantizes each group value
-        // (m/1e6 doubles) back to exact micros, so Σ groups == Σ rows
-        // bit-for-bit — and Spark reuses byPart's shuffle instead of
-        // aggregating the join twice
-        val total = byPart
-          .agg((dsum(col("value")) * 0.004).as("_threshold"))
-        byPart.crossJoin(broadcast(total))
+        // threshold as a WINDOW over the per-part aggregate: the former
+        // 1-row-aggregate + crossJoin re-executed the whole derivation
+        // subtree (Spark doesn't unify a plan self-joined with its own
+        // aggregate — two part scans, four supplier scans in the physical
+        // plan). The window re-quantizes each group value back to exact
+        // micros (Σ groups == Σ rows bit-for-bit, dsum's contract) and
+        // runs one single-task pass over the SMALL per-part frame — the
+        // fact-side derivation happens exactly once.
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
+        val threshold =
+          (sum(round(col("value") * 1e6).cast("long")).over(w)
+            .cast("double") / 1e6) * 0.004
+        byPart.withColumn("_threshold", threshold)
           .filter(col("value") > col("_threshold"))
           .select(col("ps_partkey"), col("value"))
           .orderBy(col("value").desc, col("ps_partkey"))
