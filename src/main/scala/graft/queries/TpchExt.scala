@@ -76,12 +76,13 @@ object TpchExt {
         val euro = ps.join(su, ps("ps_suppkey") === su("s_suppkey"))
           .join(n, su("s_nationkey") === n("n_nationkey"))
           .join(r, n("n_regionkey") === r("r_regionkey"))
-        val minCost = euro.groupBy(col("ps_partkey").as("mc_partkey"))
-          .agg(min(col("ps_supplycost")).as("min_cost"))
+        // min-cost per part as a window over the single euro derivation
+        // (partition = suppliers-per-part, bounded) — joining euro against
+        // its own grouped min re-executed the whole join chain
+        val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("ps_partkey"))
         euro.join(p, euro("ps_partkey") === p("p_partkey"))
-          .join(minCost,
-            col("ps_partkey") === col("mc_partkey") &&
-              col("ps_supplycost") === col("min_cost"))
+          .withColumn("_min_cost", min(col("ps_supplycost")).over(wp))
+          .filter(col("ps_supplycost") === col("_min_cost"))
           .select(col("s_acctbal"), col("s_name"), col("n_name"),
             col("p_partkey"), col("p_brand"))
           .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
