@@ -198,12 +198,17 @@ object Dedup {
     while (!converged && i < maxIters) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("rep"))
+      // localCheckpoint TRUNCATES the lineage each round — with cache the
+      // logical plan doubles per iteration (hundreds of scans in the plan
+      // after a few rounds; planning itself becomes the bottleneck long
+      // before execution does). Blocks live in the executor block manager;
+      // for fault-tolerant long chains swap in reliable checkpoint() with
+      // a checkpoint dir — same plan shape.
       val next = labels.select(col("id"), col("rep")).unionAll(viaNeighbor)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .cache()
+        .localCheckpoint()
       converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).isEmpty
-      labels.unpersist()
       labels = next
       i += 1
     }
