@@ -1,0 +1,157 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.Hashing._
+
+/** Corpus-curation operators a large-scale training-data pipeline needs on
+  * top of dedup/similarity: benchmark decontamination, repetition-based
+  * quality signals, corpus-wide n-gram heavy hitters, domain mixing
+  * weights, and semantic (centroid) quality scoring.
+  *
+  * Scale design (the point of each choice):
+  *  - decontaminate = the eval/benchmark side is small by definition →
+  *    its distinct gram set broadcasts; the 100 TB train side is touched
+  *    once, narrowly, and only *matching* grams reach the per-doc count
+  *    shuffle. No corpus-sized join and no corpus re-shuffle.
+  *  - repetitionSignals = pure per-row higher-order functions: runs at
+  *    scan speed, zero shuffles, whole-stage codegen friendly.
+  *  - ngramTopK = explode → hash-agg with map-side partial aggregation →
+  *    TakeOrderedAndProject; the only shuffle carries (gram, partial
+  *    count), never documents.
+  *  - domainMixWeights = one groupBy to a #domains-row frame; corpus
+  *    totals come from a window over that already-aggregated tiny frame
+  *    (never a self-join of the aggregate, which would re-scan the fact).
+  *  - centroidScore = fixed-point per-dimension sums (deterministic at
+  *    any parallelism), a broadcast one-row centroid, and a k-bounded
+  *    TopK — the corpus is scanned once and never shuffled.
+  *
+  * All hashing/fold arithmetic is deterministic integer/IEEE math shared
+  * with the DuckDB oracles (graft.queries.Pipeline), so results are
+  * bit-identical across engines, partitionings, and retries.
+  */
+object Curation {
+
+  /** Benchmark decontamination (train/test overlap): flag training docs
+    * sharing any distinct word `w`-gram with the eval set.
+    *
+    * Returns one row per *contaminated* train doc:
+    * (idCol, n_grams, n_contaminated, contamination) where n_grams is the
+    * doc's distinct-gram count and contamination = n_contaminated/n_grams
+    * rounded to 6 decimals. Clean docs are absent (the downstream filter
+    * is an anti-join on this slim id set).
+    */
+  def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
+      textCol: String, w: Int = 5): DataFrame = {
+    val evalGrams = evalSet
+      .select(explode(shingleHashes(col(textCol), w)).as("gram"))
+      .distinct()
+    train
+      .select(col(idCol), shingleHashes(col(textCol), w).as("grams"))
+      .select(col(idCol), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("gram"))
+      .join(broadcast(evalGrams), "gram")
+      .groupBy(col(idCol))
+      // n_grams is constant per doc; max() rides the same partial agg
+      .agg(max(col("n_grams")).as("n_grams"),
+        count(lit(1)).as("n_contaminated"))
+      .withColumn("contamination",
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6))
+  }
+
+  /** Per-document repetition signals (Gopher-style quality rules):
+    * duplicate-token fraction, most-frequent-token share, duplicate
+    * 2-gram fraction. Narrow per-row HOFs — no shuffle.
+    *
+    * The top-token scan is O(distinct × total) per document; for
+    * pathological documents (distinct ≈ total ≈ L) cap the token list
+    * upstream or switch to the explode/count formulation — for natural
+    * text the distinct vocabulary is sublinear and this stays cheap.
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nd = size(array_distinct(toks))
+    val topCount = array_max(transform(array_distinct(toks),
+      d => size(filter(toks, t => t === d))))
+    val grams2 = wordShingles(col(textCol), 2)
+    val n2 = size(grams2)
+    val nd2 = size(array_distinct(grams2))
+    df.select(col(idCol),
+      n.as("n_tokens"),
+      nd.as("n_distinct"),
+      round(lit(1.0) - nd.cast("double") / n, 6).as("dup_token_frac"),
+      round(topCount.cast("double") / n, 6).as("top_token_share"),
+      round(lit(1.0) - nd2.cast("double") / n2, 6).as("dup_2gram_frac"))
+  }
+
+  /** Corpus-wide most-frequent word `w`-grams (heavy hitters): total
+    * occurrences and distinct-document counts, top `k` by
+    * (occurrences desc, gram asc). The shuffle carries (gram, partial
+    * count) pairs only; the top-k is a TakeOrderedAndProject, never a
+    * global sort of the gram table.
+    */
+  def ngramTopK(df: DataFrame, idCol: String, textCol: String, w: Int = 3,
+      k: Int = 20): DataFrame =
+    df.select(col(idCol), explode(wordShingles(col(textCol), w)).as("gram"))
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("occurrences"),
+        countDistinct(col(idCol)).as("n_docs"))
+      .orderBy(desc("occurrences"), asc("gram"))
+      .limit(k)
+
+  /** Domain mixing weights: per-domain doc/token counts plus the
+    * resampling weight that would equalize token mass across domains
+    * (weight = corpus_tokens / n_domains / domain_tokens). The corpus
+    * totals are windows over the already-aggregated #domains-row frame —
+    * the fact table is scanned exactly once.
+    */
+  def domainMixWeights(df: DataFrame, domainCol: String, textCol: String)
+      : DataFrame = {
+    val everything = Window.partitionBy() // #domains rows — tiny by definition
+    df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).as("domain_tokens"))
+      .withColumn("weight",
+        round(sum(col("domain_tokens")).over(everything).cast("double") /
+          count(lit(1)).over(everything) / col("domain_tokens"), 6))
+      .select(col(domainCol), col("n_docs"), col("domain_tokens"), col("weight"))
+  }
+
+  /** Semantic quality scoring: cosine of every embedding against the
+    * centroid of the `targetLabel` class, top `k` by (score desc, id asc).
+    *
+    * The centroid is computed with fixed-point per-dimension sums
+    * (round(x·1e6) as long): the per-dim aggregation is exact integer
+    * math, so the centroid — and therefore every score — is bit-identical
+    * at any parallelism. The corpus pass is a broadcast of one centroid
+    * row + a narrow per-row fold; the only corpus-sized "shuffle" is the
+    * k-bounded TakeOrdered.
+    */
+  def centroidScore(emb: DataFrame, idCol: String, vecCol: String,
+      labelCol: String, targetLabel: Int, k: Int = 20): DataFrame = {
+    val centroid = emb
+      .filter(col(labelCol) === targetLabel)
+      .select(posexplode(transform(col(vecCol),
+        x => round(x.cast("double") * 1e6).cast("long"))).as(Seq("d", "v")))
+      .groupBy(col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .agg(array_sort(collect_list(struct(col("d"),
+        (col("s").cast("double") / 1e6 / col("n")).as("c")))).as("dims"))
+      .select(transform(col("dims"), e => e.getField("c")).as("centroid"))
+    // left-to-right double fold — mirrors the DuckDB oracle's list_reduce
+    def fold(products: org.apache.spark.sql.Column) =
+      aggregate(products, lit(0.0), (acc, v) => acc + v)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      fold(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")))
+    emb.crossJoin(broadcast(centroid))
+      .withColumn("score", dot(col(vecCol), col("centroid")) /
+        (sqrt(dot(col(vecCol), col(vecCol))) *
+          sqrt(dot(col("centroid"), col("centroid")))))
+      .orderBy(desc("score"), col(idCol))
+      .limit(k)
+      .select(col(idCol), round(col("score"), 6).as("score"))
+  }
+}

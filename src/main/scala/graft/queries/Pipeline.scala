@@ -475,6 +475,92 @@ object Pipeline {
               |  rpad(substring(text, 1, 128), 128, ' ') AS px FROM documents)
               |SELECT media_id, 16 AS width, 8 AS height,
               |  CAST(length(px) AS INT) AS n_bytes, ${polyHash("px")} AS payload_hash
-              |FROM r ORDER BY media_id""".stripMargin))
+              |FROM r ORDER BY media_id""".stripMargin)),
+
+    // ---- curation: decontamination / repetition / mixing (operators/Curation)
+
+    // benchmark decontamination: eval set = src0's docs; any train doc
+    // sharing a distinct word 5-gram with the eval set is flagged with
+    // its contaminated-gram count and fraction.
+    "curation_decontaminate" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Curation.decontaminate(
+            docs.filter(col("source") =!= "src0"),
+            docs.filter(col("source") === "src0"), "doc_id", "text", w = 5)
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH tk5 AS (SELECT doc_id, source, $toks AS tks FROM documents),
+              |sh5 AS (SELECT doc_id, source, CASE WHEN len(tks) >= 5
+              |  THEN [array_to_string(list_slice(tks, i+1, i+5), ' ') for i in generate_series(0, len(tks)-5)]
+              |  ELSE [array_to_string(tks, ' ')] END AS shingles FROM tk5),
+              |hs5 AS (SELECT doc_id, source,
+              |  list_distinct([${polyHash("sg")} for sg in shingles]) AS shash FROM sh5),
+              |ev AS (SELECT DISTINCT unnest(shash) AS g FROM hs5 WHERE source = 'src0'),
+              |tr AS (SELECT doc_id, len(shash) AS n_grams, unnest(shash) AS g
+              |  FROM hs5 WHERE source <> 'src0')
+              |SELECT tr.doc_id, CAST(MAX(tr.n_grams) AS INTEGER) AS n_grams,
+              |  COUNT(*) AS n_contaminated,
+              |  round(COUNT(*)::DOUBLE / MAX(tr.n_grams), 6) AS contamination
+              |FROM tr JOIN ev ON tr.g = ev.g
+              |GROUP BY tr.doc_id ORDER BY tr.doc_id""".stripMargin)),
+
+    // Gopher-style repetition signals, all narrow per-row arithmetic
+    "curation_repetition" -> Q(
+      (s, d) => graft.operators.Curation.repetitionSignals(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |g2 AS (SELECT doc_id, tks, CASE WHEN len(tks) >= 2
+              |  THEN [array_to_string(list_slice(tks, i+1, i+2), ' ') for i in generate_series(0, len(tks)-2)]
+              |  ELSE [array_to_string(tks, ' ')] END AS sh2 FROM tk)
+              |SELECT doc_id, CAST(len(tks) AS INT) AS n_tokens,
+              |  CAST(len(list_distinct(tks)) AS INT) AS n_distinct,
+              |  round(1.0 - len(list_distinct(tks))::DOUBLE / len(tks), 6) AS dup_token_frac,
+              |  round(list_max([len(list_filter(tks, t2 -> t2 = dd))
+              |    for dd in list_distinct(tks)])::DOUBLE / len(tks), 6) AS top_token_share,
+              |  round(1.0 - len(list_distinct(sh2))::DOUBLE / len(sh2), 6) AS dup_2gram_frac
+              |FROM g2 ORDER BY doc_id""".stripMargin)),
+
+    // corpus-wide heavy-hitter 3-grams (occurrences + distinct docs)
+    "curation_ngram_topk" -> Q(
+      (s, d) => graft.operators.Curation.ngramTopK(
+          t(s, d, "documents"), "doc_id", "text", w = 3, k = 20),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 3
+              |  THEN [array_to_string(list_slice(tks, i+1, i+3), ' ') for i in generate_series(0, len(tks)-3)]
+              |  ELSE [array_to_string(tks, ' ')] END AS shingles FROM tk),
+              |g AS (SELECT doc_id, unnest(shingles) AS gram FROM sh)
+              |SELECT gram, COUNT(*) AS occurrences, COUNT(DISTINCT doc_id) AS n_docs
+              |FROM g GROUP BY gram ORDER BY occurrences DESC, gram LIMIT 20""".stripMargin)),
+
+    // per-domain token mass + uniform-target resampling weight
+    "curation_domain_mix" -> Q(
+      (s, d) => graft.operators.Curation.domainMixWeights(
+          t(s, d, "documents"), "source", "text")
+        .orderBy("source"),
+      Some(s"""WITH p AS (SELECT source, COUNT(*) AS n_docs,
+              |  CAST(SUM(len($toks)) AS BIGINT) AS domain_tokens
+              |  FROM documents GROUP BY source)
+              |SELECT source, n_docs, domain_tokens,
+              |  round((SUM(domain_tokens) OVER ())::DOUBLE
+              |    / (COUNT(*) OVER ()) / domain_tokens, 6) AS weight
+              |FROM p ORDER BY source""".stripMargin)),
+
+    // semantic quality: cosine against the label-0 fixed-point centroid
+    "curation_centroid_score" -> Q(
+      (s, d) => graft.operators.Curation.centroidScore(
+          t(s, d, "embeddings"), "vec_id", "embedding", "label",
+          targetLabel = 0, k = 20),
+      Some(s"""WITH fp AS (SELECT d,
+              |  SUM(CAST(round(CAST(embedding[d] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sfx,
+              |  COUNT(*) AS n
+              |  FROM embeddings, generate_series(1, 64) AS t(d)
+              |  WHERE label = 0 GROUP BY d),
+              |cen AS (SELECT list(CAST(sfx AS DOUBLE) / 1000000.0 / n ORDER BY d) AS c FROM fp)
+              |SELECT vec_id, round(sc, 6) AS score FROM (
+              |  SELECT vec_id, ${oCos("embedding", "c")} AS sc
+              |  FROM embeddings, cen) x
+              |ORDER BY sc DESC, vec_id LIMIT 20""".stripMargin))
   )
 }

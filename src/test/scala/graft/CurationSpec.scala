@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.operators.Curation
+
+/** Behavioral specs for the curation operators (decontamination,
+  * repetition signals, heavy hitters, domain mixing, centroid scoring).
+  */
+class CurationSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("decontaminate flags a verbatim eval copy at contamination 1.0") {
+    val evalSet = Seq((100L, "alpha beta gamma delta epsilon zeta eta"))
+      .toDF("doc_id", "text")
+    val train = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta"),      // verbatim copy
+      (2L, "one two three four five six seven eight nine"), // disjoint
+      (3L, "x alpha beta gamma delta epsilon y z w v u t")  // one shared 5-gram
+    ).toDF("doc_id", "text")
+    val out = Curation.decontaminate(train, evalSet, "doc_id", "text", w = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(out(1L) == 1.0)
+    assert(!out.contains(2L))
+    assert(out.contains(3L) && out(3L) < 1.0)
+  }
+
+  test("repetition signals compute exact fractions on a known doc") {
+    val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
+    val r = Curation.repetitionSignals(df, "doc_id", "text").collect().head
+    assert(r.getInt(1) == 4)            // n_tokens
+    assert(r.getInt(2) == 2)            // n_distinct: a, b
+    assert(r.getDouble(3) == 0.5)       // dup_token_frac = 1 - 2/4
+    assert(r.getDouble(4) == 0.75)      // top_token_share = 3/4
+    // 2-grams: "a a","a a","a b" → 1 - 2/3
+    assert(r.getDouble(5) == 0.333333)
+  }
+
+  test("ngram top-k ranks by occurrences then gram, bounded at k") {
+    val df = Seq(
+      (1L, "x y z x y z"),   // "x y z" twice (+ wrap grams)
+      (2L, "x y z q r s")
+    ).toDF("doc_id", "text")
+    val out = Curation.ngramTopK(df, "doc_id", "text", w = 3, k = 3).collect()
+    assert(out.length == 3)
+    assert(out.head.getString(0) == "x y z" && out.head.getLong(1) == 3)
+    assert(out.head.getLong(2) == 2) // appears in both docs
+    // ranking is (occurrences desc, gram asc) — strictly ordered
+    val keys = out.map(r => (-r.getLong(1), r.getString(0)))
+    assert(keys.sameElements(keys.sorted))
+  }
+
+  test("domain mix weights equalize token mass toward uniform") {
+    val df = Seq(
+      (1L, "a b c d e f g h i j", "big"),   // 10 tokens
+      (2L, "a b c d e", "small")            // 5 tokens
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.domainMixWeights(df, "source", "text")
+      .collect().map(r => r.getString(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out("big") == ((10L, 0.75)))    // (15/2)/10
+    assert(out("small") == ((5L, 1.5)))    // (15/2)/5
+    // weighted token mass is equal across domains
+    assert(out.values.map { case (t, w) => t * w }.toSet.size == 1)
+  }
+
+  test("centroid score ranks the centroid's own class first") {
+    val good = (0 until 4).map(i => (i.toLong, Array(1.0f, 0.0f, 0.0f), 0))
+    val bad = (4 until 8).map(i => (i.toLong, Array(0.0f, 1.0f, 0.0f), 1))
+    val df = (good ++ bad).toDF("vec_id", "embedding", "label")
+    val out = Curation.centroidScore(df, "vec_id", "embedding", "label",
+      targetLabel = 0, k = 8).collect()
+    // the four label-0 vectors score 1.0 and outrank the orthogonal ones
+    assert(out.take(4).forall(r => r.getLong(0) < 4 && r.getDouble(1) == 1.0))
+    assert(out.drop(4).forall(r => r.getDouble(1) == 0.0))
+  }
+
+  test("decontaminate plan broadcasts the eval gram set (no corpus shuffle join)") {
+    val docs = Tables.df(spark, sf, "documents")
+    val out = Curation.decontaminate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"), "doc_id", "text", w = 5)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast join in:\n$plan")
+  }
+}
