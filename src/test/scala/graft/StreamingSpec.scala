@@ -113,4 +113,27 @@ class StreamingSpec extends AnyFunSuite {
     val out = spark.table("dedup_test")
     assert(out.count() == docs.select("text").distinct().count())
   }
+
+  test("decontamination runs unchanged as a stream-static broadcast join") {
+    // continuous-ingestion shape: new train docs arrive as a stream and
+    // are checked against a STATIC benchmark gram set — the same
+    // Curation.decontaminate code, fed a streaming frame, becomes a
+    // stream-static broadcast join + streaming aggregation
+    val srcDir = "/root/repo/target/graft-tmp/stream_train_docs"
+    val docs = Tables.df(spark, sf, "documents")
+    val train = docs.filter(col("source") =!= "src0")
+    val evalSet = docs.filter(col("source") === "src0")
+    train.coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val streamed = StreamingOps.runToMemory(
+      graft.operators.Curation.decontaminate(stream, evalSet, "doc_id", "text", w = 5),
+      "decon_stream")
+    val batch = graft.operators.Curation.decontaminate(
+      spark.read.parquet(srcDir), evalSet, "doc_id", "text", w = 5)
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
 }
