@@ -154,4 +154,97 @@ object Curation {
       .limit(k)
       .select(col(idCol), round(col("score"), 6).as("score"))
   }
+
+  /** Term/pattern scrubbing (the PII-redaction shape): replace every match
+    * of `pattern` with `replacement` and count the redactions. Narrow
+    * per-row regex — scan speed, no shuffle. For real PII the pattern is
+    * an alternation of entity regexes (emails, phones, SSNs); the
+    * plumbing — global replace + match count in one projection — is
+    * identical.
+    */
+  def redact(df: DataFrame, idCol: String, textCol: String,
+      pattern: String, replacement: String = "[REDACTED]"): DataFrame =
+    df.select(col(idCol),
+      regexp_replace(col(textCol), pattern, replacement).as("redacted"),
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("n_redacted"))
+
+  /** Training-sequence packing: assign documents to fixed-token-budget
+    * sequences, contiguously in `idCol` order within each `shardCol`
+    * partition (docs that straddle a boundary spill into the next
+    * sequence; `seq_offset` is the doc's start position inside its
+    * sequence).
+    *
+    * Scale: the running sum is windowed per shard, so parallelism =
+    * #shards and no global sort exists; at corpus scale shards are
+    * file-/source-sized by construction. Deterministic: integer token
+    * counts ordered by (shard, id).
+    */
+  def packSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .select(col(idCol), col(shardCol), col("n_tokens"),
+        (col("_start") / budget).cast("int").as("seq_idx"),
+        (col("_start") % budget).as("seq_offset"))
+  }
+
+  /** Per-cluster best representative: given near-dup clusters
+    * (doc → cluster label) and per-doc quality scores, keep the highest-
+    * quality member of each cluster (ties broken by lowest id). The
+    * usual last step of a dedup pipeline — instead of "keep lowest id",
+    * keep the best-written duplicate.
+    *
+    * Scale: one shuffle on the cluster label; the rank window partitions
+    * by cluster (bounded groups), never globally.
+    */
+  def bestRepresentative(clusters: DataFrame, quality: DataFrame,
+      idCol: String, clusterCol: String, qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col(clusterCol))
+      .orderBy(desc(qualityCol), col(idCol))
+    clusters.join(quality, idCol)
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(Window.partitionBy(col(clusterCol))))
+      .filter(col("_rk") === 1)
+      .select(col(clusterCol), col(idCol).as("best_doc_id"),
+        col(qualityCol), col("n_members"))
+  }
+
+  /** End-to-end curation flow — the flagship composition: quality-filter →
+    * benchmark-decontaminate → exact near-dup removal → deterministic
+    * train/valid/test split, reported as per-split doc/token mass.
+    *
+    * Every stage is one of the operators above / in TextAnalysis /
+    * Sampling, composed as DataFrames so Catalyst plans the whole flow as
+    * one DAG: the quality filter and redaction-style projections fuse
+    * into the scan, the decontamination side stays broadcast, and the
+    * only corpus shuffles are the dedup hash partition and the final
+    * (tiny) split aggregation.
+    */
+  def curate(docs: DataFrame, idCol: String, textCol: String,
+      domainCol: String, evalDomain: String, qualityMin: Double,
+      trainPct: Int = 80, validPct: Int = 10, salt: String = "v1")
+      : DataFrame = {
+    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
+      .select(col(idCol), col("quality"))
+    val flagged = decontaminate(
+      docs.filter(col(domainCol) =!= evalDomain),
+      docs.filter(col(domainCol) === evalDomain), idCol, textCol, w = 5)
+      .select(col(idCol))
+    val kept = docs.join(quality, idCol)
+      .filter(col("quality") >= qualityMin)
+      .join(flagged, Seq(idCol), "left_anti")
+    val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
+    val deduped = kept
+      .withColumn("_h", polyHash(col(textCol)))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+    Sampling.split(deduped, domainCol, trainPct, validPct, salt)
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(tokens(col(textCol)))).as("n_tokens"))
+      .orderBy(col("split"))
+  }
 }

@@ -561,6 +561,127 @@ object Pipeline {
               |SELECT vec_id, round(sc, 6) AS score FROM (
               |  SELECT vec_id, ${oCos("embedding", "c")} AS sc
               |  FROM embeddings, cen) x
-              |ORDER BY sc DESC, vec_id LIMIT 20""".stripMargin))
+              |ORDER BY sc DESC, vec_id LIMIT 20""".stripMargin)),
+
+    // term scrubbing (the PII-redaction shape): global regex replace +
+    // match count in one narrow projection
+    "curation_redact" -> Q(
+      (s, d) => graft.operators.Curation.redact(
+          t(s, d, "documents"), "doc_id", "text",
+          pattern = "\\b(customer|vector)\\b", replacement = "[X]")
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  regexp_replace(text, '\b(customer|vector)\b', '[X]', 'g') AS redacted,
+             |  CAST(len(regexp_extract_all(text, '\b(customer|vector)\b')) AS INT) AS n_redacted
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // training-sequence packing: contiguous fill per source shard,
+    // 256-token budget
+    "curation_pack_sequences" -> Q(
+      (s, d) => graft.operators.Curation.packSequences(
+          t(s, d, "documents"), "doc_id", "text", "source", budget = 256)
+        .orderBy("doc_id"),
+      Some(s"""WITH x AS (SELECT doc_id, source, len($toks) AS n_tokens FROM documents),
+              |y AS (SELECT doc_id, source, CAST(n_tokens AS INT) AS n_tokens,
+              |  CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |    ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start FROM x)
+              |SELECT doc_id, source, n_tokens,
+              |  CAST(floor(start / 256.0) AS INT) AS seq_idx,
+              |  start % 256 AS seq_offset
+              |FROM y ORDER BY doc_id""".stripMargin)),
+
+    // dedup pipeline last step: keep the highest-quality member of each
+    // near-dup cluster instead of the lowest id
+    "curation_best_representative" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val clusters = Dedup.representatives(docs, "doc_id", "text", threshold = 0.5)
+        val quality = TextAnalysis.qualityScore(docs, "doc_id", "text")
+          .select(col("doc_id"), col("quality"))
+        graft.operators.Curation.bestRepresentative(
+            clusters, quality, "doc_id", "keep_id", "quality")
+          .orderBy("keep_id")
+      },
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id),
+              |pairs AS (SELECT c.id_a, c.id_b
+              |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |  WHERE $jacc >= 0.5),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |ids AS (SELECT DISTINCT s AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM ids
+              |  UNION
+              |  SELECT e.s, rc.r FROM edges e JOIN reach rc ON e.d = rc.id),
+              |cl AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id),
+              |qx AS (SELECT doc_id,
+              |  len($toks) AS n_tokens,
+              |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+              |  CAST(length(text) AS INT) AS n_chars,
+              |  len(list_filter($toks, t -> list_contains(['the','a','of','and','is'], t))) AS stop_hits
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |  round(LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+              |    + round(stop_hits::DOUBLE / n_tokens, 6) * 0.4
+              |    + (1.0 - round(punct / n_chars, 6)) * 0.2, 6) AS quality FROM qx),
+              |j AS (SELECT cl.keep_id, cl.doc_id, q.quality,
+              |  ROW_NUMBER() OVER (PARTITION BY cl.keep_id ORDER BY q.quality DESC, cl.doc_id) AS rk,
+              |  COUNT(*) OVER (PARTITION BY cl.keep_id) AS n_members
+              |  FROM cl JOIN q ON cl.doc_id = q.doc_id)
+              |SELECT keep_id, doc_id AS best_doc_id, quality, n_members
+              |FROM j WHERE rk = 1 ORDER BY keep_id""".stripMargin)),
+
+    // flagship composition: quality filter → decontaminate → exact dedup
+    // → split, reported as per-split doc/token mass
+    "curation_pipeline" -> Q(
+      (s, d) => graft.operators.Curation.curate(
+          t(s, d, "documents"), "doc_id", "text", "source",
+          evalDomain = "src0", qualityMin = 0.45),
+      Some(s"""WITH qx AS (SELECT doc_id,
+              |  len($toks) AS n_tokens,
+              |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+              |  CAST(length(text) AS INT) AS n_chars,
+              |  len(list_filter($toks, t -> list_contains(['the','a','of','and','is'], t))) AS stop_hits
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |  round(LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+              |    + round(stop_hits::DOUBLE / n_tokens, 6) * 0.4
+              |    + (1.0 - round(punct / n_chars, 6)) * 0.2, 6) AS quality FROM qx),
+              |tk5 AS (SELECT doc_id, source, $toks AS tks FROM documents),
+              |sh5 AS (SELECT doc_id, source, CASE WHEN len(tks) >= 5
+              |  THEN [array_to_string(list_slice(tks, i+1, i+5), ' ') for i in generate_series(0, len(tks)-5)]
+              |  ELSE [array_to_string(tks, ' ')] END AS shingles FROM tk5),
+              |hs5 AS (SELECT doc_id, source,
+              |  list_distinct([${polyHash("sg")} for sg in shingles]) AS shash FROM sh5),
+              |ev AS (SELECT DISTINCT unnest(shash) AS g FROM hs5 WHERE source = 'src0'),
+              |flag AS (SELECT DISTINCT tr.doc_id FROM
+              |  (SELECT doc_id, unnest(shash) AS g FROM hs5 WHERE source <> 'src0') tr
+              |  JOIN ev ON tr.g = ev.g),
+              |kept AS (SELECT dd.doc_id, dd.source, dd.text FROM documents dd
+              |  JOIN q ON dd.doc_id = q.doc_id
+              |  WHERE q.quality >= 0.45
+              |    AND dd.doc_id NOT IN (SELECT doc_id FROM flag)),
+              |hh AS (SELECT doc_id, source, text,
+              |  ROW_NUMBER() OVER (PARTITION BY ${polyHash("text")} ORDER BY doc_id) AS rk
+              |  FROM kept),
+              |sp AS (SELECT doc_id, source, text,
+              |  CASE WHEN ${polyHash("(source || 'v1')")} % 100 < 80 THEN 'train'
+              |       WHEN ${polyHash("(source || 'v1')")} % 100 < 90 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |  FROM hh WHERE rk = 1)
+              |SELECT split, COUNT(*) AS n_docs,
+              |  CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
+              |FROM sp GROUP BY split ORDER BY split""".stripMargin))
   )
 }

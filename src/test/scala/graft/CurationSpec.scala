@@ -75,6 +75,51 @@ class CurationSpec extends AnyFunSuite {
     assert(out.drop(4).forall(r => r.getDouble(1) == 0.0))
   }
 
+  test("redact replaces every match and counts them") {
+    val df = Seq((1L, "the customer saw a customer vector"), (2L, "no match here"))
+      .toDF("doc_id", "text")
+    val out = Curation.redact(df, "doc_id", "text", "\\b(customer|vector)\\b", "[X]")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    assert(out(1L) == (("the [X] saw a [X] [X]", 3)))
+    assert(out(2L) == (("no match here", 0)))
+  }
+
+  test("pack sequences fills contiguously per shard and spills over the budget") {
+    val df = Seq(
+      (1L, "a b c d e f", "s1"),   // 6 tokens, start 0  → seq 0 / off 0
+      (2L, "a b c d e", "s1"),     // 5 tokens, start 6  → seq 0 / off 6
+      (3L, "a b c", "s1"),         // 3 tokens, start 11 → seq 1 / off 1
+      (4L, "a b", "s2")            // start 0 in its own shard
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.packSequences(df, "doc_id", "text", "source", budget = 10)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(3), r.getLong(4)))).toMap
+    assert(out(1L) == ((0, 0L)) && out(2L) == ((0, 6L)))
+    assert(out(3L) == ((1, 1L)))
+    assert(out(4L) == ((0, 0L)))
+  }
+
+  test("best representative keeps the highest-quality cluster member") {
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
+      .toDF("doc_id", "keep_id")
+    val quality = Seq((1L, 0.3), (2L, 0.9), (3L, 0.9), (7L, 0.5))
+      .toDF("doc_id", "quality")
+    val out = Curation.bestRepresentative(clusters, quality, "doc_id", "keep_id", "quality")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(3)))).toMap
+    assert(out(1L) == ((2L, 3L)))  // quality tie 2 vs 3 → lowest id wins
+    assert(out(7L) == ((7L, 1L)))  // singleton cluster
+  }
+
+  test("curate composite conserves documents across splits and stages") {
+    val docs = Tables.df(spark, sf, "documents")
+    val out = Curation.curate(docs, "doc_id", "text", "source",
+      evalDomain = "src0", qualityMin = 0.45)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.keySet.subsetOf(Set("train", "valid", "test")))
+    // output docs ≤ corpus and > 0; every stage only removes
+    val total = out.values.sum
+    assert(total > 0 && total < docs.count())
+  }
+
   test("decontaminate plan broadcasts the eval gram set (no corpus shuffle join)") {
     val docs = Tables.df(spark, sf, "documents")
     val out = Curation.decontaminate(
