@@ -212,6 +212,64 @@ object Curation {
         col(qualityCol), col("n_members"))
   }
 
+  /** Passage-level exact substring dedup (the chunked form of Lee et al.
+    * "Deduplicating Training Data Makes Language Models Better"): split
+    * each doc into non-overlapping `w`-token passages, hash them, and
+    * return every passage occurrence whose hash appears in more than one
+    * document — with the occurrence count and the first (lowest-id) owner,
+    * so a downstream pass can cut all but the first occurrence.
+    *
+    * Scale: passages are a narrow per-row explode; the duplicate
+    * detection is one hash-partitioned aggregate with map-side partial
+    * aggregation, and the join-back touches only duplicated hashes
+    * (broadcast-sized after the >1-doc filter in any real corpus, since
+    * duplicated passages are the tail, not the mass).
+    */
+  def passageDedup(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = ceil(n.cast("double") / w).cast("int")
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array())
+    val occ = df
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx"), polyHash(col("chunk")).as("chash"))
+    val dup = occ.groupBy(col("chash"))
+      .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("first_doc"))
+      .filter(col("n_docs") > 1)
+    occ.join(dup, "chash")
+      .select(col(idCol), col("chunk_idx"), col("chash"),
+        col("n_docs"), col("first_doc"))
+  }
+
+  /** Exact per-domain length quantiles (corpus observability): the token
+    * count at rank ceil(p·n) per domain, for each requested p. Computed
+    * with an explicit rank so the value is engine-portable — unlike
+    * interpolating percentile implementations, which disagree across
+    * engines.
+    *
+    * Scale: one shuffle on the domain key; the rank window partitions by
+    * domain, never globally. For domains too large to sort in one
+    * partition, switch to a two-pass histogram — the output contract is
+    * unchanged.
+    */
+  def lengthQuantiles(df: DataFrame, domainCol: String, textCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val byDomain = Window.partitionBy(col(domainCol))
+    val ranked = df
+      .select(col(domainCol), size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("_rk", row_number().over(byDomain.orderBy(col("n_tokens"))))
+      .withColumn("_n", count(lit(1)).over(byDomain))
+    ranked
+      .select(col(domainCol), col("n_tokens"), col("_rk"), col("_n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .filter(col("_rk") === ceil(col("p") * col("_n")).cast("int"))
+      .select(col(domainCol), col("p"), col("n_tokens").as("q_value"))
+  }
+
   /** End-to-end curation flow — the flagship composition: quality-filter →
     * benchmark-decontaminate → exact near-dup removal → deterministic
     * train/valid/test split, reported as per-split doc/token mass.

@@ -642,6 +642,40 @@ object Pipeline {
               |SELECT keep_id, doc_id AS best_doc_id, quality, n_members
               |FROM j WHERE rk = 1 ORDER BY keep_id""".stripMargin)),
 
+    // passage-level exact substring dedup: 20-token chunks appearing in
+    // more than one document, with first-owner attribution
+    "curation_passage_dedup" -> Q(
+      (s, d) => graft.operators.Curation.passageDedup(
+          t(s, d, "documents"), "doc_id", "text", w = 20)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |ix AS (SELECT doc_id, tks,
+              |  unnest(generate_series(0, CAST(ceil(len(tks) / 20.0) AS INT) - 1)) AS cidx
+              |  FROM tk WHERE len(tks) > 0),
+              |hs AS (SELECT doc_id, CAST(cidx AS INT) AS chunk_idx,
+              |  ${polyHash("array_to_string(list_slice(tks, cidx*20+1, cidx*20+20), ' ')")} AS chash
+              |  FROM ix),
+              |dup AS (SELECT chash, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+              |  FROM hs GROUP BY chash HAVING COUNT(DISTINCT doc_id) > 1)
+              |SELECT h.doc_id, h.chunk_idx, h.chash, d.n_docs, d.first_doc
+              |FROM hs h JOIN dup d ON h.chash = d.chash
+              |ORDER BY h.doc_id, h.chunk_idx""".stripMargin)),
+
+    // exact per-domain length quantiles via explicit rank (engine-portable,
+    // unlike interpolating percentile implementations)
+    "curation_length_quantiles" -> Q(
+      (s, d) => graft.operators.Curation.lengthQuantiles(
+          t(s, d, "documents"), "source", "text")
+        .orderBy("source", "p"),
+      Some(s"""WITH x AS (SELECT source, len($toks) AS n_tokens FROM documents),
+              |r AS (SELECT source, CAST(n_tokens AS INT) AS n_tokens,
+              |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rk,
+              |  COUNT(*) OVER (PARTITION BY source) AS n FROM x)
+              |SELECT source, pp.p, n_tokens AS q_value
+              |FROM r, (SELECT unnest([0.5, 0.9, 0.99]) AS p) pp
+              |WHERE rk = CAST(ceil(pp.p * n) AS BIGINT)
+              |ORDER BY source, pp.p""".stripMargin)),
+
     // flagship composition: quality filter → decontaminate → exact dedup
     // → split, reported as per-split doc/token mass
     "curation_pipeline" -> Q(

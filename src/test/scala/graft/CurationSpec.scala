@@ -109,6 +109,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out(7L) == ((7L, 1L)))  // singleton cluster
   }
 
+  test("passage dedup flags shared chunks with first-owner attribution") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks (w=3): "a b c", "d e f"
+      (2L, "a b c x y z"),   // shares "a b c" with doc 1
+      (3L, "q r s")          // unique
+    ).toDF("doc_id", "text")
+    val out = Curation.passageDedup(df, "doc_id", "text", w = 3).collect()
+    // only the shared chunk's two occurrences are flagged
+    assert(out.length == 2)
+    assert(out.map(_.getLong(0)).sorted.sameElements(Array(1L, 2L)))
+    assert(out.forall(r => r.getInt(1) == 0))       // both at chunk 0
+    assert(out.forall(r => r.getLong(3) == 2L))     // n_docs
+    assert(out.forall(r => r.getLong(4) == 1L))     // first owner = doc 1
+  }
+
+  test("length quantiles pick the exact ranked value per domain") {
+    val df = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Curation.lengthQuantiles(df, "source", "text", Seq(0.5, 0.9))
+      .collect().map(r => r.getDouble(1) -> r.getInt(2)).toMap
+    assert(out(0.5) == 5)   // rank ceil(0.5*10)=5 → value 5
+    assert(out(0.9) == 9)   // rank ceil(0.9*10)=9 → value 9
+  }
+
   test("curate composite conserves documents across splits and stages") {
     val docs = Tables.df(spark, sf, "documents")
     val out = Curation.curate(docs, "doc_id", "text", "source",
