@@ -285,14 +285,15 @@ object Curation {
       domainCol: String, evalDomain: String, qualityMin: Double,
       trainPct: Int = 80, validPct: Int = 10, salt: String = "v1")
       : DataFrame = {
-    val quality = TextAnalysis.qualityScore(docs, idCol, textCol)
-      .select(col(idCol), col("quality"))
     val flagged = decontaminate(
       docs.filter(col(domainCol) =!= evalDomain),
       docs.filter(col(domainCol) === evalDomain), idCol, textCol, w = 5)
       .select(col(idCol))
-    val kept = docs.join(quality, idCol)
-      .filter(col("quality") >= qualityMin)
+    // quality is a narrow per-row expression, so it FILTERS in the scan
+    // projection — joining qualityScore's frame back would shuffle the
+    // corpus on the id at scale for no reason
+    val kept = docs
+      .filter(TextAnalysis.qualityExpr(col(textCol)) >= qualityMin)
       .join(flagged, Seq(idCol), "left_anti")
     val w = Window.partitionBy(col("_h")).orderBy(col(idCol))
     val deduped = kept

@@ -44,6 +44,23 @@ object TextAnalysis {
       .select(col(idCol), col("pred.l").as("pred_lang"), col("pred.s").as("score"))
   }
 
+  /** The weighted quality score as a single narrow per-row expression —
+    * identical arithmetic to [[qualityScore]]'s `quality` column. Use
+    * this to FILTER a corpus by quality without materializing the
+    * feature frame: a projection fuses into the scan, whereas joining
+    * `qualityScore`'s output back would shuffle the corpus on the id.
+    */
+  def qualityExpr(textCol: Column,
+      stopwords: Seq[String] = Seq("the", "a", "of", "and", "is")): Column = {
+    val nTok = size(tokens(textCol))
+    val nChar = length(textCol)
+    val punct = (nChar - length(regexp_replace(textCol, "[.,!?;:]", ""))).cast("double")
+    val stopHits = stopwordHits(textCol, stopwords)
+    round(least(nTok.cast("double") / 100.0, lit(1.0)) * 0.4
+      + round(stopHits.cast("double") / nTok, 6) * 0.4
+      + (lit(1.0) - round(punct / nChar, 6)) * 0.2, 6)
+  }
+
   /** Quality features + a weighted score (all ratios rounded to 6 decimals
     * for cross-engine stability of the derived score).
     */
@@ -64,6 +81,8 @@ object TextAnalysis {
         round(least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4
           + col("stopword_ratio") * 0.4
           + (lit(1.0) - col("punct_ratio")) * 0.2, 6))
+    // (the quality column equals qualityExpr(textCol) by construction —
+    // CurationSpec pins the equivalence)
   }
 
   /** Token counts: whitespace words + a BPE-ish regex segmentation

@@ -133,6 +133,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(0.9) == 9)   // rank ceil(0.9*10)=9 → value 9
   }
 
+  test("qualityExpr equals qualityScore's quality column on the corpus") {
+    val docs = Tables.df(spark, sf, "documents")
+    val q1 = graft.operators.TextAnalysis.qualityScore(docs, "doc_id", "text")
+      .select(col("doc_id"), col("quality"))
+    val q2 = docs.select(col("doc_id"),
+      graft.operators.TextAnalysis.qualityExpr(col("text")).as("quality"))
+    assert(q1.exceptAll(q2).isEmpty && q2.exceptAll(q1).isEmpty)
+  }
+
+  test("curate plans quality as a scan-side filter, not a corpus self-join") {
+    val docs = Tables.df(spark, sf, "documents")
+    val plan = Curation.curate(docs, "doc_id", "text", "source",
+      evalDomain = "src0", qualityMin = 0.45)
+      .queryExecution.executedPlan.toString
+    // scans: main corpus + the two decontamination sides — quality must
+    // not add a fourth scan (it fuses into the corpus scan as a filter)
+    assert(plan.linesIterator.count(_.contains("FileScan")) == 3, plan)
+  }
+
   test("curate composite conserves documents across splits and stages") {
     val docs = Tables.df(spark, sf, "documents")
     val out = Curation.curate(docs, "doc_id", "text", "source",
