@@ -16,6 +16,47 @@ import org.apache.spark.sql.types._
   * lambda steps, which is where the time was; the ops around it stay in
   * codegen.
   */
+/** All word `width`-shingles of a document as STRINGS (every occurrence,
+  * not distinct) — the native twin of `Hashing.wordShingles`, for
+  * operators that need the readable gram (corpus heavy hitters) rather
+  * than its hash. Same tokenization as [[ShingleHashes]]; docs shorter
+  * than `width` yield the single whole-doc shingle.
+  */
+case class WordShingleStrings(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "word_shingles"
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.types.UTF8String
+    val text = input.toString.toLowerCase(java.util.Locale.ROOT)
+    val toks = new scala.collection.mutable.ArrayBuffer[String]()
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) toks += text.substring(start, i)
+        start = i + 1
+      }
+      i += 1
+    }
+    val out =
+      if (toks.length >= width) {
+        val arr = new Array[AnyRef](toks.length - width + 1)
+        var j = 0
+        while (j < arr.length) {
+          arr(j) = UTF8String.fromString(toks.slice(j, j + width).mkString(" "))
+          j += 1
+        }
+        arr
+      } else Array[AnyRef](UTF8String.fromString(toks.mkString(" ")))
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ShingleHashes(child: Expression, width: Int)
     extends UnaryExpression with CodegenFallback {
 

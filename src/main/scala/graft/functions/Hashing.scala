@@ -38,6 +38,15 @@ object Hashing {
   def tokens(s: Column): Column =
     filter(split(lower(s), " "), t => length(t) > 0)
 
+  /** Native kernel for [[wordShingles]] — same output, tight JVM loop
+    * instead of per-shingle HOF lambdas; use in shingle-explode hot
+    * paths (corpus heavy hitters).
+    */
+  def wordShinglesNative(s: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.WordShingleStrings(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s), w))
+
   /** Array of word w-shingles, each joined with a single space. */
   def wordShingles(s: Column, w: Int): Column = {
     val toks = tokens(s)

@@ -95,7 +95,7 @@ object Curation {
     */
   def ngramTopK(df: DataFrame, idCol: String, textCol: String, w: Int = 3,
       k: Int = 20): DataFrame =
-    df.select(col(idCol), explode(wordShingles(col(textCol), w)).as("gram"))
+    df.select(col(idCol), explode(wordShinglesNative(col(textCol), w)).as("gram"))
       .groupBy(col("gram"))
       .agg(count(lit(1)).as("occurrences"),
         countDistinct(col(idCol)).as("n_docs"))

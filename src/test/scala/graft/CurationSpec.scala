@@ -163,6 +163,24 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 0 && total < docs.count())
   }
 
+  test("curation results are identical at different parallelism (100 TB determinism)") {
+    // the property that makes retries/scale-ups safe: deterministic
+    // integer/fixed-point arithmetic ⇒ same output at any partitioning
+    val docs = Tables.df(spark, sf, "documents")
+    val emb = Tables.df(spark, sf, "embeddings")
+    def run(d: org.apache.spark.sql.DataFrame, e: org.apache.spark.sql.DataFrame) = Seq(
+      Curation.decontaminate(d.filter(col("source") =!= "src0"),
+        d.filter(col("source") === "src0"), "doc_id", "text", w = 5),
+      Curation.passageDedup(d, "doc_id", "text", w = 20),
+      Curation.centroidScore(e, "vec_id", "embedding", "label", 0, k = 20),
+      Curation.packSequences(d, "doc_id", "text", "source", budget = 256))
+    val a = run(docs.repartition(1), emb.repartition(1))
+    val b = run(docs.repartition(17, col("lang")), emb.repartition(13))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.exceptAll(y).isEmpty && y.exceptAll(x).isEmpty)
+    }
+  }
+
   test("decontaminate plan broadcasts the eval gram set (no corpus shuffle join)") {
     val docs = Tables.df(spark, sf, "documents")
     val out = Curation.decontaminate(

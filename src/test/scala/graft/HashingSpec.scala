@@ -70,6 +70,22 @@ class HashingSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("native word-shingle strings are identical to the HOF spec over the corpus") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.df(spark, sf, "documents")
+    val bad = docs.select(
+      Hashing.wordShinglesNative(col("text"), 3).as("nat"),
+      Hashing.wordShingles(col("text"), 3).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(bad == 0)
+    // short-doc path: fewer tokens than the width → whole-doc shingle
+    val short = Seq("one two").toDF("text").select(
+      Hashing.wordShinglesNative(col("text"), 3).as("nat"),
+      Hashing.wordShingles(col("text"), 3).as("hof")).collect().head
+    assert(short.getSeq[String](0) == Seq("one two"))
+    assert(short.getSeq[String](0) == short.getSeq[String](1))
+  }
+
   test("native kernels match the HOF spec on non-BMP text (code points, not UTF-16 units)") {
     // 😀 = U+1F600 (surrogate pair in UTF-16); 𝒜 = U+1D49C
     val astral = Seq("hello 😀 world", "𝒜 math text 😀😀", "mixed é 𝒜 😀 ascii")
