@@ -41,6 +41,11 @@ object Curation {
     * doc's distinct-gram count and contamination = n_contaminated/n_grams
     * rounded to 6 decimals. Clean docs are absent (the downstream filter
     * is an anti-join on this slim id set).
+    *
+    * Docs shorter than `w` tokens collapse to a single whole-text gram
+    * (and an empty doc to the empty-string gram), so two degenerate docs
+    * match only if their full text matches — exact-dup contamination,
+    * which is the intended reading.
     */
   def decontaminate(train: DataFrame, evalSet: DataFrame, idCol: String,
       textCol: String, w: Int = 5): DataFrame = {
@@ -129,6 +134,11 @@ object Curation {
     * at any parallelism. The corpus pass is a broadcast of one centroid
     * row + a narrow per-row fold; the only corpus-sized "shuffle" is the
     * k-bounded TakeOrdered.
+    *
+    * Degenerate inputs follow IEEE/engine conventions consistently on
+    * both sides of the gate: a zero vector scores NaN (0/0) and NaN
+    * sorts greatest in Spark and DuckDB alike; an empty target class
+    * yields an empty centroid and null scores.
     */
   def centroidScore(emb: DataFrame, idCol: String, vecCol: String,
       labelCol: String, targetLabel: Int, k: Int = 20): DataFrame = {
@@ -258,6 +268,9 @@ object Curation {
     */
   def lengthQuantiles(df: DataFrame, domainCol: String, textCol: String,
       ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    // p ≤ 0 would rank to 0 and silently vanish from the output
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must be in (0, 1], got $ps")
     val byDomain = Window.partitionBy(col(domainCol))
     val ranked = df
       .select(col(domainCol), size(tokens(col(textCol))).as("n_tokens"))
