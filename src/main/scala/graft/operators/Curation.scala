@@ -229,11 +229,12 @@ object Curation {
     * document — with the occurrence count and the first (lowest-id) owner,
     * so a downstream pass can cut all but the first occurrence.
     *
-    * Scale: passages are a narrow per-row explode; the duplicate
-    * detection is one hash-partitioned aggregate with map-side partial
-    * aggregation, and the join-back touches only duplicated hashes
-    * (broadcast-sized after the >1-doc filter in any real corpus, since
-    * duplicated passages are the tail, not the mass).
+    * Scale: passages are a narrow per-row explode; duplicate detection is
+    * windows over ONE chash-partitioned exchange (distinct-doc count via
+    * max-of-dense_rank — never a collected set) — an aggregate-then-
+    * join-back would re-execute the corpus scan and explode, since Spark
+    * does not share self-joined subtrees. The corpus is scanned once;
+    * PlanGoldenSpec pins the single-scan shape.
     */
   def passageDedup(df: DataFrame, idCol: String, textCol: String,
       w: Int = 20): DataFrame = {
@@ -247,10 +248,13 @@ object Curation {
     val occ = df
       .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
       .select(col(idCol), col("chunk_idx"), polyHash(col("chunk")).as("chash"))
-    val dup = occ.groupBy(col("chash"))
-      .agg(countDistinct(col(idCol)).as("n_docs"), min(col(idCol)).as("first_doc"))
+    val byHashOrdered = Window.partitionBy(col("chash")).orderBy(col(idCol))
+    val byHash = Window.partitionBy(col("chash"))
+    occ
+      .withColumn("_dr", dense_rank().over(byHashOrdered))
+      .withColumn("n_docs", max(col("_dr")).over(byHash).cast("long"))
+      .withColumn("first_doc", min(col(idCol)).over(byHash))
       .filter(col("n_docs") > 1)
-    occ.join(dup, "chash")
       .select(col(idCol), col("chunk_idx"), col("chash"),
         col("n_docs"), col("first_doc"))
   }
