@@ -36,6 +36,25 @@ object PropertySpec extends Properties("Hashing") {
     r.getDouble(0) == r.getDouble(1) && r.getDouble(0) >= 0.0 && r.getDouble(0) <= 1.0
   }
 
+  // includes multi-space runs (empty-token drops) and non-ASCII chars —
+  // the tokenization edge cases the native kernel must match exactly
+  private val messyWord = Gen.nonEmptyListOf(
+    Gen.oneOf(Gen.alphaLowerChar, Gen.oneOf('é', 'ß', '漢'))).map(_.mkString)
+  private val messyDoc = Gen.listOfN(6, messyWord)
+    .map(_.mkString(" ")).flatMap(s =>
+      Gen.oneOf(s, s.replaceFirst(" ", "  "), " " + s + " "))
+
+  property("native word shingles equal the HOF spec on messy text") =
+    forAll(Gen.listOfN(6, messyDoc), Gen.choose(1, 4)) { (docs, w) =>
+      docs.isEmpty || {
+        val bad = docs.toDF("s").select(
+          Hashing.wordShinglesNative(col("s"), w).as("nat"),
+          Hashing.wordShingles(col("s"), w).as("hof"))
+          .filter(col("nat") =!= col("hof")).count()
+        bad == 0
+      }
+    }
+
   property("minhash of superset dominates elementwise") = forAll(hashSet) { hs =>
     val sub = hs.take(math.max(1, hs.length / 2))
     val Array(r) = Seq((hs, sub)).toDF("all", "sub").select(
