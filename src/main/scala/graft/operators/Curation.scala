@@ -201,6 +201,32 @@ object Curation {
         (col("_start") % budget).as("seq_offset"))
   }
 
+  /** Materialize packed training sequences: the text of every doc
+    * assigned to a sequence by the [[packSequences]] rule, concatenated
+    * in id order, with doc/token counts. One shuffle on
+    * (shard, seq_idx); the concat is ordered via an array_sort of
+    * (id, text) structs so the result is deterministic at any
+    * parallelism (Spark's collect_list order is not).
+    *
+    * Sequences hold ~budget tokens by construction, so per-group state
+    * is bounded — this never builds a shard-sized string.
+    */
+  def materializeSequences(df: DataFrame, idCol: String, textCol: String,
+      shardCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(idCol), col(shardCol), col(textCol),
+        size(tokens(col(textCol))).as("n_tokens"))
+      .withColumn("_start", sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("seq_idx", (col("_start") / budget).cast("int"))
+      .groupBy(col(shardCol), col("seq_idx"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        array_join(transform(
+          array_sort(collect_list(struct(col(idCol), col(textCol)))),
+          e => e.getField(textCol)), " ").as("seq_text"))
+  }
+
   /** Per-cluster best representative: given near-dup clusters
     * (doc → cluster label) and per-doc quality scores, keep the highest-
     * quality member of each cluster (ties broken by lowest id). The

@@ -590,6 +590,20 @@ object Pipeline {
               |  start % 256 AS seq_offset
               |FROM y ORDER BY doc_id""".stripMargin)),
 
+    // packed sequences materialized as training rows (id-ordered concat)
+    "curation_pack_text" -> Q(
+      (s, d) => graft.operators.Curation.materializeSequences(
+          t(s, d, "documents"), "doc_id", "text", "source", budget = 256)
+        .orderBy("source", "seq_idx"),
+      Some(s"""WITH x AS (SELECT doc_id, source, text, len($toks) AS n_tokens FROM documents),
+              |y AS (SELECT doc_id, source, text, n_tokens,
+              |  CAST(floor((SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+              |    ROWS UNBOUNDED PRECEDING) - n_tokens) / 256.0) AS INT) AS seq_idx FROM x)
+              |SELECT source, seq_idx, COUNT(*) AS n_docs,
+              |  CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+              |  string_agg(text, ' ' ORDER BY doc_id) AS seq_text
+              |FROM y GROUP BY source, seq_idx ORDER BY source, seq_idx""".stripMargin)),
+
     // dedup pipeline last step: keep the highest-quality member of each
     // near-dup cluster instead of the lowest id
     "curation_best_representative" -> Q(

@@ -98,6 +98,18 @@ class CurationSpec extends AnyFunSuite {
     assert(out(4L) == ((0, 0L)))
   }
 
+  test("materialized sequences concatenate texts in id order") {
+    val df = Seq(
+      (2L, "c d", "s1"),       // start 2 → seq 0 (note: id order, so 1 first)
+      (1L, "a b", "s1"),       // start 0 → seq 0
+      (3L, "e f g h i j", "s1") // start 4 → seq 1 (budget 4)
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.materializeSequences(df, "doc_id", "text", "source", budget = 4)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getString(4))).toMap
+    assert(out(0) == ((2L, "a b c d")))
+    assert(out(1) == ((1L, "e f g h i j")))
+  }
+
   test("best representative keeps the highest-quality cluster member") {
     val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L))
       .toDF("doc_id", "keep_id")
