@@ -81,7 +81,7 @@ object Curation {
     val nd = size(array_distinct(toks))
     val topCount = array_max(transform(array_distinct(toks),
       d => size(filter(toks, t => t === d))))
-    val grams2 = wordShingles(col(textCol), 2)
+    val grams2 = wordShinglesNative(col(textCol), 2)
     val n2 = size(grams2)
     val nd2 = size(array_distinct(grams2))
     df.select(col(idCol),
