@@ -174,6 +174,30 @@ object Events {
 
     // event funnel: per-user ordered pattern detection (view → click →
     // purchase) via min event times
+    // cohort retention: users grouped by first-seen day, counted at each
+    // later activity-day offset. The cohort derives from a window over
+    // the user partitioning (one exchange), not a groupBy + join-back
+    // that would re-scan events.
+    "events_retention" -> Q(
+      (s, d) => {
+        val byUser = Window.partitionBy(col("user_id"))
+        t(s, d, "events")
+          .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+          .withColumn("cohort", min(col("day")).over(byUser))
+          .withColumn("day_offset", datediff(col("day"), col("cohort")).cast("int"))
+          .groupBy(date_format(col("cohort"), "yyyy-MM-dd").as("cohort_day"),
+            col("day_offset"))
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("cohort_day", "day_offset")
+      },
+      Some("""WITH x AS (SELECT user_id, date_trunc('day', ts) AS day FROM events),
+             |y AS (SELECT user_id, day, MIN(day) OVER (PARTITION BY user_id) AS cohort FROM x)
+             |SELECT strftime(cohort, '%Y-%m-%d') AS cohort_day,
+             |  CAST(date_diff('day', cohort, day) AS INT) AS day_offset,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM y GROUP BY cohort_day, day_offset
+             |ORDER BY cohort_day, day_offset""".stripMargin)),
+
     "events_funnel" -> Q(
       (s, d) => {
         val e = t(s, d, "events")

@@ -44,6 +44,18 @@ class QueriesSpec extends AnyFunSuite {
     assert(semi <= withOrders)
   }
 
+  test("events_retention: every cohort starts at offset 0 with its max user count") {
+    val rows = SparkEntry.registry("events_retention").fn(spark, sf).collect()
+    val byCohort = rows.groupBy(_.getString(0))
+    byCohort.foreach { case (cohort, rs) =>
+      val offsets = rs.map(_.getInt(1))
+      assert(offsets.contains(0), s"cohort $cohort has no offset-0 row")
+      val atZero = rs.find(_.getInt(1) == 0).get.getLong(2)
+      assert(rs.forall(_.getLong(2) <= atZero),
+        s"cohort $cohort retains more users than it started with")
+    }
+  }
+
   test("every oracleSql key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
