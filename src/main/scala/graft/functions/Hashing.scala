@@ -34,6 +34,24 @@ object Hashing {
         (acc, i) => (acc * 31 + ascii(substring(s, i, lit(1)))) % P))
       .otherwise(0L)
 
+  /** Avalanche finisher over a [0, P) hash: two multiply-add-mod rounds
+    * with xor-shift in between. [[polyHash]] alone is affine in its last
+    * character (base-31 polynomial), so *sequential* ids hash to values a
+    * constant stride apart — a threshold filter over it keeps contiguous
+    * id runs, not a pseudo-random sample. The xor-shift between the two
+    * modular rounds breaks that affinity.
+    *
+    * Engine-portable by construction: every intermediate stays < 2^31, so
+    * the products (< 2^62) never overflow BIGINT in Spark or DuckDB, and
+    * >>, xor, %, * are exact integer ops in both.
+    */
+  def mix(h: Column): Column = {
+    val z1 = (h * 2654435761L + 104729L) % P
+    val z2 = z1.bitwiseXOR(shiftright(z1, 13))
+    val z3 = (z2 * 1597334677L + 51749L) % P
+    z3.bitwiseXOR(shiftright(z3, 16))
+  }
+
   /** Whitespace word tokens (empty tokens dropped, lower-cased). */
   def tokens(s: Column): Column =
     filter(split(lower(s), " "), t => length(t) > 0)

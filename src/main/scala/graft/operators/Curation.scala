@@ -125,6 +125,46 @@ object Curation {
       .select(col(domainCol), col("n_docs"), col("domain_tokens"), col("weight"))
   }
 
+  /** Temperature-flattened domain resampling (the multilingual-mixture
+    * rebalancing step): keep each document of domain `d` with probability
+    * rate_d = (m_d / min_m)^(alpha-1), where m_d is the domain's token
+    * mass — so the kept token mass per domain is ∝ m_d^alpha (alpha = 1
+    * keeps the natural mixture, alpha → 0 flattens it). Downsample-only:
+    * the smallest domain keeps rate 1.0, no domain is upsampled.
+    *
+    * Membership is the salted-hash threshold of [[Sampling.sample]]:
+    * hash(id‖salt) mod 10^6 < floor(rate·10^6) — deterministic at any
+    * parallelism, retry, or engine, and auditable with plain SQL.
+    *
+    * Exactness: at the default alpha = 0.5 the rate is 1/sqrt(ratio);
+    * cast, divide, and sqrt are all IEEE-correctly-rounded in Spark and
+    * DuckDB alike, so the integer thresholds are bit-identical across
+    * engines. Any other alpha goes through pow(), which carries no such
+    * guarantee — a last-ulp divergence could flip rows whose hash lands
+    * exactly on the threshold (~10^-6 odds per domain).
+    *
+    * Two narrow corpus passes, no corpus shuffle: a per-domain token-mass
+    * aggregate (output = #domains rows), then the filtered scan with the
+    * tiny rate frame broadcast onto it.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, domainCol: String,
+      textCol: String, alpha: Double = 0.5, salt: String = ""): DataFrame = {
+    val everything = Window.partitionBy() // #domains rows — tiny by definition
+    val ratio = col("domain_tokens").cast("double") /
+      min(col("domain_tokens")).over(everything).cast("double")
+    val rate =
+      if (alpha == 0.5) lit(1.0) / sqrt(ratio)
+      else pow(ratio, lit(alpha - 1.0))
+    val rates = df.groupBy(col(domainCol))
+      .agg(sum(size(tokens(col(textCol)))).as("domain_tokens"))
+      .withColumn("rate", rate)
+      .select(col(domainCol), col("rate"),
+        floor(col("rate") * 1e6).cast("long").as("keep_below"))
+    df.join(broadcast(rates), domainCol)
+      .filter(Sampling.hashBucket(col(idCol), 1000000, salt) < col("keep_below"))
+      .select(col(idCol), col(domainCol), round(col("rate"), 6).as("rate"))
+  }
+
   /** Semantic quality scoring: cosine of every embedding against the
     * centroid of the `targetLabel` class, top `k` by (score desc, id asc).
     *

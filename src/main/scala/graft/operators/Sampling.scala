@@ -14,9 +14,14 @@ import graft.functions.Hashing
   */
 object Sampling {
 
-  /** Stable bucket in [0, buckets) from a salted hash of the id column. */
+  /** Stable bucket in [0, buckets) from a salted, avalanche-mixed hash of
+    * the id column. The mix round matters: the raw polynomial hash is
+    * affine in the id's last characters, so sequential ids would land in
+    * contiguous buckets and a `< pct` filter would keep runs of neighbors
+    * instead of a pseudo-random subset (see [[Hashing.mix]]).
+    */
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column =
-    Hashing.polyHash(concat(id.cast("string"), lit(salt))) % buckets
+    Hashing.mix(Hashing.polyHash(concat(id.cast("string"), lit(salt)))) % buckets
 
   /** Keep ~pct% of rows, deterministically. */
   def sample(df: DataFrame, idCol: String, pct: Int, salt: String = ""): DataFrame =

@@ -29,6 +29,14 @@ object Pipeline {
        |    ELSE [array_to_string(tks, ' ')] END AS shingles FROM tk),
        |hs AS (SELECT doc_id, lang, list_distinct([${polyHash("sg")} for sg in shingles]) AS shash FROM sh)"""
       .stripMargin
+  /** Column list staging `Hashing.mix` over an `h0` column via DuckDB
+    * lateral aliases: select `<h0 expr> AS h0, $mixCols` and the final
+    * avalanche-mixed value is available as `mixed` in the same SELECT.
+    */
+  private val mixCols =
+    s"(h0 * 2654435761 + 104729) % $P AS z1, xor(z1, z1 >> 13) AS z2, " +
+      s"(z2 * 1597334677 + 51749) % $P AS z3, xor(z3, z3 >> 16) AS mixed"
+
   private def aCoef(j: String) = s"(($j * 2654435761 + 1) % $P)"
   private def bCoef(j: String) = s"(($j * 40503 + 17) % $P)"
   private val jacc =
@@ -384,39 +392,38 @@ object Pipeline {
           t(s, d, "documents"), "source", trainPct = 80, validPct = 10, salt = "v1")
         .select(col("doc_id"), col("source"), col("split"))
         .orderBy("doc_id"),
-      Some {
-        val h = polyHash("(source || 'v1')")
-        s"""SELECT doc_id, source,
-           |  CASE WHEN $h % 100 < 80 THEN 'train'
-           |       WHEN $h % 100 < 90 THEN 'valid'
-           |       ELSE 'test' END AS split
-           |FROM documents ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, source,
+              |  CASE WHEN mixed % 100 < 80 THEN 'train'
+              |       WHEN mixed % 100 < 90 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM (SELECT doc_id, source,
+              |  ${polyHash("(source || 'v1')")} AS h0, $mixCols
+              |  FROM documents) mx
+              |ORDER BY doc_id""".stripMargin)),
 
     "sample_stratified" -> Q(
       (s, d) => graft.operators.Sampling.stratified(
           t(s, d, "documents"), "lang", "doc_id", n = 20, salt = "st")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id"),
-      Some {
-        val h = polyHash("(CAST(doc_id AS VARCHAR) || 'st')")
-        s"""SELECT doc_id, lang FROM (
-           |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
-           |    ORDER BY $h % 1000000007, doc_id) AS rk
-           |  FROM documents) x
-           |WHERE rk <= 20 ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+              |    ORDER BY mixed % 1000000007, doc_id) AS rk
+              |  FROM (SELECT doc_id, lang,
+              |    ${polyHash("(CAST(doc_id AS VARCHAR) || 'st')")} AS h0, $mixCols
+              |    FROM documents) mx) rkd
+              |WHERE rk <= 20 ORDER BY doc_id""".stripMargin)),
 
     "sample_hash_pct" -> Q(
       (s, d) => graft.operators.Sampling.sample(
           t(s, d, "documents"), "doc_id", pct = 10, salt = "s1")
         .select(col("doc_id"), col("lang"))
         .orderBy("doc_id"),
-      Some {
-        val h = polyHash("(CAST(doc_id AS VARCHAR) || 's1')")
-        s"""SELECT doc_id, lang FROM documents
-           |WHERE $h % 100 < 10 ORDER BY doc_id""".stripMargin
-      }),
+      Some(s"""SELECT doc_id, lang FROM (
+              |  SELECT doc_id, lang,
+              |    ${polyHash("(CAST(doc_id AS VARCHAR) || 's1')")} AS h0, $mixCols
+              |  FROM documents) mx
+              |WHERE mixed % 100 < 10 ORDER BY doc_id""".stripMargin)),
 
     // ---- multimodal plumbing (decode stubbed, see Multimodal.scala) -----
     "multimodal_features" -> Q(
@@ -546,6 +553,48 @@ object Pipeline {
               |  round((SUM(domain_tokens) OVER ())::DOUBLE
               |    / (COUNT(*) OVER ()) / domain_tokens, 6) AS weight
               |FROM p ORDER BY source""".stripMargin)),
+
+    // temperature-0.5 domain resampling: deterministic hash-threshold
+    // downsampling toward a flattened mixture (kept tokens ∝ m_d^0.5).
+    // The rate chain is cast/divide/sqrt only — IEEE-correctly-rounded in
+    // both engines, so the integer thresholds match bit-for-bit.
+    "curation_temperature_sample" -> Q(
+      (s, d) => graft.operators.Curation.temperatureSample(
+          t(s, d, "documents"), "doc_id", "source", "text",
+          alpha = 0.5, salt = "s2")
+        .orderBy("doc_id"),
+      Some(s"""WITH p AS (SELECT source, CAST(SUM(len($toks)) AS BIGINT) AS domain_tokens
+              |  FROM documents GROUP BY source),
+              |r AS (SELECT source, CAST(domain_tokens AS DOUBLE)
+              |  / CAST(MIN(domain_tokens) OVER () AS DOUBLE) AS ratio FROM p),
+              |k AS (SELECT source, 1.0 / sqrt(ratio) AS rate FROM r)
+              |SELECT doc_id, source, round(rate, 6) AS rate
+              |FROM (SELECT d.doc_id, d.source, k.rate,
+              |  ${polyHash("(CAST(d.doc_id AS VARCHAR) || 's2')")} AS h0, $mixCols
+              |  FROM documents d JOIN k USING (source)) mx
+              |WHERE mixed % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // BPE vocabulary training: Spark computes the corpus word-frequency
+    // table (the only corpus-scale pass); the merge loop is driver-side
+    // over the vocab-bounded dict. Greedy-merge semantics aren't
+    // SQL-expressible, so these two carry no oracle (rows-only check);
+    // BpeSpec pins the algorithm against a hand-verified reference.
+    "curation_bpe_vocab" -> Q(
+      (s, d) => graft.operators.Bpe.mergesDf(s,
+        graft.operators.Bpe.trainMerges(t(s, d, "documents"), "text",
+          numMerges = 40))
+        .orderBy("rank"),
+      None),
+
+    // per-doc tokenization stats under the trained vocabulary
+    "curation_bpe_tokens" -> Q(
+      (s, d) => graft.operators.Bpe.tokenized(
+          t(s, d, "documents"), "doc_id", "text",
+          graft.operators.Bpe.trainMerges(t(s, d, "documents"), "text",
+            numMerges = 40))
+        .orderBy("doc_id"),
+      None),
 
     // semantic quality: cosine against the label-0 fixed-point centroid
     "curation_centroid_score" -> Q(
@@ -724,10 +773,12 @@ object Pipeline {
               |  ROW_NUMBER() OVER (PARTITION BY ${polyHash("text")} ORDER BY doc_id) AS rk
               |  FROM kept),
               |sp AS (SELECT doc_id, source, text,
-              |  CASE WHEN ${polyHash("(source || 'v1')")} % 100 < 80 THEN 'train'
-              |       WHEN ${polyHash("(source || 'v1')")} % 100 < 90 THEN 'valid'
+              |  CASE WHEN mixed % 100 < 80 THEN 'train'
+              |       WHEN mixed % 100 < 90 THEN 'valid'
               |       ELSE 'test' END AS split
-              |  FROM hh WHERE rk = 1)
+              |  FROM (SELECT doc_id, source, text, rk,
+              |    ${polyHash("(source || 'v1')")} AS h0, $mixCols
+              |    FROM hh) mx WHERE rk = 1)
               |SELECT split, COUNT(*) AS n_docs,
               |  CAST(SUM(len($toks)) AS BIGINT) AS n_tokens
               |FROM sp GROUP BY split ORDER BY split""".stripMargin))

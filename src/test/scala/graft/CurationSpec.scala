@@ -175,6 +175,38 @@ class CurationSpec extends AnyFunSuite {
     assert(total > 0 && total < docs.count())
   }
 
+  test("temperature sampling keeps the smallest domain whole and flattens the rest") {
+    // dom a: ~9× the token mass of dom b → rate_a = 1/sqrt(9) = 1/3, rate_b = 1
+    // ids are 8-digit so the polynomial hash wraps mod 10^6 (short strings
+    // hash below any threshold and would make the filter vacuous)
+    val docs = (10000001L to 10000090L).map(i => (i, "a", "w w w w w w w w w w")) ++
+      (10000091L to 10000100L).map(i => (i, "b", "w w w w w w w w w w"))
+    val df = docs.toDF("doc_id", "dom", "text")
+    val kept = Curation.temperatureSample(df, "doc_id", "dom", "text", salt = "t")
+      .collect()
+    val byDom = kept.groupBy(_.getString(1))
+    assert(byDom("b").length == 10, "smallest domain must keep every row")
+    assert(byDom("b").forall(_.getDouble(2) == 1.0))
+    val nA = byDom.get("a").map(_.length).getOrElse(0)
+    assert(nA < 90, "larger domain must be downsampled")
+    assert(byDom.get("a").forall(_.forall(_.getDouble(2) == 0.333333)))
+    // hash-threshold membership: the kept 'a' rows are exactly those whose
+    // salted hash clears rate·10^6 — recompute independently
+    def ph(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((a, cp) => (a * 31 + cp) % 2147483647L)
+    def mx(h: Long): Long = {
+      val z1 = (h * 2654435761L + 104729L) % 2147483647L
+      val z2 = z1 ^ (z1 >> 13)
+      val z3 = (z2 * 1597334677L + 51749L) % 2147483647L
+      z3 ^ (z3 >> 16)
+    }
+    val expectA = (10000001L to 10000090L).filter { i =>
+      mx(ph(i.toString + "t")) % 1000000 <
+        math.floor(1.0 / math.sqrt(9.0) * 1e6).toLong
+    }.toSet
+    assert(byDom.get("a").map(_.map(_.getLong(0)).toSet).getOrElse(Set.empty) == expectA)
+  }
+
   test("curation results are identical at different parallelism (100 TB determinism)") {
     // the property that makes retries/scale-ups safe: deterministic
     // integer/fixed-point arithmetic ⇒ same output at any partitioning
