@@ -425,6 +425,38 @@ object Pipeline {
               |  FROM documents) mx
               |WHERE mixed % 100 < 10 ORDER BY doc_id""".stripMargin)),
 
+    // Z-order (Morton) layout codes: the write-time clustering key that
+    // keeps rows close in BOTH dimensions so parquet min/max pruning works
+    // for filters on either column. Pure bit arithmetic — exact in both
+    // engines; the oracle stages the magic-number spread via lateral
+    // aliases.
+    "layout_zorder" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        val a = length(col("text"))
+        val b = graft.functions.Hashing.polyHash(
+          concat(col("source"), col("lang"))) % 65536
+        docs.select(col("doc_id"), a.as("text_len"), b.as("dim_b"),
+            graft.operators.Layout.zorder(a, b).as("z_code"))
+          .orderBy("z_code", "doc_id")
+      },
+      Some(s"""SELECT doc_id, CAST(length(text) AS INT) AS text_len, dim_b, z_code
+              |FROM (SELECT doc_id, text,
+              |  (${polyHash("(source || lang)")}) % 65536 AS dim_b,
+              |  (length(text) & 65535) AS a0,
+              |  ((a0 | (a0 << 8)) & 16711935) AS a1,
+              |  ((a1 | (a1 << 4)) & 252645135) AS a2,
+              |  ((a2 | (a2 << 2)) & 858993459) AS a3,
+              |  ((a3 | (a3 << 1)) & 1431655765) AS a4,
+              |  (dim_b & 65535) AS b0,
+              |  ((b0 | (b0 << 8)) & 16711935) AS b1,
+              |  ((b1 | (b1 << 4)) & 252645135) AS b2,
+              |  ((b2 | (b2 << 2)) & 858993459) AS b3,
+              |  ((b3 | (b3 << 1)) & 1431655765) AS b4,
+              |  (a4 | (b4 << 1)) AS z_code
+              |  FROM documents) mx
+              |ORDER BY z_code, doc_id""".stripMargin)),
+
     // ---- multimodal plumbing (decode stubbed, see Multimodal.scala) -----
     "multimodal_features" -> Q(
       (s, d) => {
