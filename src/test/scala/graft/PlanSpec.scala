@@ -136,4 +136,23 @@ class PlanSpec extends AnyFunSuite {
     // the shuffle/broadcast hash join keys on (user_id, _probe)
     assert(p.contains("_probe"), p)
   }
+
+  test("temperature sampling broadcasts the rate frame onto a pruned scan") {
+    val p = planOf("curation_temperature_sample")
+    // the #domains-row rate frame broadcasts; the corpus side is never
+    // hash-shuffled (its only exchanges are the rate aggregate — which
+    // reads just (text, source) — and the presentation sort)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the filtered corpus scan reads only (doc_id, source): text stays
+    // in the aggregate branch
+    val scans = p.linesIterator.filter(_.contains("FileScan parquet")).toSeq
+    assert(scans.exists(l => l.contains("doc_id") && !l.contains("text#")), p)
+  }
+
+  test("bpe token stats are a single narrow scan — no shuffle before the sort") {
+    val p = planOf("curation_bpe_tokens")
+    assert(!p.contains("hashpartitioning"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
 }

@@ -114,6 +114,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == docs.select("text").distinct().count())
   }
 
+  test("bpe encoding and temperature sampling run unchanged on a stream") {
+    // both are stateless per-row transforms once their tiny frames exist
+    // (merge table / per-domain rates) — the continuous-ingestion shape:
+    // train offline, apply on the stream
+    val srcDir = "/root/repo/target/graft-tmp/stream_docs_bpe"
+    val docs = Tables.df(spark, sf, "documents")
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val merges = graft.operators.Bpe.trainMerges(docs, "text", numMerges = 20)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+
+    val streamed = StreamingOps.runToMemory(
+      graft.operators.Bpe.tokenized(stream, "doc_id", "text", merges)
+        .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 100, "str") < 50),
+      "bpe_stream_test", outputMode = "append")
+    val batch = graft.operators.Bpe.tokenized(
+        spark.read.parquet(srcDir), "doc_id", "text", merges)
+      .filter(graft.operators.Sampling.hashBucket(col("doc_id"), 100, "str") < 50)
+
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("decontamination runs unchanged as a stream-static broadcast join") {
     // continuous-ingestion shape: new train docs arrive as a stream and
     // are checked against a STATIC benchmark gram set — the same
