@@ -165,6 +165,24 @@ object Curation {
       .select(col(idCol), col(domainCol), round(col("rate"), 6).as("rate"))
   }
 
+  /** Quality-weighted (importance) downsampling: keep each document with
+    * probability equal to its quality score — high-quality docs survive,
+    * low-quality docs are thinned proportionally, and the expected kept
+    * mass per quality band follows the score exactly.
+    *
+    * Same deterministic membership scheme as [[temperatureSample]]:
+    * hash(id‖salt) mod 10^6 < floor(quality·10^6). The quality score is
+    * [[TextAnalysis.qualityExpr]] — per-row arithmetic rounded to 6
+    * decimals, bit-identical across engines — so the kept set is exact,
+    * reproducible, and oracle-auditable. One narrow scan, zero shuffles.
+    */
+  def importanceSample(df: DataFrame, idCol: String, textCol: String,
+      salt: String = ""): DataFrame =
+    df.select(col(idCol),
+        TextAnalysis.qualityExpr(col(textCol)).as("quality"))
+      .filter(Sampling.hashBucket(col(idCol), 1000000, salt) <
+        floor(col("quality") * 1e6).cast("long"))
+
   /** Semantic quality scoring: cosine of every embedding against the
     * centroid of the `targetLabel` class, top `k` by (score desc, id asc).
     *

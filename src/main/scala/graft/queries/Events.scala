@@ -198,6 +198,32 @@ object Events {
              |FROM y GROUP BY cohort_day, day_offset
              |ORDER BY cohort_day, day_offset""".stripMargin)),
 
+    // event-transition matrix (first-order Markov counts): per-user
+    // next-event via lead over the user partitioning — one exchange —
+    // then a bounded #types² aggregate. The (ts, event_id) order key is a
+    // total order, so the transition set is deterministic under ties.
+    "events_transitions" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_transitions"),
+            countDistinct(col("user_id")).as("n_users"))
+          .orderBy(desc("n_transitions"), asc("from_type"), asc("to_type"))
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events)
+             |SELECT event_type AS from_type, to_type, COUNT(*) AS n_transitions,
+             |  COUNT(DISTINCT user_id) AS n_users
+             |FROM seq WHERE to_type IS NOT NULL
+             |GROUP BY from_type, to_type
+             |ORDER BY n_transitions DESC, from_type, to_type""".stripMargin)),
+
     "events_funnel" -> Q(
       (s, d) => {
         val e = t(s, d, "events")

@@ -607,6 +607,29 @@ object Pipeline {
               |WHERE mixed % 1000000 < CAST(floor(rate * 1000000) AS BIGINT)
               |ORDER BY doc_id""".stripMargin)),
 
+    // quality-weighted importance sampling: keep probability = quality
+    // score, deterministic hash-threshold membership, zero shuffles
+    "curation_importance_sample" -> Q(
+      (s, d) => graft.operators.Curation.importanceSample(
+          t(s, d, "documents"), "doc_id", "text", salt = "iq")
+        .orderBy("doc_id"),
+      Some(s"""WITH qx AS (SELECT doc_id,
+              |  len($toks) AS n_tokens,
+              |  (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE AS punct,
+              |  CAST(length(text) AS INT) AS n_chars,
+              |  len(list_filter($toks, t -> list_contains(['the','a','of','and','is'], t))) AS stop_hits
+              |  FROM documents),
+              |q AS (SELECT doc_id,
+              |  round(LEAST(n_tokens::DOUBLE / 100.0, 1.0) * 0.4
+              |    + round(stop_hits::DOUBLE / n_tokens, 6) * 0.4
+              |    + (1.0 - round(punct / n_chars, 6)) * 0.2, 6) AS quality FROM qx)
+              |SELECT doc_id, quality FROM (
+              |  SELECT doc_id, quality,
+              |    ${polyHash("(CAST(doc_id AS VARCHAR) || 'iq')")} AS h0, $mixCols
+              |  FROM q) mx
+              |WHERE mixed % 1000000 < CAST(floor(quality * 1000000) AS BIGINT)
+              |ORDER BY doc_id""".stripMargin)),
+
     // BPE vocabulary training: Spark computes the corpus word-frequency
     // table (the only corpus-scale pass); the merge loop is driver-side
     // over the vocab-bounded dict. Greedy-merge semantics aren't

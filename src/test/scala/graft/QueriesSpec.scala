@@ -56,6 +56,17 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("events_transitions conserves mass: total transitions = events - users") {
+    // every user's event chain of length n contributes exactly n-1
+    // transitions, so Σ n_transitions == |events| - |users|
+    val rows = SparkEntry.registry("events_transitions").fn(spark, sf).collect()
+    val total = rows.map(_.getLong(2)).sum
+    val events = Tables.df(spark, sf, "events")
+    val expected = events.count() -
+      events.select("user_id").distinct().count()
+    assert(total == expected)
+  }
+
   test("every oracleSql key exists in queries") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
