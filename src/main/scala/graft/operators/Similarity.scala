@@ -163,6 +163,75 @@ object Similarity {
     rankTopK(scored, k, qId, cId)
   }
 
+  /** Product-quantization codebook: per subspace `s`, the codewords are
+    * the s-th subvectors of the first `nCode` corpus rows — the same
+    * deterministic stance as [[ivfTopK]]'s codebook (reproducible,
+    * one-pass, bounded by construction; swap in k-means-trained codewords
+    * without touching any plan). Shape: [m][nCode][dims/m].
+    */
+  def pqCodebook(corpus: DataFrame, nCode: Int = 16, m: Int = 8,
+      cId: String = "vec_id", cVec: String = "embedding")
+      : Array[Array[Seq[Double]]] = {
+    val base = corpus.filter(col(cId) < nCode)
+      .select(col(cId).cast("long").as("id"),
+        col(cVec).cast("array<double>").as("v"))
+      .collect().sortBy(_.getLong(0)).map(_.getSeq[Double](1))
+    val dsub = base.head.length / m
+    Array.tabulate(m)(s => base.map(_.slice(s * dsub, (s + 1) * dsub)))
+  }
+
+  /** Code of one subspace: argmin codeword by (L2 distance, codeword id)
+    * — a narrow 16-way comparison against plan-literal codewords.
+    */
+  private def pqSubCode(vec: Column, codebook: Array[Array[Seq[Double]]],
+      s: Int): Column = {
+    val dsub = codebook(s).head.length
+    val sub = slice(vec.cast("array<double>"), s * dsub + 1, dsub)
+    val cands = array(codebook(s).zipWithIndex.map { case (w, cd) =>
+      struct(l2Distance(sub, typedlit(w)).as("d"), lit(cd.toLong).as("cd"))
+    }.toIndexedSeq: _*)
+    slice(array_sort(cands), 1, 1).getItem(0).getField("cd")
+  }
+
+  /** Product-quantization codes: the vector splits into `m` subspaces,
+    * each subvector is assigned to its nearest codeword, and the indices
+    * pack into one long (4 bits per subspace at nCode = 16). At scale the
+    * corpus compresses 64 floats → 1 long (64×); the build is a
+    * broadcast-codebook narrow map — no shuffle touches the corpus.
+    */
+  def pqCodes(df: DataFrame, codebook: Array[Array[Seq[Double]]],
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val packed = codebook.indices.map(s =>
+      shiftleft(pqSubCode(col(cVec), codebook, s), 4 * s))
+      .reduce(_.bitwiseOR(_))
+    df.select(col(cId), packed.as("pq_code"))
+  }
+
+  /** Approximate top-k by asymmetric distance: corpus vectors are scored
+    * through their PQ reconstruction (concatenated nearest codewords) —
+    * equivalent to the classic per-subspace lookup-table sum, but
+    * expressed so the scan reads codes, never original vectors. Ranking
+    * is the same k-bounded aggregate as the exact tier: only
+    * nPartitions×k candidates per query reach the shuffle.
+    */
+  def pqTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      nCode: Int = 16, m: Int = 8, qId: String = "q_id",
+      qVec: String = "q_vec", cId: String = "vec_id",
+      cVec: String = "embedding"): DataFrame = {
+    val cb = pqCodebook(corpus, nCode, m, cId, cVec)
+    val recon = flatten(array(cb.indices.map { s =>
+      element_at(typedlit(cb(s).toSeq),
+        (pqSubCode(col(cVec), cb, s) + 1).cast("int"))
+    }.toIndexedSeq: _*))
+    val scored = corpus.select(col(cId), recon.as("_recon"))
+      .crossJoin(broadcast(queries.select(col(qId), col(qVec))))
+      .filter(col(qId) =!= col(cId))
+      .withColumn("_neg_l2", -l2Distance(col(qVec), col("_recon")))
+    graft.functions.TopK.rank(scored, k, qId, cId, "_neg_l2")
+      .select(col(qId), col("neighbor_id"),
+        round(-col("_neg_l2"), 6).as("approx_l2"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by
     * `blockCol` so the pair space stays bounded.
     */

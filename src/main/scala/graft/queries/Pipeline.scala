@@ -43,6 +43,22 @@ object Pipeline {
     "len(list_intersect(a.shash, b.shash))::DOUBLE / " +
       "(len(a.shash) + len(b.shash) - len(list_intersect(a.shash, b.shash)))::DOUBLE"
 
+  /** Sub-vector L2 for the PQ oracles: embedding slice `s` of row `e`
+    * against codeword `cw.w`, same ascending fold as the native kernel.
+    */
+  private val oSubL2 =
+    "sqrt(list_reduce(list_prepend(0.0, " +
+      "[(CAST(e.embedding[cw.s*8 + i] AS DOUBLE) - cw.w[i]) * " +
+      "(CAST(e.embedding[cw.s*8 + i] AS DOUBLE) - cw.w[i]) " +
+      "for i in generate_series(1, 8)]), (x, y) -> x + y))"
+
+  /** Full-width L2 of query `q.embedding` vs PQ reconstruction `r.recon`. */
+  private val oReconL2 =
+    "sqrt(list_reduce(list_prepend(0.0, " +
+      "[(CAST(q.embedding[i] AS DOUBLE) - r.recon[i]) * " +
+      "(CAST(q.embedding[i] AS DOUBLE) - r.recon[i]) " +
+      "for i in generate_series(1, 64)]), (x, y) -> x + y))"
+
   /** Double-precision left-fold dot product of two DuckDB float lists. */
   private def oDot(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
@@ -313,6 +329,56 @@ object Pipeline {
       }),
 
     // reference vector ops: ORDER BY v <-> const (exact top-k by L2)
+    // product quantization: per-subspace nearest-codeword codes packed
+    // into one long (64 floats → 1 long), deterministic codebook = the
+    // first-16 corpus subvectors (the ivf stance). The oracle re-derives
+    // every code with the same (distance, codeword) tie-break.
+    "vector_pq_codes" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.pqCodes(e, Similarity.pqCodebook(e)).orderBy("vec_id")
+      },
+      Some(s"""WITH cw AS (SELECT s, vec_id AS cd,
+              |  [CAST(embedding[s*8 + i] AS DOUBLE) for i in generate_series(1, 8)] AS w
+              |  FROM embeddings, generate_series(0, 7) AS t(s) WHERE vec_id < 16),
+              |cds AS (SELECT vec_id, s, cd FROM (
+              |  SELECT e.vec_id, cw.s, cw.cd,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, cw.s
+              |      ORDER BY $oSubL2, cw.cd) AS rnk
+              |  FROM embeddings e CROSS JOIN cw) x WHERE rnk = 1)
+              |SELECT vec_id, CAST(SUM((cd << (4*s))) AS BIGINT) AS pq_code
+              |FROM cds GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // PQ top-k via asymmetric distance: queries score against each
+    // corpus vector's codeword reconstruction — the scan reads codes,
+    // never original vectors
+    "ann_pq_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.pqTopK(q, e, k = 5).orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH cw AS (SELECT s, vec_id AS cd,
+              |  [CAST(embedding[s*8 + i] AS DOUBLE) for i in generate_series(1, 8)] AS w
+              |  FROM embeddings, generate_series(0, 7) AS t(s) WHERE vec_id < 16),
+              |cds AS (SELECT vec_id, s, cd FROM (
+              |  SELECT e.vec_id, cw.s, cw.cd,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id, cw.s
+              |      ORDER BY $oSubL2, cw.cd) AS rnk
+              |  FROM embeddings e CROSS JOIN cw) x WHERE rnk = 1),
+              |rec AS (SELECT cds.vec_id, flatten(list(cw.w ORDER BY cds.s)) AS recon
+              |  FROM cds JOIN cw ON cw.s = cds.s AND cw.cd = cds.cd
+              |  GROUP BY cds.vec_id)
+              |SELECT q_id, neighbor_id, approx_l2, rnk FROM (
+              |  SELECT q.vec_id AS q_id, r.vec_id AS neighbor_id,
+              |    round($oReconL2, 6) AS approx_l2,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY $oReconL2, r.vec_id) AS rnk
+              |  FROM embeddings q CROSS JOIN rec r
+              |  WHERE q.vec_id < 8 AND q.vec_id <> r.vec_id) x
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
     "vector_l2_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

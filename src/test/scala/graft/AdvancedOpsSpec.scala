@@ -50,6 +50,46 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(frac > 0.5 && frac < 1.0) // rough: source cardinality is small
   }
 
+  test("pq codes reconstruct codebook members exactly and are repartition-stable") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val cb = graft.operators.Similarity.pqCodebook(emb)
+    val codes = graft.operators.Similarity.pqCodes(emb, cb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // every code fits m×4 bits
+    assert(codes.values.forall(c => c >= 0 && c < (1L << 32)))
+    // codebook members (vec_id < 16) must reconstruct to themselves: their
+    // own subvector is at distance 0, and any tie is an identical codeword
+    val originals = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    originals.foreach { case (id, vec) =>
+      val code = codes(id)
+      val recon = (0 until 8).flatMap { s =>
+        cb(s)(((code >> (4 * s)) & 15).toInt)
+      }
+      assert(recon == vec, s"vec $id does not reconstruct itself")
+    }
+    // determinism: same codes at a different partitioning
+    val again = graft.operators.Similarity.pqCodes(emb.repartition(13), cb)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == codes)
+  }
+
+  test("pq top-k ranks by reconstruction distance with deterministic ties") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = graft.operators.Similarity.pqTopK(q, emb, k = 5).collect()
+    assert(out.length == 20) // 4 queries × 5
+    // per query: rnk is 1..5 and approx_l2 non-decreasing
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).sameElements(1 to 5))
+      val dists = sorted.map(_.getDouble(2))
+      assert(dists.sameElements(dists.sorted))
+    }
+  }
+
   test("hash sample subsets are nested for growing pct") {
     val docs = Tables.df(spark, sf, "documents")
     val p10 = Sampling.sample(docs, "doc_id", 10, "s1").select("doc_id")
