@@ -68,6 +68,15 @@ object Vectors {
           call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
       })
 
+  /** Multi-table LSH buckets, native kernel — same arithmetic as
+    * [[lshBuckets]] in a tight loop (VectorExprSpec proves bit-parity);
+    * use on corpus-scale bucketing passes.
+    */
+  def lshBucketsNative(v: Column, nPlanes: Int, nTables: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.LshBucketsExpr(
+        org.apache.spark.sql.graftbridge.Bridge.expression(v), nPlanes, nTables))
+
   /** Multi-table LSH buckets: one independent `nPlanes`-bit bucket per
     * table (plane indices offset by table·nPlanes). Candidate recall for
     * L tables is 1-(1-p^nPlanes)^L per neighbor.

@@ -51,7 +51,7 @@ object Similarity {
       cId: String = "vec_id", cVec: String = "embedding",
       multiProbe: Int = 0): DataFrame = {
     def banded(df: DataFrame, vec: String) =
-      df.withColumn("_buckets", lshBuckets(col(vec), nPlanes, nTables))
+      df.withColumn("_buckets", lshBucketsNative(col(vec), nPlanes, nTables))
         .select((df.columns.map(col) :+
           posexplode(col("_buckets")).as(Seq("tbl", "bucket"))).toIndexedSeq: _*)
     val cb = banded(corpus.select(col(cId), col(cVec)), cVec)

@@ -39,6 +39,14 @@ class VectorExprSpec extends AnyFunSuite {
     assert(diff == 0)
   }
 
+  test("native lsh buckets == HOF lsh buckets, bit-exact over the corpus") {
+    val mismatches = emb.select(
+        Vectors.lshBucketsNative(col("embedding"), nPlanes = 6, nTables = 8).as("nat"),
+        Vectors.lshBuckets(col("embedding"), nPlanes = 6, nTables = 8).as("hof"))
+      .filter(col("nat") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
   test("SQL registration works") {
     VectorFunctions.register(spark)
     Tables.register(spark, sf)
