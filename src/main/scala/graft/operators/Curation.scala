@@ -343,6 +343,75 @@ object Curation {
         col("n_docs"), col("first_doc"))
   }
 
+  /** Corpus-familiarity score — the integer-exact stand-in for LM
+    * perplexity filtering: each document scores the average corpus
+    * frequency of its word bigrams. Template-like text built from common
+    * collocations scores high; rare/garbled combinations score low.
+    * Counts are exact integers and the average is one division, so the
+    * score is bit-identical across engines and partitionings (no
+    * logarithms — transcendental functions carry no cross-engine
+    * last-ulp guarantee).
+    *
+    * Scale: the bigram count table is corpus-derived (one explode +
+    * partial-agg shuffle) and joined back on the gram key — two corpus
+    * scans (Spark shares no self-joined subtrees; cache the exploded
+    * frame when memory allows). Hot grams skew the join; AQE skew-join
+    * splitting or a broadcast top-K hot-gram side table absorbs it.
+    */
+  def ngramFamiliarity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val grams = df.select(col(idCol),
+      explode(wordShinglesNative(col(textCol), 2)).as("gram"))
+    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
+    grams.join(counts, "gram")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_grams"),
+        round(sum(col("gfreq")).cast("double") / count(lit(1)), 6)
+          .as("familiarity"))
+  }
+
+  /** The removal half of [[passageDedup]] (the RefinedWeb-style
+    * boilerplate cut): rebuild every document keeping a duplicated
+    * passage only in its first (lowest-id) owner; later occurrences are
+    * dropped. Output per doc: (idCol, n_chunks, n_dropped, clean_text).
+    * Docs with no tokens have nothing to clean and are absent.
+    *
+    * Scale: duplicate flags come from the same single chash-partitioned
+    * exchange as [[passageDedup]]; reassembly is one id-keyed aggregate
+    * whose order is pinned by array_sort over (chunk_idx, chunk) structs
+    * (collect_list order is NOT deterministic). The chash exchange here
+    * carries the chunk text (needed to rebuild) — the hash-only
+    * alternative would have to re-scan and re-explode the corpus to
+    * re-attach chunks, since Spark shares no self-joined subtrees.
+    */
+  def stripDuplicatePassages(df: DataFrame, idCol: String, textCol: String,
+      w: Int = 20): DataFrame = {
+    val toks = tokens(col(textCol))
+    val n = size(toks)
+    val nChunks = ceil(n.cast("double") / w).cast("int")
+    val chunks = when(n > 0,
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+      .otherwise(array())
+    val byHashOrdered = Window.partitionBy(col("chash")).orderBy(col(idCol))
+    val byHash = Window.partitionBy(col("chash"))
+    val flagged = df
+      .select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("chash", polyHash(col("chunk")))
+      .withColumn("_dr", dense_rank().over(byHashOrdered))
+      .withColumn("_keep", max(col("_dr")).over(byHash) === 1 ||
+        col(idCol) === min(col(idCol)).over(byHash))
+    flagged.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_keep"), 0).otherwise(1)).cast("long").as("n_dropped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(col("_keep"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("clean_text"))
+  }
+
   /** Exact per-domain length quantiles (corpus observability): the token
     * count at rank ceil(p·n) per domain, for each requested p. Computed
     * with an explicit rank so the value is engine-portable — unlike

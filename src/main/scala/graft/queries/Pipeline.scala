@@ -845,6 +845,48 @@ object Pipeline {
               |FROM hs h JOIN dup d ON h.chash = d.chash
               |ORDER BY h.doc_id, h.chunk_idx""".stripMargin)),
 
+    // corpus-familiarity scoring: avg corpus frequency of a doc's word
+    // bigrams — the integer-exact LM-perplexity stand-in
+    "curation_ngram_familiarity" -> Q(
+      (s, d) => graft.operators.Curation.ngramFamiliarity(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |sh AS (SELECT doc_id, CASE WHEN len(tks) >= 2
+              |  THEN [array_to_string(list_slice(tks, i+1, i+2), ' ') for i in generate_series(0, len(tks)-2)]
+              |  ELSE [array_to_string(tks, ' ')] END AS sh2 FROM tk),
+              |g AS (SELECT doc_id, unnest(sh2) AS gram FROM sh),
+              |cg AS (SELECT gram, COUNT(*) AS gfreq FROM g GROUP BY gram)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+              |  round(CAST(SUM(gfreq) AS DOUBLE) / COUNT(*), 6) AS familiarity
+              |FROM g JOIN cg USING (gram)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // the removal half of passage dedup: rebuild docs keeping duplicated
+    // passages only in their first owner (RefinedWeb-style boilerplate
+    // cut); reassembly order pinned by chunk_idx on both engines
+    "curation_passage_strip" -> Q(
+      (s, d) => graft.operators.Curation.stripDuplicatePassages(
+          t(s, d, "documents"), "doc_id", "text", w = 20)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |ix AS (SELECT doc_id, tks,
+              |  unnest(generate_series(0, CAST(ceil(len(tks) / 20.0) AS INT) - 1)) AS cidx
+              |  FROM tk WHERE len(tks) > 0),
+              |hs AS (SELECT doc_id, CAST(cidx AS INT) AS chunk_idx,
+              |  array_to_string(list_slice(tks, cidx*20+1, cidx*20+20), ' ') AS chunk,
+              |  ${polyHash("array_to_string(list_slice(tks, cidx*20+1, cidx*20+20), ' ')")} AS chash
+              |  FROM ix),
+              |dup AS (SELECT chash, COUNT(DISTINCT doc_id) AS n_docs, MIN(doc_id) AS first_doc
+              |  FROM hs GROUP BY chash),
+              |fl AS (SELECT h.doc_id, h.chunk_idx, h.chunk,
+              |  (d.n_docs = 1 OR h.doc_id = d.first_doc) AS keep
+              |  FROM hs h JOIN dup d ON h.chash = d.chash)
+              |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks,
+              |  CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+              |  COALESCE(string_agg(CASE WHEN keep THEN chunk END, ' ' ORDER BY chunk_idx), '') AS clean_text
+              |FROM fl GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // exact per-domain length quantiles via explicit rank (engine-portable,
     // unlike interpolating percentile implementations)
     "curation_length_quantiles" -> Q(

@@ -136,6 +136,39 @@ class CurationSpec extends AnyFunSuite {
     assert(out.forall(r => r.getLong(4) == 1L))     // first owner = doc 1
   }
 
+  test("strip duplicate passages keeps the first owner's copy and rebuilds in order") {
+    val df = Seq(
+      (1L, "a b c d e f"),   // chunks (w=3): "a b c", "d e f" — first owner
+      (2L, "a b c x y z"),   // shares "a b c" → that chunk is cut here
+      (3L, "q r s")          // unique, untouched
+    ).toDF("doc_id", "text")
+    val out = Curation.stripDuplicatePassages(df, "doc_id", "text", w = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) == ((2L, 0L, "a b c d e f")))
+    assert(out(2L) == ((2L, 1L, "x y z")))
+    assert(out(3L) == ((1L, 0L, "q r s")))
+  }
+
+  test("strip drops exactly the non-first-owner occurrences passageDedup flags") {
+    val docs = Tables.df(spark, sf, "documents")
+    val dropped = Curation.stripDuplicatePassages(docs, "doc_id", "text", w = 20)
+      .agg(sum(col("n_dropped"))).collect().head.getLong(0)
+    val flaggedNonFirst = Curation.passageDedup(docs, "doc_id", "text", w = 20)
+      .filter(col("doc_id") =!= col("first_doc")).count()
+    assert(dropped == flaggedNonFirst && dropped > 0)
+  }
+
+  test("ngram familiarity averages exact corpus bigram counts") {
+    // bigrams: doc1 → "x y","y z"; doc2 → "x y","y q"
+    // freqs: "x y"=2, "y z"=1, "y q"=1
+    val df = Seq((1L, "x y z"), (2L, "x y q")).toDF("doc_id", "text")
+    val out = Curation.ngramFamiliarity(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L) == ((2L, 1.5)))  // (2+1)/2
+    assert(out(2L) == ((2L, 1.5)))
+  }
+
   test("length quantiles pick the exact ranked value per domain") {
     val df = (1 to 10).map(i => (i.toLong, Seq.fill(i)("w").mkString(" "), "s"))
       .toDF("doc_id", "text", "source")
