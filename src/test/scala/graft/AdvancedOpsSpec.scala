@@ -90,6 +90,22 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("hash sampling is unbiased on sequential ids (avalanche regression guard)") {
+    // the raw polynomial hash is affine in trailing characters: without
+    // the mix round, sequential ids pass a threshold filter in contiguous
+    // runs (whole blocks kept, whole blocks dropped)
+    val ids = (1L to 10000L).toDF("id")
+    val kept = ids.filter(Sampling.hashBucket(col("id"), 100, "g") < 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.length > 800 && kept.length < 1200,
+      s"10% sample of 10k sequential ids kept ${kept.length}")
+    val maxRun = kept.foldLeft((0, 0, -2L)) { case ((best, cur, prev), id) =>
+      val run = if (id == prev + 1) cur + 1 else 1
+      (math.max(best, run), run, id)
+    }._1
+    assert(maxRun < 12, s"contiguous run of $maxRun sequential ids kept — hash bias")
+  }
+
   test("hash sample subsets are nested for growing pct") {
     val docs = Tables.df(spark, sf, "documents")
     val p10 = Sampling.sample(docs, "doc_id", 10, "s1").select("doc_id")
