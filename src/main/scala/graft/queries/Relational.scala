@@ -123,6 +123,40 @@ object Relational {
              |TRUE AS within_tol
              |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
 
+    // -- extension: approximate percentile (the sketch partner of the HLL
+    //    row above) — same property-oracle trick: the exact p50 comes from
+    //    an explicit rank (engine-portable, unlike interpolating
+    //    percentile functions), and the oracle asserts the sketch lands
+    //    within 5% of it.
+    "agg_approx_percentile" -> Q(
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+        val grp = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l_returnflag"))
+        val exact = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity"))
+          .withColumn("_rk", row_number().over(w))
+          .withColumn("_n", count(lit(1)).over(grp))
+          .filter(col("_rk") === ceil(col("_n") * 0.5).cast("long"))
+          .select(col("l_returnflag"), col("l_quantity").as("exact_p50"))
+        val approx = t(s, d, "lineitem")
+          .groupBy(col("l_returnflag"))
+          .agg(percentile_approx(col("l_quantity"), lit(0.5), lit(10000))
+            .as("_approx"))
+        exact.join(approx, "l_returnflag")
+          .select(col("l_returnflag"), col("exact_p50"),
+            (abs(col("_approx") - col("exact_p50")) / col("exact_p50") <= 0.05)
+              .as("within_tol"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH r AS (SELECT l_returnflag, l_quantity,
+             |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_quantity) AS rk,
+             |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n FROM lineitem)
+             |SELECT l_returnflag, l_quantity AS exact_p50, TRUE AS within_tol
+             |FROM r WHERE rk = CAST(ceil(n * 0.5) AS BIGINT)
+             |ORDER BY l_returnflag""".stripMargin)),
+
     // -- 2.4 hash agg + sort: TPC-H Q1 (flagship; reference tests/sql/tpch/q1.sql)
     "q1_agg" -> Q(
       (s, d) => t(s, d, "lineitem")

@@ -40,6 +40,32 @@ object StreamingOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join: pair each 'view' event with the same
+    * user's 'click' events landing within `withinSeconds` AFTER it.
+    * Both sides carry watermarks and the join condition bounds the event
+    * time range, so each side's state store holds only the watermark
+    * horizon — the canonical bounded-state stream-stream join. The batch
+    * twin is the identical join expression on static frames
+    * (StreamingSpec proves equality on a bounded source).
+    */
+  def viewClickJoin(views: DataFrame, clicks: DataFrame,
+      withinSeconds: Long): DataFrame = {
+    val l = views.filter(col("event_type") === "view")
+      .select(col("user_id"), col("event_id").as("view_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "2 hours")
+    val r = clicks.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user_id"), col("event_id").as("click_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "2 hours")
+    l.join(r,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr(s"interval $withinSeconds seconds"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_ts"), col("click_ts"))
+  }
+
   /** Run a streaming query over a bounded source into an in-memory table
     * and block until all available input is processed (test/dev harness).
     */

@@ -138,6 +138,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("stream-stream interval join equals the batch join on bounded input") {
+    val srcDir = "/root/repo/target/graft-tmp/stream_events_ssj"
+    Tables.df(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    def stream() = spark.readStream
+      .schema(StreamingOps.eventsSchema).parquet(srcDir)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.viewClickJoin(stream(), stream(), withinSeconds = 600),
+      "ssj_test", outputMode = "append")
+    val batch = StreamingOps.viewClickJoin(
+      spark.read.parquet(srcDir), spark.read.parquet(srcDir),
+      withinSeconds = 600)
+    assert(batch.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("decontamination runs unchanged as a stream-static broadcast join") {
     // continuous-ingestion shape: new train docs arrive as a stream and
     // are checked against a STATIC benchmark gram set — the same
