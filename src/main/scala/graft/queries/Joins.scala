@@ -75,6 +75,25 @@ object Joins {
       Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
              |ORDER BY r_name, n_name""".stripMargin)),
 
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other, unlike the 3VL `=` join that drops them — the
+    // join-side counterpart of the expr_three_valued_logic row
+    "join_null_safe" -> Q(
+      (s, d) => {
+        val a = t(s, d, "documents").filter(col("doc_id") < 50)
+          .select(expr("nullif(lang, 'en')").as("k_a"))
+        val b = t(s, d, "documents")
+          .select(expr("nullif(lang, 'en')").as("k_b"))
+        a.join(b, col("k_a") <=> col("k_b"))
+          .groupBy(col("k_a")).agg(count(lit(1)).as("n_pairs"))
+          .orderBy(col("k_a").asc_nulls_first)
+      },
+      Some("""SELECT a.k AS k_a, COUNT(*) AS n_pairs
+             |FROM (SELECT nullif(lang, 'en') AS k FROM documents WHERE doc_id < 50) a
+             |JOIN (SELECT nullif(lang, 'en') AS k FROM documents) b
+             |  ON a.k IS NOT DISTINCT FROM b.k
+             |GROUP BY a.k ORDER BY a.k NULLS FIRST""".stripMargin)),
+
     // key-only semi join (reference HashSemiJoinExecutor)
     "join_semi" -> Q(
       (s, d) => {
