@@ -87,7 +87,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // ---- statement router ---------------------------------------------------
 
   private val reCreateTable = """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*""".r
-  private val reCreateView = """(?is)\s*create\s+view\s+(\w+)\s+as\s+(.*)""".r
+  // optional column-alias list (reference create_view.rs binds
+  // `CREATE VIEW v (a, b) AS ...` — tpch/q15.sql `revenue0`)
+  private val reCreateView =
+    """(?is)\s*create\s+view\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s+(.*)""".r
   private val reCreateIndex =
     """(?is)\s*create\s+index\s+(\w+)\s+on\s+(\w+)\s*(?:using\s+(\w+))?\s*\((\w+)\)\s*(?:with\s*\((.*)\))?\s*""".r
   // body forms (reference src/binder/create_function.rs): quoted
@@ -117,7 +120,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
     case reCreateTable(name, colsSpec) => createTable(name, colsSpec)
-    case reCreateView(name, body) =>
+    case reCreateView(name, cols, rawBody) =>
+      // column aliases rename positionally via a derived-table alias, so
+      // the stored text stays pure SQL and re-plans like any other view
+      val body = Option(cols).filter(_.trim.nonEmpty) match {
+        case Some(cs) => s"SELECT * FROM ($rawBody) AS __v($cs)"
+        case None => rawBody
+      }
       views(name) = body
       spark.sql(inlineFunctions(body)).createOrReplaceTempView(name)
       emptyResult
@@ -489,7 +498,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** COPY options: csv delimiter/header/quote/escape (reference surface,
     * `src/binder/copy.rs`) plus a FORMAT extension ('csv' default,
     * 'json'/'jsonl' for line-delimited JSON — the dominant corpus
-    * interchange format — and 'parquet').
+    * interchange format — 'parquet', and 'orc').
     */
   private def copyOptions(opts: Option[String]): Map[String, String] = {
     val m = mutable.Map("delimiter" -> ",", "header" -> "false", "format" -> "csv")
@@ -515,6 +524,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val df = o("format") match {
       case "json" | "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
+      case "orc" => spark.read.schema(schema).orc(path)
       case _ => spark.read.options(o - "format").schema(schema).csv(path)
     }
     // single pass: rows_affected observed on the same job that writes (the
@@ -534,6 +544,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     o("format") match {
       case "json" | "jsonl" => observed.json(path)
       case "parquet" => observed.parquet(path)
+      case "orc" => observed.orc(path)
       case _ => observed.options(o - "format").csv(path)
     }
     rowCountResult(observedCount(obs))

@@ -79,6 +79,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Bounded-edit-distance near-dup pairs: LSH-banded candidate pairs
+    * (same blocking as [[minhashPairs]] with threshold 0 — any shared
+    * band bucket) verified by exact Levenshtein distance ≤ `maxDist`
+    * (codegen'd built-in, no UDF). A length pre-filter
+    * (|len(a)−len(b)| ≤ maxDist, necessary for a match) runs before the
+    * O(len²) kernel so wildly different-length candidates never reach it.
+    *
+    * Scale: candidates are LSH-bounded exactly like [[minhashPairs]] —
+    * never all-pairs — and the expensive kernel touches only pairs that
+    * both share a band bucket AND pass the length bound. The contract is
+    * "edit-verified LSH near-dups", not full radius-d recall (a pair with
+    * tiny edit distance but no shared band is missed; at radius ≤ d over
+    * shingled text such pairs share almost all shingles, so band collision
+    * probability is near 1).
+    */
+  def editDistancePairs(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int, shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4): DataFrame = {
+    val txt = df.select(col(idCol), col(textCol))
+    minhashPairs(df, idCol, textCol, shingleWidth, numHashes, bands,
+        threshold = 0.0)
+      .select(col("id_a"), col("id_b"))
+      .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
+      .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
+      .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
+      .withColumn("edit_dist", levenshtein(col("_ta"), col("_tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** Incremental near-dup detection — the corpus-curation steady state: a
     * NEW batch arrives and must be checked against the existing corpus and
     * itself, without ever re-pairing corpus×corpus. Band keys for the

@@ -94,6 +94,32 @@ object Pipeline {
               |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
               |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // edit-distance near-dups: LSH candidates verified by exact
+    // Levenshtein ≤ 20 (DuckDB recomputes the identical candidate set
+    // and its own levenshtein — both engines count character edits)
+    "dedup_edit_distance" -> Q(
+      (s, d) => Dedup.editDistancePairs(t(s, d, "documents"), "doc_id", "text",
+          maxDist = 20, shingleWidth = 3, numHashes = 16, bands = 4)
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id)
+              |SELECT c.id_a, c.id_b, levenshtein(ta.text, tb.text) AS edit_dist
+              |FROM cand c JOIN documents ta ON ta.doc_id = c.id_a
+              |            JOIN documents tb ON tb.doc_id = c.id_b
+              |WHERE abs(length(ta.text) - length(tb.text)) <= 20
+              |  AND levenshtein(ta.text, tb.text) <= 20
+              |ORDER BY id_a, id_b""".stripMargin)),
+
     // incremental curation: new batch (doc_id >= 400) vs existing corpus
     // — the oracle is the FULL LSH pair set restricted to pairs touching
     // the batch, proving the probe-only plan finds exactly those pairs

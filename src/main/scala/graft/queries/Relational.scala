@@ -92,6 +92,18 @@ object Relational {
               |FROM read_json_auto('/root/repo/target/graft-tmp/copy_nation_jsonl/*.json')
               |ORDER BY n_nationkey""".stripMargin)),
 
+    // ORC round-trip (FORMAT extension; spark-sql ships the ORC source).
+    // DuckDB has no ORC reader, so the oracle pins the round-tripped
+    // values against the source table — identity through the format.
+    "copy_orc_roundtrip" -> Q(
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/copy_nation_orc"
+        val n = t(s, d, "nation")
+        n.write.mode("overwrite").orc(out)
+        s.read.schema(n.schema).orc(out).orderBy("n_nationkey")
+      },
+      Some("SELECT * FROM nation ORDER BY n_nationkey")),
+
     // -- 2.4 simple agg (no keys): one-row fold
     "agg_simple" -> Q(
       (s, d) => t(s, d, "lineitem").agg(

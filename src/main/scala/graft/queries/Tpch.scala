@@ -415,6 +415,23 @@ object Tpch {
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first),
       Some("""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
              |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
+             |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
+    // explicit GROUPING SETS (completes the rollup/cube trio — an
+    // arbitrary set list neither shorthand expresses)
+    "agg_grouping_sets" -> Q(
+      (s, d) => t(s, d, "orders")
+        .groupingSets(
+          Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+            Seq(col("o_orderstatus")), Seq.empty),
+          col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), dsum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some(s"""SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+              |${oSum("o_totalprice")} AS total
+              |FROM orders
+              |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ())
+              |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin))
   )
 }

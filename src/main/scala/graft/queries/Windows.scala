@@ -82,6 +82,50 @@ object Windows {
              |WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
              |ORDER BY c_nationkey, rnk, c_custkey""".stripMargin)),
 
+    // bounded ROWS frame — moving average (the reference's binder
+    // todo!()s window frames entirely, src/binder/expr.rs:477-479; we
+    // support the full frame surface). avg computed as sum/count of the
+    // SAME doubles on both engines so fp division is bit-identical.
+    "window_moving_avg" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(-3, Window.currentRow)
+        t(s, d, "orders")
+          .select(col("o_custkey"), col("o_orderkey"),
+            (sum(col("o_totalprice").cast(Dec)).over(w).cast("double") /
+              count(lit(1)).over(w)).as("moving_avg"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(SUM(CAST(o_totalprice AS DECIMAL(28,6))) OVER w AS DOUBLE)
+             |  / COUNT(*) OVER w AS moving_avg
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             |             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+             |ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
+    // RANGE frame — peers by ORDER-BY value distance, not row position:
+    // all earlier orders of the customer within 1000.0 of the current
+    // price (value-bounded sliding aggregate)
+    "window_range_frame" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_custkey"))
+          .orderBy(col("price_i"))
+          .rangeBetween(-1000L, 0L)
+        t(s, d, "orders")
+          .withColumn("price_i", floor(col("o_totalprice")).cast("long"))
+          .select(col("o_custkey"), col("o_orderkey"), col("price_i"),
+            count(lit(1)).over(w).as("n_near"))
+          .orderBy("o_custkey", "o_orderkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey,
+             |CAST(FLOOR(o_totalprice) AS BIGINT) AS price_i,
+             |COUNT(*) OVER (PARTITION BY o_custkey
+             |               ORDER BY CAST(FLOOR(o_totalprice) AS BIGINT)
+             |               RANGE BETWEEN 1000 PRECEDING AND CURRENT ROW) AS n_near
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin)),
+
     // top-k per group via row_number filter (classic pattern; the reference
     // has no QUALIFY — expressed as subquery on both sides)
     "window_topk_per_group" -> Q(
