@@ -18,12 +18,8 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** Left rows from `left` (idCol, keyCol, timeCol) joined as-of against
-    * `right` (keyCol, timeCol, payloadCol). Output: left columns +
-    * `asof_<payloadCol>` + `asof_time` (null when no prior right row).
-    */
-  def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
-      leftIdCol: String, payloadCol: String): DataFrame = {
+  private def tagged(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, leftIdCol: String, payloadCol: String): DataFrame = {
     val l = left.select(col(keyCol), col(timeCol), col(leftIdCol),
       lit(1).as("_side"),
       lit(null).cast(right.schema(payloadCol).dataType).as("_payload"),
@@ -33,17 +29,86 @@ object AsOfJoin {
       lit(0).as("_side"),
       col(payloadCol).as("_payload"),
       col(timeCol).as("_rtime"))
+    l.unionByName(r)
+  }
 
+  /** Left rows from `left` (idCol, keyCol, timeCol) joined as-of against
+    * `right` (keyCol, timeCol, payloadCol). Output: left columns +
+    * `asof_<payloadCol>` + `asof_time` (null when no prior right row).
+    */
+  def asof(left: DataFrame, right: DataFrame, keyCol: String, timeCol: String,
+      leftIdCol: String, payloadCol: String): DataFrame = {
     // right rows sort before left rows at equal time (tag 0 < 1), so a
     // right row at exactly leftTime is visible to that left row
     val w = Window.partitionBy(col(keyCol))
       .orderBy(col(timeCol), col("_side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    l.unionByName(r)
+    tagged(left, right, keyCol, timeCol, leftIdCol, payloadCol)
       .withColumn(s"asof_$payloadCol", last(col("_payload"), ignoreNulls = true).over(w))
       .withColumn("asof_time", last(col("_rtime"), ignoreNulls = true).over(w))
       .filter(col("_side") === 1)
       .drop("_side", "_payload", "_rtime")
+  }
+
+  /** Forward as-of: the EARLIEST right row with `rightTime >= leftTime`
+    * per key — the mirror of [[asof]], same single keyed shuffle. The
+    * window walks time descending, so "last seen right" is the nearest
+    * at-or-after row; the tag order again makes an exactly-equal right
+    * row visible to its left row.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, leftIdCol: String, payloadCol: String): DataFrame = {
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    tagged(left, right, keyCol, timeCol, leftIdCol, payloadCol)
+      .withColumn(s"asof_$payloadCol", last(col("_payload"), ignoreNulls = true).over(w))
+      .withColumn("asof_time", last(col("_rtime"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .drop("_side", "_payload", "_rtime")
+  }
+
+  /** Nearest as-of: whichever of the backward / forward matches is
+    * closer in time (ties → backward, pinned), optionally bounded by
+    * `toleranceMicros` (matches farther than the tolerance become NULL —
+    * pandas `merge_asof(tolerance=...)` semantics). Both direction
+    * windows share one partitioning, so the plan still shuffles the
+    * union exactly once; timestamps are compared in integer epoch
+    * micros — no float time math.
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keyCol: String,
+      timeCol: String, leftIdCol: String, payloadCol: String,
+      toleranceMicros: Option[Long] = None): DataFrame = {
+    val wb = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = Window.partitionBy(col(keyCol))
+      .orderBy(col(timeCol).desc, col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val both = tagged(left, right, keyCol, timeCol, leftIdCol, payloadCol)
+      .withColumn("_bp", last(col("_payload"), ignoreNulls = true).over(wb))
+      .withColumn("_bt", last(col("_rtime"), ignoreNulls = true).over(wb))
+      .withColumn("_fp", last(col("_payload"), ignoreNulls = true).over(wf))
+      .withColumn("_ft", last(col("_rtime"), ignoreNulls = true).over(wf))
+      .filter(col("_side") === 1)
+      .withColumn("_db", unix_micros(col(timeCol)) - unix_micros(col("_bt")))
+      .withColumn("_df", unix_micros(col("_ft")) - unix_micros(col(timeCol)))
+
+    val backWins = col("_bt").isNotNull &&
+      (col("_ft").isNull || col("_db") <= col("_df"))
+    val dist = when(backWins, col("_db")).otherwise(col("_df"))
+    val inTol = toleranceMicros match {
+      case Some(tol) => dist <= lit(tol)
+      case None => lit(true)
+    }
+    both
+      .withColumn(s"asof_$payloadCol",
+        when(inTol, when(backWins, col("_bp")).otherwise(col("_fp"))))
+      .withColumn("asof_time",
+        when(inTol, when(backWins, col("_bt")).otherwise(col("_ft"))))
+      .drop("_side", "_payload", "_rtime", "_bp", "_bt", "_fp", "_ft", "_db", "_df")
   }
 }

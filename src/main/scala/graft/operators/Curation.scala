@@ -107,6 +107,39 @@ object Curation {
       .orderBy(desc("occurrences"), asc("gram"))
       .limit(k)
 
+  /** Corpus bigram association strength (PMI without the log): for each
+    * word pair occurring as a bigram at least `minCount` times,
+    * lift = P(ab) / (P(a)·P(b)) = n_ab · N / (n_a · n_b) where N is the
+    * corpus token count. The log is monotone, so ranking by lift IS
+    * ranking by PMI — and skipping it keeps the score one integer
+    * multiply + one divide in double (exact + correctly rounded, so
+    * cross-engine bit-identical; ln's last ulp is libm-dependent).
+    *
+    * Scale: one token explode feeds BOTH the unigram and bigram counts
+    * (partial-agg shuffles carry (token, count) pairs only); the bigram
+    * frame joins the unigram counts twice on the word — standard
+    * vocabulary-sized joins, never document-sized. Top-k is bounded.
+    */
+  def pmiTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
+      minCount: Int = 3): DataFrame = {
+    val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
+    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok")).cache()
+    val total = uni.agg(sum(col("n_tok")).as("n_total"))
+    val bi = df.select(explode(wordShinglesNative(col(textCol), 2)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+      .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+      .withColumn("w2", split_part(col("gram"), lit(" "), lit(2)))
+    bi.join(uni.select(col("tok").as("w1"), col("n_tok").as("n_w1")), "w1")
+      .join(uni.select(col("tok").as("w2"), col("n_tok").as("n_w2")), "w2")
+      .crossJoin(broadcast(total))
+      .select(col("gram"), col("n_pair"), col("n_w1"), col("n_w2"),
+        ((col("n_pair") * col("n_total")).cast("double") /
+          (col("n_w1") * col("n_w2")).cast("double")).as("lift"))
+      .orderBy(col("lift").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Domain mixing weights: per-domain doc/token counts plus the
     * resampling weight that would equalize token mass across domains
     * (weight = corpus_tokens / n_domains / domain_tokens). The corpus

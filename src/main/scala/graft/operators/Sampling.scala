@@ -41,6 +41,30 @@ object Sampling {
       .drop("_rk")
   }
 
+  /** Weighted sample WITHOUT replacement — k rows with inclusion
+    * probability ∝ `weightCol` (priority sampling, Duffield–Lund–Thorup):
+    * each row draws a deterministic pseudo-uniform
+    * u = (mix(hash(id‖salt)) + 1) / (P + 1) ∈ (0, 1] and the k highest
+    * priorities w/u win. No transcendentals — the classic exponential
+    * formulation needs pow/ln, whose last-ulp rounding differs across
+    * libm implementations; w/u is one multiply + one divide of
+    * exactly-representable doubles (both IEEE correctly rounded), so the
+    * selected set is bit-identical on any engine at any parallelism.
+    *
+    * Scale: `orderBy(desc).limit(k)` plans as TakeOrderedAndProject —
+    * each partition reduces to its local top-k before a single bounded
+    * merge; the full table is never sorted or shuffled.
+    */
+  def prioritySample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    val u = (Hashing.mix(Hashing.polyHash(
+      concat(col(idCol).cast("string"), lit(salt)))) + lit(1L)).cast("double")
+    df.withColumn("priority",
+        col(weightCol).cast("double") * lit((Hashing.P + 1).toDouble) / u)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Train/valid/test split with group-awareness: every row of the same
     * `groupCol` value lands in the same split (prevents near-duplicate
     * leakage across splits — group by source/domain/cluster id).

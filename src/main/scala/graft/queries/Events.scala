@@ -159,6 +159,85 @@ object Events {
              |  CAST(floor(epoch(asof_time)) AS BIGINT) AS asof_epoch
              |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
 
+    // forward as-of: each click paired with the user's EARLIEST view at
+    // or after it (mirror window, same single keyed shuffle)
+    "events_asof_forward" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.operators.AsOfJoin.asofForward(clicks, views, "user_id", "ts",
+            "event_id", "view_id")
+          .select(col("event_id"), col("user_id"), col("asof_view_id"),
+            col("asof_time").cast("long").as("asof_epoch"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id, ts),
+             |u AS (
+             |  SELECT user_id, ts, event_id, 1 AS side,
+             |    CAST(NULL AS BIGINT) AS payload, CAST(NULL AS TIMESTAMP) AS rtime FROM clicks
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, 0, view_id, ts FROM views),
+             |w AS (SELECT user_id, event_id, side,
+             |  last_value(payload IGNORE NULLS) OVER win AS asof_view_id,
+             |  last_value(rtime IGNORE NULLS) OVER win AS asof_time
+             |  FROM u WINDOW win AS (PARTITION BY user_id ORDER BY ts DESC, side
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+             |SELECT event_id, user_id, asof_view_id,
+             |  CAST(floor(epoch(asof_time)) AS BIGINT) AS asof_epoch
+             |FROM w WHERE side = 1 ORDER BY event_id""".stripMargin)),
+
+    // nearest as-of with tolerance: closer of the two directions, ties →
+    // backward, matches farther than 1h → NULL (pandas merge_asof
+    // tolerance semantics); integer epoch-micro time math on both sides
+    "events_asof_nearest" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val clicks = e.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = e.filter(col("event_type") === "view")
+          .groupBy(col("user_id"), col("ts"))
+          .agg(max(col("event_id")).as("view_id"))
+        graft.operators.AsOfJoin.asofNearest(clicks, views, "user_id", "ts",
+            "event_id", "view_id", toleranceMicros = Some(3600L * 1000000L))
+          .select(col("event_id"), col("user_id"), col("asof_view_id"),
+            col("asof_time").cast("long").as("asof_epoch"))
+          .orderBy("event_id")
+      },
+      Some("""WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+             |views AS (SELECT user_id, ts, MAX(event_id) AS view_id FROM events
+             |  WHERE event_type = 'view' GROUP BY user_id, ts),
+             |u AS (
+             |  SELECT user_id, ts, event_id, 1 AS side,
+             |    CAST(NULL AS BIGINT) AS payload, CAST(NULL AS TIMESTAMP) AS rtime FROM clicks
+             |  UNION ALL
+             |  SELECT user_id, ts, NULL, 0, view_id, ts FROM views),
+             |w AS (SELECT user_id, ts, event_id, side,
+             |  last_value(payload IGNORE NULLS) OVER wb AS bp,
+             |  last_value(rtime IGNORE NULLS) OVER wb AS bt,
+             |  last_value(payload IGNORE NULLS) OVER wf AS fp,
+             |  last_value(rtime IGNORE NULLS) OVER wf AS ft
+             |  FROM u WINDOW
+             |    wb AS (PARTITION BY user_id ORDER BY ts, side
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             |    wf AS (PARTITION BY user_id ORDER BY ts DESC, side
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+             |n AS (SELECT event_id, user_id,
+             |  epoch_us(ts) - epoch_us(bt) AS db, epoch_us(ft) - epoch_us(ts) AS df,
+             |  (bt IS NOT NULL AND (ft IS NULL OR epoch_us(ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(ts))) AS back_wins,
+             |  bp, bt, fp, ft FROM w WHERE side = 1),
+             |t AS (SELECT event_id, user_id, back_wins, bp, bt, fp, ft,
+             |  (CASE WHEN back_wins THEN db ELSE df END) <= 3600000000 AS intol FROM n)
+             |SELECT event_id, user_id,
+             |  CASE WHEN intol THEN CASE WHEN back_wins THEN bp ELSE fp END END AS asof_view_id,
+             |  CAST(floor(epoch(CASE WHEN intol THEN CASE WHEN back_wins THEN bt ELSE ft END END)) AS BIGINT) AS asof_epoch
+             |FROM t ORDER BY event_id""".stripMargin)),
+
     // banded range join (operators/RangeJoin): same-user event pairs within
     // 10 minutes — bucketed band join, never a cross product (PlanSpec).
     "events_range_join" -> Q(

@@ -517,6 +517,44 @@ object Pipeline {
               |  FROM documents) mx
               |WHERE mixed % 100 < 10 ORDER BY doc_id""".stripMargin)),
 
+    // weighted sample without replacement (priority sampling): inclusion
+    // probability ∝ n_chars, no pow/ln — the priority is one multiply +
+    // one divide of exact doubles, so DuckDB picks the identical set
+    "sample_weighted" -> Q(
+      (s, d) => graft.operators.Sampling.prioritySample(
+          t(s, d, "documents"), "doc_id", "n_chars", k = 40, salt = "w1")
+        .select(col("doc_id"), col("n_chars"), col("priority")),
+      Some(s"""SELECT doc_id, n_chars, priority FROM (
+              |  SELECT doc_id, n_chars,
+              |    ${polyHash("(CAST(doc_id AS VARCHAR) || 'w1')")} AS h0, $mixCols,
+              |    CAST(n_chars AS DOUBLE) * 2147483648.0 / CAST(mixed + 1 AS DOUBLE) AS priority
+              |  FROM documents) mx
+              |ORDER BY priority DESC, doc_id LIMIT 40""".stripMargin)),
+
+    // corpus bigram association (PMI sans log — lift ranks identically
+    // and stays exact-integer × correctly-rounded-divide on both engines)
+    "curation_pmi_topk" -> Q(
+      (s, d) => graft.operators.Curation.pmiTopK(
+          t(s, d, "documents"), "doc_id", "text", k = 20, minCount = 3),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |u AS (SELECT unnest(tks) AS tok FROM tk),
+              |uni AS (SELECT tok, COUNT(*) AS n_tok FROM u GROUP BY tok),
+              |tot AS (SELECT SUM(n_tok) AS n_total FROM uni),
+              |g2 AS (SELECT CASE WHEN len(tks) >= 2
+              |  THEN [array_to_string(list_slice(tks, i+1, i+2), ' ') for i in generate_series(0, len(tks)-2)]
+              |  ELSE [array_to_string(tks, ' ')] END AS grams FROM tk),
+              |bc AS (SELECT gram, COUNT(*) AS n_pair
+              |  FROM (SELECT unnest(grams) AS gram FROM g2) GROUP BY gram
+              |  HAVING COUNT(*) >= 3)
+              |SELECT gram, n_pair, n_w1, n_w2,
+              |  CAST(n_pair * n_total AS DOUBLE) / CAST(n_w1 * n_w2 AS DOUBLE) AS lift
+              |FROM (SELECT bc.gram, bc.n_pair, u1.n_tok AS n_w1, u2.n_tok AS n_w2
+              |      FROM bc
+              |      JOIN uni u1 ON split_part(bc.gram, ' ', 1) = u1.tok
+              |      JOIN uni u2 ON split_part(bc.gram, ' ', 2) = u2.tok)
+              |CROSS JOIN tot
+              |ORDER BY lift DESC, gram LIMIT 20""".stripMargin)),
+
     // Z-order (Morton) layout codes: the write-time clustering key that
     // keeps rows close in BOTH dimensions so parquet min/max pruning works
     // for filters on either column. Pure bit arithmetic — exact in both

@@ -84,6 +84,44 @@ class OperatorsSpec extends AnyFunSuite {
     })
   }
 
+  test("asof directions agree with a hand-computed tiny case") {
+    import spark.implicits._
+    import graft.operators.AsOfJoin
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+      .toDF("k", "t", "lid")
+      .select(col("k"), timestamp_micros(col("t") * 1000000L).as("t"), col("lid"))
+    val r = Seq((1L, 90L, 900L), (1L, 150L, 901L), (1L, 300L, 902L))
+      .toDF("k", "t", "p")
+      .select(col("k"), timestamp_micros(col("t") * 1000000L).as("t"), col("p"))
+    def m(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
+    val back = m(AsOfJoin.asof(l, r, "k", "t", "lid", "p"))
+    assert(back == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
+    val fwd = m(AsOfJoin.asofForward(l, r, "k", "t", "lid", "p"))
+    assert(fwd == Map(10L -> Some(901L), 11L -> Some(902L), 12L -> None))
+    // lid 10: back 10s vs fwd 50s → back; lid 11: back 50s vs fwd 100s → back
+    val near = m(AsOfJoin.asofNearest(l, r, "k", "t", "lid", "p"))
+    assert(near == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
+    // 11's best (back, 50s) exceeds a 20s tolerance → NULL; 10's (10s) survives
+    val tol = m(AsOfJoin.asofNearest(l, r, "k", "t", "lid", "p",
+      toleranceMicros = Some(20L * 1000000L)))
+    assert(tol == Map(10L -> Some(900L), 11L -> None, 12L -> None))
+  }
+
+  test("priority sample is deterministic, k-bounded, and weight-sensitive") {
+    import graft.operators.Sampling
+    val a = Sampling.prioritySample(docs, "doc_id", "n_chars", k = 30, salt = "t")
+      .collect().map(_.getLong(0)).toSeq
+    val b = Sampling.prioritySample(docs.repartition(13), "doc_id", "n_chars",
+      k = 30, salt = "t").collect().map(_.getLong(0)).toSeq
+    assert(a == b && a.size == 30) // partitioning-independent, ordered identically
+    // expected n_chars among winners ≥ corpus mean (weights bias selection)
+    val meanAll = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val meanWin = Sampling.prioritySample(docs, "doc_id", "n_chars", 30, "t")
+      .agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(meanWin > meanAll)
+  }
+
   test("multimodal feature extraction preserves ids and byte counts") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     // features share lineage with `docs` now (expression, not an RDD
