@@ -99,6 +99,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+(?:as\s+(?:'(.*)'|\$\$(.*)\$\$)|return\s+(.*))\s*""".r
   private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(values\s*.*|select\s+.*)""".r
   private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
+  // extension: the reference binder has no UPDATE arm (src/binder/mod.rs
+  // dispatch, 231-268) — we complete the DML triangle
+  private val reUpdate =
+    """(?is)\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*""".r
   private val reCopyFrom =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
@@ -148,6 +152,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       emptyResult
     case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
     case reDelete(table, cond) => delete(table, Option(cond))
+    case reUpdate(table, setList, cond) if tables.contains(table) =>
+      update(table, setList, Option(cond))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
@@ -469,6 +475,70 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     deleteRecursively(Paths.get(tmp), keepRoot = false)
     refresh(table)
     rowCountResult(total - kept)
+  }
+
+  /** UPDATE (extension — the reference completes only INSERT/DELETE of
+    * the DML triangle): in-place column rewrite over the whole table with
+    * the same distributed temp-dir-and-swap as DELETE. Assigned columns
+    * become `when(cond, expr).otherwise(current)` casts to the declared
+    * type — 3VL: a NULL condition leaves the row unchanged, like the
+    * DELETE anti-filter keeps it. rows_affected (condition TRUE count)
+    * rides the single rewrite job as an observe metric.
+    */
+  private def update(table: String, setList: String, cond: Option[String])
+      : DataFrame = {
+    val (schema, _) = tables(table)
+    val c = cond.map(s => coalesce(expr(inlineFunctions(s)), lit(false)))
+      .getOrElse(lit(true))
+    val assigns = splitTopLevel(setList).map { a =>
+      val kv = a.split("=", 2)
+      require(kv.length == 2, s"UPDATE: malformed assignment '$a'")
+      kv(0).trim.toLowerCase -> kv(1).trim
+    }.toMap
+    assigns.keys.foreach { k =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+        s"UPDATE: unknown column $k in $table")
+    }
+    val projected = schema.fields.map { f =>
+      assigns.get(f.name.toLowerCase) match {
+        case Some(e) =>
+          when(c, expr(inlineFunctions(e)).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }
+    val affObs = org.apache.spark.sql.Observation()
+    val rewritten = spark.table(table)
+      .observe(affObs, count(when(c, lit(1))).as("n"))
+      .select(projected.toIndexedSeq: _*)
+    val tmp = s"$warehouse/.$table.rewrite.tmp"
+    rewritten.write.mode("overwrite").parquet(tmp)
+    val affected = observedCount(affObs)
+    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
+    val stream = Files.list(Paths.get(tmp))
+    try stream.forEach { p =>
+      if (p.toString.endsWith(".parquet"))
+        Files.move(p, Paths.get(tableDir(table)).resolve(p.getFileName.toString))
+    } finally stream.close()
+    deleteRecursively(Paths.get(tmp), keepRoot = false)
+    refresh(table)
+    rowCountResult(affected)
+  }
+
+  /** Split on top-level commas — parens may nest (DECIMAL(p,s),
+    * function-call assignments).
+    */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = mutable.Buffer[String]()
+    var depth = 0; val cur = new StringBuilder
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => parts += cur.toString; cur.clear()
+      case ch => cur += ch
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
   }
 
   private def deleteRecursively(dir: java.nio.file.Path, keepRoot: Boolean): Unit = {

@@ -91,6 +91,8 @@ class SltSpec extends AnyFunSuite {
     "operator.slt", "count.slt", "bigint.slt", "filter_null.slt",
     "stringconcat.slt", "substring.slt", "repeat.slt", "replace.slt",
     "copy_csv.slt", "sql_udf.slt", "select_misc.slt",
-    "type.slt", "insert.slt", "internal.slt")
+    "type.slt", "insert.slt", "internal.slt",
+    // round-5: DML-triangle extension
+    "update.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
