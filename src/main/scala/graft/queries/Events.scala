@@ -25,6 +25,24 @@ object Events {
               |FROM events GROUP BY hour_start, event_type
               |ORDER BY hour_start, event_type""".stripMargin)),
 
+    // true sliding window (overlapping assignment): 1-hour windows every
+    // 15 minutes — each event lands in exactly 4 windows. Same `window()`
+    // expression serves batch and streaming (StreamingOps.slidingCounts);
+    // the oracle re-derives the 4 window starts per event arithmetically.
+    "events_sliding_window" -> Q(
+      (s, d) => t(s, d, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("window.start").cast("long").as("ws"),
+          col("event_type"), col("n_events"))
+        .orderBy("ws", "event_type"),
+      Some("""WITH x AS (SELECT event_type,
+             |  CAST(floor(epoch_us(ts) / 900000000) AS BIGINT) AS m FROM events),
+             |w AS (SELECT event_type, (m - j) * 900 AS ws
+             |  FROM x CROSS JOIN (VALUES (0),(1),(2),(3)) AS g(j))
+             |SELECT ws, event_type, COUNT(*) AS n_events
+             |FROM w GROUP BY ws, event_type ORDER BY ws, event_type""".stripMargin)),
+
     // sliding-window flavor: daily activity per user over a 7-day window
     // expressed with a range window (streaming analogue: sliding window)
     "events_user_daily" -> Q(

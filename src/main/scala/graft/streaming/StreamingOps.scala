@@ -40,6 +40,19 @@ object StreamingOps {
         date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Sliding 1-hour window advancing every 15 minutes — each event lands
+    * in exactly size/slide = 4 overlapping windows. Same expression works
+    * batch-side (the `events_sliding_window` gate row), so stream==batch
+    * is provable on the bounded source.
+    */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n_events"))
+
   /** Stream-stream interval join: pair each 'view' event with the same
     * user's 'click' events landing within `withinSeconds` AFTER it.
     * Both sides carry watermarks and the join condition bounds the event

@@ -33,6 +33,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming sliding window equals batch aggregation") {
+    val srcDir = "/root/repo/target/graft-tmp/stream_events"
+    Tables.df(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.slidingCounts(stream), "sliding_test")
+    val batch = spark.read.parquet(srcDir)
+      .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("window.start").cast("long").as("ws"),
+        col("event_type"), col("n_events"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    // overlap invariant: every event is in exactly 4 windows
+    val evs = spark.read.parquet(srcDir).count()
+    val winTotal = batch.agg(sum(col("n_events"))).head().getLong(0)
+    assert(winTotal == 4 * evs)
+  }
+
   test("curation operators run unchanged on a stream (quality-filter pipeline)") {
     // per-row curation transforms (language ID, quality scoring, token
     // counts, fingerprints) are narrow maps, so the SAME operator code
