@@ -155,4 +155,32 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("hashpartitioning"), p)
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
   }
+
+  test("nearest as-of shuffles the union once for both direction windows") {
+    val p = planOf("events_asof_nearest")
+    // two Window nodes (asc + desc running last_value) must share one
+    // user_id hash exchange — a per-direction re-shuffle would double the
+    // keyed-join cost the as-of formulation exists to avoid. The only
+    // other exchanges are the views-dedup aggregate and the final sort.
+    val winExchanges = p.linesIterator
+      .filter(_.contains("hashpartitioning(user_id"))
+      .toSeq.distinct
+    assert(p.linesIterator.count(_.contains("Window")) >= 2, p)
+    assert(winExchanges.size <= 2, // union shuffle + views groupBy, not 3+
+      s"expected the two direction windows to reuse one exchange:\n$p")
+  }
+
+  test("priority sample is a k-bounded TakeOrdered, never a global sort") {
+    val p = planOf("sample_weighted")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("rangepartitioning"), p)
+  }
+
+  test("pmi joins are vocabulary-sized — no document-sized shuffle of text") {
+    val p = planOf("curation_pmi_topk")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // the corpus text never rides an exchange: only token/gram counts do
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p)
+  }
 }
