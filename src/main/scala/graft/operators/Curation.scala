@@ -107,6 +107,54 @@ object Curation {
       .orderBy(desc("occurrences"), asc("gram"))
       .limit(k)
 
+  /** Overlapping token chunks — retrieval/packing prep: `size`-token
+    * windows advancing by `size − overlap`, final partial window kept.
+    * Chunk count per doc = 1 + ceil(max(n − size, 0) / step), so a doc
+    * shorter than `size` yields exactly its whole text. Narrow per-row
+    * explode — scan speed, no shuffle; chunk ids are (doc, idx) so
+    * downstream passage ops stay joinable.
+    */
+  def chunk(df: DataFrame, idCol: String, textCol: String, size: Int = 64,
+      overlap: Int = 16): DataFrame = {
+    require(overlap < size, "overlap must be < size")
+    val step = size - overlap
+    val tks = tokens(col(textCol))
+    val n = org.apache.spark.sql.functions.size(tks)
+    val lastIdx = (greatest(n - lit(size), lit(0)) + lit(step - 1)) / lit(step)
+    df.select(col(idCol),
+        posexplode(transform(sequence(lit(0), lastIdx.cast("int")),
+          i => array_join(slice(tks, i * step + 1, lit(size)), " ")))
+          .as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_tokens", when(col("chunk_text") === "", lit(0))
+        .otherwise(org.apache.spark.sql.functions.size(split(col("chunk_text"), " "))))
+  }
+
+  /** Corpus-level overlap estimate — ONE number for "how much does corpus
+    * A share with corpus B" (the cheap first question before any pairwise
+    * dedup): per corpus, a k-slot MinHash signature of its whole distinct
+    * shingle set; the match fraction estimates the Jaccard of the two
+    * shingle sets. Each side is one narrow scan + a k-row aggregate
+    * (partial min per slot map-side — the shuffle carries k×partitions
+    * rows, never shingles); the signatures join on slot. Deterministic
+    * integer mins → the estimate is bit-identical everywhere.
+    */
+  def corpusOverlap(a: DataFrame, b: DataFrame, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 64): DataFrame = {
+    // (aCoef(j)·h + bCoef(j)) % P per slot, min over the corpus — the
+    // same hash family the per-doc MinHash uses (Hashing.aCoef/bCoef)
+    def sig(df: DataFrame) = df
+      .select(explode(shingleHashes(col(textCol), shingleWidth)).as("h"))
+      .select(posexplode(array((0 until numHashes).map(j =>
+          (col("h") * lit(aCoef(j)) + lit(bCoef(j))) % lit(P)): _*))
+        .as(Seq("slot", "hv")))
+      .groupBy(col("slot")).agg(min(col("hv")).as("mh"))
+    sig(a).as("sa").join(sig(b).as("sb"), "slot")
+      .agg(count(lit(1)).as("n_hashes"),
+        count(when(col("sa.mh") === col("sb.mh"), lit(1))).as("n_match"))
+      .withColumn("jaccard_est",
+        round(col("n_match").cast("double") / col("n_hashes"), 6))
+  }
+
   /** Corpus bigram association strength (PMI without the log): for each
     * word pair occurring as a bigram at least `minCount` times,
     * lift = P(ab) / (P(a)·P(b)) = n_ab · N / (n_a · n_b) where N is the

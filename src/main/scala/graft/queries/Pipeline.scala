@@ -517,6 +517,44 @@ object Pipeline {
               |  FROM documents) mx
               |WHERE mixed % 100 < 10 ORDER BY doc_id""".stripMargin)),
 
+    // overlapping token chunks (retrieval/packing prep): 64-token windows
+    // every 48 tokens, partial tail kept, short docs → one whole chunk
+    "curation_chunk" -> Q(
+      (s, d) => graft.operators.Curation.chunk(
+          t(s, d, "documents"), "doc_id", "text", size = 64, overlap = 16)
+        .orderBy("doc_id", "chunk_idx"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |c AS (SELECT doc_id, tks,
+              |  generate_series(0, CAST(ceil(greatest(len(tks) - 64, 0) / 48.0) AS BIGINT)) AS ids
+              |  FROM tk),
+              |e AS (SELECT doc_id, unnest(ids) AS ci, tks FROM c)
+              |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+              |  array_to_string(list_slice(tks, ci*48 + 1, ci*48 + 64), ' ') AS chunk_text,
+              |  CAST(len(list_slice(tks, ci*48 + 1, ci*48 + 64)) AS INT) AS n_tokens
+              |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // corpus-level overlap estimate: one Jaccard number between the even-
+    // and odd-id halves of the corpus from k=64 corpus-wide MinHash slots
+    "curation_corpus_overlap" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        graft.operators.Curation.corpusOverlap(
+          docs.filter(col("doc_id") % 2 === 0),
+          docs.filter(col("doc_id") % 2 === 1), "text",
+          shingleWidth = 3, numHashes = 64)
+      },
+      Some(s"""WITH $shingleCte,
+              |sa AS (SELECT j AS slot, min((${aCoef("j")} * h + ${bCoef("j")}) % $P) AS mh
+              |  FROM (SELECT unnest(shash) AS h FROM hs WHERE doc_id % 2 = 0)
+              |  CROSS JOIN generate_series(0, 63) AS g(j) GROUP BY j),
+              |sb AS (SELECT j AS slot, min((${aCoef("j")} * h + ${bCoef("j")}) % $P) AS mh
+              |  FROM (SELECT unnest(shash) AS h FROM hs WHERE doc_id % 2 = 1)
+              |  CROSS JOIN generate_series(0, 63) AS g(j) GROUP BY j)
+              |SELECT COUNT(*) AS n_hashes,
+              |  COUNT(*) FILTER (sa.mh = sb.mh) AS n_match,
+              |  round((COUNT(*) FILTER (sa.mh = sb.mh))::DOUBLE / COUNT(*), 6) AS jaccard_est
+              |FROM sa JOIN sb USING (slot)""".stripMargin)),
+
     // weighted sample without replacement (priority sampling): inclusion
     // probability ∝ n_chars, no pow/ln — the priority is one multiply +
     // one divide of exact doubles, so DuckDB picks the identical set
