@@ -2,8 +2,8 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expr.{CosineSim, L2Distance, NegInnerProduct}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.expr.{ArrayJaccard, CosineSim, L2Distance, MinHashSig, NegInnerProduct, ShingleHashes, SimHash48, WordShingleStrings}
 
 /** SparkSessionExtensions entry point: makes the engine's custom Catalyst
   * expressions available to ANY session created with
@@ -29,5 +29,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("neg_inner_product"),
       info("neg_inner_product", "neg_inner_product(a, b) - negative dot product"),
       (es: Seq[Expression]) => NegInnerProduct(es(0), es(1))))
+
+    // text-hash kernels (the dedup primitives) as SQL functions, so the
+    // MinHash/SimHash pipeline is drivable from plain SQL — widths/sizes
+    // must be integer literals (they parameterize codegen)
+    def intLit(e: Expression, fn: String): Int = e match {
+      case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+      case _ => throw new IllegalArgumentException(
+        s"$fn: size argument must be an integer literal")
+    }
+    e.injectFunction((FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(text, w) - w-token shingle strings"),
+      (es: Seq[Expression]) => WordShingleStrings(es(0), intLit(es(1), "word_shingles"))))
+    e.injectFunction((FunctionIdentifier("shingle_hashes"),
+      info("shingle_hashes", "shingle_hashes(text, w) - distinct 31-bit shingle hashes"),
+      (es: Seq[Expression]) => ShingleHashes(es(0), intLit(es(1), "shingle_hashes"))))
+    e.injectFunction((FunctionIdentifier("minhash_sig"),
+      info("minhash_sig", "minhash_sig(hashes, k) - k-slot MinHash signature"),
+      (es: Seq[Expression]) => MinHashSig(es(0), intLit(es(1), "minhash_sig"))))
+    e.injectFunction((FunctionIdentifier("array_jaccard"),
+      info("array_jaccard", "array_jaccard(a, b) - Jaccard of two hash arrays"),
+      (es: Seq[Expression]) => ArrayJaccard(es(0), es(1))))
+    e.injectFunction((FunctionIdentifier("simhash48"),
+      info("simhash48", "simhash48(hashes) - 48-bit SimHash fingerprint"),
+      (es: Seq[Expression]) => SimHash48(es(0))))
   }
 }

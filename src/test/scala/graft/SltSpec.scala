@@ -92,7 +92,7 @@ class SltSpec extends AnyFunSuite {
     "stringconcat.slt", "substring.slt", "repeat.slt", "replace.slt",
     "copy_csv.slt", "sql_udf.slt", "select_misc.slt",
     "type.slt", "insert.slt", "internal.slt",
-    // round-5: DML-triangle extension
-    "update.slt")
+    // round-5: DML-triangle extension + SQL text-hash kernels
+    "update.slt", "text_functions.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
