@@ -413,13 +413,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
     val src = spark.sql(inlineFunctions(source))
-    val given = colList.map(_.split(",").map(_.trim).toSeq)
+    val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
-    require(given.length == src.columns.length,
-      s"INSERT column count mismatch: ${given.length} vs ${src.columns.length}")
-    val renamed = src.toDF(given: _*)
+    require(declared.length == src.columns.length,
+      s"INSERT column count mismatch: ${declared.length} vs ${src.columns.length}")
+    val renamed = src.toDF(declared: _*)
     val aligned = schema.fields.map { f =>
-      if (given.contains(f.name)) (f.dataType, renamed.schema(f.name).dataType) match {
+      if (declared.contains(f.name)) (f.dataType, renamed.schema(f.name).dataType) match {
         // VECTOR(n) columns accept the reference's string literal form
         // ('[1, 2.0, 3]', src/binder/insert.rs vector path)
         case (at: ArrayType, StringType) => from_json(col(f.name), at).as(f.name)

@@ -37,7 +37,7 @@ object Bpe {
       .select(explode(Hashing.tokens(col(textCol))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(desc("n"), asc("word")).limit(maxWords)
-      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toIndexedSeq
     trainFromCounts(wordCounts, numMerges)
   }
 
