@@ -278,15 +278,35 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
       blockCol: String, shingleWidth: Int, threshold: Double): DataFrame = {
     require(threshold > 0.0 && threshold < 1.0, "threshold must be in (0,1)")
-    val w = math.log(1.0 / threshold)
+    // SSJoin prefix filter (Chaudhuri/Bayardo AllPairs): sort each doc's
+    // shingle hashes into a canonical global order; a partner with
+    // J ≥ θ shares |a∩b| ≥ θ·|a| elements, so by pigeonhole at least one
+    // common element sits in a's first n − ⌈θ·n⌉ + 1 (smallest) hashes.
+    // Probe explodes only that prefix, the index side explodes all hashes
+    // — both shuffles are LINEAR in total shingles. (The former log-size
+    // bucket join had O(#buckets) ≈ log(doclen) distinct keys per block,
+    // i.e. block-quadratic candidates: recall-exact but ~20 min at sf0.1;
+    // this form is recall-exact AND output-sensitive.)
     val h = df.select(col(idCol), col(blockCol),
-        shingleHashes(col(textCol), shingleWidth).as("sh"))
-      .withColumn("_szb", floor(log(size(col("sh")).cast("double")) / w).cast("long"))
-    val a = h.select(col(blockCol), col(idCol).as("id_a"), col("sh").as("sh_a"),
-      explode(array((-2 to 2).map(d => col("_szb") + d): _*)).as("_szb"))
-    val b = h.select(col(blockCol), col(idCol).as("id_b"), col("sh").as("sh_b"),
-      col("_szb"))
-    a.join(b, Seq(blockCol, "_szb")).filter(col("id_a") < col("id_b"))
+        array_sort(shingleHashes(col(textCol), shingleWidth)).as("sh"))
+      .withColumn("_n", size(col("sh")))
+      .cache() // probe + index + the verify re-join all read it
+    val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
+    val probe = h.select(col(blockCol), col(idCol).as("id_a"), col("_n").as("_na"),
+      explode(slice(col("sh"), lit(1), prefixLen)).as("_h"))
+    val index = h.select(col(blockCol), col(idCol).as("id_b"), col("_n").as("_nb"),
+      explode(col("sh")).as("_h"))
+    // slim candidate ids only — the shingle arrays never ride the
+    // pair shuffle (the lshTopK lesson); Jaccard length bound
+    // θ·na ≤ nb ≤ na/θ prunes before the distinct
+    val cand = probe.join(index, Seq(blockCol, "_h"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("_nb") * lit(threshold) <= col("_na") &&
+        col("_na") * lit(threshold) <= col("_nb"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(h.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(h.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
