@@ -1,48 +1,141 @@
 package graft
 
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main: runs the headline (bench=true) queries on
   * SPARK_GRAFT_SF_DIR and prints one JSON line for the driver.
   * Results are fully materialized via the noop sink so Catalyst can't
   * short-circuit a count() into a parquet-footer read.
+  *
+  * Measurement protocol (round 6): the previous one-pass best-of-3 design
+  * produced 14.7s / 62.2s / 95.8s / 142.5s for near-identical code across
+  * four runs on a shared host — unusable as an acceptance signal. This
+  * version makes noise visible and attributable inside the artifact:
+  *
+  *  - INTERLEAVED rounds: one warm-up round (codegen/JIT/page cache), then
+  *    `rounds` timed rounds running q1..qN round-robin. A transient host
+  *    stall hits a contiguous stretch spanning many queries instead of all
+  *    samples of one query; per-query min over rounds is the steady-state
+  *    estimate and per-query max/min ratio is the reported spread.
+  *  - CANARY: a fixed CPU-bound query (sum over spark.range) timed before
+  *    every query slot. The canary's own spread is a direct measurement of
+  *    host throttling/interference — if it swings, the artifact says so
+  *    without needing a rerun.
+  *  - TASK METRICS: a SparkListener accumulates executor run time, GC
+  *    time, shuffle read/write bytes and spill; per-query deltas are taken
+  *    around the minimal run. Wall time that is NOT accompanied by
+  *    executor time points at scheduling/host delay, not plan cost.
+  *
+  * DataFrame cache is cleared before every timed run so queries that use
+  * an internal `.cache()` for single-derivation (q11/q15) are still
+  * measured cold end-to-end.
   */
 object Bench {
+  private final class MetricsListener extends SparkListener {
+    val runMs = new AtomicLong
+    val gcMs = new AtomicLong
+    val shufRead = new AtomicLong
+    val shufWrite = new AtomicLong
+    val spilled = new AtomicLong
+    override def onTaskEnd(e: SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) {
+        runMs.addAndGet(m.executorRunTime)
+        gcMs.addAndGet(m.jvmGCTime)
+        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        spilled.addAndGet(m.memoryBytesSpilled + m.diskBytesSpilled)
+      }
+    }
+    def snapshot: Array[Long] =
+      Array(runMs.get, gcMs.get, shufRead.get, shufWrite.get, spilled.get)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_BENCH_ROUNDS", "3").toInt
     val spark = Tables.configure(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val listener = new MetricsListener
+    spark.sparkContext.addSparkListener(listener)
 
-    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
+
+    // ~270M-row codegen'd sum: pure CPU, no IO, ~0.1-0.3s on 32 healthy
+    // cores. Timed in the same JVM between query slots; its spread IS the
+    // host-interference measurement.
+    def canaryOnce(): Double = {
       val t0 = System.nanoTime()
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => return -1.0 }
+      spark.range(1L << 28).selectExpr("sum(id)").write
+        .format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
 
-    // Criterion-style measurement (the reference bench does warmup +
-    // sample_size=10): one warm-up run amortizes codegen/JIT, then report
-    // the best of three timed runs — steady-state throughput, which is
-    // what a long-running cluster job sees. Observed inter-run noise at
-    // best-of-2 was up to ±50% per query; three samples tighten it.
-    def run(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
-      once(fn)
-      val ts = Seq(once(fn), once(fn), once(fn))
-      if (ts.exists(_ < 0)) -1.0 else ts.min
+    // One timed execution: cold DataFrame cache, full materialization.
+    // Returns (wallSec, taskMetricDeltas).
+    def once(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Array[Long]) = {
+      spark.catalog.clearCache()
+      val before = listener.snapshot
+      val t0 = System.nanoTime()
+      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      catch { case _: Throwable => return (-1.0, Array.fill(5)(0L)) }
+      val wall = (System.nanoTime() - t0) / 1e9
+      val after = listener.snapshot
+      (wall, after.zip(before).map { case (a, b) => a - b })
     }
 
-    val results = SparkEntry.benchQueries.toSeq.sortBy(_._1).map {
-      case (name, fn) => name -> run(fn)
+    val queries = SparkEntry.benchQueries.toSeq.sortBy(_._1)
+
+    // Warm-up round: codegen caches, JIT, parquet footers, OS page cache.
+    queries.foreach { case (_, fn) => once(fn) }
+
+    // Timed rounds, round-robin, canary before every slot.
+    val samples = collection.mutable.Map.empty[String, List[(Double, Array[Long])]]
+      .withDefaultValue(Nil)
+    val canaries = collection.mutable.ArrayBuffer.empty[Double]
+    for (_ <- 1 to rounds; (name, fn) <- queries) {
+      canaries += canaryOnce()
+      samples(name) = once(fn) :: samples(name)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    val perQuery = queries.map { case (name, _) =>
+      val ss = samples(name)
+      val ok = ss.filter(_._1 >= 0)
+      if (ok.isEmpty) (name, -1.0, -1.0, Array.fill(5)(0L))
+      else {
+        val best = ok.minBy(_._1)
+        val spread = ok.map(_._1).max / best._1
+        (name, best._1, spread, best._2)
+      }
+    }
+
+    val qs = perQuery.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val spreads = perQuery.map { case (k, _, sp, _) => "\"" + k + "\":" + fmt(sp) }
+      .mkString("{", ",", "}")
+    val mets = perQuery.map { case (k, _, _, m) =>
+      "\"" + k + "\":{\"exec_sec\":" + fmt(m(0) / 1e3) +
+        ",\"gc_sec\":" + fmt(m(1) / 1e3) +
+        ",\"shuffle_read_mb\":" + fmt(m(2) / 1e6) +
+        ",\"shuffle_write_mb\":" + fmt(m(3) / 1e6) +
+        ",\"spilled_mb\":" + fmt(m(4) / 1e6) + "}"
+    }.mkString("{", ",", "}")
+    val cs = canaries.sorted
+    val canaryJson =
+      if (cs.isEmpty) "{}"
+      else "{\"min\":" + fmt(cs.head) + ",\"median\":" + fmt(cs(cs.size / 2)) +
+        ",\"max\":" + fmt(cs.last) + ",\"n\":" + cs.size + "}"
+    val total = perQuery.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"spread":$spreads,"canary":$canaryJson,"task_metrics":$mets}""")
     spark.stop()
   }
 }
