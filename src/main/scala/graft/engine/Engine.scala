@@ -101,8 +101,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
   // extension: the reference binder has no UPDATE arm (src/binder/mod.rs
   // dispatch, 231-268) — we complete the DML triangle
+  // SET/WHERE are split quote-aware in `update` (splitSetWhere), not by
+  // the regex — a ' where ' inside a string literal must not split
   private val reUpdate =
-    """(?is)\s*update\s+(\w+)\s+set\s+(.+?)(?:\s+where\s+(.+))?\s*""".r
+    """(?is)\s*update\s+(\w+)\s+set\s+(.+)""".r
   private val reCopyFrom =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
@@ -152,8 +154,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       emptyResult
     case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
     case reDelete(table, cond) => delete(table, Option(cond))
-    case reUpdate(table, setList, cond) if tables.contains(table) =>
-      update(table, setList, Option(cond))
+    case reUpdate(table, rest) if tables.contains(table) =>
+      val (setList, cond) = splitSetWhere(rest)
+      update(table, setList, cond)
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
@@ -490,11 +493,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val (schema, _) = tables(table)
     val c = cond.map(s => coalesce(expr(inlineFunctions(s)), lit(false)))
       .getOrElse(lit(true))
-    val assigns = splitTopLevel(setList).map { a =>
+    val assignSeq = splitTopLevel(setList).map { a =>
       val kv = a.split("=", 2)
       require(kv.length == 2, s"UPDATE: malformed assignment '$a'")
       kv(0).trim.toLowerCase -> kv(1).trim
-    }.toMap
+    }
+    // standard SQL rejects multiple assignments to one column; a silent
+    // last-wins Map would hide the bug
+    val dups = assignSeq.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dups.isEmpty,
+      s"UPDATE: multiple assignments to column ${dups.mkString(", ")}")
+    val assigns = assignSeq.toMap
     assigns.keys.foreach { k =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
         s"UPDATE: unknown column $k in $table")
@@ -526,19 +535,60 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Split on top-level commas — parens may nest (DECIMAL(p,s),
-    * function-call assignments).
+    * function-call assignments), and separators or parens inside a
+    * single-quoted literal ('' escapes a quote) are payload, not syntax.
     */
   private def splitTopLevel(s: String): Seq[String] = {
     val parts = mutable.Buffer[String]()
-    var depth = 0; val cur = new StringBuilder
-    s.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.toString; cur.clear()
-      case ch => cur += ch
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        cur += ch
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
     }
     if (cur.nonEmpty) parts += cur.toString
     parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Split `<set list> [WHERE <cond>]` at the first top-level WHERE —
+    * outside quotes and parens, bounded by whitespace — so a 'where'
+    * inside a string literal or subexpression stays in the SET list.
+    */
+  private def splitSetWhere(s: String): (String, Option[String]) = {
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && i + 5 <= s.length &&
+            s.substring(i, i + 5).equalsIgnoreCase("where") &&
+            i > 0 && s(i - 1).isWhitespace &&
+            (i + 5 == s.length || s(i + 5).isWhitespace) =>
+          return (s.substring(0, i).trim, Some(s.substring(i + 5).trim))
+        case _ =>
+      }
+      i += 1
+    }
+    (s.trim, None)
   }
 
   private def deleteRecursively(dir: java.nio.file.Path, keepRoot: Boolean): Unit = {

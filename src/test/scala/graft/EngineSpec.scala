@@ -44,6 +44,29 @@ class EngineSpec extends AnyFunSuite {
     assert(engine.run("select v from t3 order by v").collect().map(_.getInt(0)).toSeq == Seq(1, 2))
   }
 
+  test("UPDATE parses quoted literals (commas, parens, 'where') and rejects dup assignments") {
+    engine.run("create table tu(v int, note varchar)")
+    engine.run("insert into tu values (1, 'x'), (2, 'y'), (3, 'z')")
+    // comma and paren inside the SET literal must not split the list
+    val n1 = engine.run("update tu set note = 'a, (b' where v = 1").collect()(0).getLong(0)
+    assert(n1 == 1)
+    // ' where ' inside the literal: everything after is still the value;
+    // the real WHERE follows
+    val n2 = engine.run("update tu set note = 'p where q' where v = 2").collect()(0).getLong(0)
+    assert(n2 == 1)
+    val got = engine.run("select v, note from tu order by v").collect()
+      .map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(got == Map(1 -> "a, (b", 2 -> "p where q", 3 -> "z"))
+    // doubled-quote escape stays one literal
+    engine.run("update tu set note = 'it''s, fine' where v = 3")
+    assert(engine.run("select note from tu where v = 3").collect()(0).getString(0) == "it's, fine")
+    // standard SQL rejects two assignments to one column
+    val err = intercept[IllegalArgumentException] {
+      engine.run("update tu set v = 1, v = 2")
+    }
+    assert(err.getMessage.contains("multiple assignments"))
+  }
+
   test("copy to + copy from round-trips CSV with delimiter option") {
     engine.run("create table t4(k int, s varchar)")
     engine.run("insert into t4 values (1, 'alpha'), (2, 'beta')")
