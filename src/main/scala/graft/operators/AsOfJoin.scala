@@ -72,8 +72,11 @@ object AsOfJoin {
 
   /** Nearest as-of: whichever of the backward / forward matches is
     * closer in time (ties → backward, pinned), optionally bounded by
-    * `toleranceMicros` (matches farther than the tolerance become NULL —
-    * pandas `merge_asof(tolerance=...)` semantics). Both direction
+    * `toleranceMicros` — pandas `merge_asof(tolerance=...)` semantics:
+    * the tolerance filters each DIRECTION first, then the nearest
+    * surviving match wins. So a backward match beyond tolerance never
+    * shadows a forward match within it (and vice versa); only when both
+    * directions are out of tolerance is the result NULL. Both direction
     * windows share one partitioning, so the plan still shuffles the
     * union exactly once; timestamps are compared in integer epoch
     * micros — no float time math.
@@ -97,18 +100,18 @@ object AsOfJoin {
       .withColumn("_db", unix_micros(col(timeCol)) - unix_micros(col("_bt")))
       .withColumn("_df", unix_micros(col("_ft")) - unix_micros(col(timeCol)))
 
-    val backWins = col("_bt").isNotNull &&
-      (col("_ft").isNull || col("_db") <= col("_df"))
-    val dist = when(backWins, col("_db")).otherwise(col("_df"))
-    val inTol = toleranceMicros match {
-      case Some(tol) => dist <= lit(tol)
-      case None => lit(true)
+    val (bOk, fOk) = toleranceMicros match {
+      case Some(tol) => (col("_bt").isNotNull && col("_db") <= lit(tol),
+        col("_ft").isNotNull && col("_df") <= lit(tol))
+      case None => (col("_bt").isNotNull, col("_ft").isNotNull)
     }
+    val backWins = bOk && (!fOk || col("_db") <= col("_df"))
+    val forwardWins = fOk && !backWins
     both
       .withColumn(s"asof_$payloadCol",
-        when(inTol, when(backWins, col("_bp")).otherwise(col("_fp"))))
+        when(backWins, col("_bp")).when(forwardWins, col("_fp")))
       .withColumn("asof_time",
-        when(inTol, when(backWins, col("_bt")).otherwise(col("_ft"))))
+        when(backWins, col("_bt")).when(forwardWins, col("_ft")))
       .drop("_side", "_payload", "_rtime", "_bp", "_bt", "_fp", "_ft", "_db", "_df")
   }
 }

@@ -39,25 +39,19 @@ object Dedup {
       .withColumn("bands", lshBandKeys(col("sig"), bands, rows))
   }
 
-  /** Candidate near-dup pairs via LSH banding, verified with exact Jaccard.
-    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+  /** LSH band-bucket candidate pairs (id_a < id_b, distinct) from a
+    * [[minhashed]] frame — the blocking stage shared by [[minhashPairs]]
+    * and [[editDistancePairs]]. Explodes to (bandIdx, bandKey) and bucket-
+    * joins slim (id, band) rows; payload arrays never ride the pair
+    * shuffle. The hot-bucket cap drops boilerplate buckets whose B docs
+    * would emit B² candidates (those docs still pair through their other,
+    * more selective bands); None = exact LSH semantics, the oracle-gate
+    * default.
     */
-  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
-      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
-      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
-    // materialize signatures once: the self-join would otherwise recompute
-    // the (expensive) shingle hashing for both sides of every probe
-    val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
-      .select(col(idCol), col("shingles"), col("bands")).cache()
-    // explode to (bandIdx, bandKey) → bucket join on slim (id, band) rows;
-    // shingle arrays stay out of the pair shuffle and are re-joined only
-    // for the (small) candidate set's Jaccard verification
+  private def lshCandidates(m: DataFrame, idCol: String,
+      maxBucket: Option[Int]): DataFrame = {
     val bandedAll = m.select(col(idCol),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
-    // hot-bucket cap for boilerplate-heavy corpora: a band bucket holding
-    // B docs emits B² candidates — above the cap the bucket is dropped
-    // (those docs still pair through their other, more selective bands).
-    // None (default) = exact LSH semantics, used by the oracle gate.
     val banded = maxBucket match {
       case None => bandedAll
       case Some(cap) =>
@@ -68,10 +62,22 @@ object Dedup {
     }
     val a = banded.select(col(idCol).as("id_a"), col("band_idx"), col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("band_idx"), col("band_key"))
-    val cand = a.join(b, Seq("band_idx", "band_key"))
+    a.join(b, Seq("band_idx", "band_key"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+  }
+
+  /** Candidate near-dup pairs via LSH banding, verified with exact Jaccard.
+    * Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard ≥ threshold.
+    */
+  def minhashPairs(df: DataFrame, idCol: String, textCol: String,
+      shingleWidth: Int = 3, numHashes: Int = 16, bands: Int = 4,
+      threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
+    // materialize signatures once: the self-join would otherwise recompute
+    // the (expensive) shingle hashing for both sides of every probe
+    val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol), col("shingles"), col("bands")).cache()
+    lshCandidates(m, idCol, maxBucket)
       .join(m.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(m.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
       .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
@@ -80,11 +86,13 @@ object Dedup {
   }
 
   /** Bounded-edit-distance near-dup pairs: LSH-banded candidate pairs
-    * (same blocking as [[minhashPairs]] with threshold 0 — any shared
-    * band bucket) verified by exact Levenshtein distance ≤ `maxDist`
+    * (the shared [[lshCandidates]] blocking — any shared band bucket)
+    * verified by exact Levenshtein distance ≤ `maxDist`
     * (codegen'd built-in, no UDF). A length pre-filter
     * (|len(a)−len(b)| ≤ maxDist, necessary for a match) runs before the
     * O(len²) kernel so wildly different-length candidates never reach it.
+    * The shingle arrays and the Jaccard verify of [[minhashPairs]] never
+    * enter this plan — the candidate stage carries (id, band) rows only.
     *
     * Scale: candidates are LSH-bounded exactly like [[minhashPairs]] —
     * never all-pairs — and the expensive kernel touches only pairs that
@@ -98,9 +106,9 @@ object Dedup {
       maxDist: Int, shingleWidth: Int = 3, numHashes: Int = 16,
       bands: Int = 4): DataFrame = {
     val txt = df.select(col(idCol), col(textCol))
-    minhashPairs(df, idCol, textCol, shingleWidth, numHashes, bands,
-        threshold = 0.0)
-      .select(col("id_a"), col("id_b"))
+    val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol), col("bands"))
+    lshCandidates(m, idCol, maxBucket = None)
       .join(txt.select(col(idCol).as("id_a"), col(textCol).as("_ta")), "id_a")
       .join(txt.select(col(idCol).as("id_b"), col(textCol).as("_tb")), "id_b")
       .filter(abs(length(col("_ta")) - length(col("_tb"))) <= maxDist)
@@ -209,13 +217,17 @@ object Dedup {
 
   /** Connected components over a near-duplicate pair graph: every doc in a
     * cluster is labeled with the cluster's minimum id (the representative
-    * to keep). Iterative min-label propagation — each round joins the
-    * label table with the (bidirectional) edge list and takes the min
-    * neighbor label; rounds needed = graph diameter, which for near-dup
-    * clusters is tiny (dup clusters are near-cliques). Each round is one
-    * shuffle on id; no driver-side graph state.
+    * to keep). Each round does min-label propagation over the
+    * (bidirectional) edge list PLUS a pointer-jump (label doubling:
+    * rep ← rep(rep)), so the distance a label still has to travel halves
+    * every round — convergence in O(log diameter) rounds, not
+    * O(diameter). Near-dup clusters are near-cliques (1–2 rounds), but a
+    * legitimate long chain (e.g. successive boilerplate edits, each pair
+    * within threshold) no longer blows the iteration budget: the default
+    * 12 rounds covers diameters in the thousands. Each round is two keyed
+    * shuffles; no driver-side graph state.
     */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 10): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 12): DataFrame = {
     // cache: the loop re-reads edges every iteration; without this the
     // whole upstream pair-detection lineage re-executes per round
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -225,30 +237,59 @@ object Dedup {
       .withColumn("rep", col("id"))
     var converged = false
     var i = 0
+    // Catalyst's Union constraint rewrite can throw NoSuchElementException
+    // ("key not found: id#N") when a union child shares attribute ids with
+    // the frame it is unioned against — exactly the shape of the
+    // propagate step (labels ∪ edges⋈labels) iterated over checkpointed
+    // frames that REUSE their origin's expr ids. Constraint propagation
+    // buys nothing inside this loop (plain join + min-agg, no inferable
+    // filters), so it is disabled for the loop's actions and restored
+    // after; the returned frame is a checkpointed leaf, unaffected.
+    val conf = pairs.sparkSession.conf
+    val prevConstraint =
+      conf.get("spark.sql.constraintPropagation.enabled", "true")
+    conf.set("spark.sql.constraintPropagation.enabled", "false")
+    try {
     while (!converged && i < maxIters) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
         .select(edges("src").as("id"), col("rep"))
       // localCheckpoint TRUNCATES the lineage each round — with cache the
       // logical plan doubles per iteration (hundreds of scans in the plan
       // after a few rounds; planning itself becomes the bottleneck long
-      // before execution does). Blocks live in the executor block manager;
-      // for fault-tolerant long chains swap in reliable checkpoint() with
-      // a checkpoint dir — same plan shape.
-      val next = labels.select(col("id"), col("rep")).unionAll(viaNeighbor)
+      // before execution does). It must run BEFORE the pointer-jump
+      // self-join: self-joining a Union-bearing plan trips Catalyst's
+      // Union constraint rewrite (NoSuchElementException on a
+      // deduplicated attribute id), and a LogicalRDD leaf self-joins
+      // cleanly. Blocks live in the executor block manager; for
+      // fault-tolerant long chains swap in reliable checkpoint() with a
+      // checkpoint dir — same plan shape.
+      val propagated = labels.select(col("id"), col("rep")).unionAll(viaNeighbor)
         .groupBy(col("id")).agg(min(col("rep")).as("rep"))
         .localCheckpoint()
+      // pointer jump: follow the label's own label. rep is always a node
+      // id in this component, so the lookup is a self-join on the label
+      // frame; taking the min keeps monotone descent toward the
+      // component minimum (the fixpoint is unchanged, reached
+      // exponentially faster)
+      val next = propagated.alias("l")
+        .join(propagated.select(col("id").as("_jid"), col("rep").as("_jrep")),
+          col("l.rep") === col("_jid"), "left")
+        .select(col("l.id").as("id"),
+          least(col("l.rep"), coalesce(col("_jrep"), col("l.rep"))).as("rep"))
+        .localCheckpoint() // materialize once: convergence check + next round both read it
       converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
         .filter(col("rep") =!= col("prev")).isEmpty
       labels = next
       i += 1
     }
-    // near-dup clusters are near-cliques (diameter ≈ 2), so hitting the
-    // iteration cap means the input is not a dup graph — failing loudly
-    // beats silently mislabeled clusters at 100 TB
+    } finally conf.set("spark.sql.constraintPropagation.enabled", prevConstraint)
+    // with doubling, hitting the cap means diameter ≳ 2^maxIters — the
+    // input is not any plausible document graph; failing loudly beats
+    // silently mislabeled clusters at 100 TB
     if (!converged)
       throw new IllegalStateException(
         s"connectedComponents did not converge in $maxIters rounds; " +
-          "raise maxIters or check the pair graph for long chains")
+          "raise maxIters or check the pair graph")
     labels
   }
 

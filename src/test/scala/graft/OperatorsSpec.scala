@@ -32,6 +32,23 @@ class OperatorsSpec extends AnyFunSuite {
     assert(exact.subsetOf(lsh), s"missed: ${exact.diff(lsh)}")
   }
 
+  test("connected components converge on a 100-node path graph (pointer jumping)") {
+    import spark.implicits._
+    // a chain 0-1-2-...-99: diameter 99, the adversarial case for plain
+    // min-label propagation (needs 99 rounds); pointer jumping must close
+    // it within the default budget and label every node with 0
+    val chain = (0L until 99L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 100)
+    assert(labels.values.forall(_ == 0L))
+    // two separate cliques keep separate representatives
+    val two = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("id_a", "id_b")
+    val reps = Dedup.connectedComponents(two).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("simhash near-identical docs get close fingerprints") {
     import spark.implicits._
     val twoDocs = Seq(
@@ -87,7 +104,7 @@ class OperatorsSpec extends AnyFunSuite {
   test("asof directions agree with a hand-computed tiny case") {
     import spark.implicits._
     import graft.operators.AsOfJoin
-    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L))
+    val l = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 50L, 12L), (1L, 280L, 13L))
       .toDF("k", "t", "lid")
       .select(col("k"), timestamp_micros(col("t") * 1000000L).as("t"), col("lid"))
     val r = Seq((1L, 90L, 900L), (1L, 150L, 901L), (1L, 300L, 902L))
@@ -96,16 +113,20 @@ class OperatorsSpec extends AnyFunSuite {
     def m(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(x => x.getLong(2) -> Option(x.get(3)).map(_.asInstanceOf[Long])).toMap
     val back = m(AsOfJoin.asof(l, r, "k", "t", "lid", "p"))
-    assert(back == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
+    assert(back == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None, 13L -> Some(901L)))
     val fwd = m(AsOfJoin.asofForward(l, r, "k", "t", "lid", "p"))
-    assert(fwd == Map(10L -> Some(901L), 11L -> Some(902L), 12L -> None))
-    // lid 10: back 10s vs fwd 50s → back; lid 11: back 50s vs fwd 100s → back
+    assert(fwd == Map(10L -> Some(901L), 11L -> Some(902L), 12L -> None, 13L -> Some(902L)))
+    // lid 10: back 10s vs fwd 50s → back; lid 11: back 50s vs fwd 100s →
+    // back; lid 13: back 130s vs fwd 20s → forward
     val near = m(AsOfJoin.asofNearest(l, r, "k", "t", "lid", "p"))
-    assert(near == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None))
-    // 11's best (back, 50s) exceeds a 20s tolerance → NULL; 10's (10s) survives
+    assert(near == Map(10L -> Some(900L), 11L -> Some(901L), 12L -> None, 13L -> Some(902L)))
+    // pandas tolerance semantics: each direction is bounded BEFORE the
+    // nearest pick. 11's best (back, 50s) exceeds 20s → NULL; 10's back
+    // (10s) survives; 13's back (130s) is out but its forward (20s) is in
+    // → forward match, not NULL
     val tol = m(AsOfJoin.asofNearest(l, r, "k", "t", "lid", "p",
       toleranceMicros = Some(20L * 1000000L)))
-    assert(tol == Map(10L -> Some(900L), 11L -> None, 12L -> None))
+    assert(tol == Map(10L -> Some(900L), 11L -> None, 12L -> None, 13L -> Some(902L)))
   }
 
   test("priority sample is deterministic, k-bounded, and weight-sensitive") {
