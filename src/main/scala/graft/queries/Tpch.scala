@@ -324,17 +324,20 @@ object Tpch {
     "q15_top_supplier" -> Q(
       (s, d) => {
         val su = t(s, d, "supplier")
+        // cache the per-supplier aggregate so the 1-row max reads
+        // InMemoryTableScan instead of re-running the lineitem
+        // aggregation (Spark doesn't unify a plan with its own
+        // aggregate); broadcast the max back over the distributed frame.
+        // The former global-window form funneled every supplier through
+        // one task — wrong shape at 100× scale.
         val rev = t(s, d, "lineitem")
           .filter(col("l_shipdate") >= tsLit("1996-01-01 00:00:00") &&
             col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
-        // max as a window over the SMALL per-supplier aggregate — joining
-        // rev against rev.agg(max) re-executed the whole lineitem
-        // aggregation (Spark doesn't unify a plan with its own aggregate)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-        val top = rev.withColumn("_m", max(col("total_revenue")).over(w))
+          .cache()
+        val top = rev.crossJoin(broadcast(
+            rev.agg(max(col("total_revenue")).as("_m"))))
           .filter(col("total_revenue") === col("_m"))
         su.join(top, su("s_suppkey") === top("l_suppkey"))
           .select(col("s_suppkey"), col("s_name"), col("total_revenue"))

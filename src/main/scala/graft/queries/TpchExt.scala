@@ -112,22 +112,21 @@ object TpchExt {
         val n = t(s, d, "nation").filter(col("n_name") === "NATION_7")
         val natPs = ps.join(su, ps("ps_suppkey") === su("s_suppkey"))
           .join(n, su("s_nationkey") === n("n_nationkey"))
+        // cache the per-part aggregate so the 1-row threshold aggregate
+        // reads InMemoryTableScan instead of re-executing the derivation
+        // subtree (Spark doesn't unify a plan self-joined with its own
+        // aggregate). The former global-window formulation kept single
+        // derivation but forced all |part| rows through ONE task — a
+        // scale-killer at 100×. The threshold re-quantizes group values
+        // back to exact micros (Σ groups == Σ rows bit-for-bit, dsum's
+        // contract) and broadcasts one row over the distributed frame.
         val byPart = natPs.groupBy(col("ps_partkey"))
           .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
-        // threshold as a WINDOW over the per-part aggregate: the former
-        // 1-row-aggregate + crossJoin re-executed the whole derivation
-        // subtree (Spark doesn't unify a plan self-joined with its own
-        // aggregate — two part scans, four supplier scans in the physical
-        // plan). The window re-quantizes each group value back to exact
-        // micros (Σ groups == Σ rows bit-for-bit, dsum's contract) and
-        // runs one single-task pass over the SMALL per-part frame — the
-        // fact-side derivation happens exactly once.
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy().rowsBetween(Long.MinValue, Long.MaxValue)
-        val threshold =
-          (sum(round(col("value") * 1e6).cast("long")).over(w)
-            .cast("double") / 1e6) * 0.004
-        byPart.withColumn("_threshold", threshold)
+          .cache()
+        val threshold = byPart.agg(
+          ((sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+            * 0.004).as("_threshold"))
+        byPart.crossJoin(broadcast(threshold))
           .filter(col("value") > col("_threshold"))
           .select(col("ps_partkey"), col("value"))
           .orderBy(col("value").desc, col("ps_partkey"))
