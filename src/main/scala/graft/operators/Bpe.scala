@@ -28,6 +28,20 @@ object Bpe {
   /** End-of-word marker appended to each word's symbol sequence. */
   val Eow = "</w>"
 
+  /** Fixed, data-independent training dictionary for the oracled encode
+    * gate: the merge table trained from it is a pure function of this
+    * literal (never of the driver testdata, which regenerates between
+    * rounds), so the DuckDB oracle can carry the same 24 merges as
+    * literals and stay valid forever. BpeSpec pins
+    * `trainFromCounts(SeedCounts, 24)` to that exact list.
+    */
+  val SeedCounts: Seq[(String, Long)] = Seq(
+    "the" -> 120L, "of" -> 70L, "and" -> 65L, "to" -> 60L, "in" -> 45L,
+    "that" -> 30L, "is" -> 28L, "for" -> 25L, "it" -> 22L, "with" -> 20L,
+    "this" -> 18L, "data" -> 17L, "query" -> 15L, "then" -> 12L,
+    "there" -> 11L, "other" -> 10L, "these" -> 9L, "than" -> 8L,
+    "into" -> 7L, "onto" -> 6L)
+
   /** Train `numMerges` BPE merges from the corpus' word-frequency table.
     * Returns merges in rank order (highest-frequency pair first).
     */

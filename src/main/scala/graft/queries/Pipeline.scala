@@ -249,13 +249,19 @@ object Pipeline {
               |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4
               |ORDER BY id_a, id_b""".stripMargin)),
 
-    // salted skew join: the oracle is the PLAIN join — salting only routes
-    // rows across tasks, so hash-matching the unsalted result proves the
-    // mitigation is semantics-free.
+    // salted skew join over a DELIBERATELY skewed key (the driver data's
+    // own keys hash uniform): ~70% of lineitem rows collapse onto suppkey
+    // 0 — the hot-key shape that stalls an unsalted shuffle join behind
+    // one straggler task. The oracle is the PLAIN join on the same skewed
+    // key — salting only routes rows across tasks, so hash-matching the
+    // unsalted result proves the mitigation is semantics-free. PlanSpec
+    // asserts the physical join key actually carries the salt.
     "join_skew_salted" -> Q(
       (s, d) => {
         val l = t(s, d, "lineitem")
-          .select(col("l_suppkey").as("suppkey"), col("l_quantity"))
+          .select(when(col("l_orderkey") % 10 < 7, lit(0L))
+              .otherwise(col("l_suppkey")).as("suppkey"),
+            col("l_quantity"))
         val su = t(s, d, "supplier")
           .select(col("s_suppkey").as("suppkey"), col("s_name"))
         graft.operators.Skew.saltedJoin(l, su, "suppkey", 8)
@@ -265,8 +271,40 @@ object Pipeline {
       },
       Some("""SELECT s_name, COUNT(*) AS n,
              |CAST(SUM(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS qty
-             |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+             |FROM (SELECT CASE WHEN l_orderkey % 10 < 7 THEN 0 ELSE l_suppkey END AS k, l_quantity
+             |      FROM lineitem) l
+             |JOIN supplier ON l.k = s_suppkey
              |GROUP BY s_name ORDER BY s_name""".stripMargin)),
+
+    // hot-bucket cap engaged: buckets holding more than `maxBucket` docs
+    // are dropped before pairing (their docs still pair through other
+    // bands). The oracle recomputes the SAME bucket-size filter, so the
+    // hash match proves the capped semantics exactly — this is the
+    // boilerplate-flood guard actually exercised, not tests-only.
+    "dedup_minhash_capped" -> Q(
+      (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
+          shingleWidth = 3, numHashes = 16, bands = 4, threshold = 0.5,
+          maxBucket = Some(6))
+        .orderBy("id_a", "id_b"),
+      Some(s"""WITH $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |bsz AS (SELECT band_idx, band_key, COUNT(*) AS n FROM ex
+              |  GROUP BY band_idx, band_key),
+              |exc AS (SELECT e.doc_id, e.band_idx, e.band_key FROM ex e
+              |  JOIN bsz USING (band_idx, band_key) WHERE bsz.n <= 6),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM exc a JOIN exc b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id)
+              |SELECT c.id_a, c.id_b, $jacc AS jaccard
+              |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
     // ---- similarity search ---------------------------------------------
     "ann_brute_force_topk" -> Q(
@@ -810,14 +848,53 @@ object Pipeline {
         .orderBy("rank"),
       None),
 
-    // per-doc tokenization stats under the trained vocabulary
+    // per-doc tokenization stats under a FIXED merge table (trained from
+    // the data-independent SeedCounts dictionary — still the real
+    // trainFromCounts path, but reproducible as SQL literals). The greedy
+    // priority-loop encode (expr/BpeEncode) equals one left-to-right pass
+    // per merge in rank order for any well-formed (trained) table — a
+    // merge can only create pairs involving its own output symbol, whose
+    // consumers are by construction later-ranked — so the oracle replays
+    // the 24 passes as a recursive CTE over (word, rank, position).
     "curation_bpe_tokens" -> Q(
       (s, d) => graft.operators.Bpe.tokenized(
           t(s, d, "documents"), "doc_id", "text",
-          graft.operators.Bpe.trainMerges(t(s, d, "documents"), "text",
-            numMerges = 40))
+          graft.operators.Bpe.trainFromCounts(
+            graft.operators.Bpe.SeedCounts, numMerges = 24))
         .orderBy("doc_id"),
-      None),
+      Some(s"""WITH RECURSIVE
+              |m(rank, l, r) AS (VALUES
+              |  (0,'t','h'),(1,'th','e'),(2,'the','</w>'),(3,'a','n'),
+              |  (4,'o','</w>'),(5,'t','o</w>'),(6,'f','</w>'),(7,'o','f</w>'),
+              |  (8,'an','d'),(9,'and','</w>'),(10,'n','</w>'),(11,'t','</w>'),
+              |  (12,'i','s'),(13,'is','</w>'),(14,'i','n</w>'),(15,'r','</w>'),
+              |  (16,'a','t</w>'),(17,'th','at</w>'),(18,'f','o'),(19,'fo','r</w>'),
+              |  (20,'i','t</w>'),(21,'e','</w>'),(22,'i','th'),(23,'ith','</w>')),
+              |words AS (SELECT DISTINCT unnest($toks) AS word FROM documents),
+              |enc AS (
+              |  SELECT word, 0 AS rank, list_append(str_split(word, ''), '</w>') AS syms,
+              |         1 AS pos, CAST([] AS VARCHAR[]) AS acc
+              |  FROM words
+              |  UNION ALL
+              |  SELECT e.word,
+              |    CASE WHEN e.pos > len(e.syms) THEN e.rank + 1 ELSE e.rank END,
+              |    CASE WHEN e.pos > len(e.syms) THEN e.acc ELSE e.syms END,
+              |    CASE WHEN e.pos > len(e.syms) THEN 1
+              |         WHEN e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos+1] = m.r THEN e.pos + 2
+              |         ELSE e.pos + 1 END,
+              |    CASE WHEN e.pos > len(e.syms) THEN CAST([] AS VARCHAR[])
+              |         WHEN e.pos < len(e.syms) AND e.syms[e.pos] = m.l AND e.syms[e.pos+1] = m.r THEN list_append(e.acc, m.l || m.r)
+              |         ELSE list_append(e.acc, e.syms[e.pos]) END
+              |  FROM enc e JOIN m ON m.rank = e.rank
+              |  WHERE e.rank < 24
+              |),
+              |encoded AS (SELECT word, len(syms) AS n_sub FROM enc WHERE rank = 24 AND pos = 1),
+              |docw AS (SELECT doc_id, unnest($toks) AS word FROM documents)
+              |SELECT doc_id, CAST(COUNT(*) AS INT) AS n_words,
+              |  CAST(SUM(e.n_sub) AS INT) AS n_subwords,
+              |  round(SUM(e.n_sub)::DOUBLE / COUNT(*), 6) AS subwords_per_word
+              |FROM docw JOIN encoded e USING (word)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
 
     // semantic quality: cosine against the label-0 fixed-point centroid
     "curation_centroid_score" -> Q(

@@ -20,6 +20,20 @@ class BpeSpec extends AnyFunSuite {
     assert(merges == Seq(("a", "b"), ("ab", Bpe.Eow)))
   }
 
+  test("seed-dictionary merges match the oracle's literal table") {
+    // curation_bpe_tokens' DuckDB oracle carries these 24 merges as SQL
+    // literals; if training semantics (or SeedCounts) ever change, this
+    // pin fails before the gate does
+    val expected = Seq(
+      ("t", "h"), ("th", "e"), ("the", "</w>"), ("a", "n"),
+      ("o", "</w>"), ("t", "o</w>"), ("f", "</w>"), ("o", "f</w>"),
+      ("an", "d"), ("and", "</w>"), ("n", "</w>"), ("t", "</w>"),
+      ("i", "s"), ("is", "</w>"), ("i", "n</w>"), ("r", "</w>"),
+      ("a", "t</w>"), ("th", "at</w>"), ("f", "o"), ("fo", "r</w>"),
+      ("i", "t</w>"), ("e", "</w>"), ("i", "th"), ("ith", "</w>"))
+    assert(Bpe.trainFromCounts(Bpe.SeedCounts, numMerges = 24) == expected)
+  }
+
   test("training exhausts when no pairs remain instead of looping") {
     val merges = Bpe.trainFromCounts(Seq(("x", 1L)), numMerges = 10)
     // "x" → [x, </w>] → one merge, then single symbols everywhere

@@ -130,6 +130,20 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("_salt"), p)
   }
 
+  test("salted join's shuffle exchange carries the salt (hot key spread)") {
+    // at gate scale the ×8-exploded supplier side broadcasts (no exchange
+    // to inspect); disabling broadcast shows the 100 TB shape — the join
+    // must shuffle on (suppkey, _salt), spreading the hot key over the
+    // salt buckets instead of one straggler partition
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.registry("join_skew_salted").fn(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.matches("(?s).*hashpartitioning\\(suppkey[^)]*_salt.*"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("range join carries the bucket in the equi-join key") {
     val p = planOf("events_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
