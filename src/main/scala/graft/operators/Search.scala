@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Hashing
+
+/** Ranked keyword retrieval over a document corpus — the text-search
+  * counterpart of the vector top-k in [[Similarity]]. The reference has no
+  * search operator; a training-data pipeline needs one constantly (find
+  * the documents that mention X, score corpus relevance for a probe
+  * query, pull top-k exemplars for inspection).
+  *
+  * Scoring is BM25 with a RATIONAL idf lift, `(N - df + 0.5)/(df + 0.5)`,
+  * i.e. the argument of Robertson's `log`-idf without the log. Per term
+  * the transform is monotone, so single-term ranking is identical to
+  * classic BM25; multi-term sums weight rare terms more aggressively.
+  * The point of the variant is cross-engine exactness: every operation is
+  * IEEE correctly-rounded arithmetic (no libm transcendentals, whose last
+  * ulp differs between engines), the defaults k1=1.5 / b=0.75 are exactly
+  * representable doubles, and the per-document sum over matched terms
+  * runs in fixed-point micros — so the DuckDB oracle hash-matches bit for
+  * bit.
+  *
+  * Scale shape (100 TB): the corpus pass is narrow — tokenize, keep only
+  * rows intersecting the (tiny, literal) term set, emit one slim
+  * (id, term, tf, dl) row per matched doc-term. Corpus stats (N, Σdl) are
+  * a 1-row aggregate and the per-term document frequencies are a
+  * ≤|terms|-row aggregate; both broadcast back, so the only wide
+  * operations over matched docs are one keyed partial-aggregated sum and
+  * a k-bounded TakeOrdered. Nothing shuffles the full corpus.
+  */
+object Search {
+
+  /** Top-k documents for a bag-of-words query, scored by BM25-lift.
+    * Output: (idCol, dl, score), score descending, id ascending on ties.
+    */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int,
+      k1: Double = 1.5, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "bm25TopK: empty query")
+    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    val termLit: Column = array(terms.map(lit): _*)
+
+    val tk = docs
+      .select(col(idCol), Hashing.tokens(col(textCol)).as("tks"))
+      .withColumn("dl", size(col("tks")))
+    // one narrow corpus pass -> single stats row, broadcast into the plan
+    val stats = tk.agg(
+      count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+
+    // only matched docs survive past here: explode the (deduplicated)
+    // intersection, then count the term's occurrences with an in-row scan
+    // — no corpus-wide (doc, token) explode, no shuffle to compute tf
+    val hits = tk
+      .withColumn("term", explode(array_intersect(col("tks"), termLit)))
+      .withColumn("tf", size(filter(col("tks"), x => x === col("term"))))
+      .select(col(idCol), col("dl"), col("term"), col("tf"))
+
+    // document frequency per query term: ≤ |terms| rows, broadcast back
+    val dfreq = hits.groupBy(col("term")).agg(count(lit(1)).as("df"))
+
+    val tfD = col("tf").cast("double")
+    val dlD = col("dl").cast("double")
+    val nD = col("n_docs").cast("double")
+    val dfD = col("df").cast("double")
+    val avgdl = col("total_dl").cast("double") / col("n_docs").cast("double")
+    val idfLift = (nD - dfD + lit(0.5)) / (dfD + lit(0.5))
+    // same parenthesization as the oracle SQL — identical IEEE op sequence
+    val scoreT = idfLift * (tfD * lit(k1 + 1.0)) /
+      (tfD + lit(k1) * (lit(1.0) - lit(b) + lit(b) * (dlD / avgdl)))
+
+    hits
+      .join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("score_t", scoreT)
+      .groupBy(col(idCol), col("dl"))
+      .agg((sum(round(col("score_t") * 1e6).cast("long")).cast("double") / 1e6)
+        .as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+      .select(col(idCol), col("dl"), col("score"))
+  }
+}

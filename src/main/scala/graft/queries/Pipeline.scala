@@ -306,6 +306,34 @@ object Pipeline {
               |FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
               |WHERE $jacc >= 0.5 ORDER BY id_a, id_b""".stripMargin)),
 
+    // ---- ranked keyword search ------------------------------------------
+    // BM25 with rational idf lift (the log's argument, not the log —
+    // libm-free, so the oracle is exact; see Search.bm25TopK scaladoc).
+    // Defaults k1=1.5, b=0.75 are exactly-representable doubles and the
+    // per-doc term sum goes through fixed-point micros on both sides.
+    "search_bm25_topk" -> Q(
+      (s, d) => graft.operators.Search.bm25TopK(
+        t(s, d, "documents"), "doc_id", "text",
+        Seq("merge", "window", "scan"), k = 10),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |dls AS (SELECT doc_id, len(tks) AS dl, tks FROM tk),
+              |stats AS (SELECT COUNT(*) AS n_docs, SUM(dl) AS total_dl FROM dls),
+              |hits0 AS (SELECT doc_id, dl, tks,
+              |  unnest(list_intersect(tks, ['merge', 'window', 'scan'])) AS term FROM dls),
+              |hits AS (SELECT doc_id, dl, term,
+              |  len(list_filter(tks, x -> x = term)) AS tf FROM hits0),
+              |dfreq AS (SELECT term, COUNT(*) AS df FROM hits GROUP BY term),
+              |sc AS (SELECT h.doc_id, h.dl,
+              |  (CAST(s.n_docs AS DOUBLE) - CAST(d.df AS DOUBLE) + 0.5) / (CAST(d.df AS DOUBLE) + 0.5)
+              |    * (CAST(h.tf AS DOUBLE) * 2.5)
+              |    / (CAST(h.tf AS DOUBLE) + 1.5 * (1.0 - 0.75 + 0.75 *
+              |        (CAST(h.dl AS DOUBLE) / (CAST(s.total_dl AS DOUBLE) / CAST(s.n_docs AS DOUBLE))))) AS score_t
+              |  FROM hits h JOIN dfreq d USING (term) CROSS JOIN stats s)
+              |SELECT doc_id, dl,
+              |  CAST(SUM(CAST(round(score_t * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS score
+              |FROM sc GROUP BY doc_id, dl
+              |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
+
     // ---- similarity search ---------------------------------------------
     "ann_brute_force_topk" -> Q(
       (s, d) => {

@@ -49,6 +49,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(reps == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("bm25 top-k matches a hand-computed tiny corpus exactly") {
+    import spark.implicits._
+    // N=3, total_dl=9, avgdl=3; df(a)=1, df(c)=2
+    // d1: idf(a)=2.5/1.5, tf=2, dl=3 -> (2.5/1.5)*5/3.5      = 2.380952...
+    // d3: idf(c)=0.6,     tf=4, dl=4 -> 0.6*10/5.875          = 1.021276...
+    // d2: idf(c)=0.6,     tf=1, dl=2 -> 0.6*2.5/2.125         = 0.705882...
+    val tiny = Seq((1L, "a b a"), (2L, "b c"), (3L, "c c c c")).toDF("doc_id", "text")
+    val out = graft.operators.Search.bm25TopK(tiny, "doc_id", "text",
+      Seq("a", "c"), k = 3).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(1L, 3L, 2L))
+    // fixed-point micros: values are exact, not approximate
+    assert(out.map(_.getDouble(2)).toSeq == Seq(2.380952, 1.021277, 0.705882))
+    // k bounds the result
+    val top1 = graft.operators.Search.bm25TopK(tiny, "doc_id", "text",
+      Seq("a", "c"), k = 1).collect()
+    assert(top1.map(_.getLong(0)).toSeq == Seq(1L))
+    // a term absent from the corpus contributes nothing (no NULL poisoning)
+    val absent = graft.operators.Search.bm25TopK(tiny, "doc_id", "text",
+      Seq("zzz", "a"), k = 3).collect()
+    assert(absent.map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("simhash near-identical docs get close fingerprints") {
     import spark.implicits._
     val twoDocs = Seq(

@@ -144,6 +144,17 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("bm25 plan: tiny frames broadcast, top-k is TakeOrdered, no corpus shuffle join") {
+    val p = planOf("search_bm25_topk")
+    // df/stats frames broadcast back over the matched docs; the corpus
+    // itself never rides a join shuffle
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // k-bounded: no global sort of the scored frame
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("range join carries the bucket in the equi-join key") {
     val p = planOf("events_range_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
