@@ -441,10 +441,18 @@ object Curation {
     */
   def ngramFamiliarity(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val grams = df.select(col(idCol),
-      explode(wordShinglesNative(col(textCol), 2)).as("gram"))
-    val counts = grams.groupBy(col("gram")).agg(count(lit(1)).as("gfreq"))
-    grams.join(counts, "gram")
+    // corpus frequency as a window over the gram partitioning — ONE
+    // corpus explode and one keyed exchange, replacing the former
+    // grams ⋈ grams.groupBy(gram) self-join (Spark shares no self-joined
+    // subtrees, so that plan exploded the corpus twice and shuffled three
+    // times). The window partitions by gram — fully parallel; a
+    // pathologically hot gram concentrates its rows in one task exactly
+    // as the join build side did, and the standard salt-the-key fix
+    // applies if a corpus ever needs it.
+    val byGram = Window.partitionBy(col("gram"))
+    df.select(col(idCol),
+        explode(wordShinglesNative(col(textCol), 2)).as("gram"))
+      .withColumn("gfreq", count(lit(1)).over(byGram))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_grams"),
         round(sum(col("gfreq")).cast("double") / count(lit(1)), 6)
