@@ -324,10 +324,12 @@ object Tpch {
     "q15_top_supplier" -> Q(
       (s, d) => {
         val su = t(s, d, "supplier")
-        // cache the per-supplier aggregate so the 1-row max reads
-        // InMemoryTableScan instead of re-running the lineitem
-        // aggregation (Spark doesn't unify a plan with its own
-        // aggregate); broadcast the max back over the distributed frame.
+        // The 1-row max branch re-runs the lineitem aggregation (Spark
+        // doesn't unify a plan with its own aggregate) — deliberate, same
+        // finding as q11 (Q11Probe): an InMemoryRelation build costs more
+        // than a second pass of a pushed-down filtered scan with map-side
+        // partial aggregation, and never unpersisting leaked storage
+        // across the bench JVM. Both passes stay fully parallel at 100×.
         // The former global-window form funneled every supplier through
         // one task — wrong shape at 100× scale.
         val rev = t(s, d, "lineitem")
@@ -335,7 +337,6 @@ object Tpch {
             col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
-          .cache()
         val top = rev.crossJoin(broadcast(
             rev.agg(max(col("total_revenue")).as("_m"))))
           .filter(col("total_revenue") === col("_m"))
