@@ -136,6 +136,14 @@ object Bench {
         ",\"max\":" + fmt(cs.last) + ",\"n\":" + cs.size + "}"
     val total = perQuery.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"spread":$spreads,"canary":$canaryJson,"task_metrics":$mets}""")
+    // Tail-safe summary: the driver keeps only the LAST ~2000 chars of
+    // stdout, which truncates the big line above mid-`task_metrics`. This
+    // short second line always survives the tail capture and preserves the
+    // headline numbers (total, per-query wall, canary) in the artifact.
+    val worstSpread = perQuery.map(_._3).filter(_ >= 0) match {
+      case s if s.isEmpty => -1.0; case s => s.max
+    }
+    println(s"""{"bench_summary":{"total":${fmt(total)},"canary":$canaryJson,"worst_spread":${fmt(worstSpread)},"queries":$qs}}""")
     spark.stop()
   }
 }

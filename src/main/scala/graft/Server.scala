@@ -1,10 +1,13 @@
 package graft
 
-import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.io.{BufferedOutputStream, BufferedReader, ByteArrayOutputStream,
+  DataInputStream, DataOutputStream, InputStreamReader, PrintWriter,
+  PushbackInputStream}
 import java.net.{ServerSocket, Socket}
 import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.types._
 import graft.engine.Engine
 
 /** Network serving entry point — the analogue of the reference's pgwire
@@ -70,8 +73,20 @@ object Server {
   }
 
   private def handle(client: Socket, engine: Engine): Unit = {
+    // Protocol sniff: a Postgres frontend opens with a 4-byte big-endian
+    // length (StartupMessage or SSLRequest), whose first byte is 0x00 for
+    // any sane packet size; the line protocol starts with printable text.
+    val raw = new PushbackInputStream(client.getInputStream, 1)
+    val first = raw.read()
+    if (first < 0) { client.close(); return }
+    raw.unread(first)
+    if (first == 0) {
+      try Pgwire.session(raw, client.getOutputStream, engine)
+      finally client.close()
+      return
+    }
     val in = new BufferedReader(
-      new InputStreamReader(client.getInputStream, StandardCharsets.UTF_8))
+      new InputStreamReader(raw, StandardCharsets.UTF_8))
     val out = new PrintWriter(
       new java.io.OutputStreamWriter(client.getOutputStream, StandardCharsets.UTF_8), true)
     try {
@@ -100,13 +115,19 @@ object Server {
     }
   }
 
+  /** Engine-level critical section shared by both protocols. */
+  private[graft] def runStatement(engine: Engine, sql: String)
+      : (StructType, Array[org.apache.spark.sql.Row]) =
+    engine.synchronized {
+      val df = engine.run(sql)
+      (df.schema, df.collect())
+    }
+
   private def execute(engine: Engine, sql: String, out: PrintWriter): Unit = {
     try {
       // one writer at a time: catalog map updates and the DELETE/UPDATE
       // temp-dir swaps are engine-level critical sections
-      val rows = engine.synchronized {
-        engine.run(sql).collect()
-      }
+      val (_, rows) = runStatement(engine, sql)
       rows.foreach { r =>
         out.println((0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t"))
       }
@@ -116,5 +137,204 @@ object Server {
         val msg = Option(e.getMessage).getOrElse(e.toString)
         out.println(s"ERR ${msg.linesIterator.next()}")
     }
+  }
+}
+
+/** Postgres wire protocol v3, simple-query subset — enough for `psql`,
+  * JDBC's simple mode, or any driver that speaks Query('Q') messages:
+  * startup handshake (SSLRequest politely declined), AuthenticationOk
+  * (trust), ParameterStatus, ReadyForQuery, then a Query loop answering
+  * RowDescription / DataRow* / CommandComplete (text format), ErrorResponse
+  * with recovery, and Terminate. The extended protocol (Parse/Bind/Execute)
+  * is answered with a clear ErrorResponse rather than a hang.
+  *
+  * Mirrors the reference's pgwire front end
+  * (`/root/reference/src/server/mod.rs:17-46`, `src/server/processor.rs`):
+  * same accept → handshake → per-statement execute → stream-rows loop,
+  * re-expressed over the shared Spark-backed [[graft.engine.Engine]].
+  */
+private object Pgwire {
+  // frontend/backend magic numbers from the published protocol spec
+  private val ProtocolV3 = 196608
+  private val SslRequest = 80877103
+  private val CancelRequest = 80877102
+  private val GssEncRequest = 80877104
+
+  def session(rawIn: java.io.InputStream, rawOut: java.io.OutputStream,
+      engine: Engine): Unit = {
+    val in = new DataInputStream(rawIn)
+    val out = new DataOutputStream(new BufferedOutputStream(rawOut))
+
+    def cstr(d: DataOutputStream, s: String): Unit = {
+      d.write(s.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+    }
+    def msg(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      out.writeByte(tpe)
+      out.writeInt(4 + buf.size)
+      buf.writeTo(out)
+    }
+    def ready(): Unit = { msg('Z')(_.writeByte('I')); out.flush() }
+    def error(message: String): Unit = msg('E') { d =>
+      d.writeByte('S'); cstr(d, "ERROR")
+      d.writeByte('V'); cstr(d, "ERROR")
+      d.writeByte('C'); cstr(d, "XX000") // internal_error: engine surfaces text
+      d.writeByte('M'); cstr(d, message.linesIterator.next())
+      d.writeByte(0)
+    }
+
+    // ---- startup: absorb SSL/GSS probes until a real StartupMessage ----
+    var negotiating = true
+    while (negotiating) {
+      val len = in.readInt()
+      val code = in.readInt()
+      code match {
+        case SslRequest | GssEncRequest =>
+          out.writeByte('N'); out.flush() // no TLS; client retries plaintext
+        case CancelRequest => return // no cancel keys issued, nothing to do
+        case _ =>
+          val rest = new Array[Byte](len - 8)
+          in.readFully(rest) // user/database/options accepted, unused
+          if (code != ProtocolV3) { error(s"unsupported protocol $code"); out.flush(); return }
+          negotiating = false
+      }
+    }
+    msg('R')(_.writeInt(0)) // AuthenticationOk — trust, like the reference
+    Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
+      "integer_datetimes" -> "on", "standard_conforming_strings" -> "on")
+      .foreach { case (k, v) => msg('S') { d => cstr(d, k); cstr(d, v) } }
+    msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData (no cancel)
+    ready()
+
+    // ---- message loop ----
+    while (true) {
+      val tpe = in.read()
+      if (tpe < 0) return
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      tpe.toChar match {
+        case 'Q' =>
+          val sql = new String(body, 0, math.max(0, body.length - 1),
+            StandardCharsets.UTF_8) // strip trailing NUL
+          val stmts = splitStatements(sql)
+          if (stmts.isEmpty) msg('I')(_ => ())
+          else runAll(stmts, engine, msg, cstr, error)
+          ready()
+        case 'X' => out.flush(); return
+        case other =>
+          // extended protocol / COPY subprotocol not spoken — fail fast
+          // and stay alive so a simple-query client isn't wedged
+          error(s"unsupported frontend message '$other' (simple query only)")
+          ready()
+      }
+    }
+  }
+
+  /** Execute statements in order; first error aborts the rest (pg simple-
+    * query semantics for a multi-statement buffer).
+    */
+  private def runAll(stmts: Seq[String], engine: Engine,
+      msg: Char => (DataOutputStream => Unit) => Unit,
+      cstr: (DataOutputStream, String) => Unit,
+      error: String => Unit): Unit = {
+    var failed = false
+    for (stmt <- stmts if !failed) {
+      try {
+        val (schema, rows) = Server.runStatement(engine, stmt)
+        val keyword = stmt.trim.split("\\s+").headOption
+          .getOrElse("").toUpperCase
+        val rowReturning =
+          Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
+            "TABLE", "PRAGMA").contains(keyword) || keyword.startsWith("\\")
+        if (rowReturning) {
+          msg('T') { d =>
+            d.writeShort(schema.fields.length)
+            schema.fields.foreach { f =>
+              cstr(d, f.name)
+              d.writeInt(0); d.writeShort(0)      // no table oid / attnum
+              d.writeInt(typeOid(f.dataType))
+              d.writeShort(-1); d.writeInt(-1)    // varlena, no typmod
+              d.writeShort(0)                     // text format
+            }
+          }
+          rows.foreach { r =>
+            msg('D') { d =>
+              d.writeShort(r.length)
+              (0 until r.length).foreach { i =>
+                if (r.isNullAt(i)) d.writeInt(-1)
+                else {
+                  val bytes = Main.fmt(r.get(i)).getBytes(StandardCharsets.UTF_8)
+                  d.writeInt(bytes.length); d.write(bytes)
+                }
+              }
+            }
+          }
+          msg('C')(cstr(_, s"SELECT ${rows.length}"))
+        } else {
+          val tag = keyword match {
+            case "INSERT" => s"INSERT 0 ${rows.length}"
+            case "UPDATE" | "DELETE" => s"$keyword ${rows.length}"
+            case k => k // CREATE, DROP, COPY, SET, ...
+          }
+          msg('C')(cstr(_, tag))
+        }
+      } catch {
+        case e: Exception =>
+          error(Option(e.getMessage).getOrElse(e.toString))
+          failed = true
+      }
+    }
+  }
+
+  /** Split a simple-query buffer on top-level ';' — quote-aware (single
+    * quotes with '' escapes, double-quoted identifiers), since psql ships
+    * the whole buffer in one Query message.
+    */
+  private[graft] def splitStatements(sql: String): Seq[String] = {
+    val out = collection.mutable.Buffer[String]()
+    val cur = new StringBuilder
+    var i = 0
+    var inStr = false
+    var inIdent = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else if (inIdent) {
+        cur.append(c); if (c == '"') inIdent = false
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '"' => inIdent = true; cur.append(c)
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Spark type → Postgres type OID (text-format rendering, so the OID is
+    * advisory; drivers use it to pick client-side parsers).
+    */
+  private def typeOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case ShortType | ByteType => 21
+    case IntegerType => 23
+    case LongType => 20
+    case FloatType => 700
+    case DoubleType => 701
+    case _: DecimalType => 1700
+    case BinaryType => 17
+    case DateType => 1082
+    case TimestampType | TimestampNTZType => 1114
+    case _ => 25 // text (strings, arrays/structs rendered by Main.fmt)
   }
 }

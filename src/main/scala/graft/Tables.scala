@@ -56,6 +56,12 @@ object Tables {
         // Integer division: `/` on Long promotes to Double, whose 53-bit
         // mantissa loses 1µs on ns-scale epochs; `div` stays exact.
         raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Physical timestamp[us] with no zone: the session is pinned to UTC,
+        // so casting NTZ -> TIMESTAMP keeps the same wall-clock values and
+        // the DuckDB oracles stay valid; downstream unix_micros/watermarks
+        // require a zoned TimestampType.
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

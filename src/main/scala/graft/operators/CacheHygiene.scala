@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Scoped caching for operator-internal intermediates.
+  *
+  * Several operators cache a sub-frame that their returned (lazy) plan
+  * references more than once (e.g. MinHash signatures feeding both sides of
+  * the candidate join AND the verify re-join). The cache must survive until
+  * the CALLER materializes the result — so the operator can't unpersist on
+  * its own return path — but without cleanup a long-lived session
+  * accumulates storage across queries (bench sidesteps this only because it
+  * calls `clearCache()` between runs).
+  *
+  * [[cacheUntilNextCompletion]] threads that needle: the frame is cached
+  * now, and unpersisted as soon as the next query execution on the session
+  * completes (success OR failure). In every entry point (Verify, Bench,
+  * the Engine, the gate specs) the next execution IS the materialization of
+  * the operator's result, so the cache serves exactly one query and is gone
+  * before the following one plans. If a caller interleaves an unrelated
+  * action first, the only cost is a recompute — never a wrong result.
+  */
+object CacheHygiene {
+  def cacheUntilNextCompletion(df: DataFrame): DataFrame = {
+    val lm = df.sparkSession.listenerManager
+    df.cache()
+    lm.register(new QueryExecutionListener {
+      private def done(): Unit = { df.unpersist(blocking = false); lm.unregister(this) }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = done()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = done()
+    })
+    df
+  }
+}

@@ -171,7 +171,8 @@ object Curation {
   def pmiTopK(df: DataFrame, idCol: String, textCol: String, k: Int = 20,
       minCount: Int = 3): DataFrame = {
     val toks = df.select(col(idCol), explode(tokens(col(textCol))).as("tok"))
-    val uni = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok")).cache()
+    val uni = CacheHygiene.cacheUntilNextCompletion(
+      toks.groupBy(col("tok")).agg(count(lit(1)).as("n_tok")))
     val total = uni.agg(sum(col("n_tok")).as("n_total"))
     val bi = df.select(explode(wordShinglesNative(col(textCol), 2)).as("gram"))
       .groupBy(col("gram")).agg(count(lit(1)).as("n_pair"))

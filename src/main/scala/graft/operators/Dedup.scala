@@ -75,8 +75,9 @@ object Dedup {
       threshold: Double = 0.5, maxBucket: Option[Int] = None): DataFrame = {
     // materialize signatures once: the self-join would otherwise recompute
     // the (expensive) shingle hashing for both sides of every probe
-    val m = minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
-      .select(col(idCol), col("shingles"), col("bands")).cache()
+    val m = CacheHygiene.cacheUntilNextCompletion(
+      minhashed(df, idCol, textCol, shingleWidth, numHashes, bands)
+        .select(col(idCol), col("shingles"), col("bands")))
     lshCandidates(m, idCol, maxBucket)
       .join(m.select(col(idCol).as("id_a"), col("shingles").as("sh_a")), "id_a")
       .join(m.select(col(idCol).as("id_b"), col("shingles").as("sh_b")), "id_b")
@@ -135,7 +136,7 @@ object Dedup {
       .select(col(idCol), col("shingles"), col("bands"))
     val mb = minhashed(batch, idCol, textCol, shingleWidth, numHashes, bands)
       .select(col(idCol), col("shingles"), col("bands"))
-    val all = mc.unionAll(mb).cache()
+    val all = CacheHygiene.cacheUntilNextCompletion(mc.unionAll(mb))
     val bandedAll = all.select(col(idCol).as("id_x"),
       posexplode(col("bands")).as(Seq("band_idx", "band_key")))
     val bandedBatch = mb.select(col(idCol).as("id_p"),
@@ -282,7 +283,12 @@ object Dedup {
       labels = next
       i += 1
     }
-    } finally conf.set("spark.sql.constraintPropagation.enabled", prevConstraint)
+    } finally {
+      conf.set("spark.sql.constraintPropagation.enabled", prevConstraint)
+      // the returned labels frame is a localCheckpointed LEAF — it no
+      // longer references edges, so the loop-scoped cache can go now
+      edges.unpersist(blocking = false)
+    }
     // with doubling, hitting the cap means diameter ≳ 2^maxIters — the
     // input is not any plausible document graph; failing loudly beats
     // silently mislabeled clusters at 100 TB
@@ -328,10 +334,10 @@ object Dedup {
     // bucket join had O(#buckets) ≈ log(doclen) distinct keys per block,
     // i.e. block-quadratic candidates: recall-exact but ~20 min at sf0.1;
     // this form is recall-exact AND output-sensitive.)
-    val h = df.select(col(idCol), col(blockCol),
-        array_sort(shingleHashes(col(textCol), shingleWidth)).as("sh"))
-      .withColumn("_n", size(col("sh")))
-      .cache() // probe + index + the verify re-join all read it
+    val h = CacheHygiene.cacheUntilNextCompletion(
+      df.select(col(idCol), col(blockCol),
+          array_sort(shingleHashes(col(textCol), shingleWidth)).as("sh"))
+        .withColumn("_n", size(col("sh")))) // probe + index + the verify re-join all read it
     val prefixLen = (col("_n") - ceil(col("_n") * threshold) + 1).cast("int")
     val probe = h.select(col(blockCol), col(idCol).as("id_a"), col("_n").as("_na"),
       explode(slice(col("sh"), lit(1), prefixLen)).as("_h"))

@@ -337,6 +337,12 @@ object Tpch {
             col("l_shipdate") < tsLit("1996-04-01 00:00:00"))
           .groupBy(col("l_suppkey"))
           .agg(dsum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("total_revenue"))
+        // INVARIANT: the exact-equality filter below is deterministic ONLY
+        // because dsum is order-independent — it sums integer micros
+        // (Long addition is associative+commutative), so total_revenue for
+        // a given supplier is bit-identical across partitionings, retries
+        // and both passes. A double-`sum` here would make `=== _m` flaky
+        // under Spark's nondeterministic reduce order.
         val top = rev.crossJoin(broadcast(
             rev.agg(max(col("total_revenue")).as("_m"))))
           .filter(col("total_revenue") === col("_m"))

@@ -175,4 +175,27 @@ class OperatorsSpec extends AnyFunSuite {
       .filter(col("f.n_bytes") =!= length(col("d.text"))).count()
     assert(j == 0) // ASCII corpus: bytes == chars
   }
+
+  test("operator-internal caches do not outlive the query (cache hygiene)") {
+    // declaration-ordered LAST: clearCache also drops this spec's docs/emb
+    def drained(): Boolean = {
+      // CacheHygiene unpersists from the async listener bus; poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (!spark.sharedState.cacheManager.isEmpty &&
+        System.nanoTime() < deadline) Thread.sleep(50)
+      spark.sharedState.cacheManager.isEmpty
+    }
+    spark.catalog.clearCache()
+    assert(spark.sharedState.cacheManager.isEmpty)
+    val plain = Tables.df(spark, sf, "documents")
+    Dedup.minhashPairs(plain, "doc_id", "text", threshold = 0.5)
+      .write.format("noop").mode("overwrite").save()
+    assert(drained(), "minhashPairs signature cache survived its query")
+    Dedup.representatives(plain, "doc_id", "text")
+      .write.format("noop").mode("overwrite").save()
+    assert(drained(), "representatives/connectedComponents cache survived")
+    graft.operators.Curation.pmiTopK(plain, "doc_id", "text", k = 5)
+      .write.format("noop").mode("overwrite").save()
+    assert(drained(), "pmiTopK unigram cache survived its query")
+  }
 }

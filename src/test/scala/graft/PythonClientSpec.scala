@@ -1,0 +1,61 @@
+package graft
+
+import java.net.ServerSocket
+import java.nio.charset.StandardCharsets
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Engine
+
+/** Drives `tools/graft.py` — the packaged Python surface mirroring the
+  * reference's embedded module (reference src/python/mod.rs:14-60:
+  * `open()` / `query()` → rows) — against a live server over a real
+  * socket: `import graft; graft.open(port=...).query(...)` end to end.
+  */
+class PythonClientSpec extends AnyFunSuite {
+  import TestSpark._
+
+  test("python client: import graft, open, DDL/DML/query round trip") {
+    val havePython = try {
+      new ProcessBuilder("python3", "--version").start().waitFor() == 0
+    } catch { case _: Exception => false }
+    assume(havePython, "python3 not on PATH")
+
+    val dir = "/root/repo/target/graft-tmp/pyclient-warehouse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-py-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    try {
+      val code =
+        s"""import graft
+           |db = graft.open(port=${server.getLocalPort})
+           |with db:
+           |    db.query("create table pyc(v int not null, s varchar)")
+           |    db.query("insert into pyc values (1,'a'), (2,'b'), (3,'c')")
+           |    rows = db.query("select sum(v) as s, count(*) as n from pyc")
+           |    assert rows == [["6", "3"]], rows
+           |    try:
+           |        db.query("select nope from pyc")
+           |        raise SystemExit("expected graft.Error")
+           |    except graft.Error:
+           |        pass  # connection must survive the error
+           |    assert db.query("select max(s) as m from pyc") == [["c"]]
+           |print("PY OK")
+           |""".stripMargin
+      val pb = new ProcessBuilder("python3", "-c", code)
+      pb.directory(new java.io.File("/root/repo/tools"))
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+      assert(proc.waitFor() == 0, s"python client failed:\n$out")
+      assert(out.contains("PY OK"), out)
+    } finally server.close()
+  }
+}

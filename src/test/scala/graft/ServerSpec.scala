@@ -65,4 +65,95 @@ class ServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("pgwire client: handshake, simple query, multi-statement, error recovery") {
+    import java.io.{DataInputStream, DataOutputStream}
+    val dir = "/root/repo/target/graft-tmp/pgwire-warehouse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-pgwire-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val sock = new Socket("127.0.0.1", server.getLocalPort)
+    try {
+      sock.setSoTimeout(120000)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+
+      def readMsg(): (Char, Array[Byte]) = {
+        val t = in.read().toChar
+        val len = in.readInt()
+        val b = new Array[Byte](len - 4)
+        in.readFully(b)
+        (t, b)
+      }
+      def untilReady(): Seq[(Char, Array[Byte])] = {
+        val buf = collection.mutable.Buffer[(Char, Array[Byte])]()
+        var m = readMsg()
+        while (m._1 != 'Z') { buf += m; m = readMsg() }
+        buf += m
+        buf.toSeq
+      }
+      def query(sql: String): Seq[(Char, Array[Byte])] = {
+        val b = (sql + "\u0000").getBytes(StandardCharsets.UTF_8)
+        out.writeByte('Q'); out.writeInt(4 + b.length); out.write(b); out.flush()
+        untilReady()
+      }
+      // DataRow payload → column strings (null → "NULL")
+      def cols(body: Array[Byte]): Seq[String] = {
+        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        (0 until d.readShort().toInt).map { _ =>
+          val n = d.readInt()
+          if (n < 0) "NULL"
+          else { val b = new Array[Byte](n); d.readFully(b); new String(b, StandardCharsets.UTF_8) }
+        }
+      }
+
+      // SSLRequest is declined with 'N', connection continues plaintext
+      out.writeInt(8); out.writeInt(80877103); out.flush()
+      assert(in.read() == 'N'.toInt)
+      // StartupMessage v3 with user/database params
+      val params = "user\u0000graft\u0000database\u0000graft\u0000\u0000"
+        .getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      val hello = untilReady()
+      assert(hello.head._1 == 'R' &&
+        java.nio.ByteBuffer.wrap(hello.head._2).getInt == 0) // AuthenticationOk
+      assert(hello.exists(_._1 == 'S')) // ParameterStatus
+      assert(hello.last._2.headOption.contains('I'.toByte)) // ReadyForQuery idle
+
+      val r1 = query("select 1 as one, 'x' as s, null as n")
+      assert(r1.map(_._1) == Seq('T', 'D', 'C', 'Z'))
+      assert(cols(r1(1)._2) == Seq("1", "x", "NULL"))
+      assert(new String(r1(2)._2, StandardCharsets.UTF_8).startsWith("SELECT 1"))
+
+      // multi-statement buffer: DDL tag, then rows; ';' inside a string
+      // literal must NOT split
+      val r2 = query("create table pgw(v int not null); " +
+        "insert into pgw values (1), (2); select v, 'a;b' as s from pgw order by v")
+      val tags = r2.collect { case ('C', b) => new String(b, StandardCharsets.UTF_8).takeWhile(_ != '\u0000') }
+      assert(tags.head == "CREATE" && tags(1).startsWith("INSERT"))
+      val dataRows = r2.collect { case ('D', b) => cols(b) }
+      assert(dataRows == Seq(Seq("1", "a;b"), Seq("2", "a;b")))
+
+      // error → ErrorResponse, then the connection stays usable
+      val r3 = query("select nope from pgw")
+      assert(r3.exists(_._1 == 'E') && r3.last._1 == 'Z')
+      assert(cols(query("select count(*) as c from pgw")(1)._2) == Seq("2"))
+
+      // Terminate closes cleanly
+      out.writeByte('X'); out.writeInt(4); out.flush()
+      assert(in.read() == -1)
+    } finally {
+      sock.close()
+      server.close()
+    }
+  }
 }
