@@ -115,13 +115,22 @@ object Server {
     }
   }
 
-  /** Engine-level critical section shared by both protocols. */
+  /** Engine-level concurrency gate shared by both protocols: SELECT-shaped
+    * statements run concurrently under the read lock (Spark parallelizes
+    * their jobs); catalog-mutating statements (DDL/DML — the DELETE/UPDATE
+    * temp-dir swap must not race a reader's scan) are exclusive.
+    */
   private[graft] def runStatement(engine: Engine, sql: String)
-      : (StructType, Array[org.apache.spark.sql.Row]) =
-    engine.synchronized {
+      : (StructType, Array[org.apache.spark.sql.Row]) = {
+    val lock =
+      if (Pgwire.isRowReturning(sql)) engine.stmtLock.readLock
+      else engine.stmtLock.writeLock
+    lock.lock()
+    try {
       val df = engine.run(sql)
       (df.schema, df.collect())
-    }
+    } finally lock.unlock()
+  }
 
   private def execute(engine: Engine, sql: String, out: PrintWriter): Unit = {
     try {
@@ -208,6 +217,54 @@ private object Pgwire {
     msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData (no cancel)
     ready()
 
+    // ---- shared result senders ----
+    def sendRowDescription(schema: StructType): Unit = msg('T') { d =>
+      d.writeShort(schema.fields.length)
+      schema.fields.foreach { f =>
+        cstr(d, f.name)
+        d.writeInt(0); d.writeShort(0)      // no table oid / attnum
+        d.writeInt(typeOid(f.dataType))
+        d.writeShort(-1); d.writeInt(-1)    // varlena, no typmod
+        d.writeShort(0)                     // text format
+      }
+    }
+    def sendDataRows(rows: Array[org.apache.spark.sql.Row]): Unit =
+      rows.foreach { r =>
+        msg('D') { d =>
+          d.writeShort(r.length)
+          (0 until r.length).foreach { i =>
+            if (r.isNullAt(i)) d.writeInt(-1)
+            else {
+              val bytes = Main.fmt(r.get(i)).getBytes(StandardCharsets.UTF_8)
+              d.writeInt(bytes.length); d.write(bytes)
+            }
+          }
+        }
+      }
+
+    // ---- extended-protocol session state ----
+    val prepared = collection.mutable.Map.empty[String, String] // name -> SQL ($n params)
+    val portals = collection.mutable.Map.empty[String, String]  // name -> bound SQL
+    // after an error in an extended batch, frontend messages are discarded
+    // until Sync (protocol spec: "error state"); simple Query resets it
+    var extFailed = false
+
+    /** Schema without side effects: only row-returning statements are
+      * planned (engine.run EXECUTES DDL/DML, so those describe as NoData).
+      * Unbound params are described against an all-NULL binding — analysis
+      * sees `v > NULL`, which types fine — falling back to NoData.
+      */
+    def describe(sql: String): Unit =
+      if (!isRowReturning(sql)) msg('n')(_ => ())
+      else {
+        try {
+          val rl = engine.stmtLock.readLock
+          rl.lock()
+          val schema = try engine.run(sql).schema finally rl.unlock()
+          sendRowDescription(schema)
+        } catch { case _: Exception => msg('n')(_ => ()) }
+      }
+
     // ---- message loop ----
     while (true) {
       val tpe = in.read()
@@ -215,78 +272,212 @@ private object Pgwire {
       val len = in.readInt()
       val body = new Array[Byte](len - 4)
       in.readFully(body)
+      val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+      def rstr(): String = {
+        val b = new ByteArrayOutputStream()
+        var c = d.read()
+        while (c > 0) { b.write(c); c = d.read() }
+        new String(b.toByteArray, StandardCharsets.UTF_8)
+      }
       tpe.toChar match {
         case 'Q' =>
+          extFailed = false
           val sql = new String(body, 0, math.max(0, body.length - 1),
             StandardCharsets.UTF_8) // strip trailing NUL
           val stmts = splitStatements(sql)
           if (stmts.isEmpty) msg('I')(_ => ())
-          else runAll(stmts, engine, msg, cstr, error)
+          else {
+            var failed = false
+            for (stmt <- stmts if !failed) {
+              try {
+                val (schema, rows) = Server.runStatement(engine, stmt)
+                if (isRowReturning(stmt)) {
+                  sendRowDescription(schema)
+                  sendDataRows(rows)
+                  msg('C')(cstr(_, s"SELECT ${rows.length}"))
+                } else msg('C')(cstr(_, commandTag(stmt, rows.length)))
+              } catch {
+                case e: Exception =>
+                  error(Option(e.getMessage).getOrElse(e.toString))
+                  failed = true
+              }
+            }
+          }
           ready()
+
         case 'X' => out.flush(); return
+
+        case 'P' if !extFailed => // Parse: name, query, param-type oids
+          val name = rstr()
+          val query = rstr()
+          prepared(name) = query // declared oids ignored: params bind as text
+          msg('1')(_ => ())      // ParseComplete
+
+        case 'B' if !extFailed => // Bind: portal, statement, formats, params
+          try {
+            val portal = rstr()
+            val stmtName = rstr()
+            val nFmt = d.readShort().toInt
+            val fmts = Array.fill(nFmt)(d.readShort().toInt)
+            val nParams = d.readShort().toInt
+            val params = (0 until nParams).map { i =>
+              val n = d.readInt()
+              if (n < 0) null
+              else {
+                val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
+                if (fmt != 0)
+                  throw new IllegalArgumentException(
+                    "binary parameter format not supported (send text)")
+                val b = new Array[Byte](n); d.readFully(b)
+                new String(b, StandardCharsets.UTF_8)
+              }
+            }
+            prepared.get(stmtName) match {
+              case None =>
+                error(s"""unknown prepared statement "$stmtName""""); extFailed = true
+              case Some(sql) =>
+                portals(portal) = bindParams(sql, params)
+                msg('2')(_ => ()) // BindComplete
+            }
+          } catch {
+            case e: Exception =>
+              error(Option(e.getMessage).getOrElse(e.toString)); extFailed = true
+          }
+
+        case 'D' if !extFailed => // Describe statement ('S') or portal ('P')
+          val kind = d.read().toChar
+          val name = rstr()
+          kind match {
+            case 'S' => prepared.get(name) match {
+              case None =>
+                error(s"""unknown prepared statement "$name""""); extFailed = true
+              case Some(sql) =>
+                val n = maxParamIndex(sql)
+                msg('t') { dd => // ParameterDescription: all params as text
+                  dd.writeShort(n); (1 to n).foreach(_ => dd.writeInt(25))
+                }
+                describe(bindParams(sql, Seq.fill(n)(null)))
+            }
+            case _ => portals.get(name) match {
+              case None => error(s"""unknown portal "$name""""); extFailed = true
+              case Some(sql) => describe(sql)
+            }
+          }
+
+        case 'E' if !extFailed => // Execute: portal, maxRows (0 = all)
+          val portal = rstr()
+          d.readInt() // row-limit: partial fetch + PortalSuspended unsupported;
+                      // all rows stream out and the portal completes
+          portals.get(portal) match {
+            case None => error(s"""unknown portal "$portal""""); extFailed = true
+            case Some(sql) =>
+              try {
+                val (_, rows) = Server.runStatement(engine, sql)
+                if (isRowReturning(sql)) sendDataRows(rows)
+                msg('C')(cstr(_, commandTag(sql, rows.length)))
+              } catch {
+                case e: Exception =>
+                  error(Option(e.getMessage).getOrElse(e.toString)); extFailed = true
+              }
+          }
+
+        case 'C' if !extFailed => // Close statement or portal
+          val kind = d.read().toChar
+          val name = rstr()
+          if (kind == 'S') prepared.remove(name) else portals.remove(name)
+          msg('3')(_ => ()) // CloseComplete
+
+        case 'H' => out.flush() // Flush
+
+        case 'S' => // Sync: end of extended batch, clear any error state
+          extFailed = false
+          portals.clear() // implicit transaction boundary destroys portals
+          ready()
+
+        case _ if extFailed => () // discarded until Sync, per protocol
+
         case other =>
-          // extended protocol / COPY subprotocol not spoken — fail fast
-          // and stay alive so a simple-query client isn't wedged
-          error(s"unsupported frontend message '$other' (simple query only)")
+          // COPY subprotocol / function call not spoken — fail fast and
+          // resynchronize so a confused client isn't wedged
+          error(s"unsupported frontend message '$other'")
           ready()
       }
     }
   }
 
-  /** Execute statements in order; first error aborts the rest (pg simple-
-    * query semantics for a multi-statement buffer).
+  private def keyword(stmt: String): String =
+    stmt.trim.split("\\s+").headOption.getOrElse("").toUpperCase
+
+  private[graft] def isRowReturning(stmt: String): Boolean =
+    Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
+      "TABLE", "PRAGMA").contains(keyword(stmt)) || stmt.trim.startsWith("\\")
+
+  private def commandTag(stmt: String, nRows: Int): String = keyword(stmt) match {
+    case "SELECT" | "VALUES" | "WITH" | "SHOW" | "EXPLAIN" | "DESCRIBE" |
+         "TABLE" | "PRAGMA" => s"SELECT $nRows"
+    case "INSERT" => s"INSERT 0 $nRows"
+    case k @ ("UPDATE" | "DELETE") => s"$k $nRows" // row counts from engine
+    case k => k // CREATE, DROP, COPY, SET, ...
+  }
+
+  /** Substitute `$n` placeholders (outside quotes) with text-format
+    * parameter values rendered as SQL literals — NULL for a null param,
+    * single-quoted with `''` escaping otherwise. The engine's lenient
+    * (non-ANSI) casts coerce string literals in numeric contexts, matching
+    * how text-format pgwire parameters behave against real Postgres.
     */
-  private def runAll(stmts: Seq[String], engine: Engine,
-      msg: Char => (DataOutputStream => Unit) => Unit,
-      cstr: (DataOutputStream, String) => Unit,
-      error: String => Unit): Unit = {
-    var failed = false
-    for (stmt <- stmts if !failed) {
-      try {
-        val (schema, rows) = Server.runStatement(engine, stmt)
-        val keyword = stmt.trim.split("\\s+").headOption
-          .getOrElse("").toUpperCase
-        val rowReturning =
-          Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
-            "TABLE", "PRAGMA").contains(keyword) || keyword.startsWith("\\")
-        if (rowReturning) {
-          msg('T') { d =>
-            d.writeShort(schema.fields.length)
-            schema.fields.foreach { f =>
-              cstr(d, f.name)
-              d.writeInt(0); d.writeShort(0)      // no table oid / attnum
-              d.writeInt(typeOid(f.dataType))
-              d.writeShort(-1); d.writeInt(-1)    // varlena, no typmod
-              d.writeShort(0)                     // text format
-            }
-          }
-          rows.foreach { r =>
-            msg('D') { d =>
-              d.writeShort(r.length)
-              (0 until r.length).foreach { i =>
-                if (r.isNullAt(i)) d.writeInt(-1)
-                else {
-                  val bytes = Main.fmt(r.get(i)).getBytes(StandardCharsets.UTF_8)
-                  d.writeInt(bytes.length); d.write(bytes)
-                }
-              }
-            }
-          }
-          msg('C')(cstr(_, s"SELECT ${rows.length}"))
-        } else {
-          val tag = keyword match {
-            case "INSERT" => s"INSERT 0 ${rows.length}"
-            case "UPDATE" | "DELETE" => s"$keyword ${rows.length}"
-            case k => k // CREATE, DROP, COPY, SET, ...
-          }
-          msg('C')(cstr(_, tag))
-        }
-      } catch {
-        case e: Exception =>
-          error(Option(e.getMessage).getOrElse(e.toString))
-          failed = true
+  private[graft] def bindParams(sql: String, params: Seq[String]): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    var inIdent = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && !inIdent && c == '$' && i + 1 < sql.length &&
+          sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        val idx = sql.substring(i + 1, j).toInt
+        if (idx < 1 || idx > params.length)
+          throw new IllegalArgumentException(
+            s"parameter $$$idx out of range (${params.length} bound)")
+        out.append(params(idx - 1) match {
+          case null => "NULL"
+          case v => "'" + v.replace("'", "''") + "'"
+        })
+        i = j
+      } else {
+        if (inStr) { if (c == '\'') inStr = false }
+        else if (inIdent) { if (c == '"') inIdent = false }
+        else if (c == '\'') inStr = true
+        else if (c == '"') inIdent = true
+        out.append(c)
+        i += 1
       }
     }
+    out.toString
+  }
+
+  /** Highest `$n` placeholder index outside quotes (0 if none). */
+  private[graft] def maxParamIndex(sql: String): Int = {
+    var max = 0
+    var i = 0
+    var inStr = false
+    var inIdent = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) { if (c == '\'') inStr = false; i += 1 }
+      else if (inIdent) { if (c == '"') inIdent = false; i += 1 }
+      else if (c == '\'') { inStr = true; i += 1 }
+      else if (c == '"') { inIdent = true; i += 1 }
+      else if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1).isDigit) {
+        var j = i + 1
+        while (j < sql.length && sql.charAt(j).isDigit) j += 1
+        max = math.max(max, sql.substring(i + 1, j).toInt)
+        i = j
+      } else i += 1
+    }
+    max
   }
 
   /** Split a simple-query buffer on top-level ';' — quote-aware (single

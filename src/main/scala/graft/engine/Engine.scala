@@ -29,6 +29,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // always, src/db.rs:140-158)
   spark.conf.set("spark.sql.cbo.enabled", "true")
 
+  /** Statement-level concurrency gate for network front ends: reads
+    * (SELECT-shaped statements) share the read lock and run concurrently —
+    * Spark schedules their jobs in parallel — while catalog-mutating
+    * statements (DDL/DML; the DELETE/UPDATE temp-dir swap must not race a
+    * reader's scan) take the write lock. Single-threaded callers (REPL,
+    * tests) are unaffected.
+    */
+  val stmtLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
+
   /** table name → (schema, primary-key columns) */
   private val tables = mutable.LinkedHashMap[String, (StructType, Seq[String])]()
   /** view name → SQL text (re-planned at each scan, like the reference) */

@@ -148,6 +148,65 @@ class ServerSpec extends AnyFunSuite {
       assert(r3.exists(_._1 == 'E') && r3.last._1 == 'Z')
       assert(cols(query("select count(*) as c from pgw")(1)._2) == Seq("2"))
 
+      // ---- extended protocol: Parse/Bind/Describe/Execute/Sync ----
+      def cs(s: String): Array[Byte] = (s + "\u0000").getBytes(StandardCharsets.UTF_8)
+      def frame(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+        val buf = new java.io.ByteArrayOutputStream()
+        body(new DataOutputStream(buf))
+        out.writeByte(tpe); out.writeInt(4 + buf.size); buf.writeTo(out)
+      }
+      // Parse a parameterized query as named statement "st1"
+      frame('P') { d =>
+        d.write(cs("st1")); d.write(cs("select v, 'p;q' as s from pgw where v >= $1 order by v"))
+        d.writeShort(0) // no declared param types
+      }
+      // Describe the statement: ParameterDescription + RowDescription
+      frame('D') { d => d.writeByte('S'); d.write(cs("st1")) }
+      // Bind $1="2" (text format) to the unnamed portal, then Execute + Sync
+      frame('B') { d =>
+        d.write(cs("")); d.write(cs("st1"))
+        d.writeShort(0)                       // param format codes: default text
+        d.writeShort(1)                       // one parameter
+        val v = "2".getBytes(StandardCharsets.UTF_8)
+        d.writeInt(v.length); d.write(v)
+        d.writeShort(0)                       // result format codes: default
+      }
+      frame('D') { d => d.writeByte('P'); d.write(cs("")) }
+      frame('E') { d => d.write(cs("")); d.writeInt(0) }
+      frame('S')(_ => ())
+      out.flush()
+      val ext = untilReady()
+      assert(ext.map(_._1) == Seq('1', 't', 'T', '2', 'T', 'D', 'C', 'Z'),
+        ext.map(_._1).mkString)
+      // ParameterDescription: one param, oid 25 (text)
+      val pd = java.nio.ByteBuffer.wrap(ext(1)._2)
+      assert(pd.getShort == 1 && pd.getInt == 25)
+      assert(cols(ext(5)._2) == Seq("2", "p;q"))
+      assert(new String(ext(6)._2, StandardCharsets.UTF_8).startsWith("SELECT 1"))
+
+      // error inside a batch: messages after the failure are discarded
+      // until Sync, which restores ReadyForQuery
+      frame('P') { d => d.write(cs("")); d.write(cs("select nope from pgw")); d.writeShort(0) }
+      frame('B') { d => d.write(cs("")); d.write(cs("")); d.writeShort(0); d.writeShort(0); d.writeShort(0) }
+      frame('D') { d => d.writeByte('P'); d.write(cs("")) }
+      frame('E') { d => d.write(cs("")); d.writeInt(0) }
+      frame('S')(_ => ())
+      out.flush()
+      val bad = untilReady()
+      // Parse and Bind succeed (no analysis yet); Describe falls back to
+      // NoData on the analysis failure; Execute surfaces ErrorResponse;
+      // everything after is discarded until Sync restores ReadyForQuery
+      assert(bad.map(_._1) == Seq('1', '2', 'n', 'E', 'Z'),
+        bad.map(_._1).mkString)
+      // statement with NO params round-trips through extended flow too
+      frame('P') { d => d.write(cs("")); d.write(cs("select count(*) from pgw")); d.writeShort(0) }
+      frame('B') { d => d.write(cs("")); d.write(cs("")); d.writeShort(0); d.writeShort(0); d.writeShort(0) }
+      frame('E') { d => d.write(cs("")); d.writeInt(0) }
+      frame('S')(_ => ())
+      out.flush()
+      val cnt = untilReady()
+      assert(cols(cnt.collect { case ('D', b) => b }.head) == Seq("2"))
+
       // Terminate closes cleanly
       out.writeByte('X'); out.writeInt(4); out.flush()
       assert(in.read() == -1)
@@ -155,5 +214,62 @@ class ServerSpec extends AnyFunSuite {
       sock.close()
       server.close()
     }
+  }
+
+  test("concurrent clients: parallel reads under the statement lock") {
+    val dir = "/root/repo/target/graft-tmp/conc-warehouse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-conc-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def client[A](body: (String => Seq[String]) => A): A = {
+      val c = new Socket("127.0.0.1", server.getLocalPort)
+      try {
+        c.setSoTimeout(120000)
+        val out = new PrintWriter(new java.io.OutputStreamWriter(
+          c.getOutputStream, StandardCharsets.UTF_8), true)
+        val in = new BufferedReader(new InputStreamReader(
+          c.getInputStream, StandardCharsets.UTF_8))
+        body { stmt =>
+          out.println(stmt)
+          val lines = collection.mutable.Buffer[String]()
+          var l = in.readLine()
+          while (l != null && !l.startsWith("OK ") && !l.startsWith("ERR ")) {
+            lines += l; l = in.readLine()
+          }
+          (lines += l).toSeq
+        }
+      } finally c.close()
+    }
+
+    client { send =>
+      assert(send("create table conc(v int not null);").last == "OK 0")
+      assert(send("insert into conc values (1), (2), (3);").last == "OK 1")
+    }
+    // 4 clients × 4 reads each, in parallel — every one must see a
+    // consistent table (reads share the lock; no writer interleaves)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val readers = (1 to 4).map { id =>
+      new Thread(() => {
+        try client { send =>
+          (1 to 4).foreach { _ =>
+            val r = send("select count(*) as c from conc;")
+            if (r != Seq("3", "OK 1")) errs.add(s"reader $id got $r")
+          }
+        } catch { case e: Exception => errs.add(s"reader $id: $e") }
+      }, s"conc-reader-$id")
+    }
+    readers.foreach(_.start())
+    readers.foreach(_.join(120000))
+    assert(errs.isEmpty, errs.toString)
+    server.close()
   }
 }
