@@ -169,6 +169,15 @@ private object Pgwire {
   private val CancelRequest = 80877102
   private val GssEncRequest = 80877104
 
+  // COPY subprotocol statements — data rides the wire instead of a path.
+  // Payload bytes are the engine's CSV surface (options pass through), so
+  // `psql`'s `\copy t from f with (format csv)` round-trips; pg's TEXT
+  // format (tab + \N) is not translated.
+  private val reCopyIn =
+    """(?is)\s*copy\s+(\w+)\s+from\s+stdin\s*(?:\((.*)\))?\s*""".r
+  private val reCopyOut =
+    """(?is)\s*copy\s+(\w+)\s+to\s+stdout\s*(?:\((.*)\))?\s*""".r
+
   def session(rawIn: java.io.InputStream, rawOut: java.io.OutputStream,
       engine: Engine): Unit = {
     val in = new DataInputStream(rawIn)
@@ -265,6 +274,100 @@ private object Pgwire {
         } catch { case _: Exception => msg('n')(_ => ()) }
       }
 
+    def tableCols(tbl: String): Int = {
+      val rl = engine.stmtLock.readLock
+      rl.lock()
+      try engine.run(s"select * from $tbl limit 0").schema.size
+      finally rl.unlock()
+    }
+    def copyFormats(ncols: Int)(d: DataOutputStream): Unit = {
+      d.writeByte(0) // overall format: text
+      d.writeShort(ncols)
+      (1 to ncols).foreach(_ => d.writeShort(0))
+    }
+    def rowsAffected(rows: Array[org.apache.spark.sql.Row]): String =
+      rows.headOption.filterNot(_.isNullAt(0)).map(_.get(0).toString).getOrElse("0")
+
+    /** COPY t FROM STDIN: CopyInResponse, spool CopyData to a temp file,
+      * then run the engine's file COPY on CopyDone. CopyFail aborts clean.
+      */
+    def copyIn(tbl: String, opts: Option[String]): Unit = {
+      val ncols = tableCols(tbl) // throws before CopyInResponse if unknown
+      msg('G')(copyFormats(ncols))
+      out.flush()
+      val tmp = java.nio.file.Files.createTempFile("graft-copyin", ".csv")
+      val sink = java.nio.file.Files.newOutputStream(tmp)
+      var failMsg: Option[String] = None
+      try {
+        var copying = true
+        while (copying) {
+          val t = in.read()
+          if (t < 0) throw new java.io.EOFException("connection closed mid-COPY")
+          val blen = in.readInt()
+          val payload = new Array[Byte](blen - 4)
+          in.readFully(payload)
+          t.toChar match {
+            case 'd' => sink.write(payload)
+            case 'c' => copying = false
+            case 'f' =>
+              failMsg = Some(new String(payload, 0,
+                math.max(0, payload.length - 1), StandardCharsets.UTF_8))
+              copying = false
+            case _ => () // Flush/Sync inside COPY are ignorable per spec
+          }
+        }
+        sink.close()
+        failMsg match {
+          case Some(m) => error(s"COPY aborted by client: $m")
+          case None =>
+            val stmt = s"copy $tbl from '${tmp.toAbsolutePath}'" +
+              opts.map(o => s" ($o)").getOrElse("")
+            val (_, rows) = Server.runStatement(engine, stmt)
+            msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
+        }
+      } finally {
+        sink.close()
+        java.nio.file.Files.deleteIfExists(tmp)
+      }
+    }
+
+    /** COPY t TO STDOUT: engine file COPY into a temp dir, then stream the
+      * part files back as CopyData.
+      */
+    def copyOut(tbl: String, opts: Option[String]): Unit = {
+      val ncols = tableCols(tbl)
+      val tmp = java.nio.file.Files.createTempDirectory("graft-copyout")
+      try {
+        val dir = tmp.resolve("out")
+        val stmt = s"copy $tbl to '$dir'" + opts.map(o => s" ($o)").getOrElse("")
+        val (_, rows) = Server.runStatement(engine, stmt)
+        msg('H')(copyFormats(ncols))
+        val parts = java.nio.file.Files.list(dir).iterator()
+        val sorted = collection.mutable.Buffer[java.nio.file.Path]()
+        while (parts.hasNext) {
+          val f = parts.next()
+          if (f.getFileName.toString.startsWith("part-")) sorted += f
+        }
+        sorted.sortBy(_.getFileName.toString).foreach { f =>
+          val bytes = java.nio.file.Files.readAllBytes(f)
+          var off = 0
+          while (off < bytes.length) {
+            val n = math.min(65536, bytes.length - off)
+            val (o0, n0) = (off, n)
+            msg('d')(_.write(bytes, o0, n0))
+            off += n
+          }
+        }
+        msg('c')(_ => ())
+        msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
+      } finally {
+        // best-effort temp cleanup (part files + _SUCCESS markers)
+        java.nio.file.Files.walk(tmp)
+          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      }
+    }
+
     // ---- message loop ----
     while (true) {
       val tpe = in.read()
@@ -290,12 +393,17 @@ private object Pgwire {
             var failed = false
             for (stmt <- stmts if !failed) {
               try {
-                val (schema, rows) = Server.runStatement(engine, stmt)
-                if (isRowReturning(stmt)) {
-                  sendRowDescription(schema)
-                  sendDataRows(rows)
-                  msg('C')(cstr(_, s"SELECT ${rows.length}"))
-                } else msg('C')(cstr(_, commandTag(stmt, rows.length)))
+                stmt match {
+                  case reCopyIn(tbl, opts) => copyIn(tbl, Option(opts))
+                  case reCopyOut(tbl, opts) => copyOut(tbl, Option(opts))
+                  case _ =>
+                    val (schema, rows) = Server.runStatement(engine, stmt)
+                    if (isRowReturning(stmt)) {
+                      sendRowDescription(schema)
+                      sendDataRows(rows)
+                      msg('C')(cstr(_, s"SELECT ${rows.length}"))
+                    } else msg('C')(cstr(_, commandTag(stmt, rows.length)))
+                }
               } catch {
                 case e: Exception =>
                   error(Option(e.getMessage).getOrElse(e.toString))

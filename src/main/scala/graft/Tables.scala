@@ -66,8 +66,29 @@ object Tables {
     }
   }
 
+  /** `embeddings` with the vector column normalized to `array<float>` —
+    * the element type every distance/ANN kernel compiles against. The
+    * driver's generator writes `list<float>` today; this arm is drift
+    * insurance (the events `ts` lesson: a silent regen to `list<double>`
+    * would otherwise fail seven ANN/dedup queries at analysis).
+    */
+  def embeddings(spark: SparkSession, dir: String): DataFrame = {
+    val raw = load(spark, dir, "embeddings")
+    raw.schema("embedding").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, _) => raw
+      case _: org.apache.spark.sql.types.ArrayType =>
+        raw.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => raw
+    }
+  }
+
   def df(spark: SparkSession, dir: String, name: String): DataFrame =
-    if (name == "events") events(spark, dir) else load(spark, dir, name)
+    name match {
+      case "events" => events(spark, dir)
+      case "embeddings" => embeddings(spark, dir)
+      case _ => load(spark, dir, name)
+    }
 
   /** Register all tables as temp views named exactly like the oracle side. */
   def register(spark: SparkSession, dir: String): Unit =

@@ -198,6 +198,35 @@ class ServerSpec extends AnyFunSuite {
       // everything after is discarded until Sync restores ReadyForQuery
       assert(bad.map(_._1) == Seq('1', '2', 'n', 'E', 'Z'),
         bad.map(_._1).mkString)
+      // ---- COPY subprotocol: FROM STDIN spools to the engine, TO STDOUT
+      // streams back ----
+      assert(query("create table pgc(v int not null, s varchar)")
+        .exists(_._1 == 'C'))
+      def run_copy_in(): Unit = {
+        val q = ("copy pgc from stdin\u0000").getBytes(StandardCharsets.UTF_8)
+        out.writeByte('Q'); out.writeInt(4 + q.length); out.write(q); out.flush()
+        val (g, gBody) = readMsg()
+        assert(g == 'G') // CopyInResponse: text format, 2 columns
+        val gb = java.nio.ByteBuffer.wrap(gBody)
+        assert(gb.get == 0.toByte && gb.getShort == 2)
+        val data = "10,x\n11,y\n".getBytes(StandardCharsets.UTF_8)
+        out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
+        out.writeByte('c'); out.writeInt(4); out.flush()
+        val fin = untilReady()
+        assert(fin.collect { case ('C', b) =>
+          new String(b, StandardCharsets.UTF_8).takeWhile(_ != '\u0000') }
+          .exists(_.startsWith("COPY")), fin.map(_._1).mkString)
+      }
+      run_copy_in()
+      assert(cols(query("select count(*) as c from pgc")(1)._2) == Seq("2"))
+      val co = query("copy pgc to stdout")
+      assert(co.map(_._1).startsWith(Seq('H')), co.map(_._1).mkString)
+      val copied = co.collect { case ('d', b) =>
+        new String(b, StandardCharsets.UTF_8) }.mkString
+      assert(copied.linesIterator.toSet == Set("10,x", "11,y"), copied)
+      assert(co.exists { case (t, b) =>
+        t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY") })
+
       // statement with NO params round-trips through extended flow too
       frame('P') { d => d.write(cs("")); d.write(cs("select count(*) from pgw")); d.writeShort(0) }
       frame('B') { d => d.write(cs("")); d.write(cs("")); d.writeShort(0); d.writeShort(0); d.writeShort(0) }
