@@ -23,15 +23,18 @@ import graft.engine.Engine
   *   client → statements terminated by `;` (may span lines), or a single
   *            `\`-prefixed shell-sugar line; `\q` closes the session.
   *   server → one line per result row, fields tab-separated, rendered
-  *            with the REPL/slt formatter; then a terminator line
-  *            `OK <n>` (row count) or `ERR <message>`.
+  *            with the REPL/slt formatter (rows that could read as a
+  *            terminator are space-stuffed; clients drop one leading
+  *            space); then a terminator line `OK <n>` (row count) or
+  *            `ERR <message>`.
   *
-  * Concurrency: connections are served on daemon threads; statement
-  * execution is serialized on the engine (Spark itself is multi-session
-  * safe, but the engine's catalog swap operations — DELETE/UPDATE's
-  * temp-dir move — assume one writer at a time). Scale path: run many
-  * read sessions against one driver exactly as the Thrift server does;
-  * the per-statement work is still fully distributed Spark jobs.
+  * Concurrency: connections are served on daemon threads; statements gate
+  * on the engine's read-write lock — SELECT-shaped statements share the
+  * read lock and run concurrently, catalog-mutating statements (Spark is
+  * multi-session safe, but DELETE/UPDATE's temp-dir move assumes one
+  * writer and no readers) are exclusive. Scale path: run many read
+  * sessions against one driver exactly as the Thrift server does; the
+  * per-statement work is still fully distributed Spark jobs.
   *
   * Usage: `sbt "runMain graft.Server"` — env `GRAFT_PORT` (default 5433),
   * `GRAFT_WAREHOUSE`, `SPARK_GRAFT_CPUS`.
@@ -123,7 +126,7 @@ object Server {
   private[graft] def runStatement(engine: Engine, sql: String)
       : (StructType, Array[org.apache.spark.sql.Row]) = {
     val lock =
-      if (Pgwire.isRowReturning(sql)) engine.stmtLock.readLock
+      if (Pgwire.isReadOnly(sql)) engine.stmtLock.readLock
       else engine.stmtLock.writeLock
     lock.lock()
     try {
@@ -132,30 +135,48 @@ object Server {
     } finally lock.unlock()
   }
 
+  /** First line of an exception's message, never empty or throwing. */
+  private[graft] def errLine(e: Exception): String =
+    Option(e.getMessage).map(_.trim).filter(_.nonEmpty)
+      .flatMap(_.linesIterator.nextOption())
+      .getOrElse(e.getClass.getSimpleName)
+
   private def execute(engine: Engine, sql: String, out: PrintWriter): Unit = {
     try {
       // one writer at a time: catalog map updates and the DELETE/UPDATE
       // temp-dir swaps are engine-level critical sections
       val (_, rows) = runStatement(engine, sql)
       rows.foreach { r =>
-        out.println((0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t"))
+        val line = (0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t")
+        // space-stuff any row line the client could confuse with a
+        // terminator (or with stuffing itself) — clients drop one
+        // leading space; see tools/graft.py
+        out.println(
+          if (line.startsWith("OK ") || line.startsWith("ERR ") ||
+            line.startsWith(" ")) " " + line
+          else line)
       }
       out.println(s"OK ${rows.length}")
     } catch {
-      case e: Exception =>
-        val msg = Option(e.getMessage).getOrElse(e.toString)
-        out.println(s"ERR ${msg.linesIterator.next()}")
+      case e: Exception => out.println(s"ERR ${errLine(e)}")
     }
   }
 }
 
-/** Postgres wire protocol v3, simple-query subset — enough for `psql`,
-  * JDBC's simple mode, or any driver that speaks Query('Q') messages:
-  * startup handshake (SSLRequest politely declined), AuthenticationOk
-  * (trust), ParameterStatus, ReadyForQuery, then a Query loop answering
-  * RowDescription / DataRow* / CommandComplete (text format), ErrorResponse
-  * with recovery, and Terminate. The extended protocol (Parse/Bind/Execute)
-  * is answered with a clear ErrorResponse rather than a hang.
+/** Postgres wire protocol v3 — the surface `psql`, pgJDBC and
+  * psycopg-style drivers speak:
+  *  - startup handshake (SSLRequest politely declined), AuthenticationOk
+  *    (trust), ParameterStatus, ReadyForQuery;
+  *  - simple query: Query → RowDescription / DataRow* / CommandComplete
+  *    (text format), quote/comment/dollar-aware multi-statement split,
+  *    ErrorResponse with recovery, Terminate;
+  *  - extended query: Parse / Bind ($n text parameters as SQL literals) /
+  *    Describe / Execute / Close / Flush / Sync with the spec's
+  *    discard-until-Sync error state;
+  *  - COPY subprotocol both directions (FROM STDIN spools to the engine's
+  *    file COPY; TO STDOUT streams back).
+  * Binary parameter/result formats and partial-fetch portals are declined
+  * with a clear ErrorResponse rather than a hang.
   *
   * Mirrors the reference's pgwire front end
   * (`/root/reference/src/server/mod.rs:17-46`, `src/server/processor.rs`):
@@ -172,11 +193,38 @@ private object Pgwire {
   // COPY subprotocol statements — data rides the wire instead of a path.
   // Payload bytes are the engine's CSV surface (options pass through), so
   // `psql`'s `\copy t from f with (format csv)` round-trips; pg's TEXT
-  // format (tab + \N) is not translated.
+  // format (tab + \N) is not translated. The option tail accepts every
+  // form psql emits: `(...)`, `WITH (...)`, and bare `CSV HEADER
+  // DELIMITER 'c'` words.
   private val reCopyIn =
-    """(?is)\s*copy\s+(\w+)\s+from\s+stdin\s*(?:\((.*)\))?\s*""".r
+    """(?is)\s*copy\s+(\w+)\s+from\s+stdin\b(.*)""".r
   private val reCopyOut =
-    """(?is)\s*copy\s+(\w+)\s+to\s+stdout\s*(?:\((.*)\))?\s*""".r
+    """(?is)\s*copy\s+(\w+)\s+to\s+stdout\b(.*)""".r
+
+  /** Normalize a COPY option tail to the engine's `(k v, ...)` body. */
+  private[graft] def copyTailOpts(rest0: String): Option[String] = {
+    var rest = rest0.trim
+    if (rest.toLowerCase.startsWith("with")) rest = rest.drop(4).trim
+    if (rest.isEmpty) None
+    else if (rest.startsWith("(") && rest.endsWith(")"))
+      Some(rest.substring(1, rest.length - 1))
+    else {
+      // bare psql-style words: CSV, HEADER, DELIMITER 'c', QUOTE 'q'
+      val toks = rest.split("\\s+").toList
+      val parts = collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < toks.length) {
+        toks(i).toLowerCase match {
+          case "csv" => parts += "format csv"; i += 1
+          case "header" => parts += "header true"; i += 1
+          case k @ ("delimiter" | "quote" | "escape") if i + 1 < toks.length =>
+            parts += s"$k ${toks(i + 1)}"; i += 2
+          case other => parts += other; i += 1
+        }
+      }
+      Some(parts.mkString(", "))
+    }
+  }
 
   def session(rawIn: java.io.InputStream, rawOut: java.io.OutputStream,
       engine: Engine): Unit = {
@@ -198,7 +246,8 @@ private object Pgwire {
       d.writeByte('S'); cstr(d, "ERROR")
       d.writeByte('V'); cstr(d, "ERROR")
       d.writeByte('C'); cstr(d, "XX000") // internal_error: engine surfaces text
-      d.writeByte('M'); cstr(d, message.linesIterator.next())
+      d.writeByte('M'); cstr(d,
+        message.linesIterator.nextOption().getOrElse("error"))
       d.writeByte(0)
     }
 
@@ -289,9 +338,11 @@ private object Pgwire {
       rows.headOption.filterNot(_.isNullAt(0)).map(_.get(0).toString).getOrElse("0")
 
     /** COPY t FROM STDIN: CopyInResponse, spool CopyData to a temp file,
-      * then run the engine's file COPY on CopyDone. CopyFail aborts clean.
+      * then run the engine's file COPY on CopyDone. Returns false when the
+      * client aborted with CopyFail — the caller must skip the rest of the
+      * query buffer, per simple-query error semantics.
       */
-    def copyIn(tbl: String, opts: Option[String]): Unit = {
+    def copyIn(tbl: String, opts: Option[String]): Boolean = {
       val ncols = tableCols(tbl) // throws before CopyInResponse if unknown
       msg('G')(copyFormats(ncols))
       out.flush()
@@ -318,12 +369,13 @@ private object Pgwire {
         }
         sink.close()
         failMsg match {
-          case Some(m) => error(s"COPY aborted by client: $m")
+          case Some(m) => error(s"COPY aborted by client: $m"); false
           case None =>
             val stmt = s"copy $tbl from '${tmp.toAbsolutePath}'" +
               opts.map(o => s" ($o)").getOrElse("")
             val (_, rows) = Server.runStatement(engine, stmt)
             msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
+            true
         }
       } finally {
         sink.close()
@@ -332,24 +384,35 @@ private object Pgwire {
     }
 
     /** COPY t TO STDOUT: engine file COPY into a temp dir, then stream the
-      * part files back as CopyData.
+      * part files back as CopyData. With `header true`, only the first
+      * part keeps its header line (Spark writes one per partition file).
       */
     def copyOut(tbl: String, opts: Option[String]): Unit = {
       val ncols = tableCols(tbl)
+      val withHeader = opts.exists(o =>
+        """(?i)header\s*(=?\s*(true|on|1))?\b""".r.findFirstIn(o).isDefined &&
+          !"""(?i)header\s*=?\s*(false|off|0)\b""".r.findFirstIn(o).isDefined)
       val tmp = java.nio.file.Files.createTempDirectory("graft-copyout")
       try {
         val dir = tmp.resolve("out")
         val stmt = s"copy $tbl to '$dir'" + opts.map(o => s" ($o)").getOrElse("")
         val (_, rows) = Server.runStatement(engine, stmt)
         msg('H')(copyFormats(ncols))
-        val parts = java.nio.file.Files.list(dir).iterator()
-        val sorted = collection.mutable.Buffer[java.nio.file.Path]()
-        while (parts.hasNext) {
-          val f = parts.next()
-          if (f.getFileName.toString.startsWith("part-")) sorted += f
-        }
-        sorted.sortBy(_.getFileName.toString).foreach { f =>
-          val bytes = java.nio.file.Files.readAllBytes(f)
+        val listing = java.nio.file.Files.list(dir)
+        val sorted = try {
+          val buf = collection.mutable.Buffer[java.nio.file.Path]()
+          listing.iterator().forEachRemaining { f =>
+            if (f.getFileName.toString.startsWith("part-")) buf += f
+          }
+          buf.sortBy(_.getFileName.toString)
+        } finally listing.close()
+        sorted.zipWithIndex.foreach { case (f, idx) =>
+          val raw = java.nio.file.Files.readAllBytes(f)
+          val bytes =
+            if (withHeader && idx > 0) { // drop the repeated header line
+              val nl = raw.indexOf('\n'.toByte)
+              if (nl >= 0) raw.drop(nl + 1) else Array.empty[Byte]
+            } else raw
           var off = 0
           while (off < bytes.length) {
             val n = math.min(65536, bytes.length - off)
@@ -362,9 +425,10 @@ private object Pgwire {
         msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
       } finally {
         // best-effort temp cleanup (part files + _SUCCESS markers)
-        java.nio.file.Files.walk(tmp)
-          .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        val walk = java.nio.file.Files.walk(tmp)
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        finally walk.close()
       }
     }
 
@@ -394,19 +458,20 @@ private object Pgwire {
             for (stmt <- stmts if !failed) {
               try {
                 stmt match {
-                  case reCopyIn(tbl, opts) => copyIn(tbl, Option(opts))
-                  case reCopyOut(tbl, opts) => copyOut(tbl, Option(opts))
+                  case reCopyIn(tbl, rest) =>
+                    if (!copyIn(tbl, copyTailOpts(rest))) failed = true
+                  case reCopyOut(tbl, rest) => copyOut(tbl, copyTailOpts(rest))
                   case _ =>
                     val (schema, rows) = Server.runStatement(engine, stmt)
                     if (isRowReturning(stmt)) {
                       sendRowDescription(schema)
                       sendDataRows(rows)
                       msg('C')(cstr(_, s"SELECT ${rows.length}"))
-                    } else msg('C')(cstr(_, commandTag(stmt, rows.length)))
+                    } else msg('C')(cstr(_, commandTag(stmt, rows)))
                 }
               } catch {
                 case e: Exception =>
-                  error(Option(e.getMessage).getOrElse(e.toString))
+                  error(Server.errLine(e))
                   failed = true
               }
             }
@@ -440,6 +505,14 @@ private object Pgwire {
                 new String(b, StandardCharsets.UTF_8)
               }
             }
+            // result-format codes: only text (0) is produced — reject a
+            // binary request instead of sending bytes it will misparse
+            val nResFmt = d.readShort().toInt
+            (0 until nResFmt).foreach { _ =>
+              if (d.readShort().toInt != 0)
+                throw new IllegalArgumentException(
+                  "binary result format not supported (request text)")
+            }
             prepared.get(stmtName) match {
               case None =>
                 error(s"""unknown prepared statement "$stmtName""""); extFailed = true
@@ -449,7 +522,7 @@ private object Pgwire {
             }
           } catch {
             case e: Exception =>
-              error(Option(e.getMessage).getOrElse(e.toString)); extFailed = true
+              error(Server.errLine(e)); extFailed = true
           }
 
         case 'D' if !extFailed => // Describe statement ('S') or portal ('P')
@@ -482,10 +555,10 @@ private object Pgwire {
               try {
                 val (_, rows) = Server.runStatement(engine, sql)
                 if (isRowReturning(sql)) sendDataRows(rows)
-                msg('C')(cstr(_, commandTag(sql, rows.length)))
+                msg('C')(cstr(_, commandTag(sql, rows)))
               } catch {
                 case e: Exception =>
-                  error(Option(e.getMessage).getOrElse(e.toString)); extFailed = true
+                  error(Server.errLine(e)); extFailed = true
               }
           }
 
@@ -516,16 +589,36 @@ private object Pgwire {
   private def keyword(stmt: String): String =
     stmt.trim.split("\\s+").headOption.getOrElse("").toUpperCase
 
+  /** Renders rows over the wire (RowDescription + DataRows). */
   private[graft] def isRowReturning(stmt: String): Boolean =
     Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
       "TABLE", "PRAGMA").contains(keyword(stmt)) || stmt.trim.startsWith("\\")
 
-  private def commandTag(stmt: String, nRows: Int): String = keyword(stmt) match {
-    case "SELECT" | "VALUES" | "WITH" | "SHOW" | "EXPLAIN" | "DESCRIBE" |
-         "TABLE" | "PRAGMA" => s"SELECT $nRows"
-    case "INSERT" => s"INSERT 0 $nRows"
-    case k @ ("UPDATE" | "DELETE") => s"$k $nRows" // row counts from engine
-    case k => k // CREATE, DROP, COPY, SET, ...
+  /** Safe under the shared READ lock. Narrower than [[isRowReturning]]:
+    * WITH can wrap DML (`WITH x AS (...) INSERT ...`) and PRAGMA mutates
+    * session conf, so both take the write lock even though they render
+    * rows.
+    */
+  private[graft] def isReadOnly(stmt: String): Boolean =
+    Set("SELECT", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE", "TABLE")
+      .contains(keyword(stmt)) || stmt.trim.startsWith("\\")
+
+  /** `rows` is the engine RESULT rows: the data rows for a SELECT-shaped
+    * statement, but a single rows_affected row for DML — the tag count
+    * must come from that row's value, not the row count.
+    */
+  private def commandTag(stmt: String,
+      rows: Array[org.apache.spark.sql.Row]): String = {
+    def affected: String = rows.headOption.filterNot(_.isNullAt(0))
+      .map(_.get(0).toString).getOrElse("0")
+    keyword(stmt) match {
+      case "SELECT" | "VALUES" | "WITH" | "SHOW" | "EXPLAIN" | "DESCRIBE" |
+           "TABLE" | "PRAGMA" => s"SELECT ${rows.length}"
+      case "INSERT" => s"INSERT 0 $affected"
+      case k @ ("UPDATE" | "DELETE") => s"$k $affected"
+      case "COPY" => s"COPY $affected"
+      case k => k // CREATE, DROP, SET, ...
+    }
   }
 
   /** Substitute `$n` placeholders (outside quotes) with text-format
@@ -588,9 +681,11 @@ private object Pgwire {
     max
   }
 
-  /** Split a simple-query buffer on top-level ';' — quote-aware (single
-    * quotes with '' escapes, double-quoted identifiers), since psql ships
-    * the whole buffer in one Query message.
+  /** Split a simple-query buffer on top-level ';', since psql ships the
+    * whole buffer in one Query message. Aware of single quotes (with ''
+    * escapes), double-quoted identifiers, `--` line comments, C-style
+    * block comments, and `$$` dollar quoting (the SQL-UDF body form) — a
+    * ';' inside any of those does not split.
     */
   private[graft] def splitStatements(sql: String): Seq[String] = {
     val out = collection.mutable.Buffer[String]()
@@ -598,6 +693,9 @@ private object Pgwire {
     var i = 0
     var inStr = false
     var inIdent = false
+    var inLineComment = false
+    var inBlockComment = false
+    var inDollar = false
     while (i < sql.length) {
       val c = sql.charAt(i)
       if (inStr) {
@@ -608,9 +706,27 @@ private object Pgwire {
         }
       } else if (inIdent) {
         cur.append(c); if (c == '"') inIdent = false
+      } else if (inLineComment) {
+        cur.append(c); if (c == '\n') inLineComment = false
+      } else if (inBlockComment) {
+        cur.append(c)
+        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
+          cur.append('/'); i += 1; inBlockComment = false
+        }
+      } else if (inDollar) {
+        cur.append(c)
+        if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1) == '$') {
+          cur.append('$'); i += 1; inDollar = false
+        }
       } else c match {
         case '\'' => inStr = true; cur.append(c)
         case '"' => inIdent = true; cur.append(c)
+        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
+          inLineComment = true; cur.append(c)
+        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
+          inBlockComment = true; cur.append(c)
+        case '$' if i + 1 < sql.length && sql.charAt(i + 1) == '$' =>
+          inDollar = true; cur.append(c); cur.append('$'); i += 1
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

@@ -47,6 +47,8 @@ class PythonClientSpec extends AnyFunSuite {
            |    except graft.Error:
            |        pass  # connection must survive the error
            |    assert db.query("select max(s) as m from pyc") == [["c"]]
+           |    # space-stuffed ambiguous rows round-trip losslessly
+           |    assert db.query("select 'OK 1' as s") == [["OK 1"]], "unstuff"
            |print("PY OK")
            |""".stripMargin
       val pb = new ProcessBuilder("python3", "-c", code)

@@ -60,6 +60,9 @@ class ServerSpec extends AnyFunSuite {
       // shell sugar works unterminated, like the REPL
       val dt = send("\\dt")
       assert(dt.last.startsWith("OK ") && dt.exists(_.contains("srv")))
+      // rows that would read as a terminator are space-stuffed
+      assert(send("select 'OK 1' as s;") == Seq(" OK 1", "OK 1"))
+      assert(send("select ' pad' as s;") == Seq("  pad", "OK 1"))
     } finally {
       client.close()
       server.close()
@@ -219,11 +222,21 @@ class ServerSpec extends AnyFunSuite {
       }
       run_copy_in()
       assert(cols(query("select count(*) as c from pgc")(1)._2) == Seq("2"))
+      // INSERT tag carries the affected-row count, not the result-row count
+      val ins3 = query("insert into pgc values (12,'z'), (13,'w'), (14,'u')")
+      assert(ins3.collect { case ('C', b) =>
+        new String(b, StandardCharsets.UTF_8) }.exists(_.startsWith("INSERT 0 3")))
+      // psql's WITH (...) option tail parses; headers collapse to one line
+      val coH = query("copy pgc to stdout with (format csv, header true)")
+      val headed = coH.collect { case ('d', b) =>
+        new String(b, StandardCharsets.UTF_8) }.mkString
+      assert(headed.linesIterator.count(_ == "v,s") == 1, headed)
       val co = query("copy pgc to stdout")
       assert(co.map(_._1).startsWith(Seq('H')), co.map(_._1).mkString)
       val copied = co.collect { case ('d', b) =>
         new String(b, StandardCharsets.UTF_8) }.mkString
-      assert(copied.linesIterator.toSet == Set("10,x", "11,y"), copied)
+      assert(copied.linesIterator.toSet ==
+        Set("10,x", "11,y", "12,z", "13,w", "14,u"), copied)
       assert(co.exists { case (t, b) =>
         t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY") })
 

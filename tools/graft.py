@@ -61,6 +61,10 @@ class Database:
                 return rows
             if line.startswith("ERR "):
                 raise Error(line[4:])
+            if line.startswith(" "):
+                # server space-stuffs data lines that could read as a
+                # terminator (or that start with a space); drop one space
+                line = line[1:]
             rows.append(line.split("\t"))
 
     # the reference calls this surface `query` only; execute is a
