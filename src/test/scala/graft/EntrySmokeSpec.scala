@@ -18,6 +18,30 @@ class EntrySmokeSpec extends AnyFunSuite {
     path
   }
 
+  test("testdata physical types normalize to the kernel-expected schema") {
+    // The driver regenerates /root/testdata between rounds and has changed
+    // physical types before (events.ts: timestamp[ns]-as-long → NTZ µs,
+    // round 8 — seven operators died at analysis). This canary fails FIRST
+    // and names the drifted column, so the next drift costs one test read,
+    // not a round.
+    import org.apache.spark.sql.types._
+    for (sfDir <- Seq(sf, "/root/testdata/sf0.01")) {
+      val ev = Tables.df(spark, sfDir, "events")
+      assert(ev.schema("ts").dataType == TimestampType,
+        s"events.ts normalized to ${ev.schema("ts").dataType} in $sfDir — " +
+          "add an arm to Tables.events for the new physical type")
+      val em = Tables.df(spark, sfDir, "embeddings")
+      assert(em.schema("embedding").dataType == ArrayType(FloatType, true) ||
+        em.schema("embedding").dataType == ArrayType(FloatType, false),
+        s"embeddings.embedding normalized to ${em.schema("embedding").dataType}" +
+          s" in $sfDir — extend Tables.embeddings")
+      val li = Tables.df(spark, sfDir, "lineitem")
+      assert(Seq(TimestampType, TimestampNTZType)
+        .contains(li.schema("l_shipdate").dataType),
+        s"lineitem.l_shipdate is ${li.schema("l_shipdate").dataType} in $sfDir")
+    }
+  }
+
   test("entry returns rows under ANSI-default session settings") {
     // the driver calls SparkEntry.entry with ITS OWN session (Spark 4
     // defaults: ANSI on, no legacy parquet confs) — emulate that here
