@@ -315,27 +315,25 @@ private object Pgwire {
     def describe(sql: String): Unit =
       if (!isRowReturning(sql)) msg('n')(_ => ())
       else {
-        try {
-          val rl = engine.stmtLock.readLock
-          rl.lock()
-          val schema = try engine.run(sql).schema finally rl.unlock()
-          sendRowDescription(schema)
-        } catch { case _: Exception => msg('n')(_ => ()) }
+        try sendRowDescription(readSchema(sql))
+        catch { case _: Exception => msg('n')(_ => ()) }
       }
 
-    def tableCols(tbl: String): Int = {
+    /** Plan a statement under the read lock and return its schema without
+      * executing a job — safe for SELECT-shaped statements only.
+      */
+    def readSchema(sql: String): StructType = {
       val rl = engine.stmtLock.readLock
       rl.lock()
-      try engine.run(s"select * from $tbl limit 0").schema.size
-      finally rl.unlock()
+      try engine.run(sql).schema finally rl.unlock()
     }
+    def tableCols(tbl: String): Int =
+      readSchema(s"select * from $tbl limit 0").size
     def copyFormats(ncols: Int)(d: DataOutputStream): Unit = {
       d.writeByte(0) // overall format: text
       d.writeShort(ncols)
       (1 to ncols).foreach(_ => d.writeShort(0))
     }
-    def rowsAffected(rows: Array[org.apache.spark.sql.Row]): String =
-      rows.headOption.filterNot(_.isNullAt(0)).map(_.get(0).toString).getOrElse("0")
 
     /** COPY t FROM STDIN: CopyInResponse, spool CopyData to a temp file,
       * then run the engine's file COPY on CopyDone. Returns false when the
@@ -406,20 +404,23 @@ private object Pgwire {
           }
           buf.sortBy(_.getFileName.toString)
         } finally listing.close()
+        // stream each part in 64 KB CopyData chunks — never the whole
+        // table in driver memory (the engine writes files; only the
+        // rows_affected row was collected)
         sorted.zipWithIndex.foreach { case (f, idx) =>
-          val raw = java.nio.file.Files.readAllBytes(f)
-          val bytes =
+          val is = java.nio.file.Files.newInputStream(f)
+          try {
             if (withHeader && idx > 0) { // drop the repeated header line
-              val nl = raw.indexOf('\n'.toByte)
-              if (nl >= 0) raw.drop(nl + 1) else Array.empty[Byte]
-            } else raw
-          var off = 0
-          while (off < bytes.length) {
-            val n = math.min(65536, bytes.length - off)
-            val (o0, n0) = (off, n)
-            msg('d')(_.write(bytes, o0, n0))
-            off += n
-          }
+              var c = is.read()
+              while (c >= 0 && c != '\n') c = is.read()
+            }
+            val chunk = new Array[Byte](65536)
+            var n = is.read(chunk)
+            while (n > 0) {
+              msg('d')(_.write(chunk, 0, n)) // msg runs its body eagerly
+              n = is.read(chunk)
+            }
+          } finally is.close()
         }
         msg('c')(_ => ())
         msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
@@ -603,14 +604,17 @@ private object Pgwire {
     Set("SELECT", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE", "TABLE")
       .contains(keyword(stmt)) || stmt.trim.startsWith("\\")
 
+  /** DML results are a single rows_affected row; extract its value. */
+  private def rowsAffected(rows: Array[org.apache.spark.sql.Row]): String =
+    rows.headOption.filterNot(_.isNullAt(0)).map(_.get(0).toString).getOrElse("0")
+
   /** `rows` is the engine RESULT rows: the data rows for a SELECT-shaped
     * statement, but a single rows_affected row for DML — the tag count
     * must come from that row's value, not the row count.
     */
   private def commandTag(stmt: String,
       rows: Array[org.apache.spark.sql.Row]): String = {
-    def affected: String = rows.headOption.filterNot(_.isNullAt(0))
-      .map(_.get(0).toString).getOrElse("0")
+    def affected: String = rowsAffected(rows)
     keyword(stmt) match {
       case "SELECT" | "VALUES" | "WITH" | "SHOW" | "EXPLAIN" | "DESCRIBE" |
            "TABLE" | "PRAGMA" => s"SELECT ${rows.length}"

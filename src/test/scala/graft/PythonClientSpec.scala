@@ -20,13 +20,7 @@ class PythonClientSpec extends AnyFunSuite {
     } catch { case _: Exception => false }
     assume(havePython, "python3 not on PATH")
 
-    val dir = "/root/repo/target/graft-tmp/pyclient-warehouse"
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    val dir = freshDir("/root/repo/target/graft-tmp/pyclient-warehouse")
     val engine = new Engine(spark, dir)
     val server = new ServerSocket(0)
     val acceptor = new Thread(() => Server.serve(server, engine), "graft-py-spec")

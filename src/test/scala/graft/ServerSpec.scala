@@ -14,13 +14,7 @@ class ServerSpec extends AnyFunSuite {
   import TestSpark._
 
   test("socket client round-trips DDL, DML, query, error, and sugar") {
-    val dir = "/root/repo/target/graft-tmp/server-warehouse"
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    val dir = freshDir("/root/repo/target/graft-tmp/server-warehouse")
     val engine = new Engine(spark, dir)
     val server = new ServerSocket(0) // ephemeral port
     val acceptor = new Thread(() => Server.serve(server, engine), "graft-server-spec")
@@ -71,13 +65,7 @@ class ServerSpec extends AnyFunSuite {
 
   test("pgwire client: handshake, simple query, multi-statement, error recovery") {
     import java.io.{DataInputStream, DataOutputStream}
-    val dir = "/root/repo/target/graft-tmp/pgwire-warehouse"
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    val dir = freshDir("/root/repo/target/graft-tmp/pgwire-warehouse")
     val engine = new Engine(spark, dir)
     val server = new ServerSocket(0)
     val acceptor = new Thread(() => Server.serve(server, engine), "graft-pgwire-spec")
@@ -259,13 +247,7 @@ class ServerSpec extends AnyFunSuite {
   }
 
   test("concurrent clients: parallel reads under the statement lock") {
-    val dir = "/root/repo/target/graft-tmp/conc-warehouse"
-    val p = java.nio.file.Paths.get(dir)
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p)
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    val dir = freshDir("/root/repo/target/graft-tmp/conc-warehouse")
     val engine = new Engine(spark, dir)
     val server = new ServerSocket(0)
     val acceptor = new Thread(() => Server.serve(server, engine), "graft-conc-spec")
