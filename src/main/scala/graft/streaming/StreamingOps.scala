@@ -145,6 +145,55 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  /** Streaming MinHash near-dup detection — the continuous-ingestion twin
+    * of `Dedup.minhashPairsIncremental`: each arriving document's LSH band
+    * keys probe per-bucket state (the first document that claimed the
+    * bucket, with its signature); a collision whose signature-agreement
+    * Jaccard estimate clears the threshold emits (doc_id, dup_of, est).
+    *
+    * Semantics vs batch: the estimator is the standard MinHash one
+    * (matching signature positions / k) rather than the batch path's exact
+    * shingle Jaccard — state carries the k-long signature, never shingle
+    * sets. A doc colliding with its representative in several bands emits
+    * one row per band; consumers take `dropDuplicates(doc_id, dup_of)`.
+    *
+    * Scale: state is one (id, signature) per OCCUPIED bucket — corpus
+    * bands, not corpus pairs. This demo keeps state forever (NoTimeout);
+    * a production sliding-corpus deployment sets EventTimeTimeout to evict
+    * buckets older than the dedup horizon.
+    */
+  def nearDupStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", shingleWidth: Int = 3, numHashes: Int = 16,
+      bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val banded = graft.operators.Dedup
+      .minhashed(docs, idCol, textCol, shingleWidth, numHashes, bands)
+      .select(col(idCol).cast("long").as("id"), col("sig"),
+        posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+      .as[BandedDoc]
+    banded.groupByKey(b => (b.band_idx, b.band_key))
+      .flatMapGroupsWithState[BucketRep, NearDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val out = scala.collection.mutable.ArrayBuffer[NearDup]()
+          // deterministic fold order inside a micro-batch
+          it.toArray.sortBy(_.id).foreach { b =>
+            state.getOption match {
+              case None => state.update(BucketRep(b.id, b.sig))
+              case Some(rep) if rep.repId == b.id => () // re-delivery of the rep
+              case Some(rep) =>
+                val est = b.sig.zip(rep.repSig)
+                  .count { case (x, y) => x == y }.toDouble / b.sig.length
+                if (est >= threshold) out += NearDup(b.id, rep.repId, est)
+            }
+          }
+          out.iterator
+      }
+      .toDF()
+  }
 }
 
 /** Live-session state: one per (user, open session). */
@@ -152,3 +201,12 @@ case class SessionAcc(start_s: Long, end_s: Long, n_events: Long)
 
 /** Emitted closed session. */
 case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
+
+/** One (doc, band) probe row for streaming near-dup. */
+case class BandedDoc(id: Long, sig: Seq[Long], band_idx: Int, band_key: Long)
+
+/** Per-bucket state: the first doc that claimed the bucket. */
+case class BucketRep(repId: Long, repSig: Seq[Long])
+
+/** Emitted near-duplicate: `doc_id` duplicates `dup_of`. */
+case class NearDup(doc_id: Long, dup_of: Long, est_jaccard: Double)

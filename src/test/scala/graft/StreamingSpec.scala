@@ -135,6 +135,47 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == docs.select("text").distinct().count())
   }
 
+  test("streaming near-dup flags exact and near copies, not distinct docs") {
+    import spark.implicits._
+    val srcDir = "/root/repo/target/graft-tmp/stream_neardup"
+    // corpus + an exact copy (ids shifted) + clearly-distinct docs: every
+    // copy must flag against its original, no distinct doc may flag
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(50)
+    val copies = docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs.unionAll(copies).coalesce(1).write.mode("overwrite").parquet(srcDir)
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val out = StreamingOps.runToMemory(
+      StreamingOps.nearDupStream(stream, threshold = 0.9),
+      "neardup_test", outputMode = "append")
+      .select("doc_id", "dup_of").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+
+    // every flagged pair must be a true near-dup (exact shingle Jaccard —
+    // an est ≥ 0.9 from a 16-hash signature implies true J well above 0.5;
+    // the corpus contains ORGANIC near-dups, so text equality is too strict)
+    import graft.functions.Hashing
+    assert(out.nonEmpty)
+    val t = docs.unionAll(copies)
+    val falseFlags = out.toSeq.toDF("id", "rep")
+      .join(t.select(col("doc_id").as("id"), col("text").as("_ta")), "id")
+      .join(t.select(col("doc_id").as("rep"), col("text").as("_tb")), "rep")
+      .withColumn("jac", Hashing.jaccard(
+        Hashing.shingleHashes(col("_ta"), 3), Hashing.shingleHashes(col("_tb"), 3)))
+      .filter(col("jac") < 0.5).collect()
+    assert(falseFlags.isEmpty, s"false near-dups: ${falseFlags.take(3).mkString}")
+    // every exact copy is flagged (identical signature → est = 1.0 in
+    // every band; the copy always probes its original's buckets)
+    val flagged = out.map(_._1).toSet
+    val dupIds = copies.collect().map(_.getLong(0)).toSet
+    assert(dupIds.subsetOf(flagged),
+      s"unflagged exact copies: ${dupIds.diff(flagged).take(5)}")
+  }
+
   test("bpe encoding and temperature sampling run unchanged on a stream") {
     // both are stateless per-row transforms once their tiny frames exist
     // (merge table / per-domain rates) — the continuous-ingestion shape:
