@@ -174,7 +174,10 @@ object Server {
   *    Describe / Execute / Close / Flush / Sync with the spec's
   *    discard-until-Sync error state;
   *  - COPY subprotocol both directions (FROM STDIN spools to the engine's
-  *    file COPY; TO STDOUT streams back).
+  *    file COPY; TO STDOUT streams back);
+  *  - CancelRequest with real BackendKeyData keys — cancel maps onto
+  *    Spark job-group cancellation: the running statement fails with an
+  *    ErrorResponse, the session survives, exactly like real Postgres.
   * Binary parameter/result formats and partial-fetch portals are declined
   * with a clear ErrorResponse rather than a hang.
   *
@@ -189,6 +192,19 @@ private object Pgwire {
   private val SslRequest = 80877103
   private val CancelRequest = 80877102
   private val GssEncRequest = 80877104
+
+  /** Live sessions by (pid, secret) — the BackendKeyData a client must
+    * echo in a CancelRequest. Cancel maps to Spark job-group cancellation:
+    * each session thread tags its jobs with a group id at startup, so a
+    * cancel kills the running statement's jobs (the statement fails with
+    * an ErrorResponse; the session survives, like real Postgres).
+    */
+  private val pidCounter = new java.util.concurrent.atomic.AtomicInteger(1)
+  private val sessions =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), SparkSession]()
+  private val secretRng = new java.security.SecureRandom()
+
+  private def jobGroup(pid: Int): String = s"pgwire-session-$pid"
 
   // COPY subprotocol statements — data rides the wire instead of a path.
   // Payload bytes are the engine's CSV surface (options pass through), so
@@ -259,7 +275,14 @@ private object Pgwire {
       code match {
         case SslRequest | GssEncRequest =>
           out.writeByte('N'); out.flush() // no TLS; client retries plaintext
-        case CancelRequest => return // no cancel keys issued, nothing to do
+        case CancelRequest =>
+          // dedicated cancel connection: pid + secret, then close (spec)
+          val pid = in.readInt()
+          val secret = in.readInt()
+          Option(sessions.get((pid, secret))).foreach { s =>
+            s.sparkContext.cancelJobGroup(jobGroup(pid))
+          }
+          return
         case _ =>
           val rest = new Array[Byte](len - 8)
           in.readFully(rest) // user/database/options accepted, unused
@@ -267,12 +290,20 @@ private object Pgwire {
           negotiating = false
       }
     }
+    val pid = pidCounter.getAndIncrement()
+    val secret = secretRng.nextInt()
+    sessions.put((pid, secret), engine.spark)
+    // thread-local: every Spark job this session thread submits carries
+    // the group, so CancelRequest can kill the running statement's jobs
+    engine.spark.sparkContext.setJobGroup(jobGroup(pid),
+      s"pgwire session $pid", interruptOnCancel = true)
+    try {
     msg('R')(_.writeInt(0)) // AuthenticationOk — trust, like the reference
     Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
       "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
       "integer_datetimes" -> "on", "standard_conforming_strings" -> "on")
       .foreach { case (k, v) => msg('S') { d => cstr(d, k); cstr(d, v) } }
-    msg('K') { d => d.writeInt(0); d.writeInt(0) } // BackendKeyData (no cancel)
+    msg('K') { d => d.writeInt(pid); d.writeInt(secret) } // BackendKeyData
     ready()
 
     // ---- shared result senders ----
@@ -584,6 +615,10 @@ private object Pgwire {
           error(s"unsupported frontend message '$other'")
           ready()
       }
+    }
+    } finally {
+      sessions.remove((pid, secret))
+      engine.spark.sparkContext.clearJobGroup()
     }
   }
 

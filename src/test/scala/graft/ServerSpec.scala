@@ -246,6 +246,82 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  /** Minimal pgwire frontend for tests that need a second connection. */
+  private class PgClient(port: Int) {
+    import java.io.{DataInputStream, DataOutputStream}
+    val sock = new Socket("127.0.0.1", port)
+    sock.setSoTimeout(120000)
+    val out = new DataOutputStream(sock.getOutputStream)
+    val in = new DataInputStream(sock.getInputStream)
+
+    def readMsg(): (Char, Array[Byte]) = {
+      val t = in.read().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4)
+      in.readFully(b)
+      (t, b)
+    }
+    def untilReady(): Seq[(Char, Array[Byte])] = {
+      val buf = collection.mutable.Buffer[(Char, Array[Byte])]()
+      var m = readMsg()
+      while (m._1 != 'Z') { buf += m; m = readMsg() }
+      (buf += m).toSeq
+    }
+    /** StartupMessage; returns the BackendKeyData (pid, secret). */
+    def startup(): (Int, Int) = {
+      val params = "user\u0000graft\u0000\u0000".getBytes(StandardCharsets.UTF_8)
+      out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
+      val hello = untilReady()
+      val key = hello.collectFirst { case ('K', b) => b }.get
+      val bb = java.nio.ByteBuffer.wrap(key)
+      (bb.getInt, bb.getInt)
+    }
+    def query(sql: String): Seq[(Char, Array[Byte])] = {
+      val b = (sql + "\u0000").getBytes(StandardCharsets.UTF_8)
+      out.writeByte('Q'); out.writeInt(4 + b.length); out.write(b); out.flush()
+      untilReady()
+    }
+    def close(): Unit = sock.close()
+  }
+
+  test("pgwire CancelRequest kills the running statement; session survives") {
+    val dir = freshDir("/root/repo/target/graft-tmp/cancel-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-cancel-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    val c = new PgClient(server.getLocalPort)
+    try {
+      val (pid, secret) = c.startup()
+      // a deliberately huge scan (~100 G rows) on a worker thread — far
+      // longer than the cancel latency, bounded if cancel ever breaks
+      val outcome = new java.util.concurrent.atomic.AtomicReference[Seq[Char]]
+      val runner = new Thread(() => outcome.set(
+        // sum(id*id) defeats the count-over-Range constant fold — the scan
+        // really runs (~100 G rows, far longer than the cancel latency)
+        c.query("select sum(id * id) from range(100000000000)").map(_._1)))
+      runner.start()
+      Thread.sleep(1500) // let the job actually start
+      // cancel arrives on its OWN connection carrying the key, per spec
+      val c2 = new Socket("127.0.0.1", server.getLocalPort)
+      val o2 = new java.io.DataOutputStream(c2.getOutputStream)
+      o2.writeInt(16); o2.writeInt(80877102); o2.writeInt(pid); o2.writeInt(secret)
+      o2.flush(); c2.close()
+      runner.join(90000)
+      assert(!runner.isAlive, "statement did not terminate after cancel")
+      assert(outcome.get.contains('E'), s"expected ErrorResponse, got ${outcome.get}")
+      assert(outcome.get.last == 'Z') // ReadyForQuery after the error
+      // the session is still usable
+      val again = c.query("select 41 + 1 as x")
+      assert(again.map(_._1) == Seq('T', 'D', 'C', 'Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
   test("concurrent clients: parallel reads under the statement lock") {
     val dir = freshDir("/root/repo/target/graft-tmp/conc-warehouse")
     val engine = new Engine(spark, dir)
