@@ -85,24 +85,37 @@ object Similarity {
     rankTopK(scored, k, qId, cId)
   }
 
-  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
-    * centroid once (build pass: broadcast centroids, narrow map — the
-    * inverted lists are just a `cluster` column, which at warehouse scale
-    * becomes a partition key); queries probe the `nProbe` nearest
-    * centroids' lists only. Centroids here are a deterministic codebook
-    * (the first `nCentroids` corpus vectors) rather than k-means — the
-    * recall/cost shape is the same and the build stays one-pass and
-    * reproducible; swap in trained centroids without touching the plan.
+  /** Codebook as a literal array column — re-broadcast with every task,
+    * so assignment is a narrow per-row argmin: NO crossJoin, NO window,
+    * NO shuffle touches the corpus.
     */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCentroids: Int,
-      nProbe: Int, qId: String = "q_id", qVec: String = "q_vec",
-      cId: String = "vec_id", cVec: String = "embedding",
-      trainIters: Int = 0): DataFrame = {
-    // Codebook: collected once to the driver — bounded by construction (the
-    // codebook IS the small trained artifact in IVF, independent of corpus
-    // size) — and re-broadcast as a literal array. Assignment is then a
-    // narrow per-row argmin: NO crossJoin, NO window, NO shuffle touches
-    // the corpus during the build pass.
+  private def codebookOf(cs: Array[(Long, Seq[Double])]): Column =
+    array(cs.toIndexedSeq.map {
+      case (id, v) => struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
+
+  /** Nearest `keep` centroids for one vector: (distance asc, cid asc) —
+    * array_sort on struct<d,cid> compares fields in order, i.e. the
+    * ORDER BY (l2, cent_id) tie-break.
+    */
+  private def nearest(codebook: Column, vec: Column, keep: Int): Column =
+    slice(array_sort(transform(codebook, c =>
+      struct(l2Distance(vec, c.getField("vec")).as("d"),
+        c.getField("cid").as("cid")))), 1, keep)
+
+  /** Lloyd's k-means over a vector column, shared by [[ivfTopK]] and
+    * [[kmeansAssign]]. Returns the trained codebook as driver-side data —
+    * bounded by construction (the codebook IS the small trained artifact,
+    * independent of corpus size). Seeding is deterministic (the first
+    * `nCentroids` corpus vectors by id); each refinement iteration is one
+    * corpus pass: assign (narrow broadcast argmin) → per-(cluster, dim)
+    * FIXED-POINT mean (map-side combined; the shuffle carries ≤
+    * centroids×dims rows per partition) → collect the (bounded) new
+    * codebook. Quantized longs keep the centroids bit-identical at any
+    * partitioning, so downstream assignment is reproducible. Empty
+    * clusters keep their old centroid.
+    */
+  def trainCentroids(corpus: DataFrame, nCentroids: Int, trainIters: Int,
+      cId: String = "vec_id", cVec: String = "embedding"): Array[(Long, Seq[Double])] = {
     var cents = corpus.filter(col(cId) < nCentroids)
       .select(col(cId).cast("long").as("cent_id"),
         col(cVec).cast("array<double>").as("cent_vec"))
@@ -110,16 +123,6 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Double](1)))
       .sortBy(_._1)
 
-    def codebookOf(cs: Array[(Long, Seq[Double])]) = array(cs.toIndexedSeq.map {
-      case (id, v) => struct(typedlit(v).as("vec"), lit(id).as("cid")) }: _*)
-
-    // Optional Lloyd refinement (trainIters > 0): one pass per iteration —
-    // assign (narrow broadcast argmin) → per-(cluster, dim) FIXED-POINT
-    // mean (map-side combined; the shuffle carries ≤ centroids×dims rows
-    // per partition) → collect the (bounded) new codebook. Quantized longs
-    // keep the centroids bit-identical at any partitioning, preserving the
-    // operator's determinism guarantee. Empty clusters keep their old
-    // centroid. Default 0 iterations = the reproducible untrained codebook.
     for (_ <- 0 until trainIters) {
       val cb = codebookOf(cents)
       val assignExpr = slice(array_sort(transform(cb, c =>
@@ -141,21 +144,46 @@ object Similarity {
         id -> (if (trained.forall(_.isDefined)) trained.map(_.get) else old)
       }
     }
-    val codebook = codebookOf(cents)
+    cents
+  }
 
-    // nearest `keep` centroids for one vector: (distance asc, cid asc) —
-    // array_sort on struct<d,cid> compares fields in order, matching the
-    // old window's ORDER BY (l2, cent_id) tie-break exactly.
-    def nearest(vec: Column, keep: Int): Column =
-      slice(array_sort(transform(codebook, c =>
-        struct(l2Distance(vec, c.getField("vec")).as("d"),
-          c.getField("cid").as("cid")))), 1, keep)
+  /** K-means cluster assignment as a first-class operator: every corpus
+    * row gains a `cluster` column (the id of its nearest trained
+    * centroid, (l2, cid) tie-break). The codebook is driver-trained via
+    * [[trainCentroids]] (bounded — it is the model artifact, not data);
+    * assignment itself is a narrow broadcast argmin, so the corpus is
+    * never shuffled — at warehouse scale the result streams straight
+    * into a partitioned write or a per-cluster downstream aggregate.
+    * `trainIters = 0` gives the deterministic untrained seeding.
+    */
+  def kmeansAssign(corpus: DataFrame, nCentroids: Int, trainIters: Int = 0,
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val codebook = codebookOf(trainCentroids(corpus, nCentroids, trainIters, cId, cVec))
+    corpus.withColumn("cluster",
+      nearest(codebook, col(cVec), 1).getItem(0).getField("cid"))
+  }
+
+  /** IVF (inverted-file) ANN: corpus vectors are assigned to their nearest
+    * centroid once (build pass: broadcast centroids, narrow map — the
+    * inverted lists are just a `cluster` column, which at warehouse scale
+    * becomes a partition key); queries probe the `nProbe` nearest
+    * centroids' lists only. Centroids default to a deterministic codebook
+    * (the first `nCentroids` corpus vectors; same recall/cost shape as
+    * trained, one-pass and reproducible); `trainIters > 0` runs Lloyd
+    * refinement via [[trainCentroids]] without touching the plan.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int, nCentroids: Int,
+      nProbe: Int, qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding",
+      trainIters: Int = 0): DataFrame = {
+    val codebook = codebookOf(trainCentroids(corpus, nCentroids, trainIters, cId, cVec))
 
     val corpusAssigned = corpus.select(col(cId), col(cVec))
-      .withColumn("cluster", nearest(col(cVec), 1).getItem(0).getField("cid"))
+      .withColumn("cluster",
+        nearest(codebook, col(cVec), 1).getItem(0).getField("cid"))
     val queryProbes = queries.select(col(qId), col(qVec))
       .withColumn("cluster",
-        explode(transform(nearest(col(qVec), nProbe), s => s.getField("cid"))))
+        explode(transform(nearest(codebook, col(qVec), nProbe), s => s.getField("cid"))))
 
     val scored = corpusAssigned.join(broadcast(queryProbes), "cluster")
       .filter(col(qId) =!= col(cId))

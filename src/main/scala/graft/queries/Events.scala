@@ -106,6 +106,78 @@ object Events {
              |  RANGE BETWEEN 600 PRECEDING AND CURRENT ROW) AS DOUBLE) / 1000000.0 AS moving_sum
              |FROM events ORDER BY user_id, t_s, event_id""".stripMargin)),
 
+    // time-series resample + forward fill: a dense 1-hour grid (global
+    // min..max hour × event type — bounded: hours-in-range × |types|,
+    // independent of event count, so the grid side is broadcast-small at
+    // any corpus scale) left-joined with the hourly micro-exact sums, gaps
+    // carried forward with last-non-null. The gap-filling canon for TS
+    // stores; hours before a type's first event stay NULL on both engines.
+    "events_resample_ffill" -> Q(
+      (s, d) => {
+        val e = t(s, d, "events")
+        val hourly = e.groupBy(col("event_type"),
+            date_trunc("hour", col("ts")).as("h"))
+          .agg(dsum(col("value")).as("v"))
+        val grid = e.agg(date_trunc("hour", min(col("ts"))).as("h0"),
+            date_trunc("hour", max(col("ts"))).as("h1"))
+          .select(explode(expr("sequence(h0, h1, interval 1 hour)")).as("h"))
+          .crossJoin(e.select("event_type").distinct())
+        val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        grid.join(hourly, Seq("event_type", "h"), "left")
+          .withColumn("v_ff", last(col("v"), ignoreNulls = true).over(w))
+          .select(col("event_type"),
+            date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour_start"),
+            col("v_ff"))
+          .orderBy("event_type", "hour_start")
+      },
+      Some(s"""WITH b AS (SELECT date_trunc('hour', MIN(ts)) AS h0,
+              |    date_trunc('hour', MAX(ts)) AS h1 FROM events),
+              |g AS (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM b),
+              |et AS (SELECT DISTINCT event_type FROM events),
+              |hourly AS (SELECT event_type, date_trunc('hour', ts) AS h,
+              |  ${oSum("value")} AS v FROM events GROUP BY event_type, h)
+              |SELECT et.event_type,
+              |  strftime(g.h, '%Y-%m-%d %H:%M:%S') AS hour_start,
+              |  last_value(hourly.v IGNORE NULLS) OVER (
+              |    PARTITION BY et.event_type ORDER BY g.h
+              |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_ff
+              |FROM g CROSS JOIN et
+              |LEFT JOIN hourly ON hourly.event_type = et.event_type AND hourly.h = g.h
+              |ORDER BY et.event_type, hour_start""".stripMargin)),
+
+    // exponentially-weighted moving average over the last 8 events per
+    // user (α = 1/2: every weight is a power of two, so the per-element
+    // products are EXACT and the identical left fold is bit-reproducible
+    // across engines — the raw double ships unrounded; a round(x, 6)
+    // decoration would actually BREAK parity, because Spark rounds the
+    // decimal expansion HALF_UP while DuckDB rounds the scaled double
+    // half-to-even, and they disagree on exact .xxxxxx5 values)
+    "events_ewma" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-7, Window.currentRow)
+        t(s, d, "events")
+          .select(col("user_id"), col("event_id"),
+            collect_list(col("value")).over(w).as("xs"))
+          .withColumn("ewma", expr(
+            "aggregate(zip_with(xs, sequence(1, size(xs)), " +
+              "(v, i) -> v * power(0.5, size(xs) - i)), " +
+              "cast(0 as double), (a, x) -> a + x)"))
+          .select(col("user_id"), col("event_id"), col("ewma"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id,
+             |  list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 7 PRECEDING AND CURRENT ROW) AS xs
+             |  FROM events)
+             |SELECT user_id, event_id,
+             |  list_reduce(list_prepend(0.0,
+             |    [xs[i] * pow(0.5, len(xs) - i) for i in generate_series(1, len(xs))]),
+             |    (a, b) -> a + b) AS ewma
+             |FROM x ORDER BY user_id, event_id""".stripMargin)),
+
     // value histogram via integer bucketing (width_bucket differs across
     // engines; floor arithmetic is portable)
     "events_value_histogram" -> Q(

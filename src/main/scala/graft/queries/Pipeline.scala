@@ -66,6 +66,28 @@ object Pipeline {
   private def oCos(a: String, b: String) =
     s"${oDot(a, b)} / (sqrt(${oDot(a, a)}) * sqrt(${oDot(b, b)}))"
 
+  /** L2 of a float-list embedding vs an already-double centroid list —
+    * same ascending fold as Vectors.l2Distance.
+    */
+  private def oL2c(a: String, b: String) =
+    s"sqrt(list_reduce(list_prepend(0.0, [(CAST($a[i] AS DOUBLE) - $b[i]) * " +
+      s"(CAST($a[i] AS DOUBLE) - $b[i]) for i in generate_series(1, 64)]), (x, y) -> x + y))"
+
+  /** CTE pair `c0` (deterministic seed codebook: first `n` corpus vectors,
+    * as doubles) + `a0` (nearest-centroid assignment, (l2, cent_id)
+    * tie-break) — the DuckDB twin of Similarity.trainCentroids seeding +
+    * kmeansAssign.
+    */
+  private def oSeedAssign(n: Int) =
+    s"""c0 AS (SELECT vec_id AS cent_id,
+       |  [CAST(embedding[i] AS DOUBLE) for i in generate_series(1, 64)] AS v
+       |  FROM embeddings WHERE vec_id < $n),
+       |a0 AS (SELECT vec_id, cluster FROM (
+       |  SELECT e.vec_id, c.cent_id AS cluster,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${oL2c("e.embedding", "c.v")}, c.cent_id) AS rnk
+       |  FROM embeddings e CROSS JOIN c0 c) x WHERE rnk = 1)""".stripMargin
+
   def all: Registry = Map(
     // ---- dedup ----------------------------------------------------------
     "dedup_exact" -> Q(
@@ -248,6 +270,61 @@ object Pipeline {
               |ON a.label = b.label AND a.vec_id < b.vec_id
               |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4
               |ORDER BY id_a, id_b""".stripMargin)),
+
+    // k-means clustering as a first-class operator (1 Lloyd iteration over
+    // the deterministic first-k seeding; fixed-point per-dim means keep the
+    // trained centroids bit-identical at any partitioning, so the oracle
+    // replays the training pass exactly). At warehouse scale the corpus is
+    // never shuffled — train collects only centroids×dims fixed-point sums;
+    // assignment is a narrow broadcast argmin.
+    "cluster_kmeans_assign" -> Q(
+      (s, d) => Similarity.kmeansAssign(t(s, d, "embeddings"),
+          nCentroids = 8, trainIters = 1)
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id"),
+      Some(s"""WITH ${oSeedAssign(8)},
+              |sums AS (SELECT a0.cluster, t.pos,
+              |    SUM(CAST(round(CAST(e.embedding[t.pos] AS DOUBLE) * 1000000.0) AS BIGINT)) AS sq,
+              |    COUNT(*) AS n
+              |  FROM embeddings e JOIN a0 ON a0.vec_id = e.vec_id
+              |  CROSS JOIN generate_series(1, 64) AS t(pos)
+              |  GROUP BY a0.cluster, t.pos),
+              |m AS (SELECT cluster,
+              |    list(CAST(sq AS DOUBLE) / 1000000.0 / n ORDER BY pos) AS v
+              |  FROM sums GROUP BY cluster),
+              |c1 AS (SELECT c0.cent_id, COALESCE(m.v, c0.v) AS v
+              |  FROM c0 LEFT JOIN m ON m.cluster = c0.cent_id)
+              |SELECT vec_id, cluster FROM (
+              |  SELECT e.vec_id, c.cent_id AS cluster,
+              |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              |      ORDER BY ${oL2c("e.embedding", "c.v")}, c.cent_id) AS rnk
+              |  FROM embeddings e CROSS JOIN c1 c) x WHERE rnk = 1
+              |ORDER BY vec_id""".stripMargin)),
+
+    // semantic dedup (SemDeDup-style): cluster with the deterministic
+    // codebook, pair ONLY within a cluster (never all-pairs — the cluster
+    // is the blocking key, exactly the LSH-bucket role), drop the
+    // higher-id member of every >=0.4-cosine pair. Survivors keep their
+    // cluster id for downstream per-cluster sampling.
+    "dedup_semantic_cluster" -> Q(
+      (s, d) => {
+        val assigned = Similarity.kmeansAssign(t(s, d, "embeddings"), nCentroids = 16)
+        val dups = Similarity.cosineNearDupPairs(assigned, threshold = 0.4,
+            blockCol = "cluster")
+          .select(col("id_b").as("vec_id")).distinct()
+        assigned.select(col("vec_id"), col("cluster"))
+          .join(dups, Seq("vec_id"), "left_anti")
+          .orderBy("vec_id")
+      },
+      Some(s"""WITH ${oSeedAssign(16)},
+              |dup AS (SELECT DISTINCT b.vec_id
+              |  FROM a0 a JOIN a0 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+              |  JOIN embeddings ea ON ea.vec_id = a.vec_id
+              |  JOIN embeddings eb ON eb.vec_id = b.vec_id
+              |  WHERE ${oCos("ea.embedding", "eb.embedding")} >= 0.4)
+              |SELECT a0.vec_id, a0.cluster FROM a0
+              |LEFT JOIN dup ON dup.vec_id = a0.vec_id
+              |WHERE dup.vec_id IS NULL ORDER BY a0.vec_id""".stripMargin)),
 
     // salted skew join over a DELIBERATELY skewed key (the driver data's
     // own keys hash uniform): ~70% of lineitem rows collapse onto suppkey

@@ -263,6 +263,21 @@ object Relational {
              |ARG_MIN(c_name, c_custkey) AS c_name
              |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin)),
 
+    // -- 2.4 ordered string aggregation (listagg). Spark's collect_list
+    //    order is partition-dependent — sort_array pins it, matching the
+    //    oracle's ORDER BY inside string_agg (binary collation both sides).
+    "agg_listagg_ordered" -> Q(
+      (s, d) => t(s, d, "nation")
+        .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+          count(lit(1)).as("n"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations,
+             |COUNT(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
     // -- 2.6 full sort incl. NULLS FIRST parity (reference: NULL < values)
     "order_by_nulls_first" -> Q(
       (s, d) => t(s, d, "customer")

@@ -143,6 +143,29 @@ object Windows {
              |    ROW_NUMBER() OVER (PARTITION BY o_custkey
              |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
              |  FROM orders) x
-             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin))
+             |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin)),
+
+    // distribution window functions — ntile / percent_rank / cume_dist
+    // (SQL-standard semantics on both engines; the rank ratios are single
+    // IEEE divisions of identical integers, r6 guards the formatting edge)
+    "window_ntile_cume" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("o_orderpriority"))
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        t(s, d, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            ntile(4).over(w).as("quartile"),
+            r6(percent_rank().over(w)).as("pct_rank"),
+            r6(cume_dist().over(w)).as("cd"))
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority,
+             |NTILE(4) OVER w AS quartile,
+             |round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+             |round(CUME_DIST() OVER w, 6) AS cd
+             |FROM orders
+             |WINDOW w AS (PARTITION BY o_orderpriority
+             |             ORDER BY o_totalprice, o_orderkey)
+             |ORDER BY o_orderkey""".stripMargin))
   )
 }

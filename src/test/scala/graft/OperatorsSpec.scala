@@ -176,6 +176,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 0) // ASCII corpus: bytes == chars
   }
 
+  test("kmeansAssign: deterministic under repartitioning, converges vs seed") {
+    val base = Similarity.kmeansAssign(emb, nCentroids = 8, trainIters = 1)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1))
+    // fixed-point centroid means ⇒ identical assignment at any partitioning
+    val shuffled = Similarity.kmeansAssign(emb.repartition(7), nCentroids = 8, trainIters = 1)
+      .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(base.sortBy(_._1).sameElements(shuffled.sortBy(_._1)))
+    assert(base.map(_._2).distinct.length > 1, "degenerate single cluster")
+    // one Lloyd step must not increase total within-cluster L2 vs seeding
+    def cost(iters: Int): Double = {
+      val cents = Similarity.trainCentroids(emb, 8, iters).toMap
+      Similarity.kmeansAssign(emb, 8, iters)
+        .select(col("cluster"), col("embedding").cast("array<double>"))
+        .collect().map { r =>
+          val c = cents(r.getLong(0)); val v = r.getSeq[Double](1)
+          v.zip(c).map { case (a, b) => (a - b) * (a - b) }.sum
+        }.sum
+    }
+    // margin covers the 1e-6 fixed-point centroid quantization (≤ ~0.1
+    // summed over 500 points × 64 dims), not fp noise
+    assert(cost(1) <= cost(0) + 0.1)
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {
