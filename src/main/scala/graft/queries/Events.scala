@@ -178,6 +178,48 @@ object Events {
              |    (a, b) -> a + b) AS ewma
              |FROM x ORDER BY user_id, event_id""".stripMargin)),
 
+    // rolling z-score anomaly detection: trailing 20-event window per
+    // user; mean/std via centi-fixed-point sums so the core
+    // z = (n·x − s1) / sqrt(n·s2 − s1²) is two exact-int→double
+    // conversions, one sqrt, one division — bit-identical across engines
+    // with NO rounding. Zero-variance windows yield NULL (guarded on the
+    // exact integer discriminant, not a float epsilon).
+    "events_rolling_zscore" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+          .rowsBetween(-19, Window.currentRow)
+        val z = (col("n") * col("x") - col("s1")).cast("double") /
+          sqrt(col("den").cast("double"))
+        t(s, d, "events")
+          .withColumn("x", round(col("value") * 1e2).cast("long"))
+          .withColumn("n", count(lit(1)).over(w))
+          .withColumn("s1", sum(col("x")).over(w))
+          .withColumn("s2", sum(col("x") * col("x")).over(w))
+          .withColumn("den", col("n") * col("s2") - col("s1") * col("s1"))
+          .select(col("user_id"), col("event_id"),
+            when(col("n") < 2 || col("den") <= 0, lit(null).cast("double"))
+              .otherwise(z).as("z"),
+            when(col("n") < 2 || col("den") <= 0, lit(null).cast("boolean"))
+              .otherwise(abs(z) > 2.0).as("is_anom"))
+          .orderBy("user_id", "event_id")
+      },
+      Some("""WITH x AS (SELECT user_id, event_id, ts,
+             |  CAST(round(value * 100.0) AS BIGINT) AS m FROM events),
+             |w AS (SELECT user_id, event_id, m,
+             |  COUNT(*) OVER win AS n, SUM(m) OVER win AS s1,
+             |  SUM(m * m) OVER win AS s2
+             |  FROM x WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+             |    ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+             |SELECT user_id, event_id,
+             |  CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+             |    ELSE CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))
+             |  END AS z,
+             |  CASE WHEN n < 2 OR n * s2 - s1 * s1 <= 0 THEN NULL
+             |    ELSE abs(CAST(n * m - s1 AS DOUBLE) / sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE))) > 2.0
+             |  END AS is_anom
+             |FROM w ORDER BY user_id, event_id""".stripMargin)),
+
     // value histogram via integer bucketing (width_bucket differs across
     // engines; floor arithmetic is portable)
     "events_value_histogram" -> Q(

@@ -146,6 +146,49 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming EWMA — the continuous twin of the batch `events_ewma`
+    * gate query: per user, the exponentially-weighted moving average of
+    * the last `k` values (weight alpha^age, newest = 1). State is the ≤
+    * k−1 most recent values per user — O(k) per key, bounded regardless
+    * of stream length. Events inside a micro-batch are sorted per user
+    * by (ts, event_id) before folding, and the fold is the SAME
+    * left-to-right double accumulation as the batch expression, so with
+    * alpha = 0.5 (power-of-two weights, exact products) stream == batch
+    * bit-for-bit on in-order input.
+    */
+  def ewmaStream(events: DataFrame, k: Int = 8, alpha: Double = 0.5): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaAcc, EwmaOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var tail = state.getOption.map(_.tail).getOrElse(Seq.empty[Double])
+          // order by exact event-time micros (getTime alone is millis and
+          // would tie-break same-millisecond events differently than the
+          // batch ORDER BY ts), then event_id
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+          val out = it.toArray.sortBy(r => (micros(r._3), r._2)).map { r =>
+            val xs = tail :+ r._4
+            val n = xs.length
+            val e = xs.zipWithIndex.foldLeft(0.0) {
+              case (a, (v, i)) => a + v * math.pow(alpha, (n - 1 - i).toDouble)
+            }
+            tail = xs.takeRight(k - 1)
+            EwmaOut(uid, r._2, e)
+          }
+          state.update(EwmaAcc(tail))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming MinHash near-dup detection — the continuous-ingestion twin
     * of `Dedup.minhashPairsIncremental`: each arriving document's LSH band
     * keys probe per-bucket state (the first document that claimed the
@@ -203,6 +246,12 @@ case class SessionAcc(start_s: Long, end_s: Long, n_events: Long)
 case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 
 /** One (doc, band) probe row for streaming near-dup. */
+/** ewmaStream state: the ≤ k−1 most recent values for one user, oldest first. */
+case class EwmaAcc(tail: Seq[Double])
+
+/** One EWMA observation emitted per event. */
+case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)
+
 case class BandedDoc(id: Long, sig: Seq[Long], band_idx: Int, band_key: Long)
 
 /** Per-bucket state: the first doc that claimed the bucket. */

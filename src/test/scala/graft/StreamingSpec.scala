@@ -114,6 +114,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.count() > 0)
   }
 
+  test("streaming EWMA equals the batch windowed EWMA bit-for-bit") {
+    val srcDir = "/root/repo/target/graft-tmp/stream_events"
+    Tables.df(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.ewmaStream(stream), "ewma_test", "append")
+      .select("user_id", "event_id", "ewma")
+
+    // batch twin IS the gate query (same k=8, alpha=0.5 fold); exact
+    // equality works because every weight is a power of two
+    val batch = SparkEntry.registry("events_ewma").fn(spark, sf)
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup drops repeated fingerprints across the stream") {
     import graft.functions.Hashing
     val srcDir = "/root/repo/target/graft-tmp/stream_docs"
