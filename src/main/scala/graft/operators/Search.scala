@@ -81,4 +81,23 @@ object Search {
       .limit(k)
       .select(col(idCol), col("dl"), col("score"))
   }
+
+  /** Inverted index build: term → (document frequency, collection
+    * frequency, id-sorted postings list). One corpus tokenize pass, one
+    * shuffle keyed by (term, doc) for the tf partial-aggregate, one by
+    * term for the postings roll-up — the standard two-level combine, so
+    * the exchange after the first aggregate carries one row per DISTINCT
+    * (term, doc), not per token occurrence. At warehouse scale the term
+    * key is zipfian — the natural remedies compose here: the first
+    * aggregate absorbs the per-doc repetition map-side, and a stop-word
+    * df cap (filter on df after the roll-up) bounds postings width.
+    */
+  def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("term"))
+      .groupBy(col("term"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
+        sort_array(collect_list(col(idCol))).as("postings"))
 }

@@ -411,6 +411,24 @@ object Pipeline {
               |FROM sc GROUP BY doc_id, dl
               |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin)),
 
+    // inverted index build: term -> (df, cf, sorted postings). The
+    // two-level aggregate ((term,doc) tf first, then term roll-up) keeps
+    // the exchange at one row per distinct term-doc; postings order is
+    // pinned by sort_array == list(... ORDER BY).
+    "search_inverted_index" -> Q(
+      (s, d) => graft.operators.Search.invertedIndex(
+          t(s, d, "documents"), "doc_id", "text")
+        // the gate's canonicalizer compares scalars — ship postings as a
+        // joined string; the operator itself returns the real array
+        .withColumn("postings", concat_ws(",", col("postings")))
+        .orderBy("term"),
+      Some(s"""WITH tk AS (SELECT doc_id,
+              |  unnest($toks) AS term FROM documents),
+              |tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tk GROUP BY term, doc_id)
+              |SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf,
+              |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+              |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
+
     // ---- similarity search ---------------------------------------------
     "ann_brute_force_topk" -> Q(
       (s, d) => {
