@@ -85,6 +85,24 @@ object Similarity {
     rankTopK(scored, k, qId, cId)
   }
 
+  /** Hard-negative mining for retrieval/contrastive training: for each
+    * query, the top-k most-similar corpus vectors with a DIFFERENT label
+    * — near the decision boundary by construction. Same plan shape as
+    * [[bruteForceTopK]] (broadcast queries, narrow scoring map, k-bounded
+    * partial rank — the corpus never shuffles); at corpus scale swap the
+    * crossJoin for [[lshTopK]]-style bucketing with the identical
+    * label-mismatch filter.
+    */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      qId: String = "q_id", qVec: String = "q_vec", qLab: String = "q_label",
+      cId: String = "vec_id", cVec: String = "embedding",
+      cLab: String = "label"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col(qId) =!= col(cId) && col(qLab) =!= col(cLab))
+      .withColumn("cos_sim", cosineSimilarity(col(qVec), col(cVec)))
+    rankTopK(scored, k, qId, cId)
+  }
+
   /** Codebook as a literal array column — re-broadcast with every task,
     * so assignment is a narrow per-row argmin: NO crossJoin, NO window,
     * NO shuffle touches the corpus.

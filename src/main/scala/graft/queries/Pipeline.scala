@@ -446,6 +446,27 @@ object Pipeline {
               |  WHERE q.vec_id < 8) x
               |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
+    // hard-negative mining: top-k nearest neighbors with a DIFFERENT
+    // label — the contrastive-training counterpart of ANN top-k (the
+    // mined pairs sit near the decision boundary)
+    "mine_hard_negatives" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+            col("label").as("q_label"))
+        Similarity.hardNegativeTopK(q, e, k = 5).orderBy("q_id", "rnk")
+      },
+      Some(s"""SELECT q_id, neighbor_id, cos_sim, rnk FROM (
+              |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+              |    ${oCos("q.embedding", "c.embedding")} AS cos_sim,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+              |  FROM embeddings q JOIN embeddings c
+              |  ON q.vec_id <> c.vec_id AND q.label <> c.label
+              |  WHERE q.vec_id < 8) x
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
     "ann_lsh_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

@@ -201,6 +201,33 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("rangepartitioning"), p)
   }
 
+  test("kmeans assignment is a narrow map — no join, no corpus aggregate") {
+    // training runs at plan-build time against bounded sums; the produced
+    // ASSIGNMENT plan must be scan → project(argmin) → sort only
+    val p = planOf("cluster_kmeans_assign")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
+  test("semantic dedup pairs only inside cluster cells — no cartesian product") {
+    val p = planOf("dedup_semantic_cluster")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("hard-negative mining broadcasts the query side, never a cartesian product") {
+    val p = planOf("mine_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // ranking stays k-bounded like the ANN family
+    assert(!p.contains("Window"), p)
+  }
+
+  test("inverted index aggregates partially before each exchange — no window") {
+    val p = planOf("search_inverted_index")
+    assert(p.contains("partial_"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("pmi joins are vocabulary-sized — no document-sized shuffle of text") {
     val p = planOf("curation_pmi_topk")
     assert(p.contains("TakeOrderedAndProject"), p)

@@ -24,8 +24,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_bool_dtype(df[c]) or str(df[c].dtype) == "boolean" or df[c].dtype == object:
-            # unify None/<NA>/nan and bools/Decimals across engines
-            df[c] = df[c].map(lambda v: "NULL" if pd.isna(v) else str(v))
+            # unify None/<NA>/nan and bools/Decimals across engines;
+            # list-valued cells (np.ndarray/list) stringify directly —
+            # pd.isna on them is elementwise and would raise
+            df[c] = df[c].map(lambda v: str(list(v)) if isinstance(v, (list, np.ndarray))
+                              else ("NULL" if pd.isna(v) else str(v)))
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
 
 def main():
