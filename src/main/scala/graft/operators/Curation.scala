@@ -388,6 +388,38 @@ object Curation {
         col(qualityCol), col("n_members"))
   }
 
+  /** Per-group winsorization: clamp a numeric column to its group's
+    * [pLo, pHi] EXACT order statistics (the value at rank ceil(p·n) —
+    * the same rank-based definition as [[lengthQuantiles]], so the
+    * bounds are engine-reproducible where interpolated quantiles are
+    * not). The standard outlier-taming step before reward/score columns
+    * feed a training mix.
+    *
+    * Scale: one keyed shuffle for the rank window; the bounds frame is
+    * |groups| rows and broadcasts back, so the clamp itself is narrow.
+    * For very hot groups swap the row_number window for the same
+    * two-level aggregate trick the histogram ops use.
+    */
+  def winsorize(df: DataFrame, keyCol: String, valCol: String,
+      pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
+    val wAll = Window.partitionBy(col(keyCol))
+    val ranked = df
+      .withColumn("_rk", row_number().over(wOrd))
+      .withColumn("_n", count(lit(1)).over(wAll))
+    // the two selected rank rows per key; with ties the VALUE at a rank
+    // is order-independent even though the row picked is not
+    val bounds = ranked
+      .filter(col("_rk") === ceil(lit(pLo) * col("_n")).cast("long") ||
+        col("_rk") === ceil(lit(pHi) * col("_n")).cast("long"))
+      .groupBy(col(keyCol))
+      .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+    df.join(broadcast(bounds), keyCol)
+      .withColumn(s"${valCol}_clip",
+        least(greatest(col(valCol), col("_lo")), col("_hi")))
+      .drop("_lo", "_hi")
+  }
+
   /** Passage-level exact substring dedup (the chunked form of Lee et al.
     * "Deduplicating Training Data Makes Language Models Better"): split
     * each doc into non-overlapping `w`-token passages, hash them, and

@@ -82,6 +82,25 @@ object Search {
       .select(col(idCol), col("dl"), col("score"))
   }
 
+  /** Conjunctive (boolean-AND) keyword search: documents containing ALL
+    * query terms. A single narrow scan-and-filter — tokenize, intersect
+    * against the literal term set, keep rows where every term matched;
+    * no shuffle at all, so at warehouse scale this runs at scan speed
+    * and composes with partition pruning. (With a materialized
+    * [[invertedIndex]], the same query is a postings intersection —
+    * df-ascending merge — but the scan form needs no index maintenance.)
+    */
+  def booleanAnd(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String]): DataFrame = {
+    require(queryTerms.nonEmpty, "booleanAnd: empty query")
+    val terms = queryTerms.map(_.trim.toLowerCase).filter(_.nonEmpty).distinct
+    docs
+      .select(col(idCol), Hashing.tokens(col(textCol)).as("tks"))
+      .filter(size(array_intersect(col("tks"), array(terms.map(lit): _*)))
+        === terms.size)
+      .select(col(idCol))
+  }
+
   /** Inverted index build: term → (document frequency, collection
     * frequency, id-sorted postings list). One corpus tokenize pass, one
     * shuffle keyed by (term, doc) for the tf partial-aggregate, one by

@@ -429,6 +429,16 @@ object Pipeline {
               |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
               |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
 
+    // conjunctive keyword search: ALL terms present — a single narrow
+    // scan-and-filter, zero shuffles (PlanGolden pins the shape)
+    "search_boolean_and" -> Q(
+      (s, d) => graft.operators.Search.booleanAnd(
+          t(s, d, "documents"), "doc_id", "text", Seq("merge", "scan"))
+        .orderBy("doc_id"),
+      Some(s"""SELECT doc_id FROM (SELECT doc_id, $toks AS tks FROM documents) x
+              |WHERE len(list_intersect(tks, ['merge', 'scan'])) = 2
+              |ORDER BY doc_id""".stripMargin)),
+
     // ---- similarity search ---------------------------------------------
     "ann_brute_force_topk" -> Q(
       (s, d) => {
@@ -1224,6 +1234,27 @@ object Pipeline {
               |FROM r, (SELECT unnest([0.5, 0.9, 0.99]) AS p) pp
               |WHERE rk = CAST(ceil(pp.p * n) AS BIGINT)
               |ORDER BY source, pp.p""".stripMargin)),
+
+    // per-type winsorization: clamp value to the exact [p05, p95] order
+    // statistics (rank-based — reproducible where interpolated quantiles
+    // are not); bounds broadcast back, the clamp is narrow
+    "curation_winsorize" -> Q(
+      (s, d) => graft.operators.Curation.winsorize(
+          t(s, d, "events"), "event_type", "value")
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("value_clip"))
+        .orderBy("event_id"),
+      Some("""WITH r AS (SELECT event_type, value,
+             |  ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY value) AS rk,
+             |  COUNT(*) OVER (PARTITION BY event_type) AS n FROM events),
+             |b AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi FROM r
+             |  WHERE rk = CAST(ceil(0.05 * n) AS BIGINT)
+             |     OR rk = CAST(ceil(0.95 * n) AS BIGINT)
+             |  GROUP BY event_type)
+             |SELECT e.event_id, e.event_type, e.value,
+             |  least(greatest(e.value, b.lo), b.hi) AS value_clip
+             |FROM events e JOIN b USING (event_type)
+             |ORDER BY e.event_id""".stripMargin)),
 
     // flagship composition: quality filter → decontaminate → exact dedup
     // → split, reported as per-split doc/token mass
