@@ -189,6 +189,50 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming rolling z-score — the continuous twin of the batch
+    * `events_rolling_zscore` gate query: per user, z of the current value
+    * against the trailing `win`-event window, from the SAME centi-fixed-
+    * point integer sums, so stream == batch bit-for-bit (the core is
+    * integer math until two exact int→double casts). State: the ≤ win−1
+    * most recent quantized values per user — O(win) per key.
+    */
+  def zscoreStream(events: DataFrame, win: Int = 20): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    events
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("timestamp"), col("value").cast("double"))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[ZScoreAcc, ZScoreOut](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, it, state) =>
+          var tail = state.getOption.map(_.tail).getOrElse(Seq.empty[Long])
+          def micros(t: java.sql.Timestamp): Long =
+            (t.getTime / 1000) * 1000000L + t.getNanos / 1000
+          val out = it.toArray.sortBy(r => (micros(r._3), r._2)).map { r =>
+            // same quantization as the batch query: SQL round() is
+            // HALF_UP away from zero via BigDecimal — math.round would
+            // disagree on negative .5 halves (it rounds toward +inf)
+            val x = BigDecimal(r._4 * 1e2)
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            val xs = (tail :+ x).takeRight(win)
+            val n = xs.length.toLong
+            val s1 = xs.sum
+            val s2 = xs.map(v => v * v).sum
+            val den = n * s2 - s1 * s1
+            val z = if (n < 2 || den <= 0) None
+              else Some((n * x - s1).toDouble / math.sqrt(den.toDouble))
+            tail = xs.takeRight(win - 1)
+            ZScoreOut(uid, r._2, z, z.map(v => math.abs(v) > 2.0))
+          }
+          state.update(ZScoreAcc(tail))
+          out.iterator
+      }
+      .toDF()
+  }
+
   /** Streaming MinHash near-dup detection — the continuous-ingestion twin
     * of `Dedup.minhashPairsIncremental`: each arriving document's LSH band
     * keys probe per-bucket state (the first document that claimed the
@@ -248,6 +292,13 @@ case class SessionOut(user_id: Long, start_s: Long, end_s: Long, n_events: Long)
 /** One (doc, band) probe row for streaming near-dup. */
 /** ewmaStream state: the ≤ k−1 most recent values for one user, oldest first. */
 case class EwmaAcc(tail: Seq[Double])
+
+/** zscoreStream state: ≤ win−1 most recent centi-quantized values, oldest first. */
+case class ZScoreAcc(tail: Seq[Long])
+
+/** One rolling z-score observation; None = undefined (n<2 or zero variance). */
+case class ZScoreOut(user_id: Long, event_id: Long, z: Option[Double],
+    is_anom: Option[Boolean])
 
 /** One EWMA observation emitted per event. */
 case class EwmaOut(user_id: Long, event_id: Long, ewma: Double)

@@ -134,6 +134,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("streaming rolling z-score equals the batch window bit-for-bit") {
+    val srcDir = "/root/repo/target/graft-tmp/stream_events"
+    Tables.df(spark, sf, "events").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.zscoreStream(stream), "zscore_test", "append")
+      .select("user_id", "event_id", "z", "is_anom")
+
+    val batch = SparkEntry.registry("events_rolling_zscore").fn(spark, sf)
+
+    assert(streamed.count() == batch.count())
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("streaming dedup drops repeated fingerprints across the stream") {
     import graft.functions.Hashing
     val srcDir = "/root/repo/target/graft-tmp/stream_docs"
