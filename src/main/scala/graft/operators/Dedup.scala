@@ -210,10 +210,14 @@ object Dedup {
       col("blk_idx"), col("blk_key"))
     a.join(b, Seq("blk_idx", "blk_key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("fp_a"), col("fp_b")).distinct()
+      // verify hamming BEFORE the multi-block dedup: the r+1 blocks are
+      // only ~5 bits each (weak filters by pigeonhole necessity), so the
+      // candidate set is large while true near-dups are few — filtering
+      // first means the distinct's exchange carries accepted pairs only,
+      // not every block collision
       .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
       .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
   }
 
   /** Connected components over a near-duplicate pair graph: every doc in a
