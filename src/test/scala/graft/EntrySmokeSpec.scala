@@ -39,6 +39,14 @@ class EntrySmokeSpec extends AnyFunSuite {
       assert(Seq(TimestampType, TimestampNTZType)
         .contains(li.schema("l_shipdate").dataType),
         s"lineitem.l_shipdate is ${li.schema("l_shipdate").dataType} in $sfDir")
+      // key/measure physical types the fixed-point oracles assume
+      assert(ev.schema("value").dataType == DoubleType,
+        s"events.value is ${ev.schema("value").dataType} in $sfDir")
+      val docs = Tables.df(spark, sfDir, "documents")
+      assert(docs.schema("doc_id").dataType == LongType,
+        s"documents.doc_id is ${docs.schema("doc_id").dataType} in $sfDir")
+      assert(em.schema("vec_id").dataType == LongType,
+        s"embeddings.vec_id is ${em.schema("vec_id").dataType} in $sfDir")
     }
   }
 
