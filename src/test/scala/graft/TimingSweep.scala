@@ -10,6 +10,11 @@ import org.apache.spark.sql.SparkSession
 object TimingSweep {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    // optional 2nd arg: comma-separated name substrings (dev filter)
+    val only: String => Boolean = args.drop(1).headOption match {
+      case Some(pats) => name => pats.split(',').exists(name.contains)
+      case None => _ => true
+    }
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -17,7 +22,7 @@ object TimingSweep {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val names = SparkEntry.registry.keys.toSeq.sorted
-      .filterNot(_.matches("q\\d+_.*"))
+      .filterNot(_.matches("q\\d+_.*")).filter(only)
     println(s"SWEEP ${names.size} queries on $dir")
     var total = 0.0
     for (n <- names) {
