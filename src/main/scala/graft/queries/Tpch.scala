@@ -395,8 +395,14 @@ object Tpch {
         val c = t(s, d, "customer"); val o = t(s, d, "orders")
         val avgBal = c.filter(col("c_acctbal") > 0.0)
           .agg(davg(col("c_acctbal")).as("ab"))
+        // anti join needs only the DISTINCT custkey set, which is bounded
+        // by the customer dimension at any fact scale — the distinct is a
+        // map-side-combined aggregate whose exchange carries keys, not
+        // orders (measured: collapses q22's growth at 100× fact volume;
+        // Catalyst does not derive this rewrite itself)
+        val buyers = o.select(col("o_custkey")).distinct()
         c.join(broadcast(avgBal), col("c_acctbal") > col("ab"))
-          .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+          .join(buyers, c("c_custkey") === buyers("o_custkey"), "left_anti")
           .groupBy(col("c_nationkey"))
           .agg(count(lit(1)).as("numcust"), dsum(col("c_acctbal")).as("totacctbal"))
           .orderBy("c_nationkey")
