@@ -306,9 +306,15 @@ object Tpch {
     "q13_order_distribution" -> Q(
       (s, d) => {
         val c = t(s, d, "customer"); val o = t(s, d, "orders")
-        c.join(o, c("c_custkey") === o("o_custkey"), "left")
-          .groupBy(col("c_custkey"))
-          .agg(count(col("o_orderkey")).as("c_count"))
+        // pre-aggregate orders per buyer BEFORE the left join: the join
+        // then carries ≤ |customers| rows (dimension-bounded) instead of
+        // raw orders, and broadcasts — the same fact-side pre-aggregation
+        // as q22's buyer set. count(o_orderkey) == count(*) per custkey
+        // (the key is never null), and customers with no orders coalesce
+        // to 0 exactly as the outer-join count did.
+        val perCust = o.groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+        c.join(perCust, c("c_custkey") === perCust("o_custkey"), "left")
+          .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
           .groupBy(col("c_count"))
           .agg(count(lit(1)).as("custdist"))
           .orderBy(col("custdist").desc, col("c_count").desc)
