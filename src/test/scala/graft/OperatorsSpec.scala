@@ -199,6 +199,71 @@ class OperatorsSpec extends AnyFunSuite {
     assert(cost(1) <= cost(0) + 0.1)
   }
 
+  test("winsorize clamps to in-group order statistics and is idempotent") {
+    import graft.operators.Curation
+    val ev = Tables.df(spark, sf, "events")
+    val out = Curation.winsorize(ev, "event_type", "value")
+    val rows = out.select("event_type", "value", "value_clip").collect()
+    val byType = ev.select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).toSet)
+    rows.foreach { r =>
+      val (t, v, c) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      // clipped value is either the original or one of the group's own values
+      assert(c == v || byType(t).contains(c), s"clip bound not a group value: $t $c")
+    }
+    // at least one row actually clipped (5% tails on 10k rows)
+    assert(rows.exists(r => r.getDouble(1) != r.getDouble(2)))
+    // idempotent: winsorizing the clipped column changes nothing
+    val again = Curation.winsorize(
+      out.select(col("event_type"), col("value_clip").as("value")).withColumn("event_id", lit(0L)),
+      "event_type", "value")
+    assert(again.filter(col("value") =!= col("value_clip")).count() == 0)
+  }
+
+  test("inverted index invariants: cf sums to corpus tokens, postings length = df") {
+    import graft.operators.Search
+    val idx = Search.invertedIndex(docs, "doc_id", "text")
+    val rows = idx.collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](3).length == r.getLong(1), "postings length != df")
+      assert(r.getLong(2) >= r.getLong(1), "cf < df")
+      val p = r.getSeq[Long](3)
+      assert(p == p.sorted, "postings not id-sorted")
+    }
+    val totalTokens = docs.select(
+      size(graft.functions.Hashing.tokens(col("text"))).as("n"))
+      .agg(sum("n")).head().getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalTokens, "sum(cf) != corpus token count")
+  }
+
+  test("booleanAnd returns exactly the docs containing every term") {
+    import graft.operators.Search
+    val hits = Search.booleanAnd(docs, "doc_id", "text", Seq("merge", "scan"))
+      .collect().map(_.getLong(0)).toSet
+    val manual = docs.select(col("doc_id"), lower(col("text")).as("t")).collect()
+      .filter { r =>
+        val toks = r.getString(1).split(" ").filter(_.nonEmpty).toSet
+        toks.contains("merge") && toks.contains("scan")
+      }.map(_.getLong(0)).toSet
+    assert(hits == manual)
+  }
+
+  test("hard negatives have mismatched labels and descending similarity") {
+    import graft.operators.Similarity
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"),
+        col("label").as("q_label"))
+    val labels = emb.select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val out = Similarity.hardNegativeTopK(q, emb, k = 5).collect()
+    out.groupBy(_.getLong(0)).foreach { case (qid, rs) =>
+      val sims = rs.sortBy(_.getAs[Number](3).intValue).map(_.getDouble(2))
+      assert(sims.sameElements(sims.sortBy(-(_: Double))), s"q$qid not ranked desc")
+      rs.foreach(r => assert(labels(r.getLong(1)) != labels(qid),
+        s"q$qid neighbor ${r.getLong(1)} shares its label"))
+    }
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {
