@@ -31,9 +31,14 @@ object ScaleUp {
     spark.sparkContext.setLogLevel("WARN")
 
     def shards(name: String)(shard: (DataFrame, Int) => DataFrame): Unit = {
+      // batch the union (≤50 branches per write pass, append mode) so
+      // large factors don't build thousand-branch plans
       val base = spark.read.parquet(s"$src/$name.parquet")
-      val all = (0 until factor).map(i => shard(base, i)).reduce(_ unionAll _)
-      all.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      (0 until factor).grouped(50).zipWithIndex.foreach { case (batch, bi) =>
+        val part = batch.map(i => shard(base, i)).reduce(_ unionAll _)
+        part.write.mode(if (bi == 0) "overwrite" else "append")
+          .parquet(s"$out/$name.parquet")
+      }
       println(s"SCALED $name x$factor")
     }
     def copy(name: String): Unit = {
