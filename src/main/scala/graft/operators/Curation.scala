@@ -207,6 +207,43 @@ object Curation {
       .select(col(domainCol), col("n_docs"), col("domain_tokens"), col("weight"))
   }
 
+  /** Token-budget mixture planning: given a global training-token budget,
+    * allocate it across domains with sqrt-temperature weights
+    * (weight_d ∝ sqrt(m_d), the alpha = 0.5 stance of
+    * [[temperatureSample]] expressed as an allocation instead of a
+    * downsample) and report the implied epoch count per domain —
+    * allocation / available tokens, the number every data-mixture plan is
+    * judged by (how many passes over each source a budget implies).
+    *
+    * Exactness across engines: sqrt is IEEE-correctly-rounded, but the
+    * SUM of per-domain doubles is order-dependent — so each sqrt is
+    * quantized to integer micros first and the normalizer is an integer
+    * sum (the dsum trick). weight/alloc/epochs then derive from the same
+    * two integers in both engines.
+    *
+    * One narrow corpus pass (the per-domain token aggregate); everything
+    * after runs on the #domains-row frame.
+    */
+  def tokenBudget(df: DataFrame, domainCol: String, textCol: String,
+      budget: Long): DataFrame = {
+    val everything = Window.partitionBy() // #domains rows — tiny by definition
+    val st = round(sqrt(col("domain_tokens").cast("double")) * 1e6).cast("long")
+    df.groupBy(col(domainCol))
+      .agg(sum(size(tokens(col(textCol)))).as("domain_tokens"))
+      .withColumn("_st", st)
+      .withColumn("_tot", sum(col("_st")).over(everything))
+      .withColumn("weight",
+        round(col("_st").cast("double") / col("_tot").cast("double"), 6))
+      .withColumn("alloc_tokens",
+        floor(lit(budget.toDouble) *
+          (col("_st").cast("double") / col("_tot").cast("double"))).cast("long"))
+      .withColumn("epochs",
+        round(col("alloc_tokens").cast("double") /
+          col("domain_tokens").cast("double"), 6))
+      .select(col(domainCol), col("domain_tokens"), col("weight"),
+        col("alloc_tokens"), col("epochs"))
+  }
+
   /** Temperature-flattened domain resampling (the multilingual-mixture
     * rebalancing step): keep each document of domain `d` with probability
     * rate_d = (m_d / min_m)^(alpha-1), where m_d is the domain's token

@@ -291,4 +291,36 @@ object Similarity {
       .filter(col("cos_sim") >= threshold)
       .select(col("id_a"), col("id_b"), col("cos_sim"))
   }
+
+  /** k-nearest-neighbor graph over the whole corpus — the substrate for
+    * SemDeDup-style pruning, graph-based diversity sampling, and
+    * label propagation. Every vector gets its k most-similar LSH
+    * bucket-mates (cosine), so the result is an edge list
+    * (src_id, neighbor_id, cos_sim, rnk).
+    *
+    * Scale shape: corpus×corpus, but never all-pairs — both sides band
+    * into (table, bucket) keys (narrow map), the candidate join is an
+    * equi-join on those keys, and the pair dedup carries ONLY the id
+    * pair. Vectors re-attach afterwards via two id-keyed joins (at
+    * warehouse scale the candidate list is ~n × bucket-mates, orders of
+    * magnitude under n²), and the final per-node ranking is the k-bounded
+    * partial aggregate — no corpus-wide window. Recall follows the
+    * multi-table sign-LSH bound (≈ 1-(1-p^nPlanes)^nTables per edge).
+    */
+  def knnGraph(corpus: DataFrame, k: Int, nPlanes: Int, nTables: Int = 8,
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val banded = corpus.select(col(cId), col(cVec))
+      .withColumn("_buckets", lshBucketsNative(col(cVec), nPlanes, nTables))
+      .select(col(cId), posexplode(col("_buckets")).as(Seq("tbl", "bucket")))
+    val cand = banded.select(col(cId).as("src_id"), col("tbl"), col("bucket"))
+      .join(banded.select(col(cId).as("dst_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("src_id") =!= col("dst_id"))
+      .select("src_id", "dst_id").distinct()
+    val scored = cand
+      .join(corpus.select(col(cId).as("src_id"), col(cVec).as("src_vec")), "src_id")
+      .join(corpus.select(col(cId).as("dst_id"), col(cVec).as("dst_vec")), "dst_id")
+      .withColumn("cos_sim", cosineSimilarity(col("src_vec"), col("dst_vec")))
+    graft.functions.TopK.rank(scored, k, "src_id", "dst_id", "cos_sim")
+  }
 }

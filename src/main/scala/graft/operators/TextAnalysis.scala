@@ -94,6 +94,53 @@ object TextAnalysis {
       size(regexp_extract_all(lower(col(textCol)),
         lit("[a-z]+|[0-9]+|[^a-z0-9\\s]"), lit(0))).as("bpe_tokens"))
 
+  /** Gopher-rules document quality flags (Rae et al. 2021, appendix A1.1 —
+    * the public heuristic battery most curation pipelines start from):
+    * word-count bounds, mean word length bounds, symbol-to-word ratio,
+    * bullet-line / ellipsis-line ratios, alphabetic-word fraction, and a
+    * minimum count of distinct required stopwords. Emits every signal plus
+    * the conjunctive `keep` verdict so callers can re-weight rules rather
+    * than re-scan. Narrow per-row expressions only — scan-speed at 100 TB,
+    * and every ratio is rounded to 6 decimals BEFORE the threshold
+    * comparison so the keep bit is bit-stable across engines.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+      stopwords: Seq[String] =
+        Seq("the", "be", "to", "of", "and", "that", "have", "with"),
+      minWords: Int = 50, maxWords: Int = 100000): DataFrame = {
+    val tks = tokens(col(textCol))
+    val nWords = size(tks)
+    val meanLen = round(
+      aggregate(tks, lit(0L), (a, t) => a + length(t)).cast("double") / nWords, 6)
+    val symRatio = round(
+      size(regexp_extract_all(col(textCol), lit("#|\\.\\.\\."), lit(0)))
+        .cast("double") / nWords, 6)
+    val lines = split(col(textCol), "\n")
+    val nLines = size(lines)
+    val bulletRatio = round(size(filter(lines, l =>
+      ltrim(l).startsWith("-") || ltrim(l).startsWith("*")))
+      .cast("double") / nLines, 6)
+    val ellipsisRatio = round(size(filter(lines, l => l.endsWith("...")))
+      .cast("double") / nLines, 6)
+    val alphaRatio = round(size(filter(tks, t => t.rlike("[a-z]")))
+      .cast("double") / nWords, 6)
+    val stopHits = size(array_intersect(tks,
+      array(stopwords.map(lit): _*)))
+    df.select(col(idCol),
+        nWords.as("n_words"), meanLen.as("mean_word_len"),
+        symRatio.as("symbol_ratio"), bulletRatio.as("bullet_line_ratio"),
+        ellipsisRatio.as("ellipsis_line_ratio"), alphaRatio.as("alpha_word_ratio"),
+        stopHits.as("stopword_types"))
+      .withColumn("keep",
+        col("n_words").between(minWords, maxWords) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("bullet_line_ratio") <= 0.9 &&
+          col("ellipsis_line_ratio") <= 0.3 &&
+          col("alpha_word_ratio") >= 0.8 &&
+          col("stopword_types") >= 2)
+  }
+
   /** Document fingerprints: full-text rolling hash + min-shingle hash
     * (winnowing-style representative) — both stable across engines.
     */

@@ -59,6 +59,19 @@ object Pipeline {
       "(CAST(q.embedding[i] AS DOUBLE) - r.recon[i]) " +
       "for i in generate_series(1, 64)]), (x, y) -> x + y))"
 
+  /** Multi-table sign-LSH bucket list (8 tables × 6 planes), the DuckDB
+    * twin of Vectors.lshBucketsNative: per-table bucket = 6 sign bits
+    * from planes tt*6+j over deterministic pseudo-random hyperplanes.
+    */
+  private def oLshBuckets(v: String) =
+    s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [
+       |  CASE WHEN list_reduce(list_prepend(0.0,
+       |    [CAST($v[i] AS DOUBLE) * ((((((tt*6)+j)*64 + (i-1)) * 2654435761) % 1000003 - 500001)::DOUBLE / 500001.0)
+       |     for i in generate_series(1, 64)]), (x, y) -> x + y) > 0
+       |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
+       |  for j in generate_series(0, 5)]), (x, y) -> x + y)
+       |  for tt in generate_series(0, 7)]""".stripMargin
+
   /** Double-precision left-fold dot product of two DuckDB float lists. */
   private def oDot(a: String, b: String) =
     s"list_reduce(list_prepend(0.0, [CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE) " +
@@ -486,16 +499,7 @@ object Pipeline {
           .orderBy("q_id", "rnk")
       },
       Some {
-        // per-table bucket: 6 sign bits from planes tt*6+j
-        val buckets = (v: String) =>
-          s"""[list_reduce(list_prepend(CAST(0 AS BIGINT), [
-             |  CASE WHEN list_reduce(list_prepend(0.0,
-             |    [CAST($v[i] AS DOUBLE) * ((((((tt*6)+j)*64 + (i-1)) * 2654435761) % 1000003 - 500001)::DOUBLE / 500001.0)
-             |     for i in generate_series(1, 64)]), (x, y) -> x + y) > 0
-             |  THEN (CAST(1 AS BIGINT) << j) ELSE 0 END
-             |  for j in generate_series(0, 5)]), (x, y) -> x + y)
-             |  for tt in generate_series(0, 7)]""".stripMargin
-        s"""WITH cb AS (SELECT vec_id, embedding, ${buckets("embedding")} AS bks FROM embeddings),
+        s"""WITH cb AS (SELECT vec_id, embedding, ${oLshBuckets("embedding")} AS bks FROM embeddings),
            |ce AS (SELECT vec_id, embedding, unnest(bks) AS bucket,
            |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
            |qe AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket, tbl FROM ce WHERE vec_id < 8),
@@ -509,6 +513,32 @@ object Pipeline {
            |      ORDER BY ${oCos("q_vec", "embedding")} DESC, vec_id) AS rnk
            |  FROM cand) x
            |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      }),
+
+    // corpus-wide k-NN graph (SemDeDup / diversity-sampling substrate):
+    // every vector's top-4 cosine neighbors among its LSH bucket-mates —
+    // candidate dedup carries only id pairs, vectors re-attach by id join
+    "graph_knn" -> Q(
+      (s, d) => Similarity.knnGraph(t(s, d, "embeddings"),
+          k = 4, nPlanes = 6, nTables = 8)
+        .orderBy("src_id", "rnk"),
+      Some {
+        s"""WITH cb AS (SELECT vec_id, ${oLshBuckets("embedding")} AS bks FROM embeddings),
+           |ce AS (SELECT vec_id, unnest(bks) AS bucket,
+           |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
+           |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+           |  FROM ce a JOIN ce b ON a.tbl = b.tbl AND a.bucket = b.bucket
+           |  WHERE a.vec_id <> b.vec_id),
+           |sc AS (SELECT c.src_id, c.dst_id,
+           |  ${oCos("ea.embedding", "eb.embedding")} AS cos_sim
+           |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.src_id
+           |  JOIN embeddings eb ON eb.vec_id = c.dst_id)
+           |SELECT src_id, neighbor_id, cos_sim, rnk FROM (
+           |  SELECT src_id, dst_id AS neighbor_id, cos_sim,
+           |    ROW_NUMBER() OVER (PARTITION BY src_id
+           |      ORDER BY cos_sim DESC, dst_id) AS rnk
+           |  FROM sc) x
+           |WHERE rnk <= 4 ORDER BY src_id, rnk""".stripMargin
       }),
 
     "ann_ivf_topk" -> Q(
@@ -658,6 +688,50 @@ object Pipeline {
       Some(s"""SELECT doc_id, len($toks) AS ws_tokens,
               |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Gopher-rules quality battery: every signal + the conjunctive keep
+    // bit (emitted as int for a stable cross-engine hash); ratios are
+    // rounded to 6 decimals BEFORE thresholding on both sides
+    // (the stopword roster is corpus-appropriate here — the operator's
+    // default is the published Gopher list, which the synthetic word-soup
+    // corpus never satisfies, leaving the keep bit vacuously false)
+    "text_gopher_quality" -> Q(
+      (s, d) => TextAnalysis.gopherQuality(t(s, d, "documents"), "doc_id", "text",
+          stopwords = Seq("the", "a", "of", "and", "is"))
+        .withColumn("keep", col("keep").cast("int"))
+        .orderBy("doc_id"),
+      Some {
+        val sw = Seq("the", "a", "of", "and", "is")
+          .map("'" + _ + "'").mkString(",")
+        s"""WITH x AS (SELECT doc_id,
+           |  len($toks) AS n_words,
+           |  round(list_reduce(list_prepend(CAST(0 AS BIGINT),
+           |    [CAST(length(t) AS BIGINT) for t in $toks]), (a, b) -> a + b)::DOUBLE
+           |    / len($toks), 6) AS mean_word_len,
+           |  round(len(regexp_extract_all(text, '#|\\.\\.\\.'))::DOUBLE
+           |    / len($toks), 6) AS symbol_ratio,
+           |  round(len(list_filter(string_split(text, chr(10)),
+           |    l -> starts_with(ltrim(l), '-') OR starts_with(ltrim(l), '*')))::DOUBLE
+           |    / len(string_split(text, chr(10))), 6) AS bullet_line_ratio,
+           |  round(len(list_filter(string_split(text, chr(10)),
+           |    l -> ends_with(l, '...')))::DOUBLE
+           |    / len(string_split(text, chr(10))), 6) AS ellipsis_line_ratio,
+           |  round(len(list_filter($toks, t -> regexp_matches(t, '[a-z]')))::DOUBLE
+           |    / len($toks), 6) AS alpha_word_ratio,
+           |  len(list_distinct(list_intersect($toks, [$sw]))) AS stopword_types
+           |  FROM documents)
+           |SELECT doc_id, n_words, mean_word_len, symbol_ratio,
+           |  bullet_line_ratio, ellipsis_line_ratio, alpha_word_ratio,
+           |  stopword_types,
+           |  CAST(n_words BETWEEN 50 AND 100000
+           |    AND mean_word_len BETWEEN 3.0 AND 10.0
+           |    AND symbol_ratio <= 0.1
+           |    AND bullet_line_ratio <= 0.9
+           |    AND ellipsis_line_ratio <= 0.3
+           |    AND alpha_word_ratio >= 0.8
+           |    AND stopword_types >= 2 AS INT) AS keep
+           |FROM x ORDER BY doc_id""".stripMargin
+      }),
 
     "text_fingerprint" -> Q(
       (s, d) => TextAnalysis.fingerprints(t(s, d, "documents"), "doc_id", "text")
@@ -945,6 +1019,29 @@ object Pipeline {
               |  round((SUM(domain_tokens) OVER ())::DOUBLE
               |    / (COUNT(*) OVER ()) / domain_tokens, 6) AS weight
               |FROM p ORDER BY source""".stripMargin)),
+
+    // token-budget mixture planning: sqrt-temperature allocation of a
+    // 1B-token budget across sources + implied epochs per source; the
+    // normalizer is an integer micro-sum so the weights are bit-exact
+    "curation_token_budget" -> Q(
+      (s, d) => graft.operators.Curation.tokenBudget(
+          t(s, d, "documents"), "source", "text", budget = 1000000000L)
+        .orderBy("source"),
+      Some(s"""WITH p AS (SELECT source,
+              |  CAST(SUM(len($toks)) AS BIGINT) AS domain_tokens
+              |  FROM documents GROUP BY source),
+              |sq AS (SELECT source, domain_tokens,
+              |  CAST(round(sqrt(domain_tokens::DOUBLE) * 1000000.0) AS BIGINT) AS st
+              |  FROM p),
+              |tt AS (SELECT source, domain_tokens, st,
+              |  CAST(SUM(st) OVER () AS BIGINT) AS tot FROM sq)
+              |SELECT source, domain_tokens,
+              |  round(st::DOUBLE / tot::DOUBLE, 6) AS weight,
+              |  CAST(floor(1000000000.0 * (st::DOUBLE / tot::DOUBLE)) AS BIGINT)
+              |    AS alloc_tokens,
+              |  round(CAST(floor(1000000000.0 * (st::DOUBLE / tot::DOUBLE)) AS BIGINT)::DOUBLE
+              |    / domain_tokens::DOUBLE, 6) AS epochs
+              |FROM tt ORDER BY source""".stripMargin)),
 
     // temperature-0.5 domain resampling: deterministic hash-threshold
     // downsampling toward a flattened mixture (kept tokens ∝ m_d^0.5).

@@ -264,6 +264,57 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: ≤ k ranked edges per node, no self-loops, mutual-ish top edges") {
+    val out = Similarity.knnGraph(emb, k = 4, nPlanes = 6, nTables = 8).collect()
+    val byNode = out.groupBy(_.getLong(0))
+    assert(byNode.nonEmpty)
+    byNode.foreach { case (src, rs) =>
+      assert(rs.length <= 4, s"node $src has ${rs.length} edges")
+      rs.foreach(r => assert(r.getLong(1) != src, s"self-loop at $src"))
+      val byRank = rs.sortBy(_.getAs[Number](3).intValue).map(_.getDouble(2))
+      assert(byRank.sameElements(byRank.sortBy(-(_: Double))), s"node $src not ranked desc")
+    }
+    // the graph must cover (nearly) every vector: banding into 8 tables
+    // leaves no unbucketed rows, so only a vector whose every bucket is a
+    // singleton across all 8 tables could be missing
+    assert(byNode.size >= emb.count() * 95 / 100)
+  }
+
+  test("gopher quality: flags match recomputed rules on sampled docs") {
+    // corpus-list stopwords: the published Gopher roster never matches the
+    // synthetic word-soup, which would make the keep bit vacuously false
+    val out = TextAnalysis.gopherQuality(docs, "doc_id", "text",
+      stopwords = Seq("the", "a", "of", "and", "is")).collect()
+    assert(out.length == docs.count())
+    val texts = docs.select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.take(50).foreach { r =>
+      val words = texts(r.getLong(0)).toLowerCase.split("\\s+").filter(_.nonEmpty)
+      assert(r.getInt(1) == words.length, s"doc ${r.getLong(0)} word count")
+      val expectKeep = words.length >= 50 && words.length <= 100000 &&
+        r.getDouble(2) >= 3.0 && r.getDouble(2) <= 10.0 &&
+        r.getDouble(3) <= 0.1 && r.getDouble(4) <= 0.9 &&
+        r.getDouble(5) <= 0.3 && r.getDouble(6) >= 0.8 && r.getInt(7) >= 2
+      assert(r.getBoolean(8) == expectKeep, s"doc ${r.getLong(0)} keep bit")
+    }
+    // both verdicts must occur on the synthetic corpus (short docs fail
+    // the 50-word floor; the rest pass) — otherwise the test is vacuous
+    assert(out.exists(_.getBoolean(8)) && out.exists(!_.getBoolean(8)))
+  }
+
+  test("token budget: weights sum to ~1, allocation ≤ budget, epochs = alloc/avail") {
+    val budget = 1000000L
+    val out = graft.operators.Curation
+      .tokenBudget(docs, "source", "text", budget).collect()
+    val wsum = out.map(_.getDouble(2)).sum
+    assert(math.abs(wsum - 1.0) < 1e-4, s"weights sum to $wsum")
+    assert(out.map(_.getLong(3)).sum <= budget) // floor never overshoots
+    out.foreach { r =>
+      val expected = r.getLong(3).toDouble / r.getLong(1).toDouble
+      assert(math.abs(r.getDouble(4) - expected) < 1e-6)
+    }
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {

@@ -72,6 +72,14 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("knn graph: bucketed equi-join, no all-pairs, no corpus-wide window") {
+    val p = planOf("graph_knn")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Window"), s"corpus-wide window in knn graph:\n$p")
+    assert(p.contains("ObjectHashAggregate") || p.contains("SortAggregate"),
+      s"knn graph lacks the k-bounded aggregate:\n$p")
+  }
+
   test("IVF assignment is a narrow map — no crossJoin against centroids") {
     val p = planOf("ann_ivf_topk")
     assert(!p.contains("CartesianProduct"), p)
