@@ -278,6 +278,30 @@ object Relational {
              |FROM nation JOIN region ON n_regionkey = r_regionkey
              |GROUP BY r_name ORDER BY r_name""".stripMargin)),
 
+    // ANALYZE-style column profile (the reference's statistics surface as
+    // a query): one scan → per-column rows/nulls/ndv/min/max; shipdate is
+    // pre-cast to DATE so the stringified min/max is formatted identically
+    // in both engines
+    "stats_profile" -> Q(
+      (s, d) => graft.operators.Profile.columnStats(
+          t(s, d, "lineitem")
+            .withColumn("l_shipdate", to_date(col("l_shipdate"))),
+          Seq("l_orderkey", "l_linenumber", "l_quantity",
+            "l_returnflag", "l_linestatus", "l_shipdate"))
+        .orderBy("column"),
+      Some {
+        val one = (c: String, expr: String) =>
+          s"""SELECT '$c' AS "column", COUNT(*) AS n_rows,
+             |  COUNT(*) - COUNT($expr) AS n_nulls,
+             |  COUNT(DISTINCT $expr) AS n_distinct,
+             |  CAST(MIN($expr) AS VARCHAR) AS min_value,
+             |  CAST(MAX($expr) AS VARCHAR) AS max_value FROM lineitem""".stripMargin
+        (Seq("l_orderkey", "l_linenumber", "l_quantity",
+          "l_returnflag", "l_linestatus")
+          .map(c => one(c, c)) :+ one("l_shipdate", "CAST(l_shipdate AS DATE)"))
+          .mkString("SELECT * FROM (\n", "\nUNION ALL\n", "\n) ORDER BY \"column\"")
+      }),
+
     // -- 2.6 full sort incl. NULLS FIRST parity (reference: NULL < values)
     "order_by_nulls_first" -> Q(
       (s, d) => t(s, d, "customer")
