@@ -308,10 +308,24 @@ object Similarity {
     * multi-table sign-LSH bound (≈ 1-(1-p^nPlanes)^nTables per edge).
     */
   def knnGraph(corpus: DataFrame, k: Int, nPlanes: Int, nTables: Int = 8,
-      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
-    val banded = corpus.select(col(cId), col(cVec))
+      cId: String = "vec_id", cVec: String = "embedding",
+      maxBucket: Option[Int] = None): DataFrame = {
+    val bandedAll = corpus.select(col(cId), col(cVec))
       .withColumn("_buckets", lshBucketsNative(col(cVec), nPlanes, nTables))
       .select(col(cId), posexplode(col("_buckets")).as(Seq("tbl", "bucket")))
+    // Hot-bucket cap (same guard as Dedup.lshCandidates): a near-constant
+    // embedding region puts B vectors in one bucket and would emit B²
+    // candidates there; dropping over-cap buckets bounds the join while
+    // those vectors still pair through their other, more selective
+    // tables. None = exact multi-table LSH semantics, the gate default.
+    val banded = maxBucket match {
+      case None => bandedAll
+      case Some(cap) =>
+        val sizes = bandedAll.groupBy("tbl", "bucket")
+          .agg(count(lit(1)).as("_bsz"))
+        bandedAll.join(sizes.filter(col("_bsz") <= cap), Seq("tbl", "bucket"))
+          .drop("_bsz")
+    }
     val cand = banded.select(col(cId).as("src_id"), col("tbl"), col("bucket"))
       .join(banded.select(col(cId).as("dst_id"), col("tbl"), col("bucket")),
         Seq("tbl", "bucket"))

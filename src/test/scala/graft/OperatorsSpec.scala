@@ -280,6 +280,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(byNode.size >= emb.count() * 95 / 100)
   }
 
+  test("capped knn graph candidates are a subset of the uncapped candidate set") {
+    // k larger than any node's candidate count ⇒ the edge list IS the
+    // candidate set (rank never truncates), where the subset property is
+    // exact; at small k capping can PROMOTE worse edges into the top-k,
+    // which is the documented recall trade, not a bug
+    val big = 100000
+    val full = Similarity.knnGraph(emb, k = big, nPlanes = 6, nTables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Similarity.knnGraph(emb, k = big, nPlanes = 6, nTables = 8,
+      maxBucket = Some(8)).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.nonEmpty && capped.length < full.size,
+      "a cap of 8 must actually drop hot buckets on this corpus")
+    assert(capped.forall(full.contains),
+      "capped candidates must come from the exact-LSH candidate set")
+  }
+
   test("gopher quality: flags match recomputed rules on sampled docs") {
     // corpus-list stopwords: the published Gopher roster never matches the
     // synthetic word-soup, which would make the keep bit vacuously false
