@@ -72,6 +72,17 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("column profile: exact ndv plans Expand; HLL path stays single-pass") {
+    val df = SparkEntry.registry("stats_profile").fn(spark, sf)
+    assert(df.queryExecution.executedPlan.toString.contains("Expand"),
+      "exact multi-column distinct should plan the documented Expand")
+    val hll = graft.operators.Profile.columnStats(
+      Tables.df(spark, sf, "lineitem"),
+      Seq("l_orderkey", "l_returnflag", "l_quantity"), exact = false)
+    val p = hll.queryExecution.executedPlan.toString
+    assert(!p.contains("Expand"), s"HLL profile must not expand the scan:\n$p")
+  }
+
   test("knn graph: bucketed equi-join, no all-pairs, no corpus-wide window") {
     val p = planOf("graph_knn")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
