@@ -114,6 +114,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // the regex — a ' where ' inside a string literal must not split
   private val reUpdate =
     """(?is)\s*update\s+(\w+)\s+set\s+(.+)""".r
+  // extension: on-demand warehouse maintenance (the reference's LSM
+  // storage compacts in the background, src/storage/secondary; this
+  // files-per-table layout compacts when asked)
+  private val reOptimize =
+    """(?is)\s*optimize\s+(\w+)(?:\s+zorder\s+by\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?(?:\s+into\s+(\d+)\s+files)?\s*""".r
   private val reCopyFrom =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
@@ -166,6 +171,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reUpdate(table, rest) if tables.contains(table) =>
       val (setList, cond) = splitSetWhere(rest)
       update(table, setList, cond)
+    case reOptimize(table, za, zb, nf) if tables.contains(table) =>
+      optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
@@ -471,13 +478,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // metrics fire — filter(false) scans, limit(0) would short-circuit
       case None => scanned.filter(lit(false))
     }).observe(keptObs, count(lit(1)).as("n"))
-    // dotted temp name sits outside the \w+ table-name alphabet, so it can
-    // never collide with a real table directory (a table named `x__rewrite`
-    // used to be clobbered by `DELETE FROM x`)
+    rewriteSwap(table, remaining)
+    rowCountResult(observedCount(totalObs) - observedCount(keptObs))
+  }
+
+  /** Materialize `rewritten` into a sibling temp dir, then swap its files
+    * under the table directory — the single-writer commit shared by
+    * DELETE, UPDATE and OPTIMIZE. The dotted temp name sits outside the
+    * \w+ table-name alphabet, so it can never collide with a real table
+    * directory (a table named `x__rewrite` used to be clobbered by
+    * `DELETE FROM x`). The write materializes fully BEFORE the swap, so a
+    * failed rewrite leaves the table untouched.
+    */
+  private def rewriteSwap(table: String, rewritten: DataFrame): Unit = {
     val tmp = s"$warehouse/.$table.rewrite.tmp"
-    remaining.write.mode("overwrite").parquet(tmp) // materializes BEFORE the swap
-    val total = observedCount(totalObs)
-    val kept = observedCount(keptObs)
+    rewritten.write.mode("overwrite").parquet(tmp)
     deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
     val stream = Files.list(Paths.get(tmp))
     try stream.forEach { p =>
@@ -486,7 +501,44 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     } finally stream.close()
     deleteRecursively(Paths.get(tmp), keepRoot = false)
     refresh(table)
-    rowCountResult(total - kept)
+  }
+
+  private def parquetFileCount(table: String): Long = {
+    val stream = Files.list(Paths.get(tableDir(table)))
+    try stream.filter(p => p.toString.endsWith(".parquet")).count()
+    finally stream.close()
+  }
+
+  /** OPTIMIZE <table> [ZORDER BY (a, b)] [INTO n FILES] (extension): the
+    * on-demand analogue of the reference's background LSM compaction
+    * (`/root/reference/src/storage/secondary/compactor.rs`). Rewrites the
+    * table directory into the target file count — INSERT appends one file
+    * per statement-partition, so a hot table accumulates small files that
+    * tax scan planning — and, with ZORDER BY, range-clusters on the
+    * Morton code first so parquet min/max stats prune BOTH filter
+    * dimensions after the rewrite. Returns one summary row.
+    */
+  private def optimizeTable(table: String, zA: Option[String],
+      zB: Option[String], nFiles: Option[Int]): DataFrame = {
+    val schema = tables(table)._1
+    (zA.toSeq ++ zB.toSeq).foreach { c =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"OPTIMIZE: unknown column $c in $table")
+    }
+    val filesBefore = parquetFileCount(table)
+    val target = nFiles.getOrElse(spark.sparkContext.defaultParallelism)
+    require(target > 0, "OPTIMIZE: file count must be positive")
+    val obs = org.apache.spark.sql.Observation()
+    val observed = spark.table(table).observe(obs, count(lit(1)).as("n"))
+    val rewritten = (zA, zB) match {
+      case (Some(a), Some(b)) =>
+        graft.operators.Layout.clusterByZ(observed, a, b, target).drop("z_code")
+      case _ => observed.repartition(target)
+    }
+    rewriteSwap(table, rewritten)
+    import spark.implicits._
+    Seq((filesBefore, parquetFileCount(table), observedCount(obs)))
+      .toDF("files_before", "files_after", "n_rows")
   }
 
   /** UPDATE (extension — the reference completes only INSERT/DELETE of
@@ -529,18 +581,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val rewritten = spark.table(table)
       .observe(affObs, count(when(c, lit(1))).as("n"))
       .select(projected.toIndexedSeq: _*)
-    val tmp = s"$warehouse/.$table.rewrite.tmp"
-    rewritten.write.mode("overwrite").parquet(tmp)
-    val affected = observedCount(affObs)
-    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
-    val stream = Files.list(Paths.get(tmp))
-    try stream.forEach { p =>
-      if (p.toString.endsWith(".parquet"))
-        Files.move(p, Paths.get(tableDir(table)).resolve(p.getFileName.toString))
-    } finally stream.close()
-    deleteRecursively(Paths.get(tmp), keepRoot = false)
-    refresh(table)
-    rowCountResult(affected)
+    rewriteSwap(table, rewritten)
+    rowCountResult(observedCount(affObs))
   }
 
   /** Split on top-level commas — parens may nest (DECIMAL(p,s),

@@ -93,6 +93,8 @@ class SltSpec extends AnyFunSuite {
     "copy_csv.slt", "sql_udf.slt", "select_misc.slt",
     "type.slt", "insert.slt", "internal.slt",
     // round-5: DML-triangle extension + SQL text-hash kernels
-    "update.slt", "text_functions.slt")
+    "update.slt", "text_functions.slt",
+    // round-9: on-demand compaction / z-order maintenance
+    "optimize.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
