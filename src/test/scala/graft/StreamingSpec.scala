@@ -77,6 +77,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("gopher quality filter runs unchanged on a stream (batch parity)") {
+    // the rule battery is pure per-row expressions, so the same operator
+    // drives a continuous ingestion filter with exact batch parity
+    val srcDir = "/root/repo/target/graft-tmp/stream_docs_gopher"
+    Tables.df(spark, sf, "documents").coalesce(1)
+      .write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val sw = Seq("the", "a", "of", "and", "is")
+    val streamed = StreamingOps.runToMemory(
+      graft.operators.TextAnalysis.gopherQuality(stream, "doc_id", "text", sw)
+        .filter(col("keep")),
+      "gopher_stream", outputMode = "append")
+    val batch = graft.operators.TextAnalysis
+      .gopherQuality(spark.read.parquet(srcDir), "doc_id", "text", sw)
+      .filter(col("keep"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("custom-state sessionization (flatMapGroupsWithState) equals batch sessions on the flushed prefix") {
     val srcDir = "/root/repo/target/graft-tmp/stream_events"
     Tables.df(spark, sf, "events").coalesce(1)
