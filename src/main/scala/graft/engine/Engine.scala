@@ -482,24 +482,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     rowCountResult(observedCount(totalObs) - observedCount(keptObs))
   }
 
-  /** Materialize `rewritten` into a sibling temp dir, then swap its files
-    * under the table directory — the single-writer commit shared by
-    * DELETE, UPDATE and OPTIMIZE. The dotted temp name sits outside the
-    * \w+ table-name alphabet, so it can never collide with a real table
+  /** Materialize `rewritten` into a sibling temp dir, then swap it in as
+    * the table directory — the single-writer commit shared by DELETE,
+    * UPDATE and OPTIMIZE. The dotted temp names sit outside the \w+
+    * table-name alphabet, so they can never collide with a real table
     * directory (a table named `x__rewrite` used to be clobbered by
-    * `DELETE FROM x`). The write materializes fully BEFORE the swap, so a
-    * failed rewrite leaves the table untouched.
+    * `DELETE FROM x`).
+    *
+    * Crash story: the write materializes fully BEFORE any mutation (a
+    * failed rewrite leaves the table untouched), and the commit itself is
+    * two same-filesystem directory renames — live→aside, tmp→live — not a
+    * delete-then-copy of individual files. A crash between the renames
+    * leaves the complete old data in the aside dir (recoverable by one
+    * rename); no interleaving loses rows. The aside dir is removed only
+    * after the new directory is in place, and a stale aside from a
+    * previous crash is cleared first.
     */
   private def rewriteSwap(table: String, rewritten: DataFrame): Unit = {
-    val tmp = s"$warehouse/.$table.rewrite.tmp"
-    rewritten.write.mode("overwrite").parquet(tmp)
-    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
-    val stream = Files.list(Paths.get(tmp))
-    try stream.forEach { p =>
-      if (p.toString.endsWith(".parquet"))
-        Files.move(p, Paths.get(tableDir(table)).resolve(p.getFileName.toString))
-    } finally stream.close()
-    deleteRecursively(Paths.get(tmp), keepRoot = false)
+    val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
+    val live = Paths.get(tableDir(table))
+    val aside = Paths.get(s"$warehouse/.$table.old.tmp")
+    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
+    Files.move(live, aside)
+    try Files.move(tmp, live)
+    catch { case e: Throwable => Files.move(aside, live); throw e }
+    deleteRecursively(aside, keepRoot = false)
     refresh(table)
   }
 
