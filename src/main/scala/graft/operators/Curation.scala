@@ -107,6 +107,38 @@ object Curation {
       .orderBy(desc("occurrences"), asc("gram"))
       .limit(k)
 
+  /** Count-min-sketch heavy hitters — the constant-memory partner of
+    * [[ngramTopK]], completing the sketch family next to HLL distinct
+    * counts and the percentile sketch. The sketch build is one
+    * distributed pass (`df.stat.countMinSketch` merges per-partition
+    * sketches; memory = depth×width counters regardless of corpus size);
+    * only the k top terms are collected to probe it — the same bounded-
+    * artifact stance as the IVF/PQ codebooks. Emits, per top-k term, the
+    * exact count, the sketch estimate, and the CMS guarantee as a
+    * checkable bit: exact ≤ estimate ≤ exact + eps·N (one-sided error;
+    * deterministic for a fixed seed).
+    */
+  def cmsTopK(df: DataFrame, textCol: String, k: Int = 20,
+      eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
+    val spark = df.sparkSession
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
+    val sketch = toks.stat.countMinSketch("term", eps, confidence, 7)
+    val topk = toks.groupBy(col("term"))
+      .agg(count(lit(1)).as("exact_count"))
+      .orderBy(desc("exact_count"), asc("term"))
+      .limit(k)
+      .collect() // k rows by construction
+    val bound = (eps * sketch.totalCount()).toLong
+    val rows = topk.map { r =>
+      val term = r.getString(0)
+      val exact = r.getLong(1)
+      val est = sketch.estimateCount(term)
+      (term, exact, est, est >= exact && est <= exact + bound)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("term", "exact_count", "estimate", "within_tol")
+  }
+
   /** Overlapping token chunks — retrieval/packing prep: `size`-token
     * windows advancing by `size − overlap`, final partial window kept.
     * Chunk count per doc = 1 + ceil(max(n − size, 0) / step), so a doc

@@ -1020,6 +1020,21 @@ object Pipeline {
               |    / (COUNT(*) OVER ()) / domain_tokens, 6) AS weight
               |FROM p ORDER BY source""".stripMargin)),
 
+    // count-min-sketch heavy hitters: constant-memory counting with the
+    // property oracle of the other sketches (exact value + the CMS
+    // one-sided guarantee as a checkable bit; the estimate itself is
+    // sketch-specific and stays out of the gate columns)
+    "curation_cms_topk" -> Q(
+      (s, d) => graft.operators.Curation.cmsTopK(
+          t(s, d, "documents"), "text", k = 20)
+        .select(col("term"), col("exact_count"), col("within_tol"))
+        .orderBy("term"),
+      Some(s"""SELECT term, exact_count, TRUE AS within_tol FROM (
+              |  SELECT t AS term, COUNT(*) AS exact_count
+              |  FROM (SELECT unnest($toks) AS t FROM documents)
+              |  GROUP BY t ORDER BY exact_count DESC, term LIMIT 20)
+              |ORDER BY term""".stripMargin)),
+
     // token-budget mixture planning: sqrt-temperature allocation of a
     // 1B-token budget across sources + implied epochs per source; the
     // normalizer is an integer micro-sum so the weights are bit-exact
