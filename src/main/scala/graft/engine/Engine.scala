@@ -149,10 +149,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
       views(name) = body
       spark.sql(inlineFunctions(body)).createOrReplaceTempView(name)
+      saveManifest()
       emptyResult
     case reCreateIndex(name, table, method, column, opts) =>
       indexes(name) = (table, column, Option(method).getOrElse("btree"),
         Option(opts).getOrElse(""))
+      saveManifest()
       emptyResult
     case reCreateFunction(name, params, bodyQ, bodyD, bodyR) =>
       // a type-only spec (`INT`) is an UNNAMED parameter — reachable via $n
@@ -165,6 +167,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val body = Option(bodyQ).orElse(Option(bodyD))
         .getOrElse("select " + bodyR)
       functions(name.toLowerCase) = (ps, body)
+      saveManifest()
       emptyResult
     case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
     case reDelete(table, cond) => delete(table, Option(cond))
@@ -896,11 +899,71 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   // ---- catalog manifest ---------------------------------------------------
 
+  private def manifestPath = Paths.get(s"$warehouse/_catalog.json")
+
   private def saveManifest(): Unit = {
     def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-    val body = tables.map { case (n, (schema, pk)) =>
+    def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
+    val tablesJson = obj(tables.map { case (n, (schema, pk)) =>
       s"${q(n)}: {${q("ddl")}: ${q(schema.toDDL)}, ${q("pk")}: [${pk.map(q).mkString(",")}]}"
-    }.mkString("{", ",", "}")
-    Files.writeString(Paths.get(s"$warehouse/_catalog.json"), body)
+    })
+    val viewsJson = obj(views.map { case (n, body) => s"${q(n)}: ${q(body)}" })
+    val functionsJson = obj(functions.map { case (n, (params, body)) =>
+      s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
+    })
+    val indexesJson = obj(indexes.map { case (n, (t, c, m, o)) =>
+      s"${q(n)}: {${q("table")}: ${q(t)}, ${q("column")}: ${q(c)}, " +
+        s"${q("method")}: ${q(m)}, ${q("options")}: ${q(o)}}"
+    })
+    Files.writeString(manifestPath,
+      s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
+        s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson}""")
   }
+
+  /** Restore the catalog from the manifest a previous Engine on this
+    * warehouse saved — the reference reloads its catalog from storage on
+    * open (`/root/reference/src/storage/secondary/manifest.rs` replays
+    * catalog ops at startup); without this a restart kept the parquet
+    * data but forgot every table. Views re-plan from their stored SQL
+    * text; functions re-inline; index entries are metadata. Reads via
+    * Jackson (already on the Spark classpath). The pre-round-9 flat
+    * format (top-level = tables map) still loads.
+    */
+  private def loadManifest(): Unit = {
+    if (!Files.exists(manifestPath)) return
+    val root = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(Files.readString(manifestPath))
+    def fields(n: com.fasterxml.jackson.databind.JsonNode) = {
+      import scala.jdk.CollectionConverters._
+      n.fields().asScala
+    }
+    def texts(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
+      (0 until n.size()).map(i => n.get(i).asText())
+    val tablesNode = if (root.has("tables")) root.get("tables") else root
+    fields(tablesNode).foreach { e =>
+      val schema = StructType.fromDDL(e.getValue.get("ddl").asText())
+      tables(e.getKey) = (schema, texts(e.getValue.get("pk")))
+      register(e.getKey)
+    }
+    if (root.has("views"))
+      fields(root.get("views")).foreach(e => views(e.getKey) = e.getValue.asText())
+    if (root.has("functions"))
+      fields(root.get("functions")).foreach { e =>
+        functions(e.getKey) =
+          (texts(e.getValue.get("params")), e.getValue.get("body").asText())
+      }
+    if (root.has("indexes"))
+      fields(root.get("indexes")).foreach { e =>
+        val v = e.getValue
+        indexes(e.getKey) = (v.get("table").asText(), v.get("column").asText(),
+          v.get("method").asText(), v.get("options").asText())
+      }
+    refreshViews()
+  }
+
+  // reopen an existing warehouse: restore tables/views/functions/indexes
+  // from the manifest a previous Engine saved. Runs LAST in the
+  // constructor — textually after every field it touches (the class body
+  // executes in order; an earlier call saw null mockRowCounts).
+  loadManifest()
 }

@@ -282,6 +282,27 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
   }
 
+  test("catalog survives an engine restart: tables, views, functions, indexes") {
+    val dir = freshDir("/root/repo/target/graft-tmp/reopen-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table per(k int primary key, v varchar)")
+    first.run("insert into per values (1, 'a'), (2, 'b')")
+    first.run("create view perv as select k, upper(v) as uv from per")
+    first.run("create function addk(x int) returns int return x + 10")
+    first.run("create index peri on per using btree (k)")
+    // a second Engine on the SAME warehouse must see everything —
+    // previously the manifest was written but never read back
+    val again = new Engine(spark, dir)
+    assert(again.run("select sum(k) as s from per").collect()(0).getLong(0) == 3)
+    assert(again.run("select uv from perv order by k").collect()
+      .map(_.getString(0)).toSeq == Seq("A", "B"))
+    assert(again.run("select addk(5) as r").collect()(0).getInt(0) == 15)
+    assert(again.run("\\di").collect().exists(_.getString(0) == "peri"))
+    // writes through the reopened engine keep working
+    again.run("insert into per values (3, 'c')")
+    assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
+  }
+
   test("DISTINCT ORDER-BY parity accepts star and qualified names") {
     engine.run("create table sx8(a int, b int)")
     engine.run("insert into sx8 values (2, 1), (1, 2)")
