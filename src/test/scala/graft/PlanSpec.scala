@@ -72,6 +72,33 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("runtime bloom-filter semi-join reduction reaches fact joins") {
+    // at warehouse scale the DEFAULT thresholds (creation side <= 10 MB,
+    // large application-side scan) trigger this on any selective
+    // fact⋈filtered-dim join; the toy tables sit under both thresholds,
+    // so the test widens them to prove the session supports the rewrite
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.df(spark, sf, "lineitem")
+      val ord = Tables.df(spark, sf, "orders")
+        .filter(col("o_totalprice") > 400000)
+      val p = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .groupBy("o_orderkey").agg(sum("l_quantity"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"),
+        s"no bloom semi-join reduction injected:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("column profile: exact ndv plans Expand; HLL path stays single-pass") {
     val df = SparkEntry.registry("stats_profile").fn(spark, sf)
     assert(df.queryExecution.executedPlan.toString.contains("Expand"),
