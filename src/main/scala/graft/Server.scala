@@ -324,7 +324,7 @@ private object Pgwire {
           (0 until r.length).foreach { i =>
             if (r.isNullAt(i)) d.writeInt(-1)
             else {
-              val bytes = Main.fmt(r.get(i)).getBytes(StandardCharsets.UTF_8)
+              val bytes = pgText(r.get(i)).getBytes(StandardCharsets.UTF_8)
               d.writeInt(bytes.length); d.write(bytes)
             }
           }
@@ -778,6 +778,20 @@ private object Pgwire {
   /** Spark type → Postgres type OID (text-format rendering, so the OID is
     * advisory; drivers use it to pick client-side parsers).
     */
+  /** Postgres TEXT-format value rendering for DataRows — deliberately NOT
+    * the REPL/slt formatter: pg clients expect booleans as t/f and empty
+    * strings empty (the "(empty)" sentinel is an slt convention; a typed
+    * driver would hand it to the application as data). NULL never reaches
+    * here — it is the -1 length upstream. Numeric rendering stays on the
+    * shared formatter, whose integer-collapse of whole doubles matches
+    * pg's float8 output ("2", not "2.0").
+    */
+  private def pgText(v: Any): String = v match {
+    case b: java.lang.Boolean => if (b) "t" else "f"
+    case s: String => s
+    case other => Main.fmt(other)
+  }
+
   private def typeOid(dt: DataType): Int = dt match {
     case BooleanType => 16
     case ShortType | ByteType => 21

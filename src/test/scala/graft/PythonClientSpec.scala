@@ -45,7 +45,24 @@ class PythonClientSpec extends AnyFunSuite {
            |    assert db.query("select 'OK 1' as s") == [["OK 1"]], "unstuff"
            |print("PY OK")
            |""".stripMargin
-      val pb = new ProcessBuilder("python3", "-c", code)
+      val pgCode =
+        s"""import graft
+           |db = graft.open(port=${server.getLocalPort}, wire="pg")
+           |with db:
+           |    rows = db.query("select 1 as i, 2.5 as d, 1 = 1 as b, 'x' as s, null as n, '' as e")
+           |    assert rows == [[1, 2.5, True, 'x', None, '']], rows
+           |    db.query("create table pyt(v int)")
+           |    db.query("insert into pyt values (41)")
+           |    assert db.query("select v + 1 from pyt") == [[42]]
+           |    try:
+           |        db.query("select nope")
+           |        raise SystemExit("expected graft.Error")
+           |    except graft.Error:
+           |        pass
+           |    assert db.query("select count(*) from pyt") == [[1]]
+           |print("PG OK")
+           |""".stripMargin
+      val pb = new ProcessBuilder("python3", "-c", code + pgCode)
       pb.directory(new java.io.File("/root/repo/tools"))
       pb.redirectErrorStream(true)
       val proc = pb.start()

@@ -85,12 +85,130 @@ class Database:
         self.close()
 
 
-def open(addr: str = "localhost:5433", port: int | None = None) -> Database:
-    """Open a connection: ``open("host:port")``, ``open(port=5433)``."""
-    if port is not None:
-        return Database("localhost", port)
-    host, _, p = addr.rpartition(":")
-    return Database(host or "localhost", int(p))
+class PgDatabase:
+    """Postgres-wire connection with TYPED rows — the closer analogue of
+    the reference's embedded module (pyo3 returns Python ints/floats/bools,
+    not strings). Speaks the v3 simple-query protocol with only the
+    standard library; values convert by the RowDescription type OID:
+    bool → bool, int2/4/8 → int, float4/8 + numeric → float, everything
+    else (text, dates, arrays' text rendering) stays str. NULL → None.
+    """
+
+    _INT_OIDS = {20, 21, 23}
+    _FLOAT_OIDS = {700, 701, 1700}
+
+    def __init__(self, host: str, port: int, timeout: float = 120.0):
+        import struct
+
+        self._struct = struct
+        self._sock = socket.create_connection((host, port), timeout=timeout)
+        self._buf = b""
+        params = b"user\x00graft\x00database\x00graft\x00\x00"
+        self._sock.sendall(struct.pack(">ii", 8 + len(params), 196608) + params)
+        for tag, body in self._messages():  # drain startup until ReadyForQuery
+            if tag == b"E":
+                raise Error(self._err(body))
+            if tag == b"Z":
+                break
+
+    def _recv(self, n: int) -> bytes:
+        while len(self._buf) < n:
+            chunk = self._sock.recv(65536)
+            if not chunk:
+                raise Error("connection closed by server")
+            self._buf += chunk
+        out, self._buf = self._buf[:n], self._buf[n:]
+        return out
+
+    def _messages(self):
+        while True:
+            tag = self._recv(1)
+            (length,) = self._struct.unpack(">i", self._recv(4))
+            yield tag, self._recv(length - 4)
+
+    @staticmethod
+    def _err(body: bytes) -> str:
+        # ErrorResponse: \x53severity\0 \x4dmessage\0 ... \0
+        for field in body.split(b"\x00"):
+            if field[:1] == b"M":
+                return field[1:].decode("utf-8", "replace")
+        return "server error"
+
+    def query(self, sql: str) -> list[list]:
+        self._sock.sendall(
+            b"Q" + self._struct.pack(">i", 5 + len(sql.encode("utf-8")))
+            + sql.encode("utf-8") + b"\x00")
+        rows: list[list] = []
+        oids: list[int] = []
+        error = None
+        for tag, body in self._messages():
+            if tag == b"T":
+                (nf,) = self._struct.unpack(">h", body[:2])
+                oids, pos = [], 2
+                for _ in range(nf):
+                    end = body.index(b"\x00", pos)
+                    (oid,) = self._struct.unpack(">i", body[end + 7:end + 11])
+                    oids.append(oid)
+                    pos = end + 19
+            elif tag == b"D":
+                (nf,) = self._struct.unpack(">h", body[:2])
+                row, pos = [], 2
+                for i in range(nf):
+                    (n,) = self._struct.unpack(">i", body[pos:pos + 4])
+                    pos += 4
+                    if n < 0:
+                        row.append(None)
+                        continue
+                    text = body[pos:pos + n].decode("utf-8")
+                    pos += n
+                    oid = oids[i] if i < len(oids) else 25
+                    if oid == 16:
+                        row.append(text == "t")
+                    elif oid in self._INT_OIDS:
+                        row.append(int(text))
+                    elif oid in self._FLOAT_OIDS:
+                        row.append(float(text))
+                    else:
+                        row.append(text)
+                rows.append(row)
+            elif tag == b"E":
+                error = self._err(body)
+            elif tag == b"Z":
+                if error is not None:
+                    raise Error(error)
+                return rows
+        raise Error("connection closed mid-query")
+
+    execute = query
+
+    def close(self) -> None:
+        try:
+            self._sock.sendall(b"X" + self._struct.pack(">i", 4))
+        except OSError:
+            pass
+        self._sock.close()
+
+    def __enter__(self) -> "PgDatabase":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.close()
+
+
+def open(addr: str = "localhost:5433", port: int | None = None,
+         wire: str = "line"):
+    """Open a connection: ``open("host:port")``, ``open(port=5433)``.
+
+    ``wire="line"`` (default) returns the string-rendering line-protocol
+    :class:`Database`; ``wire="pg"`` returns the typed Postgres-protocol
+    :class:`PgDatabase` on the same port (the server auto-detects).
+    """
+    if port is None:
+        host, _, p = addr.rpartition(":")
+        host, port = host or "localhost", int(p)
+    else:
+        host = "localhost"
+    return PgDatabase(host, port) if wire == "pg" else Database(host, port)
 
 
 if __name__ == "__main__":
