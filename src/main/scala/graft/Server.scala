@@ -789,6 +789,19 @@ private object Pgwire {
   private def pgText(v: Any): String = v match {
     case b: java.lang.Boolean => if (b) "t" else "f"
     case s: String => s
+    // pg prints "yyyy-mm-dd hh:mm:ss[.ffffff]" with the fraction absent
+    // when zero and trailing zeros trimmed; java.sql.Timestamp.toString
+    // always appends ".0" and LocalDateTime.toString uses the ISO 'T'
+    // separator — both would reach a typed driver malformed
+    case t: java.sql.Timestamp => pgText(t.toLocalDateTime)
+    case dt: java.time.LocalDateTime =>
+      val base = dt.format(
+        java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val micros = dt.getNano / 1000
+      if (micros == 0) base
+      else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+    // pg numeric keeps declared scale ("1.50"); the slt formatter strips it
+    case bd: java.math.BigDecimal => bd.toPlainString
     case other => Main.fmt(other)
   }
 

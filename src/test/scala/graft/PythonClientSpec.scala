@@ -60,6 +60,9 @@ class PythonClientSpec extends AnyFunSuite {
            |    except graft.Error:
            |        pass
            |    assert db.query("select count(*) from pyt") == [[1]]
+           |    ts = db.query("select timestamp'2024-01-02 03:04:05' as t, "
+           |                  "timestamp_ntz'2024-01-02 03:04:05.25' as tn")
+           |    assert ts == [['2024-01-02 03:04:05', '2024-01-02 03:04:05.25']], ts
            |print("PG OK")
            |""".stripMargin
       val pb = new ProcessBuilder("python3", "-c", code + pgCode)
