@@ -29,6 +29,9 @@ object Main {
       if (stripped.scale() <= 0) stripped.toBigInteger.toString
       else stripped.toPlainString
     case s: scala.collection.Seq[_] => s.map(fmt).mkString("[", ",", "]")
+    // BinaryType collects as Array[Byte], whose toString is the JVM
+    // object identity ("[B@1a2b3c") — render pg bytea hex instead
+    case b: Array[Byte] => "\\x" + b.map("%02x".format(_)).mkString
     case other => other.toString
   }
 
