@@ -119,4 +119,31 @@ object Search {
       .groupBy(col("term"))
       .agg(count(lit(1)).as("df"), sum(col("tf")).as("cf"),
         sort_array(collect_list(col(idCol))).as("postings"))
+
+  /** Exact phrase search over token positions — the positional-index
+    * query BM25/boolean retrieval can't answer. One tokenize+posexplode
+    * pass, FILTERED to the phrase vocabulary before anything shuffles
+    * (a k-word phrase keeps only its own terms' postings — a vanishing
+    * fraction of a zipfian corpus); word i's positions shift by −i so a
+    * phrase occurrence is a (doc, start) key shared by all k words, and
+    * the match is a k-way equi-join on that key — each join input is the
+    * filtered position list, never the corpus. Emits (id, n_hits,
+    * first_pos) per matching document, positions 0-based.
+    */
+  def phraseSearch(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String): DataFrame = {
+    val words = phrase.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    require(words.nonEmpty, "empty phrase")
+    val pos = docs
+      .select(col(idCol),
+        posexplode(Hashing.tokens(col(textCol))).as(Seq("p", "t")))
+      .filter(col("t").isin(words: _*))
+    val perWord = words.zipWithIndex.map { case (w, i) =>
+      pos.filter(col("t") === w)
+        .select(col(idCol), (col("p") - i).as("start")).distinct()
+    }
+    perWord.reduce((a, b) => a.join(b, Seq(idCol, "start")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+  }
 }

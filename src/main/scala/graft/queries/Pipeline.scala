@@ -453,6 +453,20 @@ object Pipeline {
               |ORDER BY doc_id""".stripMargin)),
 
     // ---- similarity search ---------------------------------------------
+    // positional phrase match: the query class term-frequency retrieval
+    // can't answer; positions 0-based, one hit per start offset
+    "search_phrase" -> Q(
+      (s, d) => graft.operators.Search.phraseSearch(
+          t(s, d, "documents"), "doc_id", "text", "fast table")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |h AS (SELECT doc_id,
+              |  [i for i in generate_series(1, len(tks) - 1)
+              |   if tks[i] = 'fast' AND tks[i+1] = 'table'] AS starts FROM tk)
+              |SELECT doc_id, len(starts) AS n_hits,
+              |  list_min(starts) - 1 AS first_pos
+              |FROM h WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin)),
+
     "ann_brute_force_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

@@ -331,6 +331,22 @@ class OperatorsSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase search matches contiguous token runs only, dup words included") {
+    import graft.operators.Search
+    import spark.implicits._
+    val tiny = Seq((1L, "a b c a b"), (2L, "a c b"), (3L, "b a b a b a"))
+      .toDF("doc_id", "text")
+    val r = Search.phraseSearch(tiny, "doc_id", "text", "a b").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(r(1L) == ((2L, 0)))       // at 0 and 3
+    assert(!r.contains(2L))          // words present but never contiguous
+    assert(r(3L) == ((2L, 1)))       // at 1 and 3
+    // a phrase REPEATING a word still requires exact contiguity
+    val dup = Search.phraseSearch(tiny, "doc_id", "text", "b a b").collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2)))).toMap
+    assert(dup == Map(3L -> ((2L, 0)))) // "b a b" at 0 and 2 only
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {
