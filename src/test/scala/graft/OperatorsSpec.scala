@@ -347,6 +347,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(dup == Map(3L -> ((2L, 0)))) // "b a b" at 0 and 2 only
   }
 
+  test("phrase search equals a naive sliding-window count on random docs") {
+    import graft.operators.Search
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = Vector("a", "b", "c")
+    val corpus = (0L until 300L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(12))(alphabet(rnd.nextInt(3))).mkString(" "))
+    }
+    val phrase = Seq("a", "b", "a")
+    val expected = corpus.flatMap { case (id, text) =>
+      val tks = text.split(" ").toSeq
+      val starts = tks.indices.filter(s =>
+        s + phrase.length <= tks.length && tks.slice(s, s + phrase.length) == phrase)
+      if (starts.isEmpty) None else Some(id -> ((starts.length.toLong, starts.min)))
+    }.toMap
+    val got = Search.phraseSearch(corpus.toDF("doc_id", "text"),
+        "doc_id", "text", phrase.mkString(" ")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(expected.nonEmpty, "seed produced no matches — test would be vacuous")
+    assert(got == expected)
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {
