@@ -146,4 +146,26 @@ object Search {
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
   }
+
+  /** Keyword-in-context snippets: the `window`-token neighborhood around
+    * each document's FIRST phrase occurrence — what a result page shows
+    * under the title. Reuses [[phraseSearch]]'s match machinery (its
+    * shuffles carry only phrase-vocabulary positions); the snippet slice
+    * is a narrow per-row transform on the re-joined document, and only
+    * MATCHING documents are re-tokenized. Positions are 0-based; the
+    * slice clamps at the document edges.
+    */
+  def snippets(docs: DataFrame, idCol: String, textCol: String,
+      phrase: String, window: Int = 3): DataFrame = {
+    val k = phrase.toLowerCase.split("\\s+").count(_.nonEmpty)
+    val hits = phraseSearch(docs, idCol, textCol, phrase)
+    val from = greatest(col("first_pos") - window, lit(0))
+    hits.join(docs.select(col(idCol), col(textCol)), idCol)
+      .select(col(idCol), col("n_hits"), col("first_pos"),
+        array_join(
+          slice(Hashing.tokens(col(textCol)),
+            from + 1,                              // slice() is 1-based
+            col("first_pos") + k + window - from),
+          " ").as("snippet"))
+  }
 }

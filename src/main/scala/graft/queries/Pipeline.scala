@@ -467,6 +467,23 @@ object Pipeline {
               |  list_min(starts) - 1 AS first_pos
               |FROM h WHERE len(starts) > 0 ORDER BY doc_id""".stripMargin)),
 
+    // keyword-in-context: the window around each matching doc's first
+    // phrase hit — slice clamps at the document edges
+    "search_snippets" -> Q(
+      (s, d) => graft.operators.Search.snippets(
+          t(s, d, "documents"), "doc_id", "text", "fast table", window = 2)
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |h AS (SELECT doc_id, tks,
+              |  [i for i in generate_series(1, len(tks) - 1)
+              |   if tks[i] = 'fast' AND tks[i+1] = 'table'] AS starts FROM tk),
+              |m AS (SELECT doc_id, tks, len(starts) AS n_hits,
+              |  list_min(starts) AS s1 FROM h WHERE len(starts) > 0)
+              |SELECT doc_id, n_hits, s1 - 1 AS first_pos,
+              |  array_to_string(list_slice(tks,
+              |    GREATEST(s1 - 2, 1), s1 + 3), ' ') AS snippet
+              |FROM m ORDER BY doc_id""".stripMargin)),
+
     "ann_brute_force_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
