@@ -370,6 +370,40 @@ class ServerSpec extends AnyFunSuite {
     readers.foreach(_.start())
     readers.foreach(_.join(120000))
     assert(errs.isEmpty, errs.toString)
+
+    // writers interleaving with readers: each INSERT holds the write
+    // lock, so every read observes a consistent, monotonically
+    // non-decreasing count and the final state has every row
+    client(send => assert(send("create table conc2(v int not null);").last == "OK 0"))
+    val errs2 = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writers = (1 to 2).map { id =>
+      new Thread(() => {
+        try client { send =>
+          (1 to 10).foreach { i =>
+            val r = send(s"insert into conc2 values (${id * 100 + i});")
+            if (r.last != "OK 1") errs2.add(s"writer $id insert $i got $r")
+          }
+        } catch { case e: Exception => errs2.add(s"writer $id: $e") }
+      }, s"conc2-writer-$id")
+    }
+    val pollers = (1 to 2).map { id =>
+      new Thread(() => {
+        try client { send =>
+          var last = 0L
+          (1 to 10).foreach { _ =>
+            val r = send("select count(*) as c from conc2;")
+            val n = r.head.trim.toLong // malformed → NumberFormatException
+            if (n < last) errs2.add(s"poller $id saw count go $last -> $n")
+            last = n
+          }
+        } catch { case e: Exception => errs2.add(s"poller $id: $e") }
+      }, s"conc2-poller-$id")
+    }
+    (writers ++ pollers).foreach(_.start())
+    (writers ++ pollers).foreach(_.join(120000))
+    assert(errs2.isEmpty, errs2.toString)
+    client(send =>
+      assert(send("select count(*) as c from conc2;") == Seq("20", "OK 1")))
     server.close()
   }
 }
