@@ -369,6 +369,17 @@ class OperatorsSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("snippets clamp at document edges and center the first hit") {
+    import graft.operators.Search
+    import spark.implicits._
+    val tiny = Seq((1L, "hit me first then more words follow here"),
+      (2L, "padding words before hit me and after tail")).toDF("doc_id", "text")
+    val r = Search.snippets(tiny, "doc_id", "text", "hit me", window = 2)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "hit me first then")          // left edge clamps at 0
+    assert(r(2L) == "words before hit me and after") // full window both sides
+  }
+
   test("operator-internal caches do not outlive the query (cache hygiene)") {
     // declaration-ordered LAST: clearCache also drops this spec's docs/emb
     def drained(): Boolean = {
