@@ -118,7 +118,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
   private val reOptimize =
-    """(?is)\s*optimize\s+(\w+)(?:\s+zorder\s+by\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?(?:\s+into\s+(\d+)\s+files)?\s*""".r
+    """(?is)\s*optimize\s+(\w+)(?:\s+zorder\s+by\s*\(\s*(\w+)\s*(?:,\s*(\w+)\s*)?\))?(?:\s+into\s+(\d+)\s+files)?\s*""".r
   private val reCopyFrom =
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
@@ -544,6 +544,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val rewritten = (zA, zB) match {
       case (Some(a), Some(b)) =>
         graft.operators.Layout.clusterByZ(observed, a, b, target).drop("z_code")
+      case (Some(a), None) =>
+        // one clustering column: the Morton code degenerates to the value
+        // itself, i.e. a range-clustered sort (CLUSTER BY analogue) — each
+        // file covers a compact value range for single-dim min/max pruning
+        observed.repartitionByRange(target, col(a)).sortWithinPartitions(a)
       case _ => observed.repartition(target)
     }
     rewriteSwap(table, rewritten)
