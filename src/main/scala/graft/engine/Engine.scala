@@ -946,6 +946,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       (0 until n.size()).map(i => n.get(i).asText())
     val tablesNode = if (root.has("tables")) root.get("tables") else root
     fields(tablesNode).foreach { e =>
+      // crash recovery for the rewrite swap: a failure between its two
+      // renames leaves the live dir missing and the COMPLETE old data in
+      // the aside dir — one rename restores it (see rewriteSwap)
+      val live = Paths.get(tableDir(e.getKey))
+      val aside = Paths.get(s"$warehouse/.${e.getKey}.old.tmp")
+      if (!Files.exists(live) && Files.exists(aside)) Files.move(aside, live)
       val schema = StructType.fromDDL(e.getValue.get("ddl").asText())
       tables(e.getKey) = (schema, texts(e.getValue.get("pk")))
       register(e.getKey)

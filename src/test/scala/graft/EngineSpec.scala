@@ -303,6 +303,20 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
   }
 
+  test("reopen recovers a table stranded mid-swap in the aside dir") {
+    val dir = freshDir("/root/repo/target/graft-tmp/swapcrash-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table sc(v int)")
+    first.run("insert into sc values (7), (8)")
+    // simulate a crash between rewriteSwap's two renames: live dir moved
+    // aside, replacement never arrived
+    val live = java.nio.file.Paths.get(s"$dir/sc")
+    val aside = java.nio.file.Paths.get(s"$dir/.sc.old.tmp")
+    java.nio.file.Files.move(live, aside)
+    val again = new Engine(spark, dir)
+    assert(again.run("select sum(v) as s from sc").collect()(0).getLong(0) == 15)
+  }
+
   test("DISTINCT ORDER-BY parity accepts star and qualified names") {
     engine.run("create table sx8(a int, b int)")
     engine.run("insert into sx8 values (2, 1), (1, 2)")
