@@ -303,6 +303,15 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
   }
 
+  test("ANALYZE TABLE flows to Spark's native stats and feeds the CBO") {
+    engine.run("create table azs(v int)")
+    engine.run("insert into azs values (1), (2), (3)")
+    engine.run("analyze table azs compute statistics")
+    val stats = spark.table("azs").queryExecution.optimizedPlan.stats
+    assert(stats.rowCount.contains(BigInt(3)),
+      s"catalog rowCount missing after ANALYZE: $stats")
+  }
+
   test("reopen recovers a table stranded mid-swap in the aside dir") {
     val dir = freshDir("/root/repo/target/graft-tmp/swapcrash-warehouse")
     val first = new Engine(spark, dir)
