@@ -2,13 +2,16 @@
 
 Mirrors the reference engine's embedded Python API shape (reference
 src/python/mod.rs:14-60: ``open()`` a database, ``query()`` SQL, get rows
-back as a list) over the graft server's line protocol, with zero
-dependencies beyond the standard library:
+back as a list), with zero dependencies beyond the standard library.
+Two wire options against the same auto-detecting server port:
 
     import graft
-    db = graft.open("localhost:5433")     # or open(port=5433)
-    rows = db.query("select 1 as x")      # -> [["1"]]
+    db = graft.open("localhost:5433")      # line protocol, string fields
+    rows = db.query("select 1 as x")       # -> [["1"]]
     db.close()
+
+    db = graft.open(port=5433, wire="pg")  # Postgres protocol, TYPED rows
+    db.query("select 1, 1=1, null")        # -> [[1, True, None]]
 
 Connection-oriented rather than embedded: the JVM/Spark engine runs in
 ``sbt "runMain graft.Server"`` (or any long-lived deployment) and any number
