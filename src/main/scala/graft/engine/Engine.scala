@@ -907,7 +907,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def manifestPath = Paths.get(s"$warehouse/_catalog.json")
 
   private def saveManifest(): Unit = {
-    def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+    // Full JSON string escaping: view/function bodies are raw user SQL, so
+    // multi-line or tab-bearing text is normal. Jackson rejects unescaped
+    // control characters, so leaving them raw would make the warehouse
+    // unopenable on the next loadManifest.
+    def q(s: String) = {
+      val b = new StringBuilder(s.length + 2).append('"')
+      s.foreach {
+        case '\\' => b.append("\\\\")
+        case '"'  => b.append("\\\"")
+        case '\n' => b.append("\\n")
+        case '\r' => b.append("\\r")
+        case '\t' => b.append("\\t")
+        case c if c < 0x20 => b.append(f"\\u${c.toInt}%04x")
+        case c    => b.append(c)
+      }
+      b.append('"').toString
+    }
     def obj(entries: Iterable[String]) = entries.mkString("{", ",", "}")
     val tablesJson = obj(tables.map { case (n, (schema, pk)) =>
       s"${q(n)}: {${q("ddl")}: ${q(schema.toDDL)}, ${q("pk")}: [${pk.map(q).mkString(",")}]}"
@@ -920,9 +936,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"${q(n)}: {${q("table")}: ${q(t)}, ${q("column")}: ${q(c)}, " +
         s"${q("method")}: ${q(m)}, ${q("options")}: ${q(o)}}"
     })
-    Files.writeString(manifestPath,
+    // Temp-then-atomic-rename, mirroring rewriteSwap's commit pattern: the
+    // manifest is load-bearing on reopen, and an in-place truncate-then-write
+    // crash would leave a corrupt catalog with no recovery path.
+    val tmp = Paths.get(s"$warehouse/._catalog.json.tmp")
+    Files.writeString(tmp,
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson}""")
+    Files.move(tmp, manifestPath,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
   }
 
   /** Restore the catalog from the manifest a previous Engine on this
@@ -935,9 +958,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * format (top-level = tables map) still loads.
     */
   private def loadManifest(): Unit = {
+    // Sweep crash debris before anything that can throw: a crash after the
+    // tmp write of rewriteSwap (or of saveManifest itself) leaves dotted
+    // temp dirs/files that would otherwise linger until the next rewrite of
+    // that same table.
+    locally {
+      val stream = Files.list(Paths.get(warehouse))
+      try {
+        import scala.jdk.CollectionConverters._
+        stream.iterator().asScala
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.endsWith(".rewrite.tmp") || n == "._catalog.json.tmp"
+          }
+          .toList
+          .foreach(p => deleteRecursively(p, keepRoot = false))
+      } finally stream.close()
+    }
     if (!Files.exists(manifestPath)) return
-    val root = new com.fasterxml.jackson.databind.ObjectMapper()
-      .readTree(Files.readString(manifestPath))
+    val root =
+      try new com.fasterxml.jackson.databind.ObjectMapper()
+        .readTree(Files.readString(manifestPath))
+      catch {
+        case e: Exception =>
+          // Keep the evidence, surface a clear error instead of an opaque
+          // constructor failure deep in Jackson.
+          val backup = Paths.get(s"$warehouse/_catalog.json.corrupt")
+          Files.copy(manifestPath, backup,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          throw new IllegalStateException(
+            s"warehouse manifest $manifestPath is unreadable " +
+              s"(backed up to $backup): ${e.getMessage}", e)
+      }
     def fields(n: com.fasterxml.jackson.databind.JsonNode) = {
       import scala.jdk.CollectionConverters._
       n.fields().asScala

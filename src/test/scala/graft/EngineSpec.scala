@@ -326,6 +326,50 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select sum(v) as s from sc").collect()(0).getLong(0) == 15)
   }
 
+  test("manifest round-trips multi-line and control-char view/function bodies") {
+    val dir = freshDir("/root/repo/target/graft-tmp/manifest-escape-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table me(k int, v varchar)")
+    first.run("insert into me values (1, 'a\tb')")
+    // a multi-line view body (normal via pgwire simple query) used to write
+    // literal newlines into the manifest JSON, making the warehouse
+    // unopenable: Jackson rejects unescaped control characters
+    first.run("create view mev as\nselect k,\n\tupper(v) as uv\nfrom me")
+    first.run("create function mef(x int) returns int language sql return\n\tx + 1")
+    val again = new Engine(spark, dir)
+    assert(again.run("select uv from mev").collect()(0).getString(0) == "A\tB")
+    assert(again.run("select mef(41) as r").collect()(0).getInt(0) == 42)
+  }
+
+  test("corrupt manifest fails with a clear error and keeps a backup") {
+    val dir = freshDir("/root/repo/target/graft-tmp/manifest-corrupt-warehouse")
+    new Engine(spark, dir).run("create table mc(v int)")
+    val path = java.nio.file.Paths.get(s"$dir/_catalog.json")
+    java.nio.file.Files.writeString(path, "{\"tables\": {\"mc\"")  // truncated
+    val e = intercept[IllegalStateException](new Engine(spark, dir))
+    assert(e.getMessage.contains("unreadable"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/_catalog.json.corrupt")))
+  }
+
+  test("reopen sweeps orphan rewrite/manifest temp debris") {
+    val dir = freshDir("/root/repo/target/graft-tmp/manifest-sweep-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table ms(v int)")
+    first.run("insert into ms values (1)")
+    // simulate a crash after rewriteSwap's tmp write (before any rename)
+    // and a crash mid-saveManifest
+    val orphanDir = java.nio.file.Paths.get(s"$dir/.ms.rewrite.tmp")
+    java.nio.file.Files.createDirectories(orphanDir)
+    java.nio.file.Files.writeString(orphanDir.resolve("part-0.parquet"), "junk")
+    val orphanManifest = java.nio.file.Paths.get(s"$dir/._catalog.json.tmp")
+    java.nio.file.Files.writeString(orphanManifest, "{")
+    val again = new Engine(spark, dir)
+    assert(!java.nio.file.Files.exists(orphanDir))
+    assert(!java.nio.file.Files.exists(orphanManifest))
+    assert(again.run("select sum(v) as s from ms").collect()(0).getLong(0) == 1)
+  }
+
   test("DISTINCT ORDER-BY parity accepts star and qualified names") {
     engine.run("create table sx8(a int, b int)")
     engine.run("insert into sx8 values (2, 1), (1, 2)")
