@@ -1135,15 +1135,58 @@ object Pipeline {
 
     // BPE vocabulary training: Spark computes the corpus word-frequency
     // table (the only corpus-scale pass); the merge loop is driver-side
-    // over the vocab-bounded dict. Greedy-merge semantics aren't
-    // SQL-expressible, so these two carry no oracle (rows-only check);
-    // BpeSpec pins the algorithm against a hand-verified reference.
+    // over the vocab-bounded dict. The oracle replays the FULL training
+    // loop in DuckDB as a recursive CTE: one iteration per merge, state =
+    // the per-word symbol sequences, the argmax pair chosen by an
+    // aggregate over the working table (count desc, then lexicographic —
+    // the same tie-break as trainFromCounts), and the merge applied
+    // left-to-right non-overlapping via run-parity (a candidate merges
+    // only if an even number of consecutive candidates precede it, which
+    // matters exactly when left = right). BpeSpec additionally pins the
+    // Scala loop against a hand-verified reference.
     "curation_bpe_vocab" -> Q(
       (s, d) => graft.operators.Bpe.mergesDf(s,
         graft.operators.Bpe.trainMerges(t(s, d, "documents"), "text",
           numMerges = 40))
         .orderBy("rank"),
-      None),
+      Some(s"""WITH RECURSIVE
+              |wc AS (
+              |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+              |    SELECT unnest($toks) AS word FROM documents)
+              |  GROUP BY word ORDER BY n DESC, word LIMIT 200000),
+              |train AS (
+              |  SELECT 0 AS step, word, n,
+              |    list_append(str_split(word, ''), '</w>') AS syms,
+              |    CAST([] AS STRUCT(rank INT, l VARCHAR, r VARCHAR)[]) AS merges
+              |  FROM wc
+              |  UNION ALL
+              |  SELECT step + 1, word, n,
+              |    flatten(list_transform(range(1, ln + 1), i ->
+              |      CASE WHEN md[i] THEN [bl || br]
+              |           WHEN i > 1 AND md[i - 1] THEN []
+              |           ELSE [syms[i]] END)) AS syms,
+              |    list_append(merges, {rank: step, l: bl, r: br}) AS merges
+              |  FROM (
+              |    SELECT *, list_transform(range(1, ln + 1), i ->
+              |        cands[i] AND ((i - coalesce(list_max(list_filter(range(1, i),
+              |          j -> NOT cands[j])), 0)) % 2 = 1)) AS md
+              |    FROM (
+              |      SELECT *, len(syms) AS ln,
+              |        list_transform(range(1, len(syms) + 1), i ->
+              |          i < len(syms) AND syms[i] = bl AND syms[i + 1] = br) AS cands
+              |      FROM train, (
+              |        SELECT pl AS bl, pr AS br FROM (
+              |          SELECT u.p.l AS pl, u.p.r AS pr, SUM(t2.n) AS cnt
+              |          FROM train t2, unnest(list_transform(range(1, len(t2.syms)),
+              |            i -> {l: t2.syms[i], r: t2.syms[i + 1]})) AS u(p)
+              |          GROUP BY 1, 2)
+              |        ORDER BY cnt DESC, pl, pr LIMIT 1) b
+              |      WHERE step < 40)))
+              |SELECT CAST(m.rank AS INT) AS rank, m.l AS "left", m.r AS "right",
+              |  m.l || m.r AS merged
+              |FROM (SELECT unnest(ms) AS m FROM
+              |  (SELECT merges AS ms FROM train WHERE step = 40 LIMIT 1))
+              |ORDER BY rank""".stripMargin)),
 
     // per-doc tokenization stats under a FIXED merge table (trained from
     // the data-independent SeedCounts dictionary — still the real
