@@ -135,6 +135,29 @@ object Server {
     } finally lock.unlock()
   }
 
+  /** Streaming variant for result delivery: hands `f` the schema and a
+    * `toLocalIterator` over the rows, so driver memory is bounded by one
+    * partition instead of the whole result — a `SELECT *` over a
+    * warehouse-scale table streams through where a collect would OOM the
+    * driver (real Postgres streams too). The statement lock is held until
+    * `f` returns: rows materialize partition-by-partition while the client
+    * consumes, exactly like a long-running reader holding its snapshot.
+    * DML still executes eagerly inside `engine.run`; its one-row
+    * rows_affected result streams trivially.
+    */
+  private[graft] def streamStatement[A](engine: Engine, sql: String)(
+      f: (StructType, Iterator[org.apache.spark.sql.Row]) => A): A = {
+    val lock =
+      if (Pgwire.isReadOnly(sql)) engine.stmtLock.readLock
+      else engine.stmtLock.writeLock
+    lock.lock()
+    try {
+      val df = engine.run(sql)
+      import scala.jdk.CollectionConverters._
+      f(df.schema, df.toLocalIterator().asScala)
+    } finally lock.unlock()
+  }
+
   /** First line of an exception's message, never empty or throwing. */
   private[graft] def errLine(e: Exception): String =
     Option(e.getMessage).map(_.trim).filter(_.nonEmpty)
@@ -144,19 +167,25 @@ object Server {
   private def execute(engine: Engine, sql: String, out: PrintWriter): Unit = {
     try {
       // one writer at a time: catalog map updates and the DELETE/UPDATE
-      // temp-dir swaps are engine-level critical sections
-      val (_, rows) = runStatement(engine, sql)
-      rows.foreach { r =>
-        val line = (0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t")
-        // space-stuff any row line the client could confuse with a
-        // terminator (or with stuffing itself) — clients drop one
-        // leading space; see tools/graft.py
-        out.println(
-          if (line.startsWith("OK ") || line.startsWith("ERR ") ||
-            line.startsWith(" ")) " " + line
-          else line)
+      // temp-dir swaps are engine-level critical sections. Rows stream
+      // partition-by-partition; a failure mid-stream surfaces as a
+      // trailing ERR line after the rows already sent (like pg).
+      val n = streamStatement(engine, sql) { (_, rows) =>
+        var count = 0L
+        rows.foreach { r =>
+          val line = (0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t")
+          // space-stuff any row line the client could confuse with a
+          // terminator (or with stuffing itself) — clients drop one
+          // leading space; see pythonapi/graft
+          out.println(
+            if (line.startsWith("OK ") || line.startsWith("ERR ") ||
+              line.startsWith(" ")) " " + line
+            else line)
+          count += 1
+        }
+        count
       }
-      out.println(s"OK ${rows.length}")
+      out.println(s"OK $n")
     } catch {
       case e: Exception => out.println(s"ERR ${errLine(e)}")
     }
@@ -207,10 +236,11 @@ private object Pgwire {
   private def jobGroup(pid: Int): String = s"pgwire-session-$pid"
 
   // COPY subprotocol statements — data rides the wire instead of a path.
-  // Payload bytes are the engine's CSV surface (options pass through), so
-  // `psql`'s `\copy t from f with (format csv)` round-trips; pg's TEXT
-  // format (tab + \N) is not translated. The option tail accepts every
-  // form psql emits: `(...)`, `WITH (...)`, and bare `CSV HEADER
+  // Optionless COPY speaks Postgres TEXT format (tab-separated, \N nulls,
+  // backslash escapes — what a bare `psql \copy t from f` sends), via the
+  // engine's distributed `format text` surface; `with (format csv)` and
+  // friends pass through to the CSV surface. The option tail accepts
+  // every form psql emits: `(...)`, `WITH (...)`, and bare `CSV HEADER
   // DELIMITER 'c'` words.
   private val reCopyIn =
     """(?is)\s*copy\s+(\w+)\s+from\s+stdin\b(.*)""".r
@@ -241,6 +271,18 @@ private object Pgwire {
       Some(parts.mkString(", "))
     }
   }
+
+  /** pg defaults COPY to TEXT format when none is named; the engine's
+    * file-path COPY keeps its CSV default for back-compat, so the wire
+    * layer makes pg's default explicit.
+    */
+  private[graft] def withDefaultText(opts: Option[String]): Option[String] =
+    opts match {
+      case None => Some("format text")
+      case Some(o) if !"""(?i)\bformat\b""".r.findFirstIn(o).isDefined =>
+        Some(s"format text, $o")
+      case some => some
+    }
 
   def session(rawIn: java.io.InputStream, rawOut: java.io.OutputStream,
       engine: Engine): Unit = {
@@ -317,19 +359,30 @@ private object Pgwire {
         d.writeShort(0)                     // text format
       }
     }
-    def sendDataRows(rows: Array[org.apache.spark.sql.Row]): Unit =
+    // timestamps render in the SESSION time zone (pg semantics), not the
+    // JVM default — the two differ whenever spark.sql.session.timeZone is
+    // set explicitly (Tables.configure pins UTC)
+    def sessionZone(): java.time.ZoneId =
+      java.time.ZoneId.of(engine.spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    def sendDataRows(rows: Iterator[org.apache.spark.sql.Row]): Long = {
+      val zone = sessionZone()
+      var n = 0L
       rows.foreach { r =>
         msg('D') { d =>
           d.writeShort(r.length)
           (0 until r.length).foreach { i =>
             if (r.isNullAt(i)) d.writeInt(-1)
             else {
-              val bytes = pgText(r.get(i)).getBytes(StandardCharsets.UTF_8)
+              val bytes = pgText(r.get(i), zone).getBytes(StandardCharsets.UTF_8)
               d.writeInt(bytes.length); d.write(bytes)
             }
           }
         }
+        n += 1
       }
+      n
+    }
 
     // ---- extended-protocol session state ----
     val prepared = collection.mutable.Map.empty[String, String] // name -> SQL ($n params)
@@ -491,15 +544,21 @@ private object Pgwire {
               try {
                 stmt match {
                   case reCopyIn(tbl, rest) =>
-                    if (!copyIn(tbl, copyTailOpts(rest))) failed = true
-                  case reCopyOut(tbl, rest) => copyOut(tbl, copyTailOpts(rest))
-                  case _ =>
-                    val (schema, rows) = Server.runStatement(engine, stmt)
-                    if (isRowReturning(stmt)) {
+                    if (!copyIn(tbl, withDefaultText(copyTailOpts(rest))))
+                      failed = true
+                  case reCopyOut(tbl, rest) =>
+                    copyOut(tbl, withDefaultText(copyTailOpts(rest)))
+                  case _ if isRowReturning(stmt) =>
+                    // rows stream out partition-by-partition — never the
+                    // whole result on the driver
+                    val n = Server.streamStatement(engine, stmt) { (schema, rows) =>
                       sendRowDescription(schema)
                       sendDataRows(rows)
-                      msg('C')(cstr(_, s"SELECT ${rows.length}"))
-                    } else msg('C')(cstr(_, commandTag(stmt, rows)))
+                    }
+                    msg('C')(cstr(_, s"SELECT $n"))
+                  case _ =>
+                    val (_, rows) = Server.runStatement(engine, stmt)
+                    msg('C')(cstr(_, commandTag(stmt, rows)))
                 }
               } catch {
                 case e: Exception =>
@@ -585,9 +644,14 @@ private object Pgwire {
             case None => error(s"""unknown portal "$portal""""); extFailed = true
             case Some(sql) =>
               try {
-                val (_, rows) = Server.runStatement(engine, sql)
-                if (isRowReturning(sql)) sendDataRows(rows)
-                msg('C')(cstr(_, commandTag(sql, rows)))
+                if (isRowReturning(sql)) {
+                  val n = Server.streamStatement(engine, sql)(
+                    (_, rows) => sendDataRows(rows))
+                  msg('C')(cstr(_, s"SELECT $n"))
+                } else {
+                  val (_, rows) = Server.runStatement(engine, sql)
+                  msg('C')(cstr(_, commandTag(sql, rows)))
+                }
               } catch {
                 case e: Exception =>
                   error(Server.errLine(e)); extFailed = true
@@ -786,14 +850,16 @@ private object Pgwire {
     * shared formatter, whose integer-collapse of whole doubles matches
     * pg's float8 output ("2", not "2.0").
     */
-  private def pgText(v: Any): String = v match {
+  private def pgText(v: Any, zone: java.time.ZoneId): String = v match {
     case b: java.lang.Boolean => if (b) "t" else "f"
     case s: String => s
     // pg prints "yyyy-mm-dd hh:mm:ss[.ffffff]" with the fraction absent
     // when zero and trailing zeros trimmed; java.sql.Timestamp.toString
     // always appends ".0" and LocalDateTime.toString uses the ISO 'T'
-    // separator — both would reach a typed driver malformed
-    case t: java.sql.Timestamp => pgText(t.toLocalDateTime)
+    // separator — both would reach a typed driver malformed. An instant
+    // renders in the SESSION zone (passed in), never the JVM default.
+    case t: java.sql.Timestamp =>
+      pgText(t.toInstant.atZone(zone).toLocalDateTime, zone)
     case dt: java.time.LocalDateTime =>
       val base = dt.format(
         java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))

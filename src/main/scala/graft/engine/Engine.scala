@@ -1,6 +1,6 @@
 package graft.engine
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import java.nio.file.{Files, Paths}
@@ -705,6 +705,37 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     m.toMap
   }
 
+  // ---- Postgres COPY TEXT format (tab-separated, \N nulls, backslash
+  // escapes) — what a bare `psql \copy` speaks. Both directions are pure
+  // column expressions over a distributed text scan/write: no driver
+  // materialization, scan speed. Octal/hex escapes (which psql's own COPY
+  // TO never emits) are not decoded; a backslash before any other
+  // character is kept literally.
+
+  /** pg-TEXT-escape a rendered string column: backslash first, then the
+    * control characters pg COPY escapes (tab, NL, CR, \b, \f, \v).
+    */
+  private def pgTextEscape(c: Column): Column =
+    Seq("\t" -> "\\t", "\n" -> "\\n", "\r" -> "\\r",
+      "\u0008" -> "\\b", "\u000C" -> "\\f", "\u000B" -> "\\v")
+      .foldLeft(replace(c, lit("\\"), lit("\\\\"))) { case (acc, (raw, esc)) =>
+        replace(acc, lit(raw), lit(esc))
+      }
+
+  /** Decode one pg-TEXT field: split on literal `\\` (so each segment's
+    * single-backslash escapes decode independently), then rejoin with the
+    * literal backslash the `\\` encoded.
+    */
+  private def pgTextUnescape(c: Column): Column = {
+    val segDecoded = transform(split(c, "\\\\\\\\", -1), seg =>
+      Seq("\\t" -> "\t", "\\n" -> "\n", "\\r" -> "\r",
+        "\\b" -> "\u0008", "\\f" -> "\u000C", "\\v" -> "\u000B")
+        .foldLeft(seg) { case (acc, (esc, raw)) =>
+          replace(acc, lit(esc), lit(raw))
+        })
+    array_join(segDecoded, "\\")
+  }
+
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
     val o = copyOptions(opts)
@@ -712,6 +743,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "json" | "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
       case "orc" => spark.read.schema(schema).orc(path)
+      case "text" =>
+        // raw tab only ever separates (tabs in data arrive escaped); the
+        // legacy `\.` end marker terminates data per the protocol spec
+        val raw = spark.read.text(path)
+        val arr = split(col("value"), "\t", -1)
+        val fields = schema.fields.zipWithIndex.map { case (f, i) =>
+          val rf = element_at(arr, i + 1)
+          when(rf === "\\N", lit(null))
+            .otherwise(pgTextUnescape(rf))
+            .cast(f.dataType).as(f.name)
+        }
+        raw.filter(col("value") =!= "\\.").select(fields.toIndexedSeq: _*)
       case _ => spark.read.options(o - "format").schema(schema).csv(path)
     }
     // single pass: rows_affected observed on the same job that writes (the
@@ -726,13 +769,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val df = spark.table(table)
     val o = copyOptions(opts)
     val obs = org.apache.spark.sql.Observation()
-    val observed = df.observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite")
     o("format") match {
-      case "json" | "jsonl" => observed.json(path)
-      case "parquet" => observed.parquet(path)
-      case "orc" => observed.orc(path)
-      case _ => observed.options(o - "format").csv(path)
+      case "text" =>
+        // one escaped line per row: booleans render t/f (pg parity), nulls
+        // \N; everything stays a column expression into a distributed write
+        val line = concat_ws("\t", df.schema.fields.map { f =>
+          val rendered = f.dataType match {
+            case BooleanType => when(col(f.name), lit("t")).otherwise(lit("f"))
+            case _ => col(f.name).cast("string")
+          }
+          coalesce(pgTextEscape(rendered), lit("\\N"))
+        }.toIndexedSeq: _*)
+        df.select(line.as("value"))
+          .observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite").text(path)
+      case fmt =>
+        val observed = df.observe(obs, count(lit(1)).as("n"))
+          .write.mode("overwrite")
+        fmt match {
+          case "json" | "jsonl" => observed.json(path)
+          case "parquet" => observed.parquet(path)
+          case "orc" => observed.orc(path)
+          case _ => observed.options(o - "format").csv(path)
+        }
     }
     rowCountResult(observedCount(obs))
   }

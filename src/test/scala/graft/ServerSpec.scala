@@ -200,7 +200,8 @@ class ServerSpec extends AnyFunSuite {
         assert(g == 'G') // CopyInResponse: text format, 2 columns
         val gb = java.nio.ByteBuffer.wrap(gBody)
         assert(gb.get == 0.toByte && gb.getShort == 2)
-        val data = "10,x\n11,y\n".getBytes(StandardCharsets.UTF_8)
+        // optionless COPY speaks pg TEXT format: tab-separated, \N nulls
+        val data = "10\tx\n11\ty\n".getBytes(StandardCharsets.UTF_8)
         out.writeByte('d'); out.writeInt(4 + data.length); out.write(data)
         out.writeByte('c'); out.writeInt(4); out.flush()
         val fin = untilReady()
@@ -219,12 +220,13 @@ class ServerSpec extends AnyFunSuite {
       val headed = coH.collect { case ('d', b) =>
         new String(b, StandardCharsets.UTF_8) }.mkString
       assert(headed.linesIterator.count(_ == "v,s") == 1, headed)
+      // optionless COPY TO STDOUT emits pg TEXT format (tab-separated)
       val co = query("copy pgc to stdout")
       assert(co.map(_._1).startsWith(Seq('H')), co.map(_._1).mkString)
       val copied = co.collect { case ('d', b) =>
         new String(b, StandardCharsets.UTF_8) }.mkString
       assert(copied.linesIterator.toSet ==
-        Set("10,x", "11,y", "12,z", "13,w", "14,u"), copied)
+        Set("10\tx", "11\ty", "12\tz", "13\tw", "14\tu"), copied)
       assert(co.exists { case (t, b) =>
         t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY") })
 
@@ -317,6 +319,126 @@ class ServerSpec extends AnyFunSuite {
       val again = c.query("select 41 + 1 as x")
       assert(again.map(_._1) == Seq('T', 'D', 'C', 'Z'))
     } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire COPY TEXT round-trips nulls, tabs, newlines, backslashes") {
+    val dir = freshDir("/root/repo/target/graft-tmp/copytext-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-copytext-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      c.query("create table txt(v int not null, s varchar)")
+      // bare `psql \copy t from f` — COPY ... FROM STDIN with no options →
+      // pg TEXT format. Payload: escaped tab, \N null, escaped newline,
+      // escaped backslash (wire bytes shown as Scala escapes).
+      val q = ("copy txt from stdin\u0000").getBytes(StandardCharsets.UTF_8)
+      c.out.writeByte('Q'); c.out.writeInt(4 + q.length); c.out.write(q); c.out.flush()
+      assert(c.readMsg()._1 == 'G')
+      val data = ("1\ta\\tb\n" +          // field with a real tab in it
+                  "2\t\\N\n" +            // NULL
+                  "3\tline\\nbreak\n" +   // field with a real newline
+                  "4\tback\\\\slash\n" +  // field with a real backslash
+                  "\\.\n")                // legacy end marker, ignored
+        .getBytes(StandardCharsets.UTF_8)
+      c.out.writeByte('d'); c.out.writeInt(4 + data.length); c.out.write(data)
+      c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+      val fin = c.untilReady()
+      assert(fin.exists { case (t, b) =>
+        t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY 4") },
+        fin.map(_._1).mkString)
+
+      def col2(body: Array[Byte]): (String, Option[String]) = {
+        val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(body))
+        d.readShort()
+        def field(): Option[String] = {
+          val n = d.readInt()
+          if (n < 0) None
+          else { val b = new Array[Byte](n); d.readFully(b)
+            Some(new String(b, StandardCharsets.UTF_8)) }
+        }
+        (field().get, field())
+      }
+      val rows = c.query("select v, s from txt order by v")
+        .collect { case ('D', b) => col2(b) }
+      assert(rows == Seq(
+        ("1", Some("a\tb")), ("2", None),
+        ("3", Some("line\nbreak")), ("4", Some("back\\slash"))), rows)
+
+      // COPY TO STDOUT re-encodes the same escapes
+      val outLines = c.query("copy txt to stdout")
+        .collect { case ('d', b) => new String(b, StandardCharsets.UTF_8) }
+        .mkString.linesIterator.toSet
+      assert(outLines == Set("1\ta\\tb", "2\t\\N", "3\tline\\nbreak",
+        "4\tback\\\\slash"), outLines)
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire streams results: rows reach the client before a late failure") {
+    val dir = freshDir("/root/repo/target/graft-tmp/stream-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-stream-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      // partition 0 of range(0,8000,1,8) holds ids 0..999, all passing;
+      // partition 1 raises. A collect-then-send server would deliver ONLY
+      // an ErrorResponse; the streaming server delivers partition 0's rows
+      // first — the observable proof that results never materialize as
+      // one driver-side array.
+      val r = c.query(
+        "select id, assert_true(id < 1000) as ok from range(0, 8000, 1, 8)")
+      val kinds = r.map(_._1)
+      assert(kinds.head == 'T', kinds.take(5).mkString)
+      val nRows = kinds.count(_ == 'D')
+      assert(nRows >= 500, s"expected early rows before the failure, got $nRows")
+      assert(kinds.contains('E') && kinds.last == 'Z', kinds.mkString)
+      // session stays usable after the mid-stream failure
+      assert(c.query("select 1 as x").map(_._1) == Seq('T', 'D', 'C', 'Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire renders timestamps in the session zone, not the JVM default") {
+    val dir = freshDir("/root/repo/target/graft-tmp/tz-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-tz-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    val prevTz = java.util.TimeZone.getDefault
+    try {
+      c.startup()
+      // skew the JVM default away from the UTC session zone: rendering
+      // must follow spark.sql.session.timeZone (pg shows timestamps in
+      // the session's TimeZone), so the literal comes back unshifted
+      java.util.TimeZone.setDefault(
+        java.util.TimeZone.getTimeZone("America/New_York"))
+      val r = c.query("select timestamp '2024-06-01 12:34:56' as ts")
+      val rendered = r.collect { case ('D', b) =>
+        val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+        d.readShort(); val n = d.readInt()
+        val bytes = new Array[Byte](n); d.readFully(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
+      }.head
+      assert(rendered == "2024-06-01 12:34:56", rendered)
+    } finally {
+      java.util.TimeZone.setDefault(prevTz)
       c.close()
       server.close()
     }
