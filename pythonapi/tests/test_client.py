@@ -1,0 +1,61 @@
+"""Package tests for the graft Python client.
+
+Runs against a LIVE graft server (`sbt "runMain graft.Server"` or the
+ServerSpec harness): `GRAFT_PORT=5433 python3 tests/test_client.py`.
+Zero test-framework dependencies — plain asserts, exit code 0 on
+success — so the JVM test suite (PythonClientSpec) can drive it from an
+installed copy of the package.
+"""
+import os
+import sys
+
+import graft
+
+
+def test_line_protocol(port: int) -> None:
+    db = graft.open(port=port)
+    with db:
+        db.query("create table pyc(v int not null, s varchar)")
+        db.query("insert into pyc values (1,'a'), (2,'b'), (3,'c')")
+        rows = db.query("select sum(v) as s, count(*) as n from pyc")
+        assert rows == [["6", "3"]], rows
+        try:
+            db.query("select nope from pyc")
+            raise SystemExit("expected graft.Error")
+        except graft.Error:
+            pass  # connection must survive the error
+        assert db.query("select max(s) as m from pyc") == [["c"]]
+        # space-stuffed ambiguous rows round-trip losslessly
+        assert db.query("select 'OK 1' as s") == [["OK 1"]], "unstuff"
+
+
+def test_pg_protocol(port: int) -> None:
+    db = graft.open(port=port, wire="pg")
+    with db:
+        rows = db.query(
+            "select 1 as i, 2.5 as d, 1 = 1 as b, 'x' as s, null as n, '' as e")
+        assert rows == [[1, 2.5, True, "x", None, ""]], rows
+        db.query("create table pyt(v int)")
+        db.query("insert into pyt values (41)")
+        assert db.query("select v + 1 from pyt") == [[42]]
+        try:
+            db.query("select nope")
+            raise SystemExit("expected graft.Error")
+        except graft.Error:
+            pass
+        assert db.query("select count(*) from pyt") == [[1]]
+        ts = db.query("select timestamp'2024-01-02 03:04:05' as t, "
+                      "timestamp_ntz'2024-01-02 03:04:05.25' as tn")
+        assert ts == [["2024-01-02 03:04:05", "2024-01-02 03:04:05.25"]], ts
+
+
+def main() -> None:
+    port = int(os.environ.get("GRAFT_PORT", "5433"))
+    test_line_protocol(port)
+    print("PY OK")
+    test_pg_protocol(port)
+    print("PG OK")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -6,15 +6,29 @@ import java.nio.charset.StandardCharsets
 import org.scalatest.funsuite.AnyFunSuite
 import graft.engine.Engine
 
-/** Drives `tools/graft.py` — the packaged Python surface mirroring the
-  * reference's embedded module (reference src/python/mod.rs:14-60:
-  * `open()` / `query()` → rows) — against a live server over a real
-  * socket: `import graft; graft.open(port=...).query(...)` end to end.
+/** Drives the `pythonapi/` package — the pip-installable Python surface
+  * mirroring the reference's embedded module (reference
+  * src/python/mod.rs:14-60: `open()` / `query()` → rows) — against a live
+  * server over a real socket. The package is INSTALLED first
+  * (`pip install ./pythonapi` into a scratch target) and its own test
+  * file runs from the installed copy, so the packaging metadata is under
+  * test, not just the module source.
   */
 class PythonClientSpec extends AnyFunSuite {
   import TestSpark._
 
-  test("python client: import graft, open, DDL/DML/query round trip") {
+  private def run(cmd: Seq[String], cwd: String,
+      env: Map[String, String] = Map.empty): (Int, String) = {
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.directory(new java.io.File(cwd))
+    pb.redirectErrorStream(true)
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
+    val proc = pb.start()
+    val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
+    (proc.waitFor(), out)
+  }
+
+  test("pip-installed python client: packaged tests round-trip both wires") {
     val havePython = try {
       new ProcessBuilder("python3", "--version").start().waitFor() == 0
     } catch { case _: Exception => false }
@@ -27,51 +41,35 @@ class PythonClientSpec extends AnyFunSuite {
     acceptor.setDaemon(true)
     acceptor.start()
     try {
-      val code =
-        s"""import graft
-           |db = graft.open(port=${server.getLocalPort})
-           |with db:
-           |    db.query("create table pyc(v int not null, s varchar)")
-           |    db.query("insert into pyc values (1,'a'), (2,'b'), (3,'c')")
-           |    rows = db.query("select sum(v) as s, count(*) as n from pyc")
-           |    assert rows == [["6", "3"]], rows
-           |    try:
-           |        db.query("select nope from pyc")
-           |        raise SystemExit("expected graft.Error")
-           |    except graft.Error:
-           |        pass  # connection must survive the error
-           |    assert db.query("select max(s) as m from pyc") == [["c"]]
-           |    # space-stuffed ambiguous rows round-trip losslessly
-           |    assert db.query("select 'OK 1' as s") == [["OK 1"]], "unstuff"
-           |print("PY OK")
-           |""".stripMargin
-      val pgCode =
-        s"""import graft
-           |db = graft.open(port=${server.getLocalPort}, wire="pg")
-           |with db:
-           |    rows = db.query("select 1 as i, 2.5 as d, 1 = 1 as b, 'x' as s, null as n, '' as e")
-           |    assert rows == [[1, 2.5, True, 'x', None, '']], rows
-           |    db.query("create table pyt(v int)")
-           |    db.query("insert into pyt values (41)")
-           |    assert db.query("select v + 1 from pyt") == [[42]]
-           |    try:
-           |        db.query("select nope")
-           |        raise SystemExit("expected graft.Error")
-           |    except graft.Error:
-           |        pass
-           |    assert db.query("select count(*) from pyt") == [[1]]
-           |    ts = db.query("select timestamp'2024-01-02 03:04:05' as t, "
-           |                  "timestamp_ntz'2024-01-02 03:04:05.25' as tn")
-           |    assert ts == [['2024-01-02 03:04:05', '2024-01-02 03:04:05.25']], ts
-           |print("PG OK")
-           |""".stripMargin
-      val pb = new ProcessBuilder("python3", "-c", code + pgCode)
-      pb.directory(new java.io.File("/root/repo/tools"))
-      pb.redirectErrorStream(true)
-      val proc = pb.start()
-      val out = new String(proc.getInputStream.readAllBytes(), StandardCharsets.UTF_8)
-      assert(proc.waitFor() == 0, s"python client failed:\n$out")
-      assert(out.contains("PY OK"), out)
+      // `pip install ./pythonapi` into a scratch --target. This offline
+      // environment lacks the `wheel` package setuptools' bdist_wheel
+      // needs, but a pure-python wheel archive is zipimportable straight
+      // off PYTHONPATH — python's own test data ships one; an online
+      // environment needs no such crutch.
+      val target = freshDir("/root/repo/target/graft-tmp/pyclient-install")
+      val wheelWhl = new java.io.File(
+        "/root/.pyenv/versions/3.12.1/lib/python3.12/test/wheel-0.40.0-py3-none-any.whl")
+      val baseCmd = Seq("python3", "-m", "pip", "install", "--quiet",
+        "--no-build-isolation", "--no-index", "--target", target, "./pythonapi")
+      val (code0, out0) = run(baseCmd, "/root/repo")
+      val installed =
+        if (code0 == 0) true
+        else if (wheelWhl.exists) {
+          val (code1, out1) = run(baseCmd, "/root/repo",
+            Map("PYTHONPATH" -> wheelWhl.getAbsolutePath))
+          assert(code1 == 0, s"pip install failed:\n$out0\n$out1")
+          true
+        } else false
+      // point python at the installed copy (or, if pip itself is absent,
+      // the source tree — weaker, noted) and run the PACKAGE's tests
+      val pythonPath = if (installed) target else "/root/repo/pythonapi"
+      val (code, out) = run(
+        Seq("python3", "pythonapi/tests/test_client.py"), "/root/repo",
+        Map("PYTHONPATH" -> pythonPath,
+          "GRAFT_PORT" -> server.getLocalPort.toString))
+      assert(code == 0, s"python client tests failed (from $pythonPath):\n$out")
+      assert(out.contains("PY OK") && out.contains("PG OK"), out)
+      assert(installed, "pip unavailable: ran from source tree, not an installed copy")
     } finally server.close()
   }
 }
