@@ -95,34 +95,53 @@ object Bench {
 
     val queries = SparkEntry.benchQueries.toSeq.sortBy(_._1)
 
-    // Warm-up round: codegen caches, JIT, parquet footers, OS page cache.
-    queries.foreach { case (_, fn) => once(fn) }
+    // Warm-up rounds: codegen caches, JIT, parquet footers, OS page cache.
+    // TWO passes — a single one leaves some whole-stage-codegen classes
+    // still interpreting into the first timed round, which inflated
+    // reported spread on otherwise-quiet hosts.
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_BENCH_WARMUPS", "2").toInt
+    for (_ <- 1 to warmups) queries.foreach { case (_, fn) => once(fn) }
 
-    // Timed rounds, round-robin, canary before every slot.
-    val samples = collection.mutable.Map.empty[String, List[(Double, Array[Long])]]
+    // Timed rounds, round-robin, canary before every slot. Each sample
+    // keeps its slot's canary so spread can be attributed: a sample taken
+    // while the canary was inflated measured the HOST, not the plan.
+    val samples = collection.mutable.Map
+      .empty[String, List[(Double, Array[Long], Double)]]
       .withDefaultValue(Nil)
     val canaries = collection.mutable.ArrayBuffer.empty[Double]
     for (_ <- 1 to rounds; (name, fn) <- queries) {
-      canaries += canaryOnce()
-      samples(name) = once(fn) :: samples(name)
+      val c = canaryOnce()
+      canaries += c
+      val (wall, mets) = once(fn)
+      samples(name) = (wall, mets, c) :: samples(name)
     }
 
+    // a slot is "quiet" when its canary sat near the session's best —
+    // beyond 1.5× (plus a 100 ms absolute floor for sub-0.1s canaries)
+    // the host was demonstrably interfering during that window
+    val canaryFloor = if (canaries.isEmpty) 0.0 else canaries.min
+    def quiet(c: Double): Boolean =
+      c <= math.max(1.5 * canaryFloor, canaryFloor + 0.1)
+
     val perQuery = queries.map { case (name, _) =>
-      val ss = samples(name)
-      val ok = ss.filter(_._1 >= 0)
-      if (ok.isEmpty) (name, -1.0, -1.0, Array.fill(5)(0L))
+      val ok = samples(name).filter(_._1 >= 0)
+      if (ok.isEmpty) (name, -1.0, -1.0, -1.0, Array.fill(5)(0L))
       else {
         val best = ok.minBy(_._1)
         val spread = ok.map(_._1).max / best._1
-        (name, best._1, spread, best._2)
+        val quietSamples = ok.filter(s => quiet(s._3))
+        val spreadQuiet =
+          if (quietSamples.isEmpty) spread
+          else quietSamples.map(_._1).max / quietSamples.map(_._1).min
+        (name, best._1, spread, spreadQuiet, best._2)
       }
     }
 
-    val qs = perQuery.map { case (k, v, _, _) => "\"" + k + "\":" + fmt(v) }
+    val qs = perQuery.map { case (k, v, _, _, _) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    val spreads = perQuery.map { case (k, _, sp, _) => "\"" + k + "\":" + fmt(sp) }
+    val spreads = perQuery.map { case (k, _, sp, _, _) => "\"" + k + "\":" + fmt(sp) }
       .mkString("{", ",", "}")
-    val mets = perQuery.map { case (k, _, _, m) =>
+    val mets = perQuery.map { case (k, _, _, _, m) =>
       "\"" + k + "\":{\"exec_sec\":" + fmt(m(0) / 1e3) +
         ",\"gc_sec\":" + fmt(m(1) / 1e3) +
         ",\"shuffle_read_mb\":" + fmt(m(2) / 1e6) +
@@ -143,7 +162,14 @@ object Bench {
     val worstSpread = perQuery.map(_._3).filter(_ >= 0) match {
       case s if s.isEmpty => -1.0; case s => s.max
     }
-    println(s"""{"bench_summary":{"total":${fmt(total)},"canary":$canaryJson,"worst_spread":${fmt(worstSpread)},"queries":$qs}}""")
+    // worst_spread_quiet restricts each query's spread to samples whose
+    // slot canary sat near the session best: residual spread there is the
+    // PLAN's variance; the raw worst_spread additionally includes host
+    // interference windows the canary flagged.
+    val worstSpreadQuiet = perQuery.map(_._4).filter(_ >= 0) match {
+      case s if s.isEmpty => -1.0; case s => s.max
+    }
+    println(s"""{"bench_summary":{"total":${fmt(total)},"canary":$canaryJson,"worst_spread":${fmt(worstSpread)},"worst_spread_quiet":${fmt(worstSpreadQuiet)},"queries":$qs}}""")
     spark.stop()
   }
 }

@@ -114,9 +114,12 @@ object Curation {
     * sketches; memory = depth×width counters regardless of corpus size);
     * only the k top terms are collected to probe it — the same bounded-
     * artifact stance as the IVF/PQ codebooks. Emits, per top-k term, the
-    * exact count, the sketch estimate, and the CMS guarantee as a
-    * checkable bit: exact ≤ estimate ≤ exact + eps·N (one-sided error;
-    * deterministic for a fixed seed).
+    * exact count, the sketch estimate, and the two CMS properties as
+    * separate bits: `never_underestimates` (exact ≤ estimate — the HARD
+    * structural guarantee, true for every input and seed) and
+    * `within_tol` (estimate ≤ exact + eps·N — holds only with probability
+    * `confidence` per query, so it is diagnostic output and deliberately
+    * NOT a cross-engine gate column; only the hard bit is).
     */
   def cmsTopK(df: DataFrame, textCol: String, k: Int = 20,
       eps: Double = 0.001, confidence: Double = 0.99): DataFrame = {
@@ -133,10 +136,11 @@ object Curation {
       val term = r.getString(0)
       val exact = r.getLong(1)
       val est = sketch.estimateCount(term)
-      (term, exact, est, est >= exact && est <= exact + bound)
+      (term, exact, est, est >= exact, est <= exact + bound)
     }
     import spark.implicits._
-    rows.toSeq.toDF("term", "exact_count", "estimate", "within_tol")
+    rows.toSeq.toDF("term", "exact_count", "estimate",
+      "never_underestimates", "within_tol")
   }
 
   /** Overlapping token chunks — retrieval/packing prep: `size`-token

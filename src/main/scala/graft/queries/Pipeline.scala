@@ -1052,15 +1052,18 @@ object Pipeline {
               |FROM p ORDER BY source""".stripMargin)),
 
     // count-min-sketch heavy hitters: constant-memory counting with the
-    // property oracle of the other sketches (exact value + the CMS
-    // one-sided guarantee as a checkable bit; the estimate itself is
-    // sketch-specific and stays out of the gate columns)
+    // property oracle of the other sketches. Gate columns carry only the
+    // DETERMINISTIC pieces: the exact count and the structural
+    // never-underestimates guarantee (true for every input and seed). The
+    // estimate and the eps-bound bit (which holds only with probability
+    // `confidence` per query) stay out of the gate — a TRUE oracle for
+    // them would pin seed-dependent luck, not a property.
     "curation_cms_topk" -> Q(
       (s, d) => graft.operators.Curation.cmsTopK(
           t(s, d, "documents"), "text", k = 20)
-        .select(col("term"), col("exact_count"), col("within_tol"))
+        .select(col("term"), col("exact_count"), col("never_underestimates"))
         .orderBy("term"),
-      Some(s"""SELECT term, exact_count, TRUE AS within_tol FROM (
+      Some(s"""SELECT term, exact_count, TRUE AS never_underestimates FROM (
               |  SELECT t AS term, COUNT(*) AS exact_count
               |  FROM (SELECT unnest($toks) AS t FROM documents)
               |  GROUP BY t ORDER BY exact_count DESC, term LIMIT 20)
