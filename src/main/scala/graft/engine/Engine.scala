@@ -46,6 +46,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val functions = mutable.LinkedHashMap[String, (Seq[String], String)]()
   /** index name → (table, column, method, options) — metadata only */
   private val indexes = mutable.LinkedHashMap[String, (String, String, String, String)]()
+  /** bucketed tables: name → (bucket column, bucket count). Every write
+    * path must honor this — Spark trusts the bucket layout at read time,
+    * so a stray unbucketed file would silently mis-join.
+    */
+  private val buckets = mutable.LinkedHashMap[String, (String, Int)]()
 
   private def tableDir(name: String) = s"$warehouse/$name"
 
@@ -72,8 +77,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def register(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
-    spark.catalog.createTable(name, "parquet", tables(name)._1,
-      Map("path" -> Paths.get(tableDir(name)).toAbsolutePath.toString))
+    val path = Paths.get(tableDir(name)).toAbsolutePath.toString
+    buckets.get(name) match {
+      case Some((c, n)) =>
+        // bucketed + sorted: co-bucketed joins plan no Exchange and no
+        // re-Sort — the planner reads the spec from the catalog entry
+        spark.sql(
+          s"""CREATE TABLE `$name` (${tables(name)._1.toDDL}) USING parquet
+             |CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS
+             |LOCATION '$path'""".stripMargin)
+      case None =>
+        spark.catalog.createTable(name, "parquet", tables(name)._1,
+          Map("path" -> path))
+    }
     applyMockHint(name)
   }
 
@@ -95,7 +111,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   // ---- statement router ---------------------------------------------------
 
-  private val reCreateTable = """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*""".r
+  // optional bucket tail (extension): CLUSTERED BY (col) INTO n BUCKETS —
+  // the warehouse answer to the reference's sorted-by-PK storage contract
+  // (SURVEY §4.3): two tables co-bucketed on the join key join with ZERO
+  // exchange. The greedy cols group backtracks past the tail.
+  private val reCreateTable =
+    """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s*)?""".r
   // optional column-alias list (reference create_view.rs binds
   // `CREATE VIEW v (a, b) AS ...` — tpch/q15.sql `revenue0`)
   private val reCreateView =
@@ -139,7 +160,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDescribe(name) =>
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
-    case reCreateTable(name, colsSpec) => createTable(name, colsSpec)
+    case reCreateTable(name, colsSpec, bCol, bN) =>
+      createTable(name, colsSpec,
+        Option(bCol).map(c => (c, bN.toInt)))
     case reCreateView(name, cols, rawBody) =>
       // column aliases rename positionally via a derived-table alias, so
       // the stored text stays pure SQL and re-plans like any other view
@@ -204,8 +227,63 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
         .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
         .foreach(n => systemTable(n).createOrReplaceTempView(n))
-      spark.sql(inlined)
+      vectorIndexScan(q).getOrElse(spark.sql(inlined))
     case other => refreshViews(); spark.sql(inlineFunctions(other))
+  }
+
+  // ---- vector IndexScan (reference src/planner: IndexScan node) -----------
+
+  /** With `pragma enable_vector_index` (the default), the canonical ANN
+    * statement `SELECT ... FROM t ORDER BY vecCol <->|<=>|<#>
+    * '[..]'::VECTOR(n) LIMIT k` over a table carrying a vector index
+    * (`USING ivfflat` or `USING hnsw`) executes through
+    * [[graft.operators.Similarity.indexProbe]]: only the query's
+    * `nprobe` nearest IVF cells are ranked, so results are approximate —
+    * exactly the contract a pgvector index gives (and the IndexScan the
+    * reference plans but never executes). Any other statement shape, or
+    * `pragma disable_vector_index`, runs the exact full scan.
+    */
+  private var vectorIndexEnabled = true
+
+  private val reVectorTopK =
+    ("""(?is)^\s*select\s+(.+?)\s+from\s+(\w+)\s+order\s+by\s+""" +
+      """(\w+)\s*(?:<->|<=>|<#>)\s*'(\[[^']*\])'\s*::\s*vector\s*\(\s*\d+\s*\)""" +
+      """\s*(?:asc\s*)?limit\s+(\d+)\s*$""").r
+
+  private def vectorIndexScan(sql: String): Option[DataFrame] = {
+    if (!vectorIndexEnabled) return None
+    sql.trim.replaceAll(";\\s*$", "") match {
+      case reVectorTopK(_, tbl, vecCol, vecLit, _) if tables.contains(tbl) =>
+        indexes.values.collectFirst {
+          case (t, c, m, opts)
+              if t.equalsIgnoreCase(tbl) && c.equalsIgnoreCase(vecCol) &&
+                Set("ivfflat", "hnsw").contains(m.toLowerCase) => opts
+        }.map { opts =>
+          val optMap = opts.split(",").map(_.trim).filter(_.nonEmpty)
+            .flatMap { o =>
+              val kv = o.split("=", 2).map(_.trim)
+              if (kv.length == 2)
+                Some(kv(0).toLowerCase ->
+                  kv(1).stripPrefix("'").stripSuffix("'"))
+              else None
+            }.toMap
+          def intOpt(k: String, dflt: Int): Int =
+            optMap.get(k).flatMap(s => scala.util.Try(s.toInt).toOption)
+              .getOrElse(dflt)
+          val qv = vecLit.stripPrefix("[").stripSuffix("]").split(",")
+            .map(_.trim.toDouble).toSeq
+          val probed = graft.operators.Similarity.indexProbe(
+            spark.table(tbl), vecCol, qv,
+            nLists = intOpt("nlists", 100), nProbe = intOpt("nprobe", 4))
+          val view = "__graft_index_probe"
+          probed.createOrReplaceTempView(view)
+          // identical statement over the probed subset, through the normal
+          // SQL pipeline (vector-op rewrite, UDF inlining)
+          spark.sql(inlineFunctions(
+            sql.replaceFirst(s"(?i)\\bfrom\\s+$tbl\\b", s"from $view")))
+        }
+      case _ => None
+    }
   }
 
   // ---- analysis-error parity (reference src/binder/select.rs) -------------
@@ -320,6 +398,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "disable_optimizer" =>
         spark.conf.set("spark.sql.adaptive.enabled", "false")
         spark.conf.set("spark.sql.cbo.enabled", "false")
+      // pgvector-parity switch: with a vector index present, the canonical
+      // ORDER BY distance LIMIT k statement runs the approximate IndexScan
+      // tier; disabling restores exact full scans (pg: `enable_indexscan`)
+      case "enable_vector_index" => vectorIndexEnabled = true
+      case "disable_vector_index" => vectorIndexEnabled = false
       case other =>
         throw new IllegalArgumentException(s"no such pragma: $other")
     }
@@ -370,7 +453,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case other => throw new IllegalArgumentException(s"unknown type: $other")
   }
 
-  private def createTable(name: String, colsSpec: String): DataFrame = {
+  private def createTable(name: String, colsSpec: String,
+      bucketSpec: Option[(String, Int)] = None): DataFrame = {
     // duplicate-create parity: the reference catalog rejects an existing
     // name (src/catalog/root.rs add_table)
     require(!tables.contains(name) && !views.contains(name),
@@ -404,6 +488,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
     }
     val schema = StructType(fields.toSeq)
+    bucketSpec.foreach { case (c, n) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"CLUSTERED BY: unknown column $c in $name")
+      require(n > 0, s"CLUSTERED BY: bucket count must be positive, got $n")
+      buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
+    }
     tables(name) = (schema, pk.toSeq)
     Files.createDirectories(Paths.get(tableDir(name)))
     register(name)
@@ -417,6 +507,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"no such $kind: $name")
     if (kind == "table") {
       tables.remove(name)
+      buckets.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
@@ -453,11 +544,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // the source, not a count() pre-pass (an `INSERT INTO t SELECT <expensive>`
     // would otherwise run <expensive> twice).
     val obs = org.apache.spark.sql.Observation()
-    renamed.select(aligned.toIndexedSeq: _*).observe(obs, count(lit(1)).as("n"))
-      .write.mode("append").parquet(tableDir(table))
+    val out = renamed.select(aligned.toIndexedSeq: _*)
+      .observe(obs, count(lit(1)).as("n"))
+    appendTo(table, out)
     refresh(table)
     rowCountResult(observedCount(obs))
   }
+
+  /** Append `df` (already aligned to the table schema) honoring the
+    * table's layout: a bucketed table appends through the catalog entry so
+    * the writer applies the bucket+sort spec (a raw parquet append would
+    * silently break the layout Spark trusts at read time); a plain table
+    * appends parquet files directly.
+    */
+  private def appendTo(table: String, df: DataFrame): Unit =
+    if (buckets.contains(table)) df.write.insertInto(table)
+    else df.write.mode("append").parquet(tableDir(table))
 
   /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL).
     *
@@ -505,7 +607,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
-    rewritten.write.mode("overwrite").parquet(tmp.toString)
+    buckets.get(table) match {
+      case Some((c, n)) =>
+        // a bucketed table must be REWRITTEN bucketed: bucket ids live in
+        // the part-file names, so writing through a scratch external table
+        // with the same spec produces a directory that stays valid under
+        // the same catalog entry after the swap. The scratch catalog name
+        // is dodged around user tables and dropped immediately (external →
+        // files survive).
+        var scratch = s"graft_rewrite_${table}"
+        while (tables.contains(scratch)) scratch += "_x"
+        spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+        if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
+        rewritten.write.mode("overwrite")
+          .bucketBy(n, c).sortBy(c)
+          .option("path", tmp.toAbsolutePath.toString)
+          .saveAsTable(scratch)
+        spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+      case None =>
+        rewritten.write.mode("overwrite").parquet(tmp.toString)
+    }
     if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
     Files.move(live, aside)
     try Files.move(tmp, live)
@@ -760,7 +881,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // single pass: rows_affected observed on the same job that writes (the
     // former count() pre-pass re-read the whole source)
     val obs = org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("n")).write.mode("append").parquet(tableDir(table))
+    appendTo(table, df.observe(obs, count(lit(1)).as("n")))
     refresh(table)
     rowCountResult(observedCount(obs))
   }
@@ -995,13 +1116,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"${q(n)}: {${q("table")}: ${q(t)}, ${q("column")}: ${q(c)}, " +
         s"${q("method")}: ${q(m)}, ${q("options")}: ${q(o)}}"
     })
+    val bucketsJson = obj(buckets.map { case (t, (c, n)) =>
+      s"${q(t)}: {${q("column")}: ${q(c)}, ${q("n")}: $n}"
+    })
     // Temp-then-atomic-rename, mirroring rewriteSwap's commit pattern: the
     // manifest is load-bearing on reopen, and an in-place truncate-then-write
     // crash would leave a corrupt catalog with no recovery path.
     val tmp = Paths.get(s"$warehouse/._catalog.json.tmp")
     Files.writeString(tmp,
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
-        s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson}""")
+        s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
+        s"""${q("buckets")}: $bucketsJson}""")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -1055,6 +1180,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     def texts(n: com.fasterxml.jackson.databind.JsonNode): Seq[String] =
       (0 until n.size()).map(i => n.get(i).asText())
+    // bucket specs must land BEFORE the tables loop: register() reads them
+    if (root.has("buckets"))
+      fields(root.get("buckets")).foreach { e =>
+        buckets(e.getKey) =
+          (e.getValue.get("column").asText(), e.getValue.get("n").asInt())
+      }
     val tablesNode = if (root.has("tables")) root.get("tables") else root
     fields(tablesNode).foreach { e =>
       // crash recovery for the rewrite swap: a failure between its two

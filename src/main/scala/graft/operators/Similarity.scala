@@ -209,6 +209,44 @@ object Similarity {
     rankTopK(scored, k, qId, cId)
   }
 
+  /** Single-literal-query IndexScan probe — the execution tier behind the
+    * engine's `CREATE INDEX ... USING ivfflat|hnsw` DDL. The reference
+    * PLANS an IndexScan but its executor panics
+    * (`/root/reference/src/executor/mod.rs:471`); this executes it. Cells
+    * are IVF: a deterministic codebook (the `nLists` lexicographically
+    * smallest corpus vectors via a k-bounded TakeOrdered — reproducible at
+    * any parallelism), corpus rows keep their nearest cell (narrow
+    * broadcast argmin; the corpus never shuffles), and only the query's
+    * `nProbe` nearest cells survive — the probe cells come driver-side
+    * from the literal. The caller's ORDER BY distance LIMIT k over the
+    * probed subset is a k-bounded TakeOrdered. A true graph-walk tier
+    * (HNSW proper) is a single-node pointer chase — the wrong shape for a
+    * distributed scan engine — so `hnsw` indexes execute on this
+    * partitioned tier too (recall governed by nLists/nProbe), the same
+    * approximate-ANN contract a pgvector caller observes.
+    */
+  def indexProbe(corpus: DataFrame, vecCol: String, queryVec: Seq[Double],
+      nLists: Int, nProbe: Int): DataFrame = {
+    val cents = corpus
+      .select(col(vecCol).cast("array<double>").as("v"))
+      .filter(col("v").isNotNull)
+      .orderBy(col("v")).limit(nLists)
+      .collect().map(_.getSeq[Double](0)).distinct
+      .zipWithIndex.map { case (v, i) => (i.toLong, v) }
+    if (cents.isEmpty) return corpus
+    val probedCells = cents.map { case (cid, c) =>
+      val d = math.sqrt(
+        c.zip(queryVec).map { case (a, b) => (a - b) * (a - b) }.sum)
+      (d, cid)
+    }.sorted.take(math.max(1, nProbe)).map(_._2).toSet
+    val cb = codebookOf(cents)
+    corpus.withColumn("__graft_cell",
+        nearest(cb, col(vecCol).cast("array<double>"), 1)
+          .getItem(0).getField("cid"))
+      .filter(col("__graft_cell").isInCollection(probedCells))
+      .drop("__graft_cell")
+  }
+
   /** Product-quantization codebook: per subspace `s`, the codewords are
     * the s-th subvectors of the first `nCode` corpus rows — the same
     * deterministic stance as [[ivfTopK]]'s codebook (reproducible,

@@ -370,6 +370,55 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select sum(v) as s from ms").collect()(0).getLong(0) == 1)
   }
 
+  test("CLUSTERED BY: co-bucketed join plans no Exchange; DML keeps the layout") {
+    engine.run("create table bkf(k int not null, v int) clustered by (k) into 4 buckets")
+    engine.run("create table bkd(k int not null, w int) clustered by (k) into 4 buckets")
+    engine.run("insert into bkf select id, id * 2 from range(0, 1000)")
+    engine.run("insert into bkd select id, id * 3 from range(0, 1000)")
+    engine.run("set spark.sql.autoBroadcastJoinThreshold=-1")
+    def joinPlan(): String = engine.run(
+      "explain select v, w from bkf join bkd on bkf.k = bkd.k")
+      .collect()(0).getString(0)
+    try {
+      val plan = joinPlan()
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"),
+        s"co-bucketed join should shuffle nothing:\n$plan")
+      assert(engine.run(
+        "select count(*) as c from bkf join bkd on bkf.k = bkd.k")
+        .collect()(0).getLong(0) == 1000)
+      // DELETE/UPDATE rewrite THROUGH the bucket layout — the join stays
+      // exchange-free and correct afterwards (a raw parquet rewrite would
+      // leave unbucketed files Spark then mis-joins)
+      engine.run("delete from bkf where k >= 500")
+      engine.run("update bkf set v = v + 1 where k < 10")
+      val plan2 = joinPlan()
+      assert(plan2.contains("SortMergeJoin") && !plan2.contains("Exchange"), plan2)
+      val r = engine.run("select count(*) as c, sum(v) as s " +
+        "from bkf join bkd on bkf.k = bkd.k").collect()(0)
+      assert(r.getLong(0) == 500 &&
+        r.getLong(1) == (0L until 500).map(_ * 2).sum + 10)
+    } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
+  }
+
+  test("bucket spec survives an engine restart") {
+    val dir = freshDir("/root/repo/target/graft-tmp/bucket-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table bkp(k int not null, v int) clustered by (k) into 4 buckets")
+    first.run("create table bkq(k int not null, w int) clustered by (k) into 4 buckets")
+    first.run("insert into bkp select id, id from range(0, 100)")
+    first.run("insert into bkq select id, id from range(0, 100)")
+    val again = new Engine(spark, dir)
+    again.run("set spark.sql.autoBroadcastJoinThreshold=-1")
+    try {
+      val plan = again.run(
+        "explain select v, w from bkp join bkq on bkp.k = bkq.k")
+        .collect()(0).getString(0)
+      assert(plan.contains("SortMergeJoin") && !plan.contains("Exchange"), plan)
+      assert(again.run("select count(*) as c from bkp join bkq on bkp.k = bkq.k")
+        .collect()(0).getLong(0) == 100)
+    } finally again.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
+  }
+
   test("DISTINCT ORDER-BY parity accepts star and qualified names") {
     engine.run("create table sx8(a int, b int)")
     engine.run("insert into sx8 values (2, 1), (1, 2)")
