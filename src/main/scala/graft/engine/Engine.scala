@@ -135,6 +135,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // the regex — a ' where ' inside a string literal must not split
   private val reUpdate =
     """(?is)\s*update\s+(\w+)\s+set\s+(.+)""".r
+  // extension: MERGE completes the DML square (pg 15 surface; the
+  // reference binder has neither UPDATE nor MERGE). One WHEN MATCHED
+  // clause (UPDATE SET or DELETE) and/or one WHEN NOT MATCHED INSERT.
+  private val reMerge =
+    """(?is)\s*merge\s+into\s+(\w+)\s+using\s+(\w+)\s+on\s+(.+?)\s+(when\s+.+)""".r
+  private val reWhenMatchedUpdate =
+    """(?is)when\s+matched\s+then\s+update\s+set\s+(.+?)\s*(?=when\s|$)""".r
+  private val reWhenMatchedDelete =
+    """(?is)when\s+matched\s+then\s+delete\b""".r
+  private val reWhenNotMatchedInsert =
+    """(?is)when\s+not\s+matched\s+then\s+insert\s*(?:\(([^)]*)\))?\s*values\s*\((.+?)\)\s*(?=when\s|$)""".r
   // extension: on-demand warehouse maintenance (the reference's LSM
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
@@ -197,6 +208,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reUpdate(table, rest) if tables.contains(table) =>
       val (setList, cond) = splitSetWhere(rest)
       update(table, setList, cond)
+    case reMerge(tgt, src, cond, tail) if tables.contains(tgt) =>
+      merge(tgt, src, cond, tail)
     case reOptimize(table, za, zb, nf) if tables.contains(table) =>
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
@@ -720,6 +733,122 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       .select(projected.toIndexedSeq: _*)
     rewriteSwap(table, rewritten)
     rowCountResult(observedCount(affObs))
+  }
+
+  /** MERGE INTO target USING source ON cond — pg-15-shaped upsert
+    * completing the DML square (extension; the reference binder stops at
+    * INSERT/DELETE). One `WHEN MATCHED THEN UPDATE SET ...` or `... THEN
+    * DELETE`, and/or one `WHEN NOT MATCHED THEN INSERT [(cols)] VALUES
+    * (...)`. Fully distributed: one outer-join pass rewrites the target
+    * (all three action counts ride the write as observe metrics), plus
+    * one preceding check pass that errors — like pg — when a target row
+    * matches more than one source row (the row id used for that grouping
+    * lives and dies inside the single check job, so no cross-job id
+    * stability is assumed). The rewrite commits through the same
+    * single-writer directory swap as DELETE/UPDATE, bucket-layout-aware.
+    */
+  private def merge(tgt: String, src: String, cond: String, tail: String)
+      : DataFrame = {
+    require(tgt != src, s"MERGE: source and target must differ (wrap $src in a view)")
+    require(tables.contains(src) || views.contains(src),
+      s"MERGE: no such table or view: $src")
+    val (schema, _) = tables(tgt)
+    val updateSet = reWhenMatchedUpdate.findFirstMatchIn(tail).map(_.group(1))
+    val matchedDelete = reWhenMatchedDelete.findFirstIn(tail).isDefined
+    val insertClause = reWhenNotMatchedInsert.findFirstMatchIn(tail)
+      .map(m => (Option(m.group(1)), m.group(2)))
+    require(updateSet.isDefined || matchedDelete || insertClause.isDefined,
+      "MERGE: at least one WHEN clause is required")
+    require(!(updateSet.isDefined && matchedDelete),
+      "MERGE: WHEN MATCHED THEN UPDATE and THEN DELETE are mutually exclusive")
+    refreshViews()
+    val onExpr = expr(inlineFunctions(cond))
+    val target = spark.table(tgt).as(tgt)
+    val source = spark.table(src).withColumn("__s_marker", lit(1)).as(src)
+    val insertOnly = updateSet.isEmpty && !matchedDelete
+
+    // cardinality check (pg parity: "MERGE command cannot affect row a
+    // second time"): more than one source match per target row is an
+    // error. Only a matched ACTION can affect a row twice, so the
+    // insert-only form skips the pass.
+    if (!insertOnly) {
+      val offending = spark.table(tgt)
+        .withColumn("__t_id", monotonically_increasing_id()).as(tgt)
+        .join(source, onExpr, "inner")
+        .groupBy(col("__t_id")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).limit(1).count()
+      require(offending == 0,
+        "MERGE: a target row matched more than one source row")
+    }
+
+    val matchedCol = col("__s_marker").isNotNull
+    val assigns = updateSet.map { setList =>
+      val assignSeq = splitTopLevel(setList).map { a =>
+        val kv = a.split("=", 2)
+        require(kv.length == 2, s"MERGE: malformed assignment '$a'")
+        kv(0).trim.toLowerCase -> kv(1).trim
+      }
+      val dups = assignSeq.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+      require(dups.isEmpty,
+        s"MERGE: multiple assignments to column ${dups.mkString(", ")}")
+      assignSeq.foreach { case (k, _) =>
+        require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+          s"MERGE: unknown column $k in $tgt")
+      }
+      assignSeq.toMap
+    }.getOrElse(Map.empty)
+
+    val matchObs = org.apache.spark.sql.Observation()
+    val joined = target.join(source, onExpr, "left_outer")
+      .observe(matchObs, count(when(matchedCol, 1)).as("n"))
+    val survivors =
+      if (matchedDelete) joined.filter(!matchedCol)
+        .select(schema.fields.map(f => col(s"$tgt.${f.name}").as(f.name)).toIndexedSeq: _*)
+      else joined.select(schema.fields.map { f =>
+        val base = col(s"$tgt.${f.name}")
+        assigns.get(f.name.toLowerCase) match {
+          case Some(e) =>
+            when(matchedCol, expr(inlineFunctions(e)).cast(f.dataType))
+              .otherwise(base).as(f.name)
+          case None => base.as(f.name)
+        }
+      }.toIndexedSeq: _*)
+
+    val insObs = org.apache.spark.sql.Observation()
+    val inserted = insertClause.map { case (colsOpt, valuesStr) =>
+      val declared = colsOpt.map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(schema.fields.map(_.name).toSeq)
+      val valueExprs = splitTopLevel(valuesStr).map(_.trim)
+      require(declared.length == valueExprs.length,
+        s"MERGE: INSERT column count mismatch: ${declared.length} vs ${valueExprs.length}")
+      val byCol = declared.map(_.toLowerCase).zip(valueExprs).toMap
+      spark.table(src).as(src)
+        .join(target, onExpr, "left_anti")
+        .select(schema.fields.map { f =>
+          byCol.get(f.name.toLowerCase) match {
+            case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }.toIndexedSeq: _*)
+        .observe(insObs, count(lit(1)).as("n"))
+    }
+
+    if (insertOnly) {
+      // no matched action → existing rows are untouched; the new rows
+      // APPEND (bucket-layout-aware) instead of rewriting the table
+      appendTo(tgt, inserted.get)
+      refresh(tgt)
+      rowCountResult(observedCount(insObs))
+    } else {
+      val rewritten = inserted match {
+        case Some(ins) => survivors.unionByName(ins)
+        case None => survivors
+      }
+      rewriteSwap(tgt, rewritten)
+      val nMatched = observedCount(matchObs)
+      val nInserted = if (inserted.isEmpty) 0L else observedCount(insObs)
+      rowCountResult(nMatched + nInserted)
+    }
   }
 
   /** Split on top-level commas — parens may nest (DECIMAL(p,s),

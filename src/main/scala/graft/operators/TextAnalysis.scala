@@ -85,6 +85,26 @@ object TextAnalysis {
     // CurationSpec pins the equivalence)
   }
 
+  /** PII surface scan — the detection half of [[Curation.redact]]: per
+    * document, counts of email addresses, phone-shaped numbers, IPv4
+    * addresses and long digit runs, plus the `has_pii` routing flag a
+    * curation pipeline filters or redacts on. Pure per-row regex
+    * expressions (scan speed, no shuffle); patterns stay inside the
+    * RE2/Java common subset so any engine reproduces the counts.
+    */
+  def piiScan(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def n(pattern: String) =
+      size(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+    df.select(col(idCol),
+        n("[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}").as("n_emails"),
+        n("\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b").as("n_phones"),
+        n("\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b").as("n_ipv4"),
+        n("\\b\\d{8,}\\b").as("n_long_digit_runs"))
+      .withColumn("has_pii",
+        col("n_emails") + col("n_phones") + col("n_ipv4") +
+          col("n_long_digit_runs") > 0)
+  }
+
   /** Token counts: whitespace words + a BPE-ish regex segmentation
     * (letter runs / digit runs / single other non-space chars).
     */

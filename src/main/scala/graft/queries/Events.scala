@@ -435,6 +435,50 @@ object Events {
              |GROUP BY from_type, to_type
              |ORDER BY n_transitions DESC, from_type, to_type""".stripMargin)),
 
+    // weighted PageRank over the event-type transition graph — the
+    // operator is fixed-point integer arithmetic end to end
+    // (operators/Graph.pageRank), so the oracle replays the exact
+    // recurrence as a recursive CTE: one iteration per level, the
+    // contribution sum grouped over the working table. (Inside WITH
+    // RECURSIVE, DuckDB treats a bare UNION's dedup unreliably — nodes
+    // uses DISTINCT over UNION ALL deliberately.)
+    "graph_pagerank" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .groupBy(col("event_type").as("from_type"), col("to_type"))
+          .agg(count(lit(1)).as("n_transitions"))
+        graft.operators.Graph.pageRank(edges, "from_type", "to_type",
+            Some("n_transitions"), iters = 10)
+          .orderBy(desc("rank"), asc("node"))
+      },
+      Some("""WITH RECURSIVE
+             |seq AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |e AS (SELECT event_type AS src, to_type AS dst, CAST(COUNT(*) AS BIGINT) AS w
+             |  FROM seq WHERE to_type IS NOT NULL GROUP BY 1, 2),
+             |ew AS (SELECT e.src, e.dst, e.w, ow.out_w FROM e
+             |  JOIN (SELECT src, SUM(w) AS out_w FROM e GROUP BY src) ow USING (src)),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |pr AS (
+             |  SELECT 0 AS it, node, CAST(1000000 AS BIGINT) AS rank FROM nodes
+             |  UNION ALL
+             |  SELECT p.it + 1, p.node, CAST(150000 + COALESCE(c.s, 0) AS BIGINT) AS rank
+             |  FROM pr p LEFT JOIN (
+             |    SELECT ew.dst AS node, SUM(((p2.rank * 85) // 100 * ew.w) // ew.out_w) AS s
+             |    FROM pr p2 JOIN ew ON ew.src = p2.node GROUP BY ew.dst) c
+             |  ON c.node = p.node
+             |  WHERE p.it < 10
+             |)
+             |SELECT node, rank FROM pr WHERE it = 10
+             |ORDER BY rank DESC, node""".stripMargin)),
+
     "events_funnel" -> Q(
       (s, d) => {
         val e = t(s, d, "events")

@@ -720,6 +720,32 @@ object Pipeline {
               |len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')) AS bpe_tokens
               |FROM documents ORDER BY doc_id""".stripMargin)),
 
+    // PII surface scan. The synthetic corpus contains no organic PII, so
+    // the gate plants deterministic email/ip/phone strings per doc (same
+    // concat in both engines) — the comparison then exercises the regex
+    // battery itself, with every count nonzero.
+    "text_pii_scan" -> Q(
+      (s, d) => TextAnalysis.piiScan(
+          t(s, d, "documents").withColumn("pii_text",
+            concat(col("text"), lit(" contact user"), col("doc_id"),
+              lit("@example.com ip 10.0.0."), pmod(col("doc_id"), lit(256)),
+              lit(" phone 555-867-530"), pmod(col("doc_id"), lit(10)))),
+          "doc_id", "pii_text")
+        .orderBy("doc_id"),
+      Some("""WITH x AS (SELECT doc_id,
+             |  text || ' contact user' || doc_id || '@example.com ip 10.0.0.'
+             |    || (doc_id % 256) || ' phone 555-867-530' || (doc_id % 10) AS t
+             |  FROM documents),
+             |y AS (SELECT doc_id,
+             |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+             |  len(regexp_extract_all(t, '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS n_phones,
+             |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ipv4,
+             |  len(regexp_extract_all(t, '\b\d{8,}\b')) AS n_long_digit_runs
+             |  FROM x)
+             |SELECT doc_id, n_emails, n_phones, n_ipv4, n_long_digit_runs,
+             |  (n_emails + n_phones + n_ipv4 + n_long_digit_runs > 0) AS has_pii
+             |FROM y ORDER BY doc_id""".stripMargin)),
+
     // Gopher-rules quality battery: every signal + the conjunctive keep
     // bit (emitted as int for a stable cross-engine hash); ratios are
     // rounded to 6 decimals BEFORE thresholding on both sides

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Behavioral specs for the pipeline operators (beyond "it runs"). */
 class OperatorsSpec extends AnyFunSuite {
@@ -401,5 +401,29 @@ class OperatorsSpec extends AnyFunSuite {
     graft.operators.Curation.pmiTopK(plain, "doc_id", "text", k = 5)
       .write.format("noop").mode("overwrite").save()
     assert(drained(), "pmiTopK unigram cache survived its query")
+  }
+
+  test("pageRank: exact integer fixed point on cycle and chain graphs") {
+    import spark.implicits._
+    // 3-cycle: perfect symmetry ⇒ identical ranks at every iteration
+    val cycle = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L))
+      .toDF("s", "d", "w")
+    val cr = Graph.pageRank(cycle, "s", "d", Some("w"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(cr.values.toSet.size == 1, cr)
+    // chain a→b→c: every value is a pinned integer (the recurrence is
+    // exact, so these are equalities, not tolerances). a has no inbound
+    // mass; b converges to 150000 + (150000·85 div 100); c to
+    // 150000 + (277500·85 div 100).
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("s", "d", "w")
+    val kr = Graph.pageRank(chain, "s", "d", Some("w"), iters = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kr == Map("a" -> 150000L, "b" -> 277500L, "c" -> 385875L), kr)
+    // weights steer the split: b gets 3/4 of a's outbound mass
+    val fork = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("s", "d", "w")
+    val fr = Graph.pageRank(fork, "s", "d", Some("w"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(fr("b") == 150000L + (150000L * 85 / 100 * 3) / 4, fr)
+    assert(fr("c") == 150000L + (150000L * 85 / 100 * 1) / 4, fr)
   }
 }

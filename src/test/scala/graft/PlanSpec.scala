@@ -281,4 +281,16 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.linesIterator.exists(l =>
       l.contains("Exchange") && l.contains("text#")), p)
   }
+
+  test("pagerank iterations combine contributions map-side, no cartesian") {
+    val p = planOf("graph_pagerank")
+    // each iteration's contribution sum is a hash aggregate with a
+    // partial (map-side) phase before its exchange — the canonical
+    // distributed PR step — and nothing degenerates to a cross product
+    assert(p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // the edge list is cached once (InMemoryTableScan), not re-derived
+    // from the raw events scan in all 10 iterations
+    assert(p.contains("InMemoryTableScan") || p.contains("InMemoryRelation"), p)
+  }
 }

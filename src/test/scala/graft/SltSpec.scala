@@ -95,6 +95,6 @@ class SltSpec extends AnyFunSuite {
     // round-5: DML-triangle extension + SQL text-hash kernels
     "update.slt", "text_functions.slt",
     // round-9: on-demand compaction / z-order maintenance
-    "optimize.slt", "bucketing.slt")
+    "optimize.slt", "bucketing.slt", "merge.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
