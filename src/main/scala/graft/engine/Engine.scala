@@ -223,8 +223,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // cost section carries per-node Statistics (sizeInBytes, and
       // rowCount once the table is ANALYZEd — CBO is on for the engine
       // session), the behavior-level analogue of the reference's
-      // per-node cost+rows explain (src/planner/explain.rs)
-      val qe = spark.sql(inlineFunctions(body)).queryExecution
+      // per-node cost+rows explain (src/planner/explain.rs).
+      // A statement the vector IndexScan tier would intercept explains
+      // THAT plan (the probed scan), not the full scan it replaces.
+      val qe = vectorIndexScan(body)
+        .getOrElse(spark.sql(inlineFunctions(body))).queryExecution
       val plan =
         qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("cost")) +
           "\n" +
@@ -662,6 +665,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * tax scan planning — and, with ZORDER BY, range-clusters on the
     * Morton code first so parquet min/max stats prune BOTH filter
     * dimensions after the rewrite. Returns one summary row.
+    *
+    * On a CLUSTERED BY table the bucket layout is the invariant that
+    * wins: the rewrite re-buckets (correctness), so INTO n FILES is
+    * governed by the bucket count and ZORDER clustering applies only
+    * within what the bucket hash leaves adjacent.
     */
   private def optimizeTable(table: String, zA: Option[String],
       zB: Option[String], nFiles: Option[Int]): DataFrame = {
@@ -965,7 +973,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** pg-TEXT-escape a rendered string column: backslash first, then the
     * control characters pg COPY escapes (tab, NL, CR, \b, \f, \v).
     */
-  private def pgTextEscape(c: Column): Column =
+  private[graft] def pgTextEscape(c: Column): Column =
     Seq("\t" -> "\\t", "\n" -> "\\n", "\r" -> "\\r",
       "\u0008" -> "\\b", "\u000C" -> "\\f", "\u000B" -> "\\v")
       .foldLeft(replace(c, lit("\\"), lit("\\\\"))) { case (acc, (raw, esc)) =>
@@ -976,7 +984,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * single-backslash escapes decode independently), then rejoin with the
     * literal backslash the `\\` encoded.
     */
-  private def pgTextUnescape(c: Column): Column = {
+  private[graft] def pgTextUnescape(c: Column): Column = {
     val segDecoded = transform(split(c, "\\\\\\\\", -1), seg =>
       Seq("\\t" -> "\t", "\\n" -> "\n", "\\r" -> "\r",
         "\\b" -> "\u0008", "\\f" -> "\u000C", "\\v" -> "\u000B")

@@ -266,6 +266,45 @@ object Relational {
     // -- 2.4 ordered string aggregation (listagg). Spark's collect_list
     //    order is partition-dependent — sort_array pins it, matching the
     //    oracle's ORDER BY inside string_agg (binary collation both sides).
+    // PIVOT: wide conditional aggregation (Spark .pivot with an explicit
+    // value list — never the implicit distinct scan, which would be a
+    // second corpus pass AND nondeterministic column order at scale).
+    // Absent combinations normalize to 0 on both sides.
+    "agg_pivot" -> Q(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select(col("o_orderpriority"),
+          coalesce(col("F"), lit(0L)).as("n_f"),
+          coalesce(col("O"), lit(0L)).as("n_o"),
+          coalesce(col("P"), lit(0L)).as("n_p"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority,
+             |  COUNT(*) FILTER (o_orderstatus = 'F') AS n_f,
+             |  COUNT(*) FILTER (o_orderstatus = 'O') AS n_o,
+             |  COUNT(*) FILTER (o_orderstatus = 'P') AS n_p
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
+    // exact interpolated median (percentile_cont 0.5) — the exact partner
+    // of agg_approx_percentile; doubles rounded to 6 decimals for
+    // cross-engine interpolation stability
+    "agg_median" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(cast(l_quantity as double), 0.5)"), 6)
+            .as("median_qty"),
+          round(expr("percentile(cast(l_extendedprice as double), 0.5)"), 6)
+            .as("median_price"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(median(CAST(l_quantity AS DOUBLE)), 6) AS median_qty,
+             |  round(median(CAST(l_extendedprice AS DOUBLE)), 6) AS median_price
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     "agg_listagg_ordered" -> Q(
       (s, d) => t(s, d, "nation")
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))

@@ -370,6 +370,30 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select sum(v) as s from ms").collect()(0).getLong(0) == 1)
   }
 
+  test("pg TEXT escape/unescape round-trips adversarial strings") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    val alphabet = "a\\\t\n\r\u0008\u000C\u000BN."
+    val nasty = Seq("", "\\", "\\\\", "\\N", "a\tb", "line\nbreak", "\r\n",
+      "ends with \\", "\\t", "\\n literal", "\u000B\u000C\u0008") ++
+      (1 to 300).map(_ => (0 to rnd.nextInt(12))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    val df = nasty.toDF("s")
+    val out = df.select(col("s"),
+        engine.pgTextEscape(col("s")).as("esc"),
+        engine.pgTextUnescape(engine.pgTextEscape(col("s"))).as("rt"))
+      .collect()
+    out.foreach { r =>
+      assert(r.getString(2) == r.getString(0),
+        s"round-trip broke for ${r.getString(0).map(_.toInt)}")
+      // the escaped form must be single-line and tab-free, or COPY TEXT
+      // framing (tab separators, newline rows) would corrupt
+      val esc = r.getString(1)
+      assert(!esc.exists("\t\n\r".contains(_)), esc)
+    }
+  }
+
   test("CLUSTERED BY: co-bucketed join plans no Exchange; DML keeps the layout") {
     engine.run("create table bkf(k int not null, v int) clustered by (k) into 4 buckets")
     engine.run("create table bkd(k int not null, w int) clustered by (k) into 4 buckets")
