@@ -289,7 +289,11 @@ object Relational {
 
     // exact interpolated median (percentile_cont 0.5) — the exact partner
     // of agg_approx_percentile; doubles rounded to 6 decimals for
-    // cross-engine interpolation stability
+    // cross-engine interpolation stability. Scale note: Spark's exact
+    // `percentile` buffers each group's values in the aggregation buffer,
+    // so this is the bounded-group exact twin; at corpus scale the sketch
+    // path (agg_approx_percentile) is the answer — the same exact-vs-
+    // approx pairing stats_profile documents for ndv.
     "agg_median" -> Q(
       (s, d) => t(s, d, "lineitem")
         .groupBy(col("l_returnflag"))
