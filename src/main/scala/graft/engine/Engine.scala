@@ -970,29 +970,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // TO never emits) are not decoded; a backslash before any other
   // character is kept literally.
 
-  /** pg-TEXT-escape a rendered string column: backslash first, then the
-    * control characters pg COPY escapes (tab, NL, CR, \b, \f, \v).
-    */
-  private[graft] def pgTextEscape(c: Column): Column =
-    Seq("\t" -> "\\t", "\n" -> "\\n", "\r" -> "\\r",
-      "\u0008" -> "\\b", "\u000C" -> "\\f", "\u000B" -> "\\v")
-      .foldLeft(replace(c, lit("\\"), lit("\\\\"))) { case (acc, (raw, esc)) =>
-        replace(acc, lit(raw), lit(esc))
-      }
-
-  /** Decode one pg-TEXT field: split on literal `\\` (so each segment's
-    * single-backslash escapes decode independently), then rejoin with the
-    * literal backslash the `\\` encoded.
-    */
-  private[graft] def pgTextUnescape(c: Column): Column = {
-    val segDecoded = transform(split(c, "\\\\\\\\", -1), seg =>
-      Seq("\\t" -> "\t", "\\n" -> "\n", "\\r" -> "\r",
-        "\\b" -> "\u0008", "\\f" -> "\u000C", "\\v" -> "\u000B")
-        .foldLeft(seg) { case (acc, (esc, raw)) =>
-          replace(acc, lit(esc), lit(raw))
-        })
-    array_join(segDecoded, "\\")
-  }
+  private[graft] def pgTextEscape(c: Column): Column = PgText.escape(c)
+  private[graft] def pgTextUnescape(c: Column): Column = PgText.unescape(c)
 
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
@@ -1001,18 +980,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "json" | "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
       case "orc" => spark.read.schema(schema).orc(path)
-      case "text" =>
-        // raw tab only ever separates (tabs in data arrive escaped); the
-        // legacy `\.` end marker terminates data per the protocol spec
-        val raw = spark.read.text(path)
-        val arr = split(col("value"), "\t", -1)
-        val fields = schema.fields.zipWithIndex.map { case (f, i) =>
-          val rf = element_at(arr, i + 1)
-          when(rf === "\\N", lit(null))
-            .otherwise(pgTextUnescape(rf))
-            .cast(f.dataType).as(f.name)
-        }
-        raw.filter(col("value") =!= "\\.").select(fields.toIndexedSeq: _*)
+      case "text" => PgText.decodeLines(spark.read.text(path), schema)
       case _ => spark.read.options(o - "format").schema(schema).csv(path)
     }
     // single pass: rows_affected observed on the same job that writes (the
@@ -1029,16 +997,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obs = org.apache.spark.sql.Observation()
     o("format") match {
       case "text" =>
-        // one escaped line per row: booleans render t/f (pg parity), nulls
-        // \N; everything stays a column expression into a distributed write
-        val line = concat_ws("\t", df.schema.fields.map { f =>
-          val rendered = f.dataType match {
-            case BooleanType => when(col(f.name), lit("t")).otherwise(lit("f"))
-            case _ => col(f.name).cast("string")
-          }
-          coalesce(pgTextEscape(rendered), lit("\\N"))
-        }.toIndexedSeq: _*)
-        df.select(line.as("value"))
+        PgText.encodeLines(df)
           .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").text(path)
       case fmt =>

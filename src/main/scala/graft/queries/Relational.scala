@@ -92,6 +92,26 @@ object Relational {
               |FROM read_json_auto('/root/repo/target/graft-tmp/copy_nation_jsonl/*.json')
               |ORDER BY n_nationkey""".stripMargin)),
 
+    // Postgres COPY TEXT round-trip through the engine's shared codec
+    // (PgText — the same expressions COPY (format text) and the pgwire
+    // COPY subprotocol run). DuckDB independently parses the written
+    // bytes (tab delim, \N nulls, no quoting), so the oracle verifies
+    // the serialized TEXT format itself, like the jsonl gate.
+    "copy_text_roundtrip" -> Q(
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/copy_nation_text"
+        val n = t(s, d, "nation")
+        graft.engine.PgText.encodeLines(n).write.mode("overwrite").text(out)
+        graft.engine.PgText.decodeLines(s.read.text(out), n.schema)
+          .orderBy("n_nationkey")
+      },
+      Some(s"""SELECT * FROM read_csv('/root/repo/target/graft-tmp/copy_nation_text/*.txt',
+              |  delim = '\t', header = false, quote = '', escape = '',
+              |  nullstr = '\\N',
+              |  columns = {'n_nationkey': 'INTEGER', 'n_name': 'VARCHAR',
+              |             'n_regionkey': 'INTEGER'})
+              |ORDER BY n_nationkey""".stripMargin)),
+
     // ORC round-trip (FORMAT extension; spark-sql ships the ORC source).
     // DuckDB has no ORC reader, so the oracle pins the round-tripped
     // values against the source table — identity through the format.
