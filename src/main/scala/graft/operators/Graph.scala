@@ -51,4 +51,38 @@ object Graph {
     }
     ranks
   }
+
+  /** Per-node triangle participation over the UNDIRECTED simple graph —
+    * the clustering-coefficient ingredient (how cliquish is a node's
+    * neighborhood; near-dup graphs use it to separate tight duplicate
+    * clusters from hub-like template matches). Canonicalization first
+    * (least/greatest, self-loops dropped, distinct), then the classic
+    * two-path + closing-edge equi-join: each triangle (x < y < z) is
+    * emitted exactly once, and per-node counts explode the three corners
+    * into one map-side-combined aggregate. Scale note: the e1⋈e2 wedge
+    * join keys on the shared middle vertex — on skewed (power-law)
+    * graphs, orient edges by degree first (low→high) so every wedge
+    * pivots on its LOWEST-degree vertex, the standard bound; nodes with
+    * no triangles are kept at 0 via the node frame.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
+      : DataFrame = {
+    val und = CacheHygiene.cacheUntilNextCompletion(
+      edges.select(
+          least(col(srcCol), col(dstCol)).as("a"),
+          greatest(col(srcCol), col(dstCol)).as("b"))
+        .filter(col("a") =!= col("b")).distinct())
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .join(und.as("e3"),
+        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val nodes = edges.select(col(srcCol).as("node"))
+      .unionAll(edges.select(col(dstCol).as("node"))).distinct()
+    val counts = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("c"))
+    nodes.join(counts, Seq("node"), "left_outer")
+      .select(col("node"), coalesce(col("c"), lit(0L)).as("n_triangles"))
+  }
 }

@@ -479,6 +479,40 @@ object Events {
              |SELECT node, rank FROM pr WHERE it = 10
              |ORDER BY rank DESC, node""".stripMargin)),
 
+    // per-node triangle participation over the undirected transition
+    // graph — clustering-coefficient ingredient; each triangle counted
+    // once via the canonical x<y<z two-path + closing-edge join
+    "graph_triangles" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull)
+          .select(col("event_type").as("from_type"), col("to_type")).distinct()
+        graft.operators.Graph.triangleCounts(edges, "from_type", "to_type")
+          .orderBy("node")
+      },
+      Some("""WITH seq AS (SELECT user_id, event_type,
+             |  LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+             |  FROM events),
+             |e AS (SELECT DISTINCT event_type AS src, to_type AS dst
+             |  FROM seq WHERE to_type IS NOT NULL),
+             |und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+             |  FROM e WHERE src <> dst),
+             |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+             |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+             |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+             |nodes AS (SELECT DISTINCT node FROM
+             |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+             |cnt AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS c FROM
+             |  (SELECT x AS node FROM tri UNION ALL SELECT y FROM tri
+             |   UNION ALL SELECT z FROM tri) GROUP BY node)
+             |SELECT n.node, COALESCE(c.c, 0) AS n_triangles
+             |FROM nodes n LEFT JOIN cnt c ON c.node = n.node
+             |ORDER BY n.node""".stripMargin)),
+
     "events_funnel" -> Q(
       (s, d) => {
         val e = t(s, d, "events")

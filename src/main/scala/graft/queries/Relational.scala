@@ -307,6 +307,30 @@ object Relational {
              |FROM orders GROUP BY o_orderpriority
              |ORDER BY o_orderpriority""".stripMargin)),
 
+    // UNPIVOT (melt) — the inverse of agg_pivot: wide measures to long
+    // (measure, value) rows, then one grouped fixed-point sum per
+    // measure. The oracle rebuilds the long form as a UNION ALL of
+    // per-measure aggregates — same rows, no UNPIVOT dialect dependence.
+    "agg_unpivot" -> Q(
+      (s, d) => t(s, d, "lineitem")
+        .select(col("l_quantity").cast("double").as("l_quantity"),
+          col("l_extendedprice").cast("double").as("l_extendedprice"),
+          col("l_discount").cast("double").as("l_discount"),
+          col("l_tax").cast("double").as("l_tax"))
+        .unpivot(Array.empty[org.apache.spark.sql.Column], "measure", "value")
+        .groupBy(col("measure"))
+        .agg(count(lit(1)).as("n"), dsum(col("value")).as("total"))
+        .orderBy("measure"),
+      Some(s"""SELECT 'l_quantity' AS measure, COUNT(*) AS n,
+              |  ${oSum("l_quantity")} AS total FROM lineitem
+              |UNION ALL SELECT 'l_extendedprice', COUNT(*),
+              |  ${oSum("l_extendedprice")} FROM lineitem
+              |UNION ALL SELECT 'l_discount', COUNT(*),
+              |  ${oSum("l_discount")} FROM lineitem
+              |UNION ALL SELECT 'l_tax', COUNT(*),
+              |  ${oSum("l_tax")} FROM lineitem
+              |ORDER BY measure""".stripMargin)),
+
     // exact interpolated median (percentile_cont 0.5) — the exact partner
     // of agg_approx_percentile; doubles rounded to 6 decimals for
     // cross-engine interpolation stability. Scale note: Spark's exact

@@ -426,4 +426,22 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fr("b") == 150000L + (150000L * 85 / 100 * 3) / 4, fr)
     assert(fr("c") == 150000L + (150000L * 85 / 100 * 1) / 4, fr)
   }
+
+  test("triangleCounts: K4, square+diagonal, direction/duplicate blindness") {
+    import spark.implicits._
+    // K4: every node sits in C(3,2) = 3 triangles
+    val k4 = (for {
+      Seq(u, v) <- Seq("a", "b", "c", "d").combinations(2).toSeq
+    } yield (u, v)).toDF("s", "d")
+    val kc = Graph.triangleCounts(k4, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kc == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L), kc)
+    // square a-b-c-d-a with diagonal a-c: two triangles sharing edge a-c;
+    // reversed duplicates, self-loops and repeated edges must not double
+    val sq = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "d"), ("d", "a"),
+      ("a", "c"), ("c", "a"), ("a", "a"), ("d", "a")).toDF("s", "d")
+    val sc = Graph.triangleCounts(sq, "s", "d")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sc == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L), sc)
+  }
 }
