@@ -8,11 +8,15 @@ import scala.collection.mutable
 
 /** SQL entry point with the reference's statement surface
   * (risinglight `Database::run`, `/root/reference/src/db.rs:84-127`):
-  * CREATE TABLE/VIEW/INDEX/FUNCTION, INSERT, DELETE, COPY FROM/TO,
-  * DROP, PRAGMA/SET, EXPLAIN, `\dt`-style sugar, system tables — routed
-  * over a parquet-backed managed warehouse; everything else goes straight
-  * to `spark.sql` (Catalyst replaces the reference's binder + egg
-  * optimizer wholesale).
+  * CREATE TABLE/VIEW/INDEX/FUNCTION, INSERT, DELETE, UPDATE, MERGE,
+  * COPY FROM/TO (csv/jsonl/parquet/orc/pg-TEXT), DROP, PRAGMA/SET,
+  * EXPLAIN, `\dt`-style sugar, system tables — routed over a
+  * parquet-backed managed warehouse; everything else goes straight to
+  * `spark.sql` (Catalyst replaces the reference's binder + egg
+  * optimizer wholesale). Vector indexes (`USING ivfflat|hnsw`) EXECUTE:
+  * the canonical ORDER-BY-distance-LIMIT statement runs the approximate
+  * IndexScan tier (see [[vectorIndexScan]]); `CLUSTERED BY` tables keep
+  * a bucketed+sorted layout through every write path.
   *
   * Storage model: one parquet directory per table under `warehouse/`
   * (INSERT appends files — the analogue of the reference's LSM rowset

@@ -56,27 +56,47 @@ object Graph {
     * the clustering-coefficient ingredient (how cliquish is a node's
     * neighborhood; near-dup graphs use it to separate tight duplicate
     * clusters from hub-like template matches). Canonicalization first
-    * (least/greatest, self-loops dropped, distinct), then the classic
-    * two-path + closing-edge equi-join: each triangle (x < y < z) is
-    * emitted exactly once, and per-node counts explode the three corners
-    * into one map-side-combined aggregate. Scale note: the e1⋈e2 wedge
-    * join keys on the shared middle vertex — on skewed (power-law)
-    * graphs, orient edges by degree first (low→high) so every wedge
-    * pivots on its LOWEST-degree vertex, the standard bound; nodes with
-    * no triangles are kept at 0 via the node frame.
+    * (least/greatest, self-loops dropped, distinct), then the
+    * DEGREE-ORDERED wedge algorithm: every edge is oriented from its
+    * lower-(degree, name) endpoint to the higher, which makes the
+    * orientation a DAG under a total order, so each triangle has exactly
+    * one pivot with out-edges to both other corners — the wedge
+    * self-join keys on that pivot and the closing edge is a single
+    * oriented lookup. This is the standard skew bound: on power-law
+    * graphs a hub with degree d would otherwise anchor O(d²) candidate
+    * wedges; ordered by degree, every wedge pivots on its
+    * LOWEST-degree corner, collapsing hub blowup to the optimal
+    * O(Σ min-degree²). Per-node counts explode the three corners into
+    * one map-side-combined aggregate; nodes in no triangle keep 0 via
+    * the node frame.
     */
   def triangleCounts(edges: DataFrame, srcCol: String, dstCol: String)
       : DataFrame = {
-    val und = CacheHygiene.cacheUntilNextCompletion(
-      edges.select(
-          least(col(srcCol), col(dstCol)).as("a"),
-          greatest(col(srcCol), col(dstCol)).as("b"))
-        .filter(col("a") =!= col("b")).distinct())
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .join(und.as("e3"),
-        col("e3.a") === col("e1.a") && col("e3.b") === col("e2.b"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+    val und = edges.select(
+        least(col(srcCol), col(dstCol)).as("a"),
+        greatest(col(srcCol), col(dstCol)).as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // total order (deg, name) as a sortable struct key per endpoint;
+    // orient each edge low→high under it
+    val keyed = und
+      .join(deg.select(col("node").as("a"), struct(col("deg"), col("node")).as("ka")), "a")
+      .join(deg.select(col("node").as("b"), struct(col("deg"), col("node")).as("kb")), "b")
+    val oriented = CacheHygiene.cacheUntilNextCompletion(
+      keyed.select(
+        when(col("ka") < col("kb"), col("a")).otherwise(col("b")).as("u"),
+        when(col("ka") < col("kb"), col("b")).otherwise(col("a")).as("v"),
+        when(col("ka") < col("kb"), col("kb")).otherwise(col("ka")).as("kv")))
+    // wedges pivot on u (the lowest corner); the unordered far pair is
+    // canonicalized by the same key so each wedge appears once, and the
+    // closing edge — if present — is oriented v→w exactly
+    val wedges = oriented.as("o1")
+      .join(oriented.as("o2"), col("o1.u") === col("o2.u"))
+      .filter(col("o1.kv") < col("o2.kv"))
+      .select(col("o1.u").as("x"), col("o1.v").as("y"), col("o2.v").as("z"))
+    val tri = wedges.join(oriented.as("o3"),
+      col("y") === col("o3.u") && col("z") === col("o3.v"), "left_semi")
     val nodes = edges.select(col(srcCol).as("node"))
       .unionAll(edges.select(col(dstCol).as("node"))).distinct()
     val counts = tri
