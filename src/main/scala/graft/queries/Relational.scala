@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -333,20 +334,40 @@ object Relational {
 
     // exact interpolated median (percentile_cont 0.5) — the exact partner
     // of agg_approx_percentile; doubles rounded to 6 decimals for
-    // cross-engine interpolation stability. Scale note: Spark's exact
-    // `percentile` buffers each group's values in the aggregation buffer,
-    // so this is the bounded-group exact twin; at corpus scale the sketch
-    // path (agg_approx_percentile) is the answer — the same exact-vs-
-    // approx pairing stats_profile documents for ndv.
+    // cross-engine interpolation stability. Computed by two-pass rank
+    // interpolation (the Curation.lengthQuantiles pattern), NOT Spark's
+    // `percentile` aggregate: percentile buffers every group value in a
+    // single in-memory aggregation buffer — an executor OOM when a group
+    // holds hundreds of millions of rows. Here the measures unpivot to
+    // long form, a row_number window ranks each (group, measure) — a
+    // sort-based exchange that SPILLS instead of buffering — and only
+    // the ≤2 middle-rank rows per key survive to the final tiny
+    // aggregate: odd n keeps rank (n+1)/2 once, even n keeps n/2 and
+    // n/2+1 and averages them, which is exactly percentile_cont 0.5.
     "agg_median" -> Q(
-      (s, d) => t(s, d, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(cast(l_quantity as double), 0.5)"), 6)
-            .as("median_qty"),
-          round(expr("percentile(cast(l_extendedprice as double), 0.5)"), 6)
-            .as("median_price"))
-        .orderBy("l_returnflag"),
+      (s, d) => {
+        val long = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("double").as("qty"),
+            col("l_extendedprice").cast("double").as("price"))
+          .unpivot(Array(col("l_returnflag")), "measure", "value")
+        val byKey = Window.partitionBy(col("l_returnflag"), col("measure"))
+        long
+          .withColumn("_rk", row_number().over(byKey.orderBy(col("value"))))
+          .withColumn("_n", count(lit(1)).over(byKey))
+          // middle rank(s): ties in `value` make the rank assignment among
+          // equal rows arbitrary, but the VALUE at any rank is the sorted
+          // multiset's — deterministic under any partitioning
+          .filter(col("_rk") === floor((col("_n") + 1) / 2).cast("long") ||
+            col("_rk") === col("_n") / lit(2L) + 1)
+          .groupBy(col("l_returnflag"))
+          .agg(
+            round(avg(when(col("measure") === "qty", col("value"))), 6)
+              .as("median_qty"),
+            round(avg(when(col("measure") === "price", col("value"))), 6)
+              .as("median_price"))
+          .orderBy("l_returnflag")
+      },
       Some("""SELECT l_returnflag,
              |  round(median(CAST(l_quantity AS DOUBLE)), 6) AS median_qty,
              |  round(median(CAST(l_extendedprice AS DOUBLE)), 6) AS median_price
