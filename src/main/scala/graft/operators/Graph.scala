@@ -26,12 +26,16 @@ object Graph {
     * ONCE and cached (two scans of E total); each iteration is one
     * map-side-combined aggregate shuffle of |E| contribution rows into
     * node-keyed partials plus a node-sized outer join — the canonical
-    * distributed PR step. Rank state never lives on the driver. For very
-    * long chains, checkpoint every ~20 iterations to cut lineage; at 10
-    * iterations (the default) plain lazy chaining is fine.
+    * distributed PR step. Rank state never lives on the driver. The rank
+    * frame is `localCheckpoint()`ed every `checkpointEvery` iterations:
+    * without it the lazy chain grows one join+aggregate per iteration and
+    * Catalyst re-analysis cost goes quadratic in `iters` — the truncation
+    * keeps plan depth bounded regardless of how long the caller runs.
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
-      weightCol: Option[String] = None, iters: Int = 10): DataFrame = {
+      weightCol: Option[String] = None, iters: Int = 10,
+      checkpointEvery: Int = 20): DataFrame = {
+    require(checkpointEvery > 0, s"checkpointEvery must be > 0, got $checkpointEvery")
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
@@ -40,7 +44,7 @@ object Graph {
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1000000L))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("((rank * 85) div 100 * w) div out_w").as("c"))
@@ -48,6 +52,10 @@ object Graph {
       ranks = nodes.join(contrib, Seq("node"), "left_outer")
         .select(col("node"),
           (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
+      // truncate lineage: materialize the node-sized rank frame on the
+      // executors and restart the plan from it (skipped on the final
+      // iteration — the caller's action is the materialization there)
+      if (i % checkpointEvery == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }

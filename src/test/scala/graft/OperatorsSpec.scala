@@ -427,6 +427,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(fr("c") == 150000L + (150000L * 85 / 100 * 1) / 4, fr)
   }
 
+  test("pageRank: long runs checkpoint-truncate lineage, same fixed point") {
+    import spark.implicits._
+    val chain = Seq(("a", "b", 1L), ("b", "c", 1L)).toDF("s", "d", "w")
+    // the chain converges by iteration 3, so 50 checkpointed iterations
+    // must land on the same exact integers as 10 lazy ones
+    val long50 = Graph.pageRank(chain, "s", "d", Some("w"), iters = 50)
+    val lr = long50.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(lr == Map("a" -> 150000L, "b" -> 277500L, "c" -> 385875L), lr)
+    // bounded plan depth: 50 iterations checkpointed every 20 leave at
+    // most 10 live iterations of lineage, so the analyzed plan must be
+    // SMALLER than a 12-iteration chain that never checkpoints — if the
+    // truncation regressed, the 50-iter plan grows ~4x past it instead
+    val nodes50 = long50.queryExecution.analyzed.collect { case p => p }.size
+    val lazy12 = Graph.pageRank(chain, "s", "d", Some("w"), iters = 12,
+      checkpointEvery = 1000)
+    val nodes12 = lazy12.queryExecution.analyzed.collect { case p => p }.size
+    assert(nodes50 < nodes12,
+      s"checkpointed 50-iter plan ($nodes50 nodes) should be smaller " +
+        s"than lazy 12-iter plan ($nodes12 nodes)")
+  }
+
   test("triangleCounts: K4, square+diagonal, direction/duplicate blindness") {
     import spark.implicits._
     // K4: every node sits in C(3,2) = 3 triangles
