@@ -135,27 +135,131 @@ object Server {
     } finally lock.unlock()
   }
 
+  /** Background-produced, disk-backed result stream. A producer thread
+    * takes the statement lock, runs the statement, and drains
+    * `toLocalIterator` into a spool file on driver-local disk, flushing
+    * row-by-row; the consumer iterator tails the spool and delivers each
+    * row as soon as it is durably written. Properties this buys:
+    *
+    *  - **Lock hold is bounded by engine production speed, never client
+    *    pace**: a stalled or slow connection no longer blocks DML
+    *    engine-wide (the pre-r11 streaming held the read lock for the
+    *    whole client drain — the starvation mode SCALING.md documents).
+    *  - **Streaming semantics survive**: rows reach the client as
+    *    partitions materialize; a mid-stream failure still delivers every
+    *    produced row first, then rethrows (ServerSpec pins this).
+    *  - **Driver memory stays bounded** (one partition in, one row out);
+    *    the spool trades the old collect's RAM for disk, and a suspended
+    *    pgwire portal can live across protocol messages with NO lock held.
+    *
+    * The producer inherits the session thread's Spark job group
+    * (localProperties are an InheritableThreadLocal), so CancelRequest
+    * still kills the running statement's jobs.
+    */
+  private[graft] final class ResultSpool(engine: Engine, sql: String) {
+    private val path = java.nio.file.Files.createTempFile("graft-spool", ".rows")
+    private val mon = new Object
+    private var written = 0L // rows durably flushed to the spool
+    private var done = false
+    private var failure: Exception = null
+    private var schemaOpt: StructType = null
+    @volatile private var abandoned = false
+
+    private val producer = new Thread(() => {
+      val lock =
+        if (Pgwire.isReadOnly(sql)) engine.stmtLock.readLock
+        else engine.stmtLock.writeLock
+      lock.lock()
+      try {
+        val df = engine.run(sql)
+        mon.synchronized { schemaOpt = df.schema; mon.notifyAll() }
+        val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
+          java.nio.file.Files.newOutputStream(path), 1 << 16))
+        try {
+          import scala.jdk.CollectionConverters._
+          val it = df.toLocalIterator().asScala
+          var sinceReset = 0
+          while (!abandoned && it.hasNext) {
+            oos.writeObject(it.next().toSeq.toArray)
+            sinceReset += 1
+            // reset the reference table so the stream never accumulates
+            // back-references (an unbounded driver-side leak otherwise)
+            if (sinceReset >= 128) { oos.reset(); sinceReset = 0 }
+            oos.flush()
+            mon.synchronized { written += 1; mon.notifyAll() }
+          }
+        } finally oos.close()
+        mon.synchronized { done = true; mon.notifyAll() }
+      } catch {
+        case e: Exception =>
+          mon.synchronized { failure = e; done = true; mon.notifyAll() }
+      } finally lock.unlock()
+    }, "graft-result-spool")
+    producer.setDaemon(true)
+    producer.start()
+
+    /** Blocks until the statement is analyzed (throws its error). */
+    val schema: StructType = mon.synchronized {
+      while (schemaOpt == null && failure == null) mon.wait()
+      if (schemaOpt == null) throw failure
+      schemaOpt
+    }
+
+    /** Single-consumer iterator over the spooled rows. `hasNext` blocks
+      * for the producer; after the last produced row a mid-stream failure
+      * is rethrown — the same surface direct streaming had.
+      */
+    val rows: Iterator[org.apache.spark.sql.Row] =
+      new Iterator[org.apache.spark.sql.Row] {
+        private var consumed = 0L
+        private var ois: java.io.ObjectInputStream = null
+        def hasNext: Boolean = {
+          val more = mon.synchronized {
+            while (consumed == written && !done) mon.wait()
+            consumed < written
+          }
+          if (!more) {
+            if (ois != null) { ois.close(); ois = null }
+            mon.synchronized { if (failure != null) throw failure }
+          }
+          more
+        }
+        def next(): org.apache.spark.sql.Row = {
+          if (!hasNext) throw new NoSuchElementException("spool exhausted")
+          if (ois == null) // header bytes flushed with the first row
+            ois = new java.io.ObjectInputStream(new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(path), 1 << 16))
+          consumed += 1
+          org.apache.spark.sql.Row.fromSeq(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(
+              ois.readObject().asInstanceOf[Array[AnyRef]]))
+        }
+      }
+
+    /** Stop production (producer checks per row) and drop the spool.
+      * Deleting while the tail reader is open is safe on POSIX.
+      */
+    def close(): Unit = {
+      abandoned = true
+      java.nio.file.Files.deleteIfExists(path)
+    }
+  }
+
   /** Streaming variant for result delivery: hands `f` the schema and a
-    * `toLocalIterator` over the rows, so driver memory is bounded by one
-    * partition instead of the whole result — a `SELECT *` over a
-    * warehouse-scale table streams through where a collect would OOM the
-    * driver (real Postgres streams too). The statement lock is held until
-    * `f` returns: rows materialize partition-by-partition while the client
-    * consumes, exactly like a long-running reader holding its snapshot.
-    * DML still executes eagerly inside `engine.run`; its one-row
-    * rows_affected result streams trivially.
+    * spool-tail iterator over the rows (see [[ResultSpool]]) — driver
+    * memory is bounded by one partition instead of the whole result, a
+    * `SELECT *` over a warehouse-scale table streams through where a
+    * collect would OOM the driver (real Postgres streams too), and the
+    * statement lock is released as soon as the engine finishes producing,
+    * independent of how fast `f`'s client consumes. DML still executes
+    * eagerly inside `engine.run`; its one-row rows_affected result spools
+    * trivially.
     */
   private[graft] def streamStatement[A](engine: Engine, sql: String)(
       f: (StructType, Iterator[org.apache.spark.sql.Row]) => A): A = {
-    val lock =
-      if (Pgwire.isReadOnly(sql)) engine.stmtLock.readLock
-      else engine.stmtLock.writeLock
-    lock.lock()
-    try {
-      val df = engine.run(sql)
-      import scala.jdk.CollectionConverters._
-      f(df.schema, df.toLocalIterator().asScala)
-    } finally lock.unlock()
+    val spool = new ResultSpool(engine, sql)
+    try f(spool.schema, spool.rows)
+    finally spool.close()
   }
 
   /** First line of an exception's message, never empty or throwing. */
@@ -201,14 +305,19 @@ object Server {
   *    ErrorResponse with recovery, Terminate;
   *  - extended query: Parse / Bind ($n text parameters as SQL literals) /
   *    Describe / Execute / Close / Flush / Sync with the spec's
-  *    discard-until-Sync error state;
+  *    discard-until-Sync error state; Execute honors maxRows with
+  *    PortalSuspended partial fetches (what pgJDBC `setFetchSize`
+  *    speaks), resuming the portal's spool across messages; Bind's
+  *    binary RESULT formats are honored for bool/int2/int4/int8/
+  *    float4/float8/text/bytea and rejected with a clear error for
+  *    other types;
   *  - COPY subprotocol both directions (FROM STDIN spools to the engine's
   *    file COPY; TO STDOUT streams back);
   *  - CancelRequest with real BackendKeyData keys — cancel maps onto
   *    Spark job-group cancellation: the running statement fails with an
   *    ErrorResponse, the session survives, exactly like real Postgres.
-  * Binary parameter/result formats and partial-fetch portals are declined
-  * with a clear ErrorResponse rather than a hang.
+  * Binary PARAMETER format is still declined with a clear ErrorResponse
+  * rather than a hang (drivers fall back to text).
   *
   * Mirrors the reference's pgwire front end
   * (`/root/reference/src/server/mod.rs:17-46`, `src/server/processor.rs`):
@@ -339,6 +448,11 @@ private object Pgwire {
     // the group, so CancelRequest can kill the running statement's jobs
     engine.spark.sparkContext.setJobGroup(jobGroup(pid),
       s"pgwire session $pid", interruptOnCancel = true)
+    // ---- extended-protocol session state (outside the try so the final
+    // cleanup can drop suspended portals' spool files) ----
+    val prepared = collection.mutable.Map.empty[String, String] // name -> SQL ($n params)
+    val portals = collection.mutable.Map.empty[String, Portal]  // name -> bound portal
+    def dropPortal(p: Portal): Unit = p.closeSpool()
     try {
     msg('R')(_.writeInt(0)) // AuthenticationOk — trust, like the reference
     Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
@@ -349,14 +463,15 @@ private object Pgwire {
     ready()
 
     // ---- shared result senders ----
-    def sendRowDescription(schema: StructType): Unit = msg('T') { d =>
+    def sendRowDescription(schema: StructType,
+        fmts: Array[Int] = Array.empty): Unit = msg('T') { d =>
       d.writeShort(schema.fields.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(d, f.name)
         d.writeInt(0); d.writeShort(0)      // no table oid / attnum
         d.writeInt(typeOid(f.dataType))
         d.writeShort(-1); d.writeInt(-1)    // varlena, no typmod
-        d.writeShort(0)                     // text format
+        d.writeShort(fmtCode(fmts, i))      // text / negotiated binary
       }
     }
     // timestamps render in the SESSION time zone (pg semantics), not the
@@ -365,28 +480,28 @@ private object Pgwire {
     def sessionZone(): java.time.ZoneId =
       java.time.ZoneId.of(engine.spark.conf.get(
         "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
-    def sendDataRows(rows: Iterator[org.apache.spark.sql.Row]): Long = {
+    def sendDataRow(schema: StructType, r: org.apache.spark.sql.Row,
+        fmts: Array[Int], zone: java.time.ZoneId): Unit = msg('D') { d =>
+      d.writeShort(r.length)
+      (0 until r.length).foreach { i =>
+        if (r.isNullAt(i)) d.writeInt(-1)
+        else if (fmtCode(fmts, i) == 1)
+          writeBinary(d, r.get(i), schema(i).dataType)
+        else {
+          val bytes = pgText(r.get(i), zone).getBytes(StandardCharsets.UTF_8)
+          d.writeInt(bytes.length); d.write(bytes)
+        }
+      }
+    }
+    def sendDataRows(schema: StructType,
+        rows: Iterator[org.apache.spark.sql.Row],
+        fmts: Array[Int] = Array.empty): Long = {
       val zone = sessionZone()
       var n = 0L
-      rows.foreach { r =>
-        msg('D') { d =>
-          d.writeShort(r.length)
-          (0 until r.length).foreach { i =>
-            if (r.isNullAt(i)) d.writeInt(-1)
-            else {
-              val bytes = pgText(r.get(i), zone).getBytes(StandardCharsets.UTF_8)
-              d.writeInt(bytes.length); d.write(bytes)
-            }
-          }
-        }
-        n += 1
-      }
+      rows.foreach { r => sendDataRow(schema, r, fmts, zone); n += 1 }
       n
     }
 
-    // ---- extended-protocol session state ----
-    val prepared = collection.mutable.Map.empty[String, String] // name -> SQL ($n params)
-    val portals = collection.mutable.Map.empty[String, String]  // name -> bound SQL
     // after an error in an extended batch, frontend messages are discarded
     // until Sync (protocol spec: "error state"); simple Query resets it
     var extFailed = false
@@ -396,10 +511,10 @@ private object Pgwire {
       * Unbound params are described against an all-NULL binding — analysis
       * sees `v > NULL`, which types fine — falling back to NoData.
       */
-    def describe(sql: String): Unit =
+    def describe(sql: String, fmts: Array[Int] = Array.empty): Unit =
       if (!isRowReturning(sql)) msg('n')(_ => ())
       else {
-        try sendRowDescription(readSchema(sql))
+        try sendRowDescription(readSchema(sql), fmts)
         catch { case _: Exception => msg('n')(_ => ()) }
       }
 
@@ -553,7 +668,7 @@ private object Pgwire {
                     // whole result on the driver
                     val n = Server.streamStatement(engine, stmt) { (schema, rows) =>
                       sendRowDescription(schema)
-                      sendDataRows(rows)
+                      sendDataRows(schema, rows)
                     }
                     msg('C')(cstr(_, s"SELECT $n"))
                   case _ =>
@@ -596,19 +711,23 @@ private object Pgwire {
                 new String(b, StandardCharsets.UTF_8)
               }
             }
-            // result-format codes: only text (0) is produced — reject a
-            // binary request instead of sending bytes it will misparse
+            // result-format codes: binary (1) is honored for the common
+            // fixed-width / byte-exact OIDs (int2/4/8, float4/8, bool,
+            // text, bytea) and rejected for the rest at portal open —
+            // never silently sending bytes the driver would misparse
             val nResFmt = d.readShort().toInt
-            (0 until nResFmt).foreach { _ =>
-              if (d.readShort().toInt != 0)
-                throw new IllegalArgumentException(
-                  "binary result format not supported (request text)")
+            val resFmts = Array.fill(nResFmt) {
+              val c = d.readShort().toInt
+              if (c != 0 && c != 1)
+                throw new IllegalArgumentException(s"unknown result format code $c")
+              c
             }
             prepared.get(stmtName) match {
               case None =>
                 error(s"""unknown prepared statement "$stmtName""""); extFailed = true
               case Some(sql) =>
-                portals(portal) = bindParams(sql, params)
+                portals.remove(portal).foreach(dropPortal)
+                portals(portal) = new Portal(bindParams(sql, params), resFmts)
                 msg('2')(_ => ()) // BindComplete
             }
           } catch {
@@ -632,25 +751,45 @@ private object Pgwire {
             }
             case _ => portals.get(name) match {
               case None => error(s"""unknown portal "$name""""); extFailed = true
-              case Some(sql) => describe(sql)
+              case Some(p) => describe(p.sql, p.resultFormats)
             }
           }
 
         case 'E' if !extFailed => // Execute: portal, maxRows (0 = all)
           val portal = rstr()
-          d.readInt() // row-limit: partial fetch + PortalSuspended unsupported;
-                      // all rows stream out and the portal completes
+          val maxRows = d.readInt()
           portals.get(portal) match {
             case None => error(s"""unknown portal "$portal""""); extFailed = true
-            case Some(sql) =>
+            case Some(p) =>
               try {
-                if (isRowReturning(sql)) {
-                  val n = Server.streamStatement(engine, sql)(
-                    (_, rows) => sendDataRows(rows))
-                  msg('C')(cstr(_, s"SELECT $n"))
+                if (!isRowReturning(p.sql)) {
+                  val (_, rows) = Server.runStatement(engine, p.sql)
+                  msg('C')(cstr(_, commandTag(p.sql, rows)))
+                } else if (p.done) {
+                  // executing an exhausted portal: no rows, complete (pg)
+                  msg('C')(cstr(_, "SELECT 0"))
                 } else {
-                  val (_, rows) = Server.runStatement(engine, sql)
-                  msg('C')(cstr(_, commandTag(sql, rows)))
+                  // first Execute opens the spool; later Executes resume
+                  // its tail iterator — no lock held between messages
+                  if (p.spool == null) {
+                    p.spool = new Server.ResultSpool(engine, p.sql)
+                    checkBinaryFormats(p.spool.schema, p.resultFormats)
+                  }
+                  val zone = sessionZone()
+                  val limit = if (maxRows <= 0) Long.MaxValue else maxRows.toLong
+                  var k = 0L
+                  while (k < limit && p.spool.rows.hasNext) {
+                    sendDataRow(p.spool.schema, p.spool.rows.next(),
+                      p.resultFormats, zone)
+                    k += 1
+                  }
+                  p.sent += k
+                  if (p.spool.rows.hasNext) msg('s')(_ => ()) // PortalSuspended
+                  else {
+                    // pg's SELECT tag counts the portal's lifetime rows
+                    msg('C')(cstr(_, s"SELECT ${p.sent}"))
+                    p.closeSpool(); p.done = true
+                  }
                 }
               } catch {
                 case e: Exception =>
@@ -661,14 +800,17 @@ private object Pgwire {
         case 'C' if !extFailed => // Close statement or portal
           val kind = d.read().toChar
           val name = rstr()
-          if (kind == 'S') prepared.remove(name) else portals.remove(name)
+          if (kind == 'S') prepared.remove(name)
+          else portals.remove(name).foreach(dropPortal)
           msg('3')(_ => ()) // CloseComplete
 
         case 'H' => out.flush() // Flush
 
         case 'S' => // Sync: end of extended batch, clear any error state
           extFailed = false
-          portals.clear() // implicit transaction boundary destroys portals
+          // implicit transaction boundary destroys portals (+ their spools)
+          portals.values.foreach(dropPortal)
+          portals.clear()
           ready()
 
         case _ if extFailed => () // discarded until Sync, per protocol
@@ -681,6 +823,8 @@ private object Pgwire {
       }
     }
     } finally {
+      portals.values.foreach(dropPortal)
+      portals.clear()
       sessions.remove((pid, secret))
       engine.spark.sparkContext.clearJobGroup()
     }
@@ -870,6 +1014,68 @@ private object Pgwire {
     case bd: java.math.BigDecimal => bd.toPlainString
     case other => Main.fmt(other)
   }
+
+  /** One bound portal: the parameter-substituted SQL, the Bind-negotiated
+    * per-column result format codes, and — once Execute opens it — the
+    * spool its partial fetches resume from. `done` distinguishes an
+    * exhausted portal (re-Execute returns zero rows, pg parity) from a
+    * never-executed one.
+    */
+  private final class Portal(val sql: String, val resultFormats: Array[Int]) {
+    var spool: Server.ResultSpool = null
+    var sent = 0L
+    var done = false
+    def closeSpool(): Unit = if (spool != null) { spool.close(); spool = null }
+  }
+
+  /** Result format for column `i` per the Bind rules: none = all text,
+    * one = applies to every column, else positional.
+    */
+  private def fmtCode(fmts: Array[Int], i: Int): Int =
+    if (fmts.isEmpty) 0 else if (fmts.length == 1) fmts(0) else fmts(i)
+
+  /** The OIDs with a wire-binary encoding this server produces: the
+    * fixed-width network-order scalars plus the byte-exact varlenas.
+    */
+  private def binarySupported(dt: DataType): Boolean = dt match {
+    case BooleanType | ShortType | ByteType | IntegerType | LongType |
+         FloatType | DoubleType | StringType | BinaryType => true
+    case _ => false
+  }
+
+  /** Reject unsupported binary columns at portal open — before any
+    * DataRow bytes the driver would misparse.
+    */
+  private def checkBinaryFormats(schema: StructType, fmts: Array[Int]): Unit =
+    schema.fields.zipWithIndex.foreach { case (f, i) =>
+      if (fmtCode(fmts, i) == 1 && !binarySupported(f.dataType))
+        throw new IllegalArgumentException(
+          s"binary result format not supported for type " +
+            s"${f.dataType.simpleString} (column ${f.name})")
+    }
+
+  /** Binary (format 1) value encoding for the supported OIDs — network
+    * byte order, the representations in pg's own send functions.
+    */
+  private def writeBinary(d: DataOutputStream, v: Any, dt: DataType): Unit =
+    dt match {
+      case BooleanType =>
+        d.writeInt(1); d.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
+      case ShortType => d.writeInt(2); d.writeShort(v.asInstanceOf[Short].toInt)
+      case ByteType => d.writeInt(2); d.writeShort(v.asInstanceOf[Byte].toInt)
+      case IntegerType => d.writeInt(4); d.writeInt(v.asInstanceOf[Int])
+      case LongType => d.writeInt(8); d.writeLong(v.asInstanceOf[Long])
+      case FloatType => d.writeInt(4); d.writeFloat(v.asInstanceOf[Float])
+      case DoubleType => d.writeInt(8); d.writeDouble(v.asInstanceOf[Double])
+      case StringType =>
+        val b = v.asInstanceOf[String].getBytes(StandardCharsets.UTF_8)
+        d.writeInt(b.length); d.write(b)
+      case BinaryType =>
+        val b = v.asInstanceOf[Array[Byte]]
+        d.writeInt(b.length); d.write(b)
+      case other => throw new IllegalArgumentException(
+        s"binary result format not supported for type ${other.simpleString}")
+    }
 
   private def typeOid(dt: DataType): Int = dt match {
     case BooleanType => 16

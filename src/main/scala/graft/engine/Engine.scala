@@ -142,14 +142,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // extension: MERGE completes the DML square (pg 15 surface; the
   // reference binder has neither UPDATE nor MERGE). One WHEN MATCHED
   // clause (UPDATE SET or DELETE) and/or one WHEN NOT MATCHED INSERT.
+  // ON condition and WHEN clauses are split by the quote/paren/CASE-aware
+  // scanner `whenBoundaries` — NOT by regex lookahead, so `CASE WHEN`
+  // inside an assignment and 'when ' inside a string literal stay payload.
+  // The per-clause regexes below anchor against one already-split clause.
   private val reMerge =
-    """(?is)\s*merge\s+into\s+(\w+)\s+using\s+(\w+)\s+on\s+(.+?)\s+(when\s+.+)""".r
+    """(?is)\s*merge\s+into\s+(\w+)\s+using\s+(\w+)\s+on\s+(.+)""".r
   private val reWhenMatchedUpdate =
-    """(?is)when\s+matched\s+then\s+update\s+set\s+(.+?)\s*(?=when\s|$)""".r
+    """(?is)when\s+matched\s+then\s+update\s+set\s+(.+)""".r
   private val reWhenMatchedDelete =
-    """(?is)when\s+matched\s+then\s+delete\b""".r
+    """(?is)when\s+matched\s+then\s+delete\s*""".r
   private val reWhenNotMatchedInsert =
-    """(?is)when\s+not\s+matched\s+then\s+insert\s*(?:\(([^)]*)\))?\s*values\s*\((.+?)\)\s*(?=when\s|$)""".r
+    """(?is)when\s+not\s+matched\s+then\s+insert\s*(?:\(([^)]*)\))?\s*values\s*\((.+)\)\s*""".r
   // extension: on-demand warehouse maintenance (the reference's LSM
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
@@ -212,8 +216,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reUpdate(table, rest) if tables.contains(table) =>
       val (setList, cond) = splitSetWhere(rest)
       update(table, setList, cond)
-    case reMerge(tgt, src, cond, tail) if tables.contains(tgt) =>
-      merge(tgt, src, cond, tail)
+    case reMerge(tgt, src, rest) if tables.contains(tgt) =>
+      merge(tgt, src, rest)
     case reOptimize(table, za, zb, nf) if tables.contains(table) =>
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
@@ -295,12 +299,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val probed = graft.operators.Similarity.indexProbe(
             spark.table(tbl), vecCol, qv,
             nLists = intOpt("nlists", 100), nProbe = intOpt("nprobe", 4))
-          val view = "__graft_index_probe"
-          probed.createOrReplaceTempView(view)
           // identical statement over the probed subset, through the normal
-          // SQL pipeline (vector-op rewrite, UDF inlining)
-          spark.sql(inlineFunctions(
+          // SQL pipeline (vector-op rewrite, UDF inlining). The view name
+          // is unique per invocation and dropped right after spark.sql
+          // returns: analysis is eager, so the DataFrame keeps the resolved
+          // probe plan — concurrent sessions (the server holds only the
+          // SHARED read lock for SELECTs) can never see each other's view,
+          // and nothing leaks into the session catalog.
+          val view = "__graft_index_probe_" +
+            java.util.UUID.randomUUID.toString.replace("-", "")
+          probed.createOrReplaceTempView(view)
+          try spark.sql(inlineFunctions(
             sql.replaceFirst(s"(?i)\\bfrom\\s+$tbl\\b", s"from $view")))
+          finally spark.catalog.dropTempView(view)
         }
       case _ => None
     }
@@ -759,18 +770,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * stability is assumed). The rewrite commits through the same
     * single-writer directory swap as DELETE/UPDATE, bucket-layout-aware.
     */
-  private def merge(tgt: String, src: String, cond: String, tail: String)
-      : DataFrame = {
+  private def merge(tgt: String, src: String, rest: String): DataFrame = {
     require(tgt != src, s"MERGE: source and target must differ (wrap $src in a view)")
     require(tables.contains(src) || views.contains(src),
       s"MERGE: no such table or view: $src")
     val (schema, _) = tables(tgt)
-    val updateSet = reWhenMatchedUpdate.findFirstMatchIn(tail).map(_.group(1))
-    val matchedDelete = reWhenMatchedDelete.findFirstIn(tail).isDefined
-    val insertClause = reWhenNotMatchedInsert.findFirstMatchIn(tail)
-      .map(m => (Option(m.group(1)), m.group(2)))
-    require(updateSet.isDefined || matchedDelete || insertClause.isDefined,
-      "MERGE: at least one WHEN clause is required")
+    val bounds = whenBoundaries(rest)
+    require(bounds.nonEmpty, "MERGE: at least one WHEN clause is required")
+    val cond = rest.substring(0, bounds.head).trim
+    require(cond.nonEmpty, "MERGE: missing ON condition")
+    val clauses = bounds.zip(bounds.drop(1) :+ rest.length)
+      .map { case (a, b) => rest.substring(a, b).trim }
+    var updateSet: Option[String] = None
+    var matchedDelete = false
+    var insertClause: Option[(Option[String], String)] = None
+    clauses.foreach {
+      case reWhenMatchedUpdate(setList) => updateSet = Some(setList.trim)
+      case reWhenMatchedDelete() => matchedDelete = true
+      case reWhenNotMatchedInsert(colsOpt, vals) =>
+        insertClause = Some((Option(colsOpt), vals))
+      case other =>
+        throw new IllegalArgumentException(
+          s"MERGE: unsupported WHEN clause: $other")
+    }
     require(!(updateSet.isDefined && matchedDelete),
       "MERGE: WHEN MATCHED THEN UPDATE and THEN DELETE are mutually exclusive")
     refreshViews()
@@ -920,6 +942,47 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     (s.trim, None)
   }
 
+  /** Start offsets of top-level MERGE `WHEN` clauses in `s` (the text
+    * after `ON`): a boundary is the word `when` outside single-quoted
+    * literals, parens, and CASE...END bodies, immediately followed by
+    * `matched` or `not` — so `CASE WHEN` inside an assignment or
+    * a `' when '` string payload never splits a clause.
+    */
+  private def whenBoundaries(s: String): Seq[Int] = {
+    def word(j: Int, w: String): Boolean =
+      j + w.length <= s.length &&
+        s.regionMatches(true, j, w, 0, w.length) &&
+        (j == 0 || !(s(j - 1).isLetterOrDigit || s(j - 1) == '_')) &&
+        (j + w.length == s.length ||
+          !(s(j + w.length).isLetterOrDigit || s(j + w.length) == '_'))
+    val bounds = mutable.Buffer[Int]()
+    var depth = 0; var inStr = false; var caseDepth = 0; var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (word(i, "case")) caseDepth += 1
+          else if (word(i, "end") && caseDepth > 0) caseDepth -= 1
+          else if (caseDepth == 0 && word(i, "when")) {
+            val after = s.substring(i + 4).dropWhile(_.isWhitespace)
+            if (word(s.length - after.length, "matched") ||
+                word(s.length - after.length, "not"))
+              bounds += i
+          }
+        case _ =>
+      }
+      i += 1
+    }
+    bounds.toSeq
+  }
+
   private def deleteRecursively(dir: java.nio.file.Path, keepRoot: Boolean): Unit = {
     val stream = Files.walk(dir)
     try stream.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
@@ -949,8 +1012,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * 'json'/'jsonl' for line-delimited JSON — the dominant corpus
     * interchange format — 'parquet', and 'orc').
     */
+  // no delimiter/header presets: Spark's CSV source already defaults to
+  // ','/false, and the TEXT branch needs to distinguish "user asked for a
+  // delimiter" (honor it) from "default" (tab) instead of silently
+  // parsing '|'-separated data with a hard-coded tab
   private def copyOptions(opts: Option[String]): Map[String, String] = {
-    val m = mutable.Map("delimiter" -> ",", "header" -> "false", "format" -> "csv")
+    val m = mutable.Map("format" -> "csv")
     opts.foreach(_.split(",").map(_.trim).filter(_.nonEmpty).foreach { o =>
       val kv = o.split("\\s+|=", 2)
       val key = kv(0).toLowerCase
@@ -977,6 +1044,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private[graft] def pgTextEscape(c: Column): Column = PgText.escape(c)
   private[graft] def pgTextUnescape(c: Column): Column = PgText.unescape(c)
 
+  /** TEXT-format option validation (pg parity: quote/escape/header are
+    * csv-only and COPY errors on them in text format rather than
+    * ignoring them); DELIMITER is honored, default tab.
+    */
+  private def textDelimiter(o: Map[String, String]): String = {
+    Seq("quote", "escape", "header").foreach { k =>
+      require(!o.contains(k),
+        s"COPY $k available only in CSV mode")
+    }
+    o.getOrElse("delimiter", "\t")
+  }
+
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
     val (schema, _) = tables(table)
     val o = copyOptions(opts)
@@ -984,7 +1063,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "json" | "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
       case "orc" => spark.read.schema(schema).orc(path)
-      case "text" => PgText.decodeLines(spark.read.text(path), schema)
+      case "text" =>
+        PgText.decodeLines(spark.read.text(path), schema, textDelimiter(o))
       case _ => spark.read.options(o - "format").schema(schema).csv(path)
     }
     // single pass: rows_affected observed on the same job that writes (the
@@ -1001,7 +1081,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obs = org.apache.spark.sql.Observation()
     o("format") match {
       case "text" =>
-        PgText.encodeLines(df)
+        PgText.encodeLines(df, textDelimiter(o))
           .observe(obs, count(lit(1)).as("n"))
           .write.mode("overwrite").text(path)
       case fmt =>

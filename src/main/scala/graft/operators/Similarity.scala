@@ -213,12 +213,14 @@ object Similarity {
     * engine's `CREATE INDEX ... USING ivfflat|hnsw` DDL. The reference
     * PLANS an IndexScan but its executor panics
     * (`/root/reference/src/executor/mod.rs:471`); this executes it. Cells
-    * are IVF: a deterministic codebook (the `nLists` lexicographically
-    * smallest corpus vectors via a k-bounded TakeOrdered — reproducible at
-    * any parallelism), corpus rows keep their nearest cell (narrow
-    * broadcast argmin; the corpus never shuffles), and only the query's
-    * `nProbe` nearest cells survive — the probe cells come driver-side
-    * from the literal. The caller's ORDER BY distance LIMIT k over the
+    * are IVF: a deterministic codebook — the `nLists` corpus vectors that
+    * sort FIRST BY SEEDED HASH via a k-bounded TakeOrdered, i.e. a
+    * reproducible uniform sample of the data distribution (sorting by the
+    * vectors themselves bunched every centroid in the low corner of the
+    * lexicographic order, collapsing recall for queries far from it) —
+    * corpus rows keep their nearest cell (narrow broadcast argmin; the
+    * corpus never shuffles), and only the query's `nProbe` nearest cells
+    * survive — the probe cells come driver-side from the literal. The caller's ORDER BY distance LIMIT k over the
     * probed subset is a k-bounded TakeOrdered. A true graph-walk tier
     * (HNSW proper) is a single-node pointer chase — the wrong shape for a
     * distributed scan engine — so `hnsw` indexes execute on this
@@ -230,7 +232,9 @@ object Similarity {
     val cents = corpus
       .select(col(vecCol).cast("array<double>").as("v"))
       .filter(col("v").isNotNull)
-      .orderBy(col("v")).limit(nLists)
+      // hash order = deterministic spread sample; the vector tiebreak
+      // pins the order when hashes collide
+      .orderBy(xxhash64(col("v")), col("v")).limit(nLists)
       .collect().map(_.getSeq[Double](0)).distinct
       .zipWithIndex.map { case (v, i) => (i.toLong, v) }
     if (cents.isEmpty) return corpus

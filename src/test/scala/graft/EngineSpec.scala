@@ -394,6 +394,39 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("COPY TEXT honors DELIMITER and decodes octal/hex escapes") {
+    engine.run("create table pgt(a varchar, b varchar)")
+    val dir = java.nio.file.Paths.get("/root/repo/target/graft-tmp/pgt_in")
+    java.nio.file.Files.createDirectories(dir)
+    // what another COPY TEXT producer (pg_dump) emits: \xHH and \OOO
+    // byte escapes (incl. a multi-byte UTF-8 char as two hex bytes),
+    // an escaped delimiter inside a field, and a \N null
+    java.nio.file.Files.write(dir.resolve("data.txt"), java.util.Arrays.asList(
+      "\\x41\\x42|has\\|pipe",
+      "\\101\\102\\103|\\x4a",
+      "\\xC3\\xA9|\\N"), java.nio.charset.StandardCharsets.UTF_8)
+    engine.run(s"copy pgt from '$dir' (format text, delimiter '|')")
+    val got = engine.run("select a, b from pgt order by a").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(got == Seq(("AB", Some("has|pipe")), ("ABC", Some("J")),
+      ("é", None)), got)
+    // round-trip the custom delimiter back out and in again
+    val out = "/root/repo/target/graft-tmp/pgt_out"
+    engine.run(s"copy pgt to '$out' (format text, delimiter '|')")
+    engine.run("create table pgt2(a varchar, b varchar)")
+    engine.run(s"copy pgt2 from '$out' (format text, delimiter '|')")
+    val rt = engine.run("select a, b from pgt2 order by a").collect()
+      .map(r => (r.getString(0), Option(r.getString(1)))).toSeq
+    assert(rt == got, rt)
+    // pg parity: quote/escape/header are csv-only — error, never ignore
+    Seq("quote '\"'", "header", "escape '\\'").foreach { o =>
+      val e = intercept[IllegalArgumentException] {
+        engine.run(s"copy pgt from '$dir' (format text, $o)")
+      }
+      assert(e.getMessage.contains("CSV mode"), e.getMessage)
+    }
+  }
+
   test("CLUSTERED BY: co-bucketed join plans no Exchange; DML keeps the layout") {
     engine.run("create table bkf(k int not null, v int) clustered by (k) into 4 buckets")
     engine.run("create table bkd(k int not null, w int) clustered by (k) into 4 buckets")

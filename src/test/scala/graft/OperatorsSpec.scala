@@ -403,6 +403,25 @@ class OperatorsSpec extends AnyFunSuite {
     assert(drained(), "pmiTopK unigram cache survived its query")
   }
 
+  test("indexProbe centroids cover the space: far-corner queries keep recall") {
+    import spark.implicits._
+    // a diagonal grid: lexicographic centroid selection would take the 10
+    // lowest points, bunching every cell in the [0..9] corner — a query
+    // at the far corner then probes cells that may not hold its true
+    // neighbors. The hash-spread sample must keep the exact nearest
+    // neighbor reachable from BOTH ends of the diagonal.
+    val grid = (0 until 100).map(i => Seq(i.toDouble, i.toDouble)).toDF("v")
+    def probedIds(q: Seq[Double]): Set[Int] =
+      Similarity.indexProbe(grid, "v", q, nLists = 10, nProbe = 3)
+        .collect().map(_.getSeq[Double](0).head.toInt).toSet
+    val far = probedIds(Seq(95.0, 95.0))
+    assert(far.contains(95), s"far-corner probe lost its exact nearest: $far")
+    val near = probedIds(Seq(2.0, 2.0))
+    assert(near.contains(2), s"low-corner probe lost its exact nearest: $near")
+    // and it IS a probe, not a full scan
+    assert(far.size < 100 && near.size < 100, (far.size, near.size))
+  }
+
   test("pageRank: exact integer fixed point on cycle and chain graphs") {
     import spark.implicits._
     // 3-cycle: perfect symmetry ⇒ identical ranks at every iteration

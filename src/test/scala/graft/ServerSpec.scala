@@ -283,6 +283,45 @@ class ServerSpec extends AnyFunSuite {
       out.writeByte('Q'); out.writeInt(4 + b.length); out.write(b); out.flush()
       untilReady()
     }
+    // ---- extended-protocol raw frames ----
+    private def frame(tpe: Char)(body: DataOutputStream => Unit): Unit = {
+      val buf = new java.io.ByteArrayOutputStream()
+      body(new DataOutputStream(buf))
+      out.writeByte(tpe); out.writeInt(4 + buf.size); buf.writeTo(out)
+    }
+    private def cstr(d: DataOutputStream, s: String): Unit = {
+      d.write(s.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
+    }
+    def parse(name: String, sql: String): Unit = frame('P') { d =>
+      cstr(d, name); cstr(d, sql); d.writeShort(0)
+    }
+    def bind(portal: String, stmt: String, resultFormats: Seq[Int] = Nil): Unit =
+      frame('B') { d =>
+        cstr(d, portal); cstr(d, stmt)
+        d.writeShort(0) // param format codes
+        d.writeShort(0) // params
+        d.writeShort(resultFormats.length)
+        resultFormats.foreach(d.writeShort)
+      }
+    def describePortal(portal: String): Unit = frame('D') { d =>
+      d.writeByte('P'); cstr(d, portal)
+    }
+    def execute(portal: String, maxRows: Int): Unit = frame('E') { d =>
+      cstr(d, portal); d.writeInt(maxRows)
+    }
+    def flushMsg(): Unit = { frame('H')(_ => ()); out.flush() }
+    def sync(): Seq[(Char, Array[Byte])] = {
+      frame('S')(_ => ()); out.flush(); untilReady()
+    }
+    /** Read replies until an Execute outcome: PortalSuspended ('s'),
+      * CommandComplete ('C'), or ErrorResponse ('E').
+      */
+    def untilOutcome(): Seq[(Char, Array[Byte])] = {
+      val buf = collection.mutable.Buffer[(Char, Array[Byte])]()
+      var m = readMsg()
+      while (m._1 != 's' && m._1 != 'C' && m._1 != 'E') { buf += m; m = readMsg() }
+      (buf += m).toSeq
+    }
     def close(): Unit = sock.close()
   }
 
@@ -439,6 +478,104 @@ class ServerSpec extends AnyFunSuite {
       assert(rendered == "2024-06-01 12:34:56", rendered)
     } finally {
       java.util.TimeZone.setDefault(prevTz)
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire portal suspends on Execute maxRows and resumes across messages") {
+    val dir = freshDir("/root/repo/target/graft-tmp/portal-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-portal-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      c.parse("", "select id from range(0, 5) order by id")
+      c.bind("", "")
+      // fetch 2 → exactly 2 DataRows then PortalSuspended (pgJDBC
+      // setFetchSize speaks exactly this shape)
+      c.execute("", 2); c.flushMsg()
+      val first = c.untilOutcome()
+      assert(first.map(_._1) == Seq('1', '2', 'D', 'D', 's'),
+        first.map(_._1).mkString)
+      c.execute("", 2); c.flushMsg()
+      assert(c.untilOutcome().map(_._1) == Seq('D', 'D', 's'))
+      // final fetch drains the remainder; the SELECT tag counts the
+      // portal's lifetime rows
+      c.execute("", 2); c.flushMsg()
+      val last = c.untilOutcome()
+      assert(last.map(_._1) == Seq('D', 'C'), last.map(_._1).mkString)
+      assert(new String(last.last._2, StandardCharsets.UTF_8).startsWith("SELECT 5"))
+      // the rows really were 0..4 in order, one value per fetch step
+      // (first two messages carry 0 and 1, etc.) — decode the first one
+      val row0 = first.collect { case ('D', b) => b }.head
+      val d0 = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row0))
+      d0.readShort(); val n0 = d0.readInt()
+      val v0 = new Array[Byte](n0); d0.readFully(v0)
+      assert(new String(v0, StandardCharsets.UTF_8) == "0")
+      // re-executing an exhausted portal returns zero rows + complete
+      c.execute("", 0); c.flushMsg()
+      assert(c.untilOutcome().map(_._1) == Seq('C'))
+      assert(c.sync().map(_._1) == Seq('Z'))
+      // session still healthy
+      assert(c.query("select 1 as x").map(_._1) == Seq('T', 'D', 'C', 'Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire binary result formats round-trip int8/float8/text/bytea bit-exactly") {
+    val dir = freshDir("/root/repo/target/graft-tmp/binfmt-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-binfmt-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      c.parse("", "select cast(-7 as bigint) as i, cast(2.5 as double) as f, " +
+        "'héllo' as s, cast('ab' as binary) as b")
+      c.bind("", "", resultFormats = Seq(1)) // one code = all columns binary
+      c.describePortal("")
+      c.execute("", 0); c.flushMsg()
+      val msgs = c.untilOutcome()
+      assert(msgs.map(_._1) == Seq('1', '2', 'T', 'D', 'C'), msgs.map(_._1).mkString)
+      // RowDescription advertises format 1 for every column
+      val rd = msgs.collect { case ('T', b) => b }.head
+      val rdd = new java.io.DataInputStream(new java.io.ByteArrayInputStream(rd))
+      val ncols = rdd.readShort().toInt
+      val fmts = (0 until ncols).map { _ =>
+        while (rdd.readByte() != 0) () // skip name
+        rdd.readInt(); rdd.readShort(); rdd.readInt(); rdd.readShort(); rdd.readInt()
+        rdd.readShort().toInt
+      }
+      assert(fmts == Seq(1, 1, 1, 1), fmts)
+      // DataRow carries network-order binary payloads
+      val row = msgs.collect { case ('D', b) => b }.head
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(d.readShort() == 4)
+      assert(d.readInt() == 8 && d.readLong() == -7L)
+      assert(d.readInt() == 8 && d.readDouble() == 2.5)
+      val sLen = d.readInt()
+      val sBytes = new Array[Byte](sLen); d.readFully(sBytes)
+      assert(new String(sBytes, StandardCharsets.UTF_8) == "héllo")
+      val bLen = d.readInt()
+      val bBytes = new Array[Byte](bLen); d.readFully(bBytes)
+      assert(bBytes.toSeq == "ab".getBytes(StandardCharsets.UTF_8).toSeq)
+      assert(c.sync().map(_._1) == Seq('Z'))
+      // a type without a binary encoding errors at portal open, clearly
+      c.parse("", "select timestamp '2024-01-01 00:00:00' as t")
+      c.bind("", "", resultFormats = Seq(1))
+      c.execute("", 0); c.flushMsg()
+      val err = c.untilOutcome()
+      assert(err.map(_._1) == Seq('1', '2', 'E'), err.map(_._1).mkString)
+      assert(c.sync().map(_._1) == Seq('Z'))
+    } finally {
       c.close()
       server.close()
     }
