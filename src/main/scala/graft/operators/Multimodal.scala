@@ -8,12 +8,14 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, and run decode / feature-extract
   * as partition-wise batch transforms.
   *
-  * The Spark-side architecture is real and tested — schema, partitioning,
-  * batch iteration shape — while the actual media decoding is STUBBED
-  * (no image/audio libraries in this environment) with a deterministic
-  * fake so the plumbing can be verified end-to-end. On a real cluster the
+  * IMAGE decode is REAL for the formats the JDK ships decoders for
+  * (PNG/JPEG/GIF/BMP via `javax.imageio` — see [[graft.expr.MediaFeatures]]):
+  * width/height and per-channel pixel means come from actual pixels.
+  * Audio/video decoding (codec libraries the JDK lacks) stays STUBBED
+  * with a deterministic fake so the plumbing — schema, partitioning,
+  * batch iteration shape — is verified end-to-end; on a real cluster the
   * stub body is replaced by the codec call (e.g. JNI/FFI decode or a
-  * Pandas-UDF in the Python surface); nothing else changes.
+  * Pandas-UDF in the Python surface) and nothing else changes.
   *
   * Scale notes: `mapPartitions` keeps the decode batched per-partition
   * (amortizes codec init), the binary column is never shuffled except by
@@ -86,19 +88,48 @@ object Multimodal {
       .withColumn("height", lit(h))
   }
 
+  /** Encode a per-pixel-defined RGB image with the JDK's own encoders —
+    * the deterministic payload generator the image-stats gate and specs
+    * decode back through [[graft.expr.MediaFeatures]]. `fmt` is any
+    * writer the JDK ships ("png", "gif", "bmp", "jpg").
+    */
+  def encodeImage(w: Int, h: Int, fmt: String)
+      (rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val (r, g, b) = rgb(x, y)
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, fmt, bos)
+    bos.toByteArray
+  }
+
   val featureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("byte_hash", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
     StructField("features", ArrayType(DoubleType, containsNull = false), nullable = false)))
 
   /** Feature extraction over the opaque payload column.
     *
-    * The STUB decode ([[graft.expr.MediaFeatures]]) is a native expression
-    * — pure byte arithmetic stays inside the scan pipeline (pruning and
-    * pushdown intact, no RDD round-trip). When a real codec replaces the
-    * stub, move the call behind `mapInPandas`/`mapPartitions` to amortize
-    * codec init per batch; the schema and callers don't change.
+    * The decode ([[graft.expr.MediaFeatures]]) is a native expression that
+    * stays inside the scan pipeline (pruning and pushdown intact, no RDD
+    * round-trip): JDK-decodable images (PNG/JPEG/GIF/BMP via javax.imageio)
+    * yield REAL width/height and per-channel pixel means; everything else
+    * takes the deterministic byte-hash fallback with NULL dimensions. For
+    * codec families needing native libraries, move the call behind
+    * `mapInPandas`/`mapPartitions` to amortize codec init per batch; the
+    * schema and callers don't change.
     */
   def extractFeatures(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
@@ -106,6 +137,8 @@ object Multimodal {
     media.select(col("media_id"),
       Bridge.column(graft.expr.MediaFeatures(Bridge.expression(payload))).as("_f"))
       .select(col("media_id"), col("_f.n_bytes").as("n_bytes"),
-        col("_f.byte_hash").as("byte_hash"), col("_f.features").as("features"))
+        col("_f.byte_hash").as("byte_hash"),
+        col("_f.width").as("width"), col("_f.height").as("height"),
+        col("_f.features").as("features"))
   }
 }

@@ -948,7 +948,8 @@ object Pipeline {
               |  FROM documents) mx
               |ORDER BY z_code, doc_id""".stripMargin)),
 
-    // ---- multimodal plumbing (decode stubbed, see Multimodal.scala) -----
+    // ---- multimodal plumbing (image decode REAL via javax.imageio;
+    // text payloads exercise the deterministic fallback tier) -----
     "multimodal_features" -> Q(
       (s, d) => {
         val media = Multimodal.asMedia(t(s, d, "documents"), "doc_id", "text")
@@ -968,6 +969,56 @@ object Pipeline {
               |  ((byte_hash >> 16) & 255)::DOUBLE / 255.0 AS f2,
               |  ((byte_hash >> 24) & 255)::DOUBLE / 255.0 AS f3
               |FROM h ORDER BY media_id""".stripMargin)),
+
+    // REAL image decode (javax.imageio — PNG/GIF/BMP ship in the JDK):
+    // deterministic generated images round-trip through encode → the
+    // MediaFeatures decode kernel → (width, height, per-channel means).
+    // The oracle is ANALYTIC — expected means computed from the pixel
+    // definitions in the SQL text itself (solid colors and an arithmetic
+    // gradient make every mean an exact rational), so the comparison is
+    // independent of the JVM codec path. The non-image row pins the
+    // fallback tier: NULL dimensions, no pixel stats.
+    "multimodal_image_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeImage(10, 5, "png")((_, _) => (40, 80, 120))),
+          (2L, Multimodal.encodeImage(2, 2, "png") { (x, y) =>
+            val i = y * 2 + x; (i * 8, 4 + i * 8, 2 + i * 8)
+          }),
+          (3L, Multimodal.encodeImage(4, 3, "gif")((_, _) => (30, 60, 90))),
+          (4L, Multimodal.encodeImage(5, 5, "bmp")((_, _) => (10, 20, 30))),
+          (6L, "not an image".getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        Multimodal.extractFeatures(rows.toDF("media_id", "payload"))
+          .select(col("media_id"), col("width"), col("height"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(0), 6)).as("r_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(1), 6)).as("g_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(2), 6)).as("b_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(3), 6)).as("a_mean"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 10, 5, round(CAST(40 AS DOUBLE)/255, 6),
+             |  round(CAST(80 AS DOUBLE)/255, 6), round(CAST(120 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(2 AS BIGINT), 2, 2, round(CAST(12 AS DOUBLE)/255, 6),
+             |  round(CAST(16 AS DOUBLE)/255, 6), round(CAST(14 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(3 AS BIGINT), 4, 3, round(CAST(30 AS DOUBLE)/255, 6),
+             |  round(CAST(60 AS DOUBLE)/255, 6), round(CAST(90 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(4 AS BIGINT), 5, 5, round(CAST(10 AS DOUBLE)/255, 6),
+             |  round(CAST(20 AS DOUBLE)/255, 6), round(CAST(30 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(6 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE))
+             |) AS t(media_id, width, height, r_mean, g_mean, b_mean, a_mean)
+             |ORDER BY media_id""".stripMargin)),
 
     // frame sampling: payload treated as 64-byte frames, every 3rd frame
     // emitted with its offset and stub-decoded hash — the oracle rebuilds

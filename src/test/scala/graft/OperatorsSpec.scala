@@ -176,6 +176,27 @@ class OperatorsSpec extends AnyFunSuite {
     assert(j == 0) // ASCII corpus: bytes == chars
   }
 
+  test("image decode: JPEG dims exact + means near truth; corrupt streams fall back") {
+    import spark.implicits._
+    // JPEG is lossy, so its means are NOT gate-pinnable — assert dims
+    // exactly and means within codec tolerance here instead
+    val jpg = Multimodal.encodeImage(16, 8, "jpg")((_, _) => (100, 150, 200))
+    val r = Multimodal.extractFeatures(Seq((1L, jpg)).toDF("media_id", "payload"))
+      .collect()(0)
+    assert(r.getInt(r.fieldIndex("width")) == 16 &&
+      r.getInt(r.fieldIndex("height")) == 8)
+    val means = r.getSeq[Double](r.fieldIndex("features"))
+    Seq(100.0, 150.0, 200.0).zip(means).foreach { case (want, got) =>
+      assert(math.abs(got * 255 - want) < 8.0, s"$want vs ${got * 255}")
+    }
+    // a PNG magic prefix on garbage bytes must fall back, not throw
+    val corrupt = Array[Byte](0x89.toByte, 'P', 'N', 'G', 13, 10, 26, 10, 1, 2, 3)
+    val c = Multimodal.extractFeatures(Seq((2L, corrupt)).toDF("media_id", "payload"))
+      .collect()(0)
+    assert(c.isNullAt(c.fieldIndex("width")) && c.isNullAt(c.fieldIndex("height")))
+    assert(c.getSeq[Double](c.fieldIndex("features")).length == 4)
+  }
+
   test("kmeansAssign: deterministic under repartitioning, converges vs seed") {
     val base = Similarity.kmeansAssign(emb, nCentroids = 8, trainIters = 1)
       .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1))
