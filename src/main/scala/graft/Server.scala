@@ -316,8 +316,10 @@ object Server {
   *  - CancelRequest with real BackendKeyData keys — cancel maps onto
   *    Spark job-group cancellation: the running statement fails with an
   *    ErrorResponse, the session survives, exactly like real Postgres.
-  * Binary PARAMETER format is still declined with a clear ErrorResponse
-  * rather than a hang (drivers fall back to text).
+  * Binary PARAMETER format is honored for the same OID set when Parse
+  * declared the parameter types (pgJDBC does when it negotiates binary);
+  * undeclared or exotic oids get a clear ErrorResponse rather than a
+  * misparse.
   *
   * Mirrors the reference's pgwire front end
   * (`/root/reference/src/server/mod.rs:17-46`, `src/server/processor.rs`):
@@ -450,7 +452,8 @@ private object Pgwire {
       s"pgwire session $pid", interruptOnCancel = true)
     // ---- extended-protocol session state (outside the try so the final
     // cleanup can drop suspended portals' spool files) ----
-    val prepared = collection.mutable.Map.empty[String, String] // name -> SQL ($n params)
+    // name -> (SQL with $n params, declared param-type oids from Parse)
+    val prepared = collection.mutable.Map.empty[String, (String, Array[Int])]
     val portals = collection.mutable.Map.empty[String, Portal]  // name -> bound portal
     def dropPortal(p: Portal): Unit = p.closeSpool()
     try {
@@ -689,7 +692,11 @@ private object Pgwire {
         case 'P' if !extFailed => // Parse: name, query, param-type oids
           val name = rstr()
           val query = rstr()
-          prepared(name) = query // declared oids ignored: params bind as text
+          // declared param-type oids are kept: a binary-format Bind needs
+          // them to pick the decoder (pgJDBC always declares when it
+          // negotiates binary parameters)
+          val nOids = d.readShort().toInt
+          prepared(name) = (query, Array.fill(nOids)(d.readInt()))
           msg('1')(_ => ())      // ParseComplete
 
         case 'B' if !extFailed => // Bind: portal, statement, formats, params
@@ -698,17 +705,16 @@ private object Pgwire {
             val stmtName = rstr()
             val nFmt = d.readShort().toInt
             val fmts = Array.fill(nFmt)(d.readShort().toInt)
+            val declaredOids = prepared.get(stmtName).map(_._2)
             val nParams = d.readShort().toInt
             val params = (0 until nParams).map { i =>
               val n = d.readInt()
               if (n < 0) null
               else {
-                val fmt = if (nFmt == 0) 0 else if (nFmt == 1) fmts(0) else fmts(i)
-                if (fmt != 0)
-                  throw new IllegalArgumentException(
-                    "binary parameter format not supported (send text)")
                 val b = new Array[Byte](n); d.readFully(b)
-                new String(b, StandardCharsets.UTF_8)
+                if (fmtCode(fmts, i) == 0) new String(b, StandardCharsets.UTF_8)
+                else decodeBinaryParam(b,
+                  declaredOids.filter(i < _.length).map(_(i)).getOrElse(0))
               }
             }
             // result-format codes: binary (1) is honored for the common
@@ -725,7 +731,7 @@ private object Pgwire {
             prepared.get(stmtName) match {
               case None =>
                 error(s"""unknown prepared statement "$stmtName""""); extFailed = true
-              case Some(sql) =>
+              case Some((sql, _)) =>
                 portals.remove(portal).foreach(dropPortal)
                 portals(portal) = new Portal(bindParams(sql, params), resFmts)
                 msg('2')(_ => ()) // BindComplete
@@ -742,10 +748,13 @@ private object Pgwire {
             case 'S' => prepared.get(name) match {
               case None =>
                 error(s"""unknown prepared statement "$name""""); extFailed = true
-              case Some(sql) =>
+              case Some((sql, oids)) =>
                 val n = maxParamIndex(sql)
-                msg('t') { dd => // ParameterDescription: all params as text
-                  dd.writeShort(n); (1 to n).foreach(_ => dd.writeInt(25))
+                msg('t') { dd => // ParameterDescription: declared oids, else text
+                  dd.writeShort(n)
+                  (0 until n).foreach { i =>
+                    dd.writeInt(if (i < oids.length && oids(i) != 0) oids(i) else 25)
+                  }
                 }
                 describe(bindParams(sql, Seq.fill(n)(null)))
             }
@@ -1053,6 +1062,32 @@ private object Pgwire {
           s"binary result format not supported for type " +
             s"${f.dataType.simpleString} (column ${f.name})")
     }
+
+  /** Binary (format 1) PARAMETER decode for the common OIDs, producing
+    * the text rendering the rest of the bind path already speaks (bytea
+    * becomes pg's `\x...` hex text form, bools t/f). The oid comes from
+    * Parse's declared types — a driver that negotiates binary params
+    * always declares them; an undeclared (0) or unsupported oid errors
+    * clearly instead of misparsing bytes.
+    */
+  private def decodeBinaryParam(b: Array[Byte], oid: Int): String = {
+    val buf = java.nio.ByteBuffer.wrap(b)
+    def need(n: Int): Unit = require(b.length == n,
+      s"binary parameter for oid $oid must be $n bytes, got ${b.length}")
+    oid match {
+      case 16 => need(1); if (b(0) != 0) "t" else "f" // bool
+      case 21 => need(2); buf.getShort.toString       // int2
+      case 23 => need(4); buf.getInt.toString         // int4
+      case 20 => need(8); buf.getLong.toString        // int8
+      case 700 => need(4); buf.getFloat.toString      // float4
+      case 701 => need(8); buf.getDouble.toString     // float8
+      case 25 | 1043 => new String(b, StandardCharsets.UTF_8) // text/varchar
+      case 17 => // bytea → pg hex text form, identical to a text param
+        "\\x" + b.map(x => f"${x & 0xff}%02x").mkString
+      case other => throw new IllegalArgumentException(
+        s"binary parameter format not supported for oid $other (send text)")
+    }
+  }
 
   /** Binary (format 1) value encoding for the supported OIDs — network
     * byte order, the representations in pg's own send functions.

@@ -292,14 +292,21 @@ class ServerSpec extends AnyFunSuite {
     private def cstr(d: DataOutputStream, s: String): Unit = {
       d.write(s.getBytes(StandardCharsets.UTF_8)); d.writeByte(0)
     }
-    def parse(name: String, sql: String): Unit = frame('P') { d =>
-      cstr(d, name); cstr(d, sql); d.writeShort(0)
-    }
-    def bind(portal: String, stmt: String, resultFormats: Seq[Int] = Nil): Unit =
+    def parse(name: String, sql: String, paramOids: Seq[Int] = Nil): Unit =
+      frame('P') { d =>
+        cstr(d, name); cstr(d, sql)
+        d.writeShort(paramOids.length); paramOids.foreach(d.writeInt)
+      }
+    def bind(portal: String, stmt: String, resultFormats: Seq[Int] = Nil,
+        paramFormats: Seq[Int] = Nil, params: Seq[Array[Byte]] = Nil): Unit =
       frame('B') { d =>
         cstr(d, portal); cstr(d, stmt)
-        d.writeShort(0) // param format codes
-        d.writeShort(0) // params
+        d.writeShort(paramFormats.length); paramFormats.foreach(d.writeShort)
+        d.writeShort(params.length)
+        params.foreach { p =>
+          if (p == null) d.writeInt(-1)
+          else { d.writeInt(p.length); d.write(p) }
+        }
         d.writeShort(resultFormats.length)
         resultFormats.foreach(d.writeShort)
       }
@@ -575,6 +582,49 @@ class ServerSpec extends AnyFunSuite {
       val err = c.untilOutcome()
       assert(err.map(_._1) == Seq('1', '2', 'E'), err.map(_._1).mkString)
       assert(c.sync().map(_._1) == Seq('Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire binary parameters decode via declared oids") {
+    val dir = freshDir("/root/repo/target/graft-tmp/binparam-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-binparam-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      // int8 + float8 + text params, all sent binary with declared oids
+      c.parse("", "select $1 + 1 as i, $2 * 2 as f, $3 as s",
+        paramOids = Seq(20, 701, 25))
+      val i8 = java.nio.ByteBuffer.allocate(8).putLong(41L).array()
+      val f8 = java.nio.ByteBuffer.allocate(8).putDouble(1.25).array()
+      val tx = "héllo".getBytes(StandardCharsets.UTF_8)
+      c.bind("", "", paramFormats = Seq(1, 1, 1), params = Seq(i8, f8, tx))
+      c.execute("", 0); c.flushMsg()
+      val msgs = c.untilOutcome()
+      assert(msgs.map(_._1) == Seq('1', '2', 'D', 'C'), msgs.map(_._1).mkString)
+      val row = msgs.collect { case ('D', b) => b }.head
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(d.readShort() == 3)
+      def field(): String = {
+        val n = d.readInt(); val b = new Array[Byte](n); d.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+      assert(field() == "42")
+      assert(field() == "2.5")
+      assert(field() == "héllo")
+      assert(c.sync().map(_._1) == Seq('Z'))
+      // binary param with an UNDECLARED oid errors clearly
+      c.parse("", "select $1 as x")
+      c.bind("", "", paramFormats = Seq(1),
+        params = Seq(java.nio.ByteBuffer.allocate(4).putInt(7).array()))
+      val err = c.sync()
+      assert(err.map(_._1).contains('E'), err.map(_._1).mkString)
     } finally {
       c.close()
       server.close()
