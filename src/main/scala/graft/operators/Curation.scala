@@ -225,6 +225,55 @@ object Curation {
       .limit(k)
   }
 
+  /** Bigram-LM perplexity scoring — the CCNet/Gopher-style statistical
+    * quality filter: an add-one-smoothed bigram model TRAINED ON THE
+    * CORPUS assigns every document the mean surprisal of its bigrams in
+    * bits, `bits_per_bigram = avg over bigrams of
+    * log2(ctx(w1) + V) − log2(c(w1 w2) + 1)`, where `c` is the corpus
+    * bigram count, `ctx(w1)` the bigram mass starting at `w1`, and `V`
+    * the unigram vocabulary (add-one denominator). Low = fluent/typical
+    * text, high = noise — threshold or stratify on it to filter a crawl
+    * the way CCNet buckets by LM perplexity. (2^bits is the perplexity;
+    * the log form is the stable, comparable one.) Documents with fewer
+    * than two tokens have no bigrams and are not scored.
+    *
+    * Scale: bigram counts are one explode → map-side-combined hash-agg
+    * (the shuffle carries (gram, partial), never documents); scoring
+    * re-keys the occurrence stream on the gram ONCE to attach counts;
+    * the context frame and vocabulary are unigram-vocab-bounded and
+    * BROADCAST. Surprisal terms are integer-exact integers through the
+    * shuffle via the micro-fixed-point trick (round(bits·1e6) as LONG) —
+    * deterministic at any partitioning, same arithmetic as the oracle.
+    */
+  def lmPerplexity(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val occ = df.select(col(idCol),
+        explode(wordShinglesNative(col(textCol), 2)).as("gram"))
+      // a sub-width doc yields its whole text as one "shingle" — no space
+      // means no bigram, so it drops out here
+      .filter(instr(col("gram"), " ") > 0)
+    val bi = occ.groupBy(col("gram")).agg(count(lit(1)).as("n_pair"))
+    val ctx = bi
+      .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+      .groupBy(col("w1")).agg(sum(col("n_pair")).as("n_ctx"))
+    val vocab = df.select(explode(tokens(col(textCol))).as("tok"))
+      .agg(countDistinct(col("tok")).as("v"))
+    occ
+      .join(bi, "gram")
+      .withColumn("w1", split_part(col("gram"), lit(" "), lit(1)))
+      .join(broadcast(ctx), "w1")
+      .crossJoin(broadcast(vocab))
+      // surprisal of one bigram occurrence, in micro-bits: log2 of exact
+      // integer args, fixed to 6 decimals BEFORE the order-dependent sum
+      .withColumn("micro_bits",
+        round((log2(col("n_ctx") + col("v")) - log2(col("n_pair") + 1)) * 1e6)
+          .cast("long"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(sum(col("micro_bits")).cast("double") / 1e6 / count(lit(1)), 6)
+          .as("bits_per_bigram"))
+  }
+
   /** Domain mixing weights: per-domain doc/token counts plus the
     * resampling weight that would equalize token mass across domains
     * (weight = corpus_tokens / n_domains / domain_tokens). The corpus

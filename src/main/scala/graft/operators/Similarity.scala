@@ -251,6 +251,71 @@ object Similarity {
       .drop("__graft_cell")
   }
 
+  /** Top principal component of the embedding cloud by FIXED-POINT power
+    * iteration — the PCA projection a training pipeline uses for
+    * embedding whitening, outlier scoring, and dominant-direction removal
+    * ("all-but-the-top"). Returns one row per vector: (idCol, pc1_proj),
+    * the projection of the centered vector onto the leading eigenvector
+    * of the covariance matrix.
+    *
+    * Exactness contract (reproducible in any engine — the gate's DuckDB
+    * oracle replays the whole computation, power iteration included, as
+    * a recursive CTE in HUGEINT):
+    *  - embeddings quantize to centi-units `xq = round(x·100)`;
+    *  - centering avoids division entirely: `y_i = n·xq_i − S` (S the
+    *    per-dimension sum) is exactly n·(xq−μ), all integers;
+    *  - covariance `C = Σ y yᵀ` accumulates in LONG (bound documented
+    *    below), power iteration runs driver-side in BigInt with
+    *    truncated-division renormalization to ±1e6 each step — the d×d
+    *    matrix is a bounded artifact like the IVF/PQ codebooks, never
+    *    corpus-sized;
+    *  - projections `y·v / 1e6` are exact integer sums before one final
+    *    divide+round.
+    *
+    * Scale: two corpus passes (dimension sums, then the outer-product
+    * aggregate) plus the narrow projection map. The outer-product pass
+    * explodes d² terms per row into a map-side-combined hash aggregate —
+    * the shuffle carries ≤ partitions×d² rows, never the corpus. LONG
+    * overflow bound: |y| ≤ 2·n·max|xq|, so C entries stay under 2^63 up
+    * to n ≈ 1e5 at typical embedding ranges; beyond that switch the two
+    * aggregates to DECIMAL(38,0) accumulators (same note as dsum's
+    * headroom in queries/package.scala).
+    */
+  def principalComponent(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", iters: Int = 12): DataFrame = {
+    val q = df.select(col(idCol).as("id"),
+      transform(col(vecCol).cast("array<double>"),
+        x => round(x * 100).cast("long")).as("xq"))
+    val d = q.select(size(col("xq"))).first().getInt(0)
+    val n = q.count()
+    val sums = q.select(posexplode(col("xq")).as(Seq("j", "x")))
+      .groupBy(col("j")).agg(sum(col("x")).as("s"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val sLit = array((0 until d).map(j => lit(sums.getOrElse(j, 0L))): _*)
+    val y = CacheHygiene.cacheUntilNextCompletion(
+      q.select(col("id"),
+        zip_with(col("xq"), sLit, (x, s) => x * n - s).as("yv")))
+    val cov = y.select(posexplode(flatten(transform(col("yv"),
+        a => transform(col("yv"), b => a * b)))).as(Seq("pos", "c")))
+      .groupBy(col("pos")).agg(sum(col("c")).as("c"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val c = Array.tabulate(d * d)(p => BigInt(cov.getOrElse(p, 0L)))
+    // driver power iteration — same truncated-remainder renormalization
+    // the oracle's HUGEINT arithmetic performs (both % have dividend sign)
+    var v = Array.fill(d)(BigInt(1000000))
+    for (_ <- 1 to iters) {
+      val w = Array.tabulate(d)(j =>
+        (0 until d).foldLeft(BigInt(0))((acc, k) => acc + c(j * d + k) * v(k)))
+      val m = w.map(_.abs).max
+      if (m != 0) v = w.map { x => val a = x * 1000000; (a - (a % m)) / m }
+      else v = w
+    }
+    val vLit = array(v.map(x => lit(x.toLong)): _*)
+    y.select(col("id").as(idCol),
+      round(aggregate(zip_with(col("yv"), vLit, (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e6, 6).as("pc1_proj"))
+  }
+
   /** Product-quantization codebook: per subspace `s`, the codewords are
     * the s-th subvectors of the first `nCode` corpus rows — the same
     * deterministic stance as [[ivfTopK]]'s codebook (reproducible,

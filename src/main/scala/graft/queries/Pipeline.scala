@@ -284,6 +284,44 @@ object Pipeline {
               |WHERE ${oCos("a.embedding", "b.embedding")} >= 0.4
               |ORDER BY id_a, id_b""".stripMargin)),
 
+    // top principal component by fixed-point power iteration: centering is
+    // division-free (y = n·xq − S, all integers), covariance sums in LONG,
+    // the 12-step iteration renormalizes by truncated division — and the
+    // oracle replays ALL of it, power iteration included, as a recursive
+    // CTE in HUGEINT (verified against an exact-integer Python
+    // reimplementation before wiring). Output is each vector's projection
+    // on the leading eigenvector — the whitening/outlier score.
+    "embed_pca_project" -> Q(
+      (s, d) => Similarity.principalComponent(
+          t(s, d, "embeddings"), "vec_id", "embedding", iters = 12)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+             |q AS (SELECT vec_id AS id, [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) for x in embedding] AS xq FROM embeddings),
+             |nn AS (SELECT COUNT(*) AS n FROM q),
+             |dimsum AS (SELECT j, SUM(xq[j+1]) AS s FROM q, generate_series(0, 63) t(j) GROUP BY j),
+             |sl AS (SELECT list(s ORDER BY j) AS sv FROM dimsum),
+             |y AS (SELECT id, [xq[j+1] * n - sv[j+1] for j in generate_series(0, 63)] AS yv FROM q, nn, sl),
+             |cov AS (SELECT j*64 + k AS pos, SUM(yv[j+1] * yv[k+1]) AS c
+             |        FROM y, generate_series(0,63) tj(j), generate_series(0,63) tk(k)
+             |        GROUP BY pos),
+             |cl AS (SELECT list(c ORDER BY pos) AS cv FROM cov),
+             |pi(it, v) AS (
+             |  SELECT 0, [CAST(1000000 AS HUGEINT) for j in generate_series(0, 63)]
+             |  UNION ALL
+             |  SELECT it + 1,
+             |    CASE WHEN m = 0 THEN wv
+             |         ELSE [(x * 1000000 - ((x * 1000000) % m)) // m for x in wv] END
+             |  FROM (SELECT it, wv, list_max([abs(x) for x in wv]) AS m
+             |        FROM (SELECT it,
+             |                [list_sum([CAST(cv[j*64+k+1] AS HUGEINT) * v[k+1] for k in generate_series(0,63)])
+             |                 for j in generate_series(0,63)] AS wv
+             |              FROM pi, cl WHERE it < 12))
+             |)
+             |SELECT id AS vec_id,
+             |  round(CAST(list_sum([yv[j+1] * CAST(v[j+1] AS BIGINT) for j in generate_series(0,63)]) AS DOUBLE) / 1000000.0, 6) AS pc1_proj
+             |FROM y, (SELECT v FROM pi WHERE it = 12)
+             |ORDER BY vec_id""".stripMargin)),
+
     // k-means clustering as a first-class operator (1 Lloyd iteration over
     // the deterministic first-k seeding; fixed-point per-dim means keep the
     // trained centroids bit-identical at any partitioning, so the oracle
@@ -915,6 +953,39 @@ object Pipeline {
               |      JOIN uni u2 ON split_part(bc.gram, ' ', 2) = u2.tok)
               |CROSS JOIN tot
               |ORDER BY lift DESC, gram LIMIT 20""".stripMargin)),
+
+    // bigram-LM perplexity (CCNet-style quality filter): add-one-smoothed
+    // corpus bigram model, per-doc mean surprisal in bits. Surprisal terms
+    // are log2 of EXACT INTEGER args fixed to micro-bits before the
+    // order-dependent per-doc sum — the same dsum discipline as every
+    // float aggregate in the registry; the oracle replays the full model
+    // build (bigram counts, context mass, vocabulary) and scoring.
+    "curation_lm_perplexity" -> Q(
+      (s, d) => graft.operators.Curation.lmPerplexity(
+          t(s, d, "documents"), "doc_id", "text")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, $toks AS tks FROM documents),
+              |g2 AS (SELECT doc_id, CASE WHEN len(tks) >= 2
+              |  THEN [array_to_string(list_slice(tks, i+1, i+2), ' ') for i in generate_series(0, len(tks)-2)]
+              |  ELSE [array_to_string(tks, ' ')] END AS grams FROM tk),
+              |occ AS (SELECT doc_id, gram
+              |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g2)
+              |  WHERE contains(gram, ' ')),
+              |bi AS (SELECT gram, COUNT(*) AS n_pair FROM occ GROUP BY gram),
+              |ctx AS (SELECT split_part(gram, ' ', 1) AS w1, SUM(n_pair) AS n_ctx
+              |  FROM bi GROUP BY w1),
+              |vocab AS (SELECT COUNT(DISTINCT tok) AS v
+              |  FROM (SELECT unnest(tks) AS tok FROM tk))
+              |SELECT occ.doc_id, COUNT(*) AS n_bigrams,
+              |  round(CAST(SUM(CAST(round((log2(n_ctx + v) - log2(n_pair + 1))
+              |    * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+              |    AS bits_per_bigram
+              |FROM occ
+              |JOIN bi USING (gram)
+              |JOIN ctx ON split_part(occ.gram, ' ', 1) = ctx.w1
+              |CROSS JOIN vocab
+              |GROUP BY occ.doc_id
+              |ORDER BY doc_id""".stripMargin)),
 
     // Z-order (Morton) layout codes: the write-time clustering key that
     // keeps rows close in BOTH dimensions so parquet min/max pruning works

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
 
 /** Behavioral specs for the pipeline operators (beyond "it runs"). */
 class OperatorsSpec extends AnyFunSuite {
@@ -422,6 +422,53 @@ class OperatorsSpec extends AnyFunSuite {
     graft.operators.Curation.pmiTopK(plain, "doc_id", "text", k = 5)
       .write.format("noop").mode("overwrite").save()
     assert(drained(), "pmiTopK unigram cache survived its query")
+  }
+
+  test("lmPerplexity: noise scores more bits than fluent repetition") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the cat sat on the mat and the cat sat again"),
+      (2L, "the cat sat on the mat and the cat slept"),
+      (3L, "zq xv qj wk bn mp zz qx vv kj"), // every bigram unique
+      (4L, "solo")) // one token → no bigrams → not scored
+      .toDF("doc_id", "text")
+    val out = Curation.lmPerplexity(corpus, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(!out.contains(4L), out)
+    // common bigrams ("the cat", "cat sat") are cheap; singleton noise
+    // bigrams cost close to log2(V) more
+    assert(out(1L)._2 < out(3L)._2, out)
+    assert(out(2L)._2 < out(3L)._2, out)
+    // n_bigrams = tokens - 1 per doc
+    assert(out(1L)._1 == 10 && out(3L)._1 == 9, out)
+    // deterministic under repartitioning (fixed-point micro-bits sum)
+    val re = Curation.lmPerplexity(corpus.repartition(7), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(re == out)
+  }
+
+  test("principalComponent: recovers the dominant direction, partition-invariant") {
+    import spark.implicits._
+    // points spread along (3,4,0,0)/5 with small off-axis noise: PC1
+    // projections must order the points by their position on the line
+    val pts = (0 until 40).map { i =>
+      val tpos = (i - 20).toDouble
+      (i.toLong, Seq(3.0 / 5 * tpos, 4.0 / 5 * tpos,
+        if (i % 2 == 0) 0.05 else -0.05, 0.0).map(_.toFloat))
+    }
+    val df = pts.toDF("vec_id", "embedding")
+    val proj = Similarity.principalComponent(df, "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // projections are monotone in the line position (up to global sign)
+    val ordered = (0 until 40).map(i => proj(i.toLong))
+    val diffs = ordered.sliding(2).map(p => p(1) - p(0)).toSeq
+    assert(diffs.forall(_ > 0) || diffs.forall(_ < 0), ordered.take(5))
+    // the center of the cloud projects to ~0 (centered projection)
+    assert(math.abs(proj(20L)) < math.abs(proj(0L)) / 10, proj(20L))
+    // bit-identical under repartitioning (integer fixed-point throughout)
+    val re = Similarity.principalComponent(df.repartition(5), "vec_id", "embedding")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(re == proj)
   }
 
   test("indexProbe centroids cover the space: far-corner queries keep recall") {
