@@ -39,14 +39,22 @@ object Main {
     df.collect().toSeq.map(r => (0 until r.length).map(i => fmt(r.get(i))).mkString(" "))
 
   /** Execute one statement, print rows + timing (reference main.rs
-    * `run_query_in_background` output shape).
+    * `run_query_in_background` output shape). Rows PRINT as partitions
+    * materialize (`toLocalIterator`) — a `SELECT *` over a huge table
+    * streams through the shell in bounded driver memory, same stance as
+    * the server's result delivery; slt comparisons use [[renderRows]]
+    * (they need the materialized list anyway).
     */
   private def execute(engine: Engine, sql: String, out: String => Unit): Boolean = {
     val t0 = System.nanoTime()
     try {
-      val rows = renderRows(engine.run(sql))
-      rows.foreach(out)
-      out(f"(${rows.size} rows in ${(System.nanoTime() - t0) / 1e6}%.1f ms)")
+      import scala.jdk.CollectionConverters._
+      var n = 0L
+      engine.run(sql).toLocalIterator().asScala.foreach { r =>
+        out((0 until r.length).map(i => fmt(r.get(i))).mkString(" "))
+        n += 1
+      }
+      out(f"($n rows in ${(System.nanoTime() - t0) / 1e6}%.1f ms)")
       true
     } catch {
       case e: Exception =>

@@ -282,6 +282,29 @@ class PlanSpec extends AnyFunSuite {
       l.contains("Exchange") && l.contains("text#")), p)
   }
 
+  test("lm perplexity broadcasts context/vocab; corpus text never shuffles") {
+    val p = planOf("curation_lm_perplexity")
+    // the unigram-bounded context frame and the 1-row vocabulary attach
+    // by broadcast; the only shuffle-joined side is the bigram count
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // document text rides no exchange — only grams and counts do
+    assert(!p.linesIterator.exists(l =>
+      l.contains("Exchange") && l.contains("text#")), p)
+    // per-doc surprisal sum partial-aggregates before its exchange
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("pca covariance pass partial-aggregates; corpus vectors never exchange") {
+    val df = graft.operators.Similarity.principalComponent(
+      Tables.df(spark, sf, "embeddings"), "vec_id", "embedding")
+    val p = df.queryExecution.executedPlan.toString
+    // the projection output itself is a narrow map over the cached
+    // centered frame — no join, no corpus shuffle in the final plan
+    assert(!p.contains("Exchange") || p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("pagerank iterations combine contributions map-side, no cartesian") {
     val p = planOf("graph_pagerank")
     // each iteration's contribution sum is a hash aggregate with a
