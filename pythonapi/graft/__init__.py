@@ -137,6 +137,38 @@ class PgDatabase:
                 return field[1:].decode("utf-8", "replace")
         return "server error"
 
+    def _parse_oids(self, body: bytes) -> list[int]:
+        (nf,) = self._struct.unpack(">h", body[:2])
+        oids, pos = [], 2
+        for _ in range(nf):
+            end = body.index(b"\x00", pos)
+            (oid,) = self._struct.unpack(">i", body[end + 7:end + 11])
+            oids.append(oid)
+            pos = end + 19
+        return oids
+
+    def _decode_row(self, body: bytes, oids: list[int]) -> list:
+        (nf,) = self._struct.unpack(">h", body[:2])
+        row, pos = [], 2
+        for i in range(nf):
+            (n,) = self._struct.unpack(">i", body[pos:pos + 4])
+            pos += 4
+            if n < 0:
+                row.append(None)
+                continue
+            text = body[pos:pos + n].decode("utf-8")
+            pos += n
+            oid = oids[i] if i < len(oids) else 25
+            if oid == 16:
+                row.append(text == "t")
+            elif oid in self._INT_OIDS:
+                row.append(int(text))
+            elif oid in self._FLOAT_OIDS:
+                row.append(float(text))
+            else:
+                row.append(text)
+        return row
+
     def query(self, sql: str) -> list[list]:
         self._sock.sendall(
             b"Q" + self._struct.pack(">i", 5 + len(sql.encode("utf-8")))
@@ -146,34 +178,9 @@ class PgDatabase:
         error = None
         for tag, body in self._messages():
             if tag == b"T":
-                (nf,) = self._struct.unpack(">h", body[:2])
-                oids, pos = [], 2
-                for _ in range(nf):
-                    end = body.index(b"\x00", pos)
-                    (oid,) = self._struct.unpack(">i", body[end + 7:end + 11])
-                    oids.append(oid)
-                    pos = end + 19
+                oids = self._parse_oids(body)
             elif tag == b"D":
-                (nf,) = self._struct.unpack(">h", body[:2])
-                row, pos = [], 2
-                for i in range(nf):
-                    (n,) = self._struct.unpack(">i", body[pos:pos + 4])
-                    pos += 4
-                    if n < 0:
-                        row.append(None)
-                        continue
-                    text = body[pos:pos + n].decode("utf-8")
-                    pos += n
-                    oid = oids[i] if i < len(oids) else 25
-                    if oid == 16:
-                        row.append(text == "t")
-                    elif oid in self._INT_OIDS:
-                        row.append(int(text))
-                    elif oid in self._FLOAT_OIDS:
-                        row.append(float(text))
-                    else:
-                        row.append(text)
-                rows.append(row)
+                rows.append(self._decode_row(body, oids))
             elif tag == b"E":
                 error = self._err(body)
             elif tag == b"Z":
@@ -183,6 +190,75 @@ class PgDatabase:
         raise Error("connection closed mid-query")
 
     execute = query
+
+    def cursor(self, sql: str, fetch_size: int = 256):
+        """Iterate a query's rows INCREMENTALLY via extended-protocol
+        partial fetch (Execute maxRows → PortalSuspended → re-Execute):
+        only ``fetch_size`` rows are in flight at a time, so a result far
+        bigger than client memory streams through — the same conversation
+        pgJDBC has with ``setFetchSize``. Yields typed rows like
+        :meth:`query`. The portal is cleaned up (Sync) when iteration
+        finishes, errors, or the generator is closed early.
+        """
+        s = self._struct
+
+        def frame(tag: bytes, payload: bytes) -> bytes:
+            return tag + s.pack(">i", 4 + len(payload)) + payload
+
+        def sync_and_drain():
+            self._sock.sendall(frame(b"S", b""))
+            err = None
+            for tag, body in self._messages():
+                if tag == b"E":
+                    err = self._err(body)
+                if tag == b"Z":
+                    return err
+
+        enc = sql.encode("utf-8")
+        self._sock.sendall(
+            frame(b"P", b"\x00" + enc + b"\x00" + s.pack(">h", 0))
+            + frame(b"B", b"\x00\x00" + s.pack(">hhh", 0, 0, 0))
+            + frame(b"D", b"P\x00") + frame(b"H", b""))
+        oids: list[int] = []
+        synced = False
+        try:
+            # expect ParseComplete, BindComplete, RowDescription | NoData
+            while True:
+                tag, body = next(self._messages())
+                if tag == b"E":
+                    synced = True
+                    sync_and_drain()
+                    raise Error(self._err(body))
+                if tag == b"T":
+                    oids = self._parse_oids(body)
+                    break
+                if tag == b"n":
+                    break
+            while True:
+                self._sock.sendall(
+                    frame(b"E", b"\x00" + s.pack(">i", fetch_size))
+                    + frame(b"H", b""))
+                outcome = None
+                for tag, body in self._messages():
+                    if tag == b"D":
+                        yield self._decode_row(body, oids)
+                    elif tag in (b"s", b"C"):
+                        outcome = tag
+                        break
+                    elif tag == b"E":
+                        synced = True
+                        err = self._err(body)
+                        sync_and_drain()
+                        raise Error(err)
+                if outcome == b"C":
+                    break
+            synced = True
+            err = sync_and_drain()
+            if err is not None:
+                raise Error(err)
+        finally:
+            if not synced:  # generator closed early: resync the session
+                sync_and_drain()
 
     def close(self) -> None:
         try:

@@ -49,12 +49,37 @@ def test_pg_protocol(port: int) -> None:
         assert ts == [["2024-01-02 03:04:05", "2024-01-02 03:04:05.25"]], ts
 
 
+def test_pg_cursor(port: int) -> None:
+    db = graft.open(port=port, wire="pg")
+    with db:
+        # incremental fetch: 10 rows through fetch_size=3 arrive complete,
+        # ordered and typed, across 4 Execute/PortalSuspended round trips
+        got = list(db.cursor("select id from range(0, 10) order by id",
+                             fetch_size=3))
+        assert got == [[i] for i in range(10)], got
+        # early close mid-stream resyncs the session for the next query
+        cur = db.cursor("select id from range(0, 1000) order by id",
+                        fetch_size=2)
+        assert next(cur) == [0]
+        cur.close()
+        assert db.query("select 7 as x") == [[7]]
+        # errors surface as graft.Error and leave the session usable
+        try:
+            list(db.cursor("select nope"))
+            raise SystemExit("expected graft.Error")
+        except graft.Error:
+            pass
+        assert db.query("select 8 as x") == [[8]]
+
+
 def main() -> None:
     port = int(os.environ.get("GRAFT_PORT", "5433"))
     test_line_protocol(port)
     print("PY OK")
     test_pg_protocol(port)
     print("PG OK")
+    test_pg_cursor(port)
+    print("CURSOR OK")
 
 
 if __name__ == "__main__":

@@ -68,7 +68,8 @@ class PythonClientSpec extends AnyFunSuite {
         Map("PYTHONPATH" -> pythonPath,
           "GRAFT_PORT" -> server.getLocalPort.toString))
       assert(code == 0, s"python client tests failed (from $pythonPath):\n$out")
-      assert(out.contains("PY OK") && out.contains("PG OK"), out)
+      assert(out.contains("PY OK") && out.contains("PG OK") &&
+        out.contains("CURSOR OK"), out)
       assert(installed, "pip unavailable: ran from source tree, not an installed copy")
     } finally server.close()
   }
