@@ -121,6 +121,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // exchange. The greedy cols group backtracks past the tail.
   private val reCreateTable =
     """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s*)?""".r
+  // CTAS (pg surface; the reference binder has CREATE TABLE only with a
+  // column list): schema comes from the analyzed query, data writes in
+  // the same pass, optional bucket layout before AS (Spark/Hive order)
+  private val reCreateTableAs =
+    """(?is)\s*create\s+table\s+(\w+)\s+(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s+)?as\s+(.+)""".r
   // optional column-alias list (reference create_view.rs binds
   // `CREATE VIEW v (a, b) AS ...` — tpch/q15.sql `revenue0`)
   private val reCreateView =
@@ -179,6 +184,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDescribe(name) =>
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
+    case reCreateTableAs(name, bCol, bN, query) =>
+      createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query)
     case reCreateTable(name, colsSpec, bCol, bN) =>
       createTable(name, colsSpec,
         Option(bCol).map(c => (c, bN.toInt)))
@@ -530,6 +537,44 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     register(name)
     saveManifest()
     emptyResult
+  }
+
+  /** CREATE TABLE ... AS <query>: schema from the analyzed query, data
+    * written in the SAME distributed pass (rows_affected rides the write
+    * as an observe metric — no second scan), optional bucket layout
+    * honored by writing through the catalog entry like every other write
+    * path. The query runs through the full statement pipeline (`run`),
+    * so UDF inlining, views, and the vector IndexScan tier all apply.
+    */
+  private def createTableAs(name: String, bucketSpec: Option[(String, Int)],
+      query: String): DataFrame = {
+    require(!tables.contains(name) && !views.contains(name),
+      s"table or view already exists: $name")
+    val df = run(query)
+    val schema = df.schema
+    bucketSpec.foreach { case (c, n) =>
+      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"CLUSTERED BY: unknown column $c in $name")
+      require(n > 0, s"CLUSTERED BY: bucket count must be positive, got $n")
+    }
+    tables(name) = (schema, Seq.empty)
+    bucketSpec.foreach { case (c, n) =>
+      buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
+    }
+    try {
+      Files.createDirectories(Paths.get(tableDir(name)))
+      register(name)
+      val obs = org.apache.spark.sql.Observation()
+      appendTo(name, df.observe(obs, count(lit(1)).as("n")))
+      refresh(name)
+      saveManifest()
+      rowCountResult(observedCount(obs))
+    } catch {
+      case e: Exception => // failed write: don't leave a phantom catalog entry
+        tables.remove(name); buckets.remove(name)
+        spark.sql(s"DROP TABLE IF EXISTS `$name`")
+        throw e
+    }
   }
 
   private def drop(kind: String, name: String): DataFrame = {

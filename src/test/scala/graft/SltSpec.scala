@@ -95,6 +95,8 @@ class SltSpec extends AnyFunSuite {
     // round-5: DML-triangle extension + SQL text-hash kernels
     "update.slt", "text_functions.slt",
     // round-9: on-demand compaction / z-order maintenance
-    "optimize.slt", "bucketing.slt", "merge.slt")
+    "optimize.slt", "bucketing.slt", "merge.slt",
+    // round-11: CREATE TABLE AS SELECT
+    "ctas.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
