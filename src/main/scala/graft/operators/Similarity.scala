@@ -283,6 +283,48 @@ object Similarity {
     */
   def principalComponent(df: DataFrame, idCol: String = "vec_id",
       vecCol: String = "embedding", iters: Int = 12): DataFrame = {
+    val f = fitTopComponent(df, idCol, vecCol, iters)
+    val vLit = array(f.v.map(x => lit(x.toLong)): _*)
+    f.y.select(col("id").as(idCol),
+      round(aggregate(zip_with(col("yv"), vLit, (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t).cast("double") / 1e6, 6).as("pc1_proj"))
+  }
+
+  /** "All-but-the-top" residual (Mu & Viswanath 2018): per vector, the
+    * squared L2 norm of the centered embedding with its top-principal-
+    * component projection REMOVED — the standard embedding postprocess
+    * (dominant-direction removal) and the orthogonal-distance outlier
+    * score (how far a point sits off the principal line). Shares the
+    * fixed-point fit with [[principalComponent]]; the residual itself
+    * stays exact integers until one per-element division, and the
+    * per-row square sum rides micro-fixed-point so it is identical in
+    * any engine/evaluation order. The eigenvector is truncated to
+    * milli-scale for the residual formula so every intermediate fits
+    * LONG (bounds in the fit's docs).
+    */
+  def principalResidual(df: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding", iters: Int = 12): DataFrame = {
+    val f = fitTopComponent(df, idCol, vecCol, iters)
+    val vk = f.v.map(x => ((x - (x % 1000)) / 1000).toLong)
+    val w1k = vk.map(x => x * x).sum
+    val vLit = array(vk.map(lit): _*)
+    val scale = 100.0 * f.n * w1k
+    f.y
+      .withColumn("_p", aggregate(zip_with(col("yv"), vLit, (a, b) => a * b),
+        lit(0L), (acc, t) => acc + t))
+      .select(col("id").as(idCol),
+        round(aggregate(zip_with(col("yv"), vLit, (y, v) => {
+          // corrected_j in natural units: (y_j·W − p·v_j) / (100·n·W)
+          val dd = (y * w1k - col("_p") * v).cast("double") / scale
+          round(dd * dd * 1e12).cast("long")
+        }), lit(0L), (acc, t) => acc + t).cast("double") / 1e12, 6)
+          .as("resid_norm2"))
+  }
+
+  private case class Pc1Fit(y: DataFrame, v: Array[BigInt], d: Int, n: Long)
+
+  private def fitTopComponent(df: DataFrame, idCol: String, vecCol: String,
+      iters: Int): Pc1Fit = {
     val q = df.select(col(idCol).as("id"),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * 100).cast("long")).as("xq"))
@@ -310,10 +352,7 @@ object Similarity {
       if (m != 0) v = w.map { x => val a = x * 1000000; (a - (a % m)) / m }
       else v = w
     }
-    val vLit = array(v.map(x => lit(x.toLong)): _*)
-    y.select(col("id").as(idCol),
-      round(aggregate(zip_with(col("yv"), vLit, (a, b) => a * b),
-        lit(0L), (acc, t) => acc + t).cast("double") / 1e6, 6).as("pc1_proj"))
+    Pc1Fit(y, v, d, n)
   }
 
   /** Product-quantization codebook: per subspace `s`, the codewords are

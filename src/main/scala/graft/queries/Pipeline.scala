@@ -322,6 +322,50 @@ object Pipeline {
              |FROM y, (SELECT v FROM pi WHERE it = 12)
              |ORDER BY vec_id""".stripMargin)),
 
+    // "all-but-the-top" residual: squared distance of each centered
+    // embedding from the principal line — dominant-direction removal /
+    // orthogonal outlier score. Same recursive-CTE fit as
+    // embed_pca_project, extended with the milli-truncated eigenvector
+    // residual formula; per-row square sums ride micro-fixed-point so
+    // evaluation order can't matter.
+    "embed_pca_residual" -> Q(
+      (s, d) => Similarity.principalResidual(
+          t(s, d, "embeddings"), "vec_id", "embedding", iters = 12)
+        .orderBy("vec_id"),
+      Some("""WITH RECURSIVE
+             |q AS (SELECT vec_id AS id, [CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT) for x in embedding] AS xq FROM embeddings),
+             |nn AS (SELECT COUNT(*) AS n FROM q),
+             |dimsum AS (SELECT j, SUM(xq[j+1]) AS s FROM q, generate_series(0, 63) t(j) GROUP BY j),
+             |sl AS (SELECT list(s ORDER BY j) AS sv FROM dimsum),
+             |y AS (SELECT id, [xq[j+1] * n - sv[j+1] for j in generate_series(0, 63)] AS yv FROM q, nn, sl),
+             |cov AS (SELECT j*64 + k AS pos, SUM(yv[j+1] * yv[k+1]) AS c
+             |        FROM y, generate_series(0,63) tj(j), generate_series(0,63) tk(k)
+             |        GROUP BY pos),
+             |cl AS (SELECT list(c ORDER BY pos) AS cv FROM cov),
+             |pi(it, v) AS (
+             |  SELECT 0, [CAST(1000000 AS HUGEINT) for j in generate_series(0, 63)]
+             |  UNION ALL
+             |  SELECT it + 1,
+             |    CASE WHEN m = 0 THEN wv
+             |         ELSE [(x * 1000000 - ((x * 1000000) % m)) // m for x in wv] END
+             |  FROM (SELECT it, wv, list_max([abs(x) for x in wv]) AS m
+             |        FROM (SELECT it,
+             |                [list_sum([CAST(cv[j*64+k+1] AS HUGEINT) * v[k+1] for k in generate_series(0,63)])
+             |                 for j in generate_series(0,63)] AS wv
+             |              FROM pi, cl WHERE it < 12))
+             |),
+             |vk AS (SELECT [CAST((x - (x % 1000)) // 1000 AS BIGINT) for x in v] AS vkv
+             |       FROM (SELECT v FROM pi WHERE it = 12)),
+             |w1 AS (SELECT list_sum([x * x for x in vkv]) AS w1k FROM vk),
+             |pr AS (SELECT id, yv, list_sum([yv[j+1] * vkv[j+1] for j in generate_series(0,63)]) AS p
+             |       FROM y, vk)
+             |SELECT id AS vec_id,
+             |  round(CAST(list_sum(list_transform(
+             |    [CAST(yv[j+1] * w1k - p * vkv[j+1] AS DOUBLE) / (100.0 * n * w1k) for j in generate_series(0,63)],
+             |    dd -> CAST(round(dd * dd * 1000000000000.0) AS BIGINT))) AS DOUBLE) / 1000000000000.0, 6) AS resid_norm2
+             |FROM pr, vk, w1, nn
+             |ORDER BY vec_id""".stripMargin)),
+
     // k-means clustering as a first-class operator (1 Lloyd iteration over
     // the deterministic first-k seeding; fixed-point per-dim means keep the
     // trained centroids bit-identical at any partitioning, so the oracle

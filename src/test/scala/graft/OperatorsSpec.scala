@@ -471,6 +471,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re == proj)
   }
 
+  test("principalResidual: on-line points score ~0, off-line outliers score high") {
+    import spark.implicits._
+    // 20 points exactly on a line through the origin plus one far
+    // off-line outlier: residuals ≈ 0 on the line, large for the outlier
+    val pts = (0 until 20).map { i =>
+      val tpos = (i - 10).toDouble
+      (i.toLong, Seq(0.6 * tpos, 0.8 * tpos, 0.0, 0.0).map(_.toFloat))
+    } :+ (99L, Seq(0.0f, 0.0f, 5.0f, 0.0f))
+    val df = pts.toDF("vec_id", "embedding")
+    val r = Similarity.principalResidual(df, "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    val onLine = (0 until 20).map(i => r(i.toLong))
+    assert(onLine.max < 2.0, onLine.max) // centi-quantization floor only
+    assert(r(99L) > 10 * onLine.max, (r(99L), onLine.max))
+    // partition-invariant (fixed-point arithmetic end to end)
+    val re = Similarity.principalResidual(df.repartition(5), "vec_id", "embedding")
+      .collect().map(x => x.getLong(0) -> x.getDouble(1)).toMap
+    assert(re == r)
+  }
+
   test("indexProbe centroids cover the space: far-corner queries keep recall") {
     import spark.implicits._
     // a diagonal grid: lexicographic centroid selection would take the 10
