@@ -159,6 +159,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)when\s+matched\s+then\s+delete\s*""".r
   private val reWhenNotMatchedInsert =
     """(?is)when\s+not\s+matched\s+then\s+insert\s*(?:\(([^)]*)\))?\s*values\s*\((.+)\)\s*""".r
+  // extension: ALTER TABLE / TRUNCATE (everyday pg DDL the reference
+  // binder lacks). ADD/DROP COLUMN are metadata-only (parquet resolves
+  // columns by name, so absent columns read NULL and orphaned ones are
+  // ignored); RENAME COLUMN rewrites the data through the same swap as
+  // DELETE (name-based resolution would null the column otherwise —
+  // production-grade column mapping à la iceberg is the zero-rewrite
+  // path); RENAME TO moves the directory + every catalog reference.
+  private val reAlterAddCol =
+    """(?is)\s*alter\s+table\s+(\w+)\s+add\s+column\s+(\w+)\s+(.+)""".r
+  private val reAlterDropCol =
+    """(?is)\s*alter\s+table\s+(\w+)\s+drop\s+column\s+(\w+)\s*""".r
+  private val reAlterRenameCol =
+    """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*""".r
+  private val reAlterRenameTable =
+    """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*""".r
+  private val reTruncate = """(?is)\s*truncate\s+(?:table\s+)?(\w+)\s*""".r
   // extension: on-demand warehouse maintenance (the reference's LSM
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
@@ -225,6 +241,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       update(table, setList, cond)
     case reMerge(tgt, src, rest) if tables.contains(tgt) =>
       merge(tgt, src, rest)
+    case reAlterAddCol(table, colName, typeSpec) if tables.contains(table) =>
+      alterAddColumn(table, colName, typeSpec)
+    case reAlterDropCol(table, colName) if tables.contains(table) =>
+      alterDropColumn(table, colName)
+    case reAlterRenameCol(table, from, to) if tables.contains(table) =>
+      alterRenameColumn(table, from, to)
+    case reAlterRenameTable(from, to) if tables.contains(from) =>
+      alterRenameTable(from, to)
+    case reTruncate(table) if tables.contains(table) =>
+      truncate(table)
     case reOptimize(table, za, zb, nf) if tables.contains(table) =>
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
@@ -575,6 +601,104 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         throw e
     }
+  }
+
+  /** ADD COLUMN (nullable only — NOT NULL over existing rows needs a
+    * DEFAULT, which pg stores as metadata; unsupported here): schema-only
+    * change, old files read NULL for the new column by name resolution.
+    */
+  private def alterAddColumn(table: String, colName: String,
+      typeSpec: String): DataFrame = {
+    val (schema, pk) = tables(table)
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
+      s"column already exists: $colName")
+    require(!typeSpec.toLowerCase.contains("not null"),
+      "ADD COLUMN ... NOT NULL requires a DEFAULT (unsupported)")
+    tables(table) = (schema.add(StructField(colName, parseType(typeSpec),
+      nullable = true)), pk)
+    register(table)
+    saveManifest()
+    emptyResult
+  }
+
+  /** DROP COLUMN: rewrites the data with the column projected out,
+    * through the same materialize-then-swap commit as DELETE. A
+    * metadata-only drop (leave the parquet column orphaned) would be
+    * O(1) — but a later ADD COLUMN with the same name RESURRECTS the
+    * dropped values through name-based resolution, silent wrong data;
+    * zero-rewrite drops need column-mapping metadata (iceberg/delta).
+    * The bucket column and PK members are load-bearing and refuse to
+    * drop (pg parity: dependent constraints block a drop).
+    */
+  private def alterDropColumn(table: String, colName: String): DataFrame = {
+    val (schema, pk) = tables(table)
+    val field = schema.fieldNames.find(_.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    require(schema.length > 1, "cannot drop the only column")
+    require(!buckets.get(table).exists(_._1.equalsIgnoreCase(colName)),
+      s"cannot drop the CLUSTERED BY column $colName")
+    require(!pk.exists(_.equalsIgnoreCase(colName)),
+      s"cannot drop primary key column $colName")
+    val narrowed = spark.table(table).drop(field)
+    tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
+    register(table)
+    rewriteSwap(table, narrowed)
+    saveManifest()
+    emptyResult
+  }
+
+  /** RENAME COLUMN: parquet resolves by name, so the data REWRITES through
+    * the same materialize-then-swap commit as DELETE — correct at any
+    * size, though O(table); zero-rewrite renames need column-mapping
+    * metadata (the iceberg/delta approach), documented trade.
+    */
+  private def alterRenameColumn(table: String, from: String, to: String)
+      : DataFrame = {
+    val (schema, pk) = tables(table)
+    val field = schema.fieldNames.find(_.equalsIgnoreCase(from))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $from"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column already exists: $to")
+    val renamed = spark.table(table).withColumnRenamed(field, to)
+    tables(table) = (StructType(schema.map(f =>
+      if (f.name == field) f.copy(name = to) else f)),
+      pk.map(p => if (p.equalsIgnoreCase(from)) to else p))
+    buckets.get(table).foreach { case (c, n) =>
+      if (c.equalsIgnoreCase(from)) buckets(table) = (to, n)
+    }
+    register(table)
+    rewriteSwap(table, renamed)
+    saveManifest()
+    emptyResult
+  }
+
+  /** RENAME TO: move the directory and every catalog reference (bucket
+    * spec, indexes); the single-writer lock serializes it against readers.
+    */
+  private def alterRenameTable(from: String, to: String): DataFrame = {
+    require(!tables.contains(to) && !views.contains(to),
+      s"table or view already exists: $to")
+    spark.sql(s"DROP TABLE IF EXISTS `$from`")
+    spark.catalog.dropTempView(from)
+    Files.move(Paths.get(tableDir(from)), Paths.get(tableDir(to)))
+    tables(to) = tables.remove(from).get
+    buckets.remove(from).foreach(b => buckets(to) = b)
+    indexes.keys.toSeq.foreach { ix =>
+      val (t, c, m, o) = indexes(ix)
+      if (t.equalsIgnoreCase(from)) indexes(ix) = (to, c, m, o)
+    }
+    register(to)
+    saveManifest()
+    emptyResult
+  }
+
+  /** TRUNCATE: drop every data file, keep the schema/layout — one row-less
+    * table dir, no per-row work at any size.
+    */
+  private def truncate(table: String): DataFrame = {
+    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
+    refresh(table)
+    emptyResult
   }
 
   private def drop(kind: String, name: String): DataFrame = {

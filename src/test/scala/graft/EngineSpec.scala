@@ -457,6 +457,20 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
   }
 
+  test("ALTER TABLE changes survive an engine restart") {
+    val dir = freshDir("/root/repo/target/graft-tmp/alter-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table am(a int not null, b varchar)")
+    first.run("insert into am values (1, 'x')")
+    first.run("alter table am add column c double")
+    first.run("alter table am rename column b to label")
+    first.run("alter table am rename to am2")
+    val again = new Engine(spark, dir)
+    val r = again.run("select a, label, c from am2").collect()(0)
+    assert(r.getInt(0) == 1 && r.getString(1) == "x" && r.isNullAt(2))
+    again.run("drop table am2")
+  }
+
   test("bucket spec survives an engine restart") {
     val dir = freshDir("/root/repo/target/graft-tmp/bucket-warehouse")
     val first = new Engine(spark, dir)
