@@ -63,4 +63,27 @@ object PropertySpec extends Properties("Hashing") {
     val sa = r.getSeq[Long](0); val sb = r.getSeq[Long](1)
     sa.zip(sb).forall { case (x, y) => x <= y }
   }
+
+  // COPY TEXT codec: encode → decode is the identity for ANY payload and
+  // ANY legal delimiter, incl. payloads containing the delimiter, raw
+  // controls, backslashes, and the \N / \. magic strings — the native
+  // byte parser must split on unescaped delimiters only
+  private val delim = Gen.oneOf('\t', '|', ',', ';', ' ', ':')
+  private val nastyField = Gen.listOfN(6, Gen.oneOf(
+    Gen.alphaNumChar, Gen.oneOf('\\', '\t', '\n', '\r', '|', ',', ' ',
+      'N', '.', '\u0008', '\u000B', '\u000C'))).map(_.mkString)
+
+  property("pg TEXT round-trips any payload under any delimiter") =
+    forAll(Gen.listOfN(5, Gen.zip(nastyField, nastyField)), delim) { (rows, d) =>
+      rows.isEmpty || {
+        import org.apache.spark.sql.types._
+        val df = rows.toDF("a", "b")
+        val schema = StructType(Seq(StructField("a", StringType),
+          StructField("b", StringType)))
+        val back = graft.engine.PgText.decodeLines(
+          graft.engine.PgText.encodeLines(df, d.toString), schema, d.toString)
+          .collect().map(r => (r.getString(0), r.getString(1))).toSet
+        back == rows.toSet
+      }
+    }
 }

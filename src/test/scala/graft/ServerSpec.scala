@@ -631,6 +631,45 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("a stalled client draining a big result no longer blocks DML") {
+    val dir = freshDir("/root/repo/target/graft-tmp/stall-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-stall-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val stalled = new PgClient(server.getLocalPort)
+    val writer = new PgClient(server.getLocalPort)
+    try {
+      stalled.startup()
+      writer.startup()
+      writer.query("create table st(v bigint)")
+      // a result far larger than kernel socket buffers, sent to a client
+      // that reads NOTHING: the server's send blocks on TCP backpressure.
+      // Pre-r11 the read lock was held for the whole drain, so the
+      // writer's DML below would block until the stalled client drained.
+      stalled.out.writeByte('Q')
+      val q = "select id, repeat('x', 64) as pad from range(0, 500000) "
+        .getBytes(StandardCharsets.UTF_8)
+      stalled.out.writeInt(4 + q.length); stalled.out.write(q); stalled.out.flush()
+      Thread.sleep(500) // let the statement start producing
+      val t0 = System.nanoTime()
+      val r = writer.query("insert into st values (1)")
+      val insertMs = (System.nanoTime() - t0) / 1e6
+      assert(r.map(_._1).contains('C'), r.map(_._1).mkString)
+      // the insert must complete while the reader is still stalled —
+      // bounded by engine production speed, not the (never-draining)
+      // client. Generous bound: well under the stall duration.
+      assert(insertMs < 60000, s"insert blocked ${insertMs}ms behind a stalled reader")
+      assert(writer.query("select count(*) as c from st").map(_._1) ==
+        Seq('T', 'D', 'C', 'Z'))
+    } finally {
+      stalled.close()
+      writer.close()
+      server.close()
+    }
+  }
+
   test("concurrent clients: parallel reads under the statement lock") {
     val dir = freshDir("/root/repo/target/graft-tmp/conc-warehouse")
     val engine = new Engine(spark, dir)
