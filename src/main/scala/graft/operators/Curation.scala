@@ -274,6 +274,33 @@ object Curation {
           .as("bits_per_bigram"))
   }
 
+  /** CCNet-style perplexity bucketing: within each domain, rank documents
+    * by [[lmPerplexity]] score and label the best third `head`, then
+    * `middle`, then `tail` — the published CCNet selection scheme
+    * (keep head+middle, drop or down-weight tail). Tercile boundaries are
+    * pure integer rank arithmetic (`3·rk ≤ n`, `3·rk ≤ 2n`), ties broken
+    * by id — deterministic in any engine, no float thresholds.
+    *
+    * Scale: the scorer's shuffles plus ONE rank window partitioned by
+    * domain (domains are few and fat — the spill-safe sort-window trade
+    * documented at lengthQuantiles). Documents with no bigrams (< 2
+    * tokens) are unscored and carry no bucket.
+    */
+  def perplexityBuckets(df: DataFrame, idCol: String, textCol: String,
+      domainCol: String): DataFrame = {
+    val scored = lmPerplexity(df, idCol, textCol)
+      .join(df.select(col(idCol), col(domainCol)), idCol)
+    val byDom = Window.partitionBy(col(domainCol))
+    scored
+      .withColumn("_rk", row_number().over(
+        byDom.orderBy(col("bits_per_bigram"), col(idCol))))
+      .withColumn("_n", count(lit(1)).over(byDom))
+      .select(col(idCol), col(domainCol), col("bits_per_bigram"),
+        when(col("_rk") * 3 <= col("_n"), "head")
+          .when(col("_rk") * 3 <= col("_n") * 2, "middle")
+          .otherwise("tail").as("ppl_bucket"))
+  }
+
   /** Domain mixing weights: per-domain doc/token counts plus the
     * resampling weight that would equalize token mass across domains
     * (weight = corpus_tokens / n_domains / domain_tokens). The corpus

@@ -366,6 +366,43 @@ object Pipeline {
              |FROM pr, vk, w1, nn
              |ORDER BY vec_id""".stripMargin)),
 
+    // CCNet perplexity buckets: per-language terciles of the LM score,
+    // integer rank arithmetic only — the oracle extends the LM CTE with
+    // the same window.
+    "curation_ppl_buckets" -> Q(
+      (s, d) => graft.operators.Curation.perplexityBuckets(
+          t(s, d, "documents"), "doc_id", "text", "lang")
+        .orderBy("doc_id"),
+      Some(s"""WITH tk AS (SELECT doc_id, lang, $toks AS tks FROM documents),
+              |g2 AS (SELECT doc_id, CASE WHEN len(tks) >= 2
+              |  THEN [array_to_string(list_slice(tks, i+1, i+2), ' ') for i in generate_series(0, len(tks)-2)]
+              |  ELSE [array_to_string(tks, ' ')] END AS grams FROM tk),
+              |occ AS (SELECT doc_id, gram
+              |  FROM (SELECT doc_id, unnest(grams) AS gram FROM g2)
+              |  WHERE contains(gram, ' ')),
+              |bi AS (SELECT gram, COUNT(*) AS n_pair FROM occ GROUP BY gram),
+              |ctx AS (SELECT split_part(gram, ' ', 1) AS w1, SUM(n_pair) AS n_ctx
+              |  FROM bi GROUP BY w1),
+              |vocab AS (SELECT COUNT(DISTINCT tok) AS v
+              |  FROM (SELECT unnest(tks) AS tok FROM tk)),
+              |sc AS (SELECT occ.doc_id,
+              |  round(CAST(SUM(CAST(round((log2(n_ctx + v) - log2(n_pair + 1))
+              |    * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT(*), 6)
+              |    AS bits_per_bigram
+              |  FROM occ JOIN bi USING (gram)
+              |  JOIN ctx ON split_part(occ.gram, ' ', 1) = ctx.w1
+              |  CROSS JOIN vocab GROUP BY occ.doc_id),
+              |rk AS (SELECT sc.doc_id, tk.lang, sc.bits_per_bigram,
+              |  ROW_NUMBER() OVER (PARTITION BY tk.lang
+              |    ORDER BY sc.bits_per_bigram, sc.doc_id) AS r,
+              |  COUNT(*) OVER (PARTITION BY tk.lang) AS n
+              |  FROM sc JOIN tk ON sc.doc_id = tk.doc_id)
+              |SELECT doc_id, lang, bits_per_bigram,
+              |  CASE WHEN r * 3 <= n THEN 'head'
+              |       WHEN r * 3 <= n * 2 THEN 'middle'
+              |       ELSE 'tail' END AS ppl_bucket
+              |FROM rk ORDER BY doc_id""".stripMargin)),
+
     // k-means clustering as a first-class operator (1 Lloyd iteration over
     // the deterministic first-k seeding; fixed-point per-dim means keep the
     // trained centroids bit-identical at any partitioning, so the oracle

@@ -471,6 +471,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re == proj)
   }
 
+  test("perplexityBuckets: terciles partition each domain, noise lands in tail") {
+    import spark.implicits._
+    val corpus = ((1 to 6).map(i =>
+      (i.toLong, "the cat sat on the mat and slept well " + ("again " * i).trim, "en")) :+
+      (7L, "zq xv qj wk bn mp zz qx vv kj", "en") :+   // unique-bigram noise
+      (8L, "uno dos tres cuatro cinco seis", "es") :+
+      (9L, "uno dos tres cuatro cinco siete", "es") :+
+      (10L, "uno dos tres ocho nueve diez", "es"))
+      .toDF("doc_id", "text", "lang")
+    val out = Curation.perplexityBuckets(corpus, "doc_id", "text", "lang")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(3))).toMap
+    // per-domain tercile mass: 7 en docs → 2 head, 2 middle, 3 tail
+    val en = out.filter(_._2._1 == "en").values.map(_._2).toSeq
+    assert(en.count(_ == "head") == 2 && en.count(_ == "middle") == 2 &&
+      en.count(_ == "tail") == 3, en)
+    // the all-singleton-bigram noise doc is the worst-scored: tail
+    assert(out(7L)._2 == "tail", out(7L))
+    val es = out.filter(_._2._1 == "es").values.map(_._2).toSeq
+    assert(es.count(_ == "head") == 1 && es.count(_ == "middle") == 1 &&
+      es.count(_ == "tail") == 1, es)
+  }
+
   test("principalResidual: on-line points score ~0, off-line outliers score high") {
     import spark.implicits._
     // 20 points exactly on a line through the origin plus one far
