@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Hashing
@@ -111,6 +112,36 @@ object Search {
     * aggregate absorbs the per-doc repetition map-side, and a stop-word
     * df cap (filter on df after the roll-up) bounds postings width.
     */
+  /** Per-document top-k tf-idf terms — keyword extraction, the classic
+    * "what is this document about" signal (topicality features for
+    * mixing, cluster labeling, weak supervision). Score = tf · ln(N/df),
+    * rounded to 6 decimals BEFORE ranking so the (score desc, term asc)
+    * order — and therefore the rank — is engine-independent.
+    *
+    * Scale: tf is one explode into a map-side-combined (doc, term)
+    * aggregate; document frequencies are vocabulary-bounded and attach
+    * by BROADCAST; the rank window partitions by document, whose term
+    * set is bounded by the document itself — never a corpus-wide window.
+    */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 3): DataFrame = {
+    require(k > 0, s"tfidfTopTerms: k must be positive, got $k")
+    val tf = docs
+      .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(count(lit(1)).as("n"))
+    val byDoc = Window.partitionBy(col(idCol))
+    tf.join(broadcast(dfq), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n").cast("double") / col("df")), 6))
+      .withColumn("rank", row_number().over(
+        byDoc.orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tfidf"))
+  }
+
   def invertedIndex(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs
       .select(col(idCol), explode(Hashing.tokens(col(textCol))).as("term"))

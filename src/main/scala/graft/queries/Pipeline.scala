@@ -561,6 +561,27 @@ object Pipeline {
               |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
               |FROM tf GROUP BY term ORDER BY term""".stripMargin)),
 
+    // per-doc top-3 tf-idf keywords: scores round to 6 decimals BEFORE
+    // the (score desc, term) rank so the ordering — and the emitted rank
+    // — is engine-independent; df attaches by broadcast, the rank window
+    // partitions by document (bounded by the document's own vocabulary)
+    "search_tfidf_terms" -> Q(
+      (s, d) => graft.operators.Search.tfidfTopTerms(
+          t(s, d, "documents"), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rank"),
+      Some(s"""WITH tk AS (SELECT doc_id, unnest($toks) AS term FROM documents),
+              |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tk GROUP BY doc_id, term),
+              |dfq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+              |nn AS (SELECT COUNT(*) AS n FROM documents),
+              |sc AS (SELECT tf.doc_id, tf.term, tf.tf,
+              |  round(tf.tf * ln(CAST(n AS DOUBLE) / df), 6) AS tfidf
+              |  FROM tf JOIN dfq USING (term) CROSS JOIN nn),
+              |rk AS (SELECT doc_id, term, tfidf,
+              |  ROW_NUMBER() OVER (PARTITION BY doc_id
+              |    ORDER BY tfidf DESC, term) AS "rank" FROM sc)
+              |SELECT doc_id, "rank", term, tfidf FROM rk
+              |WHERE "rank" <= 3 ORDER BY doc_id, "rank"""".stripMargin)),
+
     // conjunctive keyword search: ALL terms present — a single narrow
     // scan-and-filter, zero shuffles (PlanGolden pins the shape)
     "search_boolean_and" -> Q(

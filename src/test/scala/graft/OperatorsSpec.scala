@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
-import graft.operators.{Curation, Dedup, Graph, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Curation, Dedup, Graph, Multimodal, Search, Similarity, TextAnalysis}
 
 /** Behavioral specs for the pipeline operators (beyond "it runs"). */
 class OperatorsSpec extends AnyFunSuite {
@@ -469,6 +469,26 @@ class OperatorsSpec extends AnyFunSuite {
     val re = Similarity.principalComponent(df.repartition(5), "vec_id", "embedding")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(re == proj)
+  }
+
+  test("tfidfTopTerms: rare distinguishing terms outrank ubiquitous ones") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "the quantum engine uses the flux core the core"),
+      (2L, "the garden grows the tomato and the tomato wins"),
+      (3L, "the report is about the budget and the budget gap"))
+      .toDF("doc_id", "text")
+    val out = Search.tfidfTopTerms(corpus, "doc_id", "text", k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getString(2)).toMap
+    // 'the' appears in every doc (idf = 0) and can never be a keyword;
+    // each doc's repeated distinctive term ranks first
+    assert(out((1L, 1)) == "core", out)
+    assert(out((2L, 1)) == "tomato", out)
+    assert(out((3L, 1)) == "budget", out)
+    assert(!out.values.toSet.contains("the"), out)
+    // exactly k rows per doc, ranks dense from 1
+    val ranks = out.keys.groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted)
+    assert(ranks.values.forall(_ == Seq(1, 2)), ranks.toMap)
   }
 
   test("perplexityBuckets: terciles partition each domain, noise lands in tail") {
