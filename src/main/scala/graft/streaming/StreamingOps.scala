@@ -281,6 +281,49 @@ object StreamingOps {
       }
       .toDF()
   }
+
+  /** Streaming curation — the streaming twin of `Curation.curate`'s
+    * filter/redact/dedup stages, for ingesting a live crawl: the quality
+    * gate and PII redaction are STATELESS narrow expressions that fuse
+    * into the stream scan; exact near-dup suppression keys one tiny
+    * state cell per text hash (`mapGroupsWithState`-style first-wins),
+    * so a document seen in ANY earlier micro-batch — or earlier in the
+    * same batch, lowest id wins, matching the batch operator's
+    * row_number-over-hash rule — never re-emits. Output (append mode):
+    * one (doc_id, redacted, n_redacted) row per surviving document.
+    *
+    * Scale: state is one (hash → id) entry per distinct document —
+    * the same mass the batch dedup shuffles, held in the state store;
+    * everything else is scan-speed per-row work.
+    */
+  def curateStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", qualityMin: Double = 0.0,
+      piiPattern: String = """\d{3}-\d{2}-\d{4}"""): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val cleaned = docs
+      .filter(graft.operators.TextAnalysis.qualityExpr(col(textCol)) >= qualityMin)
+      .select(col(idCol).cast("long").as("id"),
+        regexp_replace(col(textCol), piiPattern, "[REDACTED]").as("redacted"),
+        size(regexp_extract_all(col(textCol), lit(piiPattern), lit(0)))
+          .as("n_redacted"),
+        graft.functions.Hashing.polyHash(col(textCol)).as("h"))
+      .as[CurateDoc]
+    cleaned.groupByKey(_.h)
+      .flatMapGroupsWithState[SeenHash, CuratedDoc](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          if (state.exists) Iterator.empty
+          else it.toArray.sortBy(_.id).headOption match {
+            case Some(first) =>
+              state.update(SeenHash(first.id))
+              Iterator.single(CuratedDoc(first.id, first.redacted, first.n_redacted))
+            case None => Iterator.empty
+          }
+      }
+      .toDF("doc_id", "redacted", "n_redacted")
+  }
 }
 
 /** Live-session state: one per (user, open session). */
@@ -310,3 +353,12 @@ case class BucketRep(repId: Long, repSig: Seq[Long])
 
 /** Emitted near-duplicate: `doc_id` duplicates `dup_of`. */
 case class NearDup(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+/** One quality-passing, redacted doc entering streaming dedup. */
+case class CurateDoc(id: Long, redacted: String, n_redacted: Int, h: Long)
+
+/** Dedup state: the id that first claimed this text hash. */
+case class SeenHash(firstId: Long)
+
+/** One surviving curated document. */
+case class CuratedDoc(doc_id: Long, redacted: String, n_redacted: Int)

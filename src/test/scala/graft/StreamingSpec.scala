@@ -194,6 +194,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.count() == docs.select("text").distinct().count())
   }
 
+  test("streaming curation equals the batch filter/redact/dedup, across batches") {
+    import spark.implicits._
+    import graft.functions.Hashing
+    import org.apache.spark.sql.expressions.Window
+    val srcDir = "/root/repo/target/graft-tmp/stream_curate"
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(120)
+    // exact copies with HIGHER ids arriving as a separate file (later
+    // micro-batch): the stream must keep only the originals
+    val copies = docs.limit(40)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    val d = new java.io.File(srcDir)
+    if (d.exists()) d.listFiles().foreach(_.delete())
+    docs.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    Thread.sleep(1100) // distinct mtimes: the file SOURCE orders batches by them
+    copies.coalesce(1).write.mode("append").parquet(srcDir)
+    val qMin = 0.3
+    val pii = """\d{3}-\d{2}-\d{4}"""
+
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", 1) // force multiple micro-batches
+      .parquet(srcDir)
+    val streamed = StreamingOps.runToMemory(
+      StreamingOps.curateStream(stream, qualityMin = qMin, piiPattern = pii),
+      "curate_test", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+
+    // batch twin: quality filter → first-id-per-hash → redact
+    val all = docs.unionAll(copies)
+    val w = Window.partitionBy(col("_h")).orderBy(col("doc_id"))
+    val batch = all
+      .filter(graft.operators.TextAnalysis.qualityExpr(col("text")) >= qMin)
+      .withColumn("_h", Hashing.polyHash(col("text")))
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") === 1)
+      .select(col("doc_id"),
+        regexp_replace(col("text"), pii, "[REDACTED]").as("redacted"),
+        size(regexp_extract_all(col("text"), lit(pii), lit(0))).as("n_redacted"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(streamed == batch,
+      s"stream-only=${(streamed -- batch).take(2)} batch-only=${(batch -- streamed).take(2)}")
+    // the late exact copies were all suppressed
+    assert(!streamed.exists(_._1 >= 1000000L))
+  }
+
   test("streaming near-dup flags exact and near copies, not distinct docs") {
     import spark.implicits._
     val srcDir = "/root/repo/target/graft-tmp/stream_neardup"
