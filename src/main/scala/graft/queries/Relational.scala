@@ -334,38 +334,48 @@ object Relational {
 
     // exact interpolated median (percentile_cont 0.5) — the exact partner
     // of agg_approx_percentile; doubles rounded to 6 decimals for
-    // cross-engine interpolation stability. Computed by two-pass rank
-    // interpolation (the Curation.lengthQuantiles pattern), NOT Spark's
-    // `percentile` aggregate: percentile buffers every group value in a
-    // single in-memory aggregation buffer — an executor OOM when a group
-    // holds hundreds of millions of rows. Here the measures unpivot to
-    // long form, a row_number window ranks each (group, measure) — a
-    // sort-based exchange that SPILLS instead of buffering — and only
-    // the ≤2 middle-rank rows per key survive to the final tiny
-    // aggregate: odd n keeps rank (n+1)/2 once, even n keeps n/2 and
-    // n/2+1 and averages them, which is exactly percentile_cont 0.5.
+    // cross-engine interpolation stability. NOT Spark's `percentile`
+    // aggregate (it buffers every group value in one in-memory
+    // aggregation buffer — an executor OOM when a group holds hundreds
+    // of millions of rows). Two-level aggregate + rank over the VALUE
+    // HISTOGRAM: a map-side-combined count per (group, measure, value)
+    // collapses duplicates first, so the rank window sorts DISTINCT
+    // values per key (l_quantity has 50 — constant-sized window work at
+    // any corpus size; a continuous measure degrades gracefully to the
+    // spill-safe row-rank form). Cumulative counts locate the middle
+    // rank(s) — odd n hits one value, even n straddles ranks n/2 and
+    // n/2+1, each value contributing half per covered rank, which is
+    // exactly percentile_cont 0.5's average of the two middle values.
     "agg_median" -> Q(
       (s, d) => {
-        val long = t(s, d, "lineitem")
+        val hist = t(s, d, "lineitem")
           .select(col("l_returnflag"),
             col("l_quantity").cast("double").as("qty"),
             col("l_extendedprice").cast("double").as("price"))
           .unpivot(Array(col("l_returnflag")), "measure", "value")
+          .groupBy(col("l_returnflag"), col("measure"), col("value"))
+          .agg(count(lit(1)).as("cnt"))
         val byKey = Window.partitionBy(col("l_returnflag"), col("measure"))
-        long
-          .withColumn("_rk", row_number().over(byKey.orderBy(col("value"))))
-          .withColumn("_n", count(lit(1)).over(byKey))
-          // middle rank(s): ties in `value` make the rank assignment among
-          // equal rows arbitrary, but the VALUE at any rank is the sorted
-          // multiset's — deterministic under any partitioning
-          .filter(col("_rk") === floor((col("_n") + 1) / 2).cast("long") ||
-            col("_rk") === col("_n") / lit(2L) + 1)
+        hist
+          .withColumn("cum_hi",
+            sum(col("cnt")).over(byKey.orderBy(col("value"))))
+          .withColumn("n", sum(col("cnt")).over(byKey))
+          .withColumn("lo_rk", floor((col("n") + 1) / 2).cast("long"))
+          .withColumn("hi_rk", floor(col("n") / 2).cast("long") + 1)
+          // a value covers rank r iff cum_hi - cnt < r ≤ cum_hi; each
+          // covered middle rank contributes value/2 to the median
+          .withColumn("covers",
+            (col("lo_rk") > col("cum_hi") - col("cnt") &&
+              col("lo_rk") <= col("cum_hi")).cast("int") +
+            (col("hi_rk") > col("cum_hi") - col("cnt") &&
+              col("hi_rk") <= col("cum_hi")).cast("int"))
+          .filter(col("covers") > 0)
           .groupBy(col("l_returnflag"))
           .agg(
-            round(avg(when(col("measure") === "qty", col("value"))), 6)
-              .as("median_qty"),
-            round(avg(when(col("measure") === "price", col("value"))), 6)
-              .as("median_price"))
+            round(sum(when(col("measure") === "qty",
+              col("value") * col("covers"))) / 2, 6).as("median_qty"),
+            round(sum(when(col("measure") === "price",
+              col("value") * col("covers"))) / 2, 6).as("median_price"))
           .orderBy("l_returnflag")
       },
       Some("""SELECT l_returnflag,
