@@ -457,6 +457,39 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
   }
 
+  test("concurrent vector ANN queries keep their own probe views") {
+    // two sessions' SELECTs share the read lock, so the IndexScan tier's
+    // temp view must be per-invocation: with the old fixed name, thread A
+    // could silently rank thread B's probed subset
+    engine.run("create table vca(a vector(2) not null, tag varchar)")
+    engine.run("create table vcb(a vector(2) not null, tag varchar)")
+    engine.run("insert into vca values ('[0,0]','a0'), ('[9,9]','a1')")
+    engine.run("insert into vcb values ('[0,0]','b0'), ('[9,9]','b1')")
+    engine.run("CREATE INDEX vca_i ON vca USING ivfflat (a) WITH (nlists = 2, nprobe = 1)")
+    engine.run("CREATE INDEX vcb_i ON vcb USING ivfflat (a) WITH (nlists = 2, nprobe = 1)")
+    def ask(tbl: String, near: String): String =
+      engine.run(s"select tag from $tbl order by a <-> '[$near]'::VECTOR(2) limit 1")
+        .collect()(0).getString(0)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val threads = Seq(
+      new Thread(() => (1 to 40).foreach { _ =>
+        val r = ask("vca", "1, 1")
+        if (r != "a0") errs.add(s"vca got $r")
+      }),
+      new Thread(() => (1 to 40).foreach { _ =>
+        val r = ask("vcb", "8, 8")
+        if (r != "b1") errs.add(s"vcb got $r")
+      }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.toString)
+    // and nothing leaks into the session catalog
+    val leaked = spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("__graft_index_probe"))
+    assert(leaked.isEmpty, leaked.mkString(","))
+    engine.run("drop table vca")
+    engine.run("drop table vcb")
+  }
+
   test("ALTER TABLE changes survive an engine restart") {
     val dir = freshDir("/root/repo/target/graft-tmp/alter-warehouse")
     val first = new Engine(spark, dir)
