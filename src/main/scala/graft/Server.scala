@@ -164,6 +164,7 @@ object Server {
     private var failure: Exception = null
     private var schemaOpt: StructType = null
     @volatile private var abandoned = false
+    @volatile private var waiting = false // consumer blocked on the producer
 
     private val producer = new Thread(() => {
       val lock =
@@ -175,6 +176,7 @@ object Server {
         mon.synchronized { schemaOpt = df.schema; mon.notifyAll() }
         val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(path), 1 << 16))
+        var pending = 0 // rows serialized but not yet durably flushed
         try {
           import scala.jdk.CollectionConverters._
           val it = df.toLocalIterator().asScala
@@ -185,10 +187,20 @@ object Server {
             // reset the reference table so the stream never accumulates
             // back-references (an unbounded driver-side leak otherwise)
             if (sinceReset >= 128) { oos.reset(); sinceReset = 0 }
-            oos.flush()
-            mon.synchronized { written += 1; mon.notifyAll() }
+            pending += 1
+            // flush in batches, or immediately when the consumer is
+            // blocked on us — keeps the syscall count ~1/64th of the
+            // rows without adding consumer latency beyond one row
+            if (pending >= 64 || waiting) {
+              oos.flush()
+              mon.synchronized { written += pending; mon.notifyAll() }
+              pending = 0
+            }
           }
-        } finally oos.close()
+        } finally {
+          oos.close() // flushes the tail — count it before signaling done
+          mon.synchronized { written += pending; mon.notifyAll() }
+        }
         mon.synchronized { done = true; mon.notifyAll() }
       } catch {
         case e: Exception =>
@@ -198,10 +210,16 @@ object Server {
     producer.setDaemon(true)
     producer.start()
 
-    /** Blocks until the statement is analyzed (throws its error). */
+    /** Blocks until the statement is analyzed (throws its error — and
+      * deletes the never-used spool first: the constructor is the only
+      * frame that can clean up when it throws, callers never see `this`).
+      */
     val schema: StructType = mon.synchronized {
       while (schemaOpt == null && failure == null) mon.wait()
-      if (schemaOpt == null) throw failure
+      if (schemaOpt == null) {
+        java.nio.file.Files.deleteIfExists(path)
+        throw failure
+      }
       schemaOpt
     }
 
@@ -215,7 +233,10 @@ object Server {
         private var ois: java.io.ObjectInputStream = null
         def hasNext: Boolean = {
           val more = mon.synchronized {
-            while (consumed == written && !done) mon.wait()
+            while (consumed == written && !done) {
+              waiting = true
+              try mon.wait() finally waiting = false
+            }
             consumed < written
           }
           if (!more) {
@@ -772,8 +793,15 @@ private object Pgwire {
             case Some(p) =>
               try {
                 if (!isRowReturning(p.sql)) {
-                  val (_, rows) = Server.runStatement(engine, p.sql)
-                  msg('C')(cstr(_, commandTag(p.sql, rows)))
+                  // a completed portal NEVER re-runs (pg: re-Execute of a
+                  // finished DML portal returns the zero-rows tag, it
+                  // does not insert twice)
+                  if (p.done) msg('C')(cstr(_, commandTag(p.sql, Array.empty)))
+                  else {
+                    val (_, rows) = Server.runStatement(engine, p.sql)
+                    p.done = true
+                    msg('C')(cstr(_, commandTag(p.sql, rows)))
+                  }
                 } else if (p.done) {
                   // executing an exhausted portal: no rows, complete (pg)
                   msg('C')(cstr(_, "SELECT 0"))
@@ -792,11 +820,13 @@ private object Pgwire {
                       p.resultFormats, zone)
                     k += 1
                   }
-                  p.sent += k
                   if (p.spool.rows.hasNext) msg('s')(_ => ()) // PortalSuspended
                   else {
-                    // pg's SELECT tag counts the portal's lifetime rows
-                    msg('C')(cstr(_, s"SELECT ${p.sent}"))
+                    // pg's SELECT tag counts the rows of the COMPLETING
+                    // Execute call, not the portal's lifetime total
+                    // (exec_execute_message tags from that run's
+                    // es_processed)
+                    msg('C')(cstr(_, s"SELECT $k"))
                     p.closeSpool(); p.done = true
                   }
                 }
@@ -1032,7 +1062,6 @@ private object Pgwire {
     */
   private final class Portal(val sql: String, val resultFormats: Array[Int]) {
     var spool: Server.ResultSpool = null
-    var sent = 0L
     var done = false
     def closeSpool(): Unit = if (spool != null) { spool.close(); spool = null }
   }

@@ -1203,12 +1203,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     m.toMap
   }
 
-  // ---- Postgres COPY TEXT format (tab-separated, \N nulls, backslash
-  // escapes) — what a bare `psql \copy` speaks. Both directions are pure
-  // column expressions over a distributed text scan/write: no driver
-  // materialization, scan speed. Octal/hex escapes (which psql's own COPY
-  // TO never emits) are not decoded; a backslash before any other
-  // character is kept literally.
+  // ---- Postgres COPY TEXT format (delimiter-separated, default tab;
+  // \N nulls, backslash escapes) — what a bare `psql \copy` speaks.
+  // Encode is pure column expressions over a distributed text write;
+  // decode is the native byte-exact line parser (expr.PgTextFields),
+  // which handles the full escape grammar including the \xHH / \OOO
+  // forms other COPY TEXT producers (pg_dump bytea) emit and escaped
+  // delimiters. No driver materialization either way: scan speed.
 
   private[graft] def pgTextEscape(c: Column): Column = PgText.escape(c)
   private[graft] def pgTextUnescape(c: Column): Column = PgText.unescape(c)

@@ -18,10 +18,20 @@ object PgText {
 
   /** pg requires a single one-byte delimiter in text format; the decode
     * state machine runs over bytes, so enforce it here for both sides.
+    * Characters that collide with the escape grammar are REJECTED like pg
+    * rejects them, instead of silently corrupting round-trips: a letter/
+    * digit delimiter turns escaped data bytes into `\n`-style mnemonics
+    * or octal escapes on decode, backslash is the escape itself, a `.`
+    * delimiter can make a data line render as the `\.` end-of-data
+    * marker, and CR/LF are the row framing.
     */
-  private def checkDelim(delim: String): Unit =
+  private def checkDelim(delim: String): Unit = {
     require(delim.length == 1 && delim.head < 0x80,
       s"COPY delimiter must be a single one-byte character, got '$delim'")
+    val c = delim.head
+    require(!c.isLetterOrDigit && c != '\\' && c != '.' && c != '\r' && c != '\n',
+      s"COPY delimiter cannot be '$c'")
+  }
 
   /** Escape one rendered string column: backslash first, then the
     * control characters pg COPY escapes (tab, NL, CR, \b, \f, \v), then

@@ -23,13 +23,25 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * action first, the only cost is a recompute — never a wrong result.
   */
 object CacheHygiene {
-  def cacheUntilNextCompletion(df: DataFrame): DataFrame = {
+  def cacheUntilNextCompletion(df: DataFrame): DataFrame =
+    cacheUntilCompletions(df, 1)
+
+  /** Variant for operators whose cached frame must survive `n` query
+    * completions — e.g. an internal driver-side aggregate action PLUS the
+    * caller's materialization (the PCA fit). An interleaved unrelated
+    * action only costs an early recompute, never a wrong result.
+    */
+  def cacheUntilCompletions(df: DataFrame, n: Int): DataFrame = {
     val lm = df.sparkSession.listenerManager
     df.cache()
     lm.register(new QueryExecutionListener {
-      private def done(): Unit = { df.unpersist(blocking = false); lm.unregister(this) }
-      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = done()
-      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = done()
+      private var remaining = n
+      private def tick(): Unit = synchronized {
+        remaining -= 1
+        if (remaining == 0) { df.unpersist(blocking = false); lm.unregister(this) }
+      }
+      override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = tick()
+      override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit = tick()
     })
     df
   }

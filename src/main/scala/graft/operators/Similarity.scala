@@ -328,15 +328,20 @@ object Similarity {
     val q = df.select(col(idCol).as("id"),
       transform(col(vecCol).cast("array<double>"),
         x => round(x * 100).cast("long")).as("xq"))
-    val d = q.select(size(col("xq"))).first().getInt(0)
+    val head = q.select(size(col("xq"))).limit(1).collect()
+    if (head.isEmpty) // empty corpus: empty result, not a crash
+      return Pc1Fit(q.select(col("id"), col("xq").as("yv")), Array(BigInt(0)), 1, 0L)
+    val d = head(0).getInt(0)
     val n = q.count()
     val sums = q.select(posexplode(col("xq")).as(Seq("j", "x")))
       .groupBy(col("j")).agg(sum(col("x")).as("s"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     val sLit = array((0 until d).map(j => lit(sums.getOrElse(j, 0L))): _*)
-    val y = CacheHygiene.cacheUntilNextCompletion(
+    // survives TWO completions: the covariance collect below AND the
+    // caller's materialization of the projection/residual over y
+    val y = CacheHygiene.cacheUntilCompletions(
       q.select(col("id"),
-        zip_with(col("xq"), sLit, (x, s) => x * n - s).as("yv")))
+        zip_with(col("xq"), sLit, (x, s) => x * n - s).as("yv")), 2)
     val cov = y.select(posexplode(flatten(transform(col("yv"),
         a => transform(col("yv"), b => a * b)))).as(Seq("pos", "c")))
       .groupBy(col("pos")).agg(sum(col("c")).as("c"))

@@ -425,6 +425,14 @@ class EngineSpec extends AnyFunSuite {
       }
       assert(e.getMessage.contains("CSV mode"), e.getMessage)
     }
+    // delimiters that collide with the escape grammar are rejected (pg
+    // parity) — a letter delimiter would silently corrupt round-trips
+    Seq("n", "7", "\\\\", ".").foreach { d =>
+      val e = intercept[IllegalArgumentException] {
+        engine.run(s"copy pgt from '$dir' (format text, delimiter '$d')")
+      }
+      assert(e.getMessage.contains("delimiter"), e.getMessage)
+    }
   }
 
   test("CLUSTERED BY: co-bucketed join plans no Exchange; DML keeps the layout") {

@@ -510,12 +510,12 @@ class ServerSpec extends AnyFunSuite {
         first.map(_._1).mkString)
       c.execute("", 2); c.flushMsg()
       assert(c.untilOutcome().map(_._1) == Seq('D', 'D', 's'))
-      // final fetch drains the remainder; the SELECT tag counts the
-      // portal's lifetime rows
+      // final fetch drains the remainder; the SELECT tag counts the rows
+      // of the COMPLETING Execute (pg semantics), not the lifetime total
       c.execute("", 2); c.flushMsg()
       val last = c.untilOutcome()
       assert(last.map(_._1) == Seq('D', 'C'), last.map(_._1).mkString)
-      assert(new String(last.last._2, StandardCharsets.UTF_8).startsWith("SELECT 5"))
+      assert(new String(last.last._2, StandardCharsets.UTF_8).startsWith("SELECT 1"))
       // the rows really were 0..4 in order, one value per fetch step
       // (first two messages carry 0 and 1, etc.) — decode the first one
       val row0 = first.collect { case ('D', b) => b }.head
