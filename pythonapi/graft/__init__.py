@@ -260,6 +260,63 @@ class PgDatabase:
             if not synced:  # generator closed early: resync the session
                 sync_and_drain()
 
+    def copy_rows(self, table: str, rows) -> int:
+        """Bulk-load ``rows`` (iterables of values) into ``table`` through
+        the COPY FROM STDIN subprotocol in TEXT format — the same wire
+        conversation ``psql \\copy`` / psycopg's ``copy_expert`` have, and
+        the fastest way to push data in. Values render as pg TEXT: None →
+        ``\\N``, bools → t/f, everything else ``str()`` with backslash/
+        tab/newline/CR escaped. Returns the server's row count.
+        """
+        s = self._struct
+
+        def field(v) -> str:
+            if v is None:
+                return "\\N"
+            if v is True:
+                return "t"
+            if v is False:
+                return "f"
+            return (str(v).replace("\\", "\\\\").replace("\t", "\\t")
+                    .replace("\n", "\\n").replace("\r", "\\r"))
+
+        sql = f"copy {table} from stdin (format text)"
+        self._sock.sendall(
+            b"Q" + s.pack(">i", 5 + len(sql.encode())) + sql.encode() + b"\x00")
+        # expect CopyInResponse (or an error before it)
+        for tag, body in self._messages():
+            if tag == b"E":
+                # drain to ReadyForQuery, then surface the error
+                err = self._err(body)
+                for t2, _ in self._messages():
+                    if t2 == b"Z":
+                        raise Error(err)
+            if tag == b"G":
+                break
+        buf = bytearray()
+        for row in rows:
+            buf += ("\t".join(field(v) for v in row) + "\n").encode("utf-8")
+            if len(buf) >= 65536:
+                self._sock.sendall(b"d" + s.pack(">i", 4 + len(buf)) + bytes(buf))
+                buf.clear()
+        if buf:
+            self._sock.sendall(b"d" + s.pack(">i", 4 + len(buf)) + bytes(buf))
+        self._sock.sendall(b"c" + s.pack(">i", 4))  # CopyDone
+        n = 0
+        error = None
+        for tag, body in self._messages():
+            if tag == b"C":
+                # tag text: "COPY <n>"
+                text = body.rstrip(b"\x00").decode("utf-8")
+                n = int(text.rsplit(" ", 1)[-1])
+            elif tag == b"E":
+                error = self._err(body)
+            elif tag == b"Z":
+                if error is not None:
+                    raise Error(error)
+                return n
+        raise Error("connection closed mid-COPY")
+
     def close(self) -> None:
         try:
             self._sock.sendall(b"X" + self._struct.pack(">i", 4))

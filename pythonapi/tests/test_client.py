@@ -72,6 +72,26 @@ def test_pg_cursor(port: int) -> None:
         assert db.query("select 8 as x") == [[8]]
 
 
+def test_pg_copy(port: int) -> None:
+    db = graft.open(port=port, wire="pg")
+    with db:
+        db.query("create table pyc2(v int, s varchar)")
+        # adversarial payloads: tab, newline, backslash, None, the \\N lookalike
+        rows = [(1, "plain"), (2, "tab\there"), (3, "line\nbreak"),
+                (4, "back\\slash"), (5, None), (6, "\\N")]
+        n = db.copy_rows("pyc2", rows)
+        assert n == 6, n
+        got = {r[0]: r[1] for r in db.query("select v, s from pyc2")}
+        assert got == {k: v for k, v in rows}, got
+        # session stays healthy; COPY into a missing table errors cleanly
+        try:
+            db.copy_rows("nope_t", [(1,)])
+            raise SystemExit("expected graft.Error")
+        except graft.Error:
+            pass
+        assert db.query("select count(*) from pyc2") == [[6]]
+
+
 def main() -> None:
     port = int(os.environ.get("GRAFT_PORT", "5433"))
     test_line_protocol(port)
@@ -80,6 +100,8 @@ def main() -> None:
     print("PG OK")
     test_pg_cursor(port)
     print("CURSOR OK")
+    test_pg_copy(port)
+    print("COPY OK")
 
 
 if __name__ == "__main__":

@@ -1117,7 +1117,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * `matched` or `not` — so `CASE WHEN` inside an assignment or
     * a `' when '` string payload never splits a clause.
     */
-  private def whenBoundaries(s: String): Seq[Int] = {
+  private[graft] def whenBoundaries(s: String): Seq[Int] = {
     def word(j: Int, w: String): Boolean =
       j + w.length <= s.length &&
         s.regionMatches(true, j, w, 0, w.length) &&

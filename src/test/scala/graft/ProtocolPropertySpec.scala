@@ -74,4 +74,41 @@ object ProtocolPropertySpec extends Properties("Protocol") {
       if (tail.trim.isEmpty) norm.isEmpty
       else norm.contains("format csv")
     }
+
+  // ---- MERGE WHEN-clause boundary scanner (engine/Engine.whenBoundaries):
+  // build statements from known clause offsets out of adversarial
+  // expressions (CASE WHEN bodies, nested CASE, ' when ' string payloads,
+  // doubled-quote escapes, parenthesized commas) and require the scanner
+  // to recover EXACTLY the constructed boundaries.
+  private lazy val engineForParse = {
+    val dir = "/root/repo/target/graft-tmp/proto-parse-warehouse"
+    new graft.engine.Engine(TestSpark.spark, dir)
+  }
+  private val mergeExpr: Gen[String] = Gen.oneOf(
+    "a + 1", "f(a, b)", "'plain'", "' when matched '", "'it''s when not'",
+    "case when a > 1 then 'w' else b end",
+    "case when (a, b) = (1, 2) then case when c > 0 then 1 else 2 end else 0 end",
+    "coalesce(b, case when a is null then ' when ' else 'x' end)")
+  private val mergeClause: Gen[String] = Gen.oneOf(
+    mergeExpr.map(e => s"when matched then update set x = $e"),
+    Gen.const("when matched then delete"),
+    Gen.zip(mergeExpr, mergeExpr).map { case (a, b) =>
+      s"when not matched then insert values ($a, $b)"
+    })
+  private val mergeCond: Gen[String] = Gen.oneOf(
+    "t.k = s.k", "t.k = case when s.v > 0 then s.k else 0 end",
+    "t.name = ' when matched '", "t.k = s.k and t.tag <> 'when not'")
+
+  property("whenBoundaries recovers exactly the constructed clause offsets") =
+    forAll(mergeCond, Gen.choose(1, 3).flatMap(Gen.listOfN(_, mergeClause))) {
+      (cond, clauses) =>
+        val sb = new StringBuilder(cond)
+        val offsets = clauses.map { c =>
+          sb.append(' ')
+          val off = sb.length
+          sb.append(c)
+          off
+        }
+        engineForParse.whenBoundaries(sb.toString) == offsets
+    }
 }

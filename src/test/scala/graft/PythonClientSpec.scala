@@ -69,7 +69,7 @@ class PythonClientSpec extends AnyFunSuite {
           "GRAFT_PORT" -> server.getLocalPort.toString))
       assert(code == 0, s"python client tests failed (from $pythonPath):\n$out")
       assert(out.contains("PY OK") && out.contains("PG OK") &&
-        out.contains("CURSOR OK"), out)
+        out.contains("CURSOR OK") && out.contains("COPY OK"), out)
       assert(installed, "pip unavailable: ran from source tree, not an installed copy")
     } finally server.close()
   }
