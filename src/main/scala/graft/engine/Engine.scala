@@ -190,6 +190,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
 
+  // transaction verbs: every statement autocommits (single-statement
+  // engine, like the reference). BEGIN/COMMIT/END are accepted no-ops so
+  // drivers with autocommit(false) (pgJDBC sends BEGIN before each batch)
+  // keep working; ROLLBACK must NOT pretend — a client relying on it has
+  // already lost, so it errors honestly.
+  private val reTxnNoop =
+    """(?is)\s*(?:begin|commit|end|start\s+transaction)\s*(?:transaction|work)?\s*""".r
+  private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
+
   private val reDescribe = """\\d\s+(\w+)""".r
   private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
 
@@ -255,6 +264,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
+    case reTxnNoop() => emptyResult
+    case reRollback() => throw new IllegalArgumentException(
+      "ROLLBACK is not supported: statements autocommit (nothing to roll back)")
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))

@@ -96,7 +96,7 @@ class SltSpec extends AnyFunSuite {
     "update.slt", "text_functions.slt",
     // round-9: on-demand compaction / z-order maintenance
     "optimize.slt", "bucketing.slt", "merge.slt",
-    // round-11: CREATE TABLE AS SELECT + ALTER TABLE / TRUNCATE
-    "ctas.slt", "alter.slt")
+    // round-11: CREATE TABLE AS SELECT + ALTER TABLE / TRUNCATE + txn verbs
+    "ctas.slt", "alter.slt", "txn.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
