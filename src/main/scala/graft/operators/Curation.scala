@@ -225,6 +225,34 @@ object Curation {
       .limit(k)
   }
 
+  /** Exact per-group quantiles over the VALUE HISTOGRAM — the general
+    * form of the rank trick [[lengthQuantiles]] and the median gate use,
+    * upgraded so the rank window sorts DISTINCT values per group instead
+    * of rows: a map-side-combined count per (group, value) collapses
+    * duplicates first, making the window work proportional to value
+    * cardinality (constant for discrete measures at any corpus size; a
+    * continuous measure degrades gracefully to the spill-safe row-rank
+    * behavior). Quantile definition matches lengthQuantiles: the value
+    * at rank ⌈p·n⌉ — exact, no float interpolation, reproducible in any
+    * engine. Returns one row per (group, p).
+    */
+  def exactQuantiles(df: DataFrame, keyCol: String, valCol: String,
+      ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0.0 && p <= 1.0),
+      s"quantiles must be in (0, 1], got $ps")
+    val byKey = Window.partitionBy(col(keyCol))
+    df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("cnt"))
+      .withColumn("cum_hi", sum(col("cnt")).over(byKey.orderBy(col(valCol))))
+      .withColumn("n", sum(col("cnt")).over(byKey))
+      .select(col(keyCol), col(valCol), col("cnt"), col("cum_hi"), col("n"),
+        explode(array(ps.map(lit): _*)).as("p"))
+      .withColumn("rk", ceil(col("p") * col("n")).cast("long"))
+      // the value whose cumulative range (cum_hi − cnt, cum_hi] covers rk
+      .filter(col("rk") > col("cum_hi") - col("cnt") &&
+        col("rk") <= col("cum_hi"))
+      .select(col(keyCol), col("p"), col(valCol).as("q_value"))
+  }
+
   /** Bigram-LM perplexity scoring — the CCNet/Gopher-style statistical
     * quality filter: an add-one-smoothed bigram model TRAINED ON THE
     * CORPUS assigns every document the mean surprisal of its bigrams in

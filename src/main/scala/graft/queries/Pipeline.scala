@@ -366,6 +366,28 @@ object Pipeline {
              |FROM pr, vk, w1, nn
              |ORDER BY vec_id""".stripMargin)),
 
+    // exact per-group quantiles over the value histogram — the general
+    // rank-quantile engine (window work ∝ distinct values, not rows);
+    // value-at-⌈p·n⌉ definition, no float interpolation
+    "curation_value_quantiles" -> Q(
+      (s, d) => graft.operators.Curation.exactQuantiles(
+          t(s, d, "lineitem")
+            .select(col("l_returnflag"),
+              col("l_quantity").cast("double").as("qty")),
+          "l_returnflag", "qty", Seq(0.25, 0.5, 0.9, 0.99))
+        .orderBy("l_returnflag", "p"),
+      Some("""WITH h AS (SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+             |  COUNT(*) AS cnt FROM lineitem GROUP BY 1, 2),
+             |c AS (SELECT l_returnflag, qty, cnt,
+             |  SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY qty) AS cum_hi,
+             |  SUM(cnt) OVER (PARTITION BY l_returnflag) AS n FROM h)
+             |SELECT l_returnflag, p, qty AS q_value
+             |FROM c, (VALUES (CAST(0.25 AS DOUBLE)), (CAST(0.5 AS DOUBLE)),
+             |  (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) t(p)
+             |WHERE CAST(ceil(p * n) AS BIGINT) > cum_hi - cnt
+             |  AND CAST(ceil(p * n) AS BIGINT) <= cum_hi
+             |ORDER BY l_returnflag, p""".stripMargin)),
+
     // CCNet perplexity buckets: per-language terciles of the LM score,
     // integer rank arithmetic only — the oracle extends the LM CTE with
     // the same window.

@@ -471,6 +471,24 @@ class OperatorsSpec extends AnyFunSuite {
     assert(re == proj)
   }
 
+  test("exactQuantiles: value-at-ceil(p*n) per group, duplicate-collapse exact") {
+    import spark.implicits._
+    // group a: values 1..10 (n=10): p=0.5 → rank 5 → 5; p=0.91 → rank 10 → 10
+    // group b: heavy duplicates — 1×8, 9, 10 (n=10): p=0.5 → rank 5 → 1
+    val df = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      (Seq.fill(8)(1.0) ++ Seq(9.0, 10.0)).map(("b", _))).toDF("k", "v")
+    val q = Curation.exactQuantiles(df, "k", "v", Seq(0.5, 0.91))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(q(("a", 0.5)) == 5.0 && q(("a", 0.91)) == 10.0, q)
+    assert(q(("b", 0.5)) == 1.0 && q(("b", 0.91)) == 10.0, q)
+    // exactly one row per (group, p)
+    assert(q.size == 4, q)
+    // partitioning-invariant (counts, not row ranks)
+    val re = Curation.exactQuantiles(df.repartition(7), "k", "v", Seq(0.5, 0.91))
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getDouble(2)).toMap
+    assert(re == q)
+  }
+
   test("tfidfTopTerms: rare distinguishing terms outrank ubiquitous ones") {
     import spark.implicits._
     val corpus = Seq(
