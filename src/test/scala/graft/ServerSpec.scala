@@ -535,6 +535,47 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("pgwire: two suspended portals interleave on one session") {
+    val dir = freshDir("/root/repo/target/graft-tmp/portal2-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-portal2-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      c.parse("s1", "select id from range(0, 4) order by id")
+      c.parse("s2", "select id + 100 as id from range(0, 4) order by id")
+      c.bind("pa", "s1")
+      c.bind("pb", "s2")
+      def rows(ms: Seq[(Char, Array[Byte])]): Seq[String] =
+        ms.collect { case ('D', b) =>
+          val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+          d.readShort(); val n = d.readInt()
+          val v = new Array[Byte](n); d.readFully(v)
+          new String(v, StandardCharsets.UTF_8)
+        }
+      // interleave: each portal keeps ITS OWN spool position
+      c.execute("pa", 2); c.flushMsg()
+      val a1 = c.untilOutcome()
+      assert(a1.map(_._1).endsWith(Seq('s')) && rows(a1) == Seq("0", "1"), a1.map(_._1))
+      c.execute("pb", 2); c.flushMsg()
+      val b1 = c.untilOutcome()
+      assert(b1.last._1 == 's' && rows(b1) == Seq("100", "101"), rows(b1))
+      c.execute("pa", 0); c.flushMsg()
+      val a2 = c.untilOutcome()
+      assert(a2.last._1 == 'C' && rows(a2) == Seq("2", "3"), rows(a2))
+      c.execute("pb", 0); c.flushMsg()
+      val b2 = c.untilOutcome()
+      assert(b2.last._1 == 'C' && rows(b2) == Seq("102", "103"), rows(b2))
+      assert(c.sync().map(_._1) == Seq('Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
   test("pgwire binary result formats round-trip int8/float8/text/bytea bit-exactly") {
     val dir = freshDir("/root/repo/target/graft-tmp/binfmt-warehouse")
     val engine = new Engine(spark, dir)
