@@ -199,6 +199,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*(?:begin|commit|end|start\s+transaction)\s*(?:transaction|work)?\s*""".r
   private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
 
+  // extension: SQL-level PREPARE/EXECUTE/DEALLOCATE (pg surface — psql
+  // scripts and ORMs emit these even when the wire protocol also has
+  // Parse/Bind). Statements are engine-scoped, not persisted: pg scopes
+  // them to a session and drops them on disconnect; the closest honest
+  // analogue for a shared single-engine process is process-lifetime.
+  // TrieMap because the Server routes EXECUTE of a SELECT through the
+  // shared read lock — concurrent readers may touch the map together.
+  private val preparedStatements =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private val rePrepare =
+    """(?is)\s*prepare\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s+(.+)""".r
+  private val reExecuteStmt = """(?is)\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*""".r
+  private val reDeallocate =
+    """(?is)\s*deallocate\s+(?:prepare\s+)?(\w+)\s*""".r
+
   private val reDescribe = """\\d\s+(\w+)""".r
   private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
 
@@ -264,6 +279,35 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
+    case rePrepare(name, _, body) =>
+      // the optional type list is accepted for pg compatibility but not
+      // needed: $n sites take the EXECUTE argument text verbatim and the
+      // planner infers types from context, like the SQL UDF tier
+      preparedStatements(name.toLowerCase) = body.trim
+      emptyResult
+    case reExecuteStmt(name, args) if preparedStatements.contains(name.toLowerCase) =>
+      val body = preparedStatements(name.toLowerCase)
+      val actuals = Option(args).map(splitTopLevel).getOrElse(Seq.empty)
+      // single regex pass: $10 never partially matches as $1, and a $n
+      // beyond the argument list fails like pg's "wrong number of
+      // parameters" instead of leaking $n into the Spark parser
+      val bound = """\$(\d+)""".r.replaceAllIn(body, m => {
+        val idx = m.group(1).toInt
+        if (idx >= 1 && idx <= actuals.length)
+          java.util.regex.Matcher.quoteReplacement(s"(${actuals(idx - 1)})")
+        else throw new IllegalArgumentException(
+          s"wrong number of parameters for prepared statement \"$name\": " +
+            s"got ${actuals.length}, statement references $$$idx")
+      })
+      run(bound)
+    case reExecuteStmt(name, _) => throw new IllegalArgumentException(
+      s"prepared statement \"$name\" does not exist")
+    case reDeallocate(name) =>
+      if (name.equalsIgnoreCase("all")) preparedStatements.clear()
+      else if (preparedStatements.remove(name.toLowerCase).isEmpty)
+        throw new IllegalArgumentException(
+          s"prepared statement \"$name\" does not exist")
+      emptyResult
     case reTxnNoop() => emptyResult
     case reRollback() => throw new IllegalArgumentException(
       "ROLLBACK is not supported: statements autocommit (nothing to roll back)")
@@ -288,15 +332,47 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Seq(plan).toDF("plan")
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
-      val inlined = inlineFunctions(q)
-      analysisErrorParity(inlined)
-      refreshViews()
-      // system tables resolve from plain SQL too (reference internal.slt):
-      // registered lazily, only when the statement names one
-      Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
-        .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
-        .foreach(n => systemTable(n).createOrReplaceTempView(n))
-      vectorIndexScan(q).getOrElse(spark.sql(inlined))
+      splitQualify(q) match {
+        case Some((body, pred, trailing)) =>
+          // QUALIFY (DuckDB/Snowflake extension): post-window filter.
+          // Rewrite: inject the predicate as a boolean column into the
+          // outermost select list (lateral column aliases make select
+          // aliases visible to it), filter outside, drop the column.
+          // ORDER BY / LIMIT after QUALIFY apply after the filter; their
+          // sort expressions may reference FROM-scope columns the select
+          // list doesn't carry (DuckDB resolution), so they ride along as
+          // hidden injected columns too.
+          val (trail, obCols, obNames) = liftTrailingOrder(trailing)
+          val injected = injectSelectColumn(body,
+            (s"($pred) AS __graft_qualify" +: obCols).mkString(", "))
+          run(s"SELECT * FROM ($injected) AS __graft_qualify_sub " +
+              s"WHERE __graft_qualify $trail")
+            .drop("__graft_qualify").drop(obNames: _*)
+        case None =>
+          var inlined = inlineFunctions(q)
+          // information_schema (extension: what BI tools and JDBC metadata
+          // probes actually query) — qualified names can't be temp views,
+          // so rewrite them to the lazily-registered unqualified twins
+          if (inlined.toLowerCase.contains("information_schema.")) {
+            refreshViews() // columns introspection plans view bodies
+            systemTable("information_schema.tables")
+              .createOrReplaceTempView("__graft_info_tables")
+            systemTable("information_schema.columns")
+              .createOrReplaceTempView("__graft_info_columns")
+            inlined = inlined
+              .replaceAll("(?i)\\binformation_schema\\.tables\\b", "__graft_info_tables")
+              .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__graft_info_columns")
+          }
+          analysisErrorParity(inlined)
+          refreshViews()
+          // system tables resolve from plain SQL too (reference
+          // internal.slt): registered lazily, only when the statement
+          // names one
+          Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
+            .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
+            .foreach(n => systemTable(n).createOrReplaceTempView(n))
+          vectorIndexScan(q).getOrElse(spark.sql(inlined))
+      }
     case other => refreshViews(); spark.sql(inlineFunctions(other))
   }
 
@@ -1070,6 +1146,137 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * function-call assignments), and separators or parens inside a
     * single-quoted literal ('' escapes a quote) are payload, not syntax.
     */
+  // ---- QUALIFY (extension: DuckDB/Snowflake post-window filter) -----------
+
+  /** Locate a top-level QUALIFY clause — depth-0, outside string literals,
+    * word-bounded — and split the statement into (body-before-qualify,
+    * predicate, trailing ORDER BY/LIMIT/OFFSET tail). A QUALIFY inside a
+    * parenthesized subquery stays payload (depth > 0). Set operators at
+    * the top level make "which branch owns the QUALIFY" ambiguous under a
+    * textual rewrite, so that shape errors with a wrap-it hint instead of
+    * guessing.
+    */
+  private def splitQualify(q: String): Option[(String, String, String)] = {
+    val lower = q.toLowerCase
+    def wordAt(pos: Int, w: String): Boolean =
+      lower.startsWith(w, pos) &&
+        (pos == 0 || { val c = lower(pos - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (pos + w.length >= lower.length || {
+          val c = lower(pos + w.length); !c.isLetterOrDigit && c != '_' })
+    var depth = 0; var inStr = false; var i = 0
+    var qStart = -1 // index of the QUALIFY keyword
+    var predEnd = -1 // index where the trailing ORDER BY/LIMIT/OFFSET begins
+    var setOp = false
+    while (i < q.length) {
+      val ch = q(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < q.length && q(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (qStart < 0 && wordAt(i, "qualify")) { qStart = i; i += 6 }
+          else if (qStart >= 0 && predEnd < 0 &&
+              (wordAt(i, "order") || wordAt(i, "limit") || wordAt(i, "offset")))
+            predEnd = i
+          else if (wordAt(i, "union") || wordAt(i, "intersect") || wordAt(i, "except"))
+            setOp = true
+        case _ =>
+      }
+      i += 1
+    }
+    if (qStart < 0) None
+    else if (setOp) throw new IllegalArgumentException(
+      "QUALIFY combined with a top-level set operator is ambiguous: " +
+        "wrap the QUALIFY branch in a subquery")
+    else {
+      val end = if (predEnd < 0) q.length else predEnd
+      val pred = q.substring(qStart + 7, end).trim
+      if (pred.isEmpty) throw new IllegalArgumentException("QUALIFY requires a predicate")
+      Some((q.substring(0, qStart).trim, pred,
+        if (predEnd < 0) "" else q.substring(predEnd).trim))
+    }
+  }
+
+  /** Rewrite a post-QUALIFY trailing clause so ORDER BY sort expressions
+    * become references to hidden injected columns: returns (rewritten
+    * trailing, select-list items to inject, their names to drop). Bare
+    * positional indices (ORDER BY 1) stay positional — injections append
+    * to the select list, so positions of the user's columns don't move.
+    */
+  private def liftTrailingOrder(trailing: String): (String, Seq[String], Seq[String]) = {
+    val lower = trailing.toLowerCase
+    if (!lower.startsWith("order")) return (trailing, Nil, Nil)
+    val byIdx = lower.indexOf("by") + 2
+    // cut the sort list at a top-level LIMIT/OFFSET keyword
+    var depth = 0; var inStr = false; var i = byIdx; var cut = -1
+    while (i < trailing.length && cut < 0) {
+      val ch = trailing(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < trailing.length && trailing(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 &&
+            (lower.startsWith("limit", i) || lower.startsWith("offset", i)) &&
+            !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_' => cut = i
+        case _ =>
+      }
+      i += 1
+    }
+    val obList = trailing.substring(byIdx, if (cut < 0) trailing.length else cut)
+    val tail = if (cut < 0) "" else trailing.substring(cut)
+    val reItem = """(?is)^(.*?)((?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?)\s*$""".r
+    val inject = mutable.Buffer[String](); val names = mutable.Buffer[String]()
+    val rewritten = splitTopLevel(obList).zipWithIndex.map { case (item, k) =>
+      val m = reItem.findFirstMatchIn(item).get
+      val expr = m.group(1).trim
+      if (expr.matches("\\d+")) item
+      else {
+        val nm = s"__graft_ob_${k + 1}"
+        inject += s"($expr) AS $nm"; names += nm
+        nm + m.group(2)
+      }
+    }
+    (s"ORDER BY ${rewritten.mkString(", ")} $tail", inject.toSeq, names.toSeq)
+  }
+
+  /** Append `expr` to the outermost select list: insert before the first
+    * top-level FROM (quote/paren-aware, so CTE bodies and subquery FROMs
+    * don't fool it).
+    */
+  private def injectSelectColumn(body: String, expr: String): String = {
+    val lower = body.toLowerCase
+    var depth = 0; var inStr = false; var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < body.length && body(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && lower.startsWith("from", i) &&
+            (i == 0 || !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_') &&
+            (i + 4 >= lower.length ||
+              { val c = lower(i + 4); !c.isLetterOrDigit && c != '_' }) =>
+          return body.substring(0, i) + s", $expr " + body.substring(i)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("QUALIFY requires a FROM clause")
+  }
+
   private def splitTopLevel(s: String): Seq[String] = {
     val parts = mutable.Buffer[String]()
     var depth = 0; var inStr = false; val cur = new StringBuilder
@@ -1422,6 +1629,25 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // the reference hardcodes its project's contributor logins
         // (src/executor/system_table_scan.rs:27-35); this engine does the same
         Seq("spark-graft").toDF("login")
+      case "information_schema.tables" =>
+        // the standard columns JDBC DatabaseMetaData.getTables and BI
+        // introspection actually read
+        (tables.keys.map(t => ("graft", "public", t, "BASE TABLE")) ++
+          views.keys.map(v => ("graft", "public", v, "VIEW"))).toSeq
+          .toDF("table_catalog", "table_schema", "table_name", "table_type")
+      case "information_schema.columns" =>
+        (tables.toSeq.map { case (t, (schema, _)) => (t, schema) } ++
+          views.keys.toSeq.flatMap { v =>
+            // a view whose body no longer plans (dropped dependency) must
+            // not break catalog introspection of everything else
+            scala.util.Try((v, spark.sql(inlineFunctions(views(v))).schema)).toOption
+          }).flatMap { case (t, schema) =>
+          schema.fields.zipWithIndex.map { case (f, i) =>
+            ("graft", "public", t, f.name, i + 1, f.dataType.sql.toLowerCase,
+              if (f.nullable) "YES" else "NO")
+          }
+        }.toDF("table_catalog", "table_schema", "table_name", "column_name",
+          "ordinal_position", "data_type", "is_nullable")
       case other => throw new IllegalArgumentException(s"unknown system table $other")
     }
   }

@@ -97,6 +97,8 @@ class SltSpec extends AnyFunSuite {
     // round-9: on-demand compaction / z-order maintenance
     "optimize.slt", "bucketing.slt", "merge.slt",
     // round-11: CREATE TABLE AS SELECT + ALTER TABLE / TRUNCATE + txn verbs
-    "ctas.slt", "alter.slt", "txn.slt")
+    "ctas.slt", "alter.slt", "txn.slt",
+    // round-11b: QUALIFY + SQL-level PREPARE/EXECUTE + information_schema
+    "qualify.slt", "prepare.slt", "info_schema.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
