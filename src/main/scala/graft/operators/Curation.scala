@@ -495,6 +495,33 @@ object Curation {
       regexp_replace(col(textCol), pattern, replacement).as("redacted"),
       size(regexp_extract_all(col(textCol), lit(pattern), lit(0))).as("n_redacted"))
 
+  /** Deterministic global training-order shuffle + shard assignment:
+    * every row gets a pseudo-random but reproducible (seed-keyed) shard
+    * in [0, nShards) and a position within that shard. Training-data
+    * export needs an order that is (a) uncorrelated with source order —
+    * corpus neighbors (same crawl batch, same domain) must not be
+    * training neighbors — and (b) bit-stable across engines, retries,
+    * and partitionings, which rules out rand() and zipWithIndex. A new
+    * seed is a fresh epoch-order for free.
+    *
+    * shard = avalanche-mixed salted hash mod nShards; pos = rank of the
+    * mixed hash inside the shard (id tiebreak — the hash is the shuffle,
+    * the tiebreak only pins equal-hash collisions). One shuffle on the
+    * shard key; the per-shard rank window bounds parallelism at nShards,
+    * so size shards accordingly (at corpus scale they are the output
+    * files — thousands, not single digits).
+    */
+  def shuffleShards(df: DataFrame, idCol: String, nShards: Int,
+      seed: String = ""): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val w = Window.partitionBy(col("shard")).orderBy(col("_mix"), col(idCol))
+    df.withColumn("_mix",
+        mix(polyHash(concat(col(idCol).cast("string"), lit(seed)))))
+      .withColumn("shard", (col("_mix") % nShards).cast("int"))
+      .withColumn("pos", row_number().over(w) - 1)
+      .drop("_mix")
+  }
+
   /** Training-sequence packing: assign documents to fixed-token-budget
     * sequences, contiguously in `idCol` order within each `shardCol`
     * partition (docs that straddle a boundary spill into the next

@@ -1002,6 +1002,24 @@ object Pipeline {
               |  FROM documents) mx
               |WHERE mixed % 100 < 10 ORDER BY doc_id""".stripMargin)),
 
+    // deterministic training-order shuffle: seed-keyed shard + in-shard
+    // position, uncorrelated with source order yet bit-stable across
+    // engines/retries (no rand(), no zipWithIndex) — the export layout a
+    // training loop reads. Oracle replays the exact mix/rank arithmetic.
+    "curation_shuffle_shards" -> Q(
+      (s, d) => graft.operators.Curation.shuffleShards(
+          t(s, d, "documents"), "doc_id", nShards = 8, seed = "ep0")
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy("shard", "pos"),
+      Some(s"""SELECT doc_id, CAST(mixed % 8 AS INT) AS shard,
+              |  CAST(row_number() OVER (PARTITION BY mixed % 8
+              |    ORDER BY mixed, doc_id) - 1 AS INT) AS pos
+              |FROM (
+              |  SELECT doc_id,
+              |    ${polyHash("(CAST(doc_id AS VARCHAR) || 'ep0')")} AS h0, $mixCols
+              |  FROM documents) mx
+              |ORDER BY shard, pos""".stripMargin)),
+
     // overlapping token chunks (retrieval/packing prep): 64-token windows
     // every 48 tokens, partial tail kept, short docs → one whole chunk
     "curation_chunk" -> Q(

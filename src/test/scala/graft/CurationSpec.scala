@@ -26,6 +26,30 @@ class CurationSpec extends AnyFunSuite {
     assert(out.contains(3L) && out(3L) < 1.0)
   }
 
+  test("shuffleShards is partitioning-invariant, contiguous, seed-keyed") {
+    val docs = (1L to 200L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val a = Curation.shuffleShards(docs, "doc_id", nShards = 4, seed = "ep0")
+      .select("doc_id", "shard", "pos").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    val b = Curation.shuffleShards(docs.repartition(7), "doc_id", nShards = 4,
+        seed = "ep0").select("doc_id", "shard", "pos").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(a.sameElements(b)) // bit-stable across partitionings
+    // positions are exactly 0..n-1 inside every shard
+    a.groupBy(_._2).foreach { case (_, rows) =>
+      assert(rows.map(_._3).sorted.toSeq == rows.indices.toSeq)
+    }
+    // a different seed is a different epoch order
+    val c = Curation.shuffleShards(docs, "doc_id", nShards = 4, seed = "ep1")
+      .select("doc_id", "shard", "pos").collect().map(r =>
+        (r.getLong(0), r.getInt(1), r.getInt(2))).sortBy(_._1)
+    assert(!a.sameElements(c))
+    // the shuffle actually decorrelates source order: sequential ids do
+    // not land in sequential positions of one shard
+    val shard0 = a.filter(_._2 == 0).sortBy(_._3).map(_._1)
+    assert(!shard0.sameElements(shard0.sorted))
+  }
+
   test("repetition signals compute exact fractions on a known doc") {
     val df = Seq((1L, "a a a b")).toDF("doc_id", "text")
     val r = Curation.repetitionSignals(df, "doc_id", "text").collect().head
