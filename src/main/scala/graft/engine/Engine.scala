@@ -332,24 +332,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Seq(plan).toDF("plan")
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
-      splitQualify(q) match {
-        case Some((body, pred, trailing)) =>
-          // QUALIFY (DuckDB/Snowflake extension): post-window filter.
-          // Rewrite: inject the predicate as a boolean column into the
-          // outermost select list (lateral column aliases make select
-          // aliases visible to it), filter outside, drop the column.
-          // ORDER BY / LIMIT after QUALIFY apply after the filter; their
-          // sort expressions may reference FROM-scope columns the select
-          // list doesn't carry (DuckDB resolution), so they ride along as
-          // hidden injected columns too.
-          val (trail, obCols, obNames) = liftTrailingOrder(trailing)
-          val injected = injectSelectColumn(body,
-            (s"($pred) AS __graft_qualify" +: obCols).mkString(", "))
-          run(s"SELECT * FROM ($injected) AS __graft_qualify_sub " +
-              s"WHERE __graft_qualify $trail")
-            .drop("__graft_qualify").drop(obNames: _*)
-        case None =>
-          var inlined = inlineFunctions(q)
+      {
+          // QUALIFY (DuckDB/Snowflake extension) is rewritten to plain
+          // SQL before anything else — recursively, so subquery and CTE
+          // bodies carrying their own QUALIFY work too
+          val q2 = rewriteQualify(q)
+          var inlined = inlineFunctions(q2)
           // information_schema (extension: what BI tools and JDBC metadata
           // probes actually query) — qualified names can't be temp views,
           // so rewrite them to the lazily-registered unqualified twins
@@ -371,7 +359,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
-          vectorIndexScan(q).getOrElse(spark.sql(inlined))
+          vectorIndexScan(q2).getOrElse(spark.sql(inlined))
       }
     case other => refreshViews(); spark.sql(inlineFunctions(other))
   }
@@ -1147,6 +1135,72 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * single-quoted literal ('' escapes a quote) are payload, not syntax.
     */
   // ---- QUALIFY (extension: DuckDB/Snowflake post-window filter) -----------
+
+  /** Rewrite every QUALIFY clause in the statement to plain SQL, innermost
+    * first: the predicate (and any trailing ORDER BY sort expressions,
+    * which may reference FROM-scope columns per DuckDB resolution) ride
+    * along as injected select-list columns, the filter wraps outside, and
+    * `SELECT * EXCEPT (...)` strips the helpers — so the result is pure
+    * text and nests anywhere a subquery does. No-op without QUALIFY.
+    */
+  private def rewriteQualify(sql: String): String = {
+    if (!sql.toLowerCase.contains("qualify")) return sql
+    // recurse into parenthesized groups first (subqueries, CTE bodies)
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        sb += ch
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; sb += ch
+        case '(' =>
+          val close = matchingParen(sql, i)
+          sb += '('
+          sb.append(rewriteQualify(sql.substring(i + 1, close)))
+          sb += ')'
+          i = close
+        case c => sb += c
+      }
+      i += 1
+    }
+    val cur = sb.toString
+    splitQualify(cur) match {
+      case None => cur
+      case Some((body, pred, trailing)) =>
+        val (trail, obCols, obNames) = liftTrailingOrder(trailing)
+        val injected = injectSelectColumn(body,
+          (s"($pred) AS __graft_qualify" +: obCols).mkString(", "))
+        val hidden = ("__graft_qualify" +: obNames).mkString(", ")
+        s"SELECT * EXCEPT ($hidden) FROM (SELECT * FROM ($injected) " +
+          s"AS __graft_qualify_sub WHERE __graft_qualify) " +
+          s"AS __graft_qualify_outer $trail"
+    }
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  private def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in statement")
+  }
 
   /** Locate a top-level QUALIFY clause — depth-0, outside string literals,
     * word-bounded — and split the statement into (body-before-qualify,
