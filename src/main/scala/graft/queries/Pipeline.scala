@@ -820,6 +820,58 @@ object Pipeline {
               |  WHERE q.vec_id < 8 AND q.vec_id <> r.vec_id) x
               |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
+    // SQ8 scalar quantization: per-dimension byte codes against corpus
+    // min/max bounds — the standard middle compression tier between raw
+    // vectors and PQ (4x vs float32, per-dimension resolution). Bounds
+    // involve no summation, so they are bit-identical cross-engine.
+    "vector_sq8_codes" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        Similarity.sq8Codes(e, Similarity.sq8Bounds(e)).orderBy("vec_id")
+      },
+      Some(s"""WITH b AS (SELECT i AS j,
+              |    min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+              |    max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+              |  FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY i),
+              |c AS (SELECT e.vec_id, b.j,
+              |  CASE WHEN b.mx = b.mn THEN 0
+              |    ELSE CAST(round((CAST(e.embedding[b.j] AS DOUBLE) - b.mn)
+              |      * 255.0 / (b.mx - b.mn), 0) AS INT) END AS cd
+              |  FROM embeddings e CROSS JOIN b)
+              |SELECT vec_id, list(cd ORDER BY j) AS sq8_code
+              |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
+
+    // SQ8 top-k via asymmetric distance: queries score against each
+    // corpus vector's dequantized bytes — the scan reads codes, never
+    // original floats
+    "ann_sq8_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.sq8TopK(q, e, k = 5).orderBy("q_id", "rnk")
+      },
+      Some(s"""WITH b AS (SELECT i AS j,
+              |    min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+              |    max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+              |  FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY i),
+              |cds AS (SELECT e.vec_id, b.j, b.mn, b.mx,
+              |  CASE WHEN b.mx = b.mn THEN 0
+              |    ELSE CAST(round((CAST(e.embedding[b.j] AS DOUBLE) - b.mn)
+              |      * 255.0 / (b.mx - b.mn), 0) AS INT) END AS cd
+              |  FROM embeddings e CROSS JOIN b),
+              |rec AS (SELECT vec_id,
+              |    list(mn + CAST(cd AS DOUBLE) * (mx - mn) / 255.0 ORDER BY j) AS recon
+              |  FROM cds GROUP BY vec_id)
+              |SELECT q_id, neighbor_id, approx_l2, rnk FROM (
+              |  SELECT q.vec_id AS q_id, r.vec_id AS neighbor_id,
+              |    round($oReconL2, 6) AS approx_l2,
+              |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              |      ORDER BY $oReconL2, r.vec_id) AS rnk
+              |  FROM embeddings q CROSS JOIN rec r
+              |  WHERE q.vec_id < 8 AND q.vec_id <> r.vec_id) x
+              |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
+
     "vector_l2_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

@@ -50,6 +50,42 @@ class AdvancedOpsSpec extends AnyFunSuite {
     assert(frac > 0.5 && frac < 1.0) // rough: source cardinality is small
   }
 
+  test("sq8 codes are byte-ranged, bounds-exact, and repartition-stable") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val bounds = graft.operators.Similarity.sq8Bounds(emb)
+    val codes = graft.operators.Similarity.sq8Codes(emb, bounds)
+    // every code is a byte
+    val outOfRange = codes.select(explode(col("sq8_code")).as("c"))
+      .filter(col("c") < 0 || col("c") > 255).count()
+    assert(outOfRange == 0)
+    // a corpus row sitting at the per-dimension max codes to 255 there
+    val (mn, mx) = bounds
+    val r0 = codes.orderBy("vec_id").limit(1).collect().head
+    val v0 = Tables.df(spark, sf, "embeddings").orderBy("vec_id").limit(1)
+      .select(col("embedding").cast("array<double>")).collect()
+      .head.getSeq[Double](0)
+    v0.indices.foreach { j =>
+      if (v0(j) == mx(j) && mx(j) > mn(j))
+        assert(r0.getSeq[Int](1)(j) == 255)
+      if (v0(j) == mn(j)) assert(r0.getSeq[Int](1)(j) == 0)
+    }
+    // partitioning-invariant (bounds are min/max, codes a narrow map)
+    val again = graft.operators.Similarity.sq8Codes(emb.repartition(13), bounds)
+    assert(codes.exceptAll(again).isEmpty)
+    // dequantization error is bounded by half a quantization step per dim
+    val row = codes.join(emb, "vec_id").orderBy("vec_id").limit(1)
+      .select(col("sq8_code"), col("embedding").cast("array<double>"))
+      .collect().head
+    val cs = row.getSeq[Int](0); val xs = row.getSeq[Double](1)
+    xs.indices.foreach { j =>
+      val step = (mx(j) - mn(j)) / 255.0
+      if (step > 0) {
+        val recon = mn(j) + cs(j) * step
+        assert(math.abs(recon - xs(j)) <= step / 2 + 1e-12)
+      }
+    }
+  }
+
   test("pq codes reconstruct codebook members exactly and are repartition-stable") {
     val emb = Tables.df(spark, sf, "embeddings")
     val cb = graft.operators.Similarity.pqCodebook(emb)
