@@ -496,6 +496,31 @@ object Similarity {
         round(-col("_neg_l2"), 6).as("approx_l2"), col("rnk"))
   }
 
+  /** Two-stage retrieval: an approximate SQ8 pass keeps `shortlist`
+    * candidates per query, then ONLY those pairs re-score with exact L2 —
+    * the production retrieval shape (coarse-filter + re-rank). At corpus
+    * scale the exact stage touches |queries|·shortlist rows, never the
+    * corpus: the second corpus scan is filtered by a broadcast of the
+    * bounded shortlist before any distance math runs. Final ranking is
+    * true L2 over the shortlist; the approximate stage only bounds
+    * recall (a quantization-displaced true neighbor outside the
+    * shortlist is the accepted ANN trade, same as nprobe in IVF).
+    */
+  def rerankTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+      shortlist: Int = 50, qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val coarse = sq8TopK(queries, corpus, shortlist, qId, qVec, cId, cVec)
+      .select(col(qId), col("neighbor_id"))
+    val exact = corpus
+      .select(col(cId).as("neighbor_id"), col(cVec).as("_cv"))
+      .join(broadcast(coarse), "neighbor_id")
+      .join(broadcast(queries.select(col(qId), col(qVec))), qId)
+      .withColumn("_neg_l2", -l2Distance(col(qVec), col("_cv")))
+    graft.functions.TopK.rank(exact, k, qId, "neighbor_id", "_neg_l2")
+      .select(col(qId), col("neighbor_id"),
+        round(-col("_neg_l2"), 6).as("l2"), col("rnk"))
+  }
+
   /** Embedding near-duplicate pairs: cosine ≥ threshold, blocked by
     * `blockCol` so the pair space stays bounded.
     */

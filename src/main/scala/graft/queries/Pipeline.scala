@@ -872,6 +872,51 @@ object Pipeline {
               |  WHERE q.vec_id < 8 AND q.vec_id <> r.vec_id) x
               |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin)),
 
+    // two-stage retrieval: SQ8 coarse shortlist, exact L2 re-rank of the
+    // shortlist only — the production coarse-filter + re-rank shape
+    "ann_rerank_topk" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.rerankTopK(q, e, k = 5, shortlist = 50).orderBy("q_id", "rnk")
+      },
+      Some {
+        val oExactL2 =
+          "sqrt(list_reduce(list_prepend(0.0, " +
+            "[(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) * " +
+            "(CAST(q.embedding[i] AS DOUBLE) - CAST(c.embedding[i] AS DOUBLE)) " +
+            "for i in generate_series(1, 64)]), (x, y) -> x + y))"
+        s"""WITH b AS (SELECT i AS j,
+           |    min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
+           |    max(CAST(e.embedding[i] AS DOUBLE)) AS mx
+           |  FROM embeddings e, generate_series(1, 64) AS t(i) GROUP BY i),
+           |cds AS (SELECT e.vec_id, b.j, b.mn, b.mx,
+           |  CASE WHEN b.mx = b.mn THEN 0
+           |    ELSE CAST(round((CAST(e.embedding[b.j] AS DOUBLE) - b.mn)
+           |      * 255.0 / (b.mx - b.mn), 0) AS INT) END AS cd
+           |  FROM embeddings e CROSS JOIN b),
+           |rec AS (SELECT vec_id,
+           |    list(mn + CAST(cd AS DOUBLE) * (mx - mn) / 255.0 ORDER BY j) AS recon
+           |  FROM cds GROUP BY vec_id),
+           |shortlist AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, r.vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY $oReconL2, r.vec_id) AS rnk
+           |  FROM embeddings q CROSS JOIN rec r
+           |  WHERE q.vec_id < 8 AND q.vec_id <> r.vec_id) x
+           |WHERE rnk <= 50)
+           |SELECT q_id, neighbor_id, l2, rnk FROM (
+           |  SELECT s.q_id, s.neighbor_id,
+           |    round($oExactL2, 6) AS l2,
+           |    ROW_NUMBER() OVER (PARTITION BY s.q_id
+           |      ORDER BY $oExactL2, s.neighbor_id) AS rnk
+           |  FROM shortlist s
+           |  JOIN embeddings q ON q.vec_id = s.q_id
+           |  JOIN embeddings c ON c.vec_id = s.neighbor_id) x
+           |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin
+      }),
+
     "vector_l2_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

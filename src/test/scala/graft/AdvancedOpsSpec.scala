@@ -86,6 +86,26 @@ class AdvancedOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("rerank top-k scores the shortlist with true L2 in order") {
+    val emb = Tables.df(spark, sf, "embeddings")
+    val q = emb.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    val out = graft.operators.Similarity.rerankTopK(q, emb, k = 5, shortlist = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // 5 results per query, ranked ascending by the exact distance
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.map(_._3).toSeq == sorted.map(_._3).sorted.toSeq)
+    }
+    // the reported distance IS the exact L2, not the quantized estimate
+    val exact = emb.select(col("vec_id").as("nid"), col("embedding").as("cv"))
+      .crossJoin(q)
+      .withColumn("l2x", round(graft.functions.Vectors.l2Distance(col("q_vec"), col("cv")), 6))
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("nid")) -> r.getAs[Double]("l2x")).toMap
+    out.foreach { case (qid, nid, l2, _) => assert(exact((qid, nid)) == l2) }
+  }
+
   test("pq codes reconstruct codebook members exactly and are repartition-stable") {
     val emb = Tables.df(spark, sf, "embeddings")
     val cb = graft.operators.Similarity.pqCodebook(emb)
