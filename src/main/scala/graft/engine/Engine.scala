@@ -55,6 +55,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * so a stray unbucketed file would silently mis-join.
     */
   private val buckets = mutable.LinkedHashMap[String, (String, Int)]()
+  /** materialized views: name → defining query. The data is a regular
+    * `tables` entry (scans read parquet like any table); this map marks
+    * the kind (pg_tables, drop-statement routing) and feeds REFRESH.
+    */
+  private val matviews = mutable.LinkedHashMap[String, String]()
 
   private def tableDir(name: String) = s"$warehouse/$name"
 
@@ -184,6 +189,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
     """(?is)\s*copy\s+(\w+)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  // extension: pg materialized views — a snapshot table whose defining
+  // query is remembered, re-run on demand through the same atomic
+  // materialize-then-swap commit as DELETE/UPDATE
+  private val reCreateMatView =
+    """(?is)\s*create\s+materialized\s+view\s+(\w+)\s+as\s+(.+)""".r
+  private val reRefreshMatView =
+    """(?is)\s*refresh\s+materialized\s+view\s+(\w+)\s*""".r
+  private val reDropMatView =
+    """(?is)\s*drop\s+materialized\s+view\s+(\w+)\s*""".r
   private val reDrop = """(?is)\s*drop\s+(table|view)\s+(\w+)\s*""".r
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
@@ -224,6 +238,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDescribe(name) =>
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
+    case reCreateMatView(name, query) =>
+      val res = createTableAs(name, None, query)
+      matviews(name) = query.trim
+      saveManifest()
+      res
+    case reRefreshMatView(name) =>
+      require(matviews.contains(name), s"no such materialized view: $name")
+      val df = run(matviews(name))
+      // the snapshot may change shape if its sources did — re-register
+      // with the fresh schema, then commit through the atomic swap
+      tables(name) = (df.schema, tables(name)._2)
+      register(name)
+      rewriteSwap(name, df)
+      refresh(name)
+      saveManifest()
+      emptyResult
+    case reDropMatView(name) =>
+      require(matviews.contains(name), s"no such materialized view: $name")
+      matviews.remove(name)
+      drop("table", name)
     case reCreateTableAs(name, bCol, bN, query) =>
       createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query)
     case reCreateTable(name, colsSpec, bCol, bN) =>
@@ -781,6 +815,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // dropping a missing object errors like the reference binder
     require(if (kind == "table") tables.contains(name) else views.contains(name),
       s"no such $kind: $name")
+    // pg parity: a matview is neither (DROP MATERIALIZED VIEW routes here
+    // only after removing the marker, so this guard never blocks it)
+    require(!matviews.contains(name),
+      s"$name is a materialized view: use DROP MATERIALIZED VIEW")
     if (kind == "table") {
       tables.remove(name)
       buckets.remove(name)
@@ -1663,7 +1701,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     import spark.implicits._
     name match {
       case "pg_tables" =>
-        (tables.keys.map(t => ("postgres", t, "table")) ++
+        (tables.keys.map(t =>
+          ("postgres", t, if (matviews.contains(t)) "matview" else "table")) ++
           views.keys.map(v => ("postgres", v, "view"))).toSeq
           .toDF("schemaname", "tablename", "kind")
       case "pg_indexes" =>
@@ -1751,6 +1790,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"${q(n)}: {${q("ddl")}: ${q(schema.toDDL)}, ${q("pk")}: [${pk.map(q).mkString(",")}]}"
     })
     val viewsJson = obj(views.map { case (n, body) => s"${q(n)}: ${q(body)}" })
+    val matviewsJson = obj(matviews.map { case (n, body) => s"${q(n)}: ${q(body)}" })
     val functionsJson = obj(functions.map { case (n, (params, body)) =>
       s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
     })
@@ -1767,6 +1807,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val tmp = Paths.get(s"$warehouse/._catalog.json.tmp")
     Files.writeString(tmp,
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
+        s"""${q("matviews")}: $matviewsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson}""")
     Files.move(tmp, manifestPath,
@@ -1842,6 +1883,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     if (root.has("views"))
       fields(root.get("views")).foreach(e => views(e.getKey) = e.getValue.asText())
+    if (root.has("matviews"))
+      fields(root.get("matviews")).foreach(e => matviews(e.getKey) = e.getValue.asText())
     if (root.has("functions"))
       fields(root.get("functions")).foreach { e =>
         functions(e.getKey) =

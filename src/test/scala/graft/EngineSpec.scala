@@ -303,6 +303,25 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
   }
 
+  test("materialized view survives a restart with kind and refreshability") {
+    val dir = freshDir("/root/repo/target/graft-tmp/matview-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table mvp(k int, v int)")
+    first.run("insert into mvp values (1, 10), (2, 20)")
+    first.run("create materialized view mvps as select sum(v) as total from mvp")
+    val again = new Engine(spark, dir)
+    // the snapshot data AND the matview marker both persisted
+    assert(again.run("select total from mvps").collect()(0).getLong(0) == 30)
+    assert(again.run("select kind from pg_tables where tablename = 'mvps'")
+      .collect()(0).getString(0) == "matview")
+    // REFRESH works through the reopened engine (body came from manifest)
+    again.run("insert into mvp values (3, 70)")
+    again.run("refresh materialized view mvps")
+    assert(again.run("select total from mvps").collect()(0).getLong(0) == 100)
+    intercept[Exception](again.run("drop table mvps").collect())
+    again.run("drop materialized view mvps")
+  }
+
   test("ANALYZE TABLE flows to Spark's native stats and feeds the CBO") {
     engine.run("create table azs(v int)")
     engine.run("insert into azs values (1), (2), (3)")
