@@ -189,6 +189,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
     """(?is)\s*copy\s+(\w+)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  // extension: SQL-level cursors (pg surface — the psql/ETL counterpart
+  // of the wire protocol's suspended portals). DECLARE plans the query
+  // and holds a partition-streaming iterator; FETCH n materializes only
+  // n rows driver-side; CLOSE releases. Engine-scoped like prepared
+  // statements (pg scopes cursors to a transaction/session; the closest
+  // honest analogue for a shared single-engine process).
+  private val cursors =
+    mutable.LinkedHashMap[String, (java.util.Iterator[org.apache.spark.sql.Row], StructType)]()
+  private val reDeclareCursor =
+    """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:no\s+scroll\s+)?cursor\s+for\s+(.+)""".r
+  private val reFetch =
+    """(?is)\s*fetch\s+(?:forward\s+)?(?:(\d+|all|next)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
+  private val reCloseCursor = """(?is)\s*close\s+(\w+)\s*""".r
+
   // extension: pg materialized views — a snapshot table whose defining
   // query is remembered, re-run on demand through the same atomic
   // materialize-then-swap commit as DELETE/UPDATE
@@ -341,6 +355,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       else if (preparedStatements.remove(name.toLowerCase).isEmpty)
         throw new IllegalArgumentException(
           s"prepared statement \"$name\" does not exist")
+      emptyResult
+    case reDeclareCursor(name, query) =>
+      require(!cursors.contains(name), s"""cursor "$name" already exists""")
+      val df = run(query)
+      // toLocalIterator: partitions stream to the driver one at a time —
+      // a FETCH never materializes more than one partition + n rows
+      cursors(name) = (df.toLocalIterator(), df.schema)
+      emptyResult
+    case reFetch(count, name) if cursors.contains(name) =>
+      val (it, schema) = cursors(name)
+      val n = Option(count).map(_.toLowerCase) match {
+        case None | Some("next") => 1
+        case Some("all") => Int.MaxValue
+        case Some(d) => d.toInt
+      }
+      val buf = mutable.Buffer[org.apache.spark.sql.Row]()
+      while (buf.length < n && it.hasNext) buf += it.next()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(buf.asJava, schema)
+    case reFetch(_, name) => throw new IllegalArgumentException(
+      s"""cursor "$name" does not exist""")
+    case reCloseCursor(name) =>
+      if (name.equalsIgnoreCase("all")) cursors.clear()
+      else if (cursors.remove(name).isEmpty)
+        throw new IllegalArgumentException(s"""cursor "$name" does not exist""")
       emptyResult
     case reTxnNoop() => emptyResult
     case reRollback() => throw new IllegalArgumentException(

@@ -99,6 +99,7 @@ class SltSpec extends AnyFunSuite {
     // round-11: CREATE TABLE AS SELECT + ALTER TABLE / TRUNCATE + txn verbs
     "ctas.slt", "alter.slt", "txn.slt",
     // round-11b: QUALIFY + SQL-level PREPARE/EXECUTE + information_schema
-    "qualify.slt", "prepare.slt", "info_schema.slt", "matview.slt")
+    "qualify.slt", "prepare.slt", "info_schema.slt", "matview.slt",
+    "cursor.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
