@@ -378,6 +378,10 @@ private object Pgwire {
     """(?is)\s*copy\s+(\w+)\s+from\s+stdin\b(.*)""".r
   private val reCopyOut =
     """(?is)\s*copy\s+(\w+)\s+to\s+stdout\b(.*)""".r
+  // pg's COPY (query) TO STDOUT — greedy group + backtracking splits at
+  // the ") to stdout" that closes the outer parens even with nested ones
+  private val reCopyOutQuery =
+    """(?is)\s*copy\s*\((.+)\)\s*to\s+stdout\b(.*)""".r
 
   /** Normalize a COPY option tail to the engine's `(k v, ...)` body. */
   private[graft] def copyTailOpts(rest0: String): Option[String] = {
@@ -551,7 +555,9 @@ private object Pgwire {
       try engine.run(sql).schema finally rl.unlock()
     }
     def tableCols(tbl: String): Int =
-      readSchema(s"select * from $tbl limit 0").size
+      // `tbl` is a bare table name or a parenthesized query (COPY (q) TO)
+      // — both are legal FROM sources
+      readSchema(s"select * from $tbl __graft_co limit 0").size
     def copyFormats(ncols: Int)(d: DataOutputStream): Unit = {
       d.writeByte(0) // overall format: text
       d.writeShort(ncols)
@@ -687,6 +693,8 @@ private object Pgwire {
                       failed = true
                   case reCopyOut(tbl, rest) =>
                     copyOut(tbl, withDefaultText(copyTailOpts(rest)))
+                  case reCopyOutQuery(q, rest) =>
+                    copyOut(s"($q)", withDefaultText(copyTailOpts(rest)))
                   case _ if isRowReturning(stmt) =>
                     // rows stream out partition-by-partition — never the
                     // whole result on the driver

@@ -189,6 +189,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*copy\s+(\w+)\s+from\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   private val reCopyTo =
     """(?is)\s*copy\s+(\w+)\s+to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
+  private val reCopyQueryStart = """(?is)^\s*copy\s*\(""".r
+  private val reCopyQueryTo =
+    """(?is)\s*to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   // extension: SQL-level cursors (pg surface — the psql/ETL counterpart
   // of the wire protocol's suspended portals). DECLARE plans the query
   // and holds a partition-streaming iterator; FETCH n materializes only
@@ -327,6 +330,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
     case reCopyTo(table, path, opts) => copyTo(table, path, Option(opts))
+    case qy if reCopyQueryStart.findFirstIn(qy).isDefined =>
+      // pg's COPY (query) TO: export any result, not just whole tables
+      val open = qy.indexOf('(')
+      val close = matchingParen(qy, open)
+      qy.substring(close + 1) match {
+        case reCopyQueryTo(path, opts) =>
+          copyToDf(run(qy.substring(open + 1, close)), path, Option(opts))
+        case _ => throw new IllegalArgumentException(
+          "COPY (query) supports only TO '<path>' [(options)]")
+      }
     case rePrepare(name, _, body) =>
       // the optional type list is accepted for pg compatibility but not
       // needed: $n sites take the EXECUTE argument text verbatim and the
@@ -1595,8 +1608,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     rowCountResult(observedCount(obs))
   }
 
-  private def copyTo(table: String, path: String, opts: Option[String]): DataFrame = {
-    val df = spark.table(table)
+  private def copyTo(table: String, path: String, opts: Option[String]): DataFrame =
+    copyToDf(spark.table(table), path, opts)
+
+  /** COPY ... TO body over an arbitrary frame — shared by the table form
+    * and the pg `COPY (query) TO` form.
+    */
+  private def copyToDf(df: DataFrame, path: String, opts: Option[String]): DataFrame = {
     val o = copyOptions(opts)
     val obs = org.apache.spark.sql.Observation()
     o("format") match {

@@ -229,6 +229,14 @@ class ServerSpec extends AnyFunSuite {
         Set("10\tx", "11\ty", "12\tz", "13\tw", "14\tu"), copied)
       assert(co.exists { case (t, b) =>
         t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY") })
+      // COPY (query) TO STDOUT exports an arbitrary result (pg surface);
+      // nested parens inside the query stay payload
+      val coq = query(
+        "copy (select v from pgc where v in (13, 14) order by v) to stdout")
+      assert(coq.map(_._1).startsWith(Seq('H')), coq.map(_._1).mkString)
+      val qcopied = coq.collect { case ('d', b) =>
+        new String(b, StandardCharsets.UTF_8) }.mkString
+      assert(qcopied.linesIterator.toSet == Set("13", "14"), qcopied)
 
       // statement with NO params round-trips through extended flow too
       frame('P') { d => d.write(cs("")); d.write(cs("select count(*) from pgw")); d.writeShort(0) }
