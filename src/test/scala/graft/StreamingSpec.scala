@@ -306,6 +306,26 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.count() > 0)
   }
 
+  test("sq8 encoding runs unchanged on a stream (fit offline, apply live)") {
+    // the production quantization shape: bounds fit on the offline corpus
+    // (plan literals), the byte encode is a stateless per-row map that
+    // applies to a continuous embedding stream with batch parity
+    val srcDir = "/root/repo/target/graft-tmp/stream_emb_sq8"
+    val emb = Tables.df(spark, sf, "embeddings")
+    emb.coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val bounds = graft.operators.Similarity.sq8Bounds(emb)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val streamed = StreamingOps.runToMemory(
+      graft.operators.Similarity.sq8Codes(stream, bounds),
+      "sq8_stream_test", outputMode = "append")
+    val batch = graft.operators.Similarity.sq8Codes(
+      spark.read.parquet(srcDir), bounds)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+    assert(batch.count() > 0)
+  }
+
   test("stream-stream interval join equals the batch join on bounded input") {
     val srcDir = "/root/repo/target/graft-tmp/stream_events_ssj"
     Tables.df(spark, sf, "events").coalesce(1)
