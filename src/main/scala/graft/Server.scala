@@ -702,7 +702,10 @@ private object Pgwire {
                       sendRowDescription(schema)
                       sendDataRows(schema, rows)
                     }
-                    msg('C')(cstr(_, s"SELECT $n"))
+                    // pg tags FETCH with its own verb; everything else
+                    // row-returning tags SELECT
+                    val verb = if (keyword(stmt) == "FETCH") "FETCH" else "SELECT"
+                    msg('C')(cstr(_, s"$verb $n"))
                   case _ =>
                     val (_, rows) = Server.runStatement(engine, stmt)
                     msg('C')(cstr(_, commandTag(stmt, rows)))
@@ -880,10 +883,17 @@ private object Pgwire {
   private def keyword(stmt: String): String =
     stmt.trim.split("\\s+").headOption.getOrElse("").toUpperCase
 
-  /** Renders rows over the wire (RowDescription + DataRows). */
+  /** Renders rows over the wire (RowDescription + DataRows). FETCH always
+    * returns rows; EXECUTE renders whatever its prepared body yields (a
+    * DML body renders its one-row rows_affected result — visible beats
+    * silently collected-and-discarded). Neither is read-only: FETCH
+    * advances cursor state and EXECUTE may wrap DML, so both stay on the
+    * write lock.
+    */
   private[graft] def isRowReturning(stmt: String): Boolean =
     Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
-      "TABLE", "PRAGMA").contains(keyword(stmt)) || stmt.trim.startsWith("\\")
+      "TABLE", "PRAGMA", "FETCH", "EXECUTE").contains(keyword(stmt)) ||
+      stmt.trim.startsWith("\\")
 
   /** Safe under the shared READ lock. Narrower than [[isRowReturning]]:
     * WITH can wrap DML (`WITH x AS (...) INSERT ...`) and PRAGMA mutates

@@ -193,13 +193,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reCopyQueryTo =
     """(?is)\s*to\s+'([^']+)'\s*(?:\((.*)\))?\s*""".r
   // extension: SQL-level cursors (pg surface — the psql/ETL counterpart
-  // of the wire protocol's suspended portals). DECLARE plans the query
-  // and holds a partition-streaming iterator; FETCH n materializes only
-  // n rows driver-side; CLOSE releases. Engine-scoped like prepared
-  // statements (pg scopes cursors to a transaction/session; the closest
-  // honest analogue for a shared single-engine process).
-  private val cursors =
-    mutable.LinkedHashMap[String, (java.util.Iterator[org.apache.spark.sql.Row], StructType)]()
+  // of the wire protocol's suspended portals). DECLARE materializes the
+  // result once into a private spill directory and FETCH streams from
+  // THAT snapshot — a live scan iterator would pin the source table's
+  // file listing, and a DELETE/UPDATE/REFRESH between FETCHes commits
+  // through rewriteSwap, deleting the pinned files mid-fetch (the same
+  // hazard the server's ResultSpool exists to avoid). Snapshot-at-declare
+  // is also pg's cursor visibility. Engine-scoped like prepared
+  // statements; CLOSE (or process exit) reclaims the spill dir.
+  private val cursors = mutable.LinkedHashMap[String,
+    (java.util.Iterator[org.apache.spark.sql.Row], StructType, java.nio.file.Path)]()
   private val reDeclareCursor =
     """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:no\s+scroll\s+)?cursor\s+for\s+(.+)""".r
   private val reFetch =
@@ -235,8 +238,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // Parse/Bind). Statements are engine-scoped, not persisted: pg scopes
   // them to a session and drops them on disconnect; the closest honest
   // analogue for a shared single-engine process is process-lifetime.
-  // TrieMap because the Server routes EXECUTE of a SELECT through the
-  // shared read lock — concurrent readers may touch the map together.
+  // TrieMap defensively: the engine is shared across server connection
+  // threads, and while the Server routes PREPARE/EXECUTE through the
+  // write lock today, this map must not depend on that routing.
   private val preparedStatements =
     scala.collection.concurrent.TrieMap[String, String]()
   private val rePrepare =
@@ -263,11 +267,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reRefreshMatView(name) =>
       require(matviews.contains(name), s"no such materialized view: $name")
       val df = run(matviews(name))
-      // the snapshot may change shape if its sources did — re-register
-      // with the fresh schema, then commit through the atomic swap
+      // data first: if the swap throws (disk full, runtime error in the
+      // body), neither the catalog entry nor the manifest has moved —
+      // the old snapshot stays fully consistent. Only after the commit
+      // does the catalog pick up any schema drift from the sources.
+      rewriteSwap(name, df)
       tables(name) = (df.schema, tables(name)._2)
       register(name)
-      rewriteSwap(name, df)
       refresh(name)
       saveManifest()
       emptyResult
@@ -343,23 +349,45 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case rePrepare(name, _, body) =>
       // the optional type list is accepted for pg compatibility but not
       // needed: $n sites take the EXECUTE argument text verbatim and the
-      // planner infers types from context, like the SQL UDF tier
+      // planner infers types from context, like the SQL UDF tier.
+      // Duplicate names error like pg (and like DECLARE below).
+      require(!preparedStatements.contains(name.toLowerCase),
+        s"""prepared statement "$name" already exists""")
       preparedStatements(name.toLowerCase) = body.trim
       emptyResult
     case reExecuteStmt(name, args) if preparedStatements.contains(name.toLowerCase) =>
       val body = preparedStatements(name.toLowerCase)
       val actuals = Option(args).map(splitTopLevel).getOrElse(Seq.empty)
-      // single regex pass: $10 never partially matches as $1, and a $n
-      // beyond the argument list fails like pg's "wrong number of
+      // single quote-aware pass: $n inside a string literal is payload
+      // (pg treats it as text), $10 never partially matches as $1, and a
+      // $n beyond the argument list fails like pg's "wrong number of
       // parameters" instead of leaking $n into the Spark parser
-      val bound = """\$(\d+)""".r.replaceAllIn(body, m => {
-        val idx = m.group(1).toInt
-        if (idx >= 1 && idx <= actuals.length)
-          java.util.regex.Matcher.quoteReplacement(s"(${actuals(idx - 1)})")
-        else throw new IllegalArgumentException(
-          s"wrong number of parameters for prepared statement \"$name\": " +
-            s"got ${actuals.length}, statement references $$$idx")
-      })
+      val bound = {
+        val sb = new StringBuilder; var i = 0; var inStr = false
+        while (i < body.length) {
+          val ch = body(i)
+          if (inStr) {
+            sb += ch
+            if (ch == '\'') {
+              if (i + 1 < body.length && body(i + 1) == '\'') { sb += '\''; i += 1 }
+              else inStr = false
+            }
+          } else if (ch == '\'') { inStr = true; sb += ch }
+          else if (ch == '$' && i + 1 < body.length && body(i + 1).isDigit) {
+            var j = i + 1
+            while (j < body.length && body(j).isDigit) j += 1
+            val idx = body.substring(i + 1, j).toInt
+            if (idx >= 1 && idx <= actuals.length)
+              sb.append(s"(${actuals(idx - 1)})")
+            else throw new IllegalArgumentException(
+              s"wrong number of parameters for prepared statement \"$name\": " +
+                s"got ${actuals.length}, statement references $$$idx")
+            i = j - 1
+          } else sb += ch
+          i += 1
+        }
+        sb.toString
+      }
       run(bound)
     case reExecuteStmt(name, _) => throw new IllegalArgumentException(
       s"prepared statement \"$name\" does not exist")
@@ -372,15 +400,27 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDeclareCursor(name, query) =>
       require(!cursors.contains(name), s"""cursor "$name" already exists""")
       val df = run(query)
-      // toLocalIterator: partitions stream to the driver one at a time —
-      // a FETCH never materializes more than one partition + n rows
-      cursors(name) = (df.toLocalIterator(), df.schema)
+      // snapshot: one distributed write into a private spill dir (bounded
+      // by disk, not driver memory). An explicit ordinal pins the row
+      // order through the round trip — monotonically_increasing_id
+      // follows the declared query's partition order, and the snapshot
+      // scan re-sorts on it (split packing on read does NOT preserve
+      // file order on its own).
+      val dir = Files.createTempDirectory("graft-cursor")
+      val data = dir.resolve("data").toString
+      val withOrd = df.withColumn("__graft_ord", monotonically_increasing_id())
+      withOrd.write.parquet(data)
+      val snap = spark.read.schema(withOrd.schema).parquet(data)
+        .orderBy("__graft_ord").drop("__graft_ord")
+      cursors(name) = (snap.toLocalIterator(), df.schema, dir)
       emptyResult
     case reFetch(count, name) if cursors.contains(name) =>
-      val (it, schema) = cursors(name)
+      val (it, schema, _) = cursors(name)
       val n = Option(count).map(_.toLowerCase) match {
         case None | Some("next") => 1
         case Some("all") => Int.MaxValue
+        // pg accepts int8 counts; clamp instead of overflowing toInt
+        case Some(d) if d.length > 9 => Int.MaxValue
         case Some(d) => d.toInt
       }
       val buf = mutable.Buffer[org.apache.spark.sql.Row]()
@@ -390,9 +430,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reFetch(_, name) => throw new IllegalArgumentException(
       s"""cursor "$name" does not exist""")
     case reCloseCursor(name) =>
-      if (name.equalsIgnoreCase("all")) cursors.clear()
-      else if (cursors.remove(name).isEmpty)
-        throw new IllegalArgumentException(s"""cursor "$name" does not exist""")
+      if (name.equalsIgnoreCase("all")) {
+        cursors.values.foreach(c => deleteRecursively(c._3, keepRoot = false))
+        cursors.clear()
+      } else cursors.remove(name) match {
+        case Some((_, _, dir)) => deleteRecursively(dir, keepRoot = false)
+        case None => throw new IllegalArgumentException(
+          s"""cursor "$name" does not exist""")
+      }
       emptyResult
     case reTxnNoop() => emptyResult
     case reRollback() => throw new IllegalArgumentException(
@@ -424,21 +469,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // bodies carrying their own QUALIFY work too
           val q2 = rewriteQualify(q)
           var inlined = inlineFunctions(q2)
+          analysisErrorParity(inlined)
+          refreshViews()
           // information_schema (extension: what BI tools and JDBC metadata
           // probes actually query) — qualified names can't be temp views,
-          // so rewrite them to the lazily-registered unqualified twins
+          // so rewrite them to the lazily-registered unqualified twins.
+          // Quote-aware: the qualified name inside a string literal is
+          // payload. Runs after the single refreshViews (columns
+          // introspection plans view bodies).
           if (inlined.toLowerCase.contains("information_schema.")) {
-            refreshViews() // columns introspection plans view bodies
             systemTable("information_schema.tables")
               .createOrReplaceTempView("__graft_info_tables")
             systemTable("information_schema.columns")
               .createOrReplaceTempView("__graft_info_columns")
-            inlined = inlined
+            inlined = mapOutsideQuotes(inlined, seg => seg
               .replaceAll("(?i)\\binformation_schema\\.tables\\b", "__graft_info_tables")
-              .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__graft_info_columns")
+              .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__graft_info_columns"))
           }
-          analysisErrorParity(inlined)
-          refreshViews()
           // system tables resolve from plain SQL too (reference
           // internal.slt): registered lazily, only when the statement
           // names one
@@ -1272,6 +1319,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Apply `f` to the statement segments OUTSIDE single-quoted string
+    * literals, leaving the literals (with '' escapes) untouched.
+    */
+  private def mapOutsideQuotes(sql: String, f: String => String): String = {
+    val sb = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        sb += ch
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else if (ch == '\'') {
+        sb.append(f(seg.toString)); seg.clear()
+        inStr = true; sb += ch
+      } else seg += ch
+      i += 1
+    }
+    sb.append(f(seg.toString))
+    sb.toString
+  }
+
   /** Index of the ')' matching the '(' at `open` (quote-aware). */
   private def matchingParen(s: String, open: Int): Int = {
     var depth = 0; var inStr = false; var i = open
@@ -1326,7 +1398,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           else if (qStart >= 0 && predEnd < 0 &&
               (wordAt(i, "order") || wordAt(i, "limit") || wordAt(i, "offset")))
             predEnd = i
-          else if (wordAt(i, "union") || wordAt(i, "intersect") || wordAt(i, "except"))
+          else if (wordAt(i, "union") || wordAt(i, "intersect") ||
+              (wordAt(i, "except") && {
+                // `SELECT * EXCEPT (...)` is a select-list star modifier,
+                // not a set operator — disambiguate by the preceding `*`
+                var k = i - 1
+                while (k >= 0 && q(k).isWhitespace) k -= 1
+                k < 0 || q(k) != '*'
+              }))
             setOp = true
         case _ =>
       }
@@ -1368,9 +1447,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case '\'' => inStr = true
         case '(' => depth += 1
         case ')' => depth -= 1
-        case _ if depth == 0 &&
-            (lower.startsWith("limit", i) || lower.startsWith("offset", i)) &&
-            !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_' => cut = i
+        case _ if depth == 0 && {
+          // both word boundaries: a sort column named `offset_ms` or
+          // `limit2` is payload, not a clause keyword
+          def kw(w: String) = lower.startsWith(w, i) &&
+            !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_' &&
+            (i + w.length >= lower.length || {
+              val c = lower(i + w.length); !c.isLetterOrDigit && c != '_' })
+          kw("limit") || kw("offset")
+        } => cut = i
         case _ =>
       }
       i += 1

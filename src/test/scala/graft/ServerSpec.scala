@@ -237,6 +237,15 @@ class ServerSpec extends AnyFunSuite {
       val qcopied = coq.collect { case ('d', b) =>
         new String(b, StandardCharsets.UTF_8) }.mkString
       assert(qcopied.linesIterator.toSet == Set("13", "14"), qcopied)
+      // SQL-level cursors render rows over the wire with pg's FETCH tag
+      // (FETCH is in isRowReturning — rows must not be swallowed)
+      assert(query("declare sc cursor for select v from pgc order by v")
+        .exists(_._1 == 'C'))
+      val f1 = query("fetch 2 from sc")
+      assert(f1.count(_._1 == 'D') == 2, f1.map(_._1).mkString)
+      assert(f1.collect { case ('C', b) =>
+        new String(b, StandardCharsets.UTF_8) }.exists(_.startsWith("FETCH 2")))
+      assert(query("close sc").exists(_._1 == 'C'))
 
       // statement with NO params round-trips through extended flow too
       frame('P') { d => d.write(cs("")); d.write(cs("select count(*) from pgw")); d.writeShort(0) }
