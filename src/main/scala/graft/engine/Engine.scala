@@ -74,7 +74,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     views.foreach { case (n, body) =>
       // a broken view (e.g. base table dropped) errors only when scanned,
       // not on unrelated statements — its stale registration stays
-      try spark.sql(inlineFunctions(body)).createOrReplaceTempView(n)
+      try spark.sql(inlineFunctions(rewriteQualify(body))).createOrReplaceTempView(n)
       catch { case _: Exception => }
     }
 
@@ -294,7 +294,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case None => rawBody
       }
       views(name) = body
-      spark.sql(inlineFunctions(body)).createOrReplaceTempView(name)
+      spark.sql(inlineFunctions(rewriteQualify(body))).createOrReplaceTempView(name)
       saveManifest()
       emptyResult
     case reCreateIndex(name, table, method, column, opts) =>
@@ -455,7 +455,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // A statement the vector IndexScan tier would intercept explains
       // THAT plan (the probed scan), not the full scan it replaces.
       val qe = vectorIndexScan(body)
-        .getOrElse(spark.sql(inlineFunctions(body))).queryExecution
+        .getOrElse(spark.sql(inlineFunctions(rewriteQualify(body)))).queryExecution
       val plan =
         qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("cost")) +
           "\n" +
@@ -494,7 +494,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
           vectorIndexScan(q2).getOrElse(spark.sql(inlined))
       }
-    case other => refreshViews(); spark.sql(inlineFunctions(other))
+    case other => refreshViews(); spark.sql(inlineFunctions(rewriteQualify(other)))
   }
 
   // ---- vector IndexScan (reference src/planner: IndexScan node) -----------
@@ -938,7 +938,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def insert(table: String, colList: Option[String], source: String): DataFrame = {
     require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
-    val src = spark.sql(inlineFunctions(source))
+    val src = spark.sql(inlineFunctions(rewriteQualify(source)))
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
     require(declared.length == src.columns.length,
@@ -1813,7 +1813,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def explainAnalyze(body: String): DataFrame = {
     import spark.implicits._
-    val df = spark.sql(inlineFunctions(body))
+    val df = spark.sql(inlineFunctions(rewriteQualify(body)))
     // run through THIS queryExecution instance (df.write would plan a
     // separate execution and leave these metrics untouched); rows are
     // consumed executor-side, nothing is collected
@@ -1875,7 +1875,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           views.keys.toSeq.flatMap { v =>
             // a view whose body no longer plans (dropped dependency) must
             // not break catalog introspection of everything else
-            scala.util.Try((v, spark.sql(inlineFunctions(views(v))).schema)).toOption
+            scala.util.Try((v, spark.sql(inlineFunctions(rewriteQualify(views(v)))).schema)).toOption
           }).flatMap { case (t, schema) =>
           schema.fields.zipWithIndex.map { case (f, i) =>
             ("graft", "public", t, f.name, i + 1, f.dataType.sql.toLowerCase,
