@@ -1,0 +1,271 @@
+package graft.engine
+
+import scala.collection.mutable
+
+/** Pure text scanners for the engine's SQL dispatch — quote-aware,
+  * paren-aware, no Spark dependency, so they are property-testable in a
+  * bare JVM. The QUALIFY rewrite lives here because it is a pure
+  * statement-to-statement transformation.
+  */
+private[graft] object SqlText {
+
+  // ---- QUALIFY (extension: DuckDB/Snowflake post-window filter) -----------
+
+  /** Rewrite every QUALIFY clause in the statement to plain SQL, innermost
+    * first: the predicate (and any trailing ORDER BY sort expressions,
+    * which may reference FROM-scope columns per DuckDB resolution) ride
+    * along as injected select-list columns, the filter wraps outside, and
+    * `SELECT * EXCEPT (...)` strips the helpers — so the result is pure
+    * text and nests anywhere a subquery does. No-op without QUALIFY.
+    */
+  def rewriteQualify(sql: String): String = {
+    if (!sql.toLowerCase.contains("qualify")) return sql
+    // recurse into parenthesized groups first (subqueries, CTE bodies)
+    val sb = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        sb += ch
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; sb += ch
+        case '(' =>
+          val close = matchingParen(sql, i)
+          sb += '('
+          sb.append(rewriteQualify(sql.substring(i + 1, close)))
+          sb += ')'
+          i = close
+        case c => sb += c
+      }
+      i += 1
+    }
+    val cur = sb.toString
+    splitQualify(cur) match {
+      case None => cur
+      case Some((body, pred, trailing)) =>
+        val (trail, obCols, obNames) = liftTrailingOrder(trailing)
+        val injected = injectSelectColumn(body,
+          (s"($pred) AS __graft_qualify" +: obCols).mkString(", "))
+        val hidden = ("__graft_qualify" +: obNames).mkString(", ")
+        s"SELECT * EXCEPT ($hidden) FROM (SELECT * FROM ($injected) " +
+          s"AS __graft_qualify_sub WHERE __graft_qualify) " +
+          s"AS __graft_qualify_outer $trail"
+    }
+  }
+
+  /** Apply `f` to the statement segments OUTSIDE single-quoted string
+    * literals, leaving the literals (with '' escapes) untouched.
+    */
+  def mapOutsideQuotes(sql: String, f: String => String): String = {
+    val sb = new StringBuilder
+    val seg = new StringBuilder
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        sb += ch
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
+          else inStr = false
+        }
+      } else if (ch == '\'') {
+        sb.append(f(seg.toString)); seg.clear()
+        inStr = true; sb += ch
+      } else seg += ch
+      i += 1
+    }
+    sb.append(f(seg.toString))
+    sb.toString
+  }
+
+  /** Index of the ')' matching the '(' at `open` (quote-aware). */
+  def matchingParen(s: String, open: Int): Int = {
+    var depth = 0; var inStr = false; var i = open
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) return i
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("unbalanced parentheses in statement")
+  }
+
+  /** Locate a top-level QUALIFY clause — depth-0, outside string literals,
+    * word-bounded — and split the statement into (body-before-qualify,
+    * predicate, trailing ORDER BY/LIMIT/OFFSET tail). A QUALIFY inside a
+    * parenthesized subquery stays payload (depth > 0). Set operators at
+    * the top level make "which branch owns the QUALIFY" ambiguous under a
+    * textual rewrite, so that shape errors with a wrap-it hint instead of
+    * guessing.
+    */
+  def splitQualify(q: String): Option[(String, String, String)] = {
+    val lower = q.toLowerCase
+    def wordAt(pos: Int, w: String): Boolean =
+      lower.startsWith(w, pos) &&
+        (pos == 0 || { val c = lower(pos - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (pos + w.length >= lower.length || {
+          val c = lower(pos + w.length); !c.isLetterOrDigit && c != '_' })
+    var depth = 0; var inStr = false; var i = 0
+    var qStart = -1 // index of the QUALIFY keyword
+    var predEnd = -1 // index where the trailing ORDER BY/LIMIT/OFFSET begins
+    var setOp = false
+    while (i < q.length) {
+      val ch = q(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < q.length && q(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 =>
+          if (qStart < 0 && wordAt(i, "qualify")) { qStart = i; i += 6 }
+          else if (qStart >= 0 && predEnd < 0 &&
+              (wordAt(i, "order") || wordAt(i, "limit") || wordAt(i, "offset")))
+            predEnd = i
+          else if (wordAt(i, "union") || wordAt(i, "intersect") ||
+              (wordAt(i, "except") && {
+                // `SELECT * EXCEPT (...)` is a select-list star modifier,
+                // not a set operator — disambiguate by the preceding `*`
+                var k = i - 1
+                while (k >= 0 && q(k).isWhitespace) k -= 1
+                k < 0 || q(k) != '*'
+              }))
+            setOp = true
+        case _ =>
+      }
+      i += 1
+    }
+    if (qStart < 0) None
+    else if (setOp) throw new IllegalArgumentException(
+      "QUALIFY combined with a top-level set operator is ambiguous: " +
+        "wrap the QUALIFY branch in a subquery")
+    else {
+      val end = if (predEnd < 0) q.length else predEnd
+      val pred = q.substring(qStart + 7, end).trim
+      if (pred.isEmpty) throw new IllegalArgumentException("QUALIFY requires a predicate")
+      Some((q.substring(0, qStart).trim, pred,
+        if (predEnd < 0) "" else q.substring(predEnd).trim))
+    }
+  }
+
+  /** Rewrite a post-QUALIFY trailing clause so ORDER BY sort expressions
+    * become references to hidden injected columns: returns (rewritten
+    * trailing, select-list items to inject, their names to drop). Bare
+    * positional indices (ORDER BY 1) stay positional — injections append
+    * to the select list, so positions of the user's columns don't move.
+    */
+  def liftTrailingOrder(trailing: String): (String, Seq[String], Seq[String]) = {
+    val lower = trailing.toLowerCase
+    if (!lower.startsWith("order")) return (trailing, Nil, Nil)
+    val byIdx = lower.indexOf("by") + 2
+    // cut the sort list at a top-level LIMIT/OFFSET keyword
+    var depth = 0; var inStr = false; var i = byIdx; var cut = -1
+    while (i < trailing.length && cut < 0) {
+      val ch = trailing(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < trailing.length && trailing(i + 1) == '\'') i += 1
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && {
+          // both word boundaries: a sort column named `offset_ms` or
+          // `limit2` is payload, not a clause keyword
+          def kw(w: String) = lower.startsWith(w, i) &&
+            !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_' &&
+            (i + w.length >= lower.length || {
+              val c = lower(i + w.length); !c.isLetterOrDigit && c != '_' })
+          kw("limit") || kw("offset")
+        } => cut = i
+        case _ =>
+      }
+      i += 1
+    }
+    val obList = trailing.substring(byIdx, if (cut < 0) trailing.length else cut)
+    val tail = if (cut < 0) "" else trailing.substring(cut)
+    val reItem = """(?is)^(.*?)((?:\s+(?:asc|desc))?(?:\s+nulls\s+(?:first|last))?)\s*$""".r
+    val inject = mutable.Buffer[String](); val names = mutable.Buffer[String]()
+    val rewritten = splitTopLevel(obList).zipWithIndex.map { case (item, k) =>
+      val m = reItem.findFirstMatchIn(item).get
+      val expr = m.group(1).trim
+      if (expr.matches("\\d+")) item
+      else {
+        val nm = s"__graft_ob_${k + 1}"
+        inject += s"($expr) AS $nm"; names += nm
+        nm + m.group(2)
+      }
+    }
+    (s"ORDER BY ${rewritten.mkString(", ")} $tail", inject.toSeq, names.toSeq)
+  }
+
+  /** Append `expr` to the outermost select list: insert before the first
+    * top-level FROM (quote/paren-aware, so CTE bodies and subquery FROMs
+    * don't fool it).
+    */
+  def injectSelectColumn(body: String, expr: String): String = {
+    val lower = body.toLowerCase
+    var depth = 0; var inStr = false; var i = 0
+    while (i < body.length) {
+      val ch = body(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < body.length && body(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && lower.startsWith("from", i) &&
+            (i == 0 || !lower(i - 1).isLetterOrDigit && lower(i - 1) != '_') &&
+            (i + 4 >= lower.length ||
+              { val c = lower(i + 4); !c.isLetterOrDigit && c != '_' }) =>
+          return body.substring(0, i) + s", $expr " + body.substring(i)
+        case _ =>
+      }
+      i += 1
+    }
+    throw new IllegalArgumentException("QUALIFY requires a FROM clause")
+  }
+
+  def splitTopLevel(s: String): Seq[String] = {
+    val parts = mutable.Buffer[String]()
+    var depth = 0; var inStr = false; val cur = new StringBuilder
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        cur += ch
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') { cur += '\''; i += 1 }
+          else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true; cur += ch
+        case '(' => depth += 1; cur += ch
+        case ')' => depth -= 1; cur += ch
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case c => cur += c
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+}

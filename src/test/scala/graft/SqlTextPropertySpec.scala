@@ -1,0 +1,78 @@
+package graft
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import graft.engine.SqlText
+
+/** Property-based invariants for the engine's pure SQL-text scanners —
+  * the hand-rolled quote/paren-aware walkers behind QUALIFY, the
+  * information_schema rewrite, and COPY (query) parsing. Adversarial
+  * inputs (keywords inside literals, '' escapes, deep nesting) are
+  * exactly where scanners break.
+  */
+object SqlTextPropertySpec extends Properties("SqlText") {
+
+  // words, literals with escaped quotes, parens, separators — no bare
+  // quote chars outside the literal generator, so inputs stay balanced
+  private val literal: Gen[String] = Gen.oneOf(
+    "'a b'", "'it''s'", "'qualify'", "'order by limit'", "''",
+    "'union (select)'", "'information_schema.tables'")
+  private val word: Gen[String] = Gen.oneOf(
+    "select", "col", "t1", "sum(x)", "1", "=", ",", "from", "where")
+  private val atom: Gen[String] = Gen.frequency(3 -> word, 1 -> literal)
+  private val sqlGen: Gen[String] =
+    Gen.choose(0, 10).flatMap(n => Gen.listOfN(n, atom)).map(_.mkString(" "))
+
+  property("mapOutsideQuotes with identity is the identity") =
+    forAll(sqlGen) { s => SqlText.mapOutsideQuotes(s, identity) == s }
+
+  property("mapOutsideQuotes never touches literal contents") =
+    forAll(sqlGen) { s =>
+      val mapped = SqlText.mapOutsideQuotes(s, _.toUpperCase)
+      // lowercasing both forms back equalizes the segment transformation,
+      // so any difference would have come from inside a literal
+      mapped.toLowerCase == s.toLowerCase &&
+        SqlText.mapOutsideQuotes(mapped, _.toLowerCase) ==
+          SqlText.mapOutsideQuotes(s, _.toLowerCase)
+    }
+
+  property("rewriteQualify is the identity when qualify only sits in literals") =
+    forAll(sqlGen) { s =>
+      // sqlGen never emits a bare `qualify` word; any occurrence is
+      // inside a literal atom, so the rewrite must not fire
+      SqlText.rewriteQualify(s) == s
+    }
+
+  private val nested: Gen[String] = {
+    def lvl(depth: Int): Gen[String] =
+      if (depth == 0) Gen.oneOf("x", "1", "'a(b'", "'it''s)'")
+      else Gen.choose(0, 3).flatMap(n => Gen.listOfN(n, lvl(depth - 1)))
+        .map(parts => "(" + parts.mkString(" ") + ")")
+    lvl(3)
+  }
+
+  property("matchingParen returns the structural close, not one in a literal") =
+    forAll(nested) { s =>
+      val close = SqlText.matchingParen(s, 0)
+      // the close is the final char of the balanced group we generated
+      close == s.length - 1 && s(close) == ')'
+    }
+
+  property("splitTopLevel round-trips comma-free parts") =
+    forAll(Gen.listOfN(3, sqlGen.map(_.replace(",", "")))) { parts =>
+      val cleaned = parts.map(_.trim).filter(_.nonEmpty)
+      SqlText.splitTopLevel(cleaned.mkString(" , ")) == cleaned
+    }
+
+  property("rewriteQualify eliminates every top-level QUALIFY keyword") =
+    forAll(Gen.oneOf(
+      "select a, b from t qualify row_number() over (order by b) = 1",
+      "select a from t qualify rank() over (partition by a order by b) <= 2 order by a limit 3",
+      "with c as (select a from t qualify f() = 1) select * from c",
+      "select * from (select a from t qualify g() = 2) s qualify h() = 3")) { s =>
+      val out = SqlText.rewriteQualify(s)
+      // no QUALIFY keyword survives (these statements carry no literals,
+      // so a plain word search is exact)
+      !out.toLowerCase.matches("(?s).*\\bqualify\\b.*")
+    }
+}
