@@ -200,7 +200,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // through rewriteSwap, deleting the pinned files mid-fetch (the same
   // hazard the server's ResultSpool exists to avoid). Snapshot-at-declare
   // is also pg's cursor visibility. Engine-scoped like prepared
-  // statements; CLOSE (or process exit) reclaims the spill dir.
+  // statements; CLOSE reclaims the spill dir (an abandoned cursor's dir
+  // lives in java.io.tmpdir until the OS tmp sweep — bounded by the
+  // declared result size, never the source tables).
   private val cursors = mutable.LinkedHashMap[String,
     (java.util.Iterator[org.apache.spark.sql.Row], StructType, java.nio.file.Path)]()
   private val reDeclareCursor =
