@@ -540,7 +540,11 @@ private object Pgwire {
       * sees `v > NULL`, which types fine — falling back to NoData.
       */
     def describe(sql: String, fmts: Array[Int] = Array.empty): Unit =
-      if (!isRowReturning(sql)) msg('n')(_ => ())
+      // NARROWER than isRowReturning on purpose: planning a FETCH would
+      // advance the cursor and planning an EXECUTE may run wrapped DML —
+      // Describe must be side-effect-free, so those answer NoData and
+      // clients get the real RowDescription at Execute time instead.
+      if (!isDescribableQuery(sql)) msg('n')(_ => ())
       else {
         try sendRowDescription(readSchema(sql), fmts)
         catch { case _: Exception => msg('n')(_ => ()) }
@@ -833,11 +837,13 @@ private object Pgwire {
                   }
                   if (p.spool.rows.hasNext) msg('s')(_ => ()) // PortalSuspended
                   else {
-                    // pg's SELECT tag counts the rows of the COMPLETING
-                    // Execute call, not the portal's lifetime total
+                    // pg's tag counts the rows of the COMPLETING Execute
+                    // call, not the portal's lifetime total
                     // (exec_execute_message tags from that run's
-                    // es_processed)
-                    msg('C')(cstr(_, s"SELECT $k"))
+                    // es_processed); FETCH keeps its own verb in both
+                    // protocols
+                    val verb = if (keyword(p.sql) == "FETCH") "FETCH" else "SELECT"
+                    msg('C')(cstr(_, s"$verb $k"))
                     p.closeSpool(); p.done = true
                   }
                 }
@@ -894,6 +900,15 @@ private object Pgwire {
     Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
       "TABLE", "PRAGMA", "FETCH", "EXECUTE").contains(keyword(stmt)) ||
       stmt.trim.startsWith("\\")
+
+  /** Describable without executing — planning these has no side effects.
+    * A strict subset of [[isRowReturning]]: FETCH/EXECUTE render rows but
+    * running them to learn the schema would advance cursor state or run
+    * wrapped DML inside a Describe.
+    */
+  private[graft] def isDescribableQuery(stmt: String): Boolean =
+    Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
+      "TABLE", "PRAGMA").contains(keyword(stmt)) || stmt.trim.startsWith("\\")
 
   /** Safe under the shared READ lock. Narrower than [[isRowReturning]]:
     * WITH can wrap DML (`WITH x AS (...) INSERT ...`) and PRAGMA mutates

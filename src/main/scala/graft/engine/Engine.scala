@@ -352,44 +352,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // the optional type list is accepted for pg compatibility but not
       // needed: $n sites take the EXECUTE argument text verbatim and the
       // planner infers types from context, like the SQL UDF tier.
-      // Duplicate names error like pg (and like DECLARE below).
-      require(!preparedStatements.contains(name.toLowerCase),
-        s"""prepared statement "$name" already exists""")
-      preparedStatements(name.toLowerCase) = body.trim
+      // Duplicate names error like pg (and like DECLARE below);
+      // putIfAbsent keeps the check-then-put atomic on the shared map.
+      if (preparedStatements.putIfAbsent(name.toLowerCase, body.trim).isDefined)
+        throw new IllegalArgumentException(
+          s"""prepared statement "$name" already exists""")
       emptyResult
     case reExecuteStmt(name, args) if preparedStatements.contains(name.toLowerCase) =>
       val body = preparedStatements(name.toLowerCase)
       val actuals = Option(args).map(splitTopLevel).getOrElse(Seq.empty)
-      // single quote-aware pass: $n inside a string literal is payload
-      // (pg treats it as text), $10 never partially matches as $1, and a
-      // $n beyond the argument list fails like pg's "wrong number of
-      // parameters" instead of leaking $n into the Spark parser
-      val bound = {
-        val sb = new StringBuilder; var i = 0; var inStr = false
-        while (i < body.length) {
-          val ch = body(i)
-          if (inStr) {
-            sb += ch
-            if (ch == '\'') {
-              if (i + 1 < body.length && body(i + 1) == '\'') { sb += '\''; i += 1 }
-              else inStr = false
-            }
-          } else if (ch == '\'') { inStr = true; sb += ch }
-          else if (ch == '$' && i + 1 < body.length && body(i + 1).isDigit) {
-            var j = i + 1
-            while (j < body.length && body(j).isDigit) j += 1
-            val idx = body.substring(i + 1, j).toInt
-            if (idx >= 1 && idx <= actuals.length)
-              sb.append(s"(${actuals(idx - 1)})")
-            else throw new IllegalArgumentException(
-              s"wrong number of parameters for prepared statement \"$name\": " +
-                s"got ${actuals.length}, statement references $$$idx")
-            i = j - 1
-          } else sb += ch
-          i += 1
-        }
-        sb.toString
-      }
+      // $n inside a string literal is payload (pg treats it as text) —
+      // mapOutsideQuotes keeps the quote handling in the one
+      // property-tested scanner; \$(\d+) means $10 never partially
+      // matches as $1, and a $n beyond the argument list fails like pg's
+      // "wrong number of parameters" instead of leaking into the parser
+      val bound = mapOutsideQuotes(body, seg =>
+        """\$(\d+)""".r.replaceAllIn(seg, m => {
+          val idx = m.group(1).toInt
+          if (idx >= 1 && idx <= actuals.length)
+            java.util.regex.Matcher.quoteReplacement(s"(${actuals(idx - 1)})")
+          else throw new IllegalArgumentException(
+            s"wrong number of parameters for prepared statement \"$name\": " +
+              s"got ${actuals.length}, statement references $$$idx")
+        }))
       run(bound)
     case reExecuteStmt(name, _) => throw new IllegalArgumentException(
       s"prepared statement \"$name\" does not exist")
@@ -409,21 +394,30 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // scan re-sorts on it (split packing on read does NOT preserve
       // file order on its own).
       val dir = Files.createTempDirectory("graft-cursor")
-      val data = dir.resolve("data").toString
-      val withOrd = df.withColumn("__graft_ord", monotonically_increasing_id())
-      withOrd.write.parquet(data)
-      val snap = spark.read.schema(withOrd.schema).parquet(data)
-        .orderBy("__graft_ord").drop("__graft_ord")
-      cursors(name) = (snap.toLocalIterator(), df.schema, dir)
+      try {
+        val data = dir.resolve("data").toString
+        // dodge a user column that happens to carry the ordinal's name
+        var ord = "__graft_ord"
+        while (df.columns.contains(ord)) ord += "_x"
+        val withOrd = df.withColumn(ord, monotonically_increasing_id())
+        withOrd.write.parquet(data)
+        val snap = spark.read.schema(withOrd.schema).parquet(data)
+          .orderBy(ord).drop(ord)
+        cursors(name) = (snap.toLocalIterator(), df.schema, dir)
+      } catch {
+        case e: Exception => // failed snapshot: no orphan spill dir
+          deleteRecursively(dir, keepRoot = false)
+          throw e
+      }
       emptyResult
     case reFetch(count, name) if cursors.contains(name) =>
       val (it, schema, _) = cursors(name)
       val n = Option(count).map(_.toLowerCase) match {
         case None | Some("next") => 1
         case Some("all") => Int.MaxValue
-        // pg accepts int8 counts; clamp instead of overflowing toInt
-        case Some(d) if d.length > 9 => Int.MaxValue
-        case Some(d) => d.toInt
+        // pg accepts int8 counts: clamp on numeric VALUE (a length check
+        // would read zero-padded '0000000001' as huge)
+        case Some(d) => BigInt(d).min(Int.MaxValue).toInt
       }
       val buf = mutable.Buffer[org.apache.spark.sql.Row]()
       while (buf.length < n && it.hasNext) buf += it.next()

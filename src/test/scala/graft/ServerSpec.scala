@@ -245,6 +245,17 @@ class ServerSpec extends AnyFunSuite {
       assert(f1.count(_._1 == 'D') == 2, f1.map(_._1).mkString)
       assert(f1.collect { case ('C', b) =>
         new String(b, StandardCharsets.UTF_8) }.exists(_.startsWith("FETCH 2")))
+      // extended-protocol Describe of a FETCH must be side-effect-free:
+      // NoData (not a planned-and-executed RowDescription), and the
+      // cursor must NOT advance — the next FETCH still sees row 3
+      frame('P') { d => d.write(cs("")); d.write(cs("fetch 1 from sc")); d.writeShort(0) }
+      frame('D') { d => d.writeByte('S'); d.write(cs("")) }
+      frame('S')(_ => ())
+      out.flush()
+      val desc = untilReady()
+      assert(desc.map(_._1).contains('n'), desc.map(_._1).mkString)
+      val f2 = query("fetch 1 from sc")
+      assert(cols(f2.collect { case ('D', b) => b }.head) == Seq("12"), f2)
       assert(query("close sc").exists(_._1 == 'C'))
 
       // statement with NO params round-trips through extended flow too
