@@ -317,7 +317,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       functions(name.toLowerCase) = (ps, body)
       saveManifest()
       emptyResult
-    case reInsertValues(table, colList, source) => insert(table, Option(colList), source)
+    case reInsertValues(table, colList, source) =>
+      val oc = SqlText.indexOfTopLevelPhrase(source, Seq("on", "conflict"))
+      if (oc < 0) insert(table, Option(colList), source)
+      else {
+        val reOC =
+          """(?is)on\s+conflict\s*\(([^)]*)\)\s*do\s+(?:(nothing)|update\s+set\s+(.+))\s*""".r
+        source.substring(oc) match {
+          case reOC(keys, _, sets) =>
+            upsert(table, Option(colList), source.substring(0, oc), keys,
+              Option(sets))
+          case _ => throw new IllegalArgumentException(
+            "ON CONFLICT supports (columns) DO NOTHING | DO UPDATE SET ...")
+        }
+      }
     case reDelete(table, cond) => delete(table, Option(cond))
     case reUpdate(table, rest) if tables.contains(table) =>
       val (setList, cond) = splitSetWhere(rest)
@@ -931,7 +944,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** INSERT: align/reorder columns, null-fill missing, cast to the column
     * types (reference `src/executor/insert.rs:13-52`), append parquet.
     */
-  private def insert(table: String, colList: Option[String], source: String): DataFrame = {
+  /** The INSERT source planned and aligned to the table schema:
+    * columns reordered, missing ones null-filled, types cast (reference
+    * `src/executor/insert.rs:13-52`). Shared by plain INSERT and the
+    * ON CONFLICT upsert path.
+    */
+  private def alignedSource(table: String, colList: Option[String],
+      source: String): DataFrame = {
     require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
     val src = spark.sql(inlineFunctions(rewriteQualify(source)))
@@ -949,15 +968,103 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
       else lit(null).cast(f.dataType).as(f.name)
     }
+    renamed.select(aligned.toIndexedSeq: _*)
+  }
+
+  private def insert(table: String, colList: Option[String], source: String): DataFrame = {
     // rows_affected rides the write as an observe metric — one execution of
     // the source, not a count() pre-pass (an `INSERT INTO t SELECT <expensive>`
     // would otherwise run <expensive> twice).
     val obs = org.apache.spark.sql.Observation()
-    val out = renamed.select(aligned.toIndexedSeq: _*)
+    val out = alignedSource(table, colList, source)
       .observe(obs, count(lit(1)).as("n"))
     appendTo(table, out)
     refresh(table)
     rowCountResult(observedCount(obs))
+  }
+
+  /** INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE SET ... — pg's
+    * upsert idiom (what ORMs emit; MERGE INTO is the standard's spelling
+    * of the same semantics). `excluded.col` in SET expressions refers to
+    * the proposed row, like pg. pg resolves conflicts through a unique
+    * index; this engine accepts any column list and treats it as the
+    * match key. DO NOTHING appends only non-conflicting rows (no rewrite
+    * of existing data); DO UPDATE commits through the same atomic
+    * materialize-then-swap as UPDATE/MERGE.
+    */
+  private def upsert(table: String, colList: Option[String], source: String,
+      keyList: String, setList: Option[String]): DataFrame = {
+    val (schema, _) = tables(table)
+    val keys = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+    require(keys.nonEmpty, "ON CONFLICT requires at least one column")
+    keys.foreach(k => require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
+      s"ON CONFLICT: unknown column $k in $table"))
+    // cached: the proposed rows are read by the duplicate check, the
+    // match join, and the insert anti-join — one execution of the source,
+    // and every consumer sees the same rows even for a nondeterministic
+    // SELECT source
+    val newRows = alignedSource(table, colList, source).cache()
+    // pg parity: one INSERT may not affect the same row twice
+    if (newRows.count() != newRows.dropDuplicates(keys).count()) {
+      newRows.unpersist()
+      throw new IllegalArgumentException(
+        "ON CONFLICT command cannot affect row a second time")
+    }
+    val existing = spark.table(table)
+    val ordered = schema.fieldNames.map(col).toIndexedSeq
+    setList match {
+      case None => // DO NOTHING: append rows whose key has no match
+        try {
+          val obs = org.apache.spark.sql.Observation()
+          val toIns = newRows
+            .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+              keys, "left_anti")
+            .select(ordered: _*)
+            .observe(obs, count(lit(1)).as("n"))
+          appendTo(table, toIns)
+          refresh(table)
+          rowCountResult(observedCount(obs))
+        } finally newRows.unpersist()
+      case Some(sets) =>
+        val assigns = splitTopLevel(sets).map { a =>
+          val Array(c, e) = a.split("=", 2)
+          c.trim.toLowerCase -> e.trim
+        }.toMap
+        assigns.keys.foreach(c => require(
+          schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+          s"ON CONFLICT SET: unknown column $c in $table"))
+        // `excluded.col` → the proposed row's column, joined in under a
+        // reserved prefix; `<table>.col` → bare col (the joined frame is
+        // unqualified). Quote-aware: either form in a string literal
+        // stays payload.
+        def excluded(e: String) = SqlText.mapOutsideQuotes(e, seg => seg
+          .replaceAll("(?i)\\bexcluded\\.", "__excluded_")
+          .replaceAll("(?i)\\b" + java.util.regex.Pattern.quote(table) + "\\.", ""))
+        val exc = newRows.select(schema.fieldNames.map(n =>
+          col(n).as(s"__excluded_$n")).toIndexedSeq: _*)
+        val matchCond = keys.map(k => col(k) === col(s"__excluded_$k"))
+          .reduce(_ && _)
+        val matched = col(s"__excluded_${keys.head}").isNotNull
+        val updatedExisting = existing.join(exc, matchCond, "left_outer")
+          .select(schema.fields.map { f =>
+            assigns.get(f.name.toLowerCase) match {
+              case Some(e) => when(matched,
+                  expr(inlineFunctions(excluded(e))).cast(f.dataType))
+                .otherwise(col(f.name)).as(f.name)
+              case None => col(f.name).as(f.name)
+            }
+          }.toIndexedSeq: _*)
+        val inserts = newRows
+          .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
+            keys, "left_anti")
+          .select(ordered: _*)
+        try {
+          rewriteSwap(table, updatedExisting.unionByName(inserts))
+          refresh(table)
+          // pg: every proposed row is either inserted or updated
+          rowCountResult(newRows.count())
+        } finally newRows.unpersist()
+    }
   }
 
   /** Append `df` (already aligned to the table schema) honoring the

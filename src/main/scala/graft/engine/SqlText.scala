@@ -244,6 +244,42 @@ private[graft] object SqlText {
     throw new IllegalArgumentException("QUALIFY requires a FROM clause")
   }
 
+  /** Index of the first depth-0, unquoted, word-bounded occurrence of the
+    * whitespace-separated word sequence (case-insensitive); -1 if absent.
+    */
+  def indexOfTopLevelPhrase(s: String, phrase: Seq[String]): Int = {
+    val lower = s.toLowerCase
+    def wordAt(pos: Int, w: String): Boolean =
+      pos < lower.length && lower.startsWith(w, pos) &&
+        (pos == 0 || { val c = lower(pos - 1); !c.isLetterOrDigit && c != '_' }) &&
+        (pos + w.length >= lower.length || {
+          val c = lower(pos + w.length); !c.isLetterOrDigit && c != '_' })
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (inStr) {
+        if (ch == '\'') {
+          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        }
+      } else ch match {
+        case '\'' => inStr = true
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case _ if depth == 0 && wordAt(i, phrase.head) =>
+          var j = i + phrase.head.length
+          var ok = true
+          phrase.tail.foreach { w =>
+            while (j < s.length && s(j).isWhitespace) j += 1
+            if (ok && wordAt(j, w)) j += w.length else ok = false
+          }
+          if (ok) return i
+        case _ =>
+      }
+      i += 1
+    }
+    -1
+  }
+
   def splitTopLevel(s: String): Seq[String] = {
     val parts = mutable.Buffer[String]()
     var depth = 0; var inStr = false; val cur = new StringBuilder

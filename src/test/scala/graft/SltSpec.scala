@@ -100,6 +100,6 @@ class SltSpec extends AnyFunSuite {
     "ctas.slt", "alter.slt", "txn.slt",
     // round-11b: QUALIFY + SQL-level PREPARE/EXECUTE + information_schema
     "qualify.slt", "prepare.slt", "info_schema.slt", "matview.slt",
-    "cursor.slt")
+    "cursor.slt", "upsert.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
