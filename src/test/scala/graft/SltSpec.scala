@@ -100,6 +100,9 @@ class SltSpec extends AnyFunSuite {
     "ctas.slt", "alter.slt", "txn.slt",
     // round-11b: QUALIFY + SQL-level PREPARE/EXECUTE + information_schema
     "qualify.slt", "prepare.slt", "info_schema.slt", "matview.slt",
-    "cursor.slt", "upsert.slt")
+    "cursor.slt", "upsert.slt",
+    // round-11c: seams between the round-11 surfaces (matview×qualify,
+    // cursor×refresh, prepare×upsert, bucketed-CTAS×upsert, truncate×refresh)
+    "crossfeature.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
