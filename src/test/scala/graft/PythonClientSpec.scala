@@ -70,6 +70,16 @@ class PythonClientSpec extends AnyFunSuite {
       assert(code == 0, s"python client tests failed (from $pythonPath):\n$out")
       assert(out.contains("PY OK") && out.contains("PG OK") &&
         out.contains("CURSOR OK") && out.contains("COPY OK"), out)
+      // the PEP 249 layer: pyformat binding over wire parameters, named
+      // portals (several cursors mid-stream on one connection), the
+      // exception lattice, and — when pandas is present in the test
+      // environment — pandas.read_sql working unchanged against it
+      val (dcode, dout) = run(
+        Seq("python3", "pythonapi/tests/test_dbapi.py"), "/root/repo",
+        Map("PYTHONPATH" -> pythonPath,
+          "GRAFT_PORT" -> server.getLocalPort.toString))
+      assert(dcode == 0, s"dbapi tests failed (from $pythonPath):\n$dout")
+      assert(dout.contains("DBAPI OK"), dout)
       assert(installed, "pip unavailable: ran from source tree, not an installed copy")
     } finally server.close()
   }
