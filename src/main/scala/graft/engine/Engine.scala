@@ -61,7 +61,27 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private val matviews = mutable.LinkedHashMap[String, String]()
 
+  /** One committed table state: when it landed, what produced it, and the
+    * schema AT that version (archived snapshots read with this schema, so
+    * an empty snapshot and a pre-ADD-COLUMN one both resolve correctly).
+    */
+  private case class Commit(ts: Long, op: String, ddl: String)
+  /** table → commit log; the INDEX is the version number (v0 = creation).
+    * The data for every non-current version lives under
+    * `.history/<table>/v<N>` — populated for free on rewrite commits (the
+    * swap's aside dir IS the complete pre-state; one rename archives it)
+    * and via hard links on append commits (parquet files are immutable
+    * here: appends add files, rewrites replace whole directories, so a
+    * link-snapshot costs metadata only, never a data copy). On an object
+    * store the same design keeps a file LIST per version instead of a
+    * linked directory — the delta/iceberg shape; the swap-based layout is
+    * the single-filesystem expression of it.
+    */
+  private val history = mutable.LinkedHashMap[String, Vector[Commit]]()
+
   private def tableDir(name: String) = s"$warehouse/$name"
+  private def historyDir(name: String) = Paths.get(s"$warehouse/.history/$name")
+  private def versionDir(name: String, v: Int) = historyDir(name).resolve(s"v$v")
 
   /** Re-register every view from its SQL text so each scan re-plans over
     * the CURRENT table state (reference semantics: views store SQL, not
@@ -180,6 +200,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reAlterRenameTable =
     """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*""".r
   private val reTruncate = """(?is)\s*truncate\s+(?:table\s+)?(\w+)\s*""".r
+  // time travel (extension; delta/iceberg surface): commit log + archived
+  // snapshots per table, queryable with VERSION AS OF / TIMESTAMP AS OF
+  private val reDescribeHistory =
+    """(?is)\s*describe\s+history\s+(\w+)\s*""".r
+  private val reVacuum =
+    """(?is)\s*vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions?)?\s*""".r
   // extension: on-demand warehouse maintenance (the reference's LSM
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
@@ -273,8 +299,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // body), neither the catalog entry nor the manifest has moved —
       // the old snapshot stays fully consistent. Only after the commit
       // does the catalog pick up any schema drift from the sources.
-      rewriteSwap(name, df)
+      rewriteSwap(name, df, "refresh materialized view")
       tables(name) = (df.schema, tables(name)._2)
+      // the commit just recorded captured the pre-drift schema; pin the
+      // refreshed one so an archived read of THIS version resolves right
+      history(name) = history(name).init :+
+        history(name).last.copy(ddl = df.schema.toDDL)
       register(name)
       refresh(name)
       saveManifest()
@@ -347,6 +377,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       alterRenameTable(from, to)
     case reTruncate(table) if tables.contains(table) =>
       truncate(table)
+    case reDescribeHistory(table) => describeHistory(table)
+    case reVacuum(table, retain) =>
+      require(tables.contains(table), s"no such table: $table")
+      vacuum(table, Option(retain).map(_.toInt).getOrElse(0))
     case reOptimize(table, za, zb, nf) if tables.contains(table) =>
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
@@ -476,7 +510,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // QUALIFY (DuckDB/Snowflake extension) is rewritten to plain
           // SQL before anything else — recursively, so subquery and CTE
           // bodies carrying their own QUALIFY work too
-          val q2 = rewriteQualify(q)
+          val q2r = rewriteQualify(q)
+          // VERSION AS OF / TIMESTAMP AS OF resolve to per-invocation
+          // snapshot views (dropped after analysis in the finally below)
+          val (q2, ttViews) = rewriteTimeTravel(q2r)
+          try {
           var inlined = inlineFunctions(q2)
           analysisErrorParity(inlined)
           refreshViews()
@@ -498,12 +536,190 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // system tables resolve from plain SQL too (reference
           // internal.slt): registered lazily, only when the statement
           // names one
-          Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat", "contributors")
+          Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
+              "contributors", "graft_history")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
           vectorIndexScan(q2).getOrElse(spark.sql(inlined))
+          } finally ttViews.foreach(v => spark.catalog.dropTempView(v))
       }
     case other => refreshViews(); spark.sql(inlineFunctions(rewriteQualify(other)))
+  }
+
+  // ---- time travel (extension: delta/iceberg surface over the swap layout)
+
+  private val ttCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  /** Append one commit to `table`'s log (schema captured NOW = the
+    * post-commit state) and persist — the log is load-bearing across
+    * engine restarts like the rest of the catalog.
+    */
+  private def recordCommit(table: String, op: String): Unit = {
+    history(table) = history.getOrElse(table,
+      Vector(Commit(0L, "create table", tables(table)._1.toDDL))) :+
+      Commit(System.currentTimeMillis(), op, tables(table)._1.toDDL)
+    saveManifest()
+  }
+
+  /** Hard-link every file under `src` into `dst` (dirs recreated). Falls
+    * back to a copy only where the filesystem refuses links.
+    */
+  private def linkTree(src: java.nio.file.Path, dst: java.nio.file.Path): Unit = {
+    val stream = Files.walk(src)
+    try {
+      import scala.jdk.CollectionConverters._
+      stream.iterator().asScala.filter(_ != src).foreach { p =>
+        val rel = dst.resolve(src.relativize(p).toString)
+        if (Files.isDirectory(p)) Files.createDirectories(rel)
+        else {
+          Files.createDirectories(rel.getParent)
+          try Files.createLink(rel, p)
+          catch { case _: UnsupportedOperationException |
+                       _: java.nio.file.FileSystemException =>
+            Files.copy(p, rel)
+          }
+        }
+      }
+    } finally stream.close()
+  }
+
+  /** Snapshot the CURRENT state of `table` as its current version number,
+    * by hard links (append-style commits call this BEFORE writing; the
+    * data files are immutable, so links are exact and O(#files) metadata).
+    * Idempotent: a crashed attempt's orphan is replaced. A failure AFTER
+    * this but before the commit's log entry leaves an unreferenced vN dir
+    * that the next commit of the same version number replaces.
+    */
+  private def archiveCurrent(table: String): Unit =
+    history.get(table).foreach { log =>
+      val dst = versionDir(table, log.length - 1)
+      if (Files.exists(dst)) deleteRecursively(dst, keepRoot = false)
+      Files.createDirectories(dst)
+      linkTree(Paths.get(tableDir(table)), dst)
+    }
+
+  /** The table as of version `v`: the live table for the current version,
+    * otherwise the archived snapshot read with the schema recorded at that
+    * commit (so empty snapshots and pre-ADD-COLUMN ones resolve).
+    */
+  private def versionState(table: String, v: Int): DataFrame = {
+    require(tables.contains(table), s"no such table: $table")
+    val log = history.getOrElse(table, Vector.empty)
+    val cur = log.length - 1
+    require(v >= 0 && v <= cur,
+      s"version $v of $table does not exist (current version: $cur)")
+    if (v == cur) spark.table(table)
+    else {
+      val dir = versionDir(table, v)
+      require(Files.exists(dir),
+        s"version $v of $table has been vacuumed")
+      spark.read.schema(StructType.fromDDL(log(v).ddl)).parquet(dir.toString)
+    }
+  }
+
+  /** Largest version whose commit time is <= the given timestamp text
+    * (date or datetime, engine session semantics = UTC).
+    */
+  private def versionAtTimestamp(table: String, tsText: String): Int = {
+    val millis = try {
+      import java.time._
+      if (tsText.contains(" ") || tsText.contains("T"))
+        LocalDateTime.parse(tsText.trim.replace(' ', 'T'))
+          .toInstant(ZoneOffset.UTC).toEpochMilli
+      else LocalDate.parse(tsText.trim).atStartOfDay
+        .toInstant(ZoneOffset.UTC).toEpochMilli
+    } catch {
+      case e: java.time.format.DateTimeParseException =>
+        throw new IllegalArgumentException(
+          s"TIMESTAMP AS OF: cannot parse '$tsText' as a date or timestamp", e)
+    }
+    val log = history.getOrElse(table, Vector.empty)
+    val v = log.lastIndexWhere(_.ts <= millis)
+    require(v >= 0,
+      s"timestamp '$tsText' is before the earliest recorded version of $table")
+    v
+  }
+
+  /** Rewrite `<table> VERSION AS OF <n>` / `<table> TIMESTAMP AS OF '<ts>'`
+    * (outside string literals) to PER-INVOCATION temp views over the
+    * archived snapshot — unique names, dropped by the caller after
+    * analysis, so concurrent readers under the shared lock never race on
+    * a view name. Returns the rewritten text plus the created view names.
+    */
+  private def rewriteTimeTravel(sql: String): (String, Seq[String]) = {
+    if (!"""(?i)\bas\s+of\b""".r.findFirstIn(sql).isDefined) return (sql, Nil)
+    val pat = java.util.regex.Pattern.compile(
+      """(\w+)\s+(?:version\s+as\s+of\s+(\d+)|timestamp\s+as\s+of\s+'([^']*)')""",
+      java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+    val m = pat.matcher(sql)
+    val out = new StringBuilder
+    val created = mutable.Buffer[String]()
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (inStr) {
+        out += c
+        if (c == '\'') {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+            out += '\''; i += 1
+          } else inStr = false
+        }
+        i += 1
+      } else if (c == '\'') {
+        inStr = true; out += c; i += 1
+      } else {
+        val boundary = i == 0 || {
+          val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
+        }
+        m.region(i, sql.length)
+        if (boundary && m.lookingAt() && tables.contains(m.group(1))) {
+          val t = m.group(1)
+          val v =
+            if (m.group(2) != null) m.group(2).toInt
+            else versionAtTimestamp(t, m.group(3))
+          val view = s"__graft_tt_${ttCounter.incrementAndGet()}"
+          versionState(t, v).createOrReplaceTempView(view)
+          created += view
+          out ++= view
+          i = m.end()
+        } else { out += c; i += 1 }
+      }
+    }
+    (out.toString, created.toSeq)
+  }
+
+  /** DESCRIBE HISTORY <t> (delta surface): the commit log, newest first;
+    * `available` = false once VACUUM reclaimed that version's snapshot.
+    */
+  private def describeHistory(table: String): DataFrame = {
+    require(tables.contains(table), s"no such table: $table")
+    import spark.implicits._
+    val log = history.getOrElse(table, Vector.empty)
+    val cur = log.length - 1
+    log.zipWithIndex.reverse.map { case (c, v) =>
+      (v.toLong, java.time.Instant.ofEpochMilli(c.ts).toString, c.op,
+        v == cur || Files.exists(versionDir(table, v)))
+    }.toDF("version", "committed_at", "operation", "available")
+  }
+
+  /** VACUUM <t> [RETAIN n VERSIONS]: drop archived snapshots beyond the
+    * `n` newest (default 0 = all history data; the log itself stays, so
+    * DESCRIBE HISTORY still shows what happened). Returns the number of
+    * snapshots reclaimed. Hard links make this exact: removing a snapshot
+    * frees a file only when no other version (or the live dir) links it.
+    */
+  private def vacuum(table: String, retain: Int): DataFrame = {
+    val cur = history.getOrElse(table, Vector.empty).length - 1
+    var reclaimed = 0L
+    (0 until (cur - retain)).foreach { v =>
+      val d = versionDir(table, v)
+      if (Files.exists(d)) {
+        deleteRecursively(d, keepRoot = false)
+        reclaimed += 1
+      }
+    }
+    rowCountResult(reclaimed)
   }
 
   // ---- vector IndexScan (reference src/planner: IndexScan node) -----------
@@ -777,6 +993,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
     }
     tables(name) = (schema, pk.toSeq)
+    history(name) = Vector(
+      Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
     register(name)
     saveManifest()
@@ -811,11 +1029,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val obs = org.apache.spark.sql.Observation()
       appendTo(name, df.observe(obs, count(lit(1)).as("n")))
       refresh(name)
+      history(name) = Vector(Commit(System.currentTimeMillis(),
+        "create table as select", schema.toDDL))
       saveManifest()
       rowCountResult(observedCount(obs))
     } catch {
       case e: Exception => // failed write: don't leave a phantom catalog entry
-        tables.remove(name); buckets.remove(name)
+        tables.remove(name); buckets.remove(name); history.remove(name)
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         throw e
     }
@@ -835,7 +1055,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     tables(table) = (schema.add(StructField(colName, parseType(typeSpec),
       nullable = true)), pk)
     register(table)
-    saveManifest()
+    // metadata-only, but still a commit: the pre-ADD version's log entry
+    // already pins the narrower schema, so its archived read excludes the
+    // column; the files themselves are unchanged (links, no copy)
+    archiveCurrent(table)
+    recordCommit(table, s"add column $colName")
     emptyResult
   }
 
@@ -860,7 +1084,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
     register(table)
-    rewriteSwap(table, narrowed)
+    rewriteSwap(table, narrowed, s"drop column $field")
     saveManifest()
     emptyResult
   }
@@ -885,7 +1109,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       if (c.equalsIgnoreCase(from)) buckets(table) = (to, n)
     }
     register(table)
-    rewriteSwap(table, renamed)
+    rewriteSwap(table, renamed, s"rename column $field to $to")
     saveManifest()
     emptyResult
   }
@@ -905,8 +1129,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val (t, c, m, o) = indexes(ix)
       if (t.equalsIgnoreCase(from)) indexes(ix) = (to, c, m, o)
     }
+    // history travels with the table (snapshots + log under the new name)
+    if (Files.exists(historyDir(from))) {
+      Files.createDirectories(historyDir(to).getParent)
+      Files.move(historyDir(from), historyDir(to))
+    }
+    history.remove(from).foreach(log => history(to) = log)
     register(to)
-    saveManifest()
+    archiveCurrent(to)
+    recordCommit(to, s"rename from $from")
     emptyResult
   }
 
@@ -914,8 +1145,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * table dir, no per-row work at any size.
     */
   private def truncate(table: String): DataFrame = {
-    deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
+    // move, don't delete: the pre-truncate directory IS the archived
+    // version (one rename — and TRUNCATE becomes an undoable commit:
+    // INSERT INTO t SELECT * FROM t VERSION AS OF k restores it)
+    history.get(table) match {
+      case Some(log) =>
+        val dst = versionDir(table, log.length - 1)
+        if (Files.exists(dst)) deleteRecursively(dst, keepRoot = false)
+        Files.createDirectories(dst.getParent)
+        Files.move(Paths.get(tableDir(table)), dst)
+        Files.createDirectories(Paths.get(tableDir(table)))
+      case None =>
+        deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
+    }
     refresh(table)
+    recordCommit(table, "truncate")
     emptyResult
   }
 
@@ -930,9 +1174,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (kind == "table") {
       tables.remove(name)
       buckets.remove(name)
+      history.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
+      if (Files.exists(historyDir(name)))
+        deleteRecursively(historyDir(name), keepRoot = false)
     } else views.remove(name)
     spark.catalog.dropTempView(name)
     saveManifest()
@@ -953,7 +1200,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       source: String): DataFrame = {
     require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
-    val src = spark.sql(inlineFunctions(rewriteQualify(source)))
+    // the INSERT source may read an archived version (restore idiom:
+    // INSERT INTO t SELECT * FROM t VERSION AS OF k)
+    val (source2, ttViews) = rewriteTimeTravel(source)
+    val src = try spark.sql(inlineFunctions(rewriteQualify(source2)))
+    finally ttViews.foreach(v => spark.catalog.dropTempView(v))
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
     require(declared.length == src.columns.length,
@@ -978,8 +1229,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obs = org.apache.spark.sql.Observation()
     val out = alignedSource(table, colList, source)
       .observe(obs, count(lit(1)).as("n"))
+    archiveCurrent(table)
     appendTo(table, out)
     refresh(table)
+    recordCommit(table, "insert")
     rowCountResult(observedCount(obs))
   }
 
@@ -1021,8 +1274,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               keys, "left_anti")
             .select(ordered: _*)
             .observe(obs, count(lit(1)).as("n"))
+          archiveCurrent(table)
           appendTo(table, toIns)
           refresh(table)
+          recordCommit(table, "upsert")
           rowCountResult(observedCount(obs))
         } finally newRows.unpersist()
       case Some(sets) =>
@@ -1059,7 +1314,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             keys, "left_anti")
           .select(ordered: _*)
         try {
-          rewriteSwap(table, updatedExisting.unionByName(inserts))
+          rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
           refresh(table)
           // pg: every proposed row is either inserted or updated
           rowCountResult(newRows.count())
@@ -1099,7 +1354,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // metrics fire — filter(false) scans, limit(0) would short-circuit
       case None => scanned.filter(lit(false))
     }).observe(keptObs, count(lit(1)).as("n"))
-    rewriteSwap(table, remaining)
+    rewriteSwap(table, remaining, "delete")
     rowCountResult(observedCount(totalObs) - observedCount(keptObs))
   }
 
@@ -1119,7 +1374,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * after the new directory is in place, and a stale aside from a
     * previous crash is cleared first.
     */
-  private def rewriteSwap(table: String, rewritten: DataFrame): Unit = {
+  private def rewriteSwap(table: String, rewritten: DataFrame,
+      op: String): Unit = {
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
@@ -1147,8 +1403,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     Files.move(live, aside)
     try Files.move(tmp, live)
     catch { case e: Throwable => Files.move(aside, live); throw e }
-    deleteRecursively(aside, keepRoot = false)
+    // the aside dir IS the complete pre-commit state: one rename turns it
+    // into the archived version — rewrite commits snapshot for free
+    history.get(table) match {
+      case Some(log) =>
+        val dst = versionDir(table, log.length - 1)
+        if (Files.exists(dst)) deleteRecursively(dst, keepRoot = false)
+        Files.createDirectories(dst.getParent)
+        Files.move(aside, dst)
+      case None => deleteRecursively(aside, keepRoot = false)
+    }
     refresh(table)
+    recordCommit(table, op)
   }
 
   private def parquetFileCount(table: String): Long = {
@@ -1193,7 +1459,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         observed.repartitionByRange(target, col(a)).sortWithinPartitions(a)
       case _ => observed.repartition(target)
     }
-    rewriteSwap(table, rewritten)
+    rewriteSwap(table, rewritten, "optimize")
     import spark.implicits._
     Seq((filesBefore, parquetFileCount(table), observedCount(obs)))
       .toDF("files_before", "files_after", "n_rows")
@@ -1239,7 +1505,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val rewritten = spark.table(table)
       .observe(affObs, count(when(c, lit(1))).as("n"))
       .select(projected.toIndexedSeq: _*)
-    rewriteSwap(table, rewritten)
+    rewriteSwap(table, rewritten, "update")
     rowCountResult(observedCount(affObs))
   }
 
@@ -1355,15 +1621,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (insertOnly) {
       // no matched action → existing rows are untouched; the new rows
       // APPEND (bucket-layout-aware) instead of rewriting the table
+      archiveCurrent(tgt)
       appendTo(tgt, inserted.get)
       refresh(tgt)
+      recordCommit(tgt, "merge")
       rowCountResult(observedCount(insObs))
     } else {
       val rewritten = inserted match {
         case Some(ins) => survivors.unionByName(ins)
         case None => survivors
       }
-      rewriteSwap(tgt, rewritten)
+      rewriteSwap(tgt, rewritten, "merge")
       val nMatched = observedCount(matchObs)
       val nInserted = if (inserted.isEmpty) 0L else observedCount(insObs)
       rowCountResult(nMatched + nInserted)
@@ -1536,8 +1804,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // single pass: rows_affected observed on the same job that writes (the
     // former count() pre-pass re-read the whole source)
     val obs = org.apache.spark.sql.Observation()
+    archiveCurrent(table)
     appendTo(table, df.observe(obs, count(lit(1)).as("n")))
     refresh(table)
+    recordCommit(table, "copy from")
     rowCountResult(observedCount(obs))
   }
 
@@ -1712,6 +1982,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // the reference hardcodes its project's contributor logins
         // (src/executor/system_table_scan.rs:27-35); this engine does the same
         Seq("spark-graft").toDF("login")
+      case "graft_history" =>
+        // every table's commit log — the SQL-queryable twin of DESCRIBE
+        // HISTORY (timestamps are a column, so tests and tools can project
+        // the deterministic fields)
+        tables.keys.toSeq.flatMap { t =>
+          val log = history.getOrElse(t, Vector.empty)
+          val cur = log.length - 1
+          log.zipWithIndex.map { case (c, v) =>
+            (t, v.toLong, java.time.Instant.ofEpochMilli(c.ts).toString,
+              c.op, v == cur || Files.exists(versionDir(t, v)))
+          }
+        }.toDF("tablename", "version", "committed_at", "operation",
+          "available")
       case "information_schema.tables" =>
         // the standard columns JDBC DatabaseMetaData.getTables and BI
         // introspection actually read
@@ -1791,6 +2074,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val bucketsJson = obj(buckets.map { case (t, (c, n)) =>
       s"${q(t)}: {${q("column")}: ${q(c)}, ${q("n")}: $n}"
     })
+    val historyJson = obj(history.map { case (t, commits) =>
+      s"${q(t)}: [${commits.map(c =>
+        s"{${q("ts")}: ${c.ts}, ${q("op")}: ${q(c.op)}, " +
+          s"${q("ddl")}: ${q(c.ddl)}}").mkString(",")}]"
+    })
     // Temp-then-atomic-rename, mirroring rewriteSwap's commit pattern: the
     // manifest is load-bearing on reopen, and an in-place truncate-then-write
     // crash would leave a corrupt catalog with no recovery path.
@@ -1799,7 +2087,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
         s"""${q("matviews")}: $matviewsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
-        s"""${q("buckets")}: $bucketsJson}""")
+        s"""${q("buckets")}: $bucketsJson, ${q("history")}: $historyJson}""")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -1870,6 +2158,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val schema = StructType.fromDDL(e.getValue.get("ddl").asText())
       tables(e.getKey) = (schema, texts(e.getValue.get("pk")))
       register(e.getKey)
+    }
+    if (root.has("history"))
+      fields(root.get("history")).foreach { e =>
+        history(e.getKey) = (0 until e.getValue.size()).map { i =>
+          val n = e.getValue.get(i)
+          Commit(n.get("ts").asLong(), n.get("op").asText(),
+            n.get("ddl").asText())
+        }.toVector
+      }
+    // tables from a pre-time-travel manifest: synthesize a creation commit
+    // (epoch timestamp = honestly unknown) so versioning starts now
+    tables.keys.foreach { t =>
+      if (!history.contains(t))
+        history(t) = Vector(Commit(0L, "create table", tables(t)._1.toDDL))
     }
     if (root.has("views"))
       fields(root.get("views")).foreach(e => views(e.getKey) = e.getValue.asText())

@@ -303,6 +303,46 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
   }
 
+  test("time travel survives an engine restart; storage is links, not copies") {
+    val dir = freshDir("/root/repo/target/graft-tmp/timetravel-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table tt(k int, v varchar)")
+    first.run("insert into tt values (1, 'a')")
+    first.run("insert into tt values (2, 'b')")
+    // append commits archive by hard link: v1 (the pre-state of the
+    // second insert) shares inodes with the files still in the live dir —
+    // no data bytes copied. (Rewrite commits archive by MOVING the swap's
+    // aside dir, so those snapshots are the original files, also copy-free.)
+    val v1 = java.nio.file.Paths.get(s"$dir/.history/tt/v1")
+    val s = java.nio.file.Files.walk(v1)
+    val linked = try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).map { p =>
+        java.nio.file.Files.getAttribute(p, "unix:nlink")
+          .asInstanceOf[Number].intValue
+      }.toVector
+    } finally s.close()
+    assert(linked.nonEmpty && linked.forall(_ > 1),
+      s"expected hard-linked snapshot files, got link counts $linked")
+    first.run("update tt set v = 'B' where k = 2")
+    // a second Engine on the same warehouse reads the log and snapshots
+    val again = new Engine(spark, dir)
+    assert(again.run("select v from tt version as of 2 where k = 2")
+      .collect()(0).getString(0) == "b")
+    assert(again.run("select count(*) from tt version as of 1")
+      .collect()(0).getLong(0) == 1)
+    assert(again.run("select v from tt where k = 2")
+      .collect()(0).getString(0) == "B")
+    val hist = again.run(
+      "select operation from graft_history where tablename = 'tt' order by version")
+      .collect().map(_.getString(0)).toSeq
+    assert(hist == Seq("create table", "insert", "insert", "update"), hist)
+    // vacuum through the reopened engine reclaims all archived versions
+    assert(again.run("vacuum tt").collect()(0).getLong(0) == 3)
+    assertThrows[Exception](again.run("select * from tt version as of 1").collect())
+    assert(again.run("select count(*) from tt").collect()(0).getLong(0) == 2)
+  }
+
   test("materialized view survives a restart with kind and refreshability") {
     val dir = freshDir("/root/repo/target/graft-tmp/matview-warehouse")
     val first = new Engine(spark, dir)

@@ -103,6 +103,9 @@ class SltSpec extends AnyFunSuite {
     "cursor.slt", "upsert.slt",
     // round-11c: seams between the round-11 surfaces (matview×qualify,
     // cursor×refresh, prepare×upsert, bucketed-CTAS×upsert, truncate×refresh)
-    "crossfeature.slt")
+    "crossfeature.slt",
+    // round-11c: table versioning — VERSION/TIMESTAMP AS OF, DESCRIBE
+    // HISTORY, VACUUM, restore-from-snapshot, rename/drop interplay
+    "time_travel.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
