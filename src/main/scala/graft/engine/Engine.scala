@@ -206,6 +206,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*describe\s+history\s+(\w+)\s*""".r
   private val reVacuum =
     """(?is)\s*vacuum\s+(\w+)(?:\s+retain\s+(\d+)\s+versions?)?\s*""".r
+  private val reRestore =
+    """(?is)\s*restore\s+table\s+(\w+)\s+to\s+(?:version\s+as\s+of\s+(\d+)|timestamp\s+as\s+of\s+'([^']*)')\s*""".r
   // extension: on-demand warehouse maintenance (the reference's LSM
   // storage compacts in the background, src/storage/secondary; this
   // files-per-table layout compacts when asked)
@@ -381,6 +383,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reVacuum(table, retain) =>
       require(tables.contains(table), s"no such table: $table")
       vacuum(table, Option(retain).map(_.toInt).getOrElse(0))
+    case reRestore(table, v, ts) =>
+      require(tables.contains(table), s"no such table: $table")
+      restoreTable(table,
+        Option(v).map(_.toInt).getOrElse(versionAtTimestamp(table, ts)))
     case reOptimize(table, za, zb, nf) if tables.contains(table) =>
       optimizeTable(table, Option(za), Option(zb), Option(nf).map(_.toInt))
     case reCopyFrom(table, path, opts) => copyFrom(table, path, Option(opts))
@@ -647,11 +653,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * a view name. Returns the rewritten text plus the created view names.
     */
   private def rewriteTimeTravel(sql: String): (String, Seq[String]) = {
-    if (!"""(?i)\bas\s+of\b""".r.findFirstIn(sql).isDefined) return (sql, Nil)
+    val lower = sql.toLowerCase
+    if (!"""(?i)\bas\s+of\b""".r.findFirstIn(sql).isDefined &&
+        !lower.contains("table_changes")) return (sql, Nil)
     val pat = java.util.regex.Pattern.compile(
       """(\w+)\s+(?:version\s+as\s+of\s+(\d+)|timestamp\s+as\s+of\s+'([^']*)')""",
       java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
+    // change-data-feed view (delta's table_changes surface): rows added
+    // and removed between two versions, exact multiset semantics —
+    // updates surface as a delete+insert pair (no row tracking)
+    val tcPat = java.util.regex.Pattern.compile(
+      """table_changes\s*\(\s*'(\w+)'\s*,\s*(\d+)\s*,\s*(\d+)\s*\)""",
+      java.util.regex.Pattern.CASE_INSENSITIVE | java.util.regex.Pattern.DOTALL)
     val m = pat.matcher(sql)
+    val tc = tcPat.matcher(sql)
     val out = new StringBuilder
     val created = mutable.Buffer[String]()
     var i = 0
@@ -673,7 +688,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
         }
         m.region(i, sql.length)
-        if (boundary && m.lookingAt() && tables.contains(m.group(1))) {
+        tc.region(i, sql.length)
+        if (boundary && tc.lookingAt() && tables.contains(tc.group(1))) {
+          val t = tc.group(1)
+          val (v1, v2) = (tc.group(2).toInt, tc.group(3).toInt)
+          val a = versionState(t, v1)
+          val b = versionState(t, v2)
+          require(a.schema.fieldNames.toSeq == b.schema.fieldNames.toSeq,
+            s"table_changes across a schema change of $t is not supported")
+          val changes = b.exceptAll(a).withColumn("_change_type", lit("insert"))
+            .unionByName(
+              a.exceptAll(b).withColumn("_change_type", lit("delete")))
+          val view = s"__graft_tt_${ttCounter.incrementAndGet()}"
+          changes.createOrReplaceTempView(view)
+          created += view
+          out ++= view
+          i = tc.end()
+        } else if (boundary && m.lookingAt() && tables.contains(m.group(1))) {
           val t = m.group(1)
           val v =
             if (m.group(2) != null) m.group(2).toInt
@@ -687,6 +718,42 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
     }
     (out.toString, created.toSeq)
+  }
+
+  /** RESTORE TABLE <t> TO VERSION AS OF <v> (delta surface): a FULL state
+    * revert — data through the usual swap commit, schema back to the one
+    * recorded at that version (so a restore across ADD/DROP/RENAME COLUMN
+    * is exact). The restore is itself a commit: the pre-restore state
+    * archives like any other, so a restore can be un-restored.
+    */
+  private def restoreTable(table: String, v: Int): DataFrame = {
+    val log = history.getOrElse(table, Vector.empty)
+    val cur = log.length - 1
+    require(v >= 0 && v <= cur,
+      s"version $v of $table does not exist (current version: $cur)")
+    if (v == cur) return rowCountResult(0L)
+    val df = versionState(table, v)
+    val oldSchema = StructType.fromDDL(log(v).ddl)
+    buckets.get(table).foreach { case (c, _) =>
+      require(oldSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"cannot restore $table to version $v: the CLUSTERED BY column " +
+          s"$c does not exist there")
+    }
+    val prior = tables(table)
+    tables(table) = (oldSchema,
+      prior._2.filter(p => oldSchema.fieldNames.exists(_.equalsIgnoreCase(p))))
+    register(table)
+    try {
+      val obs = org.apache.spark.sql.Observation()
+      rewriteSwap(table, df.observe(obs, count(lit(1)).as("n")),
+        s"restore to version $v")
+      rowCountResult(observedCount(obs))
+    } catch {
+      case e: Throwable => // failed restore: revert the schema change
+        tables(table) = prior
+        register(table)
+        throw e
+    }
   }
 
   /** DESCRIBE HISTORY <t> (delta surface): the commit log, newest first;
