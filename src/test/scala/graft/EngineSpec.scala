@@ -343,6 +343,32 @@ class EngineSpec extends AnyFunSuite {
     assert(again.run("select count(*) from tt").collect()(0).getLong(0) == 2)
   }
 
+  test("time travel soaks over many commits and a restart") {
+    val dir = freshDir("/root/repo/target/graft-tmp/ttsoak-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table soak(k int, v int)")
+    (1 to 40).foreach(i => first.run(s"insert into soak values ($i, ${i * 10})"))
+    // version j holds exactly j rows; spot-check across the log
+    Seq(1, 17, 40).foreach { j =>
+      assert(first.run(s"select count(*) from soak version as of $j")
+        .collect()(0).getLong(0) == j, s"version $j")
+    }
+    val again = new Engine(spark, dir)
+    assert(again.run("select count(*) from soak version as of 23")
+      .collect()(0).getLong(0) == 23)
+    assert(again.run(
+      "select count(*) from graft_history where tablename = 'soak'")
+      .collect()(0).getLong(0) == 41)
+    // retain the 5 newest archived snapshots: v0..v34 reclaim
+    assert(again.run("vacuum soak retain 5 versions")
+      .collect()(0).getLong(0) == 35)
+    assert(again.run("select count(*) from soak version as of 36")
+      .collect()(0).getLong(0) == 36)
+    assertThrows[Exception](
+      again.run("select * from soak version as of 34").collect())
+    again.run("drop table soak")
+  }
+
   test("materialized view survives a restart with kind and refreshability") {
     val dir = freshDir("/root/repo/target/graft-tmp/matview-warehouse")
     val first = new Engine(spark, dir)
