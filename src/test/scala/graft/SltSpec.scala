@@ -106,6 +106,8 @@ class SltSpec extends AnyFunSuite {
     "crossfeature.slt",
     // round-11c: table versioning — VERSION/TIMESTAMP AS OF, DESCRIBE
     // HISTORY, VACUUM, restore-from-snapshot, rename/drop interplay
-    "time_travel.slt")
+    "time_travel.slt",
+    // round-11c: modern-SQL dialect surface pinned through the router
+    "modern_sql.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
