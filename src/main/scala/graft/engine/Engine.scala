@@ -78,6 +78,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * the single-filesystem expression of it.
     */
   private val history = mutable.LinkedHashMap[String, Vector[Commit]]()
+  /** table → (lowercase column → DEFAULT expression text). Applied when an
+    * INSERT omits the column, writes the DEFAULT keyword, or UPDATE SET
+    * col = DEFAULT — pg's everyday column-default surface.
+    */
+  private val defaults = mutable.LinkedHashMap[String, Map[String, String]]()
 
   private def tableDir(name: String) = s"$warehouse/$name"
   private def historyDir(name: String) = Paths.get(s"$warehouse/.history/$name")
@@ -1018,6 +1023,25 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case other => throw new IllegalArgumentException(s"unknown type: $other")
   }
 
+  /** Split a column-spec tail (`int DEFAULT 5 NOT NULL`) into the
+    * type/constraint text and the DEFAULT expression — quote-aware, so a
+    * default literal containing 'not null' stays payload. The expression
+    * runs to the next top-level constraint keyword or the end.
+    */
+  private def splitDefault(spec: String): (String, Option[String]) = {
+    val di = SqlText.indexOfTopLevelPhrase(spec, Seq("default"))
+    if (di < 0) (spec, None)
+    else {
+      val tail = spec.substring(di + "default".length)
+      val cut = Seq(Seq("not", "null"), Seq("primary", "key"))
+        .map(SqlText.indexOfTopLevelPhrase(tail, _)).filter(_ >= 0)
+        .sorted.headOption.getOrElse(tail.length)
+      val e = tail.substring(0, cut).trim
+      require(e.nonEmpty, s"DEFAULT requires an expression in: $spec")
+      (spec.substring(0, di) + " " + tail.substring(cut), Some(e))
+    }
+  }
+
   private def createTable(name: String, colsSpec: String,
       bucketSpec: Option[(String, Int)] = None): DataFrame = {
     // duplicate-create parity: the reference catalog rejects an existing
@@ -1036,6 +1060,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (cur.nonEmpty) parts += cur.toString
 
     val pk = mutable.Buffer[String]()
+    val colDefaults = mutable.LinkedHashMap[String, String]()
     val fields = parts.flatMap { p =>
       val toks = p.trim.split("\\s+", 2)
       if (toks(0).equalsIgnoreCase("primary")) {
@@ -1045,7 +1070,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         None
       } else {
         val colName = toks(0)
-        val rest = toks(1)
+        // the DEFAULT expression comes out FIRST so a literal containing
+        // 'not null' or 'primary key' can't spoof the constraint checks
+        val (rest, defOpt) = splitDefault(toks(1))
+        defOpt.foreach(d => colDefaults(colName.toLowerCase) = d)
         val lower = rest.toLowerCase
         if (lower.contains("primary key")) pk += colName
         val notNull = lower.contains("not null") || lower.contains("primary key")
@@ -1060,6 +1088,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
     }
     tables(name) = (schema, pk.toSeq)
+    if (colDefaults.nonEmpty) defaults(name) = colDefaults.toMap
     history(name) = Vector(
       Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
@@ -1117,17 +1146,36 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val (schema, pk) = tables(table)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
       s"column already exists: $colName")
-    require(!typeSpec.toLowerCase.contains("not null"),
-      "ADD COLUMN ... NOT NULL requires a DEFAULT (unsupported)")
-    tables(table) = (schema.add(StructField(colName, parseType(typeSpec),
-      nullable = true)), pk)
-    register(table)
-    // metadata-only, but still a commit: the pre-ADD version's log entry
-    // already pins the narrower schema, so its archived read excludes the
-    // column; the files themselves are unchanged (links, no copy)
-    archiveCurrent(table)
-    recordCommit(table, s"add column $colName")
-    emptyResult
+    val (spec, defOpt) = splitDefault(typeSpec)
+    val notNull = spec.toLowerCase.contains("not null")
+    defOpt match {
+      case None =>
+        require(!notNull, "ADD COLUMN ... NOT NULL requires a DEFAULT")
+        tables(table) = (schema.add(StructField(colName, parseType(spec),
+          nullable = true)), pk)
+        register(table)
+        // metadata-only, but still a commit: the pre-ADD version's log
+        // entry already pins the narrower schema, so its archived read
+        // excludes the column; the files are unchanged (links, no copy)
+        archiveCurrent(table)
+        recordCommit(table, s"add column $colName")
+        emptyResult
+      case Some(d) =>
+        // pg semantics: existing rows take the default. pg 11+ stores it
+        // as a per-column "missing value" (zero rewrite); without that
+        // metadata tier this engine FILLS the rows through the same swap
+        // commit as DELETE — O(table), honest, and NOT NULL works too.
+        val dt = parseType(spec)
+        val filled = spark.table(table)
+          .withColumn(colName, expr(inlineFunctions(d)).cast(dt))
+        tables(table) =
+          (schema.add(StructField(colName, dt, nullable = !notNull)), pk)
+        defaults(table) =
+          defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
+        register(table)
+        rewriteSwap(table, filled, s"add column $colName")
+        emptyResult
+    }
   }
 
   /** DROP COLUMN: rewrites the data with the column projected out,
@@ -1150,6 +1198,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"cannot drop primary key column $colName")
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
+    defaults.get(table).foreach(d => defaults(table) = d - field.toLowerCase)
     register(table)
     rewriteSwap(table, narrowed, s"drop column $field")
     saveManifest()
@@ -1174,6 +1223,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       pk.map(p => if (p.equalsIgnoreCase(from)) to else p))
     buckets.get(table).foreach { case (c, n) =>
       if (c.equalsIgnoreCase(from)) buckets(table) = (to, n)
+    }
+    defaults.get(table).foreach { d =>
+      d.get(from.toLowerCase).foreach(e =>
+        defaults(table) = d - from.toLowerCase + (to.toLowerCase -> e))
     }
     register(table)
     rewriteSwap(table, renamed, s"rename column $field to $to")
@@ -1202,6 +1255,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Files.move(historyDir(from), historyDir(to))
     }
     history.remove(from).foreach(log => history(to) = log)
+    defaults.remove(from).foreach(d => defaults(to) = d)
     register(to)
     archiveCurrent(to)
     recordCommit(to, s"rename from $from")
@@ -1242,6 +1296,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       tables.remove(name)
       buckets.remove(name)
       history.remove(name)
+      defaults.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
@@ -1267,13 +1322,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       source: String): DataFrame = {
     require(tables.contains(table), s"no such table: $table")
     val (schema, _) = tables(table)
-    // the INSERT source may read an archived version (restore idiom:
-    // INSERT INTO t SELECT * FROM t VERSION AS OF k)
-    val (source2, ttViews) = rewriteTimeTravel(source)
-    val src = try spark.sql(inlineFunctions(rewriteQualify(source2)))
-    finally ttViews.foreach(v => spark.catalog.dropTempView(v))
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
+    val defs = defaults.getOrElse(table, Map.empty)
+    // the INSERT source may read an archived version (restore idiom:
+    // INSERT INTO t SELECT * FROM t VERSION AS OF k)
+    val (source2, ttViews) =
+      rewriteTimeTravel(expandDefaultKeyword(declared, defs, source))
+    val src = try spark.sql(inlineFunctions(rewriteQualify(source2)))
+    finally ttViews.foreach(v => spark.catalog.dropTempView(v))
     require(declared.length == src.columns.length,
       s"INSERT column count mismatch: ${declared.length} vs ${src.columns.length}")
     val renamed = src.toDF(declared: _*)
@@ -1284,9 +1341,36 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case (at: ArrayType, StringType) => from_json(col(f.name), at).as(f.name)
         case _ => col(f.name).cast(f.dataType).as(f.name)
       }
-      else lit(null).cast(f.dataType).as(f.name)
+      else defs.get(f.name.toLowerCase) match {
+        // omitted column: its DEFAULT expression, NULL without one (pg)
+        case Some(d) => expr(inlineFunctions(d)).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }
     renamed.select(aligned.toIndexedSeq: _*)
+  }
+
+  /** `INSERT ... VALUES (1, DEFAULT)`: replace a bare DEFAULT field with
+    * the target column's default expression (NULL without one), matching
+    * fields to columns positionally. Non-VALUES sources pass through.
+    */
+  private def expandDefaultKeyword(declared: Seq[String],
+      defs: Map[String, String], source: String): String = {
+    val s = source.trim
+    if (!s.toLowerCase.startsWith("values") ||
+        !"""(?i)\bdefault\b""".r.findFirstIn(s).isDefined) return source
+    val tuples = SqlText.splitTopLevel(s.substring("values".length))
+    "values " + tuples.map { t =>
+      val tt = t.trim
+      if (!(tt.startsWith("(") && tt.endsWith(")"))) t
+      else SqlText.splitTopLevel(tt.substring(1, tt.length - 1)).zipWithIndex
+        .map { case (f, i) =>
+          if (f.trim.equalsIgnoreCase("default")) {
+            val cn = if (i < declared.length) declared(i).toLowerCase else ""
+            defs.getOrElse(cn, "NULL")
+          } else f
+        }.mkString("(", ",", ")")
+    }.mkString(", ")
   }
 
   private def insert(table: String, colList: Option[String], source: String): DataFrame = {
@@ -1562,7 +1646,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     val projected = schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
-        case Some(e) =>
+        case Some(e0) =>
+          // SET col = DEFAULT (pg): the column default, NULL without one
+          val e = if (e0.equalsIgnoreCase("default"))
+            defaults.getOrElse(table, Map.empty)
+              .getOrElse(f.name.toLowerCase, "NULL")
+          else e0
           when(c, expr(inlineFunctions(e)).cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
@@ -2141,6 +2230,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val bucketsJson = obj(buckets.map { case (t, (c, n)) =>
       s"${q(t)}: {${q("column")}: ${q(c)}, ${q("n")}: $n}"
     })
+    val defaultsJson = obj(defaults.map { case (t, ds) =>
+      s"${q(t)}: ${obj(ds.map { case (c, e) => s"${q(c)}: ${q(e)}" })}"
+    })
     val historyJson = obj(history.map { case (t, commits) =>
       s"${q(t)}: [${commits.map(c =>
         s"{${q("ts")}: ${c.ts}, ${q("op")}: ${q(c.op)}, " +
@@ -2154,7 +2246,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
         s"""${q("matviews")}: $matviewsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
-        s"""${q("buckets")}: $bucketsJson, ${q("history")}: $historyJson}""")
+        s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
+        s"""${q("history")}: $historyJson}""")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
       java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -2226,6 +2319,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       tables(e.getKey) = (schema, texts(e.getValue.get("pk")))
       register(e.getKey)
     }
+    if (root.has("defaults"))
+      fields(root.get("defaults")).foreach { e =>
+        defaults(e.getKey) = fields(e.getValue)
+          .map(c => c.getKey -> c.getValue.asText()).toMap
+      }
     if (root.has("history"))
       fields(root.get("history")).foreach { e =>
         history(e.getKey) = (0 until e.getValue.size()).map { i =>

@@ -301,6 +301,11 @@ class EngineSpec extends AnyFunSuite {
     // writes through the reopened engine keep working
     again.run("insert into per values (3, 'c')")
     assert(again.run("select count(*) from per").collect()(0).getLong(0) == 3)
+    // column DEFAULTs reload from the manifest too
+    first.run("create table perd(k int, v int default 42)")
+    val third = new Engine(spark, dir)
+    third.run("insert into perd (k) values (1)")
+    assert(third.run("select v from perd").collect()(0).getInt(0) == 42)
   }
 
   test("time travel survives an engine restart; storage is links, not copies") {

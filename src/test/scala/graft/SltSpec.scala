@@ -108,6 +108,8 @@ class SltSpec extends AnyFunSuite {
     // HISTORY, VACUUM, restore-from-snapshot, rename/drop interplay
     "time_travel.slt",
     // round-11c: modern-SQL dialect surface pinned through the router
-    "modern_sql.slt")
+    "modern_sql.slt",
+    // round-11c: column DEFAULTs (insert/VALUES-keyword/update/add-column)
+    "default.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
