@@ -83,6 +83,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * col = DEFAULT — pg's everyday column-default surface.
     */
   private val defaults = mutable.LinkedHashMap[String, Map[String, String]]()
+  /** table → ordered (constraint name, CHECK expression text). Enforced on
+    * every write path at the appendTo/rewriteSwap choke points with ZERO
+    * extra passes: the same projection the write executes turns a violating
+    * row into raise_error (pg 3VL — only a FALSE check violates, NULL
+    * passes). NOT NULL rides the same guard from the schema's nullable
+    * flags. Like defaults, constraints are current-state metadata: a
+    * time-travel read or RESTORE reproduces data and schema, not the
+    * constraint set in force at that version.
+    */
+  private val checks = mutable.LinkedHashMap[String, Vector[(String, String)]]()
 
   private def tableDir(name: String) = s"$warehouse/$name"
   private def historyDir(name: String) = Paths.get(s"$warehouse/.history/$name")
@@ -1042,25 +1052,63 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
   }
 
+  /** Extract a `[CONSTRAINT name] CHECK (expr)` clause from a column-spec
+    * tail or a table-level constraint entry — the keyword search is
+    * quote-aware (a default literal containing 'check' stays payload) and
+    * the expression is taken paren-balanced, so nested calls and commas
+    * inside the check survive. Returns the spec without the clause plus
+    * the optional (name, expression).
+    */
+  private def splitCheck(spec: String)
+      : (String, Option[(Option[String], String)]) = {
+    val ci = SqlText.indexOfTopLevelPhrase(spec, Seq("check"))
+    if (ci < 0) (spec, None)
+    else {
+      val open = spec.indexOf('(', ci)
+      require(open >= 0 && spec.substring(ci + "check".length, open).trim.isEmpty,
+        s"CHECK requires a parenthesized expression in: $spec")
+      val close = SqlText.matchingParen(spec, open)
+      val e = spec.substring(open + 1, close).trim
+      require(e.nonEmpty, s"CHECK requires an expression in: $spec")
+      val ni = SqlText.indexOfTopLevelPhrase(spec, Seq("constraint"))
+      val (start, nm) =
+        if (ni >= 0 && ni < ci) {
+          val n = spec.substring(ni + "constraint".length, ci).trim
+          require(n.matches("""\w+"""), s"bad constraint name '$n' in: $spec")
+          (ni, Some(n))
+        } else (ci, None)
+      (spec.substring(0, start) + " " + spec.substring(close + 1), Some((nm, e)))
+    }
+  }
+
+  /** Append one CHECK under a unique name (pg naming: `t_check`,
+    * `t_col_check`, numbered on collision) — pure, so a CREATE that fails
+    * mid-parse leaves no orphan constraint state behind. */
+  private def addCheckEntry(cur: Vector[(String, String)], nm: Option[String],
+      base: String, e: String, table: String): Vector[(String, String)] = {
+    val name = nm.getOrElse {
+      var c = base; var i = 0
+      while (cur.exists(_._1.equalsIgnoreCase(c))) { i += 1; c = s"$base$i" }
+      c
+    }
+    require(!cur.exists(_._1.equalsIgnoreCase(name)),
+      s"constraint $name already exists on $table")
+    cur :+ (name, e)
+  }
+
   private def createTable(name: String, colsSpec: String,
       bucketSpec: Option[(String, Int)] = None): DataFrame = {
     // duplicate-create parity: the reference catalog rejects an existing
     // name (src/catalog/root.rs add_table)
     require(!tables.contains(name) && !views.contains(name),
       s"table or view already exists: $name")
-    // split on top-level commas (parens may nest inside DECIMAL(p,s))
-    val parts = mutable.Buffer[String]()
-    var depth = 0; val cur = new StringBuilder
-    colsSpec.foreach {
-      case '(' => depth += 1; cur += '('
-      case ')' => depth -= 1; cur += ')'
-      case ',' if depth == 0 => parts += cur.toString; cur.clear()
-      case c => cur += c
-    }
-    if (cur.nonEmpty) parts += cur.toString
+    // split on top-level commas, quote-aware (parens nest inside
+    // DECIMAL(p,s) and CHECK exprs; a DEFAULT ',' literal is payload)
+    val parts = SqlText.splitTopLevel(colsSpec).filter(_.trim.nonEmpty)
 
     val pk = mutable.Buffer[String]()
     val colDefaults = mutable.LinkedHashMap[String, String]()
+    var colChecks = Vector.empty[(String, String)]
     val fields = parts.flatMap { p =>
       val toks = p.trim.split("\\s+", 2)
       if (toks(0).equalsIgnoreCase("primary")) {
@@ -1068,11 +1116,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         pk ++= "\\((.*)\\)".r.findFirstMatchIn(p).toSeq
           .flatMap(_.group(1).split(",").map(_.trim))
         None
+      } else if (toks(0).equalsIgnoreCase("check") ||
+          toks(0).equalsIgnoreCase("constraint")) {
+        // table-level: [CONSTRAINT name] CHECK (expr)
+        val (rem, c) = splitCheck(p.trim)
+        require(c.isDefined && rem.trim.isEmpty,
+          s"malformed table constraint: ${p.trim}")
+        val (nm, e) = c.get
+        colChecks = addCheckEntry(colChecks, nm, s"${name}_check", e, name)
+        None
       } else {
         val colName = toks(0)
-        // the DEFAULT expression comes out FIRST so a literal containing
-        // 'not null' or 'primary key' can't spoof the constraint checks
-        val (rest, defOpt) = splitDefault(toks(1))
+        // constraint clauses come out FIRST (check, then default) so a
+        // literal containing 'not null' / 'primary key' / 'check' can't
+        // spoof the keyword scans that follow
+        val (rest0, chkOpt) = splitCheck(toks(1))
+        chkOpt.foreach { case (nm, e) =>
+          colChecks = addCheckEntry(colChecks, nm,
+            s"${name}_${colName.toLowerCase}_check", e, name)
+        }
+        val (rest, defOpt) = splitDefault(rest0)
         defOpt.foreach(d => colDefaults(colName.toLowerCase) = d)
         val lower = rest.toLowerCase
         if (lower.contains("primary key")) pk += colName
@@ -1089,6 +1152,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     tables(name) = (schema, pk.toSeq)
     if (colDefaults.nonEmpty) defaults(name) = colDefaults.toMap
+    if (colChecks.nonEmpty) checks(name) = colChecks
     history(name) = Vector(
       Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
