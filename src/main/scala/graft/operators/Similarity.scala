@@ -463,6 +463,22 @@ object Similarity {
         .as("sq8_code"))
   }
 
+  /** [[sq8Codes]] with the 64 byte codes rendered as one 128-char
+    * lowercase hex string (two digits per dimension, dimension order) —
+    * a driver-sortable scalar for result comparison and export, where a
+    * raw `array<int>` column cannot be canonicalized. Same codes, same
+    * determinism; only the output shape differs.
+    */
+  def sq8CodesHex(df: DataFrame, bounds: (Array[Double], Array[Double]),
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val (mn, mx) = bounds
+    val codes = sq8CodeCol(col(cVec), array(mn.map(lit): _*),
+      array(mx.map(lit): _*))
+    df.select(col(cId),
+      lower(array_join(transform(codes, c => lpad(hex(c), 2, "0")), ""))
+        .as("sq8_hex"))
+  }
+
   private def sq8CodeCol(vec: Column, mnLit: Column, mxLit: Column): Column =
     transform(vec.cast("array<double>"), (x, j) => {
       val lo = element_at(mnLit, j + 1); val hi = element_at(mxLit, j + 1)

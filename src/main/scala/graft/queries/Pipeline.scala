@@ -824,10 +824,13 @@ object Pipeline {
     // min/max bounds — the standard middle compression tier between raw
     // vectors and PQ (4x vs float32, per-dimension resolution). Bounds
     // involve no summation, so they are bit-identical cross-engine.
+    // Gate shape: the 64 codes render as one 128-char hex string — the
+    // driver's canonicalizer sorts rows by value and cannot hash a raw
+    // array<int> cell (gate rule: no query returns array/struct columns).
     "vector_sq8_codes" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")
-        Similarity.sq8Codes(e, Similarity.sq8Bounds(e)).orderBy("vec_id")
+        Similarity.sq8CodesHex(e, Similarity.sq8Bounds(e)).orderBy("vec_id")
       },
       Some(s"""WITH b AS (SELECT i AS j,
               |    min(CAST(e.embedding[i] AS DOUBLE)) AS mn,
@@ -838,7 +841,7 @@ object Pipeline {
               |    ELSE CAST(round((CAST(e.embedding[b.j] AS DOUBLE) - b.mn)
               |      * 255.0 / (b.mx - b.mn), 0) AS INT) END AS cd
               |  FROM embeddings e CROSS JOIN b)
-              |SELECT vec_id, list(cd ORDER BY j) AS sq8_code
+              |SELECT vec_id, lower(string_agg(lpad(to_hex(cd), 2, '0'), '' ORDER BY j)) AS sq8_hex
               |FROM c GROUP BY vec_id ORDER BY vec_id""".stripMargin)),
 
     // SQ8 top-k via asymmetric distance: queries score against each
