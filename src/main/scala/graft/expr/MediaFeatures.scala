@@ -68,23 +68,32 @@ object MediaFeatures {
       (p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8') ||          // GIF
       (p(0) == 'B' && p(1) == 'M'))                                          // BMP
 
+  /** Decode the payload to a BufferedImage when it sniffs as (and really
+    * is) a JDK-decodable image; None otherwise. Shared by the feature
+    * and resize expressions so both tiers gate on the same sniff.
+    */
+  private[graft] def readImage(payload: Array[Byte])
+      : Option[java.awt.image.BufferedImage] = {
+    if (!looksLikeImage(payload)) return None
+    try {
+      // explicit in-memory stream: no ImageIO temp-file cache per row.
+      // NOTE: read(ImageInputStream) CLOSES the stream itself (javadoc);
+      // closing it again throws IOException("closed")
+      Option(javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(payload))))
+    } catch { case _: Exception => None } // corrupt stream → fallback tier
+  }
+
   /** Decode → (width, height, [r̄, ḡ, b̄, ā] channel means in [0,1]), or
     * None when the payload isn't a JDK-decodable image. Means are
     * computed as `(sum / n_pixels) / 255` — the order the gate's
     * analytic oracle mirrors literally.
     */
   private[graft] def decodeImage(payload: Array[Byte])
-      : Option[(Int, Int, Array[Double])] = {
-    if (!looksLikeImage(payload)) return None
-    try {
-      // explicit in-memory stream: no ImageIO temp-file cache per row.
-      // NOTE: read(ImageInputStream) CLOSES the stream itself (javadoc);
-      // closing it again throws IOException("closed")
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(payload)))
-      if (img == null) None
-      else {
+      : Option[(Int, Int, Array[Double])] =
+    readImage(payload).map { img =>
+      {
         val w = img.getWidth
         val ht = img.getHeight
         var r = 0L; var g = 0L; var b = 0L; var a = 0L
@@ -102,10 +111,9 @@ object MediaFeatures {
           y += 1
         }
         val n = w.toLong * ht
-        Some((w, ht, Array(
+        (w, ht, Array(
           r.toDouble / n / 255.0, g.toDouble / n / 255.0,
-          b.toDouble / n / 255.0, a.toDouble / n / 255.0)))
+          b.toDouble / n / 255.0, a.toDouble / n / 255.0))
       }
-    } catch { case _: Exception => None } // corrupt stream → fallback tier
-  }
+    }
 }

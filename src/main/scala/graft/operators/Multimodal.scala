@@ -70,20 +70,27 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("byte_offset"), col("frame_hash"))
   }
 
-  /** Resize plumbing: emit a new payload sized for `w`×`h` with updated
-    * metadata. The real resample is STUBBED as a deterministic byte
-    * truncation/pad to w×h bytes (1 "byte per pixel"); schema flow —
-    * payload replaced in place, metadata columns updated, output width
-    * bounded regardless of input size — is the production shape, and a
-    * codec-backed scaler replaces exactly the payload expression.
+  /** Resize: payloads that decode as JDK images (PNG/JPEG/GIF/BMP, the
+    * same tier as [[graft.expr.MediaFeatures]]) are REALLY resampled to
+    * `w`×`h` with Java2D and re-encoded as lossless PNG
+    * ([[graft.expr.MediaResize]]) — decode the output back and you get
+    * the rescaled pixels. Non-image payloads (codecs the JDK lacks)
+    * fall back to the deterministic byte truncation/pad stub (w·h
+    * bytes, 1 "byte per pixel") so the column stays total and the
+    * schema flow — payload replaced in place, metadata updated, output
+    * size bounded regardless of input — holds for every media type.
     */
   def resize(media: DataFrame, w: Int, h: Int): DataFrame = {
     require(w > 0 && h > 0, "target dimensions must be positive")
+    import org.apache.spark.sql.graftbridge.Bridge
     val target = w * h
+    val imageTier = Bridge.column(
+      graft.expr.MediaResize(Bridge.expression(col("payload")), w, h))
+    val stubTier =
+      rpad(col("payload").cast("string").substr(lit(1), lit(target)), target, " ")
+        .cast("binary")
     media
-      .withColumn("payload",
-        rpad(col("payload").cast("string").substr(lit(1), lit(target)), target, " ")
-          .cast("binary"))
+      .withColumn("payload", coalesce(imageTier, stubTier))
       .withColumn("width", lit(w))
       .withColumn("height", lit(h))
   }

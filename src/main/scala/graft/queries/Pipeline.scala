@@ -1371,6 +1371,61 @@ object Pipeline {
               |  CAST(length(px) AS INT) AS n_bytes, ${polyHash("px")} AS payload_hash
               |FROM r ORDER BY media_id""".stripMargin)),
 
+    // REAL image resize: deterministic generated images resample to 4×4
+    // through Java2D (MediaResize) and re-encode as lossless PNG; the
+    // query decodes the output back and the oracle pins the resampled
+    // pixel means analytically. Colors are block-constant with blocks
+    // aligned to the 2× scale factor, so every nearest-neighbor sample
+    // position lands inside the right block and the means are exact
+    // regardless of the renderer's sub-pixel rounding. The non-image row
+    // takes the byte stub → decodes as NULL dims, proving tier routing.
+    "multimodal_resize_image" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeImage(10, 6, "png")((_, _) => (40, 80, 120))),
+          (2L, Multimodal.encodeImage(8, 8, "png") { (x, _) =>
+            if (x < 4) (200, 0, 0) else (0, 0, 200)
+          }),
+          (3L, Multimodal.encodeImage(2, 2, "gif")((_, _) => (30, 60, 90))),
+          (4L, Multimodal.encodeImage(8, 8, "bmp") { (_, y) =>
+            if (y < 4) (10, 20, 30) else (50, 60, 70)
+          }),
+          (9L, "definitely not an image".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        val resized = Multimodal.resize(
+          rows.toDF("media_id", "payload"), w = 4, h = 4)
+        Multimodal.extractFeatures(resized)
+          .select(col("media_id"), col("width"), col("height"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(0), 6)).as("r_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(1), 6)).as("g_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(2), 6)).as("b_mean"),
+            when(col("width").isNotNull,
+              round(col("features").getItem(3), 6)).as("a_mean"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 4, 4, round(CAST(40 AS DOUBLE)/255, 6),
+             |  round(CAST(80 AS DOUBLE)/255, 6), round(CAST(120 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(2 AS BIGINT), 4, 4, round(CAST(100 AS DOUBLE)/255, 6),
+             |  round(CAST(0 AS DOUBLE)/255, 6), round(CAST(100 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(3 AS BIGINT), 4, 4, round(CAST(30 AS DOUBLE)/255, 6),
+             |  round(CAST(60 AS DOUBLE)/255, 6), round(CAST(90 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(4 AS BIGINT), 4, 4, round(CAST(30 AS DOUBLE)/255, 6),
+             |  round(CAST(40 AS DOUBLE)/255, 6), round(CAST(50 AS DOUBLE)/255, 6),
+             |  round(CAST(255 AS DOUBLE)/255, 6)),
+             | (CAST(9 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE))
+             |) AS t(media_id, width, height, r_mean, g_mean, b_mean, a_mean)
+             |ORDER BY media_id""".stripMargin)),
+
     // ---- curation: decontamination / repetition / mixing (operators/Curation)
 
     // benchmark decontamination: eval set = src0's docs; any train doc

@@ -197,6 +197,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(c.getSeq[Double](c.fieldIndex("features")).length == 4)
   }
 
+  test("image resize: real Java2D resample per-pixel; non-images take the stub") {
+    import spark.implicits._
+    // 8×8 quadrants, each a distinct constant color; 2× downscale to 4×4
+    // must keep every output pixel inside its source quadrant whatever
+    // sub-pixel rounding the renderer uses (blocks aligned to the factor)
+    val quads = Array((200, 0, 0), (0, 200, 0), (0, 0, 200), (90, 90, 90))
+    val src = Multimodal.encodeImage(8, 8, "png") { (x, y) =>
+      quads((if (y < 4) 0 else 2) + (if (x < 4) 0 else 1))
+    }
+    val out = Multimodal.resize(
+        Seq((1L, src)).toDF("media_id", "payload"), w = 4, h = 4)
+      .collect()(0)
+    assert(out.getInt(out.fieldIndex("width")) == 4 &&
+      out.getInt(out.fieldIndex("height")) == 4)
+    val img = graft.expr.MediaFeatures.readImage(
+      out.getAs[Array[Byte]](out.fieldIndex("payload"))).get
+    assert(img.getWidth == 4 && img.getHeight == 4)
+    for (y <- 0 until 4; x <- 0 until 4) {
+      val (r, g, b) = quads((if (y < 2) 0 else 2) + (if (x < 2) 0 else 1))
+      val p = img.getRGB(x, y)
+      assert(((p >>> 16) & 0xff, (p >>> 8) & 0xff, p & 0xff) == ((r, g, b)),
+        s"pixel ($x,$y)")
+    }
+    // non-image payload → deterministic truncate/pad stub of w·h bytes
+    val stub = Multimodal.resize(
+        Seq((2L, "plain text".getBytes("UTF-8"))).toDF("media_id", "payload"),
+        w = 4, h = 4)
+      .collect()(0)
+    val bytes = stub.getAs[Array[Byte]](stub.fieldIndex("payload"))
+    assert(new String(bytes, "UTF-8") == "plain text      " && bytes.length == 16)
+  }
+
   test("kmeansAssign: deterministic under repartitioning, converges vs seed") {
     val base = Similarity.kmeansAssign(emb, nCentroids = 8, trainIters = 1)
       .select("vec_id", "cluster").collect().map(r => r.getLong(0) -> r.getLong(1))
