@@ -858,8 +858,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val view = "__graft_index_probe_" +
             java.util.UUID.randomUUID.toString.replace("-", "")
           probed.createOrReplaceTempView(view)
-          try spark.sql(inlineFunctions(
-            sql.replaceFirst(s"(?i)\\bfrom\\s+$tbl\\b", s"from $view")))
+          // quote-aware rewrite: a string literal containing "from <tbl>"
+          // ahead of the real FROM stays payload (SqlTextPropertySpec)
+          try spark.sql(inlineFunctions(SqlText.replaceFirstOutsideQuotes(
+            sql, s"(?i)\\bfrom\\s+$tbl\\b", s"from $view")))
           finally spark.catalog.dropTempView(view)
         }
       case _ => None

@@ -82,6 +82,35 @@ private[graft] object SqlText {
     sb.toString
   }
 
+  /** Replace the first `regex` match that lies OUTSIDE single-quoted
+    * string literals with the literal `replacement`; matches inside
+    * literals (with '' escapes) are skipped, so payload text that merely
+    * looks like SQL can never be corrupted.
+    */
+  def replaceFirstOutsideQuotes(sql: String, regex: String,
+      replacement: String): String = {
+    val quoted = new Array[Boolean](sql.length)
+    var inStr = false; var i = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        quoted(i) = true
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') {
+            quoted(i + 1) = true; i += 1
+          } else inStr = false
+        }
+      } else if (ch == '\'') { quoted(i) = true; inStr = true }
+      i += 1
+    }
+    val m = java.util.regex.Pattern.compile(regex).matcher(sql)
+    while (m.find()) {
+      if (!quoted(m.start))
+        return sql.substring(0, m.start) + replacement + sql.substring(m.end)
+    }
+    sql
+  }
+
   /** Index of the ')' matching the '(' at `open` (quote-aware). */
   def matchingParen(s: String, open: Int): Int = {
     var depth = 0; var inStr = false; var i = open

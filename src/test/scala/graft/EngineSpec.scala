@@ -588,6 +588,20 @@ class EngineSpec extends AnyFunSuite {
     engine.run("drop table vcb")
   }
 
+  test("vector ANN rewrite leaves string literals containing FROM intact") {
+    // the IndexScan tier rewrites `FROM <table>` to the probe view with a
+    // quote-aware scanner; a select-list literal that spells out
+    // "from vlit" ahead of the real FROM must stay payload
+    engine.run("create table vlit(a vector(2) not null, tag varchar)")
+    engine.run("insert into vlit values ('[0,0]','near'), ('[9,9]','far')")
+    engine.run("CREATE INDEX vlit_i ON vlit USING ivfflat (a) WITH (nlists = 2, nprobe = 1)")
+    val r = engine.run(
+      "select tag, ' from vlit ' as note from vlit " +
+        "order by a <-> '[1,1]'::VECTOR(2) limit 1").collect()(0)
+    assert(r.getString(0) == "near" && r.getString(1) == " from vlit ")
+    engine.run("drop table vlit")
+  }
+
   test("ALTER TABLE changes survive an engine restart") {
     val dir = freshDir("/root/repo/target/graft-tmp/alter-warehouse")
     val first = new Engine(spark, dir)

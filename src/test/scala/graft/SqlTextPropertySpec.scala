@@ -43,6 +43,25 @@ object SqlTextPropertySpec extends Properties("SqlText") {
       SqlText.rewriteQualify(s) == s
     }
 
+  property("replaceFirstOutsideQuotes replaces the structural FROM, not payload") =
+    forAll(Gen.oneOf("'from t9'", "' from t9 '", "'it''s from t9'",
+        "'FROM t9 order by x limit 1'")) { lit =>
+      val sql = s"select $lit as p from t9 order by x"
+      SqlText.replaceFirstOutsideQuotes(sql,
+        "(?i)\\bfrom\\s+t9\\b", "from V") == s"select $lit as p from V order by x"
+    }
+
+  property("replaceFirstOutsideQuotes is the identity when every match is quoted") =
+    forAll(Gen.oneOf("select 'from t9' as a", "select 'x from t9 y'",
+        "select '' || ' from  t9'")) { sql =>
+      SqlText.replaceFirstOutsideQuotes(sql, "(?i)\\bfrom\\s+t9\\b", "from V") == sql
+    }
+
+  property("replaceFirstOutsideQuotes with a non-matching regex is the identity") =
+    forAll(sqlGen) { s =>
+      SqlText.replaceFirstOutsideQuotes(s, "zzz_never_matches", "X") == s
+    }
+
   private val nested: Gen[String] = {
     def lvl(depth: Int): Gen[String] =
       if (depth == 0) Gen.oneOf("x", "1", "'a(b'", "'it''s)'")
