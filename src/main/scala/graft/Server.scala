@@ -514,7 +514,7 @@ private object Pgwire {
       (0 until r.length).foreach { i =>
         if (r.isNullAt(i)) d.writeInt(-1)
         else if (fmtCode(fmts, i) == 1)
-          writeBinary(d, r.get(i), schema(i).dataType)
+          writeBinary(d, r.get(i), schema(i).dataType, zone)
         else {
           val bytes = pgText(r.get(i), zone).getBytes(StandardCharsets.UTF_8)
           d.writeInt(bytes.length); d.write(bytes)
@@ -755,8 +755,9 @@ private object Pgwire {
             }
             // result-format codes: binary (1) is honored for the common
             // fixed-width / byte-exact OIDs (int2/4/8, float4/8, bool,
-            // text, bytea) and rejected for the rest at portal open —
-            // never silently sending bytes the driver would misparse
+            // text, bytea, date, timestamp, numeric) and rejected for
+            // the rest at portal open — never silently sending bytes
+            // the driver would misparse
             val nResFmt = d.readShort().toInt
             val resFmts = Array.fill(nResFmt) {
               val c = d.readShort().toInt
@@ -1106,13 +1107,27 @@ private object Pgwire {
     if (fmts.isEmpty) 0 else if (fmts.length == 1) fmts(0) else fmts(i)
 
   /** The OIDs with a wire-binary encoding this server produces: the
-    * fixed-width network-order scalars plus the byte-exact varlenas.
+    * fixed-width network-order scalars, the byte-exact varlenas, plus
+    * date / timestamp / numeric (the types pgJDBC negotiates binary
+    * transfer for by default).
     */
   private def binarySupported(dt: DataType): Boolean = dt match {
     case BooleanType | ShortType | ByteType | IntegerType | LongType |
-         FloatType | DoubleType | StringType | BinaryType => true
+         FloatType | DoubleType | StringType | BinaryType |
+         DateType | TimestampType | TimestampNTZType | _: DecimalType => true
     case _ => false
   }
+
+  /** Days since the Postgres epoch 2000-01-01 (epochDay 10957). */
+  private def pgDays(ld: java.time.LocalDate): Int =
+    (ld.toEpochDay - 10957L).toInt
+
+  /** Microseconds since 2000-01-01 00:00:00 of a wall-clock time — the
+    * payload of pg's binary timestamp (oid 1114).
+    */
+  private def pgMicros(ldt: java.time.LocalDateTime): Long =
+    (ldt.toEpochSecond(java.time.ZoneOffset.UTC) - 946684800L) * 1000000L +
+      ldt.getNano / 1000
 
   /** Reject unsupported binary columns at portal open — before any
     * DataRow bytes the driver would misparse.
@@ -1146,6 +1161,37 @@ private object Pgwire {
       case 25 | 1043 => new String(b, StandardCharsets.UTF_8) // text/varchar
       case 17 => // bytea → pg hex text form, identical to a text param
         "\\x" + b.map(x => f"${x & 0xff}%02x").mkString
+      case 1082 => // date: int4 days since 2000-01-01 → ISO text
+        need(4)
+        java.time.LocalDate.ofEpochDay(buf.getInt + 10957L).toString
+      case 1114 | 1184 => // timestamp[tz]: int8 µs since 2000-01-01 (UTC)
+        need(8)
+        val us = buf.getLong
+        val ldt = java.time.LocalDateTime.ofEpochSecond(
+          946684800L + Math.floorDiv(us, 1000000L),
+          Math.floorMod(us, 1000000L).toInt * 1000, java.time.ZoneOffset.UTC)
+        val base = ldt.format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+        val micros = ldt.getNano / 1000
+        if (micros == 0) base
+        else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
+      case 1700 => // numeric: base-10000 digit groups (pg numeric_recv)
+        require(b.length >= 8, "binary numeric header must be 8 bytes")
+        val nd = buf.getShort.toInt; val weight = buf.getShort.toInt
+        val sign = buf.getShort & 0xffff; val dscale = buf.getShort.toInt
+        require(sign == 0 || sign == 0x4000,
+          s"unsupported numeric sign word 0x${sign.toHexString} (NaN/Inf)")
+        require(b.length == 8 + 2 * nd, "binary numeric digit count mismatch")
+        var acc = java.math.BigInteger.ZERO
+        val tenK = java.math.BigInteger.valueOf(10000L)
+        (0 until nd).foreach { _ =>
+          acc = acc.multiply(tenK).add(
+            java.math.BigInteger.valueOf(buf.getShort.toLong))
+        }
+        val bd = new java.math.BigDecimal(acc)
+          .scaleByPowerOfTen(4 * (weight - nd + 1))
+          .setScale(dscale)
+        (if (sign != 0) bd.negate else bd).toPlainString
       case other => throw new IllegalArgumentException(
         s"binary parameter format not supported for oid $other (send text)")
     }
@@ -1153,8 +1199,11 @@ private object Pgwire {
 
   /** Binary (format 1) value encoding for the supported OIDs — network
     * byte order, the representations in pg's own send functions.
+    * Timestamps encode the SESSION-zone wall clock (the same rendering
+    * the text path sends), matching the advertised oid 1114.
     */
-  private def writeBinary(d: DataOutputStream, v: Any, dt: DataType): Unit =
+  private def writeBinary(d: DataOutputStream, v: Any, dt: DataType,
+      zone: java.time.ZoneId): Unit =
     dt match {
       case BooleanType =>
         d.writeInt(1); d.writeByte(if (v.asInstanceOf[Boolean]) 1 else 0)
@@ -1170,9 +1219,52 @@ private object Pgwire {
       case BinaryType =>
         val b = v.asInstanceOf[Array[Byte]]
         d.writeInt(b.length); d.write(b)
+      case DateType =>
+        val ld = v match {
+          case sd: java.sql.Date => sd.toLocalDate
+          case l: java.time.LocalDate => l
+        }
+        d.writeInt(4); d.writeInt(pgDays(ld))
+      case TimestampType =>
+        val inst = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case i: java.time.Instant => i
+        }
+        d.writeInt(8); d.writeLong(pgMicros(inst.atZone(zone).toLocalDateTime))
+      case TimestampNTZType =>
+        d.writeInt(8)
+        d.writeLong(pgMicros(v.asInstanceOf[java.time.LocalDateTime]))
+      case _: DecimalType =>
+        writeNumeric(d, v.asInstanceOf[java.math.BigDecimal])
       case other => throw new IllegalArgumentException(
         s"binary result format not supported for type ${other.simpleString}")
     }
+
+  /** pg numeric binary form (numeric_send): int16 ndigits / weight /
+    * sign / dscale header, then base-10000 digit groups most-significant
+    * first, leading and trailing zero groups trimmed.
+    */
+  private def writeNumeric(d: DataOutputStream, bd: java.math.BigDecimal): Unit = {
+    val sign = if (bd.signum < 0) 0x4000 else 0
+    val dscale = math.max(bd.scale, 0)
+    val plain = bd.abs.toPlainString
+    val dot = plain.indexOf('.')
+    val intPart = if (dot < 0) plain else plain.substring(0, dot)
+    val fracPart = if (dot < 0) "" else plain.substring(dot + 1)
+    val intStr = ("0" * ((4 - intPart.length % 4) % 4)) + intPart
+    val fracStr = fracPart + ("0" * ((4 - fracPart.length % 4) % 4))
+    val groups = (intStr + fracStr).grouped(4).map(_.toInt).toArray
+    var weight = intStr.length / 4 - 1
+    var lo = 0; var hi = groups.length
+    while (lo < hi && groups(lo) == 0) { lo += 1; weight -= 1 }
+    while (hi > lo && groups(hi - 1) == 0) hi -= 1
+    val digits = groups.slice(lo, hi)
+    if (digits.isEmpty) weight = 0 // canonical zero
+    d.writeInt(8 + 2 * digits.length)
+    d.writeShort(digits.length); d.writeShort(weight)
+    d.writeShort(sign); d.writeShort(dscale)
+    digits.foreach(d.writeShort)
+  }
 
   private def typeOid(dt: DataType): Int = dt match {
     case BooleanType => 16

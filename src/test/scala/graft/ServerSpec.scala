@@ -645,11 +645,79 @@ class ServerSpec extends AnyFunSuite {
       assert(bBytes.toSeq == "ab".getBytes(StandardCharsets.UTF_8).toSeq)
       assert(c.sync().map(_._1) == Seq('Z'))
       // a type without a binary encoding errors at portal open, clearly
-      c.parse("", "select timestamp '2024-01-01 00:00:00' as t")
+      c.parse("", "select array(1, 2) as a")
       c.bind("", "", resultFormats = Seq(1))
       c.execute("", 0); c.flushMsg()
       val err = c.untilOutcome()
       assert(err.map(_._1) == Seq('1', '2', 'E'), err.map(_._1).mkString)
+      assert(c.sync().map(_._1) == Seq('Z'))
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire binary date/timestamp/numeric round-trip bit-exactly") {
+    val dir = freshDir("/root/repo/target/graft-tmp/bints-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-bints-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      // results: pg wire representations — date = int4 days since
+      // 2000-01-01, timestamp = int8 µs since 2000-01-01, numeric =
+      // base-10000 digit groups with sign/weight/dscale header
+      c.parse("", "select date '2024-03-01' as d, " +
+        "timestamp '2001-02-03 04:05:06.789012' as t, " +
+        "cast(-12345.6789 as decimal(12,4)) as n, " +
+        "cast(0 as decimal(5,2)) as z")
+      c.bind("", "", resultFormats = Seq(1))
+      c.execute("", 0); c.flushMsg()
+      val msgs = c.untilOutcome()
+      assert(msgs.map(_._1) == Seq('1', '2', 'D', 'C'), msgs.map(_._1).mkString)
+      val row = msgs.collect { case ('D', b) => b }.head
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(d.readShort() == 4)
+      // 2024-03-01 is 8826 days after 2000-01-01
+      assert(d.readInt() == 4 && d.readInt() == 8826)
+      val wantUs = (java.time.LocalDateTime.parse("2001-02-03T04:05:06.789012")
+        .toEpochSecond(java.time.ZoneOffset.UTC) - 946684800L) * 1000000L + 789012L
+      assert(d.readInt() == 8 && d.readLong() == wantUs)
+      // -12345.6789 → digits [1, 2345, 6789], weight 1, sign 0x4000, dscale 4
+      assert(d.readInt() == 8 + 2 * 3)
+      assert(d.readShort() == 3 && d.readShort() == 1)
+      assert((d.readShort() & 0xffff) == 0x4000 && d.readShort() == 4)
+      assert(Seq(d.readShort(), d.readShort(), d.readShort()) == Seq(1, 2345, 6789))
+      // zero → canonical empty digit list, weight 0, dscale preserved
+      assert(d.readInt() == 8)
+      assert(d.readShort() == 0 && d.readShort() == 0)
+      assert(d.readShort() == 0 && d.readShort() == 2)
+      assert(c.sync().map(_._1) == Seq('Z'))
+      // parameters: the same binary forms decode via declared oids
+      val pd = java.nio.ByteBuffer.allocate(4).putInt(8826).array()
+      val pt = java.nio.ByteBuffer.allocate(8).putLong(wantUs).array()
+      val pn = java.nio.ByteBuffer.allocate(8 + 6)
+        .putShort(3).putShort(1).putShort(0x4000.toShort).putShort(4)
+        .putShort(1).putShort(2345).putShort(6789).array()
+      c.parse("", "select $1 as d, $2 as t, $3 as n",
+        paramOids = Seq(1082, 1114, 1700))
+      c.bind("", "", paramFormats = Seq(1, 1, 1), params = Seq(pd, pt, pn))
+      c.execute("", 0); c.flushMsg()
+      val back = c.untilOutcome()
+      assert(back.map(_._1) == Seq('1', '2', 'D', 'C'), back.map(_._1).mkString)
+      val row2 = back.collect { case ('D', b) => b }.head
+      val d2 = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row2))
+      assert(d2.readShort() == 3)
+      def field(): String = {
+        val n = d2.readInt(); val b = new Array[Byte](n); d2.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+      assert(field() == "2024-03-01")
+      assert(field() == "2001-02-03 04:05:06.789012")
+      assert(field() == "-12345.6789")
       assert(c.sync().map(_._1) == Seq('Z'))
     } finally {
       c.close()
