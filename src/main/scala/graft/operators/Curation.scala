@@ -599,25 +599,31 @@ object Curation {
     * not). The standard outlier-taming step before reward/score columns
     * feed a training mix.
     *
-    * Scale: one keyed shuffle for the rank window; the bounds frame is
-    * |groups| rows and broadcasts back, so the clamp itself is narrow.
-    * For very hot groups swap the row_number window for the same
-    * two-level aggregate trick the histogram ops use.
+    * Scale: the bounds come from the [[exactQuantiles]] histogram form —
+    * a map-side-combined count per (group, value) collapses duplicates
+    * BEFORE the rank window, so per-task window rows are bounded by the
+    * group's value cardinality, not its row count (a hot group with few
+    * distinct scores costs the window almost nothing; a continuous
+    * measure degrades gracefully to row-rank behavior). The bounds frame
+    * is |groups| rows and broadcasts back, so the clamp itself is
+    * narrow. Enforced in code, not prose: OperatorsSpec drives a skewed
+    * group and PlanGoldenSpec pins the aggregate-below-window shape.
     */
   def winsorize(df: DataFrame, keyCol: String, valCol: String,
       pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
-    val wOrd = Window.partitionBy(col(keyCol)).orderBy(col(valCol))
-    val wAll = Window.partitionBy(col(keyCol))
-    val ranked = df
-      .withColumn("_rk", row_number().over(wOrd))
-      .withColumn("_n", count(lit(1)).over(wAll))
-    // the two selected rank rows per key; with ties the VALUE at a rank
-    // is order-independent even though the row picked is not
-    val bounds = ranked
-      .filter(col("_rk") === ceil(lit(pLo) * col("_n")).cast("long") ||
-        col("_rk") === ceil(lit(pHi) * col("_n")).cast("long"))
-      .groupBy(col(keyCol))
-      .agg(min(col(valCol)).as("_lo"), max(col(valCol)).as("_hi"))
+    val byKey = Window.partitionBy(col(keyCol))
+    val hist = df.groupBy(col(keyCol), col(valCol)).agg(count(lit(1)).as("_cnt"))
+      .withColumn("_cum", sum(col("_cnt")).over(byKey.orderBy(col(valCol))))
+      .withColumn("_n", sum(col("_cnt")).over(byKey))
+      .withColumn("_rlo", ceil(lit(pLo) * col("_n")).cast("long"))
+      .withColumn("_rhi", ceil(lit(pHi) * col("_n")).cast("long"))
+    // the value whose cumulative range (cum − cnt, cum] covers the rank;
+    // exactly one value per rank, min() just extracts it past the nulls
+    val bounds = hist.groupBy(col(keyCol)).agg(
+      min(when(col("_rlo") > col("_cum") - col("_cnt") &&
+        col("_rlo") <= col("_cum"), col(valCol))).as("_lo"),
+      min(when(col("_rhi") > col("_cum") - col("_cnt") &&
+        col("_rhi") <= col("_cum"), col(valCol))).as("_hi"))
     df.join(broadcast(bounds), keyCol)
       .withColumn(s"${valCol}_clip",
         least(greatest(col(valCol), col("_lo")), col("_hi")))

@@ -273,6 +273,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(again.filter(col("value") =!= col("value_clip")).count() == 0)
   }
 
+  test("winsorize bounds a hot group by value cardinality, not row count") {
+    import graft.operators.Curation
+    import spark.implicits._
+    // one pathological group: 60k rows, only 9 distinct values — the
+    // histogram form must rank 9 rows in the window, never 60k
+    val skewed = ((0 until 60000).map(i => ("hot", (i % 9).toDouble)) ++
+      (0 until 100).map(i => ("cold", i.toDouble))).toDF("k", "v")
+    val out = Curation.winsorize(skewed, "k", "v", pLo = 0.1, pHi = 0.9)
+    // exact order-statistic clamp per group, against a driver reference
+    def refBound(vals: Seq[Double], p: Double): Double =
+      vals.sorted.apply(math.ceil(p * vals.size).toInt - 1)
+    val byKey = skewed.collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    out.collect().foreach { r =>
+      val (k, v, c) = (r.getString(0), r.getDouble(1), r.getDouble(2))
+      val lo = refBound(byKey(k), 0.1); val hi = refBound(byKey(k), 0.9)
+      assert(c == math.min(math.max(v, lo), hi), s"$k $v -> $c not in [$lo,$hi]")
+    }
+    // enforced in the plan: the rank window consumes the (group, value)
+    // aggregate, so per-task window rows are the value histogram
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val windows = out.queryExecution.optimizedPlan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach { w =>
+      val histBelow = w.collect {
+        case a: Aggregate if a.groupingExpressions.length == 2 => a
+      }
+      assert(histBelow.nonEmpty,
+        s"rank window must sit on the (group, value) histogram:\n$w")
+    }
+  }
+
   test("inverted index invariants: cf sums to corpus tokens, postings length = df") {
     import graft.operators.Search
     val idx = Search.invertedIndex(docs, "doc_id", "text")
