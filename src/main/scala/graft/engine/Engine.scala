@@ -263,7 +263,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*refresh\s+materialized\s+view\s+(\w+)\s*""".r
   private val reDropMatView =
     """(?is)\s*drop\s+materialized\s+view\s+(\w+)\s*""".r
-  private val reDrop = """(?is)\s*drop\s+(table|view)\s+(\w+)\s*""".r
+  private val reDrop = """(?is)\s*drop\s+(table|view|function)\s+(\w+)\s*""".r
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
@@ -546,13 +546,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // payload. Runs after the single refreshViews (columns
           // introspection plans view bodies).
           if (inlined.toLowerCase.contains("information_schema.")) {
-            systemTable("information_schema.tables")
-              .createOrReplaceTempView("__graft_info_tables")
-            systemTable("information_schema.columns")
-              .createOrReplaceTempView("__graft_info_columns")
-            inlined = mapOutsideQuotes(inlined, seg => seg
-              .replaceAll("(?i)\\binformation_schema\\.tables\\b", "__graft_info_tables")
-              .replaceAll("(?i)\\binformation_schema\\.columns\\b", "__graft_info_columns"))
+            val infoNames = Seq("tables", "columns", "views", "routines",
+              "referential_constraints")
+            infoNames.foreach { n =>
+              systemTable(s"information_schema.$n")
+                .createOrReplaceTempView(s"__graft_info_$n")
+            }
+            inlined = mapOutsideQuotes(inlined, seg =>
+              infoNames.foldLeft(seg) { (acc, n) =>
+                acc.replaceAll(s"(?i)\\binformation_schema\\.$n\\b",
+                  s"__graft_info_$n")
+              })
           }
           // system tables resolve from plain SQL too (reference
           // internal.slt): registered lazily, only when the statement
@@ -1351,6 +1355,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def drop(kind: String, name: String): DataFrame = {
+    if (kind == "function") { // SQL UDFs are catalog-only metadata
+      require(functions.contains(name), s"no such function: $name")
+      functions.remove(name)
+      saveManifest()
+      return emptyResult
+    }
     // dropping a missing object errors like the reference binder
     require(if (kind == "table") tables.contains(name) else views.contains(name),
       s"no such $kind: $name")
@@ -2236,6 +2246,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           }
         }.toDF("table_catalog", "table_schema", "table_name", "column_name",
           "ordinal_position", "data_type", "is_nullable")
+      case "information_schema.views" =>
+        // view_definition = the stored defining SQL, pg behavior
+        views.toSeq.map { case (v, body) => ("graft", "public", v, body) }
+          .toDF("table_catalog", "table_schema", "table_name",
+            "view_definition")
+      case "information_schema.routines" =>
+        // SQL UDFs; routine_body/definition per the standard's SQL-body
+        // representation (parameter names live in the definition text)
+        functions.toSeq.map { case (n, (params, body)) =>
+          ("graft", "public", n, "FUNCTION", "SQL",
+            s"(${params.mkString(", ")}) $body")
+        }.toDF("routine_catalog", "routine_schema", "routine_name",
+          "routine_type", "routine_body", "routine_definition")
+      case "information_schema.referential_constraints" =>
+        // the engine tracks primary keys but no foreign keys, so this
+        // standard relation is well-typed and empty — BI metadata probes
+        // resolve it instead of erroring
+        Seq.empty[(String, String, String, String, String, String)]
+          .toDF("constraint_catalog", "constraint_schema", "constraint_name",
+            "unique_constraint_name", "update_rule", "delete_rule")
       case other => throw new IllegalArgumentException(s"unknown system table $other")
     }
   }
