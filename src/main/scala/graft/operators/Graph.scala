@@ -60,6 +60,50 @@ object Graph {
     ranks
   }
 
+  /** Minimum hop count from any source node to every reachable node —
+    * level-synchronous multi-source BFS. Semantically a recursive CTE
+    * (`WITH RECURSIVE reach AS (seed UNION ALL step) → min(hops)`), but
+    * re-expressed in the shape that scales: the path-enumerating
+    * recursion grows O(degreeᵈᵉᵖᵗʰ) rows on cyclic graphs, while the BFS
+    * frontier is deduplicated against the visited set every level, so
+    * total work is O(|E|·depth) and each level is one keyed shuffle plus
+    * one node-bounded anti join. The visited frame is
+    * `localCheckpoint()`ed per level (bounded lineage, the [[pageRank]]
+    * discipline) and the loop stops as soon as the frontier empties —
+    * `maxHops` is a safety bound, not the expected iteration count.
+    * Unreachable nodes are absent from the result (hop = ∞).
+    */
+  def shortestHops(edges: DataFrame, srcCol: String, dstCol: String,
+      sources: DataFrame, sourceCol: String, maxHops: Int = 20): DataFrame = {
+    require(maxHops >= 0, s"maxHops must be >= 0, got $maxHops")
+    // BFS materializes per level inside the loop (unlike the lazy-return
+    // operators), so plain cache + deterministic unpersist works here —
+    // the returned frame is checkpointed and independent of this cache.
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .distinct().cache()
+    try {
+      var visited = sources.select(col(sourceCol).as("node")).distinct()
+        .withColumn("hops", lit(0)).localCheckpoint()
+      var frontier = visited
+      var h = 1
+      var done = false
+      while (h <= maxHops && !done) {
+        val next = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .withColumn("hops", lit(h))
+          .localCheckpoint()
+        if (next.isEmpty) done = true
+        else {
+          visited = visited.unionAll(next).localCheckpoint()
+          frontier = next
+          h += 1
+        }
+      }
+      visited
+    } finally e.unpersist(blocking = false)
+  }
+
   /** Per-node triangle participation over the UNDIRECTED simple graph —
     * the clustering-coefficient ingredient (how cliquish is a node's
     * neighborhood; near-dup graphs use it to separate tight duplicate

@@ -513,6 +513,41 @@ object Events {
              |FROM nodes n LEFT JOIN cnt c ON c.node = n.node
              |ORDER BY n.node""".stripMargin)),
 
+    // min-hop reachability from 'signup' over the transition graph —
+    // the operator is level-synchronous BFS with per-level frontier
+    // dedup (Graph.shortestHops: O(|E|·depth), checkpointed lineage);
+    // the oracle expresses the same min as a path-enumerating recursive
+    // CTE, affordable in DuckDB because the hop bound caps the multiset.
+    // Self-loop edges are excluded to match the path recursion exactly.
+    "graph_shortest_hops" -> Q(
+      (s, d) => {
+        val w = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts"), col("event_id"))
+        val edges = t(s, d, "events")
+          .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+          .withColumn("to_type", lead(col("event_type"), 1).over(w))
+          .filter(col("to_type").isNotNull && col("to_type") =!= col("event_type"))
+          .select(col("event_type").as("from_type"), col("to_type"))
+        val seed = s.range(1).select(lit("signup").as("node"))
+        graft.operators.Graph.shortestHops(edges, "from_type", "to_type",
+            seed, "node", maxHops = 6)
+          .orderBy("node")
+      },
+      Some("""WITH RECURSIVE edges AS (
+             |  SELECT DISTINCT src, dst FROM (
+             |    SELECT event_type AS src,
+             |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+             |    FROM events) x
+             |  WHERE dst IS NOT NULL AND dst <> src
+             |), reach(node, hops) AS (
+             |  SELECT 'signup', 0
+             |  UNION ALL
+             |  SELECT e.dst, r.hops + 1 FROM reach r JOIN edges e ON e.src = r.node
+             |  WHERE r.hops < 6
+             |)
+             |SELECT node, min(hops) AS hops FROM reach
+             |GROUP BY node ORDER BY node""".stripMargin)),
+
     "events_funnel" -> Q(
       (s, d) => {
         val e = t(s, d, "events")

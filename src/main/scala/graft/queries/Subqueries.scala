@@ -44,6 +44,29 @@ object Subqueries {
       |  SELECT n_name, n_cust FROM nation_cust WHERE n_cust > 0
       |)
       |SELECT n_name, n_cust FROM ranked ORDER BY n_cust DESC, n_name""".stripMargin
+    // genuine recursive CTE (UNION ALL fixpoint, Spark 4 UnionLoop):
+    // count distinct paths of length ≤ 4 from the 'signup' event type
+    // through the user-level transition graph. Path COUNTING needs the
+    // multiset recursion itself — a BFS can't express it — which is what
+    // makes this the recursion showcase; min-hop reachability (what BFS
+    // *can* do, dedup-bounded) is `graph_shortest_hops` in Events. The
+    // reference errors on recursive CTEs (binder/select.rs:20-22); this
+    // is extension surface. Identical text runs on both engines; the hop
+    // bound keeps the path multiset finite on the cyclic graph.
+    val recursivePaths = """WITH RECURSIVE edges AS (
+      |  SELECT DISTINCT src, dst FROM (
+      |    SELECT event_type AS src,
+      |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |    FROM events) x
+      |  WHERE dst IS NOT NULL AND dst <> src
+      |), paths(node, hops) AS (
+      |  SELECT 'signup', 0
+      |  UNION ALL
+      |  SELECT e.dst, p.hops + 1 FROM paths p JOIN edges e ON e.src = p.node
+      |  WHERE p.hops < 4
+      |)
+      |SELECT node, hops, count(*) AS n_paths FROM paths
+      |GROUP BY node, hops ORDER BY node, hops""".stripMargin
     val unionAll = """SELECT c_nationkey AS nationkey FROM customer
       |UNION ALL SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
@@ -64,6 +87,7 @@ object Subqueries {
       "subq_not_exists_correlated" -> Q(sql(notExistsCorr), Some(notExistsCorr)),
       "subq_scalar_correlated" -> Q(sql(scalarCorr), Some(scalarCorr)),
       "cte_chain" -> Q(sql(cteChain), Some(cteChain)),
+      "cte_recursive_paths" -> Q(sql(recursivePaths), Some(recursivePaths)),
       "setop_union_all" -> Q(sql(unionAll), Some(unionAll)),
       "setop_union_distinct" -> Q(sql(unionDistinct), Some(unionDistinct)),
       "setop_intersect" -> Q(sql(intersect), Some(intersect)),

@@ -49,8 +49,15 @@ package object queries {
     */
   def r6(c: Column): Column = round(c, 6)
 
+  /** Table access for registry queries. The `"@catalog"` sentinel routes
+    * the SAME query programs at session-catalog tables (temp views or
+    * bucketed/CTAS tables) instead of the parquet dir — how the bucketed
+    * bench harness re-runs the TPC-H set over CLUSTERED BY layouts
+    * without forking query code. Callers using the sentinel own any
+    * events/embeddings column normalization [[Tables.df]] would do.
+    */
   def t(spark: SparkSession, dir: String, name: String): DataFrame =
-    Tables.df(spark, dir, name)
+    if (dir == "@catalog") spark.table(name) else Tables.df(spark, dir, name)
 
   /** Timestamp-NTZ literal for predicate pushdown-friendly comparisons. */
   def tsLit(s: String): Column = lit(s).cast(TimestampNTZType)

@@ -696,4 +696,38 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(sc == Map("a" -> 2L, "b" -> 1L, "c" -> 2L, "d" -> 1L), sc)
   }
+
+  test("shortestHops: min hops on a directed graph with cycle, early stop, multi-source") {
+    import spark.implicits._
+    // a→b→c→a cycle plus c→d, e isolated from the sources
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"),
+      ("e", "e"), ("x", "e")).toDF("s", "d")
+    val seed = Seq("a").toDF("n")
+    val out = Graph.shortestHops(edges, "s", "d", seed, "n", maxHops = 20)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    // cycle must not loop past the visited set; d found at 3; e/x unreachable
+    assert(out == Map("a" -> 0, "b" -> 1, "c" -> 2, "d" -> 3), out)
+    // multi-source takes the min over seeds; maxHops truncates honestly
+    val multi = Graph.shortestHops(edges, "s", "d",
+        Seq("a", "c").toDF("n"), "n", maxHops = 1)
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(multi == Map("a" -> 0, "c" -> 0, "b" -> 1, "d" -> 1), multi)
+  }
+
+  test("shortestHops: matches the recursive-CTE min over enumerated paths") {
+    import spark.implicits._
+    val edges = Seq(("a", "b"), ("b", "c"), ("b", "d"), ("d", "a"), ("c", "d"))
+      .toDF("s", "d")
+    edges.createOrReplaceTempView("sh_edges")
+    val bfs = Graph.shortestHops(edges, "s", "d", Seq("a").toDF("n"), "n")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    val cte = spark.sql("""WITH RECURSIVE reach(node, hops) AS (
+        SELECT 'a', 0
+        UNION ALL
+        SELECT e.d, r.hops + 1 FROM reach r JOIN sh_edges e ON e.s = r.node
+        WHERE r.hops < 6)
+      SELECT node, min(hops) FROM reach GROUP BY node""")
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(bfs == cte, s"bfs=$bfs cte=$cte")
+  }
 }

@@ -14,6 +14,19 @@ class QueriesSpec extends AnyFunSuite {
       val df = q.fn(spark, sf)
       assert(df.columns.nonEmpty)
       assert(df.count() >= 0)
+      // the driver's hash gate sorts rows by every column in pandas, which
+      // cannot order array/struct/map cells (the round-11 vector_sq8_codes
+      // red row) — oracle-compared queries must emit scalar columns only;
+      // pack codes into longs or hex strings instead
+      if (q.oracle.isDefined) {
+        val nested = df.schema.fields.collect {
+          case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] ||
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.MapType] => f.name
+        }
+        assert(nested.isEmpty,
+          s"gate query $name emits non-sortable column(s) ${nested.mkString(", ")}")
+      }
     }
   }
 
