@@ -70,6 +70,20 @@ def test_executemany(con) -> None:
     cur.close()
 
 
+def test_dml_returning(con) -> None:
+    # pg-style RETURNING: affected rows come back as a result set and
+    # rowcount reflects them
+    cur = con.cursor()
+    cur.execute("create table dbr(id int, v int default 3)")
+    cur.execute("insert into dbr(id) values (1), (2) returning id, v")
+    assert sorted(cur.fetchall()) == [[1, 3], [2, 3]]
+    cur.execute("update dbr set v = v * 10 where id = 2 returning v")
+    assert cur.fetchall() == [[30]]
+    cur.execute("delete from dbr returning id")
+    assert sorted(r[0] for r in cur.fetchall()) == [1, 2]
+    cur.close()
+
+
 def test_incremental_fetch(con) -> None:
     cur = con.cursor()
     cur.arraysize = 3  # 10 rows through 4 Execute/PortalSuspended trips
@@ -188,6 +202,7 @@ def main() -> None:
     test_basic_query(con)
     test_parameters(con)
     test_executemany(con)
+    test_dml_returning(con)
     test_incremental_fetch(con)
     test_interleaved_cursors(con)
     test_error_recovery(con)

@@ -544,7 +544,19 @@ private object Pgwire {
       // advance the cursor and planning an EXECUTE may run wrapped DML —
       // Describe must be side-effect-free, so those answer NoData and
       // clients get the real RowDescription at Execute time instead.
-      if (!isDescribableQuery(sql)) msg('n')(_ => ())
+      // DML RETURNING is the describable exception: its result schema
+      // derives by pure analysis over the zero-row target table
+      // (pg answers RowDescription here too, and typed client decoding
+      // depends on the oids arriving before the rows).
+      if (hasReturning(sql)) {
+        val rl = engine.stmtLock.readLock
+        rl.lock()
+        val schema = try engine.returningSchema(sql) finally rl.unlock()
+        schema match {
+          case Some(s) => sendRowDescription(s, fmts)
+          case None => msg('n')(_ => ())
+        }
+      } else if (!isDescribableQuery(sql)) msg('n')(_ => ())
       else {
         try sendRowDescription(readSchema(sql), fmts)
         catch { case _: Exception => msg('n')(_ => ()) }
@@ -706,10 +718,7 @@ private object Pgwire {
                       sendRowDescription(schema)
                       sendDataRows(schema, rows)
                     }
-                    // pg tags FETCH with its own verb; everything else
-                    // row-returning tags SELECT
-                    val verb = if (keyword(stmt) == "FETCH") "FETCH" else "SELECT"
-                    msg('C')(cstr(_, s"$verb $n"))
+                    msg('C')(cstr(_, rowTag(stmt, n)))
                   case _ =>
                     val (_, rows) = Server.runStatement(engine, stmt)
                     msg('C')(cstr(_, commandTag(stmt, rows)))
@@ -842,9 +851,8 @@ private object Pgwire {
                     // call, not the portal's lifetime total
                     // (exec_execute_message tags from that run's
                     // es_processed); FETCH keeps its own verb in both
-                    // protocols
-                    val verb = if (keyword(p.sql) == "FETCH") "FETCH" else "SELECT"
-                    msg('C')(cstr(_, s"$verb $k"))
+                    // protocols, DML RETURNING its own DML verb
+                    msg('C')(cstr(_, rowTag(p.sql, k)))
                     p.closeSpool(); p.done = true
                   }
                 }
@@ -900,7 +908,18 @@ private object Pgwire {
   private[graft] def isRowReturning(stmt: String): Boolean =
     Set("SELECT", "VALUES", "WITH", "SHOW", "EXPLAIN", "DESCRIBE",
       "TABLE", "PRAGMA", "FETCH", "EXECUTE").contains(keyword(stmt)) ||
-      stmt.trim.startsWith("\\")
+      stmt.trim.startsWith("\\") || hasReturning(stmt)
+
+  /** DML with a top-level RETURNING clause renders the affected rows.
+    * Quote/paren-aware like the engine's own detection — a literal
+    * 'returning' or a subquery alias named returning stays payload.
+    * Describable via [[Engine.returningSchema]] (pure analysis over the
+    * zero-row target table), so extended-protocol clients get typed oids
+    * before the rows, like pg.
+    */
+  private[graft] def hasReturning(stmt: String): Boolean =
+    Set("INSERT", "UPDATE", "DELETE").contains(keyword(stmt)) &&
+      graft.engine.SqlText.indexOfTopLevelPhrase(stmt, Seq("returning")) >= 0
 
   /** Describable without executing — planning these has no side effects.
     * A strict subset of [[isRowReturning]]: FETCH/EXECUTE render rows but
@@ -939,6 +958,18 @@ private object Pgwire {
       case "COPY" => s"COPY $affected"
       case k => k // CREATE, DROP, SET, ...
     }
+  }
+
+  /** Tag for a ROW-RETURNING statement whose `n` rows just streamed out.
+    * FETCH keeps its verb (pg), DML with RETURNING counts its result rows
+    * as the affected count (each affected row renders exactly once), and
+    * everything else tags SELECT.
+    */
+  private def rowTag(stmt: String, n: Long): String = keyword(stmt) match {
+    case "FETCH" => s"FETCH $n"
+    case "INSERT" if hasReturning(stmt) => s"INSERT 0 $n"
+    case k @ ("UPDATE" | "DELETE") if hasReturning(stmt) => s"$k $n"
+    case _ => s"SELECT $n"
   }
 
   /** Substitute `$n` placeholders (outside quotes) with text-format

@@ -297,7 +297,70 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDescribe = """\\d\s+(\w+)""".r
   private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
 
-  def run(sql: String): DataFrame = sql.trim.replaceAll(";\\s*$", "") match {
+  /** pg's RETURNING clause on DML (extension): `INSERT/UPDATE/DELETE ...
+    * RETURNING expr [AS alias], ...` renders the affected rows — INSERT
+    * and UPDATE the post-image (defaults/casts/assignments applied),
+    * DELETE the pre-image — instead of a rows_affected count. The clause
+    * is detected quote/paren-aware at top level (a literal 'returning' or
+    * a subquery alias is payload), stripped, and the core statement runs
+    * through the normal dispatch; each DML path materializes its affected
+    * frame via `localCheckpoint` BEFORE the table directory mutates, so
+    * the returned rows never re-read swapped-away files.
+    */
+  def run(sql: String): DataFrame = {
+    val stmt = sql.trim.replaceAll(";\\s*$", "")
+    val lw = stmt.toLowerCase
+    if (lw.startsWith("insert") || lw.startsWith("update") ||
+        lw.startsWith("delete")) {
+      val idx = SqlText.indexOfTopLevelPhrase(stmt, Seq("returning"))
+      if (idx >= 0) {
+        val exprs = splitTopLevel(stmt.substring(idx + "returning".length))
+          .map(_.trim).filter(_.nonEmpty)
+        require(exprs.nonEmpty, "RETURNING requires an expression list")
+        returningExprs = Some(exprs)
+        try {
+          dispatch(stmt.substring(0, idx))
+          return returningRows.getOrElse(throw new IllegalArgumentException(
+            "RETURNING is supported on INSERT [ON CONFLICT], UPDATE, DELETE"))
+        } finally { returningExprs = None; returningRows = None }
+      }
+    }
+    dispatch(stmt)
+  }
+
+  /** Schema a `DML ... RETURNING` statement would render, derived by PURE
+    * ANALYSIS — the RETURNING list is selected over the target table's
+    * zero-row frame, so no job runs and nothing mutates. This is what
+    * lets pgwire Describe answer a real RowDescription (with oids, so
+    * typed client decoding works) for DML the server must not execute at
+    * Describe time. None when the statement has no top-level RETURNING or
+    * the shape can't be analyzed — callers fall back to NoData.
+    */
+  def returningSchema(stmt: String): Option[org.apache.spark.sql.types.StructType] = {
+    val idx = SqlText.indexOfTopLevelPhrase(stmt, Seq("returning"))
+    if (idx < 0) return None
+    val exprs = splitTopLevel(stmt.substring(idx + "returning".length))
+      .map(_.trim).filter(_.nonEmpty)
+    val reTab = """(?is)\s*(?:insert\s+into|update|delete\s+from)\s+(\w+)\b.*""".r
+    stmt.substring(0, idx) match {
+      case reTab(table) if tables.contains(table) =>
+        scala.util.Try(spark.table(table).filter(lit(false))
+          .selectExpr(exprs.map(inlineFunctions): _*).schema).toOption
+      case _ => None
+    }
+  }
+
+  // RETURNING plumbing: set for the duration of one dispatch under the
+  // statement lock; DML paths fill `returningRows` from their affected
+  // frame (already checkpointed) via [[captureReturning]].
+  private var returningExprs: Option[Seq[String]] = None
+  private var returningRows: Option[DataFrame] = None
+  private def captureReturning(affected: DataFrame): Unit =
+    returningExprs.foreach { es =>
+      returningRows = Some(affected.selectExpr(es.map(inlineFunctions): _*))
+    }
+
+  private def dispatch(stmt: String): DataFrame = stmt match {
     case """\dt""" => systemTable("pg_tables")
     // shell sugar parity with the reference REPL (src/db.rs:64-81)
     case """\di""" => systemTable("pg_indexes")
@@ -1450,17 +1513,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def insert(table: String, colList: Option[String], source: String): DataFrame = {
-    // rows_affected rides the write as an observe metric — one execution of
-    // the source, not a count() pre-pass (an `INSERT INTO t SELECT <expensive>`
-    // would otherwise run <expensive> twice).
-    val obs = org.apache.spark.sql.Observation()
-    val out = alignedSource(table, colList, source)
-      .observe(obs, count(lit(1)).as("n"))
-    archiveCurrent(table)
-    appendTo(table, out)
-    refresh(table)
-    recordCommit(table, "insert")
-    rowCountResult(observedCount(obs))
+    returningExprs match {
+      case Some(_) =>
+        // RETURNING needs the inserted rows themselves: materialize the
+        // aligned source once (checkpoint), append that, and evaluate the
+        // RETURNING list over the checkpointed frame — still one
+        // execution of a SELECT source.
+        val mat = alignedSource(table, colList, source).localCheckpoint()
+        archiveCurrent(table)
+        appendTo(table, mat)
+        refresh(table)
+        recordCommit(table, "insert")
+        captureReturning(mat)
+        rowCountResult(mat.count())
+      case None =>
+        // rows_affected rides the write as an observe metric — one execution of
+        // the source, not a count() pre-pass (an `INSERT INTO t SELECT <expensive>`
+        // would otherwise run <expensive> twice).
+        val obs = org.apache.spark.sql.Observation()
+        val out = alignedSource(table, colList, source)
+          .observe(obs, count(lit(1)).as("n"))
+        archiveCurrent(table)
+        appendTo(table, out)
+        refresh(table)
+        recordCommit(table, "insert")
+        rowCountResult(observedCount(obs))
+    }
   }
 
   /** INSERT ... ON CONFLICT (keys) DO NOTHING | DO UPDATE SET ... — pg's
@@ -1496,11 +1574,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case None => // DO NOTHING: append rows whose key has no match
         try {
           val obs = org.apache.spark.sql.Observation()
-          val toIns = newRows
+          val toIns0 = newRows
             .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
               keys, "left_anti")
             .select(ordered: _*)
             .observe(obs, count(lit(1)).as("n"))
+          // pg returns only the rows actually inserted under DO NOTHING
+          val toIns = if (returningExprs.isDefined) {
+            val m = toIns0.localCheckpoint()
+            captureReturning(m)
+            m
+          } else toIns0
           archiveCurrent(table)
           appendTo(table, toIns)
           refresh(table)
@@ -1527,20 +1611,27 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val matchCond = keys.map(k => col(k) === col(s"__excluded_$k"))
           .reduce(_ && _)
         val matched = col(s"__excluded_${keys.head}").isNotNull
+        val assignedSel = schema.fields.map { f =>
+          assigns.get(f.name.toLowerCase) match {
+            case Some(e) => when(matched,
+                expr(inlineFunctions(excluded(e))).cast(f.dataType))
+              .otherwise(col(f.name)).as(f.name)
+            case None => col(f.name).as(f.name)
+          }
+        }.toIndexedSeq
         val updatedExisting = existing.join(exc, matchCond, "left_outer")
-          .select(schema.fields.map { f =>
-            assigns.get(f.name.toLowerCase) match {
-              case Some(e) => when(matched,
-                  expr(inlineFunctions(excluded(e))).cast(f.dataType))
-                .otherwise(col(f.name)).as(f.name)
-              case None => col(f.name).as(f.name)
-            }
-          }.toIndexedSeq: _*)
+          .select(assignedSel: _*)
         val inserts = newRows
           .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
             keys, "left_anti")
           .select(ordered: _*)
         try {
+          // pg returns every proposed row under DO UPDATE: updated rows'
+          // post-image (the same assignment projection, inner-joined to
+          // just the matches) plus the inserted rows — pre-swap snapshot
+          if (returningExprs.isDefined)
+            captureReturning(existing.join(exc, matchCond, "inner")
+              .select(assignedSel: _*).unionByName(inserts).localCheckpoint())
           rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
           refresh(table)
           // pg: every proposed row is either inserted or updated
@@ -1581,6 +1672,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // metrics fire — filter(false) scans, limit(0) would short-circuit
       case None => scanned.filter(lit(false))
     }).observe(keptObs, count(lit(1)).as("n"))
+    // RETURNING renders the deleted rows' PRE-image — materialized before
+    // the swap rewrites the table directory out from under the scan
+    if (returningExprs.isDefined) {
+      val affected = cond match {
+        case Some(c) => cur.filter(coalesce(expr(inlineFunctions(c)), lit(false)))
+        case None => cur
+      }
+      captureReturning(affected.localCheckpoint())
+    }
     rewriteSwap(table, remaining, "delete")
     rowCountResult(observedCount(totalObs) - observedCount(keptObs))
   }
@@ -1737,6 +1837,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val rewritten = spark.table(table)
       .observe(affObs, count(when(c, lit(1))).as("n"))
       .select(projected.toIndexedSeq: _*)
+    // RETURNING renders the POST-image of the updated rows: the same
+    // assignment projection over just the matching rows (where `c` holds,
+    // the per-column `when(c, ...)` guards reduce to the assignments),
+    // materialized before the swap replaces the files being read
+    if (returningExprs.isDefined)
+      captureReturning(spark.table(table).filter(c)
+        .select(projected.toIndexedSeq: _*).localCheckpoint())
     rewriteSwap(table, rewritten, "update")
     rowCountResult(observedCount(affObs))
   }

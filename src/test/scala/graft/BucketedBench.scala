@@ -38,6 +38,14 @@ object BucketedBench {
   def main(args: Array[String]): Unit = {
     val src = args.headOption.getOrElse("target/scale100")
     val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    // a fresh in-memory catalog knows nothing of a previous run's managed
+    // table dirs — saveAsTable would refuse the leftover locations
+    val wh = new java.io.File("target/bucketed-warehouse")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    if (wh.exists()) rmr(wh)
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -65,9 +73,11 @@ object BucketedBench {
       .bucketBy(32, "l_orderkey").sortBy("l_orderkey").saveAsTable("lineitem")
     val bucketBuildSec = (System.nanoTime() - tb0) / 1e9
 
-    val reg = graft.queries.Tpch.all
+    val reg = graft.SparkEntry.registry
     val targets = Seq(
       "q7_nation_volume", "q9_profit_by_nation_year", "q21_waiting_suppliers")
+    val planDir = new java.io.File("target/bucketed_plans")
+    planDir.mkdirs()
 
     // one timed run: cold cache, full materialization; returns wall,
     // shuffle/spill deltas, and the AQE-final plan text
@@ -88,6 +98,9 @@ object BucketedBench {
       val runs = (1 to rounds).map(_ => once(name, dir))
       val best = runs.minBy(_._1)
       val plan = best._3
+      val layout = if (dir == "@catalog") "bucketed" else "parquet"
+      val pw = new java.io.PrintWriter(new java.io.File(planDir, s"${name}_$layout.txt"))
+      try pw.write(plan) finally pw.close()
       val hashEx = "Exchange hashpartitioning".r.findAllIn(plan).length
       val bcastEx = "BroadcastExchange".r.findAllIn(plan).length
       (best._1, best._2, hashEx, bcastEx)

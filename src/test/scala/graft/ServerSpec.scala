@@ -139,6 +139,17 @@ class ServerSpec extends AnyFunSuite {
       assert(r3.exists(_._1 == 'E') && r3.last._1 == 'Z')
       assert(cols(query("select count(*) as c from pgw")(1)._2) == Seq("2"))
 
+      // DML RETURNING renders rows (RowDescription + DataRows) and the
+      // tag counts them pg-style; plain DML keeps the count-only tag
+      val rr = query("insert into pgw values (7), (8) returning v * 2 as v2")
+      assert(rr.map(_._1) == Seq('T', 'D', 'D', 'C', 'Z'), rr.map(_._1).mkString)
+      assert(rr.collect { case ('D', b) => cols(b) }.toSet == Set(Seq("14"), Seq("16")))
+      assert(new String(rr(3)._2, StandardCharsets.UTF_8).startsWith("INSERT 0 2"))
+      val rd = query("delete from pgw where v >= 7 returning v")
+      assert(rd.collect { case ('D', b) => cols(b) }.toSet == Set(Seq("7"), Seq("8")))
+      assert(new String(rd.collectFirst { case ('C', b) => b }.get,
+        StandardCharsets.UTF_8).startsWith("DELETE 2"))
+
       // ---- extended protocol: Parse/Bind/Describe/Execute/Sync ----
       def cs(s: String): Array[Byte] = (s + "\u0000").getBytes(StandardCharsets.UTF_8)
       def frame(tpe: Char)(body: DataOutputStream => Unit): Unit = {

@@ -110,6 +110,8 @@ class SltSpec extends AnyFunSuite {
     // round-11c: modern-SQL dialect surface pinned through the router
     "modern_sql.slt",
     // round-11c: column DEFAULTs (insert/VALUES-keyword/update/add-column)
-    "default.slt")
+    "default.slt",
+    // round-12: DML RETURNING (pg extension)
+    "returning.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
