@@ -360,6 +360,171 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       returningRows = Some(affected.selectExpr(es.map(inlineFunctions): _*))
     }
 
+  // ---- incremental materialized-view maintenance -------------------------
+  // view → (base table, base-table version the stored rows reflect). A
+  // refresh first tries to apply only the base's append delta since that
+  // version; anything it can't prove safe falls back to full recompute.
+
+  private val matviewBase = mutable.Map[String, (String, Int)]()
+
+  /** One output column's merge rule: combine the stored view's value with
+    * the delta aggregate's value for the same group.
+    */
+  private case class IvmShape(base: String, groupCols: Seq[String],
+      aggMerge: Map[String, (Column, Column) => Column])
+
+  private def planBody(body: String): DataFrame =
+    spark.sql(inlineFunctions(rewriteQualify(body)))
+
+  /** Analyze a matview body for incremental maintainability: a single
+    * `Aggregate` over exactly one engine table reached through
+    * Project/Filter only (no joins, windows, set ops, subqueries, or
+    * nondeterminism), whose aggregate outputs are bare non-DISTINCT,
+    * unFILTERed COUNT/SUM/MIN/MAX. Those are the self-merging aggregates
+    * under an APPEND-ONLY delta: count/sum add, min/max take
+    * least/greatest — the classic distributive case of incremental view
+    * maintenance. `None` means "recompute fully"; deletes make min/max
+    * non-maintainable, which is why eligibility is also gated on the
+    * base's commit ops at refresh time.
+    */
+  private def ivmShape(body: String): Option[IvmShape] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, SubqueryAlias, View, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+    def clean(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+      e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
+    def linear(p: LogicalPlan): Boolean = p match {
+      case _: LeafNode => true
+      case _: Project | _: LFilter | _: SubqueryAlias | _: View =>
+        p.expressions.forall(clean) && linear(p.children.head)
+      case _ => false
+    }
+    val addMerge: (Column, Column) => Column =
+      (a, b) => when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
+    scala.util.Try {
+      planBody(body).queryExecution.analyzed match {
+        case Aggregate(gexprs, aexprs, child, _)
+            if linear(child) && gexprs.forall(clean) =>
+          val refs = child.collect {
+            case sa: SubqueryAlias if tables.contains(sa.alias) => sa.alias
+          }
+          val names = aexprs.map(_.name)
+          val merges = aexprs.map { ne =>
+            val e = ne match { case a: Alias => a.child; case att: Attribute => att }
+            if (e.collectFirst { case ae: AggregateExpression => ae }.isEmpty)
+              Some(None) // grouping output
+            else e match {
+              case ae: AggregateExpression
+                  if !ae.isDistinct && ae.filter.isEmpty && clean(ae) =>
+                ae.aggregateFunction match {
+                  case _: Count | _: Sum => Some(Some(addMerge))
+                  case _: Min => Some(Some((a: Column, b: Column) => least(a, b)))
+                  case _: Max => Some(Some((a: Column, b: Column) => greatest(a, b)))
+                  case _ => None
+                }
+              // an expression AROUND an aggregate (sum(x)+1) does not
+              // merge by its own operator — recompute
+              case _ => None
+            }
+          }
+          if (refs.length == 1 && merges.forall(_.isDefined) &&
+              names.map(_.toLowerCase).distinct.length == names.length) {
+            val groups = names.zip(merges).collect { case (n, Some(None)) => n }
+            val aggs = names.zip(merges).collect { case (n, Some(Some(f))) => n -> f }
+            Some(IvmShape(refs.head, groups, aggs.toMap))
+          } else None
+        case _ => None
+      }
+    }.toOption.flatten
+  }
+
+  /** Re-anchor `name` on its base's current version (or forget the anchor
+    * if the body is not incrementally maintainable).
+    */
+  private def anchorMatview(name: String, body: String): Unit =
+    ivmShape(body) match {
+      case Some(s) =>
+        matviewBase(name) = (s.base, history(s.base).length - 1)
+      case None => matviewBase.remove(name)
+    }
+
+  /** Commit ops that only APPEND parquet files to the table directory —
+    * the delta between two versions is then exactly the files added,
+    * readable at O(delta) cost. upsert is excluded: its DO UPDATE arm
+    * rewrites under the same op string.
+    */
+  private val appendOnlyOps = Set("insert", "copy from")
+
+  /** The merged view frame for an incremental refresh, or None → full
+    * recompute. The delta aggregate comes from replaying the BODY itself
+    * over just the appended files (the base's temp view is overlaid for
+    * the duration of analysis, under the statement write lock), so every
+    * filter/projection the body carries applies to the delta for free;
+    * the merge is then a null-safe full-outer join on the group columns
+    * with per-aggregate combine — O(|view| + |delta|), never O(|base|).
+    */
+  private def incrementalRefresh(name: String, body: String): Option[DataFrame] = {
+    val (base, v0) = matviewBase.getOrElse(name, return None)
+    if (!tables.contains(base)) return None
+    val log = history.getOrElse(base, Vector.empty)
+    if (v0 >= log.length) return None // base rewound (RESTORE): re-anchor
+    val newOps = log.drop(v0 + 1).map(_.op)
+    if (!newOps.forall(appendOnlyOps)) return None
+    if (log(v0).ddl != log.last.ddl) return None // base schema drifted
+    val shape = ivmShape(body).getOrElse(return None)
+    if (shape.base != base) return None // body re-pointed since anchor
+    val vdir = versionDir(base, v0)
+    if (newOps.nonEmpty && !Files.isDirectory(vdir)) return None // vacuumed
+    def dataFiles(root: java.nio.file.Path): Set[String] = {
+      if (!Files.isDirectory(root)) return Set.empty
+      val s = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala
+          .filter(p => Files.isRegularFile(p) &&
+            p.getFileName.toString.endsWith(".parquet"))
+          .map(p => root.relativize(p).toString).toSet
+      } finally s.close()
+    }
+    val live = Paths.get(tableDir(base))
+    val delta =
+      if (newOps.isEmpty) Set.empty[String]
+      else dataFiles(live) -- dataFiles(vdir)
+    val old = spark.table(name)
+    if (delta.isEmpty) return Some(old) // e.g. INSERT of zero rows
+    val deltaDf = spark.read.schema(tables(base)._1)
+      .parquet(delta.toSeq.map(f => s"${live.toString}/$f"): _*)
+    // overlay the base with a SAME-NAMED temp view over the delta for the
+    // (eager) analysis of the body — unqualified resolution prefers the
+    // temp view, so every filter/projection in the body binds to the
+    // delta — then drop the overlay, revealing the untouched catalog
+    // table. Single-writer safe under the statement write lock.
+    val dAgg = try {
+      deltaDf.createOrReplaceTempView(base)
+      planBody(body)
+    } finally spark.catalog.dropTempView(base)
+    val viewSchema = old.schema
+    val d = dAgg.select(dAgg.columns.map(c => col(c).as(s"__d_$c")).toIndexedSeq: _*)
+    def merged(joined: DataFrame): DataFrame =
+      joined.select(viewSchema.fields.map { f =>
+        shape.aggMerge.get(f.name) match {
+          case Some(op) =>
+            // cast back: +/least on decimals widens precision, and the
+            // view's column type must stay put across refreshes
+            op(old(f.name), d(s"__d_${f.name}")).cast(f.dataType).as(f.name)
+          case None => coalesce(old(f.name), d(s"__d_${f.name}")).as(f.name)
+        }
+      }.toIndexedSeq: _*)
+    if (shape.groupCols.isEmpty)
+      // global aggregate: both sides are exactly one row
+      Some(merged(old.crossJoin(d)))
+    else {
+      val cond = shape.groupCols
+        .map(g => old(g) <=> d(s"__d_$g")).reduce(_ && _)
+      Some(merged(old.join(d, cond, "full_outer")))
+    }
+  }
+
   private def dispatch(stmt: String): DataFrame = stmt match {
     case """\dt""" => systemTable("pg_tables")
     // shell sugar parity with the reference REPL (src/db.rs:64-81)
@@ -370,11 +535,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reCreateMatView(name, query) =>
       val res = createTableAs(name, None, query)
       matviews(name) = query.trim
+      anchorMatview(name, query.trim)
       saveManifest()
       res
     case reRefreshMatView(name) =>
       require(matviews.contains(name), s"no such materialized view: $name")
-      val df = run(matviews(name))
+      val body = matviews(name)
+      // apply just the base's append delta when provably safe; anything
+      // else (deletes, joins, vacuumed history, non-mergeable aggregates)
+      // recomputes fully
+      val (df, mode) = incrementalRefresh(name, body) match {
+        case Some(m) => (m, "incremental")
+        case None => (run(body), "full")
+      }
       // data first: if the swap throws (disk full, runtime error in the
       // body), neither the catalog entry nor the manifest has moved —
       // the old snapshot stays fully consistent. Only after the commit
@@ -387,11 +560,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         history(name).last.copy(ddl = df.schema.toDDL)
       register(name)
       refresh(name)
+      anchorMatview(name, body)
       saveManifest()
-      emptyResult
+      spark.range(1).select(lit(mode).as("refresh_mode"))
     case reDropMatView(name) =>
       require(matviews.contains(name), s"no such materialized view: $name")
       matviews.remove(name)
+      matviewBase.remove(name)
       drop("table", name)
     case reCreateTableAs(name, bCol, bN, query) =>
       createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query)
@@ -2423,6 +2598,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     })
     val viewsJson = obj(views.map { case (n, body) => s"${q(n)}: ${q(body)}" })
     val matviewsJson = obj(matviews.map { case (n, body) => s"${q(n)}: ${q(body)}" })
+    val matviewBaseJson = obj(matviewBase.map { case (n, (b, v)) =>
+      s"${q(n)}: {${q("base")}: ${q(b)}, ${q("version")}: $v}"
+    })
     val functionsJson = obj(functions.map { case (n, (params, body)) =>
       s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
     })
@@ -2448,6 +2626,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     Files.writeString(tmp,
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
         s"""${q("matviews")}: $matviewsJson, """ +
+        s"""${q("matview_base")}: $matviewBaseJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
         s"""${q("history")}: $historyJson}""")
@@ -2545,6 +2724,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       fields(root.get("views")).foreach(e => views(e.getKey) = e.getValue.asText())
     if (root.has("matviews"))
       fields(root.get("matviews")).foreach(e => matviews(e.getKey) = e.getValue.asText())
+    if (root.has("matview_base"))
+      fields(root.get("matview_base")).foreach { e =>
+        matviewBase(e.getKey) =
+          (e.getValue.get("base").asText(), e.getValue.get("version").asInt())
+      }
     if (root.has("functions"))
       fields(root.get("functions")).foreach { e =>
         functions(e.getKey) =

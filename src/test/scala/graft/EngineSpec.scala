@@ -308,6 +308,31 @@ class EngineSpec extends AnyFunSuite {
     assert(third.run("select v from perd").collect()(0).getInt(0) == 42)
   }
 
+  test("incremental matview anchor survives a restart and applies the delta") {
+    val dir = freshDir("/root/repo/target/graft-tmp/ivm-reopen-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table ivmr(g varchar, v int)")
+    first.run("insert into ivmr values ('a', 1), ('b', 2)")
+    first.run("create materialized view ivmrv as " +
+      "select g, sum(v) as s from ivmr group by g")
+    // append through the FIRST engine, refresh through a SECOND: the
+    // anchor (base table + version) must come from the manifest
+    first.run("insert into ivmr values ('a', 10)")
+    val again = new Engine(spark, dir)
+    val mode = again.run("refresh materialized view ivmrv")
+      .collect()(0).getString(0)
+    assert(mode == "incremental", s"expected incremental refresh, got $mode")
+    assert(again.run("select s from ivmrv where g = 'a'")
+      .collect()(0).getLong(0) == 11L)
+    // a delete through the reopened engine forces the full path
+    again.run("delete from ivmr where v = 2")
+    val mode2 = again.run("refresh materialized view ivmrv")
+      .collect()(0).getString(0)
+    assert(mode2 == "full", s"expected full refresh after delete, got $mode2")
+    assert(again.run("select count(*) as c from ivmrv")
+      .collect()(0).getLong(0) == 1L)
+  }
+
   test("time travel survives an engine restart; storage is links, not copies") {
     val dir = freshDir("/root/repo/target/graft-tmp/timetravel-warehouse")
     val first = new Engine(spark, dir)

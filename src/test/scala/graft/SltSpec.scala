@@ -111,7 +111,7 @@ class SltSpec extends AnyFunSuite {
     "modern_sql.slt",
     // round-11c: column DEFAULTs (insert/VALUES-keyword/update/add-column)
     "default.slt",
-    // round-12: DML RETURNING (pg extension)
-    "returning.slt")
+    // round-12: DML RETURNING (pg extension) + incremental matview refresh
+    "returning.slt", "incr_matview.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
