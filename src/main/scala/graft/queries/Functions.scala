@@ -201,6 +201,30 @@ object Functions {
           .orderBy("event_id"),
         Some("""SELECT event_id, json_extract_string(props, '$.k') AS k_str,
                |CAST(json_extract_string(props, '$.k') AS INT) AS k_int
+               |FROM events ORDER BY event_id""".stripMargin)),
+
+      // VARIANT (Spark 4 semi-structured type): rebuild a nested document
+      // per row, parse it to variant, and shred typed fields back out —
+      // binary-encoded traversal, no per-access string re-parse (the
+      // lakehouse answer to a JSON-text props column at 100 TB: parse
+      // once at ingest, extract many times). A missing path is a typed
+      // NULL. The oracle states the round-trip identity directly.
+      "expr_variant_shred" -> Q(
+        (s, d) => {
+          val doc = to_json(struct(
+            col("event_type").as("t"),
+            get_json_object(col("props"), "$.k").cast("int").as("k")))
+          val v = parse_json(doc)
+          t(s, d, "events")
+            .select(col("event_id"),
+              variant_get(v, "$.t", "string").as("t"),
+              variant_get(v, "$.k", "int").as("k"),
+              variant_get(v, "$.absent", "int").as("miss"))
+            .orderBy("event_id")
+        },
+        Some("""SELECT event_id, event_type AS t,
+               |CAST(json_extract_string(props, '$.k') AS INT) AS k,
+               |CAST(NULL AS INT) AS miss
                |FROM events ORDER BY event_id""".stripMargin))
     )
   }
