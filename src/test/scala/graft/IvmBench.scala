@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.engine.Engine
+
+/** Prices incremental materialized-view refresh against full recompute
+  * on a fact-sized base: load scale-N lineitem into an engine table,
+  * anchor an aggregate matview, append a small delta, and time the
+  * incremental refresh; then force the full path (a one-row delete
+  * poisons min/max incrementality) and time that. The claim under test
+  * is the complexity class — refresh cost O(delta + view), not
+  * O(base) — so the interesting number is the RATIO and how it moves
+  * with base size, not the absolute wall.
+  *
+  * Run: `sbt "Test/runMain graft.IvmBench target/scale10 [rounds]"`.
+  */
+object IvmBench {
+  def main(args: Array[String]): Unit = {
+    val src = args.headOption.getOrElse("target/scale10")
+    val rounds = args.drop(1).headOption.map(_.toInt).getOrElse(3)
+    val spark = Tables.configure(SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val wh = new java.io.File("target/graft-tmp/ivm-bench-warehouse")
+    def rmr(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr)
+      f.delete(); ()
+    }
+    if (wh.exists()) rmr(wh)
+    val engine = new Engine(spark, wh.getPath)
+    def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
+    def timed(sql: String): (Double, String) = {
+      val t0 = System.nanoTime()
+      val rows = engine.run(sql).collect()
+      val wall = (System.nanoTime() - t0) / 1e9
+      (wall, rows.headOption.map(_.get(0).toString).getOrElse(""))
+    }
+
+    spark.read.parquet(s"$src/lineitem.parquet").createOrReplaceTempView("li_src")
+    engine.run("create table ivm_fact as select * from li_src")
+    val baseRows = engine.run("select count(*) as c from ivm_fact")
+      .collect()(0).getLong(0)
+    engine.run("create materialized view ivm_view as " +
+      "select l_returnflag, l_linestatus, count(*) as n, sum(l_quantity) as q, " +
+      "min(l_extendedprice) as lo, max(l_extendedprice) as hi " +
+      "from ivm_fact group by l_returnflag, l_linestatus")
+
+    // incremental: append a 1k-row delta per round, refresh
+    val inc = (1 to rounds).map { i =>
+      engine.run(s"insert into ivm_fact select * from li_src limit 1000")
+      val (w, mode) = timed("refresh materialized view ivm_view")
+      require(mode == "incremental", s"round $i expected incremental, got $mode")
+      w
+    }
+    // full: poison the append-only window once, then time full refreshes
+    // (each refresh re-anchors, so keep poisoning per round)
+    val full = (1 to rounds).map { i =>
+      engine.run("delete from ivm_fact where l_orderkey = -1") // no-op rewrite, still a 'delete' commit
+      val (w, mode) = timed("refresh materialized view ivm_view")
+      require(mode == "full", s"round $i expected full, got $mode")
+      w
+    }
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    spark.stop()
+  }
+}
