@@ -954,7 +954,7 @@ private object Pgwire {
       case "SELECT" | "VALUES" | "WITH" | "SHOW" | "EXPLAIN" | "DESCRIBE" |
            "TABLE" | "PRAGMA" => s"SELECT ${rows.length}"
       case "INSERT" => s"INSERT 0 $affected"
-      case k @ ("UPDATE" | "DELETE" | "MERGE") => s"$k $affected"
+      case k @ ("UPDATE" | "DELETE" | "MERGE" | "MOVE") => s"$k $affected"
       case "COPY" => s"COPY $affected"
       case k => k // CREATE, DROP, SET, ...
     }

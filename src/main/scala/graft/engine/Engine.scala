@@ -246,13 +246,107 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // statements; CLOSE reclaims the spill dir (an abandoned cursor's dir
   // lives in java.io.tmpdir until the OS tmp sweep — bounded by the
   // declared result size, never the source tables).
-  private val cursors = mutable.LinkedHashMap[String,
-    (java.util.Iterator[org.apache.spark.sql.Row], StructType, java.nio.file.Path)]()
+  private sealed trait CursorState {
+    def schema: StructType
+    def dir: java.nio.file.Path
+  }
+  /** Default (NO SCROLL) cursor: a forward-only iterator over the spilled
+    * snapshot — no per-FETCH Spark job, the ETL fast path. Backward
+    * directions error, like pg's non-SCROLL cursors.
+    */
+  private final case class ForwardCursor(
+      it: java.util.Iterator[org.apache.spark.sql.Row],
+      schema: StructType, dir: java.nio.file.Path) extends CursorState
+  /** SCROLL cursor: the snapshot carries a CONTIGUOUS 1-based position
+    * column (materialized once at DECLARE), so every pg direction —
+    * PRIOR/FIRST/LAST/ABSOLUTE/RELATIVE/BACKWARD — is ordinal range
+    * arithmetic + a pruned scan of the spill. `pos` follows pg exactly:
+    * 0 = before first row, total+1 = after last.
+    */
+  private final class ScrollCursor(val snap: DataFrame, val ordCol: String,
+      val total: Long, val schema: StructType, val dir: java.nio.file.Path)
+      extends CursorState { var pos: Long = 0L }
+  private val cursors = mutable.LinkedHashMap[String, CursorState]()
   private val reDeclareCursor =
-    """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:no\s+scroll\s+)?cursor\s+for\s+(.+)""".r
+    """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:(scroll|no\s+scroll)\s+)?cursor\s+for\s+(.+)""".r
   private val reFetch =
-    """(?is)\s*fetch\s+(?:forward\s+)?(?:(\d+|all|next)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
+    """(?is)\s*(fetch|move)\s+(?:(next|prior|first|last|all|forward(?:\s+(?:\d+|all))?|backward(?:\s+(?:\d+|all))?|absolute\s+[-+]?\d+|relative\s+[-+]?\d+|\d+)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
   private val reCloseCursor = """(?is)\s*close\s+(\w+)\s*""".r
+
+  /** One FETCH/MOVE against a SCROLL cursor: pg direction grammar over
+    * the contiguous position column. Every arm is a pruned range scan of
+    * the spill ordered asc (forward) or desc (backward) — the snapshot
+    * never re-sorts globally after DECLARE. Position semantics follow pg
+    * exactly, including FORWARD/BACKWARD 0 re-fetching the current row
+    * and over-running clamping to before-first / after-last.
+    */
+  private def scrollFetch(sc: ScrollCursor, spec: Option[String]): DataFrame = {
+    def range(a: Long, b: Long, desc: Boolean): DataFrame = {
+      val f = sc.snap.filter(col(sc.ordCol).between(a, b))
+      (if (desc) f.orderBy(col(sc.ordCol).desc) else f.orderBy(col(sc.ordCol)))
+        .drop(sc.ordCol)
+    }
+    def none: DataFrame = range(1, 0, desc = false) // empty, right schema
+    def current: DataFrame =
+      if (sc.pos >= 1 && sc.pos <= sc.total) range(sc.pos, sc.pos, desc = false)
+      else none
+    def forwardN(n: Long): DataFrame =
+      if (n == 0) current
+      else {
+        val from = sc.pos + 1
+        val to = math.min(sc.pos + n, sc.total)
+        sc.pos = if (n > sc.total - sc.pos) sc.total + 1 else sc.pos + n
+        if (to < from) none else range(from, to, desc = false)
+      }
+    def backwardN(n: Long): DataFrame =
+      if (n == 0) current
+      else {
+        val to = sc.pos - 1
+        val from = math.max(sc.pos - n, 1L)
+        sc.pos = math.max(sc.pos - n, 0L)
+        if (to < from) none else range(from, to, desc = true)
+      }
+    def absolute(k: Long): DataFrame =
+      if (k > 0) {
+        if (k <= sc.total) { sc.pos = k; range(k, k, desc = false) }
+        else { sc.pos = sc.total + 1; none }
+      } else if (k < 0) {
+        val idx = sc.total + k + 1
+        if (idx >= 1) { sc.pos = idx; range(idx, idx, desc = false) }
+        else { sc.pos = 0; none }
+      } else { sc.pos = 0; none }
+    def relative(k: Long): DataFrame =
+      if (k == 0) current
+      else {
+        val t = sc.pos + k
+        if (t >= 1 && t <= sc.total) { sc.pos = t; range(t, t, desc = false) }
+        else if (t > sc.total) { sc.pos = sc.total + 1; none }
+        else { sc.pos = 0; none }
+      }
+    val s = spec.map(_.toLowerCase.trim.replaceAll("\\s+", " ")).getOrElse("next")
+    s match {
+      case "next" | "forward" => forwardN(1)
+      case "prior" | "backward" => backwardN(1)
+      case "first" => absolute(1)
+      case "last" => absolute(-1)
+      case "all" | "forward all" => forwardN(sc.total + 1)
+      case "backward all" => backwardN(sc.pos)
+      case d if d.forall(_.isDigit) =>
+        forwardN(BigInt(d).min(Long.MaxValue).toLong)
+      case f if f.startsWith("forward ") =>
+        forwardN(BigInt(f.stripPrefix("forward ")).min(Long.MaxValue).toLong)
+      case b if b.startsWith("backward ") =>
+        backwardN(BigInt(b.stripPrefix("backward ")).min(Long.MaxValue).toLong)
+      case a if a.startsWith("absolute ") =>
+        absolute(BigInt(a.stripPrefix("absolute ")).max(Long.MinValue + 1)
+          .min(Long.MaxValue).toLong)
+      case r if r.startsWith("relative ") =>
+        relative(BigInt(r.stripPrefix("relative ")).max(Long.MinValue + 1)
+          .min(Long.MaxValue).toLong)
+      case other =>
+        throw new IllegalArgumentException(s"unsupported FETCH direction: $other")
+    }
+  }
 
   // extension: pg materialized views — a snapshot table whose defining
   // query is remembered, re-run on demand through the same atomic
@@ -690,9 +784,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException(
           s"prepared statement \"$name\" does not exist")
       emptyResult
-    case reDeclareCursor(name, query) =>
+    case reDeclareCursor(name, scrollOpt, query) =>
       require(!cursors.contains(name), s"""cursor "$name" already exists""")
       val df = run(query)
+      val scroll = Option(scrollOpt).exists(_.equalsIgnoreCase("scroll"))
       // snapshot: one distributed write into a private spill dir (bounded
       // by disk, not driver memory). An explicit ordinal pins the row
       // order through the round trip — monotonically_increasing_id
@@ -706,37 +801,66 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         var ord = "__graft_ord"
         while (df.columns.contains(ord)) ord += "_x"
         val withOrd = df.withColumn(ord, monotonically_increasing_id())
-        withOrd.write.parquet(data)
-        val snap = spark.read.schema(withOrd.schema).parquet(data)
-          .orderBy(ord).drop(ord)
-        cursors(name) = (snap.toLocalIterator(), df.schema, dir)
+        if (scroll) {
+          // SCROLL needs row ARITHMETIC (ABSOLUTE -3, BACKWARD 2), which
+          // the partition-striped monotonic id can't do — rewrite the
+          // spill once with a contiguous 1-based position. The global
+          // row_number window is a one-time declare cost bounded by the
+          // cursor's own result, never a per-FETCH cost.
+          val tmp = dir.resolve("tmp").toString
+          withOrd.write.parquet(tmp)
+          val w = org.apache.spark.sql.expressions.Window.orderBy(col(ord))
+          spark.read.schema(withOrd.schema).parquet(tmp)
+            .withColumn(ord, row_number().over(w).cast("long"))
+            .write.parquet(data)
+          deleteRecursively(dir.resolve("tmp"), keepRoot = false)
+          val snap = spark.read.schema(withOrd.schema).parquet(data)
+          cursors(name) =
+            new ScrollCursor(snap, ord, snap.count(), df.schema, dir)
+        } else {
+          withOrd.write.parquet(data)
+          val snap = spark.read.schema(withOrd.schema).parquet(data)
+            .orderBy(ord).drop(ord)
+          cursors(name) = ForwardCursor(snap.toLocalIterator(), df.schema, dir)
+        }
       } catch {
         case e: Exception => // failed snapshot: no orphan spill dir
           deleteRecursively(dir, keepRoot = false)
           throw e
       }
       emptyResult
-    case reFetch(count, name) if cursors.contains(name) =>
-      val (it, schema, _) = cursors(name)
-      val n = Option(count).map(_.toLowerCase) match {
-        case None | Some("next") => 1
-        case Some("all") => Int.MaxValue
-        // pg accepts int8 counts: clamp on numeric VALUE (a length check
-        // would read zero-padded '0000000001' as huge)
-        case Some(d) => BigInt(d).min(Int.MaxValue).toInt
+    case reFetch(verb, spec, name) if cursors.contains(name) =>
+      val rows = cursors(name) match {
+        case ForwardCursor(it, schema, _) =>
+          val n = Option(spec).map(_.toLowerCase.replaceAll("\\s+", " ")) match {
+            case None | Some("next") | Some("forward") => 1
+            case Some("all") | Some("forward all") => Int.MaxValue
+            case Some(d) if d.forall(_.isDigit) =>
+              // pg accepts int8 counts: clamp on numeric VALUE (a length
+              // check would read zero-padded '0000000001' as huge)
+              BigInt(d).min(Int.MaxValue).toInt
+            case Some(f) if f.startsWith("forward ") =>
+              BigInt(f.stripPrefix("forward ")).min(Int.MaxValue).toInt
+            case Some(other) => throw new IllegalArgumentException(
+              s"""cursor "$name" is not scrollable ($other needs """ +
+                "DECLARE ... SCROLL CURSOR)")
+          }
+          val buf = mutable.Buffer[org.apache.spark.sql.Row]()
+          while (buf.length < n && it.hasNext) buf += it.next()
+          import scala.jdk.CollectionConverters._
+          spark.createDataFrame(buf.asJava, schema)
+        case sc: ScrollCursor => scrollFetch(sc, Option(spec))
       }
-      val buf = mutable.Buffer[org.apache.spark.sql.Row]()
-      while (buf.length < n && it.hasNext) buf += it.next()
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(buf.asJava, schema)
-    case reFetch(_, name) => throw new IllegalArgumentException(
+      if (verb.equalsIgnoreCase("move")) rowCountResult(rows.count())
+      else rows
+    case reFetch(_, _, name) => throw new IllegalArgumentException(
       s"""cursor "$name" does not exist""")
     case reCloseCursor(name) =>
       if (name.equalsIgnoreCase("all")) {
-        cursors.values.foreach(c => deleteRecursively(c._3, keepRoot = false))
+        cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
         cursors.clear()
       } else cursors.remove(name) match {
-        case Some((_, _, dir)) => deleteRecursively(dir, keepRoot = false)
+        case Some(c) => deleteRecursively(c.dir, keepRoot = false)
         case None => throw new IllegalArgumentException(
           s"""cursor "$name" does not exist""")
       }

@@ -111,7 +111,8 @@ class SltSpec extends AnyFunSuite {
     "modern_sql.slt",
     // round-11c: column DEFAULTs (insert/VALUES-keyword/update/add-column)
     "default.slt",
-    // round-12: DML RETURNING (pg extension) + incremental matview refresh
-    "returning.slt", "incr_matview.slt")
+    // round-12: DML RETURNING (pg extension) + incremental matview
+    // refresh + SCROLL cursors
+    "returning.slt", "incr_matview.slt", "scroll_cursor.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }

@@ -11,6 +11,46 @@ import graft.streaming.StreamingOps
 class StreamingSpec extends AnyFunSuite {
   import TestSpark._
 
+  test("incremental matview refresh equals a streaming aggregation over the table dir") {
+    // a warehouse table directory IS a file streaming source: appends
+    // land as new parquet files, exactly what both the matview's
+    // incremental refresh and Structured Streaming's file source pick
+    // up. The matview after each refresh must equal the complete-mode
+    // streaming aggregation of the same query — the "materialized view
+    // = continuous query" equivalence, checked batch by batch.
+    val wh = freshDir("/root/repo/target/graft-tmp/ivm-stream-warehouse")
+    val engine = new graft.engine.Engine(spark, wh)
+    engine.run("create table ivs(g varchar, v int)")
+    engine.run("insert into ivs values ('a', 1), ('b', 2)")
+    engine.run("create materialized view ivsv as " +
+      "select g, count(*) as n, sum(v) as s from ivs group by g")
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("g string, v int"))
+      .parquet(s"$wh/ivs")
+      .groupBy(col("g"))
+      .agg(count(lit(1)).as("n"), sum(col("v")).as("s"))
+    val q = stream.writeStream.outputMode("complete")
+      .format("memory").queryName("ivm_twin").start()
+    try {
+      val appends = Seq(
+        "insert into ivs values ('a', 10), ('c', 3)",
+        "insert into ivs values (NULL, 7), ('c', 4)",
+        "insert into ivs values ('b', 5), (NULL, 1)")
+      appends.foreach { ins =>
+        engine.run(ins)
+        val mode = engine.run("refresh materialized view ivsv")
+          .collect()(0).getString(0)
+        assert(mode == "incremental", s"expected incremental, got $mode")
+        q.processAllAvailable()
+        val view = engine.run("select g, n, s from ivsv").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        val streamed = spark.table("ivm_twin").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+        assert(view == streamed, s"view=$view streamed=$streamed")
+      }
+    } finally q.stop()
+  }
+
   test("streaming tumbling window equals batch aggregation") {
     // stage the events table as a one-file streaming source dir
     val srcDir = "/root/repo/target/graft-tmp/stream_events"
