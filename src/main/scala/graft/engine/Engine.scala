@@ -273,6 +273,75 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*(fetch|move)\s+(?:(next|prior|first|last|all|forward(?:\s+(?:\d+|all))?|backward(?:\s+(?:\d+|all))?|absolute\s+[-+]?\d+|relative\s+[-+]?\d+|\d+)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
   private val reCloseCursor = """(?is)\s*close\s+(\w+)\s*""".r
 
+  /** Parse a `WITH name AS ( body ), ... <tail>` list, quote- and
+    * paren-aware, returning the members and the tail — but ONLY when at
+    * least one member body is DML (the data-modifying-CTE form this
+    * engine executes itself). Plain WITH, WITH RECURSIVE, and
+    * column-aliased members (`name(a,b) AS ...`) return None and take
+    * the native spark.sql path untouched.
+    */
+  private def parseDmlWith(stmt: String): Option[(Seq[(String, String)], String)] = {
+    val s = stmt
+    var i = 0
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+    def word(): String = {
+      val st = i
+      while (i < s.length && (s(i).isLetterOrDigit || s(i) == '_')) i += 1
+      s.substring(st, i)
+    }
+    skipWs()
+    if (!word().equalsIgnoreCase("with")) return None
+    skipWs()
+    val save = i
+    if (word().equalsIgnoreCase("recursive")) return None else i = save
+    val ctes = mutable.Buffer[(String, String)]()
+    var more = true
+    while (more) {
+      skipWs()
+      val name = word()
+      if (name.isEmpty) return None
+      skipWs()
+      if (i < s.length && s(i) == '(') return None // column-aliased member
+      if (!word().equalsIgnoreCase("as")) return None
+      skipWs()
+      if (i >= s.length || s(i) != '(') return None
+      var depth = 0
+      var inStr = false
+      val bodyStart = i + 1
+      var bodyEnd = -1
+      while (i < s.length && bodyEnd < 0) {
+        val c = s(i)
+        if (inStr) {
+          if (c == '\'') {
+            if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+          }
+        } else c match {
+          case '\'' => inStr = true
+          case '(' => depth += 1
+          case ')' => depth -= 1; if (depth == 0) bodyEnd = i
+          case _ =>
+        }
+        i += 1
+      }
+      if (bodyEnd < 0) return None
+      ctes += ((name, s.substring(bodyStart, bodyEnd)))
+      skipWs()
+      if (i < s.length && s(i) == ',') i += 1 else more = false
+    }
+    val tail = s.substring(i).trim
+    if (tail.isEmpty) return None
+    def isDml(t: String): Boolean = {
+      val lw = t.trim.toLowerCase
+      lw.startsWith("insert") || lw.startsWith("update") || lw.startsWith("delete")
+    }
+    // the form is ours when a MEMBER is DML, or the TAIL is (a WITH-
+    // wrapped INSERT sent raw to spark.sql would write files behind the
+    // engine's history/layout bookkeeping)
+    if (ctes.exists(c => isDml(c._2)) || isDml(tail))
+      Some((ctes.toSeq, tail))
+    else None
+  }
+
   /** One FETCH/MOVE against a SCROLL cursor: pg direction grammar over
     * the contiguous position column. Every arm is a pruned range scan of
     * the spill ordered asc (forward) or desc (backward) — the snapshot
@@ -887,6 +956,47 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           "\n" +
           qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
       Seq(plan).toDF("plan")
+    // pg's data-modifying CTEs: WITH d AS (DELETE ... RETURNING *) SELECT
+    // ... FROM d — each DML member runs once (its RETURNING rows become a
+    // temp relation named like the CTE), then the rebuilt statement runs
+    // with only the plain members left in its WITH list. DIVERGENCE from
+    // pg, documented: members execute SEQUENTIALLY and each sees the
+    // effects of the ones before it (pg runs all against the statement's
+    // starting snapshot); the tail sees all effects.
+    case q if q.toLowerCase.startsWith("with") && parseDmlWith(q).isDefined =>
+      val (ctes, tail) = parseDmlWith(q).get
+      def isDml(t: String): Boolean = {
+        val lw = t.trim.toLowerCase
+        lw.startsWith("insert") || lw.startsWith("update") ||
+          lw.startsWith("delete")
+      }
+      val created = mutable.Buffer[String]()
+      try {
+        val keep = ctes.flatMap { case (n, b) =>
+          if (isDml(b)) {
+            // the member's result frame (RETURNING rows, or the one-row
+            // rows_affected) is already safe to read post-mutation;
+            // checkpoint pins it against LATER members touching the same
+            // table through the swap
+            run(b).localCheckpoint().createOrReplaceTempView(n)
+            created += n
+            None
+          } else if (isDml(tail)) {
+            // a DML tail re-enters the INSERT/UPDATE/DELETE dispatch,
+            // whose grammar carries no WITH list — plain members become
+            // (lazy) temp relations its source/conditions can reference
+            run(b).createOrReplaceTempView(n)
+            created += n
+            None
+          } else Some((n, b))
+        }
+        val rebuilt =
+          if (keep.isEmpty) tail
+          else s"WITH ${keep.map { case (n, b) => s"$n AS ($b)" }.mkString(", ")} $tail"
+        // materialize before the finally drops the member views the lazy
+        // tail plan references
+        run(rebuilt).localCheckpoint()
+      } finally created.foreach(spark.catalog.dropTempView(_))
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
       {

@@ -113,6 +113,6 @@ class SltSpec extends AnyFunSuite {
     "default.slt",
     // round-12: DML RETURNING (pg extension) + incremental matview
     // refresh + SCROLL cursors
-    "returning.slt", "incr_matview.slt", "scroll_cursor.slt")
+    "returning.slt", "incr_matview.slt", "scroll_cursor.slt", "dml_cte.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
