@@ -384,6 +384,65 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // exact mode with a DETERMINISTIC tie-break (smallest value among
+    // the most frequent) — engines' native mode() pick arbitrarily on
+    // ties, so both sides spell out the same rank. Scale shape: the
+    // histogram bounds all later work by DISTINCT values, and the rank
+    // window partitions per group — no row-volume window anywhere.
+    "agg_mode" -> Q(
+      (s, d) => {
+        val counts = t(s, d, "lineitem")
+          .select(col("l_returnflag"), col("l_quantity").cast("double").as("qty"))
+          .groupBy(col("l_returnflag"), col("qty"))
+          .agg(count(lit(1)).as("cnt"))
+        val w = Window.partitionBy(col("l_returnflag"))
+          .orderBy(desc("cnt"), asc("qty"))
+        counts.withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("l_returnflag"), col("qty").as("mode_qty"),
+            col("cnt").as("mode_n"))
+          .orderBy("l_returnflag")
+      },
+      Some("""WITH c AS (
+             |  SELECT l_returnflag, CAST(l_quantity AS DOUBLE) AS qty,
+             |         COUNT(*) AS cnt
+             |  FROM lineitem GROUP BY 1, 2),
+             |r AS (
+             |  SELECT *, row_number() OVER (
+             |    PARTITION BY l_returnflag ORDER BY cnt DESC, qty) AS rn
+             |  FROM c)
+             |SELECT l_returnflag, qty AS mode_qty, cnt AS mode_n
+             |FROM r WHERE rn = 1 ORDER BY l_returnflag""".stripMargin)),
+
+    // exact discrete percentiles (pg percentile_disc / DuckDB
+    // quantile_disc: first value whose cumulative count reaches
+    // ceil(p*N)) — same histogram-rank shape as agg_median: window work
+    // ∝ distinct values, never rows
+    "agg_percentile_disc" -> Q(
+      (s, d) => {
+        val hist = t(s, d, "lineitem")
+          .select(col("l_returnflag"),
+            col("l_extendedprice").cast("double").as("price"))
+          .groupBy(col("l_returnflag"), col("price"))
+          .agg(count(lit(1)).as("cnt"))
+        val byKey = Window.partitionBy(col("l_returnflag"))
+        val cum = hist
+          .withColumn("cum_hi", sum(col("cnt")).over(byKey.orderBy(col("price"))))
+          .withColumn("n", sum(col("cnt")).over(byKey))
+        def pick(p: Double) = {
+          val rk = ceil(col("n") * p).cast("long")
+          when(rk > col("cum_hi") - col("cnt") && rk <= col("cum_hi"), col("price"))
+        }
+        cum.groupBy(col("l_returnflag"))
+          .agg(max(pick(0.25)).as("p25"), max(pick(0.75)).as("p75"))
+          .orderBy("l_returnflag")
+      },
+      Some("""SELECT l_returnflag,
+             |  quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.25) AS p25,
+             |  quantile_disc(CAST(l_extendedprice AS DOUBLE), 0.75) AS p75
+             |FROM lineitem GROUP BY l_returnflag
+             |ORDER BY l_returnflag""".stripMargin)),
+
     "agg_listagg_ordered" -> Q(
       (s, d) => t(s, d, "nation")
         .join(t(s, d, "region"), col("n_regionkey") === col("r_regionkey"))
