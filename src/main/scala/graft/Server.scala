@@ -1116,8 +1116,34 @@ private object Pgwire {
       else base + "." + f"$micros%06d".reverse.dropWhile(_ == '0').reverse
     // pg numeric keeps declared scale ("1.50"); the slt formatter strips it
     case bd: java.math.BigDecimal => bd.toPlainString
+    // pg array literal: {1,2,3}, elements quoted per array-out rules —
+    // typed drivers parse this against the array oid from RowDescription
+    case s: scala.collection.Seq[_] => pgArrayText(s, zone)
     case other => Main.fmt(other)
   }
+
+  /** pg `array_out` text: braces, comma-separated, bare NULL for null
+    * elements, and string elements double-quoted (with `\` and `"`
+    * escaped) whenever they contain structural characters, whitespace,
+    * are empty, or spell NULL. Nested arrays recurse.
+    */
+  private def pgArrayText(s: scala.collection.Seq[_],
+      zone: java.time.ZoneId): String =
+    s.map {
+      case null => "NULL"
+      case inner: scala.collection.Seq[_] => pgArrayText(inner, zone)
+      case el =>
+        val t = pgText(el, zone)
+        el match {
+          case _: String =>
+            if (t.isEmpty || t.equalsIgnoreCase("null") ||
+                t.exists(c => c == '{' || c == '}' || c == ',' ||
+                  c == '"' || c == '\\' || c.isWhitespace))
+              "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            else t
+          case _ => t
+        }
+    }.mkString("{", ",", "}")
 
   /** One bound portal: the parameter-substituted SQL, the Bind-negotiated
     * per-column result format codes, and — once Execute opens it — the
@@ -1308,6 +1334,26 @@ private object Pgwire {
     case BinaryType => 17
     case DateType => 1082
     case TimestampType | TimestampNTZType => 1114
-    case _ => 25 // text (strings, arrays/structs rendered by Main.fmt)
+    // arrays: the element's pg array oid, so typed drivers parse the
+    // {..} text form (cells render via pgArrayText); unmapped element
+    // types stay text. pg arrays are genuinely multi-dimensional — a
+    // nested array keeps the LEAF element's array oid (int[][] is still
+    // _int4), which the {{..},{..}} text form encodes.
+    case ArrayType(ArrayType(e, _), _) => typeOid(ArrayType(e))
+    case ArrayType(et, _) => et match {
+      case BooleanType => 1000
+      case ShortType | ByteType => 1005
+      case IntegerType => 1007
+      case LongType => 1016
+      case FloatType => 1021
+      case DoubleType => 1022
+      case StringType => 1009
+      case _: DecimalType => 1231
+      case BinaryType => 1001
+      case DateType => 1182
+      case TimestampType | TimestampNTZType => 1115
+      case _ => 25
+    }
+    case _ => 25 // text (strings, structs/maps rendered by Main.fmt)
   }
 }

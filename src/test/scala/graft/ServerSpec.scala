@@ -150,6 +150,29 @@ class ServerSpec extends AnyFunSuite {
       assert(new String(rd.collectFirst { case ('C', b) => b }.get,
         StandardCharsets.UTF_8).startsWith("DELETE 2"))
 
+      // array cells render as pg array literals ({..}, array-out quoting)
+      // and RowDescription declares the element's array oid, so typed
+      // drivers parse them
+      val ra = query("select array(1, 2, cast(null as int)) as xs, " +
+        "array('a b', 'c,{}', '', 'NULL', 'q\"w', 'ok') as ss, " +
+        "array(array(1, 2), array(3)) as nested")
+      assert(ra.map(_._1) == Seq('T', 'D', 'C', 'Z'), ra.map(_._1).mkString)
+      def rdOids(body: Array[Byte]): Seq[Int] = {
+        val d = new DataInputStream(new java.io.ByteArrayInputStream(body))
+        (0 until d.readShort().toInt).map { _ =>
+          while (d.readByte() != 0) {}   // field name cstr
+          d.readInt(); d.readShort()     // table oid / attnum
+          val oid = d.readInt()
+          d.readShort(); d.readInt(); d.readShort() // typlen/typmod/format
+          oid
+        }
+      }
+      assert(rdOids(ra.head._2) == Seq(1007, 1009, 1007),
+        rdOids(ra.head._2).mkString(","))
+      assert(cols(ra(1)._2) == Seq("{1,2,NULL}",
+        "{\"a b\",\"c,{}\",\"\",\"NULL\",\"q\\\"w\",ok}", "{{1,2},{3}}"),
+        cols(ra(1)._2).mkString("|"))
+
       // ---- extended protocol: Parse/Bind/Describe/Execute/Sync ----
       def cs(s: String): Array[Byte] = (s + "\u0000").getBytes(StandardCharsets.UTF_8)
       def frame(tpe: Char)(body: DataOutputStream => Unit): Unit = {
