@@ -398,6 +398,7 @@ private object Pgwire {
       while (i < toks.length) {
         toks(i).toLowerCase match {
           case "csv" => parts += "format csv"; i += 1
+          case "binary" => parts += "format binary"; i += 1
           case "header" => parts += "header true"; i += 1
           case k @ ("delimiter" | "quote" | "escape") if i + 1 < toks.length =>
             parts += s"$k ${toks(i + 1)}"; i += 2
@@ -412,6 +413,14 @@ private object Pgwire {
     * file-path COPY keeps its CSV default for back-compat, so the wire
     * layer makes pg's default explicit.
     */
+  /** pg's PGCOPY binary format is a WIRE format, not a file layout — the
+    * server encodes/decodes it at the session edge with the same per-OID
+    * codecs the extended protocol's binary result/param formats use,
+    * while the engine keeps its distributed text/csv file surface.
+    */
+  private[graft] def isBinaryCopy(opts: Option[String]): Boolean =
+    opts.exists(o => """(?i)\bformat\s+binary\b""".r.findFirstIn(o).isDefined)
+
   private[graft] def withDefaultText(opts: Option[String]): Option[String] =
     opts match {
       case None => Some("format text")
@@ -678,6 +687,144 @@ private object Pgwire {
       }
     }
 
+    val pgCopySig: Array[Byte] =
+      "PGCOPY\n".getBytes(StandardCharsets.UTF_8) ++
+        Array[Byte](-1, '\r', '\n', 0) // \377\r\n\0
+
+    /** COPY ... TO STDOUT (FORMAT binary): pg's PGCOPY stream — signature
+      * + flags + extension, one CopyData per tuple (int16 field count,
+      * per field int32 length or -1 + the binary send-function payload),
+      * int16 -1 trailer. Rows stream partition-by-partition through the
+      * spool; the per-OID encoders are the extended protocol's.
+      */
+    def copyOutBinary(src: String): Unit = {
+      val sel =
+        if (src.startsWith("(")) s"select * from $src __copy_src"
+        else s"select * from $src"
+      val zone = sessionZone()
+      val n = Server.streamStatement(engine, sel) { (schema, rows) =>
+        msg('H') { d =>
+          d.writeByte(1); d.writeShort(schema.length)
+          schema.foreach(_ => d.writeShort(1))
+        }
+        msg('d') { d => d.write(pgCopySig); d.writeInt(0); d.writeInt(0) }
+        var count = 0L
+        rows.foreach { r =>
+          msg('d') { d =>
+            d.writeShort(schema.length)
+            (0 until schema.length).foreach { i =>
+              if (r.isNullAt(i)) d.writeInt(-1)
+              else writeBinary(d, r.get(i), schema(i).dataType, zone)
+            }
+          }
+          count += 1
+        }
+        count
+      }
+      msg('d')(_.writeShort(-1))
+      msg('c')(_ => ())
+      msg('C')(cstr(_, s"COPY $n"))
+    }
+
+    /** COPY t FROM STDIN (FORMAT binary): spool the PGCOPY byte stream to
+      * a temp file (tuples may span CopyData frames), decode each field
+      * with the extended protocol's per-OID decoders into the engine's
+      * TEXT format (tab-separated, \N nulls, backslash escapes), and run
+      * the distributed text COPY — one commit, same hardened reader.
+      */
+    def copyInBinary(tbl: String): Boolean = {
+      val schema = {
+        val rl = engine.stmtLock.readLock
+        rl.lock()
+        try engine.spark.table(tbl).schema finally rl.unlock()
+      }
+      msg('G') { d =>
+        d.writeByte(1); d.writeShort(schema.length)
+        schema.foreach(_ => d.writeShort(1))
+      }
+      out.flush()
+      val raw = java.nio.file.Files.createTempFile("graft-copyin", ".pgcopy")
+      val txt = java.nio.file.Files.createTempFile("graft-copyin", ".txt")
+      var failMsg: Option[String] = None
+      try {
+        val sink = java.nio.file.Files.newOutputStream(raw)
+        try {
+          var copying = true
+          while (copying) {
+            val t = in.read()
+            if (t < 0) throw new java.io.EOFException("connection closed mid-COPY")
+            val blen = in.readInt()
+            val payload = new Array[Byte](blen - 4)
+            in.readFully(payload)
+            t.toChar match {
+              case 'd' => sink.write(payload)
+              case 'c' => copying = false
+              case 'f' =>
+                failMsg = Some(new String(payload, 0,
+                  math.max(0, payload.length - 1), StandardCharsets.UTF_8))
+                copying = false
+              case _ => ()
+            }
+          }
+        } finally sink.close()
+        failMsg match {
+          case Some(m) => error(s"COPY aborted by client: $m"); false
+          case None =>
+            val din = new DataInputStream(new java.io.BufferedInputStream(
+              java.nio.file.Files.newInputStream(raw)))
+            val w = java.nio.file.Files.newBufferedWriter(txt,
+              StandardCharsets.UTF_8)
+            try {
+              val sig = new Array[Byte](11)
+              din.readFully(sig)
+              require(sig.sameElements(pgCopySig),
+                "COPY binary: malformed signature")
+              din.readInt() // flags (bit 16 = OIDs included — pg 12+ never)
+              val extLen = din.readInt()
+              din.skipBytes(extLen)
+              def escape(s: String): String = {
+                val b = new StringBuilder(s.length)
+                s.foreach {
+                  case '\\' => b.append("\\\\")
+                  case '\t' => b.append("\\t")
+                  case '\n' => b.append("\\n")
+                  case '\r' => b.append("\\r")
+                  case c => b.append(c)
+                }
+                b.toString
+              }
+              var done = false
+              while (!done) {
+                val nf = din.readShort().toInt
+                if (nf == -1) done = true
+                else {
+                  require(nf == schema.length,
+                    s"COPY binary: tuple has $nf fields, table has ${schema.length}")
+                  val fields = (0 until nf).map { i =>
+                    val len = din.readInt()
+                    if (len == -1) "\\N"
+                    else {
+                      val b = new Array[Byte](len)
+                      din.readFully(b)
+                      escape(decodeBinaryParam(b, typeOid(schema(i).dataType)))
+                    }
+                  }
+                  w.write(fields.mkString("\t"))
+                  w.write("\n")
+                }
+              }
+            } finally { din.close(); w.close() }
+            val stmt = s"copy $tbl from '${txt.toAbsolutePath}' (format text)"
+            val (_, rows) = Server.runStatement(engine, stmt)
+            msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
+            true
+        }
+      } finally {
+        java.nio.file.Files.deleteIfExists(raw)
+        java.nio.file.Files.deleteIfExists(txt)
+      }
+    }
+
     // ---- message loop ----
     while (true) {
       val tpe = in.read()
@@ -705,12 +852,18 @@ private object Pgwire {
               try {
                 stmt match {
                   case reCopyIn(tbl, rest) =>
-                    if (!copyIn(tbl, withDefaultText(copyTailOpts(rest))))
-                      failed = true
+                    val o = withDefaultText(copyTailOpts(rest))
+                    val ok =
+                      if (isBinaryCopy(o)) copyInBinary(tbl)
+                      else copyIn(tbl, o)
+                    if (!ok) failed = true
                   case reCopyOut(tbl, rest) =>
-                    copyOut(tbl, withDefaultText(copyTailOpts(rest)))
+                    val o = withDefaultText(copyTailOpts(rest))
+                    if (isBinaryCopy(o)) copyOutBinary(tbl) else copyOut(tbl, o)
                   case reCopyOutQuery(q, rest) =>
-                    copyOut(s"($q)", withDefaultText(copyTailOpts(rest)))
+                    val o = withDefaultText(copyTailOpts(rest))
+                    if (isBinaryCopy(o)) copyOutBinary(s"($q)")
+                    else copyOut(s"($q)", o)
                   case _ if isRowReturning(stmt) =>
                     // rows stream out partition-by-partition — never the
                     // whole result on the driver

@@ -491,6 +491,74 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("pgwire COPY BINARY round-trips typed data both directions") {
+    val dir = freshDir("/root/repo/target/graft-tmp/copybin-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-copybin-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      val cols = "i int, l bigint, d double, s varchar, bo boolean, " +
+        "dt date, n decimal(10,2)"
+      c.query(s"create table bin1($cols)")
+      c.query("insert into bin1 values " +
+        "(1, 10000000000, 1.5, 'a\tb', true, date '2024-03-05', 12.34), " +
+        "(NULL, NULL, NULL, NULL, NULL, NULL, NULL)")
+
+      // COPY OUT binary: CopyOutResponse announces format 1, the first
+      // CopyData opens with the PGCOPY signature, the tag counts tuples
+      val q = ("copy bin1 to stdout (format binary) ")
+        .getBytes(StandardCharsets.UTF_8)
+      c.out.writeByte('Q'); c.out.writeInt(4 + q.length); c.out.write(q)
+      c.out.flush()
+      val h = c.readMsg()
+      assert(h._1 == 'H' && h._2(0) == 1, s"${h._1} fmt=${h._2(0)}")
+      val payload = new java.io.ByteArrayOutputStream()
+      var m = c.readMsg()
+      while (m._1 == 'd') { payload.write(m._2); m = c.readMsg() }
+      assert(m._1 == 'c', m._1.toString)
+      val fin = c.untilReady()
+      assert(fin.exists { case (t, b) =>
+        t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY 2")
+      }, fin.map(_._1).mkString)
+      val bytes = payload.toByteArray
+      assert(new String(bytes.take(7), StandardCharsets.UTF_8) == "PGCOPY\n")
+
+      // feed the captured stream back: COPY IN binary into a clone
+      c.query(s"create table bin2($cols)")
+      val q2 = ("copy bin2 from stdin (format binary) ")
+        .getBytes(StandardCharsets.UTF_8)
+      c.out.writeByte('Q'); c.out.writeInt(4 + q2.length); c.out.write(q2)
+      c.out.flush()
+      assert(c.readMsg()._1 == 'G')
+      c.out.writeByte('d'); c.out.writeInt(4 + bytes.length); c.out.write(bytes)
+      c.out.writeByte('c'); c.out.writeInt(4); c.out.flush()
+      val fin2 = c.untilReady()
+      assert(fin2.exists { case (t, b) =>
+        t == 'C' && new String(b, StandardCharsets.UTF_8).startsWith("COPY 2")
+      }, fin2.map(_._1).mkString)
+
+      def one(sql: String): String = new String(
+        c.query(sql).collectFirst { case ('D', b) => b }.get.drop(6),
+        StandardCharsets.UTF_8)
+      assert(one("select count(*) from bin2") == "2")
+      assert(one("select count(*) from " +
+        "(select * from bin1 except select * from bin2)") == "0")
+      assert(one("select count(*) from " +
+        "(select * from bin2 except select * from bin1)") == "0")
+      // typed content survived exactly (tab in the string, decimal scale)
+      assert(one("select s from bin2 where i = 1") == "a\tb")
+      assert(one("select n from bin2 where i = 1") == "12.34")
+      assert(one("select dt from bin2 where i = 1") == "2024-03-05")
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
   test("pgwire streams results: rows reach the client before a late failure") {
     val dir = freshDir("/root/repo/target/graft-tmp/stream-warehouse")
     val engine = new Engine(spark, dir)
