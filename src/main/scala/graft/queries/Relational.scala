@@ -384,6 +384,26 @@ object Relational {
              |FROM lineitem GROUP BY l_returnflag
              |ORDER BY l_returnflag""".stripMargin)),
 
+    // the standard FILTER clause on aggregates (pg/DuckDB/Spark all
+    // speak it): per-aggregate predicates without a CASE detour, fixed-
+    // point micros for the float sum so both engines agree bit-exactly
+    "agg_filter_clause" -> Q(
+      (s, d) => t(s, d, "orders")
+        .groupBy(col("o_orderpriority"))
+        .agg(
+          count(lit(1)).as("n_all"),
+          expr("count(*) FILTER (WHERE o_totalprice > 150000)").as("n_big"),
+          expr("CAST(SUM(CAST(round(o_totalprice * 1000000.0) AS BIGINT)) " +
+            "FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 1000000.0")
+            .as("sum_f"))
+        .orderBy("o_orderpriority"),
+      Some("""SELECT o_orderpriority, COUNT(*) AS n_all,
+             |  COUNT(*) FILTER (WHERE o_totalprice > 150000) AS n_big,
+             |  (CAST(SUM(CAST(round(o_totalprice * 1000000.0) AS BIGINT))
+             |    FILTER (WHERE o_orderstatus = 'F') AS DOUBLE) / 1000000.0) AS sum_f
+             |FROM orders GROUP BY o_orderpriority
+             |ORDER BY o_orderpriority""".stripMargin)),
+
     // exact mode with a DETERMINISTIC tie-break (smallest value among
     // the most frequent) — engines' native mode() pick arbitrarily on
     // ties, so both sides spell out the same rank. Scale shape: the
