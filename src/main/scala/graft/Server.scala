@@ -703,6 +703,15 @@ private object Pgwire {
         else s"select * from $src"
       val zone = sessionZone()
       val n = Server.streamStatement(engine, sel) { (schema, rows) =>
+        // validate BEFORE CopyOutResponse: a column with no binary
+        // encoder must fail as a clean ErrorResponse, not mid-stream
+        // after the PGCOPY header already went out
+        schema.fields.foreach { f =>
+          if (!binarySupported(f.dataType))
+            throw new IllegalArgumentException(
+              s"COPY binary: no binary format for type " +
+                s"${f.dataType.simpleString} (column ${f.name})")
+        }
         msg('H') { d =>
           d.writeByte(1); d.writeShort(schema.length)
           schema.foreach(_ => d.writeShort(1))
@@ -754,6 +763,12 @@ private object Pgwire {
             val t = in.read()
             if (t < 0) throw new java.io.EOFException("connection closed mid-COPY")
             val blen = in.readInt()
+            // the length is client-supplied: a malformed frame must fail
+            // as a protocol error, not NegativeArraySizeException/OOM
+            // (pg caps protocol messages at 1 GiB)
+            if (blen < 4 || blen - 4 > (1 << 30))
+              throw new java.io.IOException(
+                s"COPY binary: invalid message length $blen")
             val payload = new Array[Byte](blen - 4)
             in.readFully(payload)
             t.toChar match {
@@ -804,6 +819,8 @@ private object Pgwire {
                     val len = din.readInt()
                     if (len == -1) "\\N"
                     else {
+                      require(len >= 0 && len <= (1 << 30),
+                        s"COPY binary: invalid field length $len")
                       val b = new Array[Byte](len)
                       din.readFully(b)
                       escape(decodeBinaryParam(b, typeOid(schema(i).dataType)))

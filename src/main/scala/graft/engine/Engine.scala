@@ -359,9 +359,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     def current: DataFrame =
       if (sc.pos >= 1 && sc.pos <= sc.total) range(sc.pos, sc.pos, desc = false)
       else none
-    def forwardN(n: Long): DataFrame =
-      if (n == 0) current
+    def forwardN(n0: Long): DataFrame =
+      if (n0 == 0) current
       else {
+        // clamp: pg FETCH FORWARD 9223372036854775807 returns the
+        // remainder; unclamped, pos + n overflows negative and would
+        // return 0 rows while still positioning after-last
+        val n = math.min(n0, sc.total + 1)
         val from = sc.pos + 1
         val to = math.min(sc.pos + n, sc.total)
         sc.pos = if (n > sc.total - sc.pos) sc.total + 1 else sc.pos + n
@@ -384,9 +388,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         if (idx >= 1) { sc.pos = idx; range(idx, idx, desc = false) }
         else { sc.pos = 0; none }
       } else { sc.pos = 0; none }
-    def relative(k: Long): DataFrame =
-      if (k == 0) current
+    def relative(k0: Long): DataFrame =
+      if (k0 == 0) current
       else {
+        // same saturation as forwardN: |k| beyond the snapshot clamps to
+        // the before-first / after-last sentinel instead of overflowing
+        val k = math.max(math.min(k0, sc.total + 1), -(sc.total + 1))
         val t = sc.pos + k
         if (t >= 1 && t <= sc.total) { sc.pos = t; range(t, t, desc = false) }
         else if (t > sc.total) { sc.pos = sc.total + 1; none }
@@ -558,6 +565,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
     def linear(p: LogicalPlan): Boolean = p match {
       case _: LeafNode => true
+      // an engine view is a temp view registered from a DataFrame, so its
+      // PLAN is frozen at registration: the refresh-time delta overlay (a
+      // same-named temp view over just the appended files) cannot rewire
+      // it, and the "delta" replay would scan the FULL base and
+      // double-count on merge. A base reached through a view therefore
+      // bails to full recompute.
+      case sa: SubqueryAlias
+          if views.keys.exists(_.equalsIgnoreCase(sa.alias)) => false
       case _: Project | _: LFilter | _: SubqueryAlias | _: View =>
         p.expressions.forall(clean) && linear(p.children.head)
       case _ => false
@@ -959,10 +974,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // pg's data-modifying CTEs: WITH d AS (DELETE ... RETURNING *) SELECT
     // ... FROM d — each DML member runs once (its RETURNING rows become a
     // temp relation named like the CTE), then the rebuilt statement runs
-    // with only the plain members left in its WITH list. DIVERGENCE from
-    // pg, documented: members execute SEQUENTIALLY and each sees the
-    // effects of the ones before it (pg runs all against the statement's
-    // starting snapshot); the tail sees all effects.
+    // with only the plain members left in its WITH list. pg SNAPSHOT
+    // visibility: every READ of an engine table — by any member or the
+    // tail — resolves to the statement-start image (overlaid temp views
+    // over the hard-link-archived current version, O(#files) metadata);
+    // only each DML's own write target stays live, for the write itself.
+    // Effects travel between parts only via RETURNING relations, like pg.
+    // Remaining documented edge: a DML whose SOURCE reads its own write
+    // target sees the live table (pg calls same-row multi-touch in one
+    // statement unsupported anyway).
     case q if q.toLowerCase.startsWith("with") && parseDmlWith(q).isDefined =>
       val (ctes, tail) = parseDmlWith(q).get
       def isDml(t: String): Boolean = {
@@ -970,33 +990,83 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         lw.startsWith("insert") || lw.startsWith("update") ||
           lw.startsWith("delete")
       }
-      val created = mutable.Buffer[String]()
+      val reTarget = """(?is)\s*(?:insert\s+into|delete\s+from|update)\s+(\w+).*""".r
+      def dmlTarget(t: String): Option[String] =
+        t match { case reTarget(n) => Some(n); case _ => None }
+      val cteNames = ctes.map(_._1.toLowerCase).toSet
+      // engine tables named anywhere outside string literals (a CTE name
+      // shadowing a table keeps CTE precedence — no overlay for it)
+      val outside = { val sb = new StringBuilder
+        mapOutsideQuotes(q, seg => { sb.append(seg).append(' '); seg })
+        sb.toString.toLowerCase }
+      val referenced = tables.keys.toSeq.filter { t =>
+        !cteNames(t.toLowerCase) && history.get(t).exists(_.nonEmpty) &&
+          ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
+            .findFirstIn(outside).isDefined
+      }
+      // pin the statement-start image: the idempotent archive hard-links
+      // the live files into the current version dir, which a member's
+      // swap never touches — so the snapshot frame stays readable even
+      // after the live directory is rewritten mid-statement
+      val snaps: Map[String, DataFrame] = referenced.map { t =>
+        archiveCurrent(t)
+        val log = history(t)
+        t -> spark.read.schema(StructType.fromDDL(log.last.ddl))
+          .parquet(versionDir(t, log.length - 1).toString)
+      }.toMap
+      val created = mutable.LinkedHashSet[String]()
+      val saved = mutable.Map[String, DataFrame]() // clobbered temp views
+      def putView(n: String, df: DataFrame): Unit = {
+        if (!created.contains(n) && !saved.contains(n) &&
+            spark.catalog.tableExists(n) && spark.catalog.getTable(n).isTemporary)
+          saved(n) = spark.table(n)
+        df.createOrReplaceTempView(n)
+        created += n
+      }
       try {
+        snaps.foreach { case (t, df) => putView(t, df) }
         val keep = ctes.flatMap { case (n, b) =>
           if (isDml(b)) {
-            // the member's result frame (RETURNING rows, or the one-row
-            // rows_affected) is already safe to read post-mutation;
-            // checkpoint pins it against LATER members touching the same
-            // table through the swap
-            run(b).localCheckpoint().createOrReplaceTempView(n)
-            created += n
+            // un-overlay just this member's write target so the mutation
+            // lands on the live table; the member's result frame
+            // (RETURNING rows, or the one-row rows_affected) is
+            // checkpointed, so LATER members swapping the same table
+            // can't invalidate it
+            val target = dmlTarget(b).filter(snaps.contains)
+            target.foreach(spark.catalog.dropTempView(_))
+            val res =
+              try run(b).localCheckpoint()
+              finally target.foreach(t => snaps(t).createOrReplaceTempView(t))
+            putView(n, res)
             None
           } else if (isDml(tail)) {
             // a DML tail re-enters the INSERT/UPDATE/DELETE dispatch,
             // whose grammar carries no WITH list — plain members become
-            // (lazy) temp relations its source/conditions can reference
-            run(b).createOrReplaceTempView(n)
-            created += n
+            // (lazy) temp relations its source/conditions can reference;
+            // analysis binds them to the snapshot overlays NOW, so they
+            // keep the statement-start image even once the tail's own
+            // target is un-overlaid below
+            putView(n, run(b))
             None
           } else Some((n, b))
         }
         val rebuilt =
           if (keep.isEmpty) tail
           else s"WITH ${keep.map { case (n, b) => s"$n AS ($b)" }.mkString(", ")} $tail"
+        if (isDml(tail))
+          dmlTarget(tail).filter(snaps.contains)
+            .foreach(spark.catalog.dropTempView(_))
         // materialize before the finally drops the member views the lazy
         // tail plan references
         run(rebuilt).localCheckpoint()
-      } finally created.foreach(spark.catalog.dropTempView(_))
+      } finally {
+        created.foreach(n =>
+          try spark.catalog.dropTempView(n) catch { case _: Exception => })
+        // anything we shadowed (a mock-hint broadcast view, a user temp
+        // view sharing a CTE name) comes back exactly as it was
+        saved.foreach { case (n, df) =>
+          try df.createOrReplaceTempView(n) catch { case _: Exception => } }
+      }
     case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
         q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
       {
