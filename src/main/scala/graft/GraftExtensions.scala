@@ -20,6 +20,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "4.0.0", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
+    // row-count-aware broadcast veto, in both the static optimizer and
+    // AQE's re-optimization (where stages carry exact runtime row
+    // counts) — see BroadcastRowGuard's scaladoc for the scale rationale
+    e.injectOptimizerRule(_ => graft.plans.BroadcastRowGuard)
+    e.injectRuntimeOptimizerRule(_ => graft.plans.BroadcastRowGuard)
+
     e.injectFunction((FunctionIdentifier("l2_distance"),
       info("l2_distance", "l2_distance(a, b) - Euclidean distance of two vectors"),
       (es: Seq[Expression]) => L2Distance(es(0), es(1))))
