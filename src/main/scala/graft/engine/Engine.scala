@@ -537,14 +537,86 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private val matviewBase = mutable.Map[String, (String, Int)]()
 
-  /** One output column's merge rule: combine the stored view's value with
-    * the delta aggregate's value for the same group.
+  /** One view output column's role in the incremental merge. */
+  private sealed trait IvmKind
+  private case object IvmGroup extends IvmKind
+  private case object IvmCount extends IvmKind
+  private case object IvmSum extends IvmKind
+  private case object IvmMin extends IvmKind
+  private case object IvmMax extends IvmKind
+  private case object IvmAvg extends IvmKind
+
+  /** `kinds` covers every view output column in order; `bareGroups` maps
+    * group output name → base column name when every grouping expression
+    * is a bare column — the precondition for the targeted per-group
+    * re-aggregation a MIN/MAX extremum eviction needs.
     */
-  private case class IvmShape(base: String, groupCols: Seq[String],
-      aggMerge: Map[String, (Column, Column) => Column])
+  private case class IvmShape(base: String, kinds: Seq[(String, IvmKind)],
+      bareGroups: Option[Seq[(String, String)]]) {
+    def groupCols: Seq[String] = kinds.collect { case (n, IvmGroup) => n }
+    def minMaxCols: Seq[(String, IvmKind)] =
+      kinds.filter(k => k._2 == IvmMin || k._2 == IvmMax)
+    /** Hidden sidecar columns: a per-group row count, plus sum/count
+      * pairs for AVG (decomposed merge) and a count for SUM (empty-group
+      * null-out detection under deletes).
+      */
+    def hiddenCols: Seq[String] = "__ivm_n" +: kinds.flatMap {
+      case (n, IvmAvg) => Seq(s"__ivm_s_$n", s"__ivm_c_$n")
+      case (n, IvmSum) => Seq(s"__ivm_c_$n")
+      case _ => Nil
+    }
+    def auxCols: Seq[String] = groupCols ++ hiddenCols
+  }
 
   private def planBody(body: String): DataFrame =
     spark.sql(inlineFunctions(rewriteQualify(body)))
+
+  /** The body's Aggregate extended with the hidden bookkeeping columns
+    * (see IvmShape.hiddenCols) — built on the ANALYZED plan so the same
+    * grouping/argument expressions feed the hidden aggregates, then
+    * re-wrapped as a DataFrame.
+    */
+  private def ivmDecomposedBody(body: String): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression, Literal => CLit}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val analyzed = planBody(body).queryExecution.analyzed
+    val extended = analyzed match {
+      case agg @ Aggregate(_, aexprs, _, _) =>
+        val extra = mutable.Buffer[NamedExpression]()
+        extra += Alias(Count(Seq(CLit(1))).toAggregateExpression(), "__ivm_n")()
+        aexprs.foreach { ne =>
+          val e = ne match { case a: Alias => a.child; case att: Attribute => att }
+          e match {
+            case ae: AggregateExpression => ae.aggregateFunction match {
+              case Average(x, _) =>
+                extra += Alias(new Sum(x).toAggregateExpression(),
+                  s"__ivm_s_${ne.name}")()
+                extra += Alias(Count(Seq(x)).toAggregateExpression(),
+                  s"__ivm_c_${ne.name}")()
+              case Sum(x, _) =>
+                extra += Alias(Count(Seq(x)).toAggregateExpression(),
+                  s"__ivm_c_${ne.name}")()
+              case _ =>
+            }
+            case _ =>
+          }
+        }
+        agg.copy(aggregateExpressions = aexprs ++ extra.toSeq)
+      case other => other
+    }
+    org.apache.spark.sql.GraftSqlBridge.ofRows(spark, extended)
+  }
+
+  private def auxRoot(name: String) = Paths.get(s"$warehouse/.ivm_aux/$name")
+  private def auxDir(name: String, v: Int) = auxRoot(name).resolve(s"v$v")
+
+  /** Pre-images of rows removed by the DELETE that created base version
+    * `v` — recorded by delete() only while some matview is anchored on
+    * the table, so REFRESH can subtract them at O(delta).
+    */
+  private def deleteDeltaDir(table: String, v: Int) =
+    historyDir(table).resolve(s"d$v")
 
   /** Analyze a matview body for incremental maintainability: a single
     * `Aggregate` over exactly one engine table reached through
@@ -557,10 +629,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * non-maintainable, which is why eligibility is also gated on the
     * base's commit ops at refresh time.
     */
+  /** Analyze a matview body for incremental maintainability: a single
+    * `Aggregate` over exactly one engine table reached through
+    * Project/Filter only (no joins, windows, set ops, subqueries, or
+    * nondeterminism), whose aggregate outputs are bare non-DISTINCT,
+    * unFILTERed COUNT/SUM/MIN/MAX/AVG — count/sum add (and subtract, for
+    * recorded delete deltas), min/max take least/greatest with extremum
+    * eviction on delete, and avg merges through its sum/count sidecar
+    * decomposition. Every grouping expression must surface as an output
+    * column: a hidden group would make two base groups collide in the
+    * merge join. `None` means "recompute fully".
+    */
   private def ivmShape(body: String): Option[IvmShape] = {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, SubqueryAlias, View, Filter => LFilter}
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, SubqueryExpression}
-    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, Max, Min, Sum}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
     def clean(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
       e.deterministic && !e.exists(_.isInstanceOf[SubqueryExpression])
     def linear(p: LogicalPlan): Boolean = p match {
@@ -577,8 +660,6 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         p.expressions.forall(clean) && linear(p.children.head)
       case _ => false
     }
-    val addMerge: (Column, Column) => Column =
-      (a, b) => when(a.isNull, b).when(b.isNull, a).otherwise(a + b)
     scala.util.Try {
       planBody(body).queryExecution.analyzed match {
         case Aggregate(gexprs, aexprs, child, _)
@@ -587,17 +668,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             case sa: SubqueryAlias if tables.contains(sa.alias) => sa.alias
           }
           val names = aexprs.map(_.name)
-          val merges = aexprs.map { ne =>
-            val e = ne match { case a: Alias => a.child; case att: Attribute => att }
+          def underlying(ne: org.apache.spark.sql.catalyst.expressions.NamedExpression) =
+            ne match { case a: Alias => a.child; case att: Attribute => att }
+          val kinds: Seq[Option[(String, IvmKind)]] = aexprs.map { ne =>
+            val e = underlying(ne)
             if (e.collectFirst { case ae: AggregateExpression => ae }.isEmpty)
-              Some(None) // grouping output
+              Some(ne.name -> IvmGroup)
             else e match {
               case ae: AggregateExpression
                   if !ae.isDistinct && ae.filter.isEmpty && clean(ae) =>
                 ae.aggregateFunction match {
-                  case _: Count | _: Sum => Some(Some(addMerge))
-                  case _: Min => Some(Some((a: Column, b: Column) => least(a, b)))
-                  case _: Max => Some(Some((a: Column, b: Column) => greatest(a, b)))
+                  case _: Count => Some(ne.name -> IvmCount)
+                  case _: Sum => Some(ne.name -> IvmSum)
+                  case _: Min => Some(ne.name -> IvmMin)
+                  case _: Max => Some(ne.name -> IvmMax)
+                  case _: Average => Some(ne.name -> IvmAvg)
                   case _ => None
                 }
               // an expression AROUND an aggregate (sum(x)+1) does not
@@ -605,54 +690,92 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               case _ => None
             }
           }
-          if (refs.length == 1 && merges.forall(_.isDefined) &&
-              names.map(_.toLowerCase).distinct.length == names.length) {
-            val groups = names.zip(merges).collect { case (n, Some(None)) => n }
-            val aggs = names.zip(merges).collect { case (n, Some(Some(f))) => n -> f }
-            Some(IvmShape(refs.head, groups, aggs.toMap))
+          // every grouping expression must be visible as an output (the
+          // merge joins on the view's group columns; a hidden group
+          // would collapse distinct base groups into duplicate rows)
+          val groupOuts = aexprs.filter(ne =>
+            underlying(ne).collectFirst { case ae: AggregateExpression => ae }.isEmpty)
+          val groupsCovered = gexprs.forall(g =>
+            groupOuts.exists(ne => underlying(ne).semanticEquals(g)))
+          if (refs.length == 1 && kinds.forall(_.isDefined) && groupsCovered &&
+              names.map(_.toLowerCase).distinct.length == names.length &&
+              !names.exists(_.toLowerCase.startsWith("__ivm_"))) {
+            val bare =
+              if (groupOuts.forall(ne => underlying(ne).isInstanceOf[Attribute]))
+                Some(groupOuts.map(ne =>
+                  ne.name -> underlying(ne).asInstanceOf[Attribute].name))
+              else None
+            Some(IvmShape(refs.head, kinds.map(_.get), bare))
           } else None
         case _ => None
       }
     }.toOption.flatten
   }
 
-  /** Re-anchor `name` on its base's current version (or forget the anchor
-    * if the body is not incrementally maintainable).
+  /** Re-anchor `name` on its base's current version and persist the
+    * sidecar (group counts + sum/count pairs) the next incremental
+    * refresh will merge against; forget both if the body is not
+    * incrementally maintainable. `precomputedAux` lets a refresh that
+    * already merged the sidecar skip the re-aggregation.
     */
-  private def anchorMatview(name: String, body: String): Unit =
+  private def anchorMatview(name: String, body: String,
+      precomputedAux: Option[DataFrame] = None): Unit =
     ivmShape(body) match {
       case Some(s) =>
-        matviewBase(name) = (s.base, history(s.base).length - 1)
-      case None => matviewBase.remove(name)
+        val v = history.get(s.base).map(_.length - 1).getOrElse(0)
+        matviewBase(name) = (s.base, v)
+        val aux = precomputedAux.getOrElse(
+          ivmDecomposedBody(body).select(s.auxCols.map(col): _*))
+        val root = auxRoot(name)
+        val dir = auxDir(name, v)
+        val tmp = root.resolveSibling(s"${root.getFileName}.tmp")
+        if (Files.isDirectory(tmp)) deleteRecursively(tmp, keepRoot = false)
+        aux.select(s.auxCols.map(col): _*).write.mode("overwrite")
+          .parquet(tmp.resolve(s"v$v").toString)
+        if (Files.isDirectory(root)) deleteRecursively(root, keepRoot = false)
+        Files.move(tmp, root)
+      case None =>
+        matviewBase.remove(name)
+        if (Files.isDirectory(auxRoot(name)))
+          deleteRecursively(auxRoot(name), keepRoot = false)
     }
 
   /** Commit ops that only APPEND parquet files to the table directory —
     * the delta between two versions is then exactly the files added,
     * readable at O(delta) cost. upsert is excluded: its DO UPDATE arm
-    * rewrites under the same op string.
+    * rewrites under the same op string. DELETE commits are handled
+    * separately via the pre-image delta delete() records.
     */
   private val appendOnlyOps = Set("insert", "copy from")
 
-  /** The merged view frame for an incremental refresh, or None → full
-    * recompute. The delta aggregate comes from replaying the BODY itself
-    * over just the appended files (the base's temp view is overlaid for
-    * the duration of analysis, under the statement write lock), so every
-    * filter/projection the body carries applies to the delta for free;
-    * the merge is then a null-safe full-outer join on the group columns
-    * with per-aggregate combine — O(|view| + |delta|), never O(|base|).
+  /** The merged (view, sidecar) frames for an incremental refresh, or
+    * None → full recompute. Add-deltas come from replaying the BODY
+    * itself over just the appended files (per append commit, diffing
+    * consecutive archived versions so interleaved deletes can't confuse
+    * the file sets); delete-deltas replay the recorded pre-images. Both
+    * replays use the same-named temp-view overlay, so every
+    * filter/projection the body carries applies for free. The merge is a
+    * null-safe outer join on the group columns: count/sum/avg combine
+    * arithmetically through the sidecar; a group whose row count reaches
+    * zero is dropped; a MIN/MAX whose stored extremum may have been
+    * deleted re-aggregates JUST that group from the live base —
+    * O(|view| + |delta| + |evicted groups' rows|), never O(|base|).
     */
-  private def incrementalRefresh(name: String, body: String): Option[DataFrame] = {
+  private def incrementalRefresh(name: String,
+      body: String): Option[(DataFrame, DataFrame)] = {
     val (base, v0) = matviewBase.getOrElse(name, return None)
     if (!tables.contains(base)) return None
     val log = history.getOrElse(base, Vector.empty)
     if (v0 >= log.length) return None // base rewound (RESTORE): re-anchor
-    val newOps = log.drop(v0 + 1).map(_.op)
-    if (!newOps.forall(appendOnlyOps)) return None
+    val cur = log.length - 1
+    val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
+    if (!newOps.forall { case (_, op) => appendOnlyOps(op) || op == "delete" })
+      return None
     if (log(v0).ddl != log.last.ddl) return None // base schema drifted
     val shape = ivmShape(body).getOrElse(return None)
     if (shape.base != base) return None // body re-pointed since anchor
-    val vdir = versionDir(base, v0)
-    if (newOps.nonEmpty && !Files.isDirectory(vdir)) return None // vacuumed
+    val aDirPath = auxDir(name, v0)
+    if (!Files.isDirectory(aDirPath)) return None // sidecar lost: rebuild
     def dataFiles(root: java.nio.file.Path): Set[String] = {
       if (!Files.isDirectory(root)) return Set.empty
       val s = Files.walk(root)
@@ -664,43 +787,157 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           .map(p => root.relativize(p).toString).toSet
       } finally s.close()
     }
-    val live = Paths.get(tableDir(base))
-    val delta =
-      if (newOps.isEmpty) Set.empty[String]
-      else dataFiles(live) -- dataFiles(vdir)
+    def versionRoot(i: Int): java.nio.file.Path =
+      if (i == cur) Paths.get(tableDir(base)) else versionDir(base, i)
+    // every archived version this walk diffs must still exist (VACUUM)
+    if (((v0 to cur - 1)).exists(i => !Files.isDirectory(versionDir(base, i))))
+      if (newOps.nonEmpty) return None
+    val addFiles = mutable.Buffer[String]()
+    val delDirs = mutable.Buffer[java.nio.file.Path]()
+    newOps.foreach { case (i, op) =>
+      if (appendOnlyOps(op)) {
+        val prev = dataFiles(versionRoot(i - 1))
+        val now = dataFiles(versionRoot(i))
+        if ((prev -- now).nonEmpty) return None // not a pure append
+        addFiles ++= (now -- prev).map(f => s"${versionRoot(i)}/$f")
+      } else {
+        val dd = deleteDeltaDir(base, i)
+        if (!Files.isDirectory(dd)) return None // delete went unrecorded
+        delDirs += dd
+      }
+    }
+    // extremum eviction needs a per-group re-aggregation pushed into the
+    // base scan — only expressible when groups are bare base columns
+    if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
+        (shape.groupCols.isEmpty || shape.bareGroups.isEmpty)) return None
+    val groupCols = shape.groupCols
+    val auxSchema = StructType(ivmDecomposedBody(body)
+      .select(shape.auxCols.map(col): _*).schema.fields)
     val old = spark.table(name)
-    if (delta.isEmpty) return Some(old) // e.g. INSERT of zero rows
-    val deltaDf = spark.read.schema(tables(base)._1)
-      .parquet(delta.toSeq.map(f => s"${live.toString}/$f"): _*)
-    // overlay the base with a SAME-NAMED temp view over the delta for the
+    val oldAux = spark.read.schema(auxSchema).parquet(aDirPath.toString)
+    if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
+    val baseSchema = StructType.fromDDL(log.last.ddl)
+    // overlay the base with a SAME-NAMED temp view over a delta for the
     // (eager) analysis of the body — unqualified resolution prefers the
     // temp view, so every filter/projection in the body binds to the
     // delta — then drop the overlay, revealing the untouched catalog
     // table. Single-writer safe under the statement write lock.
-    val dAgg = try {
-      deltaDf.createOrReplaceTempView(base)
-      planBody(body)
-    } finally spark.catalog.dropTempView(base)
-    val viewSchema = old.schema
-    val d = dAgg.select(dAgg.columns.map(c => col(c).as(s"__d_$c")).toIndexedSeq: _*)
-    def merged(joined: DataFrame): DataFrame =
-      joined.select(viewSchema.fields.map { f =>
-        shape.aggMerge.get(f.name) match {
-          case Some(op) =>
-            // cast back: +/least on decimals widens precision, and the
-            // view's column type must stay put across refreshes
-            op(old(f.name), d(s"__d_${f.name}")).cast(f.dataType).as(f.name)
-          case None => coalesce(old(f.name), d(s"__d_${f.name}")).as(f.name)
-        }
-      }.toIndexedSeq: _*)
-    if (shape.groupCols.isEmpty)
-      // global aggregate: both sides are exactly one row
-      Some(merged(old.crossJoin(d)))
-    else {
-      val cond = shape.groupCols
-        .map(g => old(g) <=> d(s"__d_$g")).reduce(_ && _)
-      Some(merged(old.join(d, cond, "full_outer")))
+    def replay(paths: Seq[String]): Option[DataFrame] =
+      if (paths.isEmpty) None
+      else {
+        val df = spark.read.schema(baseSchema).parquet(paths: _*)
+        Some(try {
+          df.createOrReplaceTempView(base)
+          ivmDecomposedBody(body)
+        } finally spark.catalog.dropTempView(base))
+      }
+    val aAgg = replay(addFiles.toSeq)
+    val dAgg = replay(delDirs.toSeq.map(_.toString))
+    def pre(df: DataFrame, p: String) =
+      df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
+    val o = pre(old, "o_")
+    val x = pre(oldAux, "x_")
+    val a = aAgg.map(pre(_, "a_"))
+    val d = dAgg.map(pre(_, "d_"))
+    def condOn(keys: Seq[(Column, Column)]): Column =
+      keys.map { case (l, r) => l <=> r }.reduceOption(_ && _).getOrElse(lit(true))
+    val oWithAux = o.join(x,
+      condOn(groupCols.map(g => col(s"o_$g") -> col(s"x_$g"))), "inner")
+    val withA = a match {
+      case Some(ad) => oWithAux.join(ad,
+        condOn(groupCols.map(g => col(s"o_$g") -> col(s"a_$g"))), "full_outer")
+      case None => oWithAux
     }
+    def keyCol(g: String): Column = {
+      val oa = if (a.isDefined) coalesce(col(s"o_$g"), col(s"a_$g")) else col(s"o_$g")
+      if (d.isDefined) coalesce(oa, col(s"d_$g")) else oa
+    }
+    val withD = d match {
+      case Some(dd) =>
+        val oaKey = (g: String) =>
+          if (a.isDefined) coalesce(col(s"o_$g"), col(s"a_$g")) else col(s"o_$g")
+        withA.join(dd,
+          condOn(groupCols.map(g => oaKey(g) -> col(s"d_$g"))), "full_outer")
+      case None => withA
+    }
+    def acol(n: String): Column = if (a.isDefined) col(s"a_$n") else lit(null)
+    def dcol(n: String): Column = if (d.isDefined) col(s"d_$n") else lit(null)
+    def nz(c: Column): Column = coalesce(c, lit(0))
+    val viewSchema = old.schema
+    def cNew(n: String): Column =
+      nz(col(s"x___ivm_c_$n")) + nz(acol(s"__ivm_c_$n")) - nz(dcol(s"__ivm_c_$n"))
+    def sNew(n: String): Column =
+      nz(col(s"x___ivm_s_$n")) + nz(acol(s"__ivm_s_$n")) - nz(dcol(s"__ivm_s_$n"))
+    val nNew = nz(col("x___ivm_n")) + nz(acol("__ivm_n")) - nz(dcol("__ivm_n"))
+    // cast back everywhere: +/least on decimals widens precision, and
+    // the view's column types must stay put across refreshes
+    val mergedView: Seq[Column] = viewSchema.fields.toSeq.map { f =>
+      val kind = shape.kinds.find(_._1 == f.name).get._2
+      (kind match {
+        case IvmGroup => keyCol(f.name)
+        case IvmCount =>
+          nz(col(s"o_${f.name}")) + nz(acol(f.name)) - nz(dcol(f.name))
+        case IvmSum =>
+          val s2 = nz(col(s"o_${f.name}")) + nz(acol(f.name)) - nz(dcol(f.name))
+          when(cNew(f.name) === 0, lit(null)).otherwise(s2)
+        case IvmAvg =>
+          when(cNew(f.name) === 0, lit(null))
+            .otherwise(sNew(f.name) / cNew(f.name))
+        case IvmMin => least(col(s"o_${f.name}"), acol(f.name))
+        case IvmMax => greatest(col(s"o_${f.name}"), acol(f.name))
+      }).cast(f.dataType).as(f.name)
+    }
+    val mergedHidden: Seq[Column] = shape.hiddenCols.map { h =>
+      val v = if (h == "__ivm_n") nNew
+        else if (h.startsWith("__ivm_s_")) sNew(h.stripPrefix("__ivm_s_"))
+        else cNew(h.stripPrefix("__ivm_c_"))
+      v.cast(auxSchema(h).dataType).as(h)
+    }
+    // a deleted value at (or below/above) the stored-or-incoming
+    // extremum may have BEEN the extremum: flag the group for targeted
+    // re-aggregation (equality is conservative — a duplicate would
+    // survive, but recomputing is always correct)
+    val evictAny: Column = shape.minMaxCols.map { case (n, k) =>
+      if (d.isEmpty) lit(false)
+      else {
+        val cand = if (k == IvmMin) least(col(s"o_$n"), acol(n))
+          else greatest(col(s"o_$n"), acol(n))
+        // the delete replay's own min/max column IS the deleted extremum
+        // for the group
+        val dv = dcol(n)
+        dv.isNotNull && (cand.isNull ||
+          (if (k == IvmMin) dv <= cand else dv >= cand))
+      }
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    val merged = withD
+      .select((mergedView ++ mergedHidden :+ evictAny.as("__ivm_evict")).toIndexedSeq: _*)
+      .localCheckpoint()
+    val survivors =
+      if (groupCols.isEmpty) merged // a global aggregate always has a row
+      else merged.filter(col("__ivm_n") > 0)
+    val okRows = survivors.filter(!col("__ivm_evict")).drop("__ivm_evict")
+    val combined =
+      if (dAgg.isEmpty || shape.minMaxCols.isEmpty) okRows
+      else {
+        val bg = shape.bareGroups.get
+        val keys = survivors.filter(col("__ivm_evict"))
+          .select(groupCols.map(col): _*).localCheckpoint()
+        val renamed = keys.select(bg.map { case (out, bcol) =>
+          col(out).as(bcol) }.toIndexedSeq: _*)
+        val baseDf = spark.table(base)
+        val filtered = baseDf.join(broadcast(renamed),
+          bg.map { case (_, bcol) => baseDf(bcol) <=> renamed(bcol) }
+            .reduce(_ && _), "left_semi")
+        val recomputed = try {
+          filtered.createOrReplaceTempView(base)
+          ivmDecomposedBody(body)
+        } finally spark.catalog.dropTempView(base)
+        okRows.unionByName(
+          recomputed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
+            .map(col): _*)).localCheckpoint()
+      }
+    Some((combined.select(viewSchema.fieldNames.toSeq.map(col): _*),
+      combined.select(shape.auxCols.map(col): _*)))
   }
 
   private def dispatch(stmt: String): DataFrame = stmt match {
@@ -719,12 +956,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reRefreshMatView(name) =>
       require(matviews.contains(name), s"no such materialized view: $name")
       val body = matviews(name)
-      // apply just the base's append delta when provably safe; anything
-      // else (deletes, joins, vacuumed history, non-mergeable aggregates)
-      // recomputes fully
-      val (df, mode) = incrementalRefresh(name, body) match {
-        case Some(m) => (m, "incremental")
-        case None => (run(body), "full")
+      // apply just the base's append + recorded-delete deltas when
+      // provably safe; anything else (updates, joins, vacuumed history,
+      // non-mergeable aggregates) recomputes fully. An eligible shape's
+      // full recompute runs the DECOMPOSED body once (checkpointed) so
+      // the sidecar rides the same aggregation.
+      val (df, aux, mode) = incrementalRefresh(name, body) match {
+        case Some((v, a)) => (v, Some(a), "incremental")
+        case None => ivmShape(body) match {
+          case Some(s) =>
+            val dec = ivmDecomposedBody(body).localCheckpoint()
+            (dec.select(dec.columns.filterNot(_.startsWith("__ivm_"))
+              .map(col).toIndexedSeq: _*),
+              Some(dec.select(s.auxCols.map(col): _*)), "full")
+          case None => (run(body), None, "full")
+        }
       }
       // data first: if the swap throws (disk full, runtime error in the
       // body), neither the catalog entry nor the manifest has moved —
@@ -738,13 +984,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         history(name).last.copy(ddl = df.schema.toDDL)
       register(name)
       refresh(name)
-      anchorMatview(name, body)
+      anchorMatview(name, body, aux)
       saveManifest()
       spark.range(1).select(lit(mode).as("refresh_mode"))
     case reDropMatView(name) =>
       require(matviews.contains(name), s"no such materialized view: $name")
       matviews.remove(name)
       matviewBase.remove(name)
+      if (Files.isDirectory(auxRoot(name)))
+        deleteRecursively(auxRoot(name), keepRoot = false)
       drop("table", name)
     case reCreateTableAs(name, bCol, bN, query) =>
       createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query)
@@ -2153,12 +2401,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }).observe(keptObs, count(lit(1)).as("n"))
     // RETURNING renders the deleted rows' PRE-image — materialized before
     // the swap rewrites the table directory out from under the scan
-    if (returningExprs.isDefined) {
-      val affected = cond match {
-        case Some(c) => cur.filter(coalesce(expr(inlineFunctions(c)), lit(false)))
-        case None => cur
-      }
-      captureReturning(affected.localCheckpoint())
+    def affected: DataFrame = cond match {
+      case Some(c) => cur.filter(coalesce(expr(inlineFunctions(c)), lit(false)))
+      case None => cur
+    }
+    if (returningExprs.isDefined) captureReturning(affected.localCheckpoint())
+    // IVM delete-delta: while any matview is anchored on this table,
+    // record the matched pre-image so REFRESH can subtract it at
+    // O(delta) instead of recomputing the view. Written BEFORE the swap,
+    // while the matched rows' files still exist; O(deleted rows), and
+    // skipped entirely when no view could use it.
+    if (matviewBase.values.exists(_._1 == table)) {
+      val newV = history.get(table).map(_.length).getOrElse(1)
+      val dd = deleteDeltaDir(table, newV)
+      Files.createDirectories(dd.getParent)
+      affected.write.mode("overwrite").parquet(dd.toString)
     }
     rewriteSwap(table, remaining, "delete")
     rowCountResult(observedCount(totalObs) - observedCount(keptObs))

@@ -324,11 +324,13 @@ class EngineSpec extends AnyFunSuite {
     assert(mode == "incremental", s"expected incremental refresh, got $mode")
     assert(again.run("select s from ivmrv where g = 'a'")
       .collect()(0).getLong(0) == 11L)
-    // a delete through the reopened engine forces the full path
+    // a delete through the reopened engine stays incremental (the
+    // recorded pre-image subtracts through the sidecar, which also
+    // survived the restart on disk) and the emptied group disappears
     again.run("delete from ivmr where v = 2")
     val mode2 = again.run("refresh materialized view ivmrv")
       .collect()(0).getString(0)
-    assert(mode2 == "full", s"expected full refresh after delete, got $mode2")
+    assert(mode2 == "incremental", s"expected incremental delete refresh, got $mode2")
     assert(again.run("select count(*) as c from ivmrv")
       .collect()(0).getLong(0) == 1L)
   }

@@ -5,12 +5,13 @@ import graft.engine.Engine
 
 /** Prices incremental materialized-view refresh against full recompute
   * on a fact-sized base: load scale-N lineitem into an engine table,
-  * anchor an aggregate matview, append a small delta, and time the
-  * incremental refresh; then force the full path (a one-row delete
-  * poisons min/max incrementality) and time that. The claim under test
-  * is the complexity class — refresh cost O(delta + view), not
-  * O(base) — so the interesting number is the RATIO and how it moves
-  * with base size, not the absolute wall.
+  * anchor an aggregate matview, then time three refresh paths —
+  * append-delta (insert 1k rows), delete-delta (delete a 1k-row slice;
+  * the recorded pre-image subtracts through the sidecar), and full
+  * recompute (an UPDATE commit is not incrementally maintainable). The
+  * claim under test is the complexity class — refresh cost
+  * O(delta + view), not O(base) — so the interesting numbers are the
+  * RATIOS and how they move with base size, not the absolute wall.
   *
   * Run: `sbt "Test/runMain graft.IvmBench target/scale10 [rounds]"`.
   */
@@ -55,15 +56,24 @@ object IvmBench {
       require(mode == "incremental", s"round $i expected incremental, got $mode")
       w
     }
-    // full: poison the append-only window once, then time full refreshes
-    // (each refresh re-anchors, so keep poisoning per round)
+    // delete-delta: remove a small slice per round; the recorded
+    // pre-image delta keeps the refresh incremental (an eviction of a
+    // group extremum would re-aggregate just that group)
+    val del = (1 to rounds).map { i =>
+      engine.run(s"delete from ivm_fact where l_orderkey = ${i * 32}")
+      val (w, mode) = timed("refresh materialized view ivm_view")
+      require(mode == "incremental", s"round $i expected incremental delete, got $mode")
+      w
+    }
+    // full: an UPDATE commit poisons the delta window (not maintainable),
+    // forcing the full path per round (each refresh re-anchors)
     val full = (1 to rounds).map { i =>
-      engine.run("delete from ivm_fact where l_orderkey = -1") // no-op rewrite, still a 'delete' commit
+      engine.run("update ivm_fact set l_quantity = l_quantity where l_orderkey = -1")
       val (w, mode) = timed("refresh materialized view ivm_view")
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
