@@ -1342,6 +1342,11 @@ private object Pgwire {
     case BooleanType | ShortType | ByteType | IntegerType | LongType |
          FloatType | DoubleType | StringType | BinaryType |
          DateType | TimestampType | TimestampNTZType | _: DecimalType => true
+    // 1-D arrays of binary-capable elements use pg's array wire layout.
+    // Nested Spark arrays stay text: pg multidim arrays are rectangular
+    // with a flat element payload, which a ragged array<array<..>> can't
+    // promise — the {{..}} text form is the honest encoding for those.
+    case ArrayType(et, _) if !et.isInstanceOf[ArrayType] => binarySupported(et)
     case _ => false
   }
 
@@ -1419,6 +1424,39 @@ private object Pgwire {
           .scaleByPowerOfTen(4 * (weight - nd + 1))
           .setScale(dscale)
         (if (sign != 0) bd.negate else bd).toPlainString
+      case 1000 | 1005 | 1007 | 1016 | 1021 | 1022 | 1009 | 1231 | 1001 |
+           1182 | 1115 =>
+        // pg array_recv: header (ndim/hasnull/element oid), dims, then
+        // length-prefixed element payloads — decoded per element with
+        // the oid THE PAYLOAD declares and re-rendered as the pg array
+        // text literal the text-param path already binds
+        val ndim = buf.getInt
+        require(ndim >= 0 && ndim <= 1,
+          s"binary array parameter: only 0/1-dimensional supported, got $ndim")
+        buf.getInt // hasnull (recomputed from payload)
+        val elemOid = buf.getInt
+        val n = if (ndim == 0) 0 else { val len = buf.getInt; buf.getInt; len }
+        require(n >= 0 && n <= b.length,
+          s"binary array parameter: implausible element count $n")
+        val cells = (0 until n).map { _ =>
+          val len = buf.getInt
+          if (len == -1) "NULL"
+          else {
+            require(len >= 0 && len <= buf.remaining(),
+              s"binary array parameter: bad element length $len")
+            val eb = new Array[Byte](len)
+            buf.get(eb)
+            val t = decodeBinaryParam(eb, elemOid)
+            // array-literal quoting: protect delimiters/braces/quotes
+            // and the literal word NULL, like pg's array-out
+            if (t.isEmpty || t.equalsIgnoreCase("null") ||
+                t.exists(c => c == ',' || c == '{' || c == '}' ||
+                  c == '"' || c == '\\' || c.isWhitespace))
+              "\"" + t.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+            else t
+          }
+        }
+        cells.mkString("{", ",", "}")
       case other => throw new IllegalArgumentException(
         s"binary parameter format not supported for oid $other (send text)")
     }
@@ -1463,6 +1501,27 @@ private object Pgwire {
         d.writeLong(pgMicros(v.asInstanceOf[java.time.LocalDateTime]))
       case _: DecimalType =>
         writeNumeric(d, v.asInstanceOf[java.math.BigDecimal])
+      case ArrayType(et, _) if binarySupported(et) =>
+        // pg array_send: int32 ndim / hasnull / element oid, per-dim
+        // (length, lower bound 1), then length-prefixed element payloads
+        // in element binary form. An empty array is the canonical
+        // zero-dimension header, exactly as pg emits it.
+        val seq = v.asInstanceOf[scala.collection.Seq[Any]]
+        val bos = new java.io.ByteArrayOutputStream()
+        val bd = new DataOutputStream(bos)
+        if (seq.isEmpty) {
+          bd.writeInt(0); bd.writeInt(0); bd.writeInt(typeOid(et))
+        } else {
+          bd.writeInt(1)
+          bd.writeInt(if (seq.exists(_ == null)) 1 else 0)
+          bd.writeInt(typeOid(et))
+          bd.writeInt(seq.length); bd.writeInt(1)
+          seq.foreach { e =>
+            if (e == null) bd.writeInt(-1) else writeBinary(bd, e, et, zone)
+          }
+        }
+        val payload = bos.toByteArray
+        d.writeInt(payload.length); d.write(payload)
       case other => throw new IllegalArgumentException(
         s"binary result format not supported for type ${other.simpleString}")
     }

@@ -747,7 +747,7 @@ class ServerSpec extends AnyFunSuite {
       assert(bBytes.toSeq == "ab".getBytes(StandardCharsets.UTF_8).toSeq)
       assert(c.sync().map(_._1) == Seq('Z'))
       // a type without a binary encoding errors at portal open, clearly
-      c.parse("", "select array(1, 2) as a")
+      c.parse("", "select map(1, 2) as a")
       c.bind("", "", resultFormats = Seq(1))
       c.execute("", 0); c.flushMsg()
       val err = c.untilOutcome()
@@ -864,6 +864,95 @@ class ServerSpec extends AnyFunSuite {
         params = Seq(java.nio.ByteBuffer.allocate(4).putInt(7).array()))
       val err = c.sync()
       assert(err.map(_._1).contains('E'), err.map(_._1).mkString)
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
+  test("pgwire binary arrays round-trip int4[] and text[] both directions") {
+    val dir = freshDir("/root/repo/target/graft-tmp/binarr-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-binarr-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      // OUT: array columns negotiate binary and arrive in pg's array
+      // wire layout (ndim / hasnull / element oid / dims / elements)
+      c.parse("", "select array(1, 2, cast(null as int)) as xs, " +
+        "array('a', 'b c') as ss, array(cast(null as int)) as e0")
+      c.bind("", "", resultFormats = Seq(1))
+      c.execute("", 0); c.flushMsg()
+      val msgs = c.untilOutcome()
+      assert(msgs.map(_._1) == Seq('1', '2', 'D', 'C'), msgs.map(_._1).mkString)
+      val row = msgs.collect { case ('D', b) => b }.head
+      val d = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row))
+      assert(d.readShort() == 3)
+      // xs: int4[] with a trailing NULL
+      assert(d.readInt() == 20 + (4 + 4) * 2 + 4)
+      assert(d.readInt() == 1 && d.readInt() == 1 && d.readInt() == 23)
+      assert(d.readInt() == 3 && d.readInt() == 1)
+      assert(d.readInt() == 4 && d.readInt() == 1)
+      assert(d.readInt() == 4 && d.readInt() == 2)
+      assert(d.readInt() == -1)
+      // ss: text[] without nulls
+      val ssLen = d.readInt()
+      assert(d.readInt() == 1 && d.readInt() == 0 && d.readInt() == 25)
+      assert(d.readInt() == 2 && d.readInt() == 1)
+      def str(): String = {
+        val n = d.readInt(); val b = new Array[Byte](n); d.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+      assert(str() == "a" && str() == "b c")
+      assert(ssLen == 20 + 4 + 1 + 4 + 3)
+      // e0: a single NULL element still has one dim of length 1
+      assert(d.readInt() == 20 + 4)
+      assert(d.readInt() == 1 && d.readInt() == 1 && d.readInt() == 23)
+      assert(d.readInt() == 1 && d.readInt() == 1 && d.readInt() == -1)
+      assert(c.sync().map(_._1) == Seq('Z'))
+      // IN: the same layouts decode as binary PARAMETERS via the array
+      // oids and bind as the pg array text literal
+      def i4arr(vals: Seq[Option[Int]]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(bos)
+        o.writeInt(1); o.writeInt(if (vals.exists(_.isEmpty)) 1 else 0)
+        o.writeInt(23); o.writeInt(vals.length); o.writeInt(1)
+        vals.foreach {
+          case Some(v) => o.writeInt(4); o.writeInt(v)
+          case None => o.writeInt(-1)
+        }
+        bos.toByteArray
+      }
+      def txtarr(vals: Seq[String]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(bos)
+        o.writeInt(1); o.writeInt(0); o.writeInt(25)
+        o.writeInt(vals.length); o.writeInt(1)
+        vals.foreach { v =>
+          val b = v.getBytes(StandardCharsets.UTF_8)
+          o.writeInt(b.length); o.write(b)
+        }
+        bos.toByteArray
+      }
+      c.parse("", "select $1 as xs, $2 as ss", paramOids = Seq(1007, 1009))
+      c.bind("", "", paramFormats = Seq(1, 1),
+        params = Seq(i4arr(Seq(Some(7), None, Some(9))), txtarr(Seq("a", "b c"))))
+      c.execute("", 0); c.flushMsg()
+      val back = c.untilOutcome()
+      assert(back.map(_._1) == Seq('1', '2', 'D', 'C'), back.map(_._1).mkString)
+      val row2 = back.collect { case ('D', b) => b }.head
+      val d2 = new java.io.DataInputStream(new java.io.ByteArrayInputStream(row2))
+      assert(d2.readShort() == 2)
+      def field(): String = {
+        val n = d2.readInt(); val b = new Array[Byte](n); d2.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+      assert(field() == "{7,NULL,9}")
+      assert(field() == """{a,"b c"}""")
+      assert(c.sync().map(_._1) == Seq('Z'))
     } finally {
       c.close()
       server.close()
