@@ -70,6 +70,62 @@ object Multimodal {
       .select(col("media_id"), col("frame_idx"), col("byte_offset"), col("frame_hash"))
   }
 
+  /** REAL frame sampling for animated GIF — the one multi-frame format
+    * the JDK decodes natively. Every `stride`-th stored frame decodes to
+    * per-frame pixel stats ([[graft.expr.GifFrames]], an expression
+    * inside the scan pipeline); non-GIF payloads keep a row with NULL
+    * frame columns via `explode_outer`, so the output is total and the
+    * tier routing is visible in the result. Video/audio stay with the
+    * synthetic [[sampleFrames]] (no JDK codec — honestly stubbed).
+    */
+  def sampleGifFrames(media: DataFrame, stride: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val frames = Bridge.column(
+      graft.expr.GifFrames(Bridge.expression(col("payload")), stride))
+    media.select(col("media_id"), frames.as("_frames"))
+      .select(col("media_id"), explode_outer(col("_frames")).as("_f"))
+      .select(col("media_id"),
+        col("_f.frame_idx").as("frame_idx"),
+        col("_f.width").as("width"), col("_f.height").as("height"),
+        col("_f.r_mean").as("r_mean"), col("_f.g_mean").as("g_mean"),
+        col("_f.b_mean").as("b_mean"))
+  }
+
+  /** Encode per-pixel-defined RGB frames as an ANIMATED GIF with the
+    * JDK's own sequence writer — the deterministic multi-frame payload
+    * generator the gif-frame gate decodes back through
+    * [[graft.expr.GifFrames]]. Full frames, default disposal.
+    */
+  def encodeAnimatedGif(w: Int, h: Int, nFrames: Int)
+      (rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      (0 until nFrames).foreach { f =>
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val (r, g, b) = rgb(f, x, y)
+            img.setRGB(x, y, (r << 16) | (g << 8) | b)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      ios.flush()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
   /** Resize: payloads that decode as JDK images (PNG/JPEG/GIF/BMP, the
     * same tier as [[graft.expr.MediaFeatures]]) are REALLY resampled to
     * `w`×`h` with Java2D and re-encoded as lossless PNG

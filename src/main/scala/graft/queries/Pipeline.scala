@@ -1352,6 +1352,46 @@ object Pipeline {
               |  ${polyHash("substring(text, frame_idx * 64 + 1, 64)")} AS frame_hash
               |FROM fr ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // REAL animated-GIF frame decode: a generated 5-frame animation
+    // (solid color per frame — palette-exact under GIF's 256-color
+    // model) samples every 2nd frame through the JDK's multi-frame
+    // reader; the oracle pins each sampled frame's means analytically
+    // from the color definitions in this text. The non-GIF payload keeps
+    // one row with NULL frame columns, proving the tier routing.
+    "multimodal_gif_frames" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeAnimatedGif(6, 4, 5) { (f, _, _) =>
+            (f * 50, 10 + f * 40, 200 - f * 30)
+          }),
+          (2L, Multimodal.encodeAnimatedGif(3, 3, 2) { (f, _, _) =>
+            if (f == 0) (255, 0, 0) else (0, 0, 255)
+          }),
+          (7L, "plain text, not a gif".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        Multimodal.sampleGifFrames(rows.toDF("media_id", "payload"), stride = 2)
+          .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+            round(col("r_mean"), 6).as("r_mean"),
+            round(col("g_mean"), 6).as("g_mean"),
+            round(col("b_mean"), 6).as("b_mean"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 0, 6, 4, round(CAST(0 AS DOUBLE)/255, 6),
+             |  round(CAST(10 AS DOUBLE)/255, 6), round(CAST(200 AS DOUBLE)/255, 6)),
+             | (CAST(1 AS BIGINT), 2, 6, 4, round(CAST(100 AS DOUBLE)/255, 6),
+             |  round(CAST(90 AS DOUBLE)/255, 6), round(CAST(140 AS DOUBLE)/255, 6)),
+             | (CAST(1 AS BIGINT), 4, 6, 4, round(CAST(200 AS DOUBLE)/255, 6),
+             |  round(CAST(170 AS DOUBLE)/255, 6), round(CAST(80 AS DOUBLE)/255, 6)),
+             | (CAST(2 AS BIGINT), 0, 3, 3, round(CAST(255 AS DOUBLE)/255, 6),
+             |  round(CAST(0 AS DOUBLE)/255, 6), round(CAST(0 AS DOUBLE)/255, 6)),
+             | (CAST(7 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE))
+             |) AS t(media_id, frame_idx, width, height, r_mean, g_mean, b_mean)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // resize: payload stub-resampled to 16x8 "pixels" (truncate/pad to 128
     // bytes), metadata updated — oracle rebuilds the same truncated/padded
     // slice and hashes it.
