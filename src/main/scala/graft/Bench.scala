@@ -169,7 +169,11 @@ object Bench {
     val worstSpreadQuiet = perQuery.map(_._4).filter(_ >= 0) match {
       case s if s.isEmpty => -1.0; case s => s.max
     }
-    println(s"""{"bench_summary":{"total":${fmt(total)},"canary":$canaryJson,"worst_spread":${fmt(worstSpread)},"worst_spread_quiet":${fmt(worstSpreadQuiet)},"queries":$qs}}""")
+    // exec_sec_total: summed executor task time — the noise-immune twin
+    // of the wall total (driver/host interference inflates wall while
+    // task time stays put), for round-over-round comparison
+    val execTotal = perQuery.map(_._5(0) / 1e3).filter(_ >= 0).sum
+    println(s"""{"bench_summary":{"total":${fmt(total)},"exec_sec_total":${fmt(execTotal)},"canary":$canaryJson,"worst_spread":${fmt(worstSpread)},"worst_spread_quiet":${fmt(worstSpreadQuiet)},"queries":$qs}}""")
     spark.stop()
   }
 }

@@ -1136,15 +1136,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         if (scroll) {
           // SCROLL needs row ARITHMETIC (ABSOLUTE -3, BACKWARD 2), which
           // the partition-striped monotonic id can't do — rewrite the
-          // spill once with a contiguous 1-based position. The global
-          // row_number window is a one-time declare cost bounded by the
-          // cursor's own result, never a per-FETCH cost.
+          // spill once with a contiguous 1-based position. DISTRIBUTED:
+          // range-partition on the monotonic id (ascending, disjoint
+          // partitions), sort within each, then zipWithIndex's two-pass
+          // per-partition-count + offset stamp — no single-task global
+          // Window, so a big export cursor stays parallel at DECLARE.
           val tmp = dir.resolve("tmp").toString
           withOrd.write.parquet(tmp)
-          val w = org.apache.spark.sql.expressions.Window.orderBy(col(ord))
-          spark.read.schema(withOrd.schema).parquet(tmp)
-            .withColumn(ord, row_number().over(w).cast("long"))
-            .write.parquet(data)
+          val sorted = spark.read.schema(withOrd.schema).parquet(tmp)
+            .repartitionByRange(col(ord)).sortWithinPartitions(col(ord))
+          val schema = withOrd.schema
+          spark.createDataFrame(
+            sorted.rdd.zipWithIndex().map { case (r, i) =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.init :+ (i + 1L)) },
+            schema).write.parquet(data)
           deleteRecursively(dir.resolve("tmp"), keepRoot = false)
           val snap = spark.read.schema(withOrd.schema).parquet(data)
           cursors(name) =

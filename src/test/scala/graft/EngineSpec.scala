@@ -335,6 +335,23 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("SCROLL declare stamps contiguous positions distributed over many partitions") {
+    // 5000 rows span many range partitions: the zipWithIndex count-offset
+    // stamp (no single-task global Window at DECLARE) must still produce
+    // exact pg ordinals under a DESC-ordered declare
+    engine.run("create table scbig as select cast(id as int) as k from range(5000)")
+    engine.run("declare scb scroll cursor for select k from scbig order by k desc")
+    def one(sql: String): Seq[Int] =
+      engine.run(sql).collect().toSeq.map(_.getInt(0))
+    assert(one("fetch absolute 1 from scb") == Seq(4999))
+    assert(one("fetch absolute 5000 from scb") == Seq(0))
+    assert(one("fetch absolute 2500 from scb") == Seq(5000 - 2500))
+    assert(one("fetch backward 3 from scb") == Seq(2501, 2502, 2503))
+    assert(one("fetch forward 2 from scb") == Seq(2502, 2501))
+    engine.run("close scb")
+    engine.run("drop table scbig")
+  }
+
   test("time travel survives an engine restart; storage is links, not copies") {
     val dir = freshDir("/root/repo/target/graft-tmp/timetravel-warehouse")
     val first = new Engine(spark, dir)

@@ -66,7 +66,7 @@ object GuardBench {
     def fmt(d: Double): String = "%.3f".formatLocal(java.util.Locale.US, d)
 
     val reg = graft.SparkEntry.registry
-    val targets = Seq("q5_local_supplier_volume", "q7_nation_volume",
+    val targets = Seq("q5_local_supplier_revenue", "q7_nation_volume",
       "q9_profit_by_nation_year")
     val planDir = new java.io.File("target/guard_plans")
     planDir.mkdirs()
@@ -76,7 +76,9 @@ object GuardBench {
       val before = listener.snapshot
       val t0 = System.nanoTime()
       val df = reg(name).fn(spark, src)
-      df.write.format("noop").mode("overwrite").save()
+      // execute THE DATAFRAME'S OWN QueryExecution (a write command plans
+      // a fresh one, leaving df's plan unexecuted and its metrics zero)
+      df.queryExecution.toRdd.count()
       val wall = (System.nanoTime() - t0) / 1e9
       val after = listener.snapshot
       (wall, after.zip(before).map { case (a, b) => a - b },
