@@ -611,12 +611,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def auxRoot(name: String) = Paths.get(s"$warehouse/.ivm_aux/$name")
   private def auxDir(name: String, v: Int) = auxRoot(name).resolve(s"v$v")
 
-  /** Pre-images of rows removed by the DELETE that created base version
-    * `v` — recorded by delete() only while some matview is anchored on
-    * the table, so REFRESH can subtract them at O(delta).
+  /** Pre-images of rows removed by the DELETE (or rewritten by the
+    * UPDATE) that created base version `v` — recorded only while some
+    * matview is anchored on the table, so REFRESH can subtract them at
+    * O(delta).
     */
   private def deleteDeltaDir(table: String, v: Int) =
     historyDir(table).resolve(s"d$v")
+
+  /** Post-images of the rows an UPDATE rewrote into base version `v` —
+    * the add side of the update-as-delete-plus-insert decomposition.
+    */
+  private def updateAddDir(table: String, v: Int) =
+    historyDir(table).resolve(s"u$v")
 
   /** Analyze a matview body for incremental maintainability: a single
     * `Aggregate` over exactly one engine table reached through
@@ -769,7 +776,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (v0 >= log.length) return None // base rewound (RESTORE): re-anchor
     val cur = log.length - 1
     val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
-    if (!newOps.forall { case (_, op) => appendOnlyOps(op) || op == "delete" })
+    if (!newOps.forall { case (_, op) =>
+        appendOnlyOps(op) || op == "delete" || op == "update" })
       return None
     if (log(v0).ddl != log.last.ddl) return None // base schema drifted
     val shape = ivmShape(body).getOrElse(return None)
@@ -800,10 +808,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val now = dataFiles(versionRoot(i))
         if ((prev -- now).nonEmpty) return None // not a pure append
         addFiles ++= (now -- prev).map(f => s"${versionRoot(i)}/$f")
-      } else {
+      } else if (op == "delete") {
         val dd = deleteDeltaDir(base, i)
         if (!Files.isDirectory(dd)) return None // delete went unrecorded
         delDirs += dd
+      } else { // update = recorded delete (pre-image) + insert (post-image)
+        val dd = deleteDeltaDir(base, i)
+        val ud = updateAddDir(base, i)
+        if (!Files.isDirectory(dd) || !Files.isDirectory(ud)) return None
+        delDirs += dd
+        addFiles += ud.toString
       }
     }
     // extremum eviction needs a per-group re-aggregation pushed into the
@@ -2585,6 +2599,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (returningExprs.isDefined)
       captureReturning(spark.table(table).filter(c)
         .select(projected.toIndexedSeq: _*).localCheckpoint())
+    // IVM update-delta: while any matview is anchored on this table,
+    // record the matched rows' PRE-image (the subtract side) and
+    // POST-image (the add side — over matched rows the when(c,..) guards
+    // reduce to the assignments), so REFRESH treats the update as
+    // delete+insert at O(delta). Written before the swap; skipped
+    // entirely when no view could use it.
+    if (matviewBase.values.exists(_._1 == table)) {
+      val newV = history.get(table).map(_.length).getOrElse(1)
+      Files.createDirectories(historyDir(table))
+      spark.table(table).filter(c)
+        .write.mode("overwrite").parquet(deleteDeltaDir(table, newV).toString)
+      spark.table(table).filter(c).select(projected.toIndexedSeq: _*)
+        .write.mode("overwrite").parquet(updateAddDir(table, newV).toString)
+    }
     rewriteSwap(table, rewritten, "update")
     rowCountResult(observedCount(affObs))
   }
