@@ -741,6 +741,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           .parquet(tmp.resolve(s"v$v").toString)
         if (Files.isDirectory(root)) deleteRecursively(root, keepRoot = false)
         Files.move(tmp, root)
+        // recorded DML deltas at or before EVERY anchor on this base are
+        // unreachable by any future incremental refresh — reclaim them
+        val minAnchor = matviewBase.values
+          .collect { case (b, vv) if b == s.base => vv }.min
+        (0 to minAnchor).foreach { i =>
+          Seq(deleteDeltaDir(s.base, i), updateAddDir(s.base, i)).foreach { d =>
+            if (Files.isDirectory(d)) deleteRecursively(d, keepRoot = false)
+          }
+        }
       case None =>
         matviewBase.remove(name)
         if (Files.isDirectory(auxRoot(name)))
@@ -777,7 +786,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val cur = log.length - 1
     val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
     if (!newOps.forall { case (_, op) =>
-        appendOnlyOps(op) || op == "delete" || op == "update" })
+        appendOnlyOps(op) || op == "delete" || op == "update" || op == "merge" })
       return None
     if (log(v0).ddl != log.last.ddl) return None // base schema drifted
     val shape = ivmShape(body).getOrElse(return None)
@@ -812,7 +821,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val dd = deleteDeltaDir(base, i)
         if (!Files.isDirectory(dd)) return None // delete went unrecorded
         delDirs += dd
-      } else { // update = recorded delete (pre-image) + insert (post-image)
+      } else { // update/merge = recorded delete (pre-image) + insert (post-image)
         val dd = deleteDeltaDir(base, i)
         val ud = updateAddDir(base, i)
         if (!Files.isDirectory(dd) || !Files.isDirectory(ud)) return None
@@ -1608,10 +1617,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val cur = history.getOrElse(table, Vector.empty).length - 1
     var reclaimed = 0L
     (0 until (cur - retain)).foreach { v =>
-      val d = versionDir(table, v)
-      if (Files.exists(d)) {
-        deleteRecursively(d, keepRoot = false)
-        reclaimed += 1
+      // version archives plus any IVM delete/update deltas recorded for
+      // commits this far back (a refresh needing one that's gone falls
+      // back to full recompute — the same contract as a vacuumed version)
+      Seq(versionDir(table, v), deleteDeltaDir(table, v),
+          updateAddDir(table, v)).foreach { d =>
+        if (Files.exists(d)) {
+          deleteRecursively(d, keepRoot = false)
+          reclaimed += 1
+        }
       }
     }
     rowCountResult(reclaimed)
@@ -2708,7 +2722,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }.toIndexedSeq: _*)
 
     val insObs = org.apache.spark.sql.Observation()
-    val inserted = insertClause.map { case (colsOpt, valuesStr) =>
+    val insertedRaw = insertClause.map { case (colsOpt, valuesStr) =>
       val declared = colsOpt.map(_.split(",").map(_.trim).toSeq)
         .getOrElse(schema.fields.map(_.name).toSeq)
       val valueExprs = splitTopLevel(valuesStr).map(_.trim)
@@ -2723,7 +2737,35 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             case None => lit(null).cast(f.dataType).as(f.name)
           }
         }.toIndexedSeq: _*)
-        .observe(insObs, count(lit(1)).as("n"))
+    }
+    val inserted = insertedRaw.map(_.observe(insObs, count(lit(1)).as("n")))
+
+    // IVM merge-delta: while any matview is anchored on the target,
+    // record the matched rows' pre-image (subtract side) and the
+    // update-post-image + inserted rows (add side), so REFRESH treats
+    // the merge as delete+insert at O(delta). The cardinality check
+    // above guarantees each pre-image row was affected exactly once.
+    if (matviewBase.values.exists(_._1 == tgt)) {
+      val newV = history.get(tgt).map(_.length).getOrElse(1)
+      Files.createDirectories(historyDir(tgt))
+      val pre =
+        if (insertOnly) spark.table(tgt).limit(0)
+        else spark.table(tgt).as(tgt).join(source, onExpr, "left_semi")
+      pre.write.mode("overwrite").parquet(deleteDeltaDir(tgt, newV).toString)
+      val postUpdate =
+        if (updateSet.isEmpty) None
+        else Some(target.join(source, onExpr, "inner")
+          .select(schema.fields.map { f =>
+            val base = col(s"$tgt.${f.name}")
+            assigns.get(f.name.toLowerCase) match {
+              case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
+              case None => base.as(f.name)
+            }
+          }.toIndexedSeq: _*))
+      val adds = (postUpdate.toSeq ++ insertedRaw.toSeq)
+        .reduceOption(_ unionByName _)
+        .getOrElse(spark.table(tgt).limit(0))
+      adds.write.mode("overwrite").parquet(updateAddDir(tgt, newV).toString)
     }
 
     if (insertOnly) {

@@ -74,13 +74,13 @@ object IvmBench {
       require(mode == "incremental", s"round $i expected incremental update, got $mode")
       w
     }
-    // full: a MERGE commit poisons the delta window (its mixed arms are
-    // not delta-decomposed), forcing the full path per round (each
-    // refresh re-anchors); the empty source leaves the data unchanged
-    engine.run("create table ivm_poison(l_orderkey bigint)")
+    // full: an upsert commit poisons the delta window (ON CONFLICT's DO
+    // UPDATE arm rewrites under one op string, so it is not
+    // delta-decomposed), forcing the full path per round (each refresh
+    // re-anchors)
     val full = (1 to rounds).map { i =>
-      engine.run("merge into ivm_fact using ivm_poison " +
-        "on ivm_fact.l_orderkey = ivm_poison.l_orderkey when matched then delete")
+      engine.run("insert into ivm_fact select * from li_src limit 1 " +
+        "on conflict (l_orderkey, l_linenumber) do nothing")
       val (w, mode) = timed("refresh materialized view ivm_view")
       require(mode == "full", s"round $i expected full, got $mode")
       w
