@@ -758,9 +758,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   /** Commit ops that only APPEND parquet files to the table directory —
     * the delta between two versions is then exactly the files added,
-    * readable at O(delta) cost. upsert is excluded: its DO UPDATE arm
-    * rewrites under the same op string. DELETE commits are handled
-    * separately via the pre-image delta delete() records.
+    * readable at O(delta) cost. DELETE/UPDATE/MERGE/upsert commits are
+    * handled separately via the pre/post-image deltas their executors
+    * record while a matview is anchored.
     */
   private val appendOnlyOps = Set("insert", "copy from")
 
@@ -786,7 +786,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val cur = log.length - 1
     val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
     if (!newOps.forall { case (_, op) =>
-        appendOnlyOps(op) || op == "delete" || op == "update" || op == "merge" })
+        appendOnlyOps(op) || op == "delete" || op == "update" ||
+          op == "merge" || op == "upsert" })
       return None
     if (log(v0).ddl != log.last.ddl) return None // base schema drifted
     val shape = ivmShape(body).getOrElse(return None)
@@ -821,7 +822,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val dd = deleteDeltaDir(base, i)
         if (!Files.isDirectory(dd)) return None // delete went unrecorded
         delDirs += dd
-      } else { // update/merge = recorded delete (pre-image) + insert (post-image)
+      } else { // update/merge/upsert = recorded delete pre-image + insert post-image
         val dd = deleteDeltaDir(base, i)
         val ud = updateAddDir(base, i)
         if (!Files.isDirectory(dd) || !Files.isDirectory(ud)) return None
@@ -2330,21 +2331,34 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     val existing = spark.table(table)
     val ordered = schema.fieldNames.map(col).toIndexedSeq
+    // IVM upsert-delta: record the conflicting rows' pre-image (subtract
+    // side, empty under DO NOTHING) and the post-image/inserted rows
+    // (add side) while any matview is anchored — the last DML shape, so
+    // every INSERT/COPY/DELETE/UPDATE/MERGE/upsert now refreshes at
+    // O(delta). newRows is cached, so the extra reads are deterministic.
+    def recordUpsertDelta(pre: DataFrame, adds: DataFrame): Unit =
+      if (matviewBase.values.exists(_._1 == table)) {
+        val newV = history.get(table).map(_.length).getOrElse(1)
+        Files.createDirectories(historyDir(table))
+        pre.write.mode("overwrite").parquet(deleteDeltaDir(table, newV).toString)
+        adds.write.mode("overwrite").parquet(updateAddDir(table, newV).toString)
+      }
     setList match {
       case None => // DO NOTHING: append rows whose key has no match
         try {
           val obs = org.apache.spark.sql.Observation()
-          val toIns0 = newRows
+          val toInsRaw = newRows
             .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
               keys, "left_anti")
             .select(ordered: _*)
-            .observe(obs, count(lit(1)).as("n"))
+          val toIns0 = toInsRaw.observe(obs, count(lit(1)).as("n"))
           // pg returns only the rows actually inserted under DO NOTHING
           val toIns = if (returningExprs.isDefined) {
             val m = toIns0.localCheckpoint()
             captureReturning(m)
             m
           } else toIns0
+          recordUpsertDelta(existing.limit(0), toInsRaw)
           archiveCurrent(table)
           appendTo(table, toIns)
           refresh(table)
@@ -2392,6 +2406,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           if (returningExprs.isDefined)
             captureReturning(existing.join(exc, matchCond, "inner")
               .select(assignedSel: _*).unionByName(inserts).localCheckpoint())
+          recordUpsertDelta(
+            existing.join(exc, matchCond, "left_semi"),
+            existing.join(exc, matchCond, "inner")
+              .select(assignedSel: _*).unionByName(inserts))
           rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
           refresh(table)
           // pg: every proposed row is either inserted or updated

@@ -74,13 +74,13 @@ object IvmBench {
       require(mode == "incremental", s"round $i expected incremental update, got $mode")
       w
     }
-    // full: an upsert commit poisons the delta window (ON CONFLICT's DO
-    // UPDATE arm rewrites under one op string, so it is not
-    // delta-decomposed), forcing the full path per round (each refresh
-    // re-anchors)
+    // full: every DML shape is delta-decomposed now, so the poison is a
+    // VACUUMED delta window — append one row, then drop the version
+    // archives the file diff needs; the refresh falls back to full and
+    // re-anchors (the same contract a time-travel vacuum has)
     val full = (1 to rounds).map { i =>
-      engine.run("insert into ivm_fact select * from li_src limit 1 " +
-        "on conflict (l_orderkey, l_linenumber) do nothing")
+      engine.run("insert into ivm_fact select * from li_src limit 1")
+      engine.run("vacuum ivm_fact retain 0 versions")
       val (w, mode) = timed("refresh materialized view ivm_view")
       require(mode == "full", s"round $i expected full, got $mode")
       w
