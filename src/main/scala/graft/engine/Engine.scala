@@ -535,7 +535,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // refresh first tries to apply only the base's append delta since that
   // version; anything it can't prove safe falls back to full recompute.
 
-  private val matviewBase = mutable.Map[String, (String, Int)]()
+  // view → (base table, base version the stored rows reflect, the view's
+  // OWN version at anchor time). The third element is a crash latch: a
+  // refresh swap that died before re-anchoring leaves a refreshed view
+  // with a stale anchor, and re-applying the delta window would double
+  // count — the latch detects the view moved without an anchor and
+  // forces one full recompute instead.
+  private val matviewBase = mutable.Map[String, (String, Int, Int)]()
 
   /** One view output column's role in the incremental merge. */
   private sealed trait IvmKind
@@ -730,7 +736,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     ivmShape(body) match {
       case Some(s) =>
         val v = history.get(s.base).map(_.length - 1).getOrElse(0)
-        matviewBase(name) = (s.base, v)
+        matviewBase(name) =
+          (s.base, v, history.get(name).map(_.length - 1).getOrElse(0))
         val aux = precomputedAux.getOrElse(
           ivmDecomposedBody(body).select(s.auxCols.map(col): _*))
         val root = auxRoot(name)
@@ -744,7 +751,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // recorded DML deltas at or before EVERY anchor on this base are
         // unreachable by any future incremental refresh — reclaim them
         val minAnchor = matviewBase.values
-          .collect { case (b, vv) if b == s.base => vv }.min
+          .collect { case (b, vv, _) if b == s.base => vv }.min
         (0 to minAnchor).foreach { i =>
           Seq(deleteDeltaDir(s.base, i), updateAddDir(s.base, i)).foreach { d =>
             if (Files.isDirectory(d)) deleteRecursively(d, keepRoot = false)
@@ -779,8 +786,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def incrementalRefresh(name: String,
       body: String): Option[(DataFrame, DataFrame)] = {
-    val (base, v0) = matviewBase.getOrElse(name, return None)
+    val (base, v0, viewV) = matviewBase.getOrElse(name, return None)
     if (!tables.contains(base)) return None
+    // crash latch: the view changed since this anchor was written (a
+    // refresh that died between swap and re-anchor) — recompute fully
+    if (history.get(name).map(_.length - 1).getOrElse(0) != viewV) return None
     val log = history.getOrElse(base, Vector.empty)
     if (v0 >= log.length) return None // base rewound (RESTORE): re-anchor
     val cur = log.length - 1
@@ -3252,8 +3262,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     })
     val viewsJson = obj(views.map { case (n, body) => s"${q(n)}: ${q(body)}" })
     val matviewsJson = obj(matviews.map { case (n, body) => s"${q(n)}: ${q(body)}" })
-    val matviewBaseJson = obj(matviewBase.map { case (n, (b, v)) =>
-      s"${q(n)}: {${q("base")}: ${q(b)}, ${q("version")}: $v}"
+    val matviewBaseJson = obj(matviewBase.map { case (n, (b, v, vv)) =>
+      s"${q(n)}: {${q("base")}: ${q(b)}, ${q("version")}: $v, " +
+        s"${q("view_version")}: $vv}"
     })
     val functionsJson = obj(functions.map { case (n, (params, body)) =>
       s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
@@ -3381,7 +3392,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (root.has("matview_base"))
       fields(root.get("matview_base")).foreach { e =>
         matviewBase(e.getKey) =
-          (e.getValue.get("base").asText(), e.getValue.get("version").asInt())
+          (e.getValue.get("base").asText(), e.getValue.get("version").asInt(),
+            // pre-r13 manifests carry no view_version: -1 fails the
+            // crash latch once, forcing one full recompute + re-anchor
+            if (e.getValue.has("view_version"))
+              e.getValue.get("view_version").asInt()
+            else -1)
       }
     if (root.has("functions"))
       fields(root.get("functions")).foreach { e =>
