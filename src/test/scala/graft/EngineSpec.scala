@@ -335,6 +335,29 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("a matview mutated out-of-band falls back to full refresh (anchor latch)") {
+    engine.run("create table ltbase(g varchar, v int)")
+    engine.run("insert into ltbase values ('a', 1)")
+    engine.run("create materialized view ltv as select g, sum(v) as s from ltbase group by g")
+    // mutating the view's backing table moves its version without a
+    // re-anchor — the same signature as a refresh that crashed between
+    // swap and anchor; the latch must force a full recompute
+    engine.run("insert into ltv values ('zz', 999)")
+    engine.run("insert into ltbase values ('a', 2)")
+    val mode = engine.run("refresh materialized view ltv")
+      .collect()(0).getString(0)
+    assert(mode == "full", s"expected full after out-of-band view mutation, got $mode")
+    val rows = engine.run("select g, s from ltv order by g").collect()
+    assert(rows.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("a", 3L)))
+    // the full refresh re-anchored: appends are incremental again
+    engine.run("insert into ltbase values ('a', 4)")
+    val mode2 = engine.run("refresh materialized view ltv")
+      .collect()(0).getString(0)
+    assert(mode2 == "incremental", s"expected incremental after re-anchor, got $mode2")
+    engine.run("drop materialized view ltv")
+    engine.run("drop table ltbase")
+  }
+
   test("SCROLL declare stamps contiguous positions distributed over many partitions") {
     // 5000 rows span many range partitions: the zipWithIndex count-offset
     // stamp (no single-task global Window at DECLARE) must still produce
