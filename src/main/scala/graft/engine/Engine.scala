@@ -2231,6 +2231,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def alignedSource(table: String, colList: Option[String],
       source: String): DataFrame = {
     require(tables.contains(table), s"no such table: $table")
+    // the INSERT/upsert source may read engine views: re-register them
+    // so their plans bind the CURRENT table files — a prior statement's
+    // registration may point at swapped-away files (DELETE/UPDATE) or
+    // at a DML-CTE's statement-start snapshot overlay
+    refreshViews()
     val (schema, _) = tables(table)
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
