@@ -1435,6 +1435,18 @@ private object Pgwire {
           s"binary array parameter: only 0/1-dimensional supported, got $ndim")
         buf.getInt // hasnull (recomputed from payload)
         val elemOid = buf.getInt
+        // pg's array_recv errors when the payload's element oid doesn't
+        // match the declared array type; trusting the payload would
+        // silently mis-decode (e.g. int4 bytes read as float4) into a
+        // text literal that may cast to a wrong value downstream
+        val declaredElem = oid match {
+          case 1000 => 16; case 1005 => 21; case 1007 => 23; case 1016 => 20
+          case 1021 => 700; case 1022 => 701; case 1009 => 25; case 1231 => 1700
+          case 1001 => 17; case 1182 => 1082; case 1115 => 1114
+        }
+        require(elemOid == declaredElem,
+          s"binary array parameter: payload element oid $elemOid does not " +
+            s"match declared array type oid $oid (expects $declaredElem)")
         val n = if (ndim == 0) 0 else { val len = buf.getInt; buf.getInt; len }
         require(n >= 0 && n <= b.length,
           s"binary array parameter: implausible element count $n")

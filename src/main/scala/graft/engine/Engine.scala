@@ -270,7 +270,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDeclareCursor =
     """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:(scroll|no\s+scroll)\s+)?cursor\s+for\s+(.+)""".r
   private val reFetch =
-    """(?is)\s*(fetch|move)\s+(?:(next|prior|first|last|all|forward(?:\s+(?:\d+|all))?|backward(?:\s+(?:\d+|all))?|absolute\s+[-+]?\d+|relative\s+[-+]?\d+|\d+)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
+    """(?is)\s*(fetch|move)\s+(?:(next|prior|first|last|all|forward(?:\s+(?:[-+]?\d+|all))?|backward(?:\s+(?:[-+]?\d+|all))?|absolute\s+[-+]?\d+|relative\s+[-+]?\d+|[-+]?\d+)\s+)?(?:from\s+|in\s+)?(\w+)\s*""".r
   private val reCloseCursor = """(?is)\s*close\s+(\w+)\s*""".r
 
   /** Parse a `WITH name AS ( body ), ... <tail>` list, quote- and
@@ -399,6 +399,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         else if (t > sc.total) { sc.pos = sc.total + 1; none }
         else { sc.pos = 0; none }
       }
+    // pg: FETCH FORWARD -n behaves as BACKWARD n (and vice versa) — a
+    // signed count routes to the opposite direction instead of reaching
+    // forwardN with a negative delta (which would return zero rows and
+    // drag the position backward, possibly below 0)
+    def signed(t: String): Long =
+      BigInt(t).max(BigInt(Long.MinValue) + 1).min(Long.MaxValue).toLong
+    def fwd(n: Long): DataFrame = if (n >= 0) forwardN(n) else backwardN(-n)
+    def bwd(n: Long): DataFrame = if (n >= 0) backwardN(n) else forwardN(-n)
+    def isSignedDigits(t: String): Boolean = {
+      val body = if (t.startsWith("-") || t.startsWith("+")) t.drop(1) else t
+      body.nonEmpty && body.forall(_.isDigit)
+    }
     val s = spec.map(_.toLowerCase.trim.replaceAll("\\s+", " ")).getOrElse("next")
     s match {
       case "next" | "forward" => forwardN(1)
@@ -407,12 +419,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "last" => absolute(-1)
       case "all" | "forward all" => forwardN(sc.total + 1)
       case "backward all" => backwardN(sc.pos)
-      case d if d.forall(_.isDigit) =>
-        forwardN(BigInt(d).min(Long.MaxValue).toLong)
-      case f if f.startsWith("forward ") =>
-        forwardN(BigInt(f.stripPrefix("forward ")).min(Long.MaxValue).toLong)
-      case b if b.startsWith("backward ") =>
-        backwardN(BigInt(b.stripPrefix("backward ")).min(Long.MaxValue).toLong)
+      case d if isSignedDigits(d) => fwd(signed(d))
+      case f if f.startsWith("forward ") && isSignedDigits(f.stripPrefix("forward ")) =>
+        fwd(signed(f.stripPrefix("forward ")))
+      case b if b.startsWith("backward ") && isSignedDigits(b.stripPrefix("backward ")) =>
+        bwd(signed(b.stripPrefix("backward ")))
       case a if a.startsWith("absolute ") =>
         absolute(BigInt(a.stripPrefix("absolute ")).max(Long.MinValue + 1)
           .min(Long.MaxValue).toLong)
@@ -713,11 +724,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           if (refs.length == 1 && kinds.forall(_.isDefined) && groupsCovered &&
               names.map(_.toLowerCase).distinct.length == names.length &&
               !names.exists(_.toLowerCase.startsWith("__ivm_"))) {
-            val bare =
-              if (groupOuts.forall(ne => underlying(ne).isInstanceOf[Attribute]))
-                Some(groupOuts.map(ne =>
-                  ne.name -> underlying(ne).asInstanceOf[Attribute].name))
-              else None
+            // a group output is only "bare" when its attribute traces by
+            // exprId through the Project/Filter chain to an UNTOUCHED
+            // column of the base leaf: an attribute minted by a nested
+            // projection (upper(g) AS g2) doesn't exist in the base — the
+            // eviction recompute would either fail to resolve it or, if
+            // the alias shadows a real base column, semi-join on the
+            // wrong column and yield silently wrong rows after a delete
+            def traceToBase(a0: Attribute, p: LogicalPlan): Option[String] = p match {
+              case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
+                proj.projectList.find(_.exprId == a0.exprId).flatMap {
+                  case att: Attribute => traceToBase(att, proj.child)
+                  case al: Alias => al.child match {
+                    case att: Attribute => traceToBase(att, proj.child)
+                    case _ => None
+                  }
+                  case _ => None
+                }
+              case f: LFilter => traceToBase(a0, f.child)
+              case sa: SubqueryAlias => traceToBase(a0, sa.child)
+              case v: View => traceToBase(a0, v.child)
+              case leaf: LeafNode =>
+                leaf.output.find(_.exprId == a0.exprId).map(_.name)
+              case _ => None
+            }
+            val bare = {
+              val traced = groupOuts.map(ne => underlying(ne) match {
+                case att: Attribute =>
+                  traceToBase(att, child).map(b => ne.name -> b)
+                case _ => None
+              })
+              if (traced.forall(_.isDefined)) Some(traced.map(_.get)) else None
+            }
             Some(IvmShape(refs.head, kinds.map(_.get), bare))
           } else None
         case _ => None
@@ -952,7 +990,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val okRows = survivors.filter(!col("__ivm_evict")).drop("__ivm_evict")
     val combined =
       if (dAgg.isEmpty || shape.minMaxCols.isEmpty) okRows
-      else {
+      // belt-and-braces Try: bareGroups is now traced to real base
+      // columns, but any residual resolution failure here must degrade
+      // to a full recompute, never error the REFRESH statement
+      else scala.util.Try {
         val bg = shape.bareGroups.get
         val keys = survivors.filter(col("__ivm_evict"))
           .select(groupCols.map(col): _*).localCheckpoint()
@@ -969,7 +1010,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         okRows.unionByName(
           recomputed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
             .map(col): _*)).localCheckpoint()
-      }
+      }.getOrElse(return None)
     Some((combined.select(viewSchema.fieldNames.toSeq.map(col): _*),
       combined.select(shape.auxCols.map(col): _*)))
   }
@@ -1206,12 +1247,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val n = Option(spec).map(_.toLowerCase.replaceAll("\\s+", " ")) match {
             case None | Some("next") | Some("forward") => 1
             case Some("all") | Some("forward all") => Int.MaxValue
-            case Some(d) if d.forall(_.isDigit) =>
+            case Some(d) if d.stripPrefix("+").forall(_.isDigit) &&
+                d.stripPrefix("+").nonEmpty =>
               // pg accepts int8 counts: clamp on numeric VALUE (a length
               // check would read zero-padded '0000000001' as huge)
               BigInt(d).min(Int.MaxValue).toInt
-            case Some(f) if f.startsWith("forward ") =>
+            case Some(f) if f.startsWith("forward ") &&
+                f.stripPrefix("forward ").stripPrefix("+").forall(_.isDigit) =>
               BigInt(f.stripPrefix("forward ")).min(Int.MaxValue).toInt
+            // a negative count means BACKWARD — a plain cursor can't
             case Some(other) => throw new IllegalArgumentException(
               s"""cursor "$name" is not scrollable ($other needs """ +
                 "DECLARE ... SCROLL CURSOR)")

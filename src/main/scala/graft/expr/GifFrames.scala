@@ -45,8 +45,9 @@ case class GifFrames(child: Expression, stride: Int)
     if (payload.length < 4 || payload(0) != 'G' || payload(1) != 'I' ||
         payload(2) != 'F' || payload(3) != '8') return null
     var reader: javax.imageio.ImageReader = null
+    var iis: javax.imageio.stream.MemoryCacheImageInputStream = null
     try {
-      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+      iis = new javax.imageio.stream.MemoryCacheImageInputStream(
         new java.io.ByteArrayInputStream(payload))
       val readers = javax.imageio.ImageIO.getImageReaders(iis)
       if (!readers.hasNext) return null
@@ -74,7 +75,13 @@ case class GifFrames(child: Expression, stride: Int)
       }
       new GenericArrayData(rows.toArray[Any])
     } catch { case _: Exception => null } // corrupt stream → stub tier
-    finally if (reader != null) reader.dispose()
+    finally {
+      // close the cache stream too: dispose() frees the reader but not
+      // the MemoryCache buffers, which would otherwise pile up until GC
+      // across a large scan
+      if (reader != null) reader.dispose()
+      if (iis != null) scala.util.Try(iis.close())
+    }
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -953,6 +953,23 @@ class ServerSpec extends AnyFunSuite {
       assert(field() == "{7,NULL,9}")
       assert(field() == """{a,"b c"}""")
       assert(c.sync().map(_._1) == Seq('Z'))
+      // a payload whose embedded element oid contradicts the declared
+      // array type errors cleanly (pg array_recv parity) instead of
+      // silently mis-decoding int4 bytes as text
+      val bad = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.io.DataOutputStream(bos)
+        o.writeInt(1); o.writeInt(0); o.writeInt(25) // claims text elements
+        o.writeInt(1); o.writeInt(1)
+        o.writeInt(4); o.writeInt(7)
+        bos.toByteArray
+      }
+      c.parse("", "select $1 as xs", paramOids = Seq(1007)) // declared int4[]
+      c.bind("", "", paramFormats = Seq(1), params = Seq(bad))
+      c.execute("", 0); c.flushMsg()
+      val err = c.untilOutcome()
+      assert(err.map(_._1).contains('E'), err.map(_._1).mkString)
+      assert(c.sync().map(_._1) == Seq('Z'))
     } finally {
       c.close()
       server.close()
