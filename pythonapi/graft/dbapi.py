@@ -23,9 +23,12 @@ Row sets fetch INCREMENTALLY through named portals and Execute's maxRows
 huge result holds one batch in memory, and several cursors can be open
 on one connection at once (each owns its portal; Sync — which ends the
 implicit transaction and destroys portals — is deferred until no cursor
-is suspended). The engine is autocommit: ``commit()`` is accepted as a
-no-op (as the server does for COMMIT), ``rollback()`` raises
-:class:`NotSupportedError` honestly.
+is suspended). Connections default to autocommit (``commit()`` and
+``rollback()`` are no-ops — nothing is ever pending); setting
+``con.autocommit = False`` switches to the classic DB-API flow: the
+first statement after a commit/rollback opens a server transaction
+(``BEGIN``), ``commit()``/``rollback()`` end it — ``rollback()`` really
+undoes, restoring every touched table to its transaction-start version.
 
 Threads may share the module, not connections (``threadsafety = 1``).
 """
@@ -298,6 +301,7 @@ class Cursor:
             raise InterfaceError("cursor is closed")
         con = self._con
         con._check_open()
+        con._maybe_begin(operation)
         self._finish_portal()
         self.description = None
         self.rowcount = -1
@@ -418,6 +422,8 @@ class Connection:
         self._closed = False
         self._seq = 0
         self._suspended: set[Cursor] = set()
+        self._autocommit = True
+        self._in_txn = False
 
     # -- wire plumbing shared by cursors --
     def _frame(self, tag: bytes, payload: bytes) -> bytes:
@@ -494,16 +500,61 @@ class Connection:
         self._seq += 1
         return Cursor(self, f"dbapi{self._seq}")
 
-    def commit(self) -> None:
-        # the engine is autocommit (the server accepts COMMIT as a no-op);
-        # nothing is pending by construction
+    @property
+    def autocommit(self) -> bool:
+        return self._autocommit
+
+    @autocommit.setter
+    def autocommit(self, value: bool) -> None:
         self._check_open()
+        if self._in_txn:
+            raise ProgrammingError(
+                "cannot change autocommit inside a transaction: "
+                "commit() or rollback() first")
+        self._autocommit = bool(value)
+
+    def _run_txn_verb(self, sql: str) -> None:
+        """BEGIN/COMMIT/ROLLBACK through the unnamed portal — no Sync, so
+        suspended cursor portals survive."""
+        s = self._struct
+        enc = sql.encode("utf-8")
+        self._send(
+            self._frame(b"P", b"\x00" + enc + b"\x00" + s.pack(">h", 0)),
+            self._frame(b"B", b"\x00\x00" + s.pack(">hhh", 0, 0, 0)),
+            self._frame(b"E", b"\x00" + s.pack(">i", 0)),
+            self._frame(b"H", b""))
+        for tag, body in self._msgs():
+            if tag == b"C":
+                return
+            if tag == b"E":
+                self._recover(body)
+
+    def _maybe_begin(self, operation: str) -> None:
+        """Open the server transaction lazily on the first statement of a
+        non-autocommit connection (psycopg-style), skipping explicit
+        transaction verbs the caller sends themselves."""
+        if self._autocommit or self._in_txn:
+            return
+        head = operation.lstrip().split(None, 1)
+        kw = head[0].upper().rstrip(";") if head else ""
+        if kw in ("BEGIN", "COMMIT", "ROLLBACK", "END", "START"):
+            return
+        self._run_txn_verb("BEGIN")
+        self._in_txn = True
+
+    def commit(self) -> None:
+        self._check_open()
+        if self._in_txn:
+            self._run_txn_verb("COMMIT")
+            self._in_txn = False
+        # autocommit (or no statement since the last commit): no-op
 
     def rollback(self) -> None:
         self._check_open()
-        raise NotSupportedError(
-            "graft is autocommit: statements take effect immediately; "
-            "there is no transaction to roll back")
+        if self._in_txn:
+            self._run_txn_verb("ROLLBACK")
+            self._in_txn = False
+        # autocommit: nothing pending — rolling back nothing is a no-op
 
     def close(self) -> None:
         if not self._closed:

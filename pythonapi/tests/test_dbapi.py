@@ -141,12 +141,23 @@ def test_error_recovery(con) -> None:
 
 
 def test_transactions(con) -> None:
-    con.commit()  # autocommit no-op, must not raise
-    try:
-        con.rollback()
-        raise SystemExit("expected NotSupportedError")
-    except dbapi.NotSupportedError:
-        pass
+    con.commit()    # autocommit: no-op, must not raise
+    con.rollback()  # autocommit: nothing pending, no-op
+    cur = con.cursor()
+    cur.execute("create table txp(v int)")
+    assert con.autocommit
+    con.autocommit = False
+    cur.execute("insert into txp values (1)")
+    con.rollback()  # really undoes: the insert vanishes
+    cur.execute("select count(*) from txp")
+    assert cur.fetchone()[0] == 0
+    cur.execute("insert into txp values (2)")
+    con.commit()
+    con.autocommit = True
+    cur.execute("select count(*) from txp")
+    assert cur.fetchone()[0] == 1
+    cur.execute("drop table txp")
+    cur.close()
 
 
 def test_types(con) -> None:

@@ -444,7 +444,9 @@ private object Pgwire {
       out.writeInt(4 + buf.size)
       buf.writeTo(out)
     }
-    def ready(): Unit = { msg('Z')(_.writeByte('I')); out.flush() }
+    // status byte from the engine: 'T' in an open transaction, 'E' in an
+    // aborted one, 'I' idle — pgJDBC and friends track txn state from it
+    def ready(): Unit = { msg('Z')(_.writeByte(engine.txnStatus)); out.flush() }
     def error(message: String): Unit = msg('E') { d =>
       d.writeByte('S'); cstr(d, "ERROR")
       d.writeByte('V'); cstr(d, "ERROR")
@@ -1126,6 +1128,9 @@ private object Pgwire {
       case "INSERT" => s"INSERT 0 $affected"
       case k @ ("UPDATE" | "DELETE" | "MERGE" | "MOVE") => s"$k $affected"
       case "COPY" => s"COPY $affected"
+      // pg reports the txn verbs canonically: END commits, START begins
+      case "END" => "COMMIT"
+      case "START" => "BEGIN"
       case k => k // CREATE, DROP, SET, ...
     }
   }

@@ -450,13 +450,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
 
-  // transaction verbs: every statement autocommits (single-statement
-  // engine, like the reference). BEGIN/COMMIT/END are accepted no-ops so
-  // drivers with autocommit(false) (pgJDBC sends BEGIN before each batch)
-  // keep working; ROLLBACK must NOT pretend — a client relying on it has
-  // already lost, so it errors honestly.
-  private val reTxnNoop =
-    """(?is)\s*(?:begin|commit|end|start\s+transaction)\s*(?:transaction|work)?\s*""".r
+  // transaction verbs: BEGIN opens a REAL transaction over the per-table
+  // version log (see the "transactions" section below) — statements still
+  // apply eagerly (single-writer engine), but ROLLBACK restores every
+  // touched table to its txn-start version atomically, matching the
+  // reference's transactional storage intent
+  // (/root/reference/src/storage/secondary/transaction.rs:26-50).
+  private val reBegin =
+    """(?is)\s*(?:begin|start\s+transaction)\s*(?:transaction|work)?\s*""".r
+  private val reCommit =
+    """(?is)\s*(?:commit|end)\s*(?:transaction|work)?\s*""".r
   private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
 
   // extension: SQL-level PREPARE/EXECUTE/DEALLOCATE (pg surface — psql
@@ -490,23 +493,47 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   def run(sql: String): DataFrame = {
     val stmt = sql.trim.replaceAll(";\\s*$", "")
-    val lw = stmt.toLowerCase
-    if (lw.startsWith("insert") || lw.startsWith("update") ||
-        lw.startsWith("delete")) {
-      val idx = SqlText.indexOfTopLevelPhrase(stmt, Seq("returning"))
-      if (idx >= 0) {
-        val exprs = splitTopLevel(stmt.substring(idx + "returning".length))
-          .map(_.trim).filter(_.nonEmpty)
-        require(exprs.nonEmpty, "RETURNING requires an expression list")
-        returningExprs = Some(exprs)
-        try {
-          dispatch(stmt.substring(0, idx))
-          return returningRows.getOrElse(throw new IllegalArgumentException(
-            "RETURNING is supported on INSERT [ON CONFLICT], UPDATE, DELETE"))
-        } finally { returningExprs = None; returningRows = None }
+    txnGate(stmt)
+    try {
+      val lw = stmt.toLowerCase
+      if (lw.startsWith("insert") || lw.startsWith("update") ||
+          lw.startsWith("delete")) {
+        val idx = SqlText.indexOfTopLevelPhrase(stmt, Seq("returning"))
+        if (idx >= 0) {
+          val exprs = splitTopLevel(stmt.substring(idx + "returning".length))
+            .map(_.trim).filter(_.nonEmpty)
+          require(exprs.nonEmpty, "RETURNING requires an expression list")
+          returningExprs = Some(exprs)
+          try {
+            dispatch(stmt.substring(0, idx))
+            return returningRows.getOrElse(throw new IllegalArgumentException(
+              "RETURNING is supported on INSERT [ON CONFLICT], UPDATE, DELETE"))
+          } finally { returningExprs = None; returningRows = None }
+        }
       }
+      dispatch(stmt)
+    } catch {
+      case e: Throwable =>
+        // pg: any error inside an open transaction aborts it — commands
+        // are refused until COMMIT/ROLLBACK ends the block
+        if (txnOpen) txnAborted = true
+        throw e
     }
-    dispatch(stmt)
+  }
+
+  /** Per-statement transaction gate: refuse work in an aborted
+    * transaction (pg's message, COMMIT/ROLLBACK excepted) and apply the
+    * DDL implicit commit before the DDL runs.
+    */
+  private def txnGate(stmt: String): Unit = {
+    if (txnOpen && txnAborted) stmt match {
+      case reCommit() | reRollback() =>
+      case _ => throw new IllegalArgumentException(
+        "current transaction is aborted, commands ignored until end of " +
+          "transaction block")
+    }
+    if (txnOpen && !txnAborted && reImplicitCommitDdl.matches(stmt))
+      commitTxn()
   }
 
   /** Schema a `DML ... RETURNING` statement would render, derived by PURE
@@ -540,6 +567,145 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     returningExprs.foreach { es =>
       returningRows = Some(affected.selectExpr(es.map(inlineFunctions): _*))
     }
+
+  // ---- transactions ------------------------------------------------------
+  // Real BEGIN/COMMIT/ROLLBACK over the per-table version log. Statements
+  // inside a transaction still apply eagerly (each one is an ordinary
+  // versioned commit — the engine is single-writer, so there is nothing
+  // to defer), which makes COMMIT a no-op beyond forgetting the undo set,
+  // and ROLLBACK an atomic multi-table RESTORE: every table the
+  // transaction touched snaps back to the version it had at first touch,
+  // and the versions born inside the transaction VANISH from the commit
+  // log — time travel shows no trace of rolled-back work. Semantics notes
+  // (documented divergences from pg, honest for a single-writer engine):
+  //  * the transaction is engine-global, not per-session — concurrent
+  //    writers serialize on the statement write lock and would join the
+  //    open transaction (the reference is likewise a single-writer store:
+  //    /root/reference/src/storage/secondary/transaction.rs:26-50);
+  //  * DDL (CREATE/DROP/ALTER/VACUUM) implicitly commits the open
+  //    transaction first, MySQL-style — the version log can undo data
+  //    motion, not catalog surgery;
+  //  * a crash mid-transaction implicitly commits the statements that
+  //    completed (each was individually durable when it ran).
+  // A failed statement aborts the transaction like pg: everything until
+  // COMMIT/ROLLBACK errors with pg's message, and COMMIT of an aborted
+  // transaction performs the rollback (reporting it, as pg does).
+
+  /** Undo record for one table at its first touch inside the open
+    * transaction: the version to restore to plus the metadata the
+    * version log does not carry (defaults/checks are current-state
+    * metadata; RESTORE inside the txn may also have moved the schema).
+    */
+  private case class TxnUndo(version: Int, schema: StructType,
+      pk: Seq[String], dflts: Option[Map[String, String]],
+      chks: Option[Vector[(String, String)]])
+  private var txnOpen = false
+  private var txnAborted = false
+  private val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
+
+  /** First-touch hook: called at the top of every DML path (and
+    * defensively from recordCommit) BEFORE the table mutates, so the
+    * undo record captures the pre-statement version and metadata.
+    */
+  private def txnTouch(table: String): Unit =
+    if (txnOpen && !txnUndo.contains(table) && tables.contains(table)) {
+      val v = math.max(history.getOrElse(table, Vector.empty).length - 1, 0)
+      txnUndo(table) = TxnUndo(v, tables(table)._1, tables(table)._2,
+        defaults.get(table), checks.get(table))
+    }
+
+  /** pgwire ReadyForQuery status byte: 'T' inside an open transaction,
+    * 'E' inside an aborted one, 'I' idle — autocommit-off drivers
+    * (pgJDBC) track transaction state from this.
+    */
+  def txnStatus: Char =
+    if (txnOpen && txnAborted) 'E' else if (txnOpen) 'T' else 'I'
+
+  private def beginTxn(): DataFrame = {
+    // BEGIN inside an open transaction: pg warns and carries on — the
+    // existing undo set must survive (resetting it would orphan work)
+    if (!txnOpen) { txnOpen = true; txnAborted = false; txnUndo.clear() }
+    emptyResult
+  }
+
+  private def commitTxn(): DataFrame = {
+    if (txnAborted) return rollbackTxn() // pg: COMMIT of an aborted txn rolls back
+    txnOpen = false; txnAborted = false; txnUndo.clear()
+    emptyResult
+  }
+
+  /** Atomic multi-table restore to the txn-start versions. Runs under the
+    * statement write lock (the Server routes ROLLBACK there), so no
+    * reader interleaves with the per-table directory swaps. Matview
+    * anchors whose delta window extends past a rolled-back version are
+    * dropped — the next REFRESH recomputes fully and re-anchors, the
+    * same safety net as the crash latch.
+    */
+  private def rollbackTxn(): DataFrame = {
+    val touched = txnUndo.toSeq
+    txnUndo.clear()
+    txnOpen = false
+    txnAborted = false
+    touched.foreach { case (t, u) =>
+      if (tables.contains(t)) {
+        val log = history.getOrElse(t, Vector.empty)
+        val cur = log.length - 1
+        if (cur > u.version) {
+          val snap = versionDir(t, u.version)
+          require(Files.isDirectory(snap),
+            s"cannot roll back $t: the version ${u.version} snapshot is gone")
+          // rebuild the live dir via the same two-rename swap as
+          // rewriteSwap: link the snapshot into a tmp dir, swap it in
+          val tmp = Paths.get(s"$warehouse/.$t.rollback.tmp")
+          if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
+          Files.createDirectories(tmp)
+          linkTree(snap, tmp)
+          val live = Paths.get(tableDir(t))
+          val aside = Paths.get(s"$warehouse/.$t.old.tmp")
+          if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
+          Files.move(live, aside)
+          try Files.move(tmp, live)
+          catch { case e: Throwable => Files.move(aside, live); throw e }
+          deleteRecursively(aside, keepRoot = false)
+          // versions born inside the transaction vanish: truncate the
+          // log and reclaim their archives + IVM delta recordings, so
+          // DESCRIBE HISTORY / time travel are unpolluted
+          history(t) = log.take(u.version + 1)
+          ((u.version + 1) to cur).foreach { v =>
+            Seq(versionDir(t, v), deleteDeltaDir(t, v), updateAddDir(t, v))
+              .foreach { d =>
+                if (Files.exists(d)) deleteRecursively(d, keepRoot = false)
+              }
+          }
+        }
+        tables(t) = (u.schema, u.pk)
+        u.dflts match {
+          case Some(d) => defaults(t) = d; case None => defaults.remove(t)
+        }
+        u.chks match {
+          case Some(c) => checks(t) = c; case None => checks.remove(t)
+        }
+        register(t)
+        refresh(t)
+        matviewBase.keys.toSeq.foreach { m =>
+          val (b, av, _) = matviewBase(m)
+          // anchor on a rolled-back base past the restore point, or on
+          // the rolled-back view itself: the recorded delta window no
+          // longer describes reality — drop it (next refresh goes full)
+          if ((b == t && av > u.version) || m == t) matviewBase.remove(m)
+        }
+      }
+    }
+    saveManifest()
+    emptyResult
+  }
+
+  /** DDL implicitly commits the open transaction (MySQL semantics): the
+    * version log can undo data motion, not catalog surgery, and a silent
+    * partial undo would be worse than an honest early commit.
+    */
+  private val reImplicitCommitDdl =
+    """(?is)\s*(?:create|drop|alter|vacuum)\b.*""".r
 
   // ---- incremental materialized-view maintenance -------------------------
   // view → (base table, base-table version the stored rows reflect). A
@@ -682,6 +848,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           if views.keys.exists(_.equalsIgnoreCase(sa.alias)) => false
       case _: Project | _: LFilter | _: SubqueryAlias | _: View =>
         p.expressions.forall(clean) && linear(p.children.head)
+      // a mock-hint broadcast shadow (SET mock_rowcount_<t>) wraps the
+      // scan in ResolvedHint — semantics-neutral, delta replay still safe
+      case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+        linear(h.child)
       case _ => false
     }
     scala.util.Try {
@@ -744,6 +914,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               case f: LFilter => traceToBase(a0, f.child)
               case sa: SubqueryAlias => traceToBase(a0, sa.child)
               case v: View => traceToBase(a0, v.child)
+              case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
+                traceToBase(a0, h.child)
               case leaf: LeafNode =>
                 leaf.output.find(_.exprId == a0.exprId).map(_.name)
               case _ => None
@@ -901,7 +1073,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         Some(try {
           df.createOrReplaceTempView(base)
           ivmDecomposedBody(body)
-        } finally spark.catalog.dropTempView(base))
+        } finally {
+          spark.catalog.dropTempView(base)
+          // the overlay shared a name with any mock-hint broadcast
+          // shadow (SET mock_rowcount_<t>): rebuild it, don't leave the
+          // bare catalog table where the hint used to be
+          applyMockHint(base)
+        })
       }
     val aAgg = replay(addFiles.toSeq)
     val dAgg = replay(delDirs.toSeq.map(_.toString))
@@ -1006,7 +1184,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val recomputed = try {
           filtered.createOrReplaceTempView(base)
           ivmDecomposedBody(body)
-        } finally spark.catalog.dropTempView(base)
+        } finally {
+          spark.catalog.dropTempView(base)
+          applyMockHint(base) // restore any mock-hint shadow (see replay)
+        }
         okRows.unionByName(
           recomputed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
             .map(col): _*)).localCheckpoint()
@@ -1280,9 +1461,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           s"""cursor "$name" does not exist""")
       }
       emptyResult
-    case reTxnNoop() => emptyResult
-    case reRollback() => throw new IllegalArgumentException(
-      "ROLLBACK is not supported: statements autocommit (nothing to roll back)")
+    case reBegin() => beginTxn()
+    case reCommit() => commitTxn()
+    case reRollback() => rollbackTxn()
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
@@ -1453,6 +1634,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * engine restarts like the rest of the catalog.
     */
   private def recordCommit(table: String, op: String): Unit = {
+    txnTouch(table) // defensive: no-op when the DML path already touched
     history(table) = history.getOrElse(table,
       Vector(Commit(0L, "create table", tables(table)._1.toDDL))) :+
       Commit(System.currentTimeMillis(), op, tables(table)._1.toDDL)
@@ -1619,6 +1801,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * archives like any other, so a restore can be un-restored.
     */
   private def restoreTable(table: String, v: Int): DataFrame = {
+    txnTouch(table) // BEFORE the schema moves: the undo must capture it
     val log = history.getOrElse(table, Vector.empty)
     val cur = log.length - 1
     require(v >= 0 && v <= cur,
@@ -2214,6 +2397,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * table dir, no per-row work at any size.
     */
   private def truncate(table: String): DataFrame = {
+    txnTouch(table)
     // move, don't delete: the pre-truncate directory IS the archived
     // version (one rename — and TRUNCATE becomes an undoable commit:
     // INSERT INTO t SELECT * FROM t VERSION AS OF k restores it)
@@ -2483,9 +2667,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * silently break the layout Spark trusts at read time); a plain table
     * appends parquet files directly.
     */
-  private def appendTo(table: String, df: DataFrame): Unit =
+  private def appendTo(table: String, df: DataFrame): Unit = {
+    txnTouch(table) // before the first data file lands
     if (buckets.contains(table)) df.write.insertInto(table)
     else df.write.mode("append").parquet(tableDir(table))
+  }
 
   /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL).
     *
@@ -2549,6 +2735,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def rewriteSwap(table: String, rewritten: DataFrame,
       op: String): Unit = {
+    txnTouch(table) // before the live directory moves
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")

@@ -282,6 +282,30 @@ class EngineSpec extends AnyFunSuite {
     } finally engine.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
   }
 
+  test("mock-hint shadow survives an incremental matview refresh overlay") {
+    val dir = freshDir("/root/repo/target/graft-tmp/mockmv-warehouse")
+    val e = new Engine(spark, dir)
+    e.run("create table mh(k int, v int)")
+    e.run("create table mhj(k int, w int)")
+    e.run("insert into mh values (1, 10), (2, 20)")
+    e.run("insert into mhj values (1, 1), (2, 2)")
+    e.run("create materialized view mhv as " +
+      "select k, sum(v) as s from mh group by k")
+    e.run("set mock_rowcount_mh = 1")
+    e.run("set spark.sql.autoBroadcastJoinThreshold=-1")
+    try {
+      // the refresh's delta replay overlays a temp view named `mh` and
+      // drops it — the broadcast-hint shadow must come back afterwards
+      e.run("insert into mh values (3, 30)")
+      val mode = e.run("refresh materialized view mhv").collect()(0).getString(0)
+      assert(mode == "incremental", mode)
+      val plan = e.run("explain select v, w from mh join mhj on mh.k = mhj.k")
+        .collect()(0).getString(0)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"mock-hint shadow lost across IVM overlay:\n$plan")
+    } finally e.run(s"set spark.sql.autoBroadcastJoinThreshold=${64L * 1024 * 1024}")
+  }
+
   test("catalog survives an engine restart: tables, views, functions, indexes") {
     val dir = freshDir("/root/repo/target/graft-tmp/reopen-warehouse")
     val first = new Engine(spark, dir)
@@ -710,5 +734,48 @@ class EngineSpec extends AnyFunSuite {
     val e = intercept[Exception](
       engine.run("select distinct a from sx8 order by b").collect())
     assert(e.getMessage.contains("DISTINCT"))
+  }
+
+  test("anchored matview refreshes correctly after a rolled-back base mutation") {
+    val dir = freshDir("/root/repo/target/graft-tmp/txnmv-warehouse")
+    val e = new Engine(spark, dir)
+    e.run("create table tb(g varchar, v int)")
+    e.run("insert into tb values ('a', 1), ('b', 2)")
+    e.run("create materialized view tmv as " +
+      "select g, count(*) as n, sum(v) as s from tb group by g")
+    // a rolled-back base mutation must not leave the anchor's delta
+    // window pointing at vanished files or double-counting survivors
+    e.run("begin")
+    e.run("insert into tb values ('a', 100)")
+    e.run("delete from tb where g = 'b'")
+    e.run("rollback")
+    // the base is bit-identical to pre-txn; a post-rollback append
+    // reuses the version numbers the rollback reclaimed
+    e.run("insert into tb values ('a', 10)")
+    val mode = e.run("refresh materialized view tmv").collect()(0).getString(0)
+    assert(mode == "incremental", mode)
+    val got = e.run("select g, n, s from tmv order by g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 11L), ("b", 1L, 2L)), got)
+    // a REFRESH inside the transaction rolls back too: the view's data
+    // reverts and its anchor is dropped, so the next refresh goes full
+    // (crash-latch contract) and still lands on the right answer
+    e.run("begin")
+    e.run("insert into tb values ('b', 20)")
+    e.run("refresh materialized view tmv")
+    e.run("rollback")
+    val got2 = e.run("select g, n, s from tmv order by g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq(("a", 2L, 11L), ("b", 1L, 2L)), got2)
+    e.run("insert into tb values ('b', 20)")
+    val mode2 = e.run("refresh materialized view tmv").collect()(0).getString(0)
+    assert(mode2 == "full", mode2)
+    val got3 = e.run("select g, n, s from tmv order by g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got3 == Seq(("a", 2L, 11L), ("b", 2L, 22L)), got3)
+    // time travel is unpolluted: no delete commit survives on tb
+    val ops = e.run("select operation from graft_history where tablename = 'tb'")
+      .collect().map(_.getString(0)).toSeq
+    assert(!ops.contains("delete"), ops)
   }
 }

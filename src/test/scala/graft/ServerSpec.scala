@@ -976,6 +976,56 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("pgwire autocommit-off: BEGIN/COMMIT/ROLLBACK with txn status bytes") {
+    val dir = freshDir("/root/repo/target/graft-tmp/txn-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-txn-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new PgClient(server.getLocalPort)
+    try {
+      c.startup()
+      def tag(ms: Seq[(Char, Array[Byte])]): String =
+        ms.collectFirst { case ('C', b) =>
+          new String(b, StandardCharsets.UTF_8).stripSuffix(" ") }.getOrElse("?")
+      def status(ms: Seq[(Char, Array[Byte])]): Char =
+        ms.last._2.head.toChar // ReadyForQuery payload
+      c.query("create table wtx(v int)")
+      c.query("insert into wtx values (1)")
+      // the pgJDBC autocommit(false) flow: BEGIN, work, ROLLBACK
+      val b1 = c.query("BEGIN")
+      assert(tag(b1) == "BEGIN" && status(b1) == 'T', s"${tag(b1)} ${status(b1)}")
+      val i1 = c.query("insert into wtx values (2)")
+      assert(tag(i1) == "INSERT 0 1" && status(i1) == 'T')
+      val r1 = c.query("ROLLBACK")
+      assert(tag(r1) == "ROLLBACK" && status(r1) == 'I')
+      val q1 = c.query("select count(*) from wtx")
+      val n1 = q1.collect { case ('D', b) => b }.head
+      assert(new String(n1.drop(6), StandardCharsets.UTF_8) == "1")
+      // BEGIN, work, COMMIT persists
+      c.query("BEGIN")
+      c.query("insert into wtx values (3)")
+      val cm = c.query("COMMIT")
+      assert(tag(cm) == "COMMIT" && status(cm) == 'I')
+      // an error mid-transaction flips the status to 'E' (aborted) and
+      // COMMIT then reports a rollback happened
+      c.query("BEGIN")
+      c.query("insert into wtx values (4)")
+      val er = c.query("select no_such_column from wtx")
+      assert(er.exists(_._1 == 'E') && status(er) == 'E')
+      val refused = c.query("insert into wtx values (5)")
+      assert(refused.exists(_._1 == 'E') && status(refused) == 'E')
+      c.query("COMMIT")
+      val q2 = c.query("select count(*) from wtx")
+      val n2 = q2.collect { case ('D', b) => b }.head
+      assert(new String(n2.drop(6), StandardCharsets.UTF_8) == "2")
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
   test("a stalled client draining a big result no longer blocks DML") {
     val dir = freshDir("/root/repo/target/graft-tmp/stall-warehouse")
     val engine = new Engine(spark, dir)
