@@ -1170,7 +1170,10 @@ private object Pgwire {
             s"parameter $$$idx out of range (${params.length} bound)")
         out.append(params(idx - 1) match {
           case null => "NULL"
-          case v => "'" + v.replace("'", "''") + "'"
+          // double backslashes too: Spark's parser (escapedStringLiterals
+          // off) interprets \x escapes inside '...', which would silently
+          // eat the backslash of a bytea hex literal or any \-bearing text
+          case v => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
         })
         i = j
       } else {

@@ -32,6 +32,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // reorder + EXPLAIN row estimates (reference keeps per-table stats
   // always, src/db.rs:140-158)
   spark.conf.set("spark.sql.cbo.enabled", "true")
+  // Spark's WITH RECURSIVE safety valve defaults to 1M rows — measured
+  // to trip on real path recursion at ~25M rows (SCALING.md soak13)
+  // while UnionLoop itself streams fine. Engine sessions open the valve
+  // to 100M; `pragma cte_recursion_row_limit = n` tunes it per session,
+  // and the limit error names that pragma.
+  spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
 
   /** Statement-level concurrency gate for network front ends: reads
     * (SELECT-shaped statements) share the read lock and run concurrently —
@@ -44,6 +50,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   /** table name → (schema, primary-key columns) */
   private val tables = mutable.LinkedHashMap[String, (StructType, Seq[String])]()
+  /** table → exact row count, maintained at zero extra cost: every write
+    * path already materializes the rows (appends observe their delta,
+    * rewrites observe the full post-state as it writes), so the ledger
+    * stays exact without ANALYZE. Pushed into the session catalog as
+    * CBO stats after each commit ([[pushStats]]) — join reorder and
+    * BroadcastRowGuard's STATIC path then see real `rowCount`, not a
+    * bytes/row-width guess. Absent for tables whose count was never
+    * established (pre-r14 manifests, rolled-back transactions) until
+    * the next rewrite or ANALYZE re-establishes it.
+    */
+  private val rowCounts = mutable.Map[String, Long]()
   /** view name → SQL text (re-planned at each scan, like the reference) */
   private val views = mutable.LinkedHashMap[String, String]()
   /** function name → (params, body) for bind-time inlining */
@@ -135,11 +152,37 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           Map("path" -> path))
     }
     applyMockHint(name)
+    pushStats(name) // a re-registration starts statless: restore them
   }
 
   private def refresh(name: String): Unit = {
     spark.catalog.refreshTable(name)
     applyMockHint(name)
+  }
+
+  /** Write the tracked row count (with real on-disk bytes) into the
+    * session catalog's stats for `table`, or clear them when the count
+    * is unknown — stale stats would mislead the planner worse than none.
+    */
+  private def pushStats(table: String): Unit = {
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    try {
+      val stats = rowCounts.get(table).map { n =>
+        var bytes = 0L
+        val dir = Paths.get(tableDir(table))
+        if (Files.isDirectory(dir)) {
+          val s = Files.walk(dir)
+          try {
+            import scala.jdk.CollectionConverters._
+            s.iterator().asScala.filter(Files.isRegularFile(_))
+              .foreach(p => bytes += Files.size(p))
+          } finally s.close()
+        }
+        CatalogStatistics(BigInt(math.max(bytes, 1L)), Some(BigInt(n)))
+      }
+      spark.sessionState.catalog.alterTableStats(TableIdentifier(table), stats)
+    } catch { case _: Exception => } // stats are advisory, never fail a commit
   }
 
   /** Mocked-small tables (`SET mock_rowcount_<t> = n`) shadow their catalog
@@ -448,6 +491,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
+  private val reAnalyze = """(?is)\s*analyze\s+table\s+(\w+)\b.*""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
 
   // transaction verbs: BEGIN opens a REAL transaction over the per-table
@@ -517,7 +561,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // pg: any error inside an open transaction aborts it — commands
         // are refused until COMMIT/ROLLBACK ends the block
         if (txnOpen) txnAborted = true
-        throw e
+        e match {
+          // the WITH RECURSIVE safety valve tripped: name the
+          // engine-level pragma that raises it, not just the raw conf
+          case st: org.apache.spark.SparkThrowable
+              if st.getCondition == "RECURSION_ROW_LIMIT_EXCEEDED" =>
+            throw new IllegalArgumentException(
+              s"${e.getMessage} Engine valve: raise it with " +
+                "`pragma cte_recursion_row_limit = <rows>`.", e)
+          case st: org.apache.spark.SparkThrowable
+              if st.getCondition == "RECURSION_LEVEL_LIMIT_EXCEEDED" =>
+            throw new IllegalArgumentException(
+              s"${e.getMessage} Engine valve: raise it with " +
+                "`pragma cte_recursion_level_limit = <depth>`.", e)
+          case _ => throw e
+        }
     }
   }
 
@@ -598,7 +656,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private case class TxnUndo(version: Int, schema: StructType,
       pk: Seq[String], dflts: Option[Map[String, String]],
-      chks: Option[Vector[(String, String)]])
+      chks: Option[Vector[(String, String)]], rows: Option[Long])
   private var txnOpen = false
   private var txnAborted = false
   private val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
@@ -611,7 +669,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (txnOpen && !txnUndo.contains(table) && tables.contains(table)) {
       val v = math.max(history.getOrElse(table, Vector.empty).length - 1, 0)
       txnUndo(table) = TxnUndo(v, tables(table)._1, tables(table)._2,
-        defaults.get(table), checks.get(table))
+        defaults.get(table), checks.get(table), rowCounts.get(table))
     }
 
   /** pgwire ReadyForQuery status byte: 'T' inside an open transaction,
@@ -685,14 +743,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         u.chks match {
           case Some(c) => checks(t) = c; case None => checks.remove(t)
         }
+        // the undo record carries the pre-txn count — restore it exactly
+        u.rows match {
+          case Some(n) => rowCounts(t) = n; case None => rowCounts.remove(t)
+        }
         register(t)
         refresh(t)
         matviewBase.keys.toSeq.foreach { m =>
-          val (b, av, _) = matviewBase(m)
+          val (anchors, _) = matviewBase(m)
           // anchor on a rolled-back base past the restore point, or on
           // the rolled-back view itself: the recorded delta window no
           // longer describes reality — drop it (next refresh goes full)
-          if ((b == t && av > u.version) || m == t) matviewBase.remove(m)
+          if (anchors.exists { case (b, av) => b == t && av > u.version } ||
+              m == t) matviewBase.remove(m)
         }
       }
     }
@@ -708,17 +771,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*(?:create|drop|alter|vacuum)\b.*""".r
 
   // ---- incremental materialized-view maintenance -------------------------
-  // view → (base table, base-table version the stored rows reflect). A
-  // refresh first tries to apply only the base's append delta since that
-  // version; anything it can't prove safe falls back to full recompute.
-
-  // view → (base table, base version the stored rows reflect, the view's
-  // OWN version at anchor time). The third element is a crash latch: a
-  // refresh swap that died before re-anchoring leaves a refreshed view
-  // with a stale anchor, and re-applying the delta window would double
-  // count — the latch detects the view moved without an anchor and
-  // forces one full recompute instead.
-  private val matviewBase = mutable.Map[String, (String, Int, Int)]()
+  // view → (per-base-table anchored versions, the view's OWN version at
+  // anchor time). A refresh applies a delta only when EXACTLY ONE base
+  // moved since its anchored version (that table is the window's "fact";
+  // unmoved dims read live, which equals their anchor state) — anything
+  // it can't prove safe falls back to full recompute. The second element
+  // is a crash latch: a refresh swap that died before re-anchoring
+  // leaves a refreshed view with a stale anchor, and re-applying the
+  // delta window would double count — the latch detects the view moved
+  // without an anchor and forces one full recompute instead.
+  private val matviewBase =
+    mutable.Map[String, (Seq[(String, Int)], Int)]()
 
   /** One view output column's role in the incremental merge. */
   private sealed trait IvmKind
@@ -730,12 +793,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private case object IvmAvg extends IvmKind
 
   /** `kinds` covers every view output column in order; `bareGroups` maps
-    * group output name → base column name when every grouping expression
-    * is a bare column — the precondition for the targeted per-group
-    * re-aggregation a MIN/MAX extremum eviction needs.
+    * group output name → (owning table, base column name) when every
+    * grouping expression is a bare column of some referenced table — the
+    * precondition for the targeted per-group re-aggregation a MIN/MAX
+    * extremum eviction needs. `bases` lists every referenced engine
+    * table (distinct): one table is the classic single-base case; more
+    * admits a fact ⋈ dims body, where the refresh-time delta replays the
+    * body with ONLY the moved table overlaid (inner joins distribute
+    * over union, so Δ(F ⋈ D) = ΔF ⋈ D while D holds still).
     */
-  private case class IvmShape(base: String, kinds: Seq[(String, IvmKind)],
-      bareGroups: Option[Seq[(String, String)]]) {
+  private case class IvmShape(bases: Seq[String], kinds: Seq[(String, IvmKind)],
+      bareGroups: Option[Seq[(String, String, String)]]) {
     def groupCols: Seq[String] = kinds.collect { case (n, IvmGroup) => n }
     def minMaxCols: Seq[(String, IvmKind)] =
       kinds.filter(k => k._2 == IvmMin || k._2 == IvmMax)
@@ -831,7 +899,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * merge join. `None` means "recompute fully".
     */
   private def ivmShape(body: String): Option[IvmShape] = {
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LeafNode, LogicalPlan, Project, SubqueryAlias, View, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join, LeafNode, LogicalPlan, Project, SubqueryAlias, View, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.plans.Inner
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, SubqueryExpression}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Max, Min, Sum}
     def clean(e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
@@ -852,6 +921,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // scan in ResolvedHint — semantics-neutral, delta replay still safe
       case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
         linear(h.child)
+      // INNER joins distribute over union on either input, so replaying
+      // the body with one side's delta overlaid IS the view delta as
+      // long as every other input held still (checked at refresh time).
+      // Outer joins null-extend and do not distribute — bail.
+      case j: Join =>
+        j.joinType == Inner && j.condition.forall(clean) &&
+          j.children.forall(linear)
       case _ => false
     }
     scala.util.Try {
@@ -891,17 +967,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             underlying(ne).collectFirst { case ae: AggregateExpression => ae }.isEmpty)
           val groupsCovered = gexprs.forall(g =>
             groupOuts.exists(ne => underlying(ne).semanticEquals(g)))
-          if (refs.length == 1 && kinds.forall(_.isDefined) && groupsCovered &&
+          // a table referenced twice (self-join) breaks the one-side
+          // overlay algebra — Δ(F⋈F) ≠ ΔF⋈F — so refs must be distinct
+          if (refs.nonEmpty &&
+              refs.map(_.toLowerCase).distinct.length == refs.length &&
+              kinds.forall(_.isDefined) && groupsCovered &&
               names.map(_.toLowerCase).distinct.length == names.length &&
               !names.exists(_.toLowerCase.startsWith("__ivm_"))) {
             // a group output is only "bare" when its attribute traces by
-            // exprId through the Project/Filter chain to an UNTOUCHED
-            // column of the base leaf: an attribute minted by a nested
-            // projection (upper(g) AS g2) doesn't exist in the base — the
-            // eviction recompute would either fail to resolve it or, if
-            // the alias shadows a real base column, semi-join on the
-            // wrong column and yield silently wrong rows after a delete
-            def traceToBase(a0: Attribute, p: LogicalPlan): Option[String] = p match {
+            // exprId through the Project/Filter/Join chain to an
+            // UNTOUCHED column of a referenced table's leaf: an attribute
+            // minted by a nested projection (upper(g) AS g2) doesn't
+            // exist in any base — the eviction recompute would either
+            // fail to resolve it or, if the alias shadows a real base
+            // column, semi-join on the wrong column and yield silently
+            // wrong rows after a delete. The trace also names the OWNING
+            // table, so eviction can check the key lives on the moved one.
+            def traceToBase(a0: Attribute, p: LogicalPlan): Option[(String, String)] = p match {
               case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
                 proj.projectList.find(_.exprId == a0.exprId).flatMap {
                   case att: Attribute => traceToBase(att, proj.child)
@@ -912,23 +994,35 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   case _ => None
                 }
               case f: LFilter => traceToBase(a0, f.child)
+              case sa: SubqueryAlias if tables.contains(sa.alias) =>
+                // an engine-table alias: the column must be the leaf's own
+                sa.child.collectLeaves().headOption
+                  .flatMap(_.output.find(_.exprId == a0.exprId))
+                  .map(att => (sa.alias, att.name))
               case sa: SubqueryAlias => traceToBase(a0, sa.child)
               case v: View => traceToBase(a0, v.child)
               case h: org.apache.spark.sql.catalyst.plans.logical.ResolvedHint =>
                 traceToBase(a0, h.child)
-              case leaf: LeafNode =>
-                leaf.output.find(_.exprId == a0.exprId).map(_.name)
+              case j: Join =>
+                val side =
+                  if (j.left.outputSet.contains(a0)) j.left else j.right
+                traceToBase(a0, side)
+              case leaf: LeafNode if refs.length == 1 =>
+                // only unambiguous with a single referenced table
+                leaf.output.find(_.exprId == a0.exprId)
+                  .map(att => (refs.head, att.name))
               case _ => None
             }
             val bare = {
               val traced = groupOuts.map(ne => underlying(ne) match {
                 case att: Attribute =>
-                  traceToBase(att, child).map(b => ne.name -> b)
+                  traceToBase(att, child).map { case (tb, bc) =>
+                    (ne.name, tb, bc) }
                 case _ => None
               })
               if (traced.forall(_.isDefined)) Some(traced.map(_.get)) else None
             }
-            Some(IvmShape(refs.head, kinds.map(_.get), bare))
+            Some(IvmShape(refs, kinds.map(_.get), bare))
           } else None
         case _ => None
       }
@@ -945,26 +1039,33 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       precomputedAux: Option[DataFrame] = None): Unit =
     ivmShape(body) match {
       case Some(s) =>
-        val v = history.get(s.base).map(_.length - 1).getOrElse(0)
-        matviewBase(name) =
-          (s.base, v, history.get(name).map(_.length - 1).getOrElse(0))
+        val anchors = s.bases.map(b =>
+          b -> history.get(b).map(_.length - 1).getOrElse(0))
+        val viewV = history.get(name).map(_.length - 1).getOrElse(0)
+        matviewBase(name) = (anchors, viewV)
         val aux = precomputedAux.getOrElse(
           ivmDecomposedBody(body).select(s.auxCols.map(col): _*))
         val root = auxRoot(name)
-        val dir = auxDir(name, v)
         val tmp = root.resolveSibling(s"${root.getFileName}.tmp")
         if (Files.isDirectory(tmp)) deleteRecursively(tmp, keepRoot = false)
+        // the sidecar is keyed by the VIEW's version (unique per anchor:
+        // every refresh commit bumps it), which stays well-defined with
+        // several anchored bases
         aux.select(s.auxCols.map(col): _*).write.mode("overwrite")
-          .parquet(tmp.resolve(s"v$v").toString)
+          .parquet(tmp.resolve(s"v$viewV").toString)
         if (Files.isDirectory(root)) deleteRecursively(root, keepRoot = false)
         Files.move(tmp, root)
-        // recorded DML deltas at or before EVERY anchor on this base are
+        // recorded DML deltas at or before EVERY anchor on a base are
         // unreachable by any future incremental refresh — reclaim them
-        val minAnchor = matviewBase.values
-          .collect { case (b, vv, _) if b == s.base => vv }.min
-        (0 to minAnchor).foreach { i =>
-          Seq(deleteDeltaDir(s.base, i), updateAddDir(s.base, i)).foreach { d =>
-            if (Files.isDirectory(d)) deleteRecursively(d, keepRoot = false)
+        s.bases.foreach { b =>
+          val anchorsOnB = matviewBase.values.flatMap(_._1)
+            .collect { case (`b`, vv) => vv }
+          if (anchorsOnB.nonEmpty) {
+            (0 to anchorsOnB.min).foreach { i =>
+              Seq(deleteDeltaDir(b, i), updateAddDir(b, i)).foreach { d =>
+                if (Files.isDirectory(d)) deleteRecursively(d, keepRoot = false)
+              }
+            }
           }
         }
       case None =>
@@ -996,24 +1097,36 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def incrementalRefresh(name: String,
       body: String): Option[(DataFrame, DataFrame)] = {
-    val (base, v0, viewV) = matviewBase.getOrElse(name, return None)
-    if (!tables.contains(base)) return None
+    val (anchors, viewV) = matviewBase.getOrElse(name, return None)
+    if (!anchors.forall(a => tables.contains(a._1))) return None
     // crash latch: the view changed since this anchor was written (a
     // refresh that died between swap and re-anchor) — recompute fully
     if (history.get(name).map(_.length - 1).getOrElse(0) != viewV) return None
+    val shape = ivmShape(body).getOrElse(return None)
+    // body re-pointed since anchor (different table set) → full
+    if (shape.bases.map(_.toLowerCase).sorted !=
+        anchors.map(_._1.toLowerCase).sorted) return None
+    anchors.foreach { case (b, v) => // any base rewound (RESTORE): re-anchor
+      if (v >= history.getOrElse(b, Vector.empty).length) return None
+    }
+    val aDirPath = auxDir(name, viewV)
+    if (!Files.isDirectory(aDirPath)) return None // sidecar lost: rebuild
+    // the window's "fact" = the single base that moved; several moved
+    // bases would need cross-delta terms (ΔF ⋈ ΔD) — recompute fully
+    val moved = anchors.filter { case (b, v) =>
+      history.getOrElse(b, Vector.empty).length - 1 != v
+    }
+    if (moved.length > 1) return None
+    val (base, v0) = moved.headOption.getOrElse(anchors.head)
     val log = history.getOrElse(base, Vector.empty)
-    if (v0 >= log.length) return None // base rewound (RESTORE): re-anchor
     val cur = log.length - 1
     val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
     if (!newOps.forall { case (_, op) =>
         appendOnlyOps(op) || op == "delete" || op == "update" ||
           op == "merge" || op == "upsert" })
       return None
-    if (log(v0).ddl != log.last.ddl) return None // base schema drifted
-    val shape = ivmShape(body).getOrElse(return None)
-    if (shape.base != base) return None // body re-pointed since anchor
-    val aDirPath = auxDir(name, v0)
-    if (!Files.isDirectory(aDirPath)) return None // sidecar lost: rebuild
+    if (newOps.nonEmpty && log(v0).ddl != log.last.ddl)
+      return None // base schema drifted
     def dataFiles(root: java.nio.file.Path): Set[String] = {
       if (!Files.isDirectory(root)) return Set.empty
       val s = Files.walk(root)
@@ -1051,9 +1164,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
     }
     // extremum eviction needs a per-group re-aggregation pushed into the
-    // base scan — only expressible when groups are bare base columns
+    // base scan — only expressible when every group key is a bare column
+    // of the MOVED table (a dim-owned key can't semi-filter the fact)
+    val factBare = shape.bareGroups.filter(_.forall(_._2 == base))
     if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
-        (shape.groupCols.isEmpty || shape.bareGroups.isEmpty)) return None
+        (shape.groupCols.isEmpty || factBare.isEmpty)) return None
     val groupCols = shape.groupCols
     val auxSchema = StructType(ivmDecomposedBody(body)
       .select(shape.auxCols.map(col): _*).schema.fields)
@@ -1172,7 +1287,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // columns, but any residual resolution failure here must degrade
       // to a full recompute, never error the REFRESH statement
       else scala.util.Try {
-        val bg = shape.bareGroups.get
+        val bg = factBare.get.map { case (out, _, bcol) => (out, bcol) }
         val keys = survivors.filter(col("__ivm_evict"))
           .select(groupCols.map(col): _*).localCheckpoint()
         val renamed = keys.select(bg.map { case (out, bcol) =>
@@ -1622,6 +1737,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           vectorIndexScan(q2).getOrElse(spark.sql(inlined))
           } finally ttViews.foreach(v => spark.catalog.dropTempView(v))
       }
+    case reAnalyze(t) if tables.contains(t) =>
+      // Spark's compareAndGetNewStats treats pre-existing stats as a
+      // previous ANALYZE: a size delta WITHOUT a row-count delta (our
+      // auto-stats count is already exact) makes it drop rowCount from
+      // the new stats. Clear first so ANALYZE writes the complete pair.
+      scala.util.Try(spark.sessionState.catalog.alterTableStats(
+        org.apache.spark.sql.catalyst.TableIdentifier(t), None))
+      val res = spark.sql(stmt)
+      // adopt the computed count into the ledger, so a later
+      // re-registration pushes (not clears) the analyzed stats
+      scala.util.Try {
+        spark.sessionState.catalog
+          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+          .stats.flatMap(_.rowCount)
+          .foreach(n => rowCounts(t) = n.toLong)
+      }
+      res
     case other => refreshViews(); spark.sql(inlineFunctions(rewriteQualify(other)))
   }
 
@@ -2050,6 +2182,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // tier; disabling restores exact full scans (pg: `enable_indexscan`)
       case "enable_vector_index" => vectorIndexEnabled = true
       case "disable_vector_index" => vectorIndexEnabled = false
+      // engine-owned valves over Spark's WITH RECURSIVE safety limits
+      // (the engine raises the row default to 100M at construction)
+      case "cte_recursion_row_limit" =>
+        val n = value.map(_.trim).filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(
+            "pragma cte_recursion_row_limit needs a row count")).toLong
+        require(n > 0, "cte_recursion_row_limit must be positive")
+        spark.conf.set("spark.sql.cteRecursionRowLimit", n.toString)
+      case "cte_recursion_level_limit" =>
+        val n = value.map(_.trim).filter(_.nonEmpty).getOrElse(
+          throw new IllegalArgumentException(
+            "pragma cte_recursion_level_limit needs a depth")).toLong
+        require(n > 0, "cte_recursion_level_limit must be positive")
+        spark.conf.set("spark.sql.cteRecursionLevelLimit", n.toString)
       case other =>
         throw new IllegalArgumentException(s"no such pragma: $other")
     }
@@ -2223,6 +2369,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     history(name) = Vector(
       Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
+    rowCounts(name) = 0L // ledger baseline: a new table is empty
     register(name)
     saveManifest()
     emptyResult
@@ -2252,6 +2399,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     try {
       Files.createDirectories(Paths.get(tableDir(name)))
+      rowCounts(name) = 0L // baseline; appendTo adds the observed delta
       register(name)
       val obs = org.apache.spark.sql.Observation()
       appendTo(name, df.observe(obs, count(lit(1)).as("n")))
@@ -2263,6 +2411,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     } catch {
       case e: Exception => // failed write: don't leave a phantom catalog entry
         tables.remove(name); buckets.remove(name); history.remove(name)
+        rowCounts.remove(name)
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         throw e
     }
@@ -2387,6 +2536,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     history.remove(from).foreach(log => history(to) = log)
     defaults.remove(from).foreach(d => defaults(to) = d)
+    rowCounts.remove(from).foreach(n => rowCounts(to) = n)
     register(to)
     archiveCurrent(to)
     recordCommit(to, s"rename from $from")
@@ -2411,8 +2561,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case None =>
         deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
     }
+    rowCounts(table) = 0L
     refresh(table)
     recordCommit(table, "truncate")
+    pushStats(table)
     emptyResult
   }
 
@@ -2435,6 +2587,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       buckets.remove(name)
       history.remove(name)
       defaults.remove(name)
+      rowCounts.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
@@ -2580,7 +2733,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // every INSERT/COPY/DELETE/UPDATE/MERGE/upsert now refreshes at
     // O(delta). newRows is cached, so the extra reads are deterministic.
     def recordUpsertDelta(pre: DataFrame, adds: DataFrame): Unit =
-      if (matviewBase.values.exists(_._1 == table)) {
+      if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
         val newV = history.get(table).map(_.length).getOrElse(1)
         Files.createDirectories(historyDir(table))
         pre.write.mode("overwrite").parquet(deleteDeltaDir(table, newV).toString)
@@ -2669,8 +2822,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def appendTo(table: String, df: DataFrame): Unit = {
     txnTouch(table) // before the first data file lands
-    if (buckets.contains(table)) df.write.insertInto(table)
-    else df.write.mode("append").parquet(tableDir(table))
+    // the row-count ledger rides the write as an observe metric — no
+    // second scan; a missing baseline stays missing (no stats)
+    val obsN = org.apache.spark.sql.Observation()
+    val counted = df.observe(obsN, count(lit(1)).as("n"))
+    if (buckets.contains(table)) counted.write.insertInto(table)
+    else counted.write.mode("append").parquet(tableDir(table))
+    rowCounts.get(table).foreach(prev =>
+      rowCounts(table) = prev + observedCount(obsN))
+    pushStats(table)
   }
 
   /** DELETE: anti-filter rewrite — keep rows where cond is not TRUE (3VL).
@@ -2707,7 +2867,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // O(delta) instead of recomputing the view. Written BEFORE the swap,
     // while the matched rows' files still exist; O(deleted rows), and
     // skipped entirely when no view could use it.
-    if (matviewBase.values.exists(_._1 == table)) {
+    if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
       val newV = history.get(table).map(_.length).getOrElse(1)
       val dd = deleteDeltaDir(table, newV)
       Files.createDirectories(dd.getParent)
@@ -2733,9 +2893,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * after the new directory is in place, and a stale aside from a
     * previous crash is cleared first.
     */
-  private def rewriteSwap(table: String, rewritten: DataFrame,
+  private def rewriteSwap(table: String, rewritten0: DataFrame,
       op: String): Unit = {
     txnTouch(table) // before the live directory moves
+    // a rewrite materializes the COMPLETE post-state: counting it as it
+    // writes keeps the row-count ledger exact for delete/update/merge/
+    // optimize/restore/refresh without any extra scan
+    val obsN = org.apache.spark.sql.Observation()
+    val rewritten = rewritten0.observe(obsN, count(lit(1)).as("n"))
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
@@ -2775,6 +2940,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     refresh(table)
     recordCommit(table, op)
+    rowCounts(table) = observedCount(obsN)
+    pushStats(table)
   }
 
   private def parquetFileCount(table: String): Long = {
@@ -2883,7 +3050,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // reduce to the assignments), so REFRESH treats the update as
     // delete+insert at O(delta). Written before the swap; skipped
     // entirely when no view could use it.
-    if (matviewBase.values.exists(_._1 == table)) {
+    if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
       val newV = history.get(table).map(_.length).getOrElse(1)
       Files.createDirectories(historyDir(table))
       spark.table(table).filter(c)
@@ -3009,7 +3176,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // update-post-image + inserted rows (add side), so REFRESH treats
     // the merge as delete+insert at O(delta). The cardinality check
     // above guarantees each pre-image row was affected exactly once.
-    if (matviewBase.values.exists(_._1 == tgt)) {
+    if (matviewBase.values.exists(_._1.exists(_._1 == tgt))) {
       val newV = history.get(tgt).map(_.length).getOrElse(1)
       Files.createDirectories(historyDir(tgt))
       val pre =
@@ -3498,10 +3665,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     })
     val viewsJson = obj(views.map { case (n, body) => s"${q(n)}: ${q(body)}" })
     val matviewsJson = obj(matviews.map { case (n, body) => s"${q(n)}: ${q(body)}" })
-    val matviewBaseJson = obj(matviewBase.map { case (n, (b, v, vv)) =>
-      s"${q(n)}: {${q("base")}: ${q(b)}, ${q("version")}: $v, " +
-        s"${q("view_version")}: $vv}"
+    val matviewBaseJson = obj(matviewBase.map { case (n, (anchors, vv)) =>
+      val bases = anchors.map { case (b, v) =>
+        s"{${q("table")}: ${q(b)}, ${q("version")}: $v}" }.mkString("[", ",", "]")
+      s"${q(n)}: {${q("bases")}: $bases, ${q("view_version")}: $vv}"
     })
+    val rowCountsJson = obj(rowCounts.map { case (n, c) => s"${q(n)}: $c" })
     val functionsJson = obj(functions.map { case (n, (params, body)) =>
       s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
     })
@@ -3528,6 +3697,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"""{${q("tables")}: $tablesJson, ${q("views")}: $viewsJson, """ +
         s"""${q("matviews")}: $matviewsJson, """ +
         s"""${q("matview_base")}: $matviewBaseJson, """ +
+        s"""${q("row_counts")}: $rowCountsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
         s"""${q("history")}: $historyJson}""")
@@ -3590,6 +3760,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         buckets(e.getKey) =
           (e.getValue.get("column").asText(), e.getValue.get("n").asInt())
       }
+    // row-count ledger too: register() pushes these into catalog stats
+    if (root.has("row_counts"))
+      fields(root.get("row_counts")).foreach(e =>
+        rowCounts(e.getKey) = e.getValue.asLong())
     val tablesNode = if (root.has("tables")) root.get("tables") else root
     fields(tablesNode).foreach { e =>
       // crash recovery for the rewrite swap: a failure between its two
@@ -3627,13 +3801,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       fields(root.get("matviews")).foreach(e => matviews(e.getKey) = e.getValue.asText())
     if (root.has("matview_base"))
       fields(root.get("matview_base")).foreach { e =>
-        matviewBase(e.getKey) =
-          (e.getValue.get("base").asText(), e.getValue.get("version").asInt(),
-            // pre-r13 manifests carry no view_version: -1 fails the
-            // crash latch once, forcing one full recompute + re-anchor
-            if (e.getValue.has("view_version"))
-              e.getValue.get("view_version").asInt()
-            else -1)
+        val anchors: Seq[(String, Int)] =
+          if (e.getValue.has("bases")) {
+            import scala.jdk.CollectionConverters._
+            e.getValue.get("bases").elements().asScala.map(b =>
+              (b.get("table").asText(), b.get("version").asInt())).toSeq
+          } else // pre-r14 manifests: a single base/version pair
+            Seq((e.getValue.get("base").asText(),
+              e.getValue.get("version").asInt()))
+        matviewBase(e.getKey) = (anchors,
+          // pre-r13 manifests carry no view_version: -1 fails the
+          // crash latch once, forcing one full recompute + re-anchor.
+          // (pre-r14 single-base anchors also re-key the sidecar dir by
+          // view version, so the dir check fails once → same fallback.)
+          if (e.getValue.has("view_version"))
+            e.getValue.get("view_version").asInt()
+          else -1)
       }
     if (root.has("functions"))
       fields(root.get("functions")).foreach { e =>

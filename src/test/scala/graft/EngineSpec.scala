@@ -736,6 +736,46 @@ class EngineSpec extends AnyFunSuite {
     assert(e.getMessage.contains("DISTINCT"))
   }
 
+  test("auto-stats: every commit keeps exact catalog rowCount; the static guard reads it") {
+    val dir = freshDir("/root/repo/target/graft-tmp/stats-warehouse")
+    val e = new Engine(spark, dir)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def catRows(t: String): Option[BigInt] =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+        .stats.flatMap(_.rowCount)
+    e.run("create table st(k int, v int)")
+    assert(catRows("st").contains(BigInt(0)))
+    e.run("insert into st select id, id from range(0, 1000)")
+    assert(catRows("st").contains(BigInt(1000)))
+    e.run("delete from st where k < 100")
+    assert(catRows("st").contains(BigInt(900)))
+    e.run("update st set v = v + 1 where k < 200")
+    assert(catRows("st").contains(BigInt(900)))
+    // the ledger survives a restart through the manifest
+    new Engine(spark, dir)
+    assert(catRows("st").contains(BigInt(900)))
+    // static-path guard veto, no AQE: a build side whose BYTES are tiny
+    // (the byte threshold would broadcast it) but whose rowCount stats
+    // say 50M — the guard vetoes on rows in the static optimizer
+    e.run("create table big(k int)")
+    e.run("insert into big select id from range(0, 1000)")
+    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    // mock BOTH sides as 50M rows in 1 KB: the byte threshold would
+    // happily broadcast either; the row guard must veto both
+    Seq("big", "st").foreach(t =>
+      spark.sessionState.catalog.alterTableStats(TableIdentifier(t),
+        Some(CatalogStatistics(BigInt(1024), Some(BigInt(50000000L))))))
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val p = spark.sql(
+        "select count(*) from st join big on st.k = big.k")
+        .queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin"), p)
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+  }
+
   test("anchored matview refreshes correctly after a rolled-back base mutation") {
     val dir = freshDir("/root/repo/target/graft-tmp/txnmv-warehouse")
     val e = new Engine(spark, dir)

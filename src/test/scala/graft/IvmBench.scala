@@ -74,6 +74,27 @@ object IvmBench {
       require(mode == "incremental", s"round $i expected incremental update, got $mode")
       w
     }
+    // join body (fact ⋈ dim): the delta replays through the join while
+    // the dim holds still — refresh stays O(delta ⋈ dim + view), not
+    // O(base ⋈ dim). The ~1k-row delta broadcasts against the dim.
+    spark.read.parquet(s"$src/part.parquet").createOrReplaceTempView("part_src")
+    engine.run("create table ivm_dim as select * from part_src")
+    engine.run("create materialized view ivm_jview as " +
+      "select p_brand, count(*) as n, sum(l_quantity) as q " +
+      "from ivm_fact join ivm_dim on l_partkey = p_partkey group by p_brand")
+    val jinc = (1 to rounds).map { i =>
+      engine.run("insert into ivm_fact select * from li_src limit 1000")
+      val (w, mode) = timed("refresh materialized view ivm_jview")
+      require(mode == "incremental", s"round $i expected join incremental, got $mode")
+      w
+    }
+    val jdel = (1 to rounds).map { i =>
+      engine.run(s"delete from ivm_fact where l_orderkey = ${i * 96}")
+      val (w, mode) = timed("refresh materialized view ivm_jview")
+      require(mode == "incremental", s"round $i expected join delete, got $mode")
+      w
+    }
+
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
     // archives the file diff needs; the refresh falls back to full and
@@ -85,7 +106,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }

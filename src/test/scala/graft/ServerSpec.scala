@@ -858,6 +858,52 @@ class ServerSpec extends AnyFunSuite {
       assert(field() == "2.5")
       assert(field() == "héllo")
       assert(c.sync().map(_._1) == Seq('Z'))
+      // the full scalar codec sweep: bool/int2/int4/float4/date/
+      // timestamp/numeric/bytea as bind-time binary parameters
+      c.parse("", "select $1 as b, $2 as i2, $3 as i4, $4 as f4, " +
+        "$5 as d, $6 as ts, $7 as n, $8 as by",
+        paramOids = Seq(16, 21, 23, 700, 1082, 1114, 1700, 17))
+      def bb(n: Int)(f: java.nio.ByteBuffer => Unit): Array[Byte] = {
+        val b = java.nio.ByteBuffer.allocate(n); f(b); b.array()
+      }
+      val dateDays = (java.time.LocalDate.of(2024, 3, 5).toEpochDay - 10957L).toInt
+      val tsMicros = java.time.LocalDateTime.of(2024, 3, 5, 6, 7, 8, 250000000)
+        .toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + 250000L -
+        946684800L * 1000000L
+      // numeric 12345.67 in pg wire form: base-10000 digit groups
+      // [1, 2345, 6700], ndigits=3, weight=1, sign=0, dscale=2
+      val num = bb(8 + 6) { b =>
+        b.putShort(3); b.putShort(1); b.putShort(0); b.putShort(2)
+        b.putShort(1); b.putShort(2345); b.putShort(6700)
+      }
+      c.bind("", "", paramFormats = Seq.fill(8)(1), params = Seq(
+        Array[Byte](1),
+        bb(2)(_.putShort(123)),
+        bb(4)(_.putInt(-7)),
+        bb(4)(_.putFloat(2.5f)),
+        bb(4)(_.putInt(dateDays)),
+        bb(8)(_.putLong(tsMicros)),
+        num,
+        Array[Byte](0xde.toByte, 0xad.toByte, 0xbe.toByte, 0xef.toByte)))
+      c.execute("", 0); c.flushMsg()
+      val sweep = c.untilOutcome()
+      assert(sweep.map(_._1) == Seq('1', '2', 'D', 'C'), sweep.map(_._1).mkString)
+      val srow = sweep.collect { case ('D', b) => b }.head
+      val sd = new java.io.DataInputStream(new java.io.ByteArrayInputStream(srow))
+      assert(sd.readShort() == 8)
+      def sfield(): String = {
+        val n = sd.readInt(); val b = new Array[Byte](n); sd.readFully(b)
+        new String(b, StandardCharsets.UTF_8)
+      }
+      assert(sfield() == "t")
+      assert(sfield() == "123")
+      assert(sfield() == "-7")
+      assert(sfield() == "2.5")
+      assert(sfield() == "2024-03-05")
+      assert(sfield() == "2024-03-05 06:07:08.25")
+      assert(sfield() == "12345.67")
+      assert(sfield() == "\\xdeadbeef")
+      assert(c.sync().map(_._1) == Seq('Z'))
       // binary param with an UNDECLARED oid errors clearly
       c.parse("", "select $1 as x")
       c.bind("", "", paramFormats = Seq(1),

@@ -26,10 +26,6 @@ object Soak13 {
     val spark = Tables.configure(SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      // UnionLoop's safety valve: the default 1M-row recursion cap trips
-      // at exactly this scale (the soak's first finding) — a real
-      // deployment doing path recursion must raise it deliberately
-      .config("spark.sql.cteRecursionRowLimit", "50000000")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -51,9 +47,21 @@ object Soak13 {
     spark.range(50000).selectExpr("id AS node")
       .createOrReplaceTempView("soak_seeds")
 
-    // 1. UnionLoop path recursion, depth 8: ~50k seeds x 2^8 paths
+    // warehouse + engine up front: the ENGINE owns the recursion valve
+    // (constructor raises spark.sql.cteRecursionRowLimit to 100M; no
+    // manual session conf needed — the soak13 finding, productized)
+    val wh0 = new java.io.File("target/graft-tmp/soak13-warehouse")
+    def rmr0(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rmr0)
+      f.delete(); ()
+    }
+    if (wh0.exists()) rmr0(wh0)
+    val engine = new Engine(spark, wh0.getPath)
+
+    // 1. UnionLoop path recursion, depth 8: ~50k seeds x 2^8 paths,
+    // driven through Engine.run so the engine-default valve applies
     val (recSec, recRows) = timed {
-      spark.sql(
+      engine.run(
         """WITH RECURSIVE paths(node, hops) AS (
           |  SELECT node, 0 AS hops FROM soak_seeds
           |  UNION ALL
@@ -85,13 +93,6 @@ object Soak13 {
     }
 
     // 4. SCROLL declare over 60M-row lineitem + mid-snapshot fetches
-    val wh = new java.io.File("target/graft-tmp/soak13-warehouse")
-    def rmr(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rmr)
-      f.delete(); ()
-    }
-    if (wh.exists()) rmr(wh)
-    val engine = new Engine(spark, wh.getPath)
     spark.read.parquet(s"$src/lineitem.parquet")
       .select("l_orderkey", "l_linenumber", "l_extendedprice")
       .createOrReplaceTempView("soak_li")
