@@ -505,6 +505,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reCommit =
     """(?is)\s*(?:commit|end)\s*(?:transaction|work)?\s*""".r
   private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
+  private val reSavepoint = """(?is)\s*savepoint\s+(\w+)\s*""".r
+  private val reRollbackTo =
+    """(?is)\s*rollback\s+(?:transaction\s+|work\s+)?to\s+(?:savepoint\s+)?(\w+)\s*""".r
+  private val reRelease = """(?is)\s*release\s+(?:savepoint\s+)?(\w+)\s*""".r
 
   // extension: SQL-level PREPARE/EXECUTE/DEALLOCATE (pg surface — psql
   // scripts and ORMs emit these even when the wire protocol also has
@@ -585,7 +589,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def txnGate(stmt: String): Unit = {
     if (txnOpen && txnAborted) stmt match {
-      case reCommit() | reRollback() =>
+      // pg also lets ROLLBACK TO SAVEPOINT recover an aborted block
+      case reCommit() | reRollback() | reRollbackTo(_) =>
       case _ => throw new IllegalArgumentException(
         "current transaction is aborted, commands ignored until end of " +
           "transaction block")
@@ -682,13 +687,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def beginTxn(): DataFrame = {
     // BEGIN inside an open transaction: pg warns and carries on — the
     // existing undo set must survive (resetting it would orphan work)
-    if (!txnOpen) { txnOpen = true; txnAborted = false; txnUndo.clear() }
+    if (!txnOpen) {
+      txnOpen = true; txnAborted = false
+      txnUndo.clear(); txnSavepoints.clear()
+    }
     emptyResult
   }
 
   private def commitTxn(): DataFrame = {
     if (txnAborted) return rollbackTxn() // pg: COMMIT of an aborted txn rolls back
-    txnOpen = false; txnAborted = false; txnUndo.clear()
+    txnOpen = false; txnAborted = false
+    txnUndo.clear(); txnSavepoints.clear()
     emptyResult
   }
 
@@ -699,67 +708,128 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * dropped — the next REFRESH recomputes fully and re-anchors, the
     * same safety net as the crash latch.
     */
+  /** Restore one table to the state an undo record captured: data via
+    * the two-rename snapshot swap, metadata from the record, history
+    * truncated so the undone commits vanish from time travel, and any
+    * matview anchor whose delta window crosses the restore point
+    * dropped (crash-latch full-recompute contract).
+    */
+  private def restoreToUndo(t: String, u: TxnUndo): Unit =
+    if (tables.contains(t)) {
+      val log = history.getOrElse(t, Vector.empty)
+      val cur = log.length - 1
+      if (cur > u.version) {
+        val snap = versionDir(t, u.version)
+        require(Files.isDirectory(snap),
+          s"cannot roll back $t: the version ${u.version} snapshot is gone")
+        // rebuild the live dir via the same two-rename swap as
+        // rewriteSwap: link the snapshot into a tmp dir, swap it in
+        val tmp = Paths.get(s"$warehouse/.$t.rollback.tmp")
+        if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
+        Files.createDirectories(tmp)
+        linkTree(snap, tmp)
+        val live = Paths.get(tableDir(t))
+        val aside = Paths.get(s"$warehouse/.$t.old.tmp")
+        if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
+        Files.move(live, aside)
+        try Files.move(tmp, live)
+        catch { case e: Throwable => Files.move(aside, live); throw e }
+        deleteRecursively(aside, keepRoot = false)
+        // versions born past the restore point vanish: truncate the
+        // log and reclaim their archives + IVM delta recordings, so
+        // DESCRIBE HISTORY / time travel are unpolluted
+        history(t) = log.take(u.version + 1)
+        ((u.version + 1) to cur).foreach { v =>
+          Seq(versionDir(t, v), deleteDeltaDir(t, v), updateAddDir(t, v))
+            .foreach { d =>
+              if (Files.exists(d)) deleteRecursively(d, keepRoot = false)
+            }
+        }
+      }
+      tables(t) = (u.schema, u.pk)
+      u.dflts match {
+        case Some(d) => defaults(t) = d; case None => defaults.remove(t)
+      }
+      u.chks match {
+        case Some(c) => checks(t) = c; case None => checks.remove(t)
+      }
+      // the undo record carries the captured count — restore it exactly
+      u.rows match {
+        case Some(n) => rowCounts(t) = n; case None => rowCounts.remove(t)
+      }
+      register(t)
+      refresh(t)
+      matviewBase.keys.toSeq.foreach { m =>
+        val (anchors, _) = matviewBase(m)
+        if (anchors.exists { case (b, av) => b == t && av > u.version } ||
+            m == t) matviewBase.remove(m)
+      }
+    }
+
   private def rollbackTxn(): DataFrame = {
     val touched = txnUndo.toSeq
     txnUndo.clear()
+    txnSavepoints.clear()
     txnOpen = false
     txnAborted = false
-    touched.foreach { case (t, u) =>
-      if (tables.contains(t)) {
-        val log = history.getOrElse(t, Vector.empty)
-        val cur = log.length - 1
-        if (cur > u.version) {
-          val snap = versionDir(t, u.version)
-          require(Files.isDirectory(snap),
-            s"cannot roll back $t: the version ${u.version} snapshot is gone")
-          // rebuild the live dir via the same two-rename swap as
-          // rewriteSwap: link the snapshot into a tmp dir, swap it in
-          val tmp = Paths.get(s"$warehouse/.$t.rollback.tmp")
-          if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
-          Files.createDirectories(tmp)
-          linkTree(snap, tmp)
-          val live = Paths.get(tableDir(t))
-          val aside = Paths.get(s"$warehouse/.$t.old.tmp")
-          if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
-          Files.move(live, aside)
-          try Files.move(tmp, live)
-          catch { case e: Throwable => Files.move(aside, live); throw e }
-          deleteRecursively(aside, keepRoot = false)
-          // versions born inside the transaction vanish: truncate the
-          // log and reclaim their archives + IVM delta recordings, so
-          // DESCRIBE HISTORY / time travel are unpolluted
-          history(t) = log.take(u.version + 1)
-          ((u.version + 1) to cur).foreach { v =>
-            Seq(versionDir(t, v), deleteDeltaDir(t, v), updateAddDir(t, v))
-              .foreach { d =>
-                if (Files.exists(d)) deleteRecursively(d, keepRoot = false)
-              }
-          }
-        }
-        tables(t) = (u.schema, u.pk)
-        u.dflts match {
-          case Some(d) => defaults(t) = d; case None => defaults.remove(t)
-        }
-        u.chks match {
-          case Some(c) => checks(t) = c; case None => checks.remove(t)
-        }
-        // the undo record carries the pre-txn count — restore it exactly
-        u.rows match {
-          case Some(n) => rowCounts(t) = n; case None => rowCounts.remove(t)
-        }
-        register(t)
-        refresh(t)
-        matviewBase.keys.toSeq.foreach { m =>
-          val (anchors, _) = matviewBase(m)
-          // anchor on a rolled-back base past the restore point, or on
-          // the rolled-back view itself: the recorded delta window no
-          // longer describes reality — drop it (next refresh goes full)
-          if (anchors.exists { case (b, av) => b == t && av > u.version } ||
-              m == t) matviewBase.remove(m)
-        }
-      }
-    }
+    touched.foreach { case (t, u) => restoreToUndo(t, u) }
     saveManifest()
+    emptyResult
+  }
+
+  /** pg savepoints over the same machinery: a savepoint snapshots every
+    * table's (version, metadata, row count); ROLLBACK TO restores each
+    * txn-touched table to that snapshot (keeping the transaction and
+    * its outer undo set open, clearing an aborted state — pg lets you
+    * recover from an error this way), and discards later savepoints.
+    * The full-txn undo entries stay valid: a table first touched after
+    * a savepoint restore still rolls all the way back on ROLLBACK.
+    */
+  private val txnSavepoints =
+    mutable.Buffer[(String, Map[String, TxnUndo])]()
+
+  private def savepointSnapshot(): Map[String, TxnUndo] =
+    tables.keys.map { t =>
+      val v = math.max(history.getOrElse(t, Vector.empty).length - 1, 0)
+      t -> TxnUndo(v, tables(t)._1, tables(t)._2,
+        defaults.get(t), checks.get(t), rowCounts.get(t))
+    }.toMap
+
+  private def savepoint(name: String): DataFrame = {
+    if (!txnOpen) throw new IllegalArgumentException(
+      "SAVEPOINT can only be used in transaction blocks")
+    txnSavepoints += ((name.toLowerCase, savepointSnapshot()))
+    emptyResult
+  }
+
+  private def rollbackToSavepoint(name: String): DataFrame = {
+    if (!txnOpen) throw new IllegalArgumentException(
+      "ROLLBACK TO SAVEPOINT can only be used in transaction blocks")
+    val i = txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    if (i < 0) throw new IllegalArgumentException(
+      s"""savepoint "$name" does not exist""")
+    val snap = txnSavepoints(i)._2
+    // only tables the TRANSACTION touched can have moved; each restores
+    // to its savepoint-time state (tables first touched after the
+    // savepoint had their pre-touch version == savepoint version)
+    txnUndo.keys.toSeq.foreach { t =>
+      snap.get(t).foreach(u => restoreToUndo(t, u))
+    }
+    // the savepoint itself survives (pg re-rollback-able); later ones die
+    txnSavepoints.takeInPlace(i + 1)
+    txnAborted = false
+    saveManifest()
+    emptyResult
+  }
+
+  private def releaseSavepoint(name: String): DataFrame = {
+    if (!txnOpen) throw new IllegalArgumentException(
+      "RELEASE SAVEPOINT can only be used in transaction blocks")
+    val i = txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    if (i < 0) throw new IllegalArgumentException(
+      s"""savepoint "$name" does not exist""")
+    // pg: releasing also destroys savepoints established after it
+    txnSavepoints.takeInPlace(i)
     emptyResult
   }
 
@@ -1579,6 +1649,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reBegin() => beginTxn()
     case reCommit() => commitTxn()
     case reRollback() => rollbackTxn()
+    case reSavepoint(name) => savepoint(name)
+    case reRollbackTo(name) => rollbackToSavepoint(name)
+    case reRelease(name) => releaseSavepoint(name)
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
