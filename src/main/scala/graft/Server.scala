@@ -892,8 +892,14 @@ private object Pgwire {
                     }
                     msg('C')(cstr(_, rowTag(stmt, n)))
                   case _ =>
+                    // pg tags COMMIT of an ABORTED transaction "ROLLBACK"
+                    // (that's what actually happened) — capture the state
+                    // before the engine clears it
+                    val abortedCommit = engine.txnStatus == 'E' &&
+                      (keyword(stmt) == "COMMIT" || keyword(stmt) == "END")
                     val (_, rows) = Server.runStatement(engine, stmt)
-                    msg('C')(cstr(_, commandTag(stmt, rows)))
+                    msg('C')(cstr(_,
+                      if (abortedCommit) "ROLLBACK" else commandTag(stmt, rows)))
                 }
               } catch {
                 case e: Exception =>

@@ -91,6 +91,50 @@ object Multimodal {
         col("_f.b_mean").as("b_mean"))
   }
 
+  /** REAL audio decode tier: RIFF/WAVE integer-PCM payloads get exact
+    * amplitude stats (sample_rate/channels/bits/n_frames/duration_ms/
+    * rms/peak) via [[graft.expr.WavStats]] inside the scan pipeline;
+    * anything else (non-audio payloads, compressed codecs the JDK
+    * can't decode) surfaces as NULL columns — the visible stub tier,
+    * same routing contract as [[sampleGifFrames]].
+    */
+  def audioStats(media: DataFrame): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val stats = Bridge.column(
+      graft.expr.WavStats(Bridge.expression(col("payload"))))
+    media.select(col("media_id"), stats.as("_a"))
+      .select(col("media_id"),
+        col("_a.sample_rate").as("sample_rate"),
+        col("_a.channels").as("channels"),
+        col("_a.bits").as("bits"),
+        col("_a.n_frames").as("n_frames"),
+        col("_a.duration_ms").as("duration_ms"),
+        col("_a.rms").as("rms"),
+        col("_a.peak").as("peak"))
+  }
+
+  /** Deterministic RIFF/WAVE PCM-16 encoder — the payload generator the
+    * wav gate decodes back through [[graft.expr.WavStats]]. `sample`
+    * maps the global sample index (channel-interleaved) to a signed
+    * 16-bit value.
+    */
+  def encodeWavPcm16(sampleRate: Int, channels: Int, nFrames: Int)
+      (sample: Int => Int): Array[Byte] = {
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * 2
+    val bos = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * 2).putShort((channels * 2).toShort)
+      .putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    (0 until nSamples).foreach(i => bos.putShort(sample(i).toShort))
+    bos.array()
+  }
+
   /** Encode per-pixel-defined RGB frames as an ANIMATED GIF with the
     * JDK's own sequence writer — the deterministic multi-frame payload
     * generator the gif-frame gate decodes back through

@@ -1392,6 +1392,38 @@ object Pipeline {
              |) AS t(media_id, frame_idx, width, height, r_mean, g_mean, b_mean)
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // REAL WAV/PCM audio decode: deterministic PCM-16 payloads round-trip
+    // through WavStats — amplitudes chosen so rms/peak are exact dyadic
+    // fractions the oracle states analytically; a non-audio payload
+    // surfaces as the NULL stub tier.
+    "multimodal_wav_stats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          // mono 8 kHz, 4000 frames alternating ±8192: rms = peak = 0.25
+          (1L, Multimodal.encodeWavPcm16(8000, 1, 4000)(i =>
+            if (i % 2 == 0) 8192 else -8192)),
+          // stereo 16 kHz, 1600 frames, constant +16384: rms = peak = 0.5
+          (2L, Multimodal.encodeWavPcm16(16000, 2, 1600)(_ => 16384)),
+          (7L, "plain text, not audio".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        Multimodal.audioStats(rows.toDF("media_id", "payload"))
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("n_frames"), round(col("duration_ms"), 6).as("duration_ms"),
+            round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 8000, 1, CAST(4000 AS BIGINT),
+             |  CAST(500 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+             | (CAST(2 AS BIGINT), 16000, 2, CAST(1600 AS BIGINT),
+             |  CAST(100 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+             | (CAST(7 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+             |) AS t(media_id, sample_rate, channels, n_frames, duration_ms, rms, peak)
+             |ORDER BY media_id""".stripMargin)),
+
     // resize: payload stub-resampled to 16x8 "pixels" (truncate/pad to 128
     // bytes), metadata updated — oracle rebuilds the same truncated/padded
     // slice and hashes it.

@@ -1062,7 +1062,11 @@ class ServerSpec extends AnyFunSuite {
       assert(er.exists(_._1 == 'E') && status(er) == 'E')
       val refused = c.query("insert into wtx values (5)")
       assert(refused.exists(_._1 == 'E') && status(refused) == 'E')
-      c.query("COMMIT")
+      // pg: COMMIT of an aborted transaction actually rolls back, and
+      // the command tag says so
+      val cmAb = c.query("COMMIT")
+      assert(tag(cmAb) == "ROLLBACK" && status(cmAb) == 'I',
+        s"${tag(cmAb)} ${status(cmAb)}")
       val q2 = c.query("select count(*) from wtx")
       val n2 = q2.collect { case ('D', b) => b }.head
       assert(new String(n2.drop(6), StandardCharsets.UTF_8) == "2")
