@@ -113,6 +113,118 @@ object Multimodal {
         col("_a.peak").as("peak"))
   }
 
+  /** REAL video tier: AVI payloads decode every `stride`-th frame to
+    * per-frame pixel stats via [[graft.expr.AviFrames]] — uncompressed
+    * 24-bit DIB frames exactly, MJPEG frames through the JDK's own JPEG
+    * codec. Non-AVI payloads (and compressions the JDK lacks) keep a
+    * NULL-stats row, the same visible stub routing as
+    * [[sampleGifFrames]].
+    */
+  def sampleAviFrames(media: DataFrame, stride: Int): DataFrame = {
+    import org.apache.spark.sql.graftbridge.Bridge
+    val frames = Bridge.column(
+      graft.expr.AviFrames(Bridge.expression(col("payload")), stride))
+    media.select(col("media_id"), frames.as("_frames"))
+      .select(col("media_id"), explode_outer(col("_frames")).as("_f"))
+      .select(col("media_id"),
+        col("_f.frame_idx").as("frame_idx"),
+        col("_f.width").as("width"), col("_f.height").as("height"),
+        col("_f.r_mean").as("r_mean"), col("_f.g_mean").as("g_mean"),
+        col("_f.b_mean").as("b_mean"))
+  }
+
+  /** Minimal but structurally complete AVI writer shared by the two
+    * frame encoders: RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh
+    * strf)) LIST('movi' frames)). Enough header truth (rates, counts,
+    * dimensions, compression fourcc) that a real demuxer accepts it.
+    */
+  private def buildAvi(w: Int, h: Int, comp: Int, bits: Int,
+      chunkId: String, frames: Seq[Array[Byte]]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] = Array(
+      (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+      val pad = if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte]
+      id.getBytes("US-ASCII") ++ le32(body.length) ++ body ++ pad
+    }
+    def list(tpe: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", tpe.getBytes("US-ASCII") ++ body)
+    val avih = le32(40000) ++ le32(w * h * 3 * 25) ++ le32(0) ++ le32(0x10) ++
+      le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = "vids".getBytes("US-ASCII") ++
+      (if (comp == 0) le32(0) else "MJPG".getBytes("US-ASCII")) ++
+      le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+      le32(0) ++ le32(frames.length) ++ le32(frames.map(_.length).max) ++
+      le32(-1) ++ le32(0) ++ le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(bits) ++
+      le32(comp) ++ le32(w * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = list("hdrl", chunk("avih", avih) ++
+      list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
+    val movi = list("movi",
+      frames.toArray.flatMap(f => chunk(chunkId, f)))
+    val payload = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    bos.write("RIFF".getBytes("US-ASCII"))
+    bos.write(le32(payload.length))
+    bos.write(payload)
+    bos.toByteArray
+  }
+
+  /** Deterministic uncompressed-DIB AVI (24-bit BGR, bottom-up, 4-byte
+    * row alignment — the lossless video tier the gate oracle pins
+    * analytically). `rgb(frame, x, y)` with y in TOP-DOWN coordinates.
+    */
+  def encodeRawAvi(w: Int, h: Int, nFrames: Int)
+      (rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = (w * 3 + 3) & ~3
+    val frames = (0 until nFrames).map { f =>
+      val body = new Array[Byte](rowBytes * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = rgb(f, x, h - 1 - y) // DIB rows are bottom-up
+          body(y * rowBytes + x * 3) = bl.toByte
+          body(y * rowBytes + x * 3 + 1) = g.toByte
+          body(y * rowBytes + x * 3 + 2) = r.toByte
+          x += 1
+        }
+        y += 1
+      }
+      body
+    }
+    buildAvi(w, h, comp = 0, bits = 24, chunkId = "00db", frames)
+  }
+
+  /** MJPEG AVI: each frame is a standalone JPEG written by the JDK's
+    * own encoder — the REAL lossy-codec tier (tests assert tolerance,
+    * not bit-equality).
+    */
+  def encodeMjpegAvi(w: Int, h: Int, nFrames: Int)
+      (rgb: (Int, Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val frames = (0 until nFrames).map { f =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val (r, g, bl) = rgb(f, x, y)
+          img.setRGB(x, y, (r << 16) | (g << 8) | bl)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpg", bos)
+      bos.toByteArray
+    }
+    buildAvi(w, h, comp = 0x47504a4d, bits = 24, chunkId = "00dc", frames)
+  }
+
   /** Deterministic RIFF/WAVE PCM-16 encoder — the payload generator the
     * wav gate decodes back through [[graft.expr.WavStats]]. `sample`
     * maps the global sample index (channel-interleaved) to a signed

@@ -1392,6 +1392,44 @@ object Pipeline {
              |) AS t(media_id, frame_idx, width, height, r_mean, g_mean, b_mean)
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // REAL video frame decode: uncompressed-DIB AVI frames (the lossless
+    // video tier — bottom-up BGR parsed exactly) sampled by stride; a
+    // non-AVI payload keeps the NULL stub row. The MJPEG tier (real JDK
+    // JPEG codec, lossy) is pinned with tolerance in OperatorsSpec.
+    "multimodal_video_frames" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeRawAvi(6, 4, 5) { (f, _, _) =>
+            (f * 50, 10 + f * 40, 200 - f * 30)
+          }),
+          (2L, Multimodal.encodeRawAvi(3, 3, 2) { (f, _, _) =>
+            if (f == 0) (255, 0, 0) else (0, 0, 255)
+          }),
+          (7L, "plain text, not a video".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        Multimodal.sampleAviFrames(rows.toDF("media_id", "payload"), stride = 2)
+          .select(col("media_id"), col("frame_idx"), col("width"), col("height"),
+            round(col("r_mean"), 6).as("r_mean"),
+            round(col("g_mean"), 6).as("g_mean"),
+            round(col("b_mean"), 6).as("b_mean"))
+          .orderBy("media_id", "frame_idx")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 0, 6, 4, round(CAST(0 AS DOUBLE)/255, 6),
+             |  round(CAST(10 AS DOUBLE)/255, 6), round(CAST(200 AS DOUBLE)/255, 6)),
+             | (CAST(1 AS BIGINT), 2, 6, 4, round(CAST(100 AS DOUBLE)/255, 6),
+             |  round(CAST(90 AS DOUBLE)/255, 6), round(CAST(140 AS DOUBLE)/255, 6)),
+             | (CAST(1 AS BIGINT), 4, 6, 4, round(CAST(200 AS DOUBLE)/255, 6),
+             |  round(CAST(170 AS DOUBLE)/255, 6), round(CAST(80 AS DOUBLE)/255, 6)),
+             | (CAST(2 AS BIGINT), 0, 3, 3, round(CAST(255 AS DOUBLE)/255, 6),
+             |  round(CAST(0 AS DOUBLE)/255, 6), round(CAST(0 AS DOUBLE)/255, 6)),
+             | (CAST(7 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS INT), CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE))
+             |) AS t(media_id, frame_idx, width, height, r_mean, g_mean, b_mean)
+             |ORDER BY media_id, frame_idx""".stripMargin)),
+
     // REAL WAV/PCM audio decode: deterministic PCM-16 payloads round-trip
     // through WavStats — amplitudes chosen so rms/peak are exact dyadic
     // fractions the oracle states analytically; a non-audio payload

@@ -730,4 +730,35 @@ class OperatorsSpec extends AnyFunSuite {
       .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
     assert(bfs == cte, s"bfs=$bfs cte=$cte")
   }
+
+  test("MJPEG AVI frames decode through the real JDK JPEG codec (tolerance)") {
+    import spark.implicits._
+    // flat-color frames: JPEG is lossy but a constant field survives the
+    // DCT nearly exactly — assert within 2/255 per channel
+    val avi = operators.Multimodal.encodeMjpegAvi(16, 16, 4) { (f, _, _) =>
+      (40 + f * 50, 200 - f * 40, 90)
+    }
+    val out = operators.Multimodal.sampleAviFrames(
+      Seq((1L, avi)).toDF("media_id", "payload"), stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(out.length == 4, out.length)
+    out.zipWithIndex.foreach { case (r, f) =>
+      assert(r.getInt(1) == f && r.getInt(2) == 16 && r.getInt(3) == 16)
+      val (er, eg, eb) = ((40 + f * 50) / 255.0, (200 - f * 40) / 255.0, 90 / 255.0)
+      assert(math.abs(r.getDouble(4) - er) < 2.0 / 255, s"frame $f r ${r.getDouble(4)} vs $er")
+      assert(math.abs(r.getDouble(5) - eg) < 2.0 / 255, s"frame $f g ${r.getDouble(5)} vs $eg")
+      assert(math.abs(r.getDouble(6) - eb) < 2.0 / 255, s"frame $f b ${r.getDouble(6)} vs $eb")
+    }
+    // a raw-DIB AVI with an odd width exercises the 4-byte row padding
+    val raw = operators.Multimodal.encodeRawAvi(5, 3, 2)((f, x, y) =>
+      (x * 40, y * 70, f * 100))
+    val rr = operators.Multimodal.sampleAviFrames(
+      Seq((2L, raw)).toDF("media_id", "payload"), stride = 1)
+      .orderBy("frame_idx").collect()
+    assert(rr.length == 2)
+    // exact means: sum(x*40)/5 = 80, sum(y*70)/3 = 70, b = f*100
+    assert(math.abs(rr(0).getDouble(4) - 80.0 / 255) < 1e-12)
+    assert(math.abs(rr(0).getDouble(5) - 70.0 / 255) < 1e-12)
+    assert(rr(0).getDouble(6) == 0.0 && math.abs(rr(1).getDouble(6) - 100.0 / 255) < 1e-12)
+  }
 }
