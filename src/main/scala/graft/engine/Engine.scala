@@ -1181,93 +1181,158 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     val aDirPath = auxDir(name, viewV)
     if (!Files.isDirectory(aDirPath)) return None // sidecar lost: rebuild
-    // the window's "fact" = the single base that moved; several moved
-    // bases would need cross-delta terms (ΔF ⋈ ΔD) — recompute fully
     val moved = anchors.filter { case (b, v) =>
       history.getOrElse(b, Vector.empty).length - 1 != v
     }
-    if (moved.length > 1) return None
-    val (base, v0) = moved.headOption.getOrElse(anchors.head)
-    val log = history.getOrElse(base, Vector.empty)
-    val cur = log.length - 1
-    val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
-    if (!newOps.forall { case (_, op) =>
-        appendOnlyOps(op) || op == "delete" || op == "update" ||
-          op == "merge" || op == "upsert" })
-      return None
-    if (newOps.nonEmpty && log(v0).ddl != log.last.ddl)
-      return None // base schema drifted
-    def dataFiles(root: java.nio.file.Path): Set[String] = {
-      if (!Files.isDirectory(root)) return Set.empty
-      val s = Files.walk(root)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala
-          .filter(p => Files.isRegularFile(p) &&
-            p.getFileName.toString.endsWith(".parquet"))
-          .map(p => root.relativize(p).toString).toSet
-      } finally s.close()
-    }
-    def versionRoot(i: Int): java.nio.file.Path =
-      if (i == cur) Paths.get(tableDir(base)) else versionDir(base, i)
-    // every archived version this walk diffs must still exist (VACUUM)
-    if (((v0 to cur - 1)).exists(i => !Files.isDirectory(versionDir(base, i))))
-      if (newOps.nonEmpty) return None
-    val addFiles = mutable.Buffer[String]()
-    val delDirs = mutable.Buffer[java.nio.file.Path]()
-    newOps.foreach { case (i, op) =>
-      if (appendOnlyOps(op)) {
-        val prev = dataFiles(versionRoot(i - 1))
-        val now = dataFiles(versionRoot(i))
-        if ((prev -- now).nonEmpty) return None // not a pure append
-        addFiles ++= (now -- prev).map(f => s"${versionRoot(i)}/$f")
-      } else if (op == "delete") {
-        val dd = deleteDeltaDir(base, i)
-        if (!Files.isDirectory(dd)) return None // delete went unrecorded
-        delDirs += dd
-      } else { // update/merge/upsert = recorded delete pre-image + insert post-image
-        val dd = deleteDeltaDir(base, i)
-        val ud = updateAddDir(base, i)
-        if (!Files.isDirectory(dd) || !Files.isDirectory(ud)) return None
-        delDirs += dd
-        addFiles += ud.toString
+    /** Classify one base's commit window since its anchor: appended
+      * file list + recorded delete-delta dirs, or None → ineligible
+      * (unsupported op, unrecorded delete, vacuumed archive, schema
+      * drift, non-append file motion).
+      */
+    def windowOf(base: String, v0: Int)
+        : Option[(Seq[String], Seq[java.nio.file.Path])] = {
+      val log = history.getOrElse(base, Vector.empty)
+      val cur = log.length - 1
+      val newOps = ((v0 + 1) to cur).map(i => (i, log(i).op))
+      if (!newOps.forall { case (_, op) =>
+          appendOnlyOps(op) || op == "delete" || op == "update" ||
+            op == "merge" || op == "upsert" })
+        return None
+      if (newOps.nonEmpty && log(v0).ddl != log.last.ddl)
+        return None // base schema drifted
+      def dataFiles(root: java.nio.file.Path): Set[String] = {
+        if (!Files.isDirectory(root)) return Set.empty
+        val s = Files.walk(root)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala
+            .filter(p => Files.isRegularFile(p) &&
+              p.getFileName.toString.endsWith(".parquet"))
+            .map(p => root.relativize(p).toString).toSet
+        } finally s.close()
       }
+      def versionRoot(i: Int): java.nio.file.Path =
+        if (i == cur) Paths.get(tableDir(base)) else versionDir(base, i)
+      // every archived version this walk diffs must still exist (VACUUM)
+      if (newOps.nonEmpty &&
+          ((v0 to cur - 1)).exists(i => !Files.isDirectory(versionDir(base, i))))
+        return None
+      val addFiles = mutable.Buffer[String]()
+      val delDirs = mutable.Buffer[java.nio.file.Path]()
+      newOps.foreach { case (i, op) =>
+        if (appendOnlyOps(op)) {
+          val prev = dataFiles(versionRoot(i - 1))
+          val now = dataFiles(versionRoot(i))
+          if ((prev -- now).nonEmpty) return None // not a pure append
+          addFiles ++= (now -- prev).map(f => s"${versionRoot(i)}/$f")
+        } else if (op == "delete") {
+          val dd = deleteDeltaDir(base, i)
+          if (!Files.isDirectory(dd)) return None // delete went unrecorded
+          delDirs += dd
+        } else { // update/merge/upsert = recorded delete pre-image + insert post-image
+          val dd = deleteDeltaDir(base, i)
+          val ud = updateAddDir(base, i)
+          if (!Files.isDirectory(dd) || !Files.isDirectory(ud)) return None
+          delDirs += dd
+          addFiles += ud.toString
+        }
+      }
+      Some((addFiles.toSeq, delDirs.toSeq))
     }
-    // extremum eviction needs a per-group re-aggregation pushed into the
-    // base scan — only expressible when every group key is a bare column
-    // of the MOVED table (a dim-owned key can't semi-filter the fact)
-    val factBare = shape.bareGroups.filter(_.forall(_._2 == base))
-    if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
-        (shape.groupCols.isEmpty || factBare.isEmpty)) return None
     val groupCols = shape.groupCols
     val auxSchema = StructType(ivmDecomposedBody(body)
       .select(shape.auxCols.map(col): _*).schema.fields)
     val old = spark.table(name)
     val oldAux = spark.read.schema(auxSchema).parquet(aDirPath.toString)
-    if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
-    val baseSchema = StructType.fromDDL(log.last.ddl)
-    // overlay the base with a SAME-NAMED temp view over a delta for the
-    // (eager) analysis of the body — unqualified resolution prefers the
-    // temp view, so every filter/projection in the body binds to the
-    // delta — then drop the overlay, revealing the untouched catalog
-    // table. Single-writer safe under the statement write lock.
-    def replay(paths: Seq[String]): Option[DataFrame] =
-      if (paths.isEmpty) None
-      else {
-        val df = spark.read.schema(baseSchema).parquet(paths: _*)
-        Some(try {
-          df.createOrReplaceTempView(base)
-          ivmDecomposedBody(body)
-        } finally {
-          spark.catalog.dropTempView(base)
-          // the overlay shared a name with any mock-hint broadcast
-          // shadow (SET mock_rowcount_<t>): rebuild it, don't leave the
-          // bare catalog table where the hint used to be
-          applyMockHint(base)
-        })
+    if (moved.isEmpty) return Some((old, oldAux))
+    // overlay bases with SAME-NAMED temp views for the (eager) analysis
+    // of the body — unqualified resolution prefers the temp view, so
+    // every filter/projection in the body binds to the overlay — then
+    // drop them, revealing the untouched catalog tables (and restoring
+    // any mock-hint broadcast shadow the overlay displaced).
+    // Single-writer safe under the statement write lock.
+    def replayWith(overlays: Seq[(String, DataFrame)]): DataFrame =
+      try {
+        overlays.foreach { case (t, df) => df.createOrReplaceTempView(t) }
+        ivmDecomposedBody(body)
+      } finally overlays.foreach { case (t, _) =>
+        spark.catalog.dropTempView(t)
+        applyMockHint(t)
       }
-    val aAgg = replay(addFiles.toSeq)
-    val dAgg = replay(delDirs.toSeq.map(_.toString))
+    def deltaDf(base: String, paths: Seq[String]): DataFrame =
+      spark.read.schema(
+        StructType.fromDDL(history(base).last.ddl)).parquet(paths: _*)
+    val (aAgg, dAgg, evictBase, factBare)
+        : (Option[DataFrame], Option[DataFrame], String,
+           Option[Seq[(String, String)]]) =
+      if (moved.length == 1) {
+        val (base, v0) = moved.head
+        val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
+        // extremum eviction needs a per-group re-aggregation pushed into
+        // the base scan — only expressible when every group key is a bare
+        // column of the MOVED table (a dim key can't semi-filter the fact)
+        val fb = shape.bareGroups.filter(_.forall(_._2 == base))
+          .map(_.map { case (out, _, bcol) => (out, bcol) })
+        if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
+            (shape.groupCols.isEmpty || fb.isEmpty)) return None
+        if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
+        (if (addFiles.nonEmpty)
+           Some(replayWith(Seq(base -> deltaDf(base, addFiles)))) else None,
+         if (delDirs.nonEmpty)
+           Some(replayWith(Seq(base -> deltaDf(base, delDirs.map(_.toString)))))
+         else None,
+         base, fb)
+      } else {
+        // SEVERAL bases moved: telescoping cross-delta, append-only.
+        //   new(F₁⋈…⋈Fₙ) − old(F₁⋈…⋈Fₙ)
+        //     = Σᵢ (F₁..Fᵢ₋₁ NEW) ⋈ ΔFᵢ ⋈ (Fᵢ₊₁..Fₙ OLD)
+        // Each term is one replay: tables before i read live (= new),
+        // table i reads its appended files, tables after i read their
+        // ANCHORED archived versions. Deletes in any window would need
+        // subtraction cross-terms — recompute fully instead.
+        val wins = moved.map { case (b, v) =>
+          val (adds, dels) = windowOf(b, v).getOrElse(return None)
+          if (dels.nonEmpty) return None
+          (b, v, adds)
+        }
+        if (wins.forall(_._3.isEmpty)) return Some((old, oldAux))
+        val terms = wins.zipWithIndex.flatMap { case ((b, _, files), i) =>
+          if (files.isEmpty) None
+          else {
+            val olds = wins.drop(i + 1).map { case (ob, ov, _) =>
+              if (!Files.isDirectory(versionDir(ob, ov))) return None
+              ob -> versionState(ob, ov)
+            }
+            Some(replayWith((b -> deltaDf(b, files)) +: olds))
+          }
+        }
+        // fold the add terms group-wise into ONE add delta: counts/sums/
+        // sidecars add, extremes take least/greatest, AVG recomputes
+        // from its combined sidecar; everything casts back to the
+        // decomposed frame's own types
+        val tmplSchema = terms.head.schema
+        val combined =
+          if (terms.length == 1) terms.head
+          else {
+            val u = terms.reduce(_ unionByName _)
+            val aggs: Seq[Column] = shape.kinds.collect {
+              case (n, IvmCount) =>
+                sum(col(n)).cast(tmplSchema(n).dataType).as(n)
+              case (n, IvmSum) =>
+                sum(col(n)).cast(tmplSchema(n).dataType).as(n)
+              case (n, IvmMin) => min(col(n)).as(n)
+              case (n, IvmMax) => max(col(n)).as(n)
+              case (n, IvmAvg) =>
+                (sum(col(s"__ivm_s_$n")) / sum(col(s"__ivm_c_$n")))
+                  .cast(tmplSchema(n).dataType).as(n)
+            } ++ shape.hiddenCols.map(h =>
+              sum(col(h)).cast(tmplSchema(h).dataType).as(h))
+            u.groupBy(groupCols.map(col): _*)
+              .agg(aggs.head, aggs.tail: _*)
+              .select(tmplSchema.fieldNames.toSeq.map(col): _*)
+          }
+        (Some(combined), None, moved.head._1, None)
+      }
     def pre(df: DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
     val o = pre(old, "o_")
@@ -1357,22 +1422,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // columns, but any residual resolution failure here must degrade
       // to a full recompute, never error the REFRESH statement
       else scala.util.Try {
-        val bg = factBare.get.map { case (out, _, bcol) => (out, bcol) }
+        val bg = factBare.get
         val keys = survivors.filter(col("__ivm_evict"))
           .select(groupCols.map(col): _*).localCheckpoint()
         val renamed = keys.select(bg.map { case (out, bcol) =>
           col(out).as(bcol) }.toIndexedSeq: _*)
-        val baseDf = spark.table(base)
+        val baseDf = spark.table(evictBase)
         val filtered = baseDf.join(broadcast(renamed),
           bg.map { case (_, bcol) => baseDf(bcol) <=> renamed(bcol) }
             .reduce(_ && _), "left_semi")
-        val recomputed = try {
-          filtered.createOrReplaceTempView(base)
-          ivmDecomposedBody(body)
-        } finally {
-          spark.catalog.dropTempView(base)
-          applyMockHint(base) // restore any mock-hint shadow (see replay)
-        }
+        val recomputed = replayWith(Seq(evictBase -> filtered))
         okRows.unionByName(
           recomputed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
             .map(col): _*)).localCheckpoint()

@@ -94,6 +94,15 @@ object IvmBench {
       require(mode == "incremental", s"round $i expected join delete, got $mode")
       w
     }
+    // BOTH sides move by appends: the telescoping cross-delta
+    // (ΔF ⋈ D_old + F_new ⋈ ΔD) keeps the refresh incremental
+    val jx = (1 to rounds).map { i =>
+      engine.run("insert into ivm_fact select * from li_src limit 1000")
+      engine.run("insert into ivm_dim select * from part_src limit 100")
+      val (w, mode) = timed("refresh materialized view ivm_jview")
+      require(mode == "incremental", s"round $i expected join cross, got $mode")
+      w
+    }
 
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
@@ -106,7 +115,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
