@@ -93,7 +93,7 @@ object Multimodal {
 
   /** REAL audio decode tier: RIFF/WAVE integer-PCM payloads get exact
     * amplitude stats (sample_rate/channels/bits/n_frames/duration_ms/
-    * rms/peak) via [[graft.expr.WavStats]] inside the scan pipeline;
+    * rms/peak) via [[graft.expr.AudioStats]] inside the scan pipeline;
     * anything else (non-audio payloads, compressed codecs the JDK
     * can't decode) surfaces as NULL columns — the visible stub tier,
     * same routing contract as [[sampleGifFrames]].
@@ -101,7 +101,7 @@ object Multimodal {
   def audioStats(media: DataFrame): DataFrame = {
     import org.apache.spark.sql.graftbridge.Bridge
     val stats = Bridge.column(
-      graft.expr.WavStats(Bridge.expression(col("payload"))))
+      graft.expr.AudioStats(Bridge.expression(col("payload"))))
     media.select(col("media_id"), stats.as("_a"))
       .select(col("media_id"),
         col("_a.sample_rate").as("sample_rate"),
@@ -131,6 +131,53 @@ object Multimodal {
         col("_f.width").as("width"), col("_f.height").as("height"),
         col("_f.r_mean").as("r_mean"), col("_f.g_mean").as("g_mean"),
         col("_f.b_mean").as("b_mean"))
+  }
+
+  /** Deterministic AU (".snd") encoder — big-endian header, `encoding`
+    * 1 = μ-law bytes, 2 = 8-bit signed PCM, 3 = 16-bit signed PCM.
+    * `sample` yields the RAW stored unit for the encoding (a μ-law
+    * byte, an 8-bit value, or a 16-bit value).
+    */
+  def encodeAu(encoding: Int, sampleRate: Int, channels: Int,
+      nFrames: Int)(sample: Int => Int): Array[Byte] = {
+    val unit = if (encoding == 3) 2 else 1
+    val n = nFrames * channels
+    val bb = java.nio.ByteBuffer.allocate(24 + n * unit)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put(".snd".getBytes("US-ASCII")).putInt(24).putInt(n * unit)
+      .putInt(encoding).putInt(sampleRate).putInt(channels)
+    (0 until n).foreach { i =>
+      if (unit == 2) bb.putShort(sample(i).toShort)
+      else bb.put(sample(i).toByte)
+    }
+    bb.array()
+  }
+
+  /** Deterministic AIFF PCM-16 encoder — big-endian IFF with the COMM
+    * chunk's 80-bit extended-float sample rate encoded exactly for
+    * integer rates.
+    */
+  def encodeAiffPcm16(sampleRate: Int, channels: Int, nFrames: Int)
+      (sample: Int => Int): Array[Byte] = {
+    require(sampleRate > 0)
+    val n = nFrames * channels
+    val dataLen = n * 2
+    // 80-bit extended: exp = 16383 + floor(log2 rate), mantissa left-
+    // aligned to bit 63
+    val hi = 63 - java.lang.Long.numberOfLeadingZeros(sampleRate.toLong).toInt
+    val exp = 16383 + hi
+    val mant = sampleRate.toLong << (63 - hi)
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 8 + dataLen)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    bb.put("FORM".getBytes("US-ASCII")).putInt(4 + 26 + 16 + dataLen)
+      .put("AIFF".getBytes("US-ASCII"))
+      .put("COMM".getBytes("US-ASCII")).putInt(18)
+      .putShort(channels.toShort).putInt(nFrames).putShort(16)
+      .putShort(exp.toShort).putLong(mant)
+      .put("SSND".getBytes("US-ASCII")).putInt(8 + dataLen)
+      .putInt(0).putInt(0)
+    (0 until n).foreach(i => bb.putShort(sample(i).toShort))
+    bb.array()
   }
 
   /** Minimal but structurally complete AVI writer shared by the two
@@ -226,7 +273,7 @@ object Multimodal {
   }
 
   /** Deterministic RIFF/WAVE PCM-16 encoder — the payload generator the
-    * wav gate decodes back through [[graft.expr.WavStats]]. `sample`
+    * wav gate decodes back through [[graft.expr.AudioStats]]. `sample`
     * maps the global sample index (channel-interleaved) to a signed
     * 16-bit value.
     */

@@ -1430,8 +1430,45 @@ object Pipeline {
              |) AS t(media_id, frame_idx, width, height, r_mean, g_mean, b_mean)
              |ORDER BY media_id, frame_idx""".stripMargin)),
 
+    // the other dependency-free audio containers, one row per codec
+    // family: AU 16-bit PCM, AU G.711 μ-law (a real companded codec —
+    // byte 0x00 expands to -32124 by the standard segment formula),
+    // AU 8-bit signed, AIFF 16-bit (80-bit extended-float sample rate),
+    // and a non-audio payload on the NULL stub tier.
+    "multimodal_audio_formats" -> Q(
+      (s, d) => {
+        import s.implicits._
+        val rows = Seq(
+          (1L, Multimodal.encodeAu(3, 8000, 1, 2000)(_ => 16384)),
+          (2L, Multimodal.encodeAu(1, 8000, 1, 1000)(_ => 0x00)),
+          (3L, Multimodal.encodeAu(2, 8000, 1, 500)(_ => -32)),
+          (4L, Multimodal.encodeAiffPcm16(44100, 2, 441)(_ => -8192)),
+          (9L, "not audio at all".getBytes(
+            java.nio.charset.StandardCharsets.UTF_8)))
+        Multimodal.audioStats(rows.toDF("media_id", "payload"))
+          .select(col("media_id"), col("sample_rate"), col("channels"),
+            col("bits"), col("n_frames"),
+            round(col("duration_ms"), 6).as("duration_ms"),
+            round(col("rms"), 6).as("rms"), round(col("peak"), 6).as("peak"))
+          .orderBy("media_id")
+      },
+      Some("""SELECT * FROM (VALUES
+             | (CAST(1 AS BIGINT), 8000, 1, 16, CAST(2000 AS BIGINT),
+             |  CAST(250 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+             | (CAST(2 AS BIGINT), 8000, 1, 8, CAST(1000 AS BIGINT),
+             |  CAST(125 AS DOUBLE), round(32124.0/32768, 6), round(32124.0/32768, 6)),
+             | (CAST(3 AS BIGINT), 8000, 1, 8, CAST(500 AS BIGINT),
+             |  CAST(62.5 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+             | (CAST(4 AS BIGINT), 44100, 2, 16, CAST(441 AS BIGINT),
+             |  CAST(10 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+             | (CAST(9 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
+             |  CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
+             |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))
+             |) AS t(media_id, sample_rate, channels, bits, n_frames, duration_ms, rms, peak)
+             |ORDER BY media_id""".stripMargin)),
+
     // REAL WAV/PCM audio decode: deterministic PCM-16 payloads round-trip
-    // through WavStats — amplitudes chosen so rms/peak are exact dyadic
+    // through AudioStats — amplitudes chosen so rms/peak are exact dyadic
     // fractions the oracle states analytically; a non-audio payload
     // surfaces as the NULL stub tier.
     "multimodal_wav_stats" -> Q(
