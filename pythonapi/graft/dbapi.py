@@ -531,13 +531,26 @@ class Connection:
 
     def _maybe_begin(self, operation: str) -> None:
         """Open the server transaction lazily on the first statement of a
-        non-autocommit connection (psycopg-style), skipping explicit
-        transaction verbs the caller sends themselves."""
-        if self._autocommit or self._in_txn:
-            return
+        non-autocommit connection (psycopg-style). Explicit transaction
+        verbs issued through cursor.execute() still update _in_txn, so a
+        caller-sent BEGIN makes the later commit()/rollback() real verbs
+        instead of silent no-ops that would leave the server transaction
+        open forever."""
         head = operation.lstrip().split(None, 1)
         kw = head[0].upper().rstrip(";") if head else ""
-        if kw in ("BEGIN", "COMMIT", "ROLLBACK", "END", "START"):
+        if kw in ("BEGIN", "START"):
+            self._in_txn = True
+            return
+        if kw == "ROLLBACK":
+            # ROLLBACK TO <savepoint> keeps the transaction open
+            rest = head[1].lstrip().upper() if len(head) > 1 else ""
+            if not rest.startswith("TO"):
+                self._in_txn = False
+            return
+        if kw in ("COMMIT", "END"):
+            self._in_txn = False
+            return
+        if self._autocommit or self._in_txn:
             return
         self._run_txn_verb("BEGIN")
         self._in_txn = True

@@ -156,6 +156,26 @@ def test_transactions(con) -> None:
     con.autocommit = True
     cur.execute("select count(*) from txp")
     assert cur.fetchone()[0] == 1
+    # manual BEGIN through cursor.execute() must be tracked: the later
+    # commit()/rollback() are real verbs, not silent no-ops that would
+    # leave the engine transaction open forever
+    con.autocommit = False
+    cur.execute("BEGIN")
+    cur.execute("insert into txp values (3)")
+    con.rollback()  # must actually close the manually-begun transaction
+    cur.execute("select count(*) from txp")
+    assert cur.fetchone()[0] == 1
+    con.commit()
+    # ROLLBACK TO a savepoint keeps the transaction open
+    cur.execute("BEGIN")
+    cur.execute("insert into txp values (4)")
+    cur.execute("SAVEPOINT sp1")
+    cur.execute("insert into txp values (5)")
+    cur.execute("ROLLBACK TO sp1")
+    con.commit()  # still in txn: commits the surviving insert of 4
+    con.autocommit = True
+    cur.execute("select count(*) from txp where v in (4, 5)")
+    assert cur.fetchone()[0] == 1, "savepoint rollback kept v=4 only"
     cur.execute("drop table txp")
     cur.close()
 

@@ -56,14 +56,19 @@ case class AviFrames(child: Expression, stride: Int)
     // compression) and every movi frame chunk offset
     var strfW = 0; var strfH = 0; var strfComp = -1; var strfBits = 0
     val frames = scala.collection.mutable.Buffer[(Int, Int)]() // (off, len)
-    def walk(start: Int, end: Int): Unit = {
+    def walk(start: Int, end: Int, depth: Int): Unit = {
+      // depth bound: a crafted payload can nest a LIST every ~12 bytes;
+      // unbounded recursion would StackOverflowError (an Error escapes
+      // the Exception handler and kills the task instead of degrading
+      // to the NULL stub tier). Real AVI nests 2-3 deep; 64 is generous.
+      if (depth > 64) return
       var pos = start
       while (pos + 8 <= end) {
         val id = fourcc(pos)
         val size = le32(pos + 4)
         if (size < 0 || pos + 8 + size > end) return // truncated: stop
         if (id == "LIST") {
-          walk(pos + 12, pos + 8 + size) // skip the 4-byte list type
+          walk(pos + 12, pos + 8 + size, depth + 1) // skip the 4-byte list type
         } else if (id == "strf" && strfComp < 0 && size >= 40) {
           strfW = le32(pos + 8 + 4)
           strfH = math.abs(le32(pos + 8 + 8))
@@ -76,7 +81,7 @@ case class AviFrames(child: Expression, stride: Int)
         pos += 8 + size + (size & 1) // word alignment
       }
     }
-    walk(12, b.length)
+    walk(12, b.length, 0)
     if (frames.isEmpty || strfComp < 0 || strfW <= 0 || strfH <= 0)
       return null
     val isRaw = strfComp == 0

@@ -294,6 +294,65 @@ object Multimodal {
     bos.array()
   }
 
+  /** Encode IEEE-float WAV (fmt 3, 32- or 64-bit little-endian) — the
+    * deterministic payload generator for the float tier of
+    * [[graft.expr.AudioStats]]. Samples are nominal full-scale [-1, 1].
+    */
+  def encodeWavFloat(sampleRate: Int, channels: Int, nFrames: Int,
+      bits: Int)(sample: Int => Double): Array[Byte] = {
+    require(bits == 32 || bits == 64, "float WAV is 32- or 64-bit")
+    val nSamples = nFrames * channels
+    val bytesPer = bits / 8
+    val dataLen = nSamples * bytesPer
+    val bos = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    if (bits == 32) (0 until nSamples).foreach(i => bos.putFloat(sample(i).toFloat))
+    else (0 until nSamples).foreach(i => bos.putDouble(sample(i)))
+    bos.array()
+  }
+
+  /** Encode WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE) carrying integer PCM-16
+    * or float32 in the SubFormat GUID — the standard container for
+    * >2-channel audio, and the fixture proving AudioStats resolves the
+    * real format through the GUID indirection.
+    */
+  def encodeWavExtensible(sampleRate: Int, channels: Int, nFrames: Int,
+      float32: Boolean)(sample: Int => Double): Array[Byte] = {
+    val bytesPer = if (float32) 4 else 2
+    val bits = bytesPer * 8
+    val nSamples = nFrames * channels
+    val dataLen = nSamples * bytesPer
+    val bos = java.nio.ByteBuffer.allocate(12 + 8 + 40 + 8 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bos.put("RIFF".getBytes("US-ASCII")).putInt(4 + 48 + 8 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(40)
+      .putShort(0xfffe.toShort).putShort(channels.toShort).putInt(sampleRate)
+      .putInt(sampleRate * channels * bytesPer)
+      .putShort((channels * bytesPer).toShort).putShort(bits.toShort)
+      .putShort(22) // cbSize
+      .putShort(bits.toShort) // wValidBitsPerSample
+      .putInt(0) // dwChannelMask (unpositioned)
+      // SubFormat GUID: Data1 = real format tag, then the fixed
+      // KSDATAFORMAT media-subtype tail
+      .putShort(if (float32) 3 else 1).putShort(0)
+      .putShort(0).putShort(0x0010)
+      .put(Array[Byte](0x80.toByte, 0, 0, 0xaa.toByte, 0, 0x38,
+        0x9b.toByte, 0x71))
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    if (float32) (0 until nSamples).foreach(i => bos.putFloat(sample(i).toFloat))
+    else (0 until nSamples).foreach(i =>
+      bos.putShort(math.round(sample(i)).toShort))
+    bos.array()
+  }
+
   /** Encode per-pixel-defined RGB frames as an ANIMATED GIF with the
     * JDK's own sequence writer — the deterministic multi-frame payload
     * generator the gif-frame gate decodes back through

@@ -1434,7 +1434,10 @@ object Pipeline {
     // family: AU 16-bit PCM, AU G.711 μ-law (a real companded codec —
     // byte 0x00 expands to -32124 by the standard segment formula),
     // AU 8-bit signed, AIFF 16-bit (80-bit extended-float sample rate),
-    // and a non-audio payload on the NULL stub tier.
+    // IEEE-float WAV (fmt 3, 32- and 64-bit — dyadic amplitudes so the
+    // Kahan float path is exact), WAVE_FORMAT_EXTENSIBLE (fmt 0xFFFE,
+    // 4-channel PCM-16 and float32 resolved through the SubFormat
+    // GUID), and a non-audio payload on the NULL stub tier.
     "multimodal_audio_formats" -> Q(
       (s, d) => {
         import s.implicits._
@@ -1443,6 +1446,13 @@ object Pipeline {
           (2L, Multimodal.encodeAu(1, 8000, 1, 1000)(_ => 0x00)),
           (3L, Multimodal.encodeAu(2, 8000, 1, 500)(_ => -32)),
           (4L, Multimodal.encodeAiffPcm16(44100, 2, 441)(_ => -8192)),
+          (5L, Multimodal.encodeWavFloat(8000, 1, 800, 32)(_ => 0.25)),
+          (6L, Multimodal.encodeWavFloat(16000, 2, 320, 64)(i =>
+            if (i % 2 == 0) 0.5 else -0.5)),
+          (7L, Multimodal.encodeWavExtensible(48000, 4, 480,
+            float32 = false)(_ => -16384.0)),
+          (8L, Multimodal.encodeWavExtensible(8000, 1, 1000,
+            float32 = true)(_ => -0.75)),
           (9L, "not audio at all".getBytes(
             java.nio.charset.StandardCharsets.UTF_8)))
         Multimodal.audioStats(rows.toDF("media_id", "payload"))
@@ -1461,6 +1471,14 @@ object Pipeline {
              |  CAST(62.5 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
              | (CAST(4 AS BIGINT), 44100, 2, 16, CAST(441 AS BIGINT),
              |  CAST(10 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+             | (CAST(5 AS BIGINT), 8000, 1, 32, CAST(800 AS BIGINT),
+             |  CAST(100 AS DOUBLE), CAST(0.25 AS DOUBLE), CAST(0.25 AS DOUBLE)),
+             | (CAST(6 AS BIGINT), 16000, 2, 64, CAST(320 AS BIGINT),
+             |  CAST(20 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+             | (CAST(7 AS BIGINT), 48000, 4, 16, CAST(480 AS BIGINT),
+             |  CAST(10 AS DOUBLE), CAST(0.5 AS DOUBLE), CAST(0.5 AS DOUBLE)),
+             | (CAST(8 AS BIGINT), 8000, 1, 32, CAST(1000 AS BIGINT),
+             |  CAST(125 AS DOUBLE), CAST(0.75 AS DOUBLE), CAST(0.75 AS DOUBLE)),
              | (CAST(9 AS BIGINT), CAST(NULL AS INT), CAST(NULL AS INT),
              |  CAST(NULL AS INT), CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE),
              |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE))

@@ -45,6 +45,60 @@ object AudioPropertySpec extends Properties("AudioStats") {
       }
     }
 
+  property("PCM-16 and float32 of the same samples agree to 1e-6") =
+    forAll(samples, rate, chans) { (vs, r, ch) =>
+      val nFrames = vs.length / ch
+      nFrames == 0 || {
+        val used = vs.take(nFrames * ch)
+        val pcm = operators.Multimodal.encodeWavPcm16(r, ch, nFrames)(used(_))
+        val f32 = operators.Multimodal.encodeWavFloat(r, ch, nFrames, 32)(
+          i => used(i) / 32768.0)
+        val f64 = operators.Multimodal.encodeWavFloat(r, ch, nFrames, 64)(
+          i => used(i) / 32768.0)
+        val ext = operators.Multimodal.encodeWavExtensible(r, ch, nFrames,
+          float32 = true)(i => used(i) / 32768.0)
+        val rp = decode(pcm)
+        // v/32768 is dyadic and exact in float32, so the float tiers
+        // should agree with the integer-exact tier to fp rounding
+        Seq(decode(f32), decode(f64), decode(ext)).forall { rf =>
+          rf != null && rp != null &&
+            rf.getInt(0) == r && rf.getInt(1) == ch &&
+            rf.getLong(3) == nFrames.toLong &&
+            math.abs(rf.getDouble(5) - rp.getDouble(5)) < 1e-6 &&
+            math.abs(rf.getDouble(6) - rp.getDouble(6)) < 1e-6
+        }
+      }
+    }
+
+  property("EXTENSIBLE PCM-16 decodes identically to plain PCM-16") =
+    forAll(samples, rate, Gen.oneOf(1, 2, 4, 6)) { (vs, r, ch) =>
+      val nFrames = vs.length / ch
+      nFrames == 0 || {
+        val used = vs.take(nFrames * ch)
+        val plainCh = decode(operators.Multimodal.encodeWavExtensible(
+          r, ch, nFrames, float32 = false)(i => used(i).toDouble))
+        plainCh != null && plainCh.getInt(1) == ch &&
+          plainCh.getInt(2) == 16 && plainCh.getLong(3) == nFrames.toLong && {
+            // vs the plain container on the same flattened samples
+            val mono = decode(operators.Multimodal.encodeWavPcm16(
+              r, 1, used.length)(used(_)))
+            plainCh.getDouble(5) == mono.getDouble(5) &&
+              plainCh.getDouble(6) == mono.getDouble(6)
+          }
+      }
+    }
+
+  property("corrupt AU declared length degrades to null, never throws") =
+    forAll(Gen.chooseNum(Int.MaxValue - 64, Int.MaxValue)) { declLen =>
+      // a declared data length near 2^31 must not wrap the bounds check
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put(".snd".getBytes("US-ASCII"))
+        .putInt(24).putInt(declLen).putInt(3).putInt(8000).putInt(1)
+      val row = decode(bb.array())
+      // whole-buffer fallback: 40 data bytes = 20 big-endian samples
+      row == null || row.getLong(3) == 20L
+    }
+
   property("AU 8-bit signed and mu-law stay in range and sniff cleanly") =
     forAll(Gen.nonEmptyListOf(Gen.chooseNum(-128, 127)).map(_.take(100))) { vs =>
       val au8 = operators.Multimodal.encodeAu(2, 8000, 1, vs.length)(vs(_))
