@@ -8,7 +8,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.types._
-import graft.engine.Engine
+import graft.engine.{Engine, Session}
 
 /** Network serving entry point — the analogue of the reference's pgwire
   * server (`/root/reference/src/server/mod.rs:17-46`: bind a TCP port,
@@ -92,13 +92,15 @@ object Server {
       new InputStreamReader(raw, StandardCharsets.UTF_8))
     val out = new PrintWriter(
       new java.io.OutputStreamWriter(client.getOutputStream, StandardCharsets.UTF_8), true)
+    val lsess = engine.newSession()
     try {
       val buf = new StringBuilder
       var line = in.readLine()
       while (line != null) {
         val trimmed = line.trim
         if (buf.isEmpty && trimmed == "\\q") return
-        if (buf.isEmpty && trimmed.startsWith("\\")) execute(engine, trimmed, out)
+        if (buf.isEmpty && trimmed.startsWith("\\"))
+          execute(engine, lsess, trimmed, out)
         else {
           buf.append(line).append('\n')
           // quote-blind ';' scan is fine here: the terminator must END the
@@ -107,7 +109,7 @@ object Server {
           if (trimmed.endsWith(";")) {
             val stmt = buf.toString.trim.stripSuffix(";")
             buf.clear()
-            if (stmt.nonEmpty) execute(engine, stmt, out)
+            if (stmt.nonEmpty) execute(engine, lsess, stmt, out)
           }
         }
         line = in.readLine()
@@ -115,6 +117,7 @@ object Server {
     } finally {
       out.flush()
       client.close()
+      engine.closeSession(lsess)
     }
   }
 
@@ -123,14 +126,14 @@ object Server {
     * their jobs); catalog-mutating statements (DDL/DML — the DELETE/UPDATE
     * temp-dir swap must not race a reader's scan) are exclusive.
     */
-  private[graft] def runStatement(engine: Engine, sql: String)
+  private[graft] def runStatement(engine: Engine, gsess: Session, sql: String)
       : (StructType, Array[org.apache.spark.sql.Row]) = {
     val lock =
       if (Pgwire.isReadOnly(sql)) engine.stmtLock.readLock
       else engine.stmtLock.writeLock
     lock.lock()
     try {
-      val df = engine.run(sql)
+      val df = engine.run(sql, gsess)
       (df.schema, df.collect())
     } finally lock.unlock()
   }
@@ -156,7 +159,7 @@ object Server {
     * (localProperties are an InheritableThreadLocal), so CancelRequest
     * still kills the running statement's jobs.
     */
-  private[graft] final class ResultSpool(engine: Engine, sql: String) {
+  private[graft] final class ResultSpool(engine: Engine, gsess: Session, sql: String) {
     private val path = java.nio.file.Files.createTempFile("graft-spool", ".rows")
     private val mon = new Object
     private var written = 0L // rows durably flushed to the spool
@@ -172,7 +175,7 @@ object Server {
         else engine.stmtLock.writeLock
       lock.lock()
       try {
-        val df = engine.run(sql)
+        val df = engine.run(sql, gsess)
         mon.synchronized { schemaOpt = df.schema; mon.notifyAll() }
         val oos = new java.io.ObjectOutputStream(new java.io.BufferedOutputStream(
           java.nio.file.Files.newOutputStream(path), 1 << 16))
@@ -276,9 +279,10 @@ object Server {
     * eagerly inside `engine.run`; its one-row rows_affected result spools
     * trivially.
     */
-  private[graft] def streamStatement[A](engine: Engine, sql: String)(
+  private[graft] def streamStatement[A](engine: Engine, gsess: Session,
+      sql: String)(
       f: (StructType, Iterator[org.apache.spark.sql.Row]) => A): A = {
-    val spool = new ResultSpool(engine, sql)
+    val spool = new ResultSpool(engine, gsess, sql)
     try f(spool.schema, spool.rows)
     finally spool.close()
   }
@@ -289,13 +293,14 @@ object Server {
       .flatMap(_.linesIterator.nextOption())
       .getOrElse(e.getClass.getSimpleName)
 
-  private def execute(engine: Engine, sql: String, out: PrintWriter): Unit = {
+  private def execute(engine: Engine, lsess: Session, sql: String,
+      out: PrintWriter): Unit = {
     try {
       // one writer at a time: catalog map updates and the DELETE/UPDATE
       // temp-dir swaps are engine-level critical sections. Rows stream
       // partition-by-partition; a failure mid-stream surfaces as a
       // trailing ERR line after the rows already sent (like pg).
-      val n = streamStatement(engine, sql) { (_, rows) =>
+      val n = streamStatement(engine, lsess, sql) { (_, rows) =>
         var count = 0L
         rows.foreach { r =>
           val line = (0 until r.length).map(i => Main.fmt(r.get(i))).mkString("\t")
@@ -431,6 +436,12 @@ private object Pgwire {
 
   def session(rawIn: java.io.InputStream, rawOut: java.io.OutputStream,
       engine: Engine): Unit = {
+    // per-connection engine session: its OWN transaction block and
+    // DECLAREd cursors (two autocommit-off clients no longer silently
+    // join one transaction); closed (= rolled back, pg disconnect
+    // semantics) whatever path exits below
+    val gsess = engine.newSession()
+    try {
     val in = new DataInputStream(rawIn)
     val out = new DataOutputStream(new BufferedOutputStream(rawOut))
 
@@ -446,7 +457,7 @@ private object Pgwire {
     }
     // status byte from the engine: 'T' in an open transaction, 'E' in an
     // aborted one, 'I' idle — pgJDBC and friends track txn state from it
-    def ready(): Unit = { msg('Z')(_.writeByte(engine.txnStatus)); out.flush() }
+    def ready(): Unit = { msg('Z')(_.writeByte(engine.txnStatus(gsess))); out.flush() }
     def error(message: String): Unit = msg('E') { d =>
       d.writeByte('S'); cstr(d, "ERROR")
       d.writeByte('V'); cstr(d, "ERROR")
@@ -579,7 +590,7 @@ private object Pgwire {
     def readSchema(sql: String): StructType = {
       val rl = engine.stmtLock.readLock
       rl.lock()
-      try engine.run(sql).schema finally rl.unlock()
+      try engine.run(sql, gsess).schema finally rl.unlock()
     }
     def tableCols(tbl: String): Int =
       // `tbl` is a bare table name or a parenthesized query (COPY (q) TO)
@@ -627,7 +638,7 @@ private object Pgwire {
           case None =>
             val stmt = s"copy $tbl from '${tmp.toAbsolutePath}'" +
               opts.map(o => s" ($o)").getOrElse("")
-            val (_, rows) = Server.runStatement(engine, stmt)
+            val (_, rows) = Server.runStatement(engine, gsess, stmt)
             msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
             true
         }
@@ -650,7 +661,7 @@ private object Pgwire {
       try {
         val dir = tmp.resolve("out")
         val stmt = s"copy $tbl to '$dir'" + opts.map(o => s" ($o)").getOrElse("")
-        val (_, rows) = Server.runStatement(engine, stmt)
+        val (_, rows) = Server.runStatement(engine, gsess, stmt)
         msg('H')(copyFormats(ncols))
         val listing = java.nio.file.Files.list(dir)
         val sorted = try {
@@ -704,7 +715,7 @@ private object Pgwire {
         if (src.startsWith("(")) s"select * from $src __copy_src"
         else s"select * from $src"
       val zone = sessionZone()
-      val n = Server.streamStatement(engine, sel) { (schema, rows) =>
+      val n = Server.streamStatement(engine, gsess, sel) { (schema, rows) =>
         // validate BEFORE CopyOutResponse: a column with no binary
         // encoder must fail as a clean ErrorResponse, not mid-stream
         // after the PGCOPY header already went out
@@ -834,7 +845,7 @@ private object Pgwire {
               }
             } finally { din.close(); w.close() }
             val stmt = s"copy $tbl from '${txt.toAbsolutePath}' (format text)"
-            val (_, rows) = Server.runStatement(engine, stmt)
+            val (_, rows) = Server.runStatement(engine, gsess, stmt)
             msg('C')(cstr(_, s"COPY ${rowsAffected(rows)}"))
             true
         }
@@ -886,7 +897,7 @@ private object Pgwire {
                   case _ if isRowReturning(stmt) =>
                     // rows stream out partition-by-partition — never the
                     // whole result on the driver
-                    val n = Server.streamStatement(engine, stmt) { (schema, rows) =>
+                    val n = Server.streamStatement(engine, gsess, stmt) { (schema, rows) =>
                       sendRowDescription(schema)
                       sendDataRows(schema, rows)
                     }
@@ -895,9 +906,9 @@ private object Pgwire {
                     // pg tags COMMIT of an ABORTED transaction "ROLLBACK"
                     // (that's what actually happened) — capture the state
                     // before the engine clears it
-                    val abortedCommit = engine.txnStatus == 'E' &&
+                    val abortedCommit = engine.txnStatus(gsess) == 'E' &&
                       (keyword(stmt) == "COMMIT" || keyword(stmt) == "END")
-                    val (_, rows) = Server.runStatement(engine, stmt)
+                    val (_, rows) = Server.runStatement(engine, gsess, stmt)
                     msg('C')(cstr(_,
                       if (abortedCommit) "ROLLBACK" else commandTag(stmt, rows)))
                 }
@@ -1001,7 +1012,7 @@ private object Pgwire {
                   // does not insert twice)
                   if (p.done) msg('C')(cstr(_, commandTag(p.sql, Array.empty)))
                   else {
-                    val (_, rows) = Server.runStatement(engine, p.sql)
+                    val (_, rows) = Server.runStatement(engine, gsess, p.sql)
                     p.done = true
                     msg('C')(cstr(_, commandTag(p.sql, rows)))
                   }
@@ -1012,7 +1023,7 @@ private object Pgwire {
                   // first Execute opens the spool; later Executes resume
                   // its tail iterator — no lock held between messages
                   if (p.spool == null) {
-                    p.spool = new Server.ResultSpool(engine, p.sql)
+                    p.spool = new Server.ResultSpool(engine, gsess, p.sql)
                     checkBinaryFormats(p.spool.schema, p.resultFormats)
                   }
                   val zone = sessionZone()
@@ -1071,6 +1082,7 @@ private object Pgwire {
       sessions.remove((pid, secret))
       engine.spark.sparkContext.clearJobGroup()
     }
+    } finally engine.closeSession(gsess)
   }
 
   private def keyword(stmt: String): String =

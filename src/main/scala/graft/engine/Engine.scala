@@ -289,27 +289,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // statements; CLOSE reclaims the spill dir (an abandoned cursor's dir
   // lives in java.io.tmpdir until the OS tmp sweep — bounded by the
   // declared result size, never the source tables).
-  private sealed trait CursorState {
-    def schema: StructType
-    def dir: java.nio.file.Path
-  }
-  /** Default (NO SCROLL) cursor: a forward-only iterator over the spilled
-    * snapshot — no per-FETCH Spark job, the ETL fast path. Backward
-    * directions error, like pg's non-SCROLL cursors.
-    */
-  private final case class ForwardCursor(
-      it: java.util.Iterator[org.apache.spark.sql.Row],
-      schema: StructType, dir: java.nio.file.Path) extends CursorState
-  /** SCROLL cursor: the snapshot carries a CONTIGUOUS 1-based position
-    * column (materialized once at DECLARE), so every pg direction —
-    * PRIOR/FIRST/LAST/ABSOLUTE/RELATIVE/BACKWARD — is ordinal range
-    * arithmetic + a pruned scan of the spill. `pos` follows pg exactly:
-    * 0 = before first row, total+1 = after last.
-    */
-  private final class ScrollCursor(val snap: DataFrame, val ordCol: String,
-      val total: Long, val schema: StructType, val dir: java.nio.file.Path)
-      extends CursorState { var pos: Long = 0L }
-  private val cursors = mutable.LinkedHashMap[String, CursorState]()
+  // CursorState/ForwardCursor/ScrollCursor live in Session.scala —
+  // cursors are SESSION-scoped (two connections' same-named cursors
+  // must not collide); CLOSE reclaims the spill dir, session close
+  // reclaims all of the session's (an abandoned cursor's dir lives in
+  // java.io.tmpdir until the OS tmp sweep — bounded by the declared
+  // result size, never the source tables).
   private val reDeclareCursor =
     """(?is)\s*declare\s+(\w+)\s+(?:binary\s+)?(?:(scroll|no\s+scroll)\s+)?cursor\s+for\s+(.+)""".r
   private val reFetch =
@@ -500,8 +485,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // touched table to its txn-start version atomically, matching the
   // reference's transactional storage intent
   // (/root/reference/src/storage/secondary/transaction.rs:26-50).
+  // BEGIN accepts pg's transaction_mode list (ISOLATION LEVEL ... /
+  // READ ONLY / READ WRITE / [NOT] DEFERRABLE — ORMs emit these) and
+  // IGNORES it: the engine is single-writer with statement-level
+  // serialization, so every transaction is effectively serializable
+  // and never deferrable; READ ONLY is not enforced (documented).
+  private val txnModes =
+    """(?:\s*,?\s+(?:isolation\s+level\s+(?:read\s+(?:committed|uncommitted)|repeatable\s+read|serializable)|read\s+only|read\s+write|not\s+deferrable|deferrable))*"""
   private val reBegin =
-    """(?is)\s*(?:begin|start\s+transaction)\s*(?:transaction|work)?\s*""".r
+    ("""(?is)\s*(?:begin|start\s+transaction)(?:\s+(?:transaction|work))?""" +
+      txnModes + """\s*""").r
+  // SET TRANSACTION / SET SESSION CHARACTERISTICS AS TRANSACTION:
+  // accepted and ignored for the same reason (pg itself treats these as
+  // hints scoped to the block/session).
+  private val reSetTransaction =
+    ("""(?is)\s*set\s+(?:session\s+characteristics\s+as\s+)?transaction""" +
+      txnModes + """\s*""").r
   private val reCommit =
     """(?is)\s*(?:commit|end)\s*(?:transaction|work)?\s*""".r
   private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
@@ -539,6 +538,53 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * frame via `localCheckpoint` BEFORE the table directory mutates, so
     * the returned rows never re-read swapped-away files.
     */
+  // ---- sessions -----------------------------------------------------------
+  // One Session per client connection (the Server allocates them);
+  // direct embedders (REPL/tests/Verify/Bench) ride the default
+  // session, so single-session behavior is unchanged. The current
+  // session travels in a ThreadLocal set by the two-arg run(): every
+  // statement executes on exactly one thread (the connection thread or
+  // its ResultSpool producer), so thread-confinement is the natural
+  // carrier and no internal signature changes.
+  private val defaultSession = new Session(0L)
+  private val sessionIds = new java.util.concurrent.atomic.AtomicLong(1L)
+  private val openSessions =
+    scala.collection.concurrent.TrieMap[Long, Session](0L -> defaultSession)
+  private val sessionTL: ThreadLocal[Session] =
+    ThreadLocal.withInitial(() => defaultSession)
+  private def sess: Session = sessionTL.get
+
+  /** Allocate a connection-scoped session (txn block + cursors). */
+  def newSession(): Session = {
+    val s = new Session(sessionIds.getAndIncrement())
+    openSessions.put(s.id, s)
+    s
+  }
+
+  /** End a session: roll back any open transaction (pg semantics on
+    * disconnect), reclaim its cursor spill dirs, release its locks.
+    * Takes the statement write lock itself — callers invoke from the
+    * connection teardown path with no lock held.
+    */
+  def closeSession(s: Session): Unit = if (s ne defaultSession) {
+    openSessions.remove(s.id)
+    val wl = stmtLock.writeLock
+    wl.lock()
+    try {
+      if (s.txnOpen) run("rollback", s)
+      s.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
+      s.cursors.clear()
+      releaseTxnLocks(s)
+    } finally wl.unlock()
+  }
+
+  /** Run one statement inside the given session's context. */
+  def run(sql: String, session: Session): DataFrame = {
+    val prev = sessionTL.get
+    sessionTL.set(session)
+    try run(sql) finally sessionTL.set(prev)
+  }
+
   def run(sql: String): DataFrame = {
     val stmt = sql.trim.replaceAll(";\\s*$", "")
     txnGate(stmt)
@@ -564,7 +610,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case e: Throwable =>
         // pg: any error inside an open transaction aborts it — commands
         // are refused until COMMIT/ROLLBACK ends the block
-        if (txnOpen) txnAborted = true
+        if (sess.txnOpen) sess.txnAborted = true
         e match {
           // the WITH RECURSIVE safety valve tripped: name the
           // engine-level pragma that raises it, not just the raw conf
@@ -588,14 +634,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * DDL implicit commit before the DDL runs.
     */
   private def txnGate(stmt: String): Unit = {
-    if (txnOpen && txnAborted) stmt match {
+    if (sess.txnOpen && sess.txnAborted) stmt match {
       // pg also lets ROLLBACK TO SAVEPOINT recover an aborted block
       case reCommit() | reRollback() | reRollbackTo(_) =>
       case _ => throw new IllegalArgumentException(
         "current transaction is aborted, commands ignored until end of " +
           "transaction block")
     }
-    if (txnOpen && !txnAborted && reImplicitCommitDdl.matches(stmt))
+    if (sess.txnOpen && !sess.txnAborted && reImplicitCommitDdl.matches(stmt))
       commitTxn()
   }
 
@@ -641,9 +687,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // and the versions born inside the transaction VANISH from the commit
   // log — time travel shows no trace of rolled-back work. Semantics notes
   // (documented divergences from pg, honest for a single-writer engine):
-  //  * the transaction is engine-global, not per-session — concurrent
-  //    writers serialize on the statement write lock and would join the
-  //    open transaction (the reference is likewise a single-writer store:
+  //  * transaction state is PER SESSION (undo set, abort flag,
+  //    savepoints, cursors — see Session.scala); cross-session isolation
+  //    is NOWAIT table locking: the first in-txn touch locks the table
+  //    to the session, a foreign write errors immediately instead of
+  //    blocking (blocking would deadlock against the global statement
+  //    write lock), reads are last-committed-wins (the reference is
+  //    likewise a single-writer store:
   //    /root/reference/src/storage/secondary/transaction.rs:26-50);
   //  * DDL (CREATE/DROP/ALTER/VACUUM) implicitly commits the open
   //    transaction first, MySQL-style — the version log can undo data
@@ -654,50 +704,78 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // COMMIT/ROLLBACK errors with pg's message, and COMMIT of an aborted
   // transaction performs the rollback (reporting it, as pg does).
 
-  /** Undo record for one table at its first touch inside the open
-    * transaction: the version to restore to plus the metadata the
-    * version log does not carry (defaults/checks are current-state
-    * metadata; RESTORE inside the txn may also have moved the schema).
+  // TxnUndo lives in Session.scala; the txn block state (open/aborted/
+  // undo/savepoints) is SESSION-scoped — see the sessions section above.
+
+  /** table → owning session id: NOWAIT write locks taken at a
+    * transaction's first touch of a table, released at COMMIT/ROLLBACK/
+    * session close. All access under this map's own monitor (writers
+    * already serialize on the Server's statement lock, but direct
+    * embedders bypass it).
     */
-  private case class TxnUndo(version: Int, schema: StructType,
-      pk: Seq[String], dflts: Option[Map[String, String]],
-      chks: Option[Vector[(String, String)]], rows: Option[Long])
-  private var txnOpen = false
-  private var txnAborted = false
-  private val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
+  private val txnLocks = mutable.Map[String, Long]()
+
+  private def releaseTxnLocks(s: Session): Unit =
+    txnLocks.synchronized { txnLocks.filterInPlace((_, owner) => owner != s.id) }
+
+  /** Refuse a write/DDL on a table inside ANOTHER session's open
+    * transaction. NOWAIT by design: the writer is already holding the
+    * global statement write lock, so blocking here would deadlock
+    * against the owner's COMMIT (which needs that same lock).
+    */
+  private def checkForeignLock(table: String): Unit =
+    txnLocks.synchronized {
+      txnLocks.get(table).foreach { owner =>
+        if (owner != sess.id) throw new IllegalArgumentException(
+          s"""relation "$table" is locked by another session's open """ +
+            "transaction (single-writer engine: retry after its " +
+            "COMMIT/ROLLBACK)")
+      }
+    }
 
   /** First-touch hook: called at the top of every DML path (and
     * defensively from recordCommit) BEFORE the table mutates, so the
     * undo record captures the pre-statement version and metadata.
+    * Also the cross-session gate: errors if a FOREIGN session's open
+    * transaction holds the table, and locks it to this session when
+    * our own transaction touches it first.
     */
-  private def txnTouch(table: String): Unit =
-    if (txnOpen && !txnUndo.contains(table) && tables.contains(table)) {
+  private def txnTouch(table: String): Unit = {
+    checkForeignLock(table)
+    val s = sess
+    if (s.txnOpen && !s.txnUndo.contains(table) && tables.contains(table)) {
       val v = math.max(history.getOrElse(table, Vector.empty).length - 1, 0)
-      txnUndo(table) = TxnUndo(v, tables(table)._1, tables(table)._2,
+      s.txnUndo(table) = TxnUndo(v, tables(table)._1, tables(table)._2,
         defaults.get(table), checks.get(table), rowCounts.get(table))
+      txnLocks.synchronized { txnLocks(table) = s.id }
     }
+  }
 
   /** pgwire ReadyForQuery status byte: 'T' inside an open transaction,
     * 'E' inside an aborted one, 'I' idle — autocommit-off drivers
-    * (pgJDBC) track transaction state from this.
+    * (pgJDBC) track transaction state from this. Per session.
     */
-  def txnStatus: Char =
-    if (txnOpen && txnAborted) 'E' else if (txnOpen) 'T' else 'I'
+  def txnStatus(s: Session): Char =
+    if (s.txnOpen && s.txnAborted) 'E' else if (s.txnOpen) 'T' else 'I'
+  def txnStatus: Char = txnStatus(defaultSession)
 
   private def beginTxn(): DataFrame = {
     // BEGIN inside an open transaction: pg warns and carries on — the
     // existing undo set must survive (resetting it would orphan work)
-    if (!txnOpen) {
-      txnOpen = true; txnAborted = false
-      txnUndo.clear(); txnSavepoints.clear()
+    val s = sess
+    if (!s.txnOpen) {
+      s.txnOpen = true; s.txnAborted = false
+      s.txnUndo.clear(); s.txnSavepoints.clear()
     }
     emptyResult
   }
 
   private def commitTxn(): DataFrame = {
-    if (txnAborted) return rollbackTxn() // pg: COMMIT of an aborted txn rolls back
-    txnOpen = false; txnAborted = false
-    txnUndo.clear(); txnSavepoints.clear()
+    val s = sess
+    if (s.txnAborted) return rollbackTxn() // pg: COMMIT of an aborted txn rolls back
+    s.txnOpen = false; s.txnAborted = false
+    s.txnUndo.clear(); s.txnSavepoints.clear()
+    releaseTxnLocks(s)
     emptyResult
   }
 
@@ -767,12 +845,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
 
   private def rollbackTxn(): DataFrame = {
-    val touched = txnUndo.toSeq
-    txnUndo.clear()
-    txnSavepoints.clear()
-    txnOpen = false
-    txnAborted = false
+    val s = sess
+    val touched = s.txnUndo.toSeq
+    s.txnUndo.clear()
+    s.txnSavepoints.clear()
+    s.txnOpen = false
+    s.txnAborted = false
     touched.foreach { case (t, u) => restoreToUndo(t, u) }
+    releaseTxnLocks(s)
     saveManifest()
     emptyResult
   }
@@ -785,9 +865,6 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * The full-txn undo entries stay valid: a table first touched after
     * a savepoint restore still rolls all the way back on ROLLBACK.
     */
-  private val txnSavepoints =
-    mutable.Buffer[(String, Map[String, TxnUndo])]()
-
   private def savepointSnapshot(): Map[String, TxnUndo] =
     tables.keys.map { t =>
       val v = math.max(history.getOrElse(t, Vector.empty).length - 1, 0)
@@ -796,40 +873,43 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }.toMap
 
   private def savepoint(name: String): DataFrame = {
-    if (!txnOpen) throw new IllegalArgumentException(
+    val s = sess
+    if (!s.txnOpen) throw new IllegalArgumentException(
       "SAVEPOINT can only be used in transaction blocks")
-    txnSavepoints += ((name.toLowerCase, savepointSnapshot()))
+    s.txnSavepoints += ((name.toLowerCase, savepointSnapshot()))
     emptyResult
   }
 
   private def rollbackToSavepoint(name: String): DataFrame = {
-    if (!txnOpen) throw new IllegalArgumentException(
+    val s = sess
+    if (!s.txnOpen) throw new IllegalArgumentException(
       "ROLLBACK TO SAVEPOINT can only be used in transaction blocks")
-    val i = txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    val i = s.txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
     if (i < 0) throw new IllegalArgumentException(
       s"""savepoint "$name" does not exist""")
-    val snap = txnSavepoints(i)._2
+    val snap = s.txnSavepoints(i)._2
     // only tables the TRANSACTION touched can have moved; each restores
     // to its savepoint-time state (tables first touched after the
     // savepoint had their pre-touch version == savepoint version)
-    txnUndo.keys.toSeq.foreach { t =>
+    s.txnUndo.keys.toSeq.foreach { t =>
       snap.get(t).foreach(u => restoreToUndo(t, u))
     }
     // the savepoint itself survives (pg re-rollback-able); later ones die
-    txnSavepoints.takeInPlace(i + 1)
-    txnAborted = false
+    s.txnSavepoints.takeInPlace(i + 1)
+    s.txnAborted = false
     saveManifest()
     emptyResult
   }
 
   private def releaseSavepoint(name: String): DataFrame = {
-    if (!txnOpen) throw new IllegalArgumentException(
+    val s = sess
+    if (!s.txnOpen) throw new IllegalArgumentException(
       "RELEASE SAVEPOINT can only be used in transaction blocks")
-    val i = txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
+    val i = s.txnSavepoints.lastIndexWhere(_._1 == name.toLowerCase)
     if (i < 0) throw new IllegalArgumentException(
       s"""savepoint "$name" does not exist""")
     // pg: releasing also destroys savepoints established after it
-    txnSavepoints.takeInPlace(i)
+    s.txnSavepoints.takeInPlace(i)
     emptyResult
   }
 
@@ -1617,7 +1697,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           s"prepared statement \"$name\" does not exist")
       emptyResult
     case reDeclareCursor(name, scrollOpt, query) =>
-      require(!cursors.contains(name), s"""cursor "$name" already exists""")
+      require(!sess.cursors.contains(name), s"""cursor "$name" already exists""")
       val df = run(query)
       val scroll = Option(scrollOpt).exists(_.equalsIgnoreCase("scroll"))
       // snapshot: one distributed write into a private spill dir (bounded
@@ -1652,13 +1732,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             schema).write.parquet(data)
           deleteRecursively(dir.resolve("tmp"), keepRoot = false)
           val snap = spark.read.schema(withOrd.schema).parquet(data)
-          cursors(name) =
+          sess.cursors(name) =
             new ScrollCursor(snap, ord, snap.count(), df.schema, dir)
         } else {
           withOrd.write.parquet(data)
           val snap = spark.read.schema(withOrd.schema).parquet(data)
             .orderBy(ord).drop(ord)
-          cursors(name) = ForwardCursor(snap.toLocalIterator(), df.schema, dir)
+          sess.cursors(name) = ForwardCursor(snap.toLocalIterator(), df.schema, dir)
         }
       } catch {
         case e: Exception => // failed snapshot: no orphan spill dir
@@ -1666,8 +1746,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           throw e
       }
       emptyResult
-    case reFetch(verb, spec, name) if cursors.contains(name) =>
-      val rows = cursors(name) match {
+    case reFetch(verb, spec, name) if sess.cursors.contains(name) =>
+      val rows = sess.cursors(name) match {
         case ForwardCursor(it, schema, _) =>
           val n = Option(spec).map(_.toLowerCase.replaceAll("\\s+", " ")) match {
             case None | Some("next") | Some("forward") => 1
@@ -1697,15 +1777,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"""cursor "$name" does not exist""")
     case reCloseCursor(name) =>
       if (name.equalsIgnoreCase("all")) {
-        cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
-        cursors.clear()
-      } else cursors.remove(name) match {
+        sess.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
+        sess.cursors.clear()
+      } else sess.cursors.remove(name) match {
         case Some(c) => deleteRecursively(c.dir, keepRoot = false)
         case None => throw new IllegalArgumentException(
           s"""cursor "$name" does not exist""")
       }
       emptyResult
     case reBegin() => beginTxn()
+    case reSetTransaction() => emptyResult // accepted, ignored (see regex note)
     case reCommit() => commitTxn()
     case reRollback() => rollbackTxn()
     case reSavepoint(name) => savepoint(name)
@@ -2117,8 +2198,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def vacuum(table: String, retain: Int): DataFrame = {
     val cur = history.getOrElse(table, Vector.empty).length - 1
+    // never reclaim a snapshot ANY session's open undo set needs: a
+    // foreign transaction's ROLLBACK must still find its first-touch
+    // version (VACUUM implicitly commits only the ISSUING session's
+    // transaction). Savepoint snapshots restore to versions >= the
+    // undo version, so the undo version is the floor.
+    val undoFloor = openSessions.values
+      .flatMap(s => s.txnUndo.get(table).map(_.version))
+      .reduceOption(_ min _).getOrElse(Int.MaxValue)
     var reclaimed = 0L
-    (0 until (cur - retain)).foreach { v =>
+    (0 until math.min(cur - retain, undoFloor)).foreach { v =>
       // version archives plus any IVM delete/update deltas recorded for
       // commits this far back (a refresh needing one that's gone falls
       // back to full recompute — the same contract as a vacuumed version)
@@ -2715,6 +2804,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     require(!matviews.contains(name),
       s"$name is a materialized view: use DROP MATERIALIZED VIEW")
     if (kind == "table") {
+      // a foreign session's open txn could not undo past a DROP
+      checkForeignLock(name)
       tables.remove(name)
       buckets.remove(name)
       history.remove(name)

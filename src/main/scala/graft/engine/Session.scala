@@ -1,0 +1,71 @@
+package graft.engine
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.StructType
+import scala.collection.mutable
+
+/** Undo record for one table at its first touch inside an open
+  * transaction: the version to restore to plus the metadata the
+  * version log does not carry (defaults/checks are current-state
+  * metadata; RESTORE inside the txn may also have moved the schema).
+  */
+private[engine] case class TxnUndo(version: Int, schema: StructType,
+    pk: Seq[String], dflts: Option[Map[String, String]],
+    chks: Option[Vector[(String, String)]], rows: Option[Long])
+
+/** SQL-level cursor state (pg surface — the psql/ETL counterpart of the
+  * wire protocol's suspended portals). DECLARE materializes the result
+  * once into a private spill directory and FETCH streams from THAT
+  * snapshot — pg's cursor visibility, and the only shape that survives
+  * a DELETE/UPDATE/REFRESH rewriteSwap between FETCHes.
+  */
+private[engine] sealed trait CursorState {
+  def schema: StructType
+  def dir: java.nio.file.Path
+}
+
+/** Default (NO SCROLL) cursor: a forward-only iterator over the spilled
+  * snapshot — no per-FETCH Spark job, the ETL fast path. Backward
+  * directions error, like pg's non-SCROLL cursors.
+  */
+private[engine] final case class ForwardCursor(
+    it: java.util.Iterator[org.apache.spark.sql.Row],
+    schema: StructType, dir: java.nio.file.Path) extends CursorState
+
+/** SCROLL cursor: the snapshot carries a CONTIGUOUS 1-based position
+  * column (materialized once at DECLARE), so every pg direction —
+  * PRIOR/FIRST/LAST/ABSOLUTE/RELATIVE/BACKWARD — is ordinal range
+  * arithmetic + a pruned scan of the spill. `pos` follows pg exactly:
+  * 0 = before first row, total+1 = after last.
+  */
+private[engine] final class ScrollCursor(val snap: DataFrame, val ordCol: String,
+    val total: Long, val schema: StructType, val dir: java.nio.file.Path)
+    extends CursorState { var pos: Long = 0L }
+
+/** Per-connection engine session: the transaction block (undo set,
+  * abort flag, savepoints) and DECLAREd cursors that used to be
+  * engine-global single-instance fields. The Server allocates one per
+  * pgwire/line-protocol connection ([[Engine.newSession]]) and passes
+  * it to every [[Engine.run]], so two autocommit-off clients no longer
+  * silently join ONE transaction (the round-14 divergence where A's
+  * ROLLBACK erased B's work) and same-named cursors don't collide.
+  * Direct embedders (REPL, tests, Verify/Bench) ride the engine's
+  * default session — single-session behavior is unchanged.
+  *
+  * Cross-session write isolation is NOWAIT table locking, not MVCC
+  * (the engine is a single-writer store like the reference,
+  * /root/reference/src/storage/secondary/transaction.rs:26-50): the
+  * first in-transaction touch of a table locks it to the session, a
+  * foreign session's write to a locked table errors immediately
+  * (blocking would deadlock against the global statement write lock),
+  * and reads stay last-committed-wins. Locks release at COMMIT /
+  * ROLLBACK / session close (which rolls back, like pg on disconnect).
+  */
+final class Session private[engine] (private[graft] val id: Long) {
+  private[engine] var txnOpen = false
+  private[engine] var txnAborted = false
+  private[engine] val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
+  private[engine] val txnSavepoints =
+    mutable.Buffer[(String, Map[String, TxnUndo])]()
+  private[engine] val cursors = mutable.LinkedHashMap[String, CursorState]()
+}

@@ -1199,4 +1199,106 @@ class ServerSpec extends AnyFunSuite {
       assert(send("select count(*) as c from conc2;") == Seq("20", "OK 1")))
     server.close()
   }
+
+  test("per-session transactions: two connections roll back independently") {
+    val dir = freshDir("/root/repo/target/graft-tmp/sess-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-sess-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new PgClient(server.getLocalPort)
+    val b = new PgClient(server.getLocalPort)
+    try {
+      a.startup(); b.startup()
+      def status(ms: Seq[(Char, Array[Byte])]): Char = ms.last._2.head.toChar
+      def one(ms: Seq[(Char, Array[Byte])]): String =
+        new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
+          StandardCharsets.UTF_8)
+      a.query("create table sta(v int)")
+      a.query("create table stb(v int)")
+      a.query("insert into sta values (1)")
+      // A opens a transaction and touches sta — the txn state is A's
+      // alone: B keeps seeing ReadyForQuery status 'I'
+      assert(status(a.query("BEGIN")) == 'T')
+      assert(status(a.query("insert into sta values (2)")) == 'T')
+      assert(status(b.query("select 1")) == 'I',
+        "A's open transaction leaked into B's status byte")
+      // B's autocommit write to ANOTHER table proceeds and is durable;
+      // B's reads are unblocked
+      assert(status(b.query("insert into stb values (20)")) == 'I')
+      assert(one(b.query("select count(*) from stb")) == "1")
+      // B's write to the table A's transaction HOLDS errors NOWAIT
+      // (single-writer lock; blocking would deadlock the stmt lock)
+      val refused = b.query("insert into sta values (99)")
+      assert(refused.exists(_._1 == 'E'), "foreign write was not refused")
+      assert(status(refused) == 'I', "autocommit error must not open a txn")
+      // B can run its OWN transaction on stb concurrently and commit it
+      assert(status(b.query("BEGIN")) == 'T')
+      b.query("insert into stb values (21)")
+      assert(status(b.query("COMMIT")) == 'I')
+      // A's ROLLBACK undoes ONLY A's work: sta back to one row, B's
+      // committed stb rows untouched (the round-14 engine-global txn
+      // would have erased them had B joined A's block)
+      assert(status(a.query("ROLLBACK")) == 'I')
+      assert(one(a.query("select count(*) from sta")) == "1")
+      assert(one(a.query("select count(*) from stb")) == "2")
+      // an error in A's fresh transaction aborts A only
+      a.query("BEGIN")
+      assert(status(a.query("select nope from sta")) == 'E')
+      assert(status(b.query("select 1")) == 'I',
+        "A's aborted state leaked into B")
+      assert(status(a.query("ROLLBACK")) == 'I')
+      // same-named cursors on two connections don't collide
+      a.query("BEGIN")
+      b.query("BEGIN")
+      assert(!a.query("declare cx cursor for select 111 as v")
+        .exists(_._1 == 'E'))
+      assert(!b.query("declare cx cursor for select 222 as v")
+        .exists(_._1 == 'E'), "cursor name collided across sessions")
+      assert(one(a.query("fetch cx")) == "111")
+      assert(one(b.query("fetch cx")) == "222")
+      a.query("COMMIT"); b.query("COMMIT")
+    } finally {
+      a.close()
+      b.close()
+      server.close()
+    }
+  }
+
+  test("disconnect mid-transaction rolls back, pg semantics") {
+    val dir = freshDir("/root/repo/target/graft-tmp/disc-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-disc-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new PgClient(server.getLocalPort)
+    val b = new PgClient(server.getLocalPort)
+    try {
+      a.startup(); b.startup()
+      def one(ms: Seq[(Char, Array[Byte])]): String =
+        new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
+          StandardCharsets.UTF_8)
+      a.query("create table dt(v int)")
+      a.query("insert into dt values (1)")
+      a.query("BEGIN")
+      a.query("insert into dt values (2)")
+      a.close() // vanish without COMMIT — the server must roll back
+      // the rollback runs on the session thread's teardown; poll for it
+      val deadline = System.nanoTime() + 30e9.toLong
+      var n = one(b.query("select count(*) from dt"))
+      while (n != "1" && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        n = one(b.query("select count(*) from dt"))
+      }
+      assert(n == "1", s"open txn not rolled back on disconnect (count=$n)")
+      // and the table is unlocked for B again
+      assert(!b.query("insert into dt values (3)").exists(_._1 == 'E'))
+      assert(one(b.query("select count(*) from dt")) == "2")
+    } finally {
+      b.close()
+      server.close()
+    }
+  }
 }
