@@ -1363,36 +1363,62 @@ class Engine(val spark: SparkSession, val warehouse: String) {
          else None,
          base, fb)
       } else {
-        // SEVERAL bases moved: telescoping cross-delta, append-only.
+        // SEVERAL bases moved: telescoping cross-delta.
         //   new(F₁⋈…⋈Fₙ) − old(F₁⋈…⋈Fₙ)
         //     = Σᵢ (F₁..Fᵢ₋₁ NEW) ⋈ ΔFᵢ ⋈ (Fᵢ₊₁..Fₙ OLD)
-        // Each term is one replay: tables before i read live (= new),
-        // table i reads its appended files, tables after i read their
-        // ANCHORED archived versions. Deletes in any window would need
-        // subtraction cross-terms — recompute fully instead.
+        // with ΔFᵢ = addsᵢ − deletesᵢ as a SIGNED multiset. Each
+        // positive term is one replay: tables before i read live
+        // (= new), table i reads its delta files, tables after i read
+        // their ANCHORED archived versions. A delete window contributes
+        // the SAME term shape entered negated through the dAgg merge —
+        // exactly how the single-moved path subtracts. Supported:
+        // deletes/updates in AT MOST ONE moved window (the rest pure
+        // appends) — deletes in two windows would introduce
+        // second-order Dᵢ⋈Dⱼ cross-terms the linear merge can't
+        // express; recompute fully instead.
         val wins = moved.map { case (b, v) =>
           val (adds, dels) = windowOf(b, v).getOrElse(return None)
-          if (dels.nonEmpty) return None
-          (b, v, adds)
+          (b, v, adds, dels)
         }
-        if (wins.forall(_._3.isEmpty)) return Some((old, oldAux))
-        val terms = wins.zipWithIndex.flatMap { case ((b, _, files), i) =>
-          if (files.isEmpty) None
-          else {
-            val olds = wins.drop(i + 1).map { case (ob, ov, _) =>
-              if (!Files.isDirectory(versionDir(ob, ov))) return None
-              ob -> versionState(ob, ov)
-            }
-            Some(replayWith((b -> deltaDf(b, files)) +: olds))
+        val delWins = wins.filter(_._4.nonEmpty)
+        if (delWins.length > 1) return None
+        // extremum eviction under deletes: same bare-group contract as
+        // the single-moved path, keyed on the DELETING table (its
+        // columns are the only ones a semi-filter can push back down)
+        val fbMulti = delWins.headOption.flatMap { case (db, _, _, _) =>
+          shape.bareGroups.filter(_.forall(_._2 == db))
+            .map(_.map { case (out, _, bcol) => (out, bcol) })
+        }
+        if (delWins.nonEmpty && shape.minMaxCols.nonEmpty &&
+            (shape.groupCols.isEmpty || fbMulti.isEmpty)) return None
+        if (wins.forall(w => w._3.isEmpty && w._4.isEmpty))
+          return Some((old, oldAux))
+        // every table that can appear as a suffix needs its anchored
+        // archive intact (VACUUM may have reclaimed it) → else full
+        if (wins.drop(1).exists { case (ob, ov, _, _) =>
+            !Files.isDirectory(versionDir(ob, ov)) }) return None
+        def suffixOlds(i: Int): Seq[(String, DataFrame)] =
+          wins.drop(i + 1).map { case (ob, ov, _, _) =>
+            ob -> versionState(ob, ov)
           }
+        val terms = wins.zipWithIndex.flatMap { case ((b, _, files, _), i) =>
+          if (files.isEmpty) None
+          else Some(replayWith((b -> deltaDf(b, files)) +: suffixOlds(i)))
+        }
+        // the (at most one) delete window's negated term, same prefix/
+        // suffix states as its positive sibling at the same position
+        val delTerm = delWins.headOption.map { case (db, _, _, dels) =>
+          val i = wins.indexWhere(_._1 == db)
+          replayWith(
+            (db -> deltaDf(db, dels.map(_.toString))) +: suffixOlds(i))
         }
         // fold the add terms group-wise into ONE add delta: counts/sums/
         // sidecars add, extremes take least/greatest, AVG recomputes
         // from its combined sidecar; everything casts back to the
         // decomposed frame's own types
-        val tmplSchema = terms.head.schema
-        val combined =
-          if (terms.length == 1) terms.head
+        val combined = terms.headOption.map { head =>
+          val tmplSchema = head.schema
+          if (terms.length == 1) head
           else {
             val u = terms.reduce(_ unionByName _)
             val aggs: Seq[Column] = shape.kinds.collect {
@@ -1411,7 +1437,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               .agg(aggs.head, aggs.tail: _*)
               .select(tmplSchema.fieldNames.toSeq.map(col): _*)
           }
-        (Some(combined), None, moved.head._1, None)
+        }
+        (combined, delTerm,
+          delWins.headOption.map(_._1).getOrElse(moved.head._1), fbMulti)
       }
     def pre(df: DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)

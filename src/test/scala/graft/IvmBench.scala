@@ -104,6 +104,23 @@ object IvmBench {
       w
     }
 
+    // BOTH sides move with deletes in ONE window: the delete enters as
+    // the negated telescoping term at its table's position — fact
+    // delete + dim append one round, fact append + dim delete the next
+    val jxd = (1 to rounds).map { i =>
+      if (i % 2 == 1) {
+        engine.run(s"delete from ivm_fact where l_orderkey = ${i * 128}")
+        engine.run("insert into ivm_dim select * from part_src limit 100")
+      } else {
+        engine.run("insert into ivm_fact select * from li_src limit 1000")
+        engine.run(s"delete from ivm_dim where p_partkey = ${i * 17}")
+      }
+      val (w, mode) = timed("refresh materialized view ivm_jview")
+      require(mode == "incremental",
+        s"round $i expected join cross-delete, got $mode")
+      w
+    }
+
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
     // archives the file diff needs; the refresh falls back to full and
@@ -115,7 +132,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
