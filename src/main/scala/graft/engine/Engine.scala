@@ -61,6 +61,24 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * the next rewrite or ANALYZE re-establishes it.
     */
   private val rowCounts = mutable.Map[String, Long]()
+  /** One column's ledgered statistics. min/max are externalized strings
+    * in CatalogColumnStat's numeric format (the auto path collects them
+    * for numeric/date-backed columns only; ANALYZE adoption stores
+    * whatever Spark computed, verbatim).
+    */
+  private case class ColLedger(ndv: Option[Long], min: Option[String],
+      max: Option[String], nullCount: Option[Long])
+  /** table → column → stats, the column-level sibling of [[rowCounts]]:
+    * restart-safe (manifest), re-pushed into the session catalog on
+    * every registration. Fed two ways — `ANALYZE TABLE ... FOR COLUMNS`
+    * results are adopted verbatim, and the commit write passes
+    * auto-collect NDV/min/max for declared PK and CLUSTERED BY columns
+    * as observe metrics on the same job (no second scan). A 12-way join
+    * reorder at cluster scale hangs on NDV, not just row counts — this
+    * keeps CBO fed without anyone remembering to run ANALYZE.
+    */
+  private val colStatsLedger =
+    mutable.Map[String, mutable.Map[String, ColLedger]]()
   /** view name → SQL text (re-planned at each scan, like the reference) */
   private val views = mutable.LinkedHashMap[String, String]()
   /** function name → (params, body) for bind-time inlining */
@@ -166,7 +184,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def pushStats(table: String): Unit = {
     import org.apache.spark.sql.catalyst.TableIdentifier
-    import org.apache.spark.sql.catalyst.catalog.CatalogStatistics
+    import org.apache.spark.sql.catalyst.catalog.{CatalogColumnStat, CatalogStatistics}
     try {
       val stats = rowCounts.get(table).map { n =>
         var bytes = 0L
@@ -179,11 +197,100 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               .foreach(p => bytes += Files.size(p))
           } finally s.close()
         }
-        CatalogStatistics(BigInt(math.max(bytes, 1L)), Some(BigInt(n)))
+        val ledger = colStatsLedger.getOrElse(table, mutable.Map.empty)
+        val pkCols = tables.get(table).map(_._2).getOrElse(Nil)
+        val colStats: Map[String, CatalogColumnStat] =
+          (ledger.keys ++ pkCols).toSeq.distinct.flatMap { c =>
+            val l = ledger.get(c)
+            // a declared PK is unique and non-null BY CONTRACT: its NDV
+            // is the exact row count and needs no computation at all
+            val ndv =
+              if (pkCols.contains(c)) Some(BigInt(n))
+              else l.flatMap(_.ndv).map(BigInt(_))
+            val nulls =
+              if (pkCols.contains(c)) Some(BigInt(0))
+              else l.flatMap(_.nullCount).map(BigInt(_))
+            if (ndv.isEmpty && l.forall(x => x.min.isEmpty && x.max.isEmpty))
+              None
+            else Some(c -> CatalogColumnStat(ndv, l.flatMap(_.min),
+              l.flatMap(_.max), nulls, None, None, None))
+          }.toMap
+        CatalogStatistics(BigInt(math.max(bytes, 1L)), Some(BigInt(n)),
+          colStats)
       }
       spark.sessionState.catalog.alterTableStats(TableIdentifier(table), stats)
     } catch { case _: Exception => } // stats are advisory, never fail a commit
   }
+
+  /** Columns the commit write passes auto-collect stats for: declared
+    * PK columns and the CLUSTERED BY column (the ones joins key on),
+    * restricted to integral/floating/decimal types — the set whose
+    * min/max externalize losslessly through plain literal strings in
+    * every CatalogColumnStat version.
+    */
+  private def autoStatCols(table: String): Seq[String] = {
+    val schema = tables.get(table).map(_._1).getOrElse(return Nil)
+    val wanted = (tables.get(table).map(_._2).getOrElse(Nil) ++
+      buckets.get(table).map(_._1)).distinct
+    wanted.filter { c =>
+      schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
+        (f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
+    }
+  }
+
+  /** The observe metrics the auto-stat columns add to a write job:
+    * per column an approx NDV (HLL rides the same pass), min, max, and
+    * null count.
+    */
+  private def colObsMetrics(cols: Seq[String]): Seq[Column] =
+    cols.flatMap { c =>
+      Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
+        min(col(c)).as(s"__min_$c"),
+        max(col(c)).as(s"__max_$c"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"))
+    }
+
+  private def observedAny(o: org.apache.spark.sql.Observation,
+      key: String): Option[Any] =
+    try Option(o.get(key)) catch { case _: NoSuchElementException => None }
+
+  /** Fold one write pass's observed column metrics into the ledger.
+    * A rewrite saw the COMPLETE post-state → replace; an append saw
+    * only the delta → min/max merge, null counts add, and NDV takes
+    * the max of old and delta (a lower bound — HLL sketches don't
+    * merge through scalar metrics; pg's stats are approximate under
+    * churn too, and a PK's NDV never uses this path).
+    */
+  private def adoptColObs(table: String,
+      obs: org.apache.spark.sql.Observation, cols: Seq[String],
+      rewrite: Boolean): Unit =
+    try {
+      if (cols.isEmpty) return
+      val ledger = colStatsLedger.getOrElseUpdate(table, mutable.Map.empty)
+      cols.foreach { c =>
+        val ndv = observedAny(obs, s"__ndv_$c").map(_.asInstanceOf[Long])
+        val mn = observedAny(obs, s"__min_$c").map(_.toString)
+        val mx = observedAny(obs, s"__max_$c").map(_.toString)
+        val nul = observedAny(obs, s"__nul_$c").map(_.asInstanceOf[Long])
+        val merged =
+          if (rewrite) ColLedger(ndv, mn, mx, nul)
+          else ledger.get(c) match {
+            case Some(old) =>
+              def num(s: String) = new java.math.BigDecimal(s)
+              ColLedger(
+                (old.ndv ++ ndv).reduceOption(_ max _),
+                (old.min ++ mn).reduceOption((a, b) =>
+                  if (num(a).compareTo(num(b)) <= 0) a else b),
+                (old.max ++ mx).reduceOption((a, b) =>
+                  if (num(a).compareTo(num(b)) >= 0) a else b),
+                (old.nullCount ++ nul).reduceOption(_ + _))
+            case None => ColLedger(ndv, mn, mx, nul)
+          }
+        ledger(c) = merged
+      }
+      // restart-safety rides the commit's own saveManifest (adoptColObs
+      // runs before recordCommit on every write path)
+    } catch { case _: Exception => } // advisory, never fail a commit
 
   /** Mocked-small tables (`SET mock_rowcount_<t> = n`) shadow their catalog
     * table with a broadcast-hinted temp view, so the planner treats them as
@@ -835,6 +942,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       u.rows match {
         case Some(n) => rowCounts(t) = n; case None => rowCounts.remove(t)
       }
+      // the column ledger has no undo capture: drop it (conservative —
+      // the next rewrite or ANALYZE re-establishes it)
+      colStatsLedger.remove(t)
       register(t)
       refresh(t)
       matviewBase.keys.toSeq.foreach { m =>
@@ -1986,13 +2096,24 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       scala.util.Try(spark.sessionState.catalog.alterTableStats(
         org.apache.spark.sql.catalyst.TableIdentifier(t), None))
       val res = spark.sql(stmt)
-      // adopt the computed count into the ledger, so a later
-      // re-registration pushes (not clears) the analyzed stats
+      // adopt the computed stats into the ledgers, so a later
+      // re-registration (or engine restart) pushes — not clears — them:
+      // row count as before, and FOR COLUMNS results verbatim
+      // (min/max already in CatalogColumnStat's external string form)
       scala.util.Try {
-        spark.sessionState.catalog
+        val meta = spark.sessionState.catalog
           .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
-          .stats.flatMap(_.rowCount)
-          .foreach(n => rowCounts(t) = n.toLong)
+        meta.stats.foreach { st =>
+          st.rowCount.foreach(n => rowCounts(t) = n.toLong)
+          if (st.colStats.nonEmpty) {
+            val ledger = colStatsLedger.getOrElseUpdate(t, mutable.Map.empty)
+            st.colStats.foreach { case (c, s) =>
+              ledger(c) = ColLedger(s.distinctCount.map(_.toLong),
+                s.min, s.max, s.nullCount.map(_.toLong))
+            }
+            saveManifest()
+          }
+        }
       }
       res
     case other => refreshViews(); spark.sql(inlineFunctions(rewriteQualify(other)))
@@ -2660,7 +2781,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     } catch {
       case e: Exception => // failed write: don't leave a phantom catalog entry
         tables.remove(name); buckets.remove(name); history.remove(name)
-        rowCounts.remove(name)
+        rowCounts.remove(name); colStatsLedger.remove(name)
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         throw e
     }
@@ -2786,6 +2907,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     history.remove(from).foreach(log => history(to) = log)
     defaults.remove(from).foreach(d => defaults(to) = d)
     rowCounts.remove(from).foreach(n => rowCounts(to) = n)
+    colStatsLedger.remove(from).foreach(cs => colStatsLedger(to) = cs)
     register(to)
     archiveCurrent(to)
     recordCommit(to, s"rename from $from")
@@ -2811,6 +2933,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         deleteRecursively(Paths.get(tableDir(table)), keepRoot = true)
     }
     rowCounts(table) = 0L
+    colStatsLedger.remove(table) // empty table: no column stats
     refresh(table)
     recordCommit(table, "truncate")
     pushStats(table)
@@ -2839,6 +2962,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       history.remove(name)
       defaults.remove(name)
       rowCounts.remove(name)
+      colStatsLedger.remove(name)
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
@@ -3074,13 +3198,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def appendTo(table: String, df: DataFrame): Unit = {
     txnTouch(table) // before the first data file lands
     // the row-count ledger rides the write as an observe metric — no
-    // second scan; a missing baseline stays missing (no stats)
+    // second scan; a missing baseline stays missing (no stats). The
+    // PK/CLUSTERED BY column stats ride the SAME metric set.
     val obsN = org.apache.spark.sql.Observation()
-    val counted = df.observe(obsN, count(lit(1)).as("n"))
+    val statCols = autoStatCols(table).filter(df.columns.contains)
+    val counted = df.observe(obsN,
+      count(lit(1)).as("n"), colObsMetrics(statCols): _*)
     if (buckets.contains(table)) counted.write.insertInto(table)
     else counted.write.mode("append").parquet(tableDir(table))
     rowCounts.get(table).foreach(prev =>
       rowCounts(table) = prev + observedCount(obsN))
+    adoptColObs(table, obsN, statCols, rewrite = false)
     pushStats(table)
   }
 
@@ -3151,7 +3279,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // writes keeps the row-count ledger exact for delete/update/merge/
     // optimize/restore/refresh without any extra scan
     val obsN = org.apache.spark.sql.Observation()
-    val rewritten = rewritten0.observe(obsN, count(lit(1)).as("n"))
+    val statCols = autoStatCols(table).filter(rewritten0.columns.contains)
+    val rewritten = rewritten0.observe(obsN,
+      count(lit(1)).as("n"), colObsMetrics(statCols): _*)
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
@@ -3190,6 +3320,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case None => deleteRecursively(aside, keepRoot = false)
     }
     refresh(table)
+    // a rewrite observed the COMPLETE post-state: the ledger entry is
+    // replaced outright (and persisted by recordCommit's manifest save)
+    adoptColObs(table, obsN, statCols, rewrite = true)
     recordCommit(table, op)
     rowCounts(table) = observedCount(obsN)
     pushStats(table)
@@ -3922,6 +4055,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"${q(n)}: {${q("bases")}: $bases, ${q("view_version")}: $vv}"
     })
     val rowCountsJson = obj(rowCounts.map { case (n, c) => s"${q(n)}: $c" })
+    val colStatsJson = obj(colStatsLedger.map { case (t, cols) =>
+      s"${q(t)}: ${obj(cols.map { case (c, l) =>
+        val parts = l.ndv.map(v => s"${q("ndv")}: $v").toSeq ++
+          l.min.map(v => s"${q("min")}: ${q(v)}") ++
+          l.max.map(v => s"${q("max")}: ${q(v)}") ++
+          l.nullCount.map(v => s"${q("nulls")}: $v")
+        s"${q(c)}: ${obj(parts)}"
+      })}"
+    })
     val functionsJson = obj(functions.map { case (n, (params, body)) =>
       s"${q(n)}: {${q("params")}: [${params.map(q).mkString(",")}], ${q("body")}: ${q(body)}}"
     })
@@ -3949,6 +4091,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""${q("matviews")}: $matviewsJson, """ +
         s"""${q("matview_base")}: $matviewBaseJson, """ +
         s"""${q("row_counts")}: $rowCountsJson, """ +
+        s"""${q("col_stats")}: $colStatsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
         s"""${q("history")}: $historyJson}""")
@@ -4015,6 +4158,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (root.has("row_counts"))
       fields(root.get("row_counts")).foreach(e =>
         rowCounts(e.getKey) = e.getValue.asLong())
+    // column-stats ledger likewise, BEFORE the tables loop
+    if (root.has("col_stats"))
+      fields(root.get("col_stats")).foreach { e =>
+        val cols = mutable.Map[String, ColLedger]()
+        fields(e.getValue).foreach { ce =>
+          val v = ce.getValue
+          cols(ce.getKey) = ColLedger(
+            if (v.has("ndv")) Some(v.get("ndv").asLong()) else None,
+            if (v.has("min")) Some(v.get("min").asText()) else None,
+            if (v.has("max")) Some(v.get("max").asText()) else None,
+            if (v.has("nulls")) Some(v.get("nulls").asLong()) else None)
+        }
+        colStatsLedger(e.getKey) = cols
+      }
     val tablesNode = if (root.has("tables")) root.get("tables") else root
     fields(tablesNode).foreach { e =>
       // crash recovery for the rewrite swap: a failure between its two

@@ -776,6 +776,77 @@ class EngineSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
   }
 
+  test("auto column stats: PK NDV and min/max ride every commit and flip CBO plans") {
+    val dir = freshDir("/root/repo/target/graft-tmp/colstats-warehouse")
+    val e = new Engine(spark, dir)
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    def colStat(t: String, c: String) =
+      spark.sessionState.catalog.getTableMetadata(TableIdentifier(t))
+        .stats.map(_.colStats).getOrElse(Map.empty).get(c)
+    e.run("create table cs(k int primary key, v int)")
+    e.run("insert into cs select id, id % 7 from range(0, 1000)")
+    // a declared PK's NDV is the exact row count (by contract, no
+    // computation); min/max ride the insert's own write job
+    val s0 = colStat("cs", "k").get
+    assert(s0.distinctCount.contains(BigInt(1000)), s0)
+    assert(s0.min.contains("0") && s0.max.contains("999"), s0)
+    assert(s0.nullCount.contains(BigInt(0)), s0)
+    // appends merge min/max
+    e.run("insert into cs select id + 5000, 1 from range(0, 10)")
+    val s1 = colStat("cs", "k").get
+    assert(s1.distinctCount.contains(BigInt(1010)), s1)
+    assert(s1.min.contains("0") && s1.max.contains("5009"), s1)
+    // a rewrite observes the COMPLETE post-state: min/max exact again
+    e.run("delete from cs where k >= 500 and k < 5000")
+    val s2 = colStat("cs", "k").get
+    assert(s2.distinctCount.contains(BigInt(510)), s2)
+    assert(s2.min.contains("0") && s2.max.contains("5009"), s2)
+    // ANALYZE ... FOR COLUMNS adopts into the ledger; both ledgers and
+    // the adopted column stats survive an engine restart
+    e.run("analyze table cs compute statistics for columns v")
+    val sv = colStat("cs", "v").get
+    assert(sv.distinctCount.exists(_ > 0), sv)
+    new Engine(spark, dir)
+    val sv2 = colStat("cs", "v").get
+    assert(sv2.distinctCount == sv.distinctCount && sv2.min == sv.min &&
+      sv2.max == sv.max, s"ANALYZE column stats lost on restart: $sv2 vs $sv")
+    assert(colStat("cs", "k").get.distinctCount.contains(BigInt(510)))
+    // CBO plan pin: an equality filter on a PK estimates rowCount/NDV =
+    // 1 row, small enough to broadcast under a tight threshold — the
+    // SAME query against a stats-less twin keeps the sort-merge join.
+    // (This is the join-shape decision a 100x cluster plan hangs on.)
+    e.run("create table dimk(k int primary key, pad varchar)")
+    e.run("insert into dimk select id, repeat('y', 60) from range(0, 20000)")
+    e.run("create table dimn(k int, pad varchar)") // no PK -> no col stats
+    e.run("insert into dimn select id, repeat('y', 60) from range(0, 20000)")
+    e.run("create table factc(fk int, v int)")
+    e.run("insert into factc select id % 1000, id from range(0, 50000)")
+    val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val oldAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64 * 1024).toString)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      def planOf(dim: String): String = spark.sql(
+        s"select count(*) from factc join $dim on factc.fk = $dim.k " +
+          s"where $dim.k = 42").queryExecution.executedPlan.toString
+      val withStats = planOf("dimk")
+      assert(withStats.contains("BroadcastHashJoin"),
+        s"PK NDV did not shrink the filtered dim below the threshold:\n$withStats")
+      val withoutStats = planOf("dimn")
+      assert(!withoutStats.contains("BroadcastHashJoin"),
+        s"stats-less twin broadcast anyway (pin is vacuous):\n$withoutStats")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
+      spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
+    }
+    // CLUSTERED BY columns auto-collect too (approx NDV within HLL error)
+    e.run("create table cb(g int, v int) clustered by (g) into 4 buckets")
+    e.run("insert into cb select id % 200, id from range(0, 5000)")
+    val sg = colStat("cb", "g").get
+    assert(sg.distinctCount.exists(n => n >= 180 && n <= 220), sg)
+    assert(sg.min.contains("0") && sg.max.contains("199"), sg)
+  }
+
   test("anchored matview refreshes correctly after a rolled-back base mutation") {
     val dir = freshDir("/root/repo/target/graft-tmp/txnmv-warehouse")
     val e = new Engine(spark, dir)
