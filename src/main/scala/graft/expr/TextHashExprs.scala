@@ -220,3 +220,51 @@ case class SimHash48(child: Expression)
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** Rolling base-31 hashes of every `width`-CODE-POINT window of a
+  * document, one Long per window start, values in [0, P) — bit-identical
+  * to `Hashing.polyHash(substring(s, i+1, width))` for every i, but
+  * O(len) per document instead of O(len·width): the subtracted leading
+  * code point rolls out via the precomputed 31^(width-1) mod P. This is
+  * the fingerprint stage of exact-substring dedup (Dedup
+  * .exactSubstringPairs); positions are code-point indices so the
+  * verify stage's `substring(text, pos+1, width)` addresses the same
+  * window. Docs shorter than `width` yield an empty array (no window,
+  * no pair).
+  */
+case class CharSpanHashes(child: Expression, width: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(width > 0, "span width must be positive")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "char_span_hashes"
+
+  private val P = 2147483647L
+  // 31^(width-1) mod P, once per operator instance
+  private lazy val powW: Long = {
+    var p = 1L; var k = 1
+    while (k < width) { p = p * 31 % P; k += 1 }
+    p
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val cps = input.toString.codePoints().toArray
+    val n = cps.length
+    if (n < width) return new GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](n - width + 1)
+    var h = 0L
+    var i = 0
+    while (i < width) { h = (h * 31 + cps(i)) % P; i += 1 }
+    out(0) = h
+    while (i < n) {
+      // (h − cp_out·31^(w−1)) · 31 + cp_in, kept in [0, P): the +P keeps
+      // the subtraction non-negative; every intermediate < 2^38
+      h = ((h - cps(i - width) * powW % P + P) * 31 + cps(i)) % P
+      out(i - width + 1) = h
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

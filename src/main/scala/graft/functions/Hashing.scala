@@ -65,6 +65,14 @@ object Hashing {
       graft.expr.WordShingleStrings(
         org.apache.spark.sql.graftbridge.Bridge.expression(s), w))
 
+  /** Rolling hashes of every w-code-point window — one Long per window,
+    * == polyHash of that substring, O(len) total (native kernel).
+    */
+  def charSpanHashes(s: Column, w: Int): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.CharSpanHashes(
+        org.apache.spark.sql.graftbridge.Bridge.expression(s), w))
+
   /** Array of word w-shingles, each joined with a single space. */
   def wordShingles(s: Column, w: Int): Column = {
     val toks = tokens(s)

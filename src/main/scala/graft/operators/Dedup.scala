@@ -27,6 +27,49 @@ object Dedup {
     df.groupBy(keyCols.map(col): _*)
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dups"))
 
+  /** Exact duplicated-substring pairs — the exact-substring dedup tier
+    * of Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (their single-node suffix array re-expressed in the
+    * distributed shape): every `span`-code-point window fingerprints
+    * with a rolling hash (native kernel, O(len) per doc — see
+    * [[graft.expr.CharSpanHashes]]), slim (id, pos, h) rows shuffle
+    * ONCE on the fingerprint, equal fingerprints bucket-join into
+    * candidates, and candidates verify against the REAL substring
+    * (hash equality is necessary, not sufficient: corpus-many spans
+    * against a 2^31 field WILL collide). Output-sensitive like the LSH
+    * pipelines — cost is O(Σ len + matches), never all-pairs; the text
+    * join-back touches only candidate ids. `maxOccurrences` caps
+    * boilerplate fingerprints (a license header shared by B docs would
+    * emit B² candidates; those docs still pair through any less-common
+    * span) — None = exact semantics, the oracle-gate default.
+    *
+    * Returns (id_a, id_b, n_shared_spans) with id_a < id_b, where
+    * n_shared_spans counts DISTINCT shared span strings.
+    */
+  def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
+      span: Int, maxOccurrences: Option[Int] = None): DataFrame = {
+    val spans = df.select(col(idCol),
+      posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
+    val sp = maxOccurrences match {
+      case None => spans
+      case Some(cap) =>
+        val sizes = spans.groupBy("h").agg(count(lit(1)).as("_hsz"))
+        spans.join(sizes.filter(col("_hsz") <= cap), Seq("h")).drop("_hsz")
+    }
+    val a = sp.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("h"))
+    val b = sp.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
+    val cand = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+    val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
+    val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
+    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+      .withColumn("_span_a",
+        expr(s"substring(_text_a, pos_a + 1, $span)"))
+      .filter(col("_span_a") ===
+        expr(s"substring(_text_b, pos_b + 1, $span)"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("_span_a")).as("n_shared_spans"))
+  }
+
   /** Per-doc MinHash signature + LSH band keys.
     * Output: idCol, shingles (distinct hash array), sig, bands.
     */

@@ -109,6 +109,24 @@ object Pipeline {
       Some("""SELECT lang, source, MIN(doc_id) AS doc_id, COUNT(*) AS n_dups
              |FROM documents GROUP BY lang, source ORDER BY lang, source""".stripMargin)),
 
+    // exact duplicated-substring pairs (Lee et al. exact-substring tier,
+    // distributed shape): rolling span fingerprints -> one shuffle on the
+    // hash -> bucket-join -> verify on the REAL substring. The oracle is
+    // hash-free — a direct substring self-join — so a fingerprint bug on
+    // the Spark side cannot hide behind an identical bug in the oracle.
+    "dedup_exact_substring" -> Q(
+      (s, d) => Dedup.exactSubstringPairs(
+          t(s, d, "documents"), "doc_id", "text", span = 30)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sp AS (SELECT doc_id,
+             |    unnest([substring(text, CAST(i AS INT), 30)
+             |            for i in generate_series(1, length(text) - 29)]) AS s
+             |  FROM documents),
+             |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s
+             |  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id)
+             |SELECT id_a, id_b, count(DISTINCT s) AS n_shared_spans
+             |FROM pair GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
           shingleWidth = 3, numHashes = 16, bands = 4, threshold = 0.5)

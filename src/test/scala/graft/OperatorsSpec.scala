@@ -17,6 +17,38 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.forall(_.getLong(3) >= 1))
   }
 
+  test("exact-substring pairs: verify rejects hash collisions; cap drops boilerplate") {
+    import spark.implicits._
+    // "b!" and "a@" POLYHASH-COLLIDE at width 2 (98·31+33 == 97·31+64 ==
+    // 3071): the fingerprint join emits the candidate, the substring
+    // verify must kill it — a hash-only implementation returns a bogus
+    // pair here. Docs 3/4 share a real 2-char span ("xy").
+    val tricky = Seq(
+      (1L, "b!"), (2L, "a@"), (3L, "qxyq"), (4L, "zxyz"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.exactSubstringPairs(tricky, "doc_id", "text", span = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(pairs == Set((3L, 4L, 1L)), pairs)
+    // boilerplate cap: a span occurring in > cap docs is dropped; the
+    // docs still pair through any rarer shared span
+    val boiler = Seq(
+      (1L, "HEADER common tail-a"), (2L, "HEADER common tail-b"),
+      (3L, "HEADER common tail-c"), (4L, "HEADER rare-pair-xx"),
+      (5L, "FOOTER rare-pair-xx")).toDF("doc_id", "text")
+    val capped = Dedup.exactSubstringPairs(boiler, "doc_id", "text",
+        span = 13, maxOccurrences = Some(2))
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // "HEADER common" occurs in 3 docs -> capped out; docs 4,5 share
+    // the 13-char " rare-pair-xx" seen twice -> survives
+    assert(capped == Set((4L, 5L)), capped)
+    // and without the cap the boilerplate trio pairs fully
+    val full = Dedup.exactSubstringPairs(boiler, "doc_id", "text", span = 13)
+      .select("id_a", "id_b")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), full)
+  }
+
   test("minhash LSH pairs are ordered, thresholded, and include true near-dups") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))

@@ -55,6 +55,22 @@ object PropertySpec extends Properties("Hashing") {
       }
     }
 
+  property("rolling span hashes equal polyHash of each substring") =
+    forAll(Gen.listOfN(4, messyDoc), Gen.choose(1, 8)) { (docs, w) =>
+      docs.isEmpty || {
+        // the rolling subtraction must land EXACTLY on the direct fold
+        // for every window, incl. multi-byte code points and w > len
+        val bad = docs.toDF("s").select(
+          Hashing.charSpanHashes(col("s"), w).as("roll"),
+          when(length(col("s")) >= w,
+            transform(sequence(lit(1), length(col("s")) - (w - 1)),
+              i => Hashing.polyHash(col("s").substr(i, lit(w)))))
+            .otherwise(array().cast("array<bigint>")).as("direct"))
+          .filter(col("roll") =!= col("direct")).count()
+        bad == 0
+      }
+    }
+
   property("minhash of superset dominates elementwise") = forAll(hashSet) { hs =>
     val sub = hs.take(math.max(1, hs.length / 2))
     val Array(r) = Seq((hs, sub)).toDF("all", "sub").select(
