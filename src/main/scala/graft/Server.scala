@@ -32,9 +32,12 @@ import graft.engine.{Engine, Session}
   * on the engine's read-write lock — SELECT-shaped statements share the
   * read lock and run concurrently, catalog-mutating statements (Spark is
   * multi-session safe, but DELETE/UPDATE's temp-dir move assumes one
-  * writer and no readers) are exclusive. Scale path: run many read
-  * sessions against one driver exactly as the Thrift server does; the
-  * per-statement work is still fully distributed Spark jobs.
+  * writer and no readers) are exclusive. Each connection owns an engine
+  * Session (its transaction block + cursors — see engine/Session.scala);
+  * cross-session write isolation is NOWAIT table locking. Scale path:
+  * run many read sessions against one driver exactly as the Thrift
+  * server does; the per-statement work is still fully distributed Spark
+  * jobs.
   *
   * Usage: `sbt "runMain graft.Server"` — env `GRAFT_PORT` (default 5433),
   * `GRAFT_WAREHOUSE`, `SPARK_GRAFT_CPUS`.

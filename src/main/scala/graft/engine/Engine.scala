@@ -618,14 +618,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   // extension: SQL-level PREPARE/EXECUTE/DEALLOCATE (pg surface — psql
   // scripts and ORMs emit these even when the wire protocol also has
-  // Parse/Bind). Statements are engine-scoped, not persisted: pg scopes
-  // them to a session and drops them on disconnect; the closest honest
-  // analogue for a shared single-engine process is process-lifetime.
-  // TrieMap defensively: the engine is shared across server connection
-  // threads, and while the Server routes PREPARE/EXECUTE through the
-  // write lock today, this map must not depend on that routing.
-  private val preparedStatements =
-    scala.collection.concurrent.TrieMap[String, String]()
+  // Parse/Bind). Statements are SESSION-scoped like pg (r15: they live
+  // on the connection's Session and die with it; direct embedders keep
+  // process-lifetime behavior through the default session) and are not
+  // persisted.
+  private def preparedStatements = sess.prepared
   private val rePrepare =
     """(?is)\s*prepare\s+(\w+)\s*(?:\(([^)]*)\))?\s*as\s+(.+)""".r
   private val reExecuteStmt = """(?is)\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*""".r

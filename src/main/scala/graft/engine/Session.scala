@@ -68,4 +68,11 @@ final class Session private[engine] (private[graft] val id: Long) {
   private[engine] val txnSavepoints =
     mutable.Buffer[(String, Map[String, TxnUndo])]()
   private[engine] val cursors = mutable.LinkedHashMap[String, CursorState]()
+  /** SQL-level PREPAREd statements (pg scopes these per session and
+    * drops them on disconnect). TrieMap defensively: a session's
+    * statements normally run on one thread at a time, but the map must
+    * not depend on the Server's lock routing.
+    */
+  private[engine] val prepared =
+    scala.collection.concurrent.TrieMap[String, String]()
 }

@@ -1259,6 +1259,13 @@ class ServerSpec extends AnyFunSuite {
       assert(one(a.query("fetch cx")) == "111")
       assert(one(b.query("fetch cx")) == "222")
       a.query("COMMIT"); b.query("COMMIT")
+      // SQL-level PREPARE is session-scoped like pg: same name, two
+      // connections, different bodies — no collision
+      assert(!a.query("prepare px as select 7 as v").exists(_._1 == 'E'))
+      assert(!b.query("prepare px as select 8 as v").exists(_._1 == 'E'),
+        "PREPARE name collided across sessions")
+      assert(one(a.query("execute px")) == "7")
+      assert(one(b.query("execute px")) == "8")
     } finally {
       a.close()
       b.close()
