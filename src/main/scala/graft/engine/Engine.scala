@@ -593,21 +593,68 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // reference's transactional storage intent
   // (/root/reference/src/storage/secondary/transaction.rs:26-50).
   // BEGIN accepts pg's transaction_mode list (ISOLATION LEVEL ... /
-  // READ ONLY / READ WRITE / [NOT] DEFERRABLE — ORMs emit these) and
-  // IGNORES it: the engine is single-writer with statement-level
-  // serialization, so every transaction is effectively serializable
-  // and never deferrable; READ ONLY is not enforced (documented).
+  // READ ONLY / READ WRITE / [NOT] DEFERRABLE — ORMs emit these).
+  // Since r15 the modes have real semantics: REPEATABLE READ /
+  // SERIALIZABLE turn on per-session snapshot reads (version pinned at
+  // first read, see snapshotPin), READ ONLY is enforced (writes and DDL
+  // error with pg's message); READ COMMITTED stays the last-committed
+  // default, [NOT] DEFERRABLE is accepted and ignored (single-writer
+  // statement serialization — nothing to defer).
   private val txnModes =
     """(?:\s*,?\s+(?:isolation\s+level\s+(?:read\s+(?:committed|uncommitted)|repeatable\s+read|serializable)|read\s+only|read\s+write|not\s+deferrable|deferrable))*"""
   private val reBegin =
     ("""(?is)\s*(?:begin|start\s+transaction)(?:\s+(?:transaction|work))?""" +
       txnModes + """\s*""").r
-  // SET TRANSACTION / SET SESSION CHARACTERISTICS AS TRANSACTION:
-  // accepted and ignored for the same reason (pg itself treats these as
-  // hints scoped to the block/session).
+  // SET TRANSACTION applies the modes to the open block (pg refuses an
+  // isolation change once the block has run queries — enforced for the
+  // reads/writes we can see); SET SESSION CHARACTERISTICS AS TRANSACTION
+  // sets the session defaults that a bare BEGIN picks up.
   private val reSetTransaction =
     ("""(?is)\s*set\s+(?:session\s+characteristics\s+as\s+)?transaction""" +
       txnModes + """\s*""").r
+  private val reIsoLevel =
+    """(?is).*?isolation\s+level\s+(read\s+uncommitted|read\s+committed|repeatable\s+read|serializable)\b.*""".r
+
+  /** Parse pg's transaction_mode list: (snapshot reads?, read only?) —
+    * None = mode not mentioned (BEGIN falls back to the session
+    * characteristics, SET TRANSACTION leaves it untouched).
+    */
+  private def parseTxnModes(stmt: String)
+      : (Option[Boolean], Option[Boolean]) = {
+    val snap = stmt match {
+      case reIsoLevel(l) => Some(l.toLowerCase.replaceAll("\\s+", " ") match {
+        case "repeatable read" | "serializable" => true
+        case _ => false
+      })
+      case _ => None
+    }
+    val ro =
+      if ("""(?is).*?\bread\s+only\b.*""".r.matches(stmt)) Some(true)
+      else if ("""(?is).*?\bread\s+write\b.*""".r.matches(stmt)) Some(false)
+      else None
+    (snap, ro)
+  }
+
+  private def setTransactionModes(stmt: String): DataFrame = {
+    val s = sess
+    val (snap, ro) = parseTxnModes(stmt)
+    if ("""(?is)\s*set\s+session\s+characteristics\b.*""".r.matches(stmt)) {
+      snap.foreach(s.defaultSnapshotReads = _)
+      ro.foreach(s.defaultReadOnly = _)
+    } else if (s.txnOpen) {
+      // pg: the isolation level must be set before the block's first
+      // query — enforced for the activity we can see (snapshot pins and
+      // writes; plain READ COMMITTED reads leave no trace, documented)
+      if (snap.exists(_ != s.txnSnapshotReads) &&
+          (s.txnReadSnap.nonEmpty || s.txnUndo.nonEmpty))
+        throw new IllegalArgumentException(
+          "SET TRANSACTION ISOLATION LEVEL must be called before any query")
+      snap.foreach(s.txnSnapshotReads = _)
+      ro.foreach(s.txnReadOnly = _)
+    }
+    // outside a block pg warns and discards — we discard silently
+    emptyResult
+  }
   private val reCommit =
     """(?is)\s*(?:commit|end)\s*(?:transaction|work)?\s*""".r
   private val reRollback = """(?is)\s*rollback\s*(?:transaction|work)?\s*""".r
@@ -745,8 +792,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         "current transaction is aborted, commands ignored until end of " +
           "transaction block")
     }
-    if (sess.txnOpen && !sess.txnAborted && reImplicitCommitDdl.matches(stmt))
+    if (sess.txnOpen && !sess.txnAborted && reImplicitCommitDdl.matches(stmt)) {
+      // pg refuses catalog surgery in a READ ONLY block; letting the
+      // implicit commit run would silently drop the read-only guard
+      if (sess.txnReadOnly) throw new IllegalArgumentException(
+        "cannot execute a DDL statement in a read-only transaction")
       commitTxn()
+    }
   }
 
   /** Schema a `DML ... RETURNING` statement would render, derived by PURE
@@ -845,8 +897,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * our own transaction touches it first.
     */
   private def txnTouch(table: String): Unit = {
-    checkForeignLock(table)
     val s = sess
+    // pg: ERROR: cannot execute <stmt> in a read-only transaction
+    if (s.txnOpen && s.txnReadOnly) throw new IllegalArgumentException(
+      s"""cannot write "$table" in a read-only transaction""")
+    checkForeignLock(table)
+    // repeatable read's write side: writing a table whose pinned read
+    // snapshot another session has since moved past is pg's
+    // serialization failure (first-updater-wins). Our own earlier write
+    // can't trip this — the NOWAIT lock blocks foreign writers once we
+    // touch it, and the pin is dropped below so later reads in this
+    // transaction see our own writes (pg semantics).
+    if (s.txnOpen && s.txnSnapshotReads)
+      s.txnReadSnap.get(table).foreach { v =>
+        val cur = math.max(history.getOrElse(table, Vector.empty).length - 1, 0)
+        if (cur > v) throw new IllegalArgumentException(
+          "could not serialize access due to concurrent update: " +
+            s""""$table" moved past this repeatable-read transaction's """ +
+            "snapshot")
+        s.txnReadSnap.remove(table)
+      }
     if (s.txnOpen && !s.txnUndo.contains(table) && tables.contains(table)) {
       val v = math.max(history.getOrElse(table, Vector.empty).length - 1, 0)
       s.txnUndo(table) = TxnUndo(v, tables(table)._1, tables(table)._2,
@@ -863,13 +933,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (s.txnOpen && s.txnAborted) 'E' else if (s.txnOpen) 'T' else 'I'
   def txnStatus: Char = txnStatus(defaultSession)
 
-  private def beginTxn(): DataFrame = {
+  private def beginTxn(stmt: String): DataFrame = {
     // BEGIN inside an open transaction: pg warns and carries on — the
-    // existing undo set must survive (resetting it would orphan work)
+    // existing undo set must survive (resetting it would orphan work),
+    // and the new statement's modes are discarded like pg discards them
     val s = sess
     if (!s.txnOpen) {
+      val (snap, ro) = parseTxnModes(stmt)
       s.txnOpen = true; s.txnAborted = false
-      s.txnUndo.clear(); s.txnSavepoints.clear()
+      s.txnUndo.clear(); s.txnSavepoints.clear(); s.txnReadSnap.clear()
+      s.txnSnapshotReads = snap.getOrElse(s.defaultSnapshotReads)
+      s.txnReadOnly = ro.getOrElse(s.defaultReadOnly)
     }
     emptyResult
   }
@@ -878,7 +952,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val s = sess
     if (s.txnAborted) return rollbackTxn() // pg: COMMIT of an aborted txn rolls back
     s.txnOpen = false; s.txnAborted = false
-    s.txnUndo.clear(); s.txnSavepoints.clear()
+    s.txnUndo.clear(); s.txnSavepoints.clear(); s.txnReadSnap.clear()
+    s.txnSnapshotReads = false; s.txnReadOnly = false
     releaseTxnLocks(s)
     emptyResult
   }
@@ -956,8 +1031,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val touched = s.txnUndo.toSeq
     s.txnUndo.clear()
     s.txnSavepoints.clear()
+    s.txnReadSnap.clear()
     s.txnOpen = false
     s.txnAborted = false
+    s.txnSnapshotReads = false; s.txnReadOnly = false
     touched.foreach { case (t, u) => restoreToUndo(t, u) }
     releaseTxnLocks(s)
     saveManifest()
@@ -1920,8 +1997,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           s"""cursor "$name" does not exist""")
       }
       emptyResult
-    case reBegin() => beginTxn()
-    case reSetTransaction() => emptyResult // accepted, ignored (see regex note)
+    case reBegin() => beginTxn(stmt)
+    case reSetTransaction() => setTransactionModes(stmt)
     case reCommit() => commitTxn()
     case reRollback() => rollbackTxn()
     case reSavepoint(name) => savepoint(name)
@@ -2082,7 +2159,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               "contributors", "graft_history")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
-          vectorIndexScan(q2).getOrElse(spark.sql(inlined))
+          // repeatable read: pin/substitute table versions (analysis
+          // happens here, inside the try, while the tt views still exist)
+          snapshotPin(vectorIndexScan(q2).getOrElse(spark.sql(inlined)))
           } finally ttViews.foreach(v => spark.catalog.dropTempView(v))
       }
     case reAnalyze(t) if tables.contains(t) =>
@@ -2186,6 +2265,53 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"version $v of $table has been vacuumed")
       spark.read.schema(StructType.fromDDL(log(v).ddl)).parquet(dir.toString)
     }
+  }
+
+  /** REPEATABLE READ's read side (r15): inside an open
+    * snapshot-isolation transaction, rewrite every catalog-table scan in
+    * the ANALYZED plan to the version pinned at this transaction's FIRST
+    * read of that table — pg's repeatable-read snapshot, served by the
+    * same version log as time travel (the reference's per-txn snapshot
+    * intent, /root/reference/src/storage/secondary/transaction.rs:26-50).
+    * Tables this transaction has WRITTEN read live: the NOWAIT lock means
+    * only we can have moved them, and txnTouch drops their pin so a
+    * transaction sees its own writes, like pg. The substitution keeps
+    * the original output attribute ids through an aliasing Project, so
+    * references in the surrounding plan stay bound, and Catalyst
+    * re-optimizes the snapshot scan (pruning, pushdown) exactly like a
+    * live one. Subquery expressions are covered
+    * (transformUpWithSubqueries). A concurrent schema change lands as
+    * pg's serialization failure rather than a mis-bound plan.
+    */
+  private def snapshotPin(df: DataFrame): DataFrame = {
+    val s = sess
+    if (!s.txnOpen || s.txnAborted || !s.txnSnapshotReads) return df
+    var changed = false
+    val pinned = df.queryExecution.analyzed.transformUpWithSubqueries {
+      case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
+          if lr.catalogTable.exists(ct => tables.contains(ct.identifier.table)) =>
+        val t = lr.catalogTable.get.identifier.table
+        val cur = math.max(history.getOrElse(t, Vector.empty).length - 1, 0)
+        val v = s.txnReadSnap.getOrElseUpdate(t, cur)
+        if (v == cur) lr
+        else {
+          val snap = versionState(t, v).queryExecution.analyzed
+          require(snap.output.map(a => (a.name, a.dataType)) ==
+              lr.output.map(a => (a.name, a.dataType)),
+            "could not serialize access due to concurrent schema change: " +
+              s""""$t" was altered past this repeatable-read """ +
+              "transaction's snapshot")
+          changed = true
+          org.apache.spark.sql.catalyst.plans.logical.Project(
+            lr.output.zip(snap.output).map { case (o, n) =>
+              org.apache.spark.sql.catalyst.expressions.Alias(n, o.name)(
+                exprId = o.exprId, qualifier = o.qualifier)
+            }, snap)
+        }
+    }
+    if (changed)
+      org.apache.spark.sql.graftbridge.Bridge.ofRows(spark, pinned)
+    else df
   }
 
   /** Largest version whose commit time is <= the given timestamp text
@@ -2349,8 +2475,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // version (VACUUM implicitly commits only the ISSUING session's
     // transaction). Savepoint snapshots restore to versions >= the
     // undo version, so the undo version is the floor.
+    // ... nor one a repeatable-read transaction's pinned snapshot still
+    // reads from (r15): the read pin is as hard a floor as the undo set
     val undoFloor = openSessions.values
-      .flatMap(s => s.txnUndo.get(table).map(_.version))
+      .flatMap(s => s.txnUndo.get(table).map(_.version) ++
+        s.txnReadSnap.get(table))
       .reduceOption(_ min _).getOrElse(Int.MaxValue)
     var reclaimed = 0L
     (0 until math.min(cur - retain, undoFloor)).foreach { v =>
@@ -2997,7 +3126,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // INSERT INTO t SELECT * FROM t VERSION AS OF k)
     val (source2, ttViews) =
       rewriteTimeTravel(expandDefaultKeyword(declared, defs, source))
-    val src = try spark.sql(inlineFunctions(rewriteQualify(source2)))
+    // repeatable read: the INSERT source reads the transaction's snapshot
+    // (the target table itself was just un-pinned by txnTouch, so a
+    // self-referencing INSERT sees the pre-statement live state)
+    val src = try snapshotPin(spark.sql(inlineFunctions(rewriteQualify(source2))))
     finally ttViews.foreach(v => spark.catalog.dropTempView(v))
     require(declared.length == src.columns.length,
       s"INSERT column count mismatch: ${declared.length} vs ${src.columns.length}")

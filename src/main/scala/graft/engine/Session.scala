@@ -67,6 +67,20 @@ final class Session private[engine] (private[graft] val id: Long) {
   private[engine] val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
   private[engine] val txnSavepoints =
     mutable.Buffer[(String, Map[String, TxnUndo])]()
+  /** Isolation (r15): snapshot reads ON = REPEATABLE READ / SERIALIZABLE
+    * — each table's version pins at the transaction's FIRST read
+    * ([[txnReadSnap]]) and every later read serves that snapshot from
+    * the version log; OFF = READ COMMITTED (pg's default — statements
+    * read last-committed). `txnReadOnly` enforces pg's READ ONLY mode.
+    * The `default*` twins are the session characteristics
+    * (SET SESSION CHARACTERISTICS AS TRANSACTION ...), applied by BEGIN
+    * when the statement carries no explicit mode.
+    */
+  private[engine] var txnSnapshotReads = false
+  private[engine] var txnReadOnly = false
+  private[engine] var defaultSnapshotReads = false
+  private[engine] var defaultReadOnly = false
+  private[engine] val txnReadSnap = mutable.LinkedHashMap[String, Int]()
   private[engine] val cursors = mutable.LinkedHashMap[String, CursorState]()
   /** SQL-level PREPAREd statements (pg scopes these per session and
     * drops them on disconnect). TrieMap defensively: a session's

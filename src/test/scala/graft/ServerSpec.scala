@@ -1266,6 +1266,20 @@ class ServerSpec extends AnyFunSuite {
         "PREPARE name collided across sessions")
       assert(one(a.query("execute px")) == "7")
       assert(one(b.query("execute px")) == "8")
+      // repeatable read over the wire (r15): A's snapshot ignores B's
+      // commit; A's write after it is a serialization failure
+      a.query("BEGIN ISOLATION LEVEL REPEATABLE READ")
+      assert(one(a.query("select count(*) from stb")) == "2") // pin
+      b.query("insert into stb values (22)")
+      assert(one(b.query("select count(*) from stb")) == "3")
+      assert(one(a.query("select count(*) from stb")) == "2",
+        "snapshot read saw a foreign commit")
+      val serFail = a.query("update stb set v = 0 where v = 20")
+      assert(serFail.exists { case (t, m) => t == 'E' &&
+        new String(m, StandardCharsets.UTF_8).contains("could not serialize")
+      }, "write past the pin must be a serialization failure")
+      assert(status(a.query("ROLLBACK")) == 'I')
+      assert(one(a.query("select count(*) from stb")) == "3")
     } finally {
       a.close()
       b.close()
