@@ -3615,7 +3615,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     refreshViews()
     val onExpr = expr(inlineFunctions(cond))
     val target = spark.table(tgt).as(tgt)
-    val source = spark.table(src).withColumn("__s_marker", lit(1)).as(src)
+    // repeatable read: the MERGE source reads the txn's snapshot (the
+    // TARGET's drift is the serialization check in rewriteSwap→txnTouch)
+    val srcPinned = snapshotPin(spark.table(src))
+    val source = srcPinned.withColumn("__s_marker", lit(1)).as(src)
     val insertOnly = updateSet.isEmpty && !matchedDelete
 
     // cardinality check (pg parity: "MERGE command cannot affect row a
@@ -3673,7 +3676,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       require(declared.length == valueExprs.length,
         s"MERGE: INSERT column count mismatch: ${declared.length} vs ${valueExprs.length}")
       val byCol = declared.map(_.toLowerCase).zip(valueExprs).toMap
-      spark.table(src).as(src)
+      srcPinned.as(src)
         .join(target, onExpr, "left_anti")
         .select(schema.fields.map { f =>
           byCol.get(f.name.toLowerCase) match {

@@ -188,6 +188,37 @@ class TxnIsolationSpec extends AnyFunSuite {
     } finally { engine.closeSession(a); engine.closeSession(b) }
   }
 
+  test("MERGE source reads the snapshot; target drift is a serialization failure") {
+    engine.run("create table iso11_t(k int, v int)")
+    engine.run("create table iso11_s(k int, v int)")
+    engine.run("insert into iso11_t values (1, 10)")
+    engine.run("insert into iso11_s values (1, 11), (2, 22)")
+    val a = engine.newSession(); val b = engine.newSession()
+    try {
+      engine.run("begin isolation level repeatable read", a)
+      assert(count(a, "iso11_s") == 2) // pin the source
+      engine.run("insert into iso11_s values (3, 33)", b) // foreign commit
+      engine.run(
+        """merge into iso11_t using iso11_s on iso11_t.k = iso11_s.k
+          |when matched then update set v = iso11_s.v
+          |when not matched then insert values (iso11_s.k, iso11_s.v)""".stripMargin, a)
+      engine.run("commit", a)
+      // row (3, 33) must NOT have merged: the source read the snapshot
+      val rows = engine.run("select k, v from iso11_t order by k", a).collect()
+        .map(r => (r.getInt(0), r.getInt(1))).toSeq
+      assert(rows == Seq((1, 11), (2, 22)), rows)
+      // and a TARGET moved past the txn's pin refuses the merge
+      engine.run("begin isolation level repeatable read", a)
+      assert(count(a, "iso11_t") == 2) // pin the target
+      engine.run("insert into iso11_t values (9, 90)", b)
+      val e = intercept[IllegalArgumentException](engine.run(
+        """merge into iso11_t using iso11_s on iso11_t.k = iso11_s.k
+          |when matched then update set v = 0""".stripMargin, a))
+      assert(e.getMessage.contains("could not serialize access"), e.getMessage)
+      engine.run("rollback", a)
+    } finally { engine.closeSession(a); engine.closeSession(b) }
+  }
+
   test("time travel inside a snapshot txn still reads the asked-for version") {
     engine.run("create table iso10(v int)")
     engine.run("insert into iso10 values (1)") // v1
