@@ -1553,19 +1553,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // with ΔFᵢ = addsᵢ − deletesᵢ as a SIGNED multiset. Each
         // positive term is one replay: tables before i read live
         // (= new), table i reads its delta files, tables after i read
-        // their ANCHORED archived versions. A delete window contributes
-        // the SAME term shape entered negated through the dAgg merge —
-        // exactly how the single-moved path subtracts. Supported:
-        // deletes/updates in AT MOST ONE moved window (the rest pure
-        // appends) — deletes in two windows would introduce
-        // second-order Dᵢ⋈Dⱼ cross-terms the linear merge can't
-        // express; recompute fully instead.
+        // their ANCHORED archived versions. The identity is exact for
+        // arbitrary signed deltas — telescoping absorbs what would be
+        // Dᵢ⋈Dⱼ cross-terms into the new-prefix states — so each
+        // delete window contributes the SAME term shape at its own
+        // position, entered negated through the dAgg merge (r15:
+        // several delete windows fold group-wise exactly like the add
+        // terms; COUNT/SUM/AVG are fully linear). The one remaining
+        // bail is MIN/MAX under deletes in MORE THAN ONE window:
+        // extremum eviction's bare-group semi-filter can only be keyed
+        // on a single deleting table, so those recompute fully.
         val wins = moved.map { case (b, v) =>
           val (adds, dels) = windowOf(b, v).getOrElse(return None)
           (b, v, adds, dels)
         }
         val delWins = wins.filter(_._4.nonEmpty)
-        if (delWins.length > 1) return None
+        if (delWins.length > 1 && shape.minMaxCols.nonEmpty) return None
         // extremum eviction under deletes: same bare-group contract as
         // the single-moved path, keyed on the DELETING table (its
         // columns are the only ones a semi-filter can push back down)
@@ -1589,39 +1592,45 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           if (files.isEmpty) None
           else Some(replayWith((b -> deltaDf(b, files)) +: suffixOlds(i)))
         }
-        // the (at most one) delete window's negated term, same prefix/
-        // suffix states as its positive sibling at the same position
-        val delTerm = delWins.headOption.map { case (db, _, _, dels) =>
-          val i = wins.indexWhere(_._1 == db)
-          replayWith(
-            (db -> deltaDf(db, dels.map(_.toString))) +: suffixOlds(i))
-        }
-        // fold the add terms group-wise into ONE add delta: counts/sums/
-        // sidecars add, extremes take least/greatest, AVG recomputes
-        // from its combined sidecar; everything casts back to the
-        // decomposed frame's own types
-        val combined = terms.headOption.map { head =>
-          val tmplSchema = head.schema
-          if (terms.length == 1) head
-          else {
-            val u = terms.reduce(_ unionByName _)
-            val aggs: Seq[Column] = shape.kinds.collect {
-              case (n, IvmCount) =>
-                sum(col(n)).cast(tmplSchema(n).dataType).as(n)
-              case (n, IvmSum) =>
-                sum(col(n)).cast(tmplSchema(n).dataType).as(n)
-              case (n, IvmMin) => min(col(n)).as(n)
-              case (n, IvmMax) => max(col(n)).as(n)
-              case (n, IvmAvg) =>
-                (sum(col(s"__ivm_s_$n")) / sum(col(s"__ivm_c_$n")))
-                  .cast(tmplSchema(n).dataType).as(n)
-            } ++ shape.hiddenCols.map(h =>
-              sum(col(h)).cast(tmplSchema(h).dataType).as(h))
-            u.groupBy(groupCols.map(col): _*)
-              .agg(aggs.head, aggs.tail: _*)
-              .select(tmplSchema.fieldNames.toSeq.map(col): _*)
+        // fold replay terms group-wise into ONE delta frame: counts/
+        // sums/sidecars add, extremes take least/greatest, AVG
+        // recomputes from its combined sidecar; everything casts back
+        // to the decomposed frame's own types. Shared by the add terms
+        // and (r15) the per-window delete terms — subtraction is as
+        // linear as addition for COUNT/SUM/AVG, and MIN/MAX never
+        // reach a multi-term delete fold (bailed above).
+        def foldTerms(ts: Seq[DataFrame]): Option[DataFrame] =
+          ts.headOption.map { head =>
+            val tmplSchema = head.schema
+            if (ts.length == 1) head
+            else {
+              val u = ts.reduce(_ unionByName _)
+              val aggs: Seq[Column] = shape.kinds.collect {
+                case (n, IvmCount) =>
+                  sum(col(n)).cast(tmplSchema(n).dataType).as(n)
+                case (n, IvmSum) =>
+                  sum(col(n)).cast(tmplSchema(n).dataType).as(n)
+                case (n, IvmMin) => min(col(n)).as(n)
+                case (n, IvmMax) => max(col(n)).as(n)
+                case (n, IvmAvg) =>
+                  (sum(col(s"__ivm_s_$n")) / sum(col(s"__ivm_c_$n")))
+                    .cast(tmplSchema(n).dataType).as(n)
+              } ++ shape.hiddenCols.map(h =>
+                sum(col(h)).cast(tmplSchema(h).dataType).as(h))
+              u.groupBy(groupCols.map(col): _*)
+                .agg(aggs.head, aggs.tail: _*)
+                .select(tmplSchema.fieldNames.toSeq.map(col): _*)
+            }
           }
-        }
+        // each delete window's negated term, same prefix/suffix states
+        // as its positive sibling at the same position i
+        val delTerm = foldTerms(wins.zipWithIndex.flatMap {
+          case ((b, _, _, dels), i) =>
+            if (dels.isEmpty) None
+            else Some(replayWith(
+              (b -> deltaDf(b, dels.map(_.toString))) +: suffixOlds(i)))
+        })
+        val combined = foldTerms(terms)
         (combined, delTerm,
           delWins.headOption.map(_._1).getOrElse(moved.head._1), fbMulti)
       }

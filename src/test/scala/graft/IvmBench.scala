@@ -121,6 +121,18 @@ object IvmBench {
       w
     }
 
+    // deletes in BOTH windows (r15): COUNT/SUM fold linearly, so each
+    // window's negated term enters at its own position and the refresh
+    // stays incremental even with every moved table deleting
+    val jxdd = (1 to rounds).map { i =>
+      engine.run(s"delete from ivm_fact where l_orderkey = ${i * 160}")
+      engine.run(s"delete from ivm_dim where p_partkey = ${i * 23}")
+      val (w, mode) = timed("refresh materialized view ivm_jview")
+      require(mode == "incremental",
+        s"round $i expected join both-deleted, got $mode")
+      w
+    }
+
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
     // archives the file diff needs; the refresh falls back to full and
@@ -132,7 +144,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
