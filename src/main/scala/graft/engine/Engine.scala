@@ -67,7 +67,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * whatever Spark computed, verbatim).
     */
   private case class ColLedger(ndv: Option[Long], min: Option[String],
-      max: Option[String], nullCount: Option[Long])
+      max: Option[String], nullCount: Option[Long],
+      hist: Option[String] = None)
   /** table → column → stats, the column-level sibling of [[rowCounts]]:
     * restart-safe (manifest), re-pushed into the session catalog on
     * every registration. Fed two ways — `ANALYZE TABLE ... FOR COLUMNS`
@@ -213,7 +214,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             if (ndv.isEmpty && l.forall(x => x.min.isEmpty && x.max.isEmpty))
               None
             else Some(c -> CatalogColumnStat(ndv, l.flatMap(_.min),
-              l.flatMap(_.max), nulls, None, None, None))
+              l.flatMap(_.max), nulls, None, None,
+              // equi-height histogram (ANALYZE-collected, ledgered
+              // serialized): CBO's filter/join selectivity on skewed
+              // data estimates from bins instead of a uniform NDV guess
+              l.flatMap(_.hist).flatMap(h => scala.util.Try(
+                org.apache.spark.sql.catalyst.plans.logical
+                  .HistogramSerializer.deserialize(h)).toOption)))
           }.toMap
         CatalogStatistics(BigInt(math.max(bytes, 1L)), Some(BigInt(n)),
           colStats)
@@ -283,7 +290,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   if (num(a).compareTo(num(b)) <= 0) a else b),
                 (old.max ++ mx).reduceOption((a, b) =>
                   if (num(a).compareTo(num(b)) >= 0) a else b),
-                (old.nullCount ++ nul).reduceOption(_ + _))
+                (old.nullCount ++ nul).reduceOption(_ + _),
+                // pg keeps a histogram until the next ANALYZE refreshes
+                // it: appends make it stale-but-useful
+                old.hist)
             case None => ColLedger(ndv, mn, mx, nul)
           }
         ledger(c) = merged
@@ -2180,7 +2190,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // the new stats. Clear first so ANALYZE writes the complete pair.
       scala.util.Try(spark.sessionState.catalog.alterTableStats(
         org.apache.spark.sql.catalyst.TableIdentifier(t), None))
-      val res = spark.sql(stmt)
+      // FOR COLUMNS also collects an equi-height histogram (the extra
+      // percentile pass only runs on explicit ANALYZE, never on the
+      // auto-stats path) — CBO then estimates skewed predicates from
+      // bins instead of assuming a uniform value distribution
+      val histWas = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
+      spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+      val res = try spark.sql(stmt)
+      finally histWas match {
+        case Some(v) => spark.conf.set("spark.sql.statistics.histogram.enabled", v)
+        case None => spark.conf.unset("spark.sql.statistics.histogram.enabled")
+      }
       // adopt the computed stats into the ledgers, so a later
       // re-registration (or engine restart) pushes — not clears — them:
       // row count as before, and FOR COLUMNS results verbatim
@@ -2194,7 +2214,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             val ledger = colStatsLedger.getOrElseUpdate(t, mutable.Map.empty)
             st.colStats.foreach { case (c, s) =>
               ledger(c) = ColLedger(s.distinctCount.map(_.toLong),
-                s.min, s.max, s.nullCount.map(_.toLong))
+                s.min, s.max, s.nullCount.map(_.toLong),
+                s.histogram.map(org.apache.spark.sql.catalyst.plans
+                  .logical.HistogramSerializer.serialize))
             }
             saveManifest()
           }
@@ -4201,7 +4223,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val parts = l.ndv.map(v => s"${q("ndv")}: $v").toSeq ++
           l.min.map(v => s"${q("min")}: ${q(v)}") ++
           l.max.map(v => s"${q("max")}: ${q(v)}") ++
-          l.nullCount.map(v => s"${q("nulls")}: $v")
+          l.nullCount.map(v => s"${q("nulls")}: $v") ++
+          l.hist.map(v => s"${q("hist")}: ${q(v)}")
         s"${q(c)}: ${obj(parts)}"
       })}"
     })
@@ -4309,7 +4332,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             if (v.has("ndv")) Some(v.get("ndv").asLong()) else None,
             if (v.has("min")) Some(v.get("min").asText()) else None,
             if (v.has("max")) Some(v.get("max").asText()) else None,
-            if (v.has("nulls")) Some(v.get("nulls").asLong()) else None)
+            if (v.has("nulls")) Some(v.get("nulls").asLong()) else None,
+            if (v.has("hist")) Some(v.get("hist").asText()) else None)
         }
         colStatsLedger(e.getKey) = cols
       }

@@ -493,6 +493,46 @@ class EngineSpec extends AnyFunSuite {
       s"catalog rowCount missing after ANALYZE: $stats")
   }
 
+  test("ANALYZE FOR COLUMNS histograms sharpen skewed estimates and survive restart") {
+    val dir = freshDir("/root/repo/target/graft-tmp/hist-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table hst(v int)")
+    // heavy skew: 990 rows of v=1, then ten rare distinct values
+    first.run("insert into hst select case when id < 990 then 1 " +
+      "else cast(id as int) end as v from range(1000)")
+    first.run("analyze table hst compute statistics for columns v")
+    import org.apache.spark.sql.catalyst.TableIdentifier
+    val cs = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("hst")).stats.get.colStats("v")
+    assert(cs.histogram.isDefined, "ANALYZE FOR COLUMNS must collect a histogram")
+    // with equi-height bins the CBO tells the hot value from a rare one;
+    // a histogram-less estimate would put n/ndv on BOTH predicates
+    def est(pred: String): BigInt = first
+      .run(s"select * from hst where $pred").queryExecution
+      .optimizedPlan.stats.rowCount.getOrElse(BigInt(-1))
+    val hot = est("v = 1")
+    val rare = est("v = 995")
+    assert(hot > rare * 10,
+      s"histogram estimation inactive: hot=$hot rare=$rare")
+    // restart: the serialized histogram rides the manifest and re-pushes
+    val again = new Engine(spark, dir)
+    val cs2 = spark.sessionState.catalog
+      .getTableMetadata(TableIdentifier("hst")).stats.get.colStats("v")
+    assert(cs2.histogram.isDefined, "histogram lost across restart")
+    assert(cs2.histogram.get.bins.length == cs.histogram.get.bins.length)
+    // DML keeps the (now stale) histogram pg-style — pg statistics also
+    // persist until the next ANALYZE refreshes them
+    again.run("insert into hst values (2000)")
+    again.run("delete from hst where v = 2000")
+    assert(spark.sessionState.catalog.getTableMetadata(TableIdentifier("hst"))
+      .stats.get.colStats.get("v").exists(_.histogram.isDefined),
+      "stats persist until the next ANALYZE, like pg")
+    // ... and a fresh ANALYZE rebuilds them from the current state
+    again.run("analyze table hst compute statistics for columns v")
+    assert(spark.sessionState.catalog.getTableMetadata(TableIdentifier("hst"))
+      .stats.get.colStats("v").histogram.isDefined)
+  }
+
   test("reopen recovers a table stranded mid-swap in the aside dir") {
     val dir = freshDir("/root/repo/target/graft-tmp/swapcrash-warehouse")
     val first = new Engine(spark, dir)
