@@ -47,7 +47,51 @@ object Dedup {
     * n_shared_spans counts DISTINCT shared span strings.
     */
   def exactSubstringPairs(df: DataFrame, idCol: String, textCol: String,
-      span: Int, maxOccurrences: Option[Int] = None): DataFrame = {
+      span: Int, maxOccurrences: Option[Int] = None): DataFrame =
+    spanMatches(df, idCol, textCol, span, maxOccurrences)
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("_span_a")).as("n_shared_spans"))
+
+  /** Longest duplicated substring per document pair — the length report
+    * of Lee et al.'s exact-substring dedup (their suffix array surfaces
+    * the longest match; the distributed shape chains span matches
+    * instead): a shared substring of length L >= span appears as exactly
+    * L−span+1 VERIFIED window matches at one constant offset
+    * d = pos_a − pos_b with consecutive positions, so a gaps-and-islands
+    * pass over (pair, d) — window partitions bounded by the match count,
+    * never the corpus — recovers L = islandSize + span − 1 exactly.
+    * Returns (id_a, id_b, longest_len) for pairs with a shared run of at
+    * least `minLen` (>= span); matches shorter than `span` are invisible
+    * by construction, the same threshold contract as the reference
+    * pipeline's 50-token floor.
+    */
+  def longestSharedSubstring(df: DataFrame, idCol: String, textCol: String,
+      span: Int, minLen: Int,
+      maxOccurrences: Option[Int] = None): DataFrame = {
+    require(minLen >= span, "minLen must be >= the seed span width")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "d").orderBy("pos_a")
+    spanMatches(df, idCol, textCol, span, maxOccurrences)
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      // island id: consecutive pos_a at one offset share (pos_a − rank)
+      .withColumn("g", col("pos_a") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("g"))
+      .agg((count(lit(1)) + lit(span - 1)).as("len"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(max(col("len")).as("longest_len"))
+      .filter(col("longest_len") >= minLen)
+  }
+
+  /** Shared machinery of the exact-substring tier: rolling-hash window
+    * fingerprints, ONE shuffle on the fingerprint, bucket-join into
+    * candidates, then verification against the REAL substring (hash
+    * equality is necessary, not sufficient — a 2^31 field collides at
+    * corpus scale). Returns one row per verified window match:
+    * (id_a, id_b, pos_a, pos_b, _span_a), id_a < id_b, positions
+    * 0-based code-point indices.
+    */
+  private def spanMatches(df: DataFrame, idCol: String, textCol: String,
+      span: Int, maxOccurrences: Option[Int]): DataFrame = {
     val spans = df.select(col(idCol),
       posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
     val sp = maxOccurrences match {
@@ -66,8 +110,8 @@ object Dedup {
         expr(s"substring(_text_a, pos_a + 1, $span)"))
       .filter(col("_span_a") ===
         expr(s"substring(_text_b, pos_b + 1, $span)"))
-      .groupBy(col("id_a"), col("id_b"))
-      .agg(countDistinct(col("_span_a")).as("n_shared_spans"))
+      .select(col("id_a"), col("id_b"), col("pos_a"), col("pos_b"),
+        col("_span_a"))
   }
 
   /** Per-doc MinHash signature + LSH band keys.

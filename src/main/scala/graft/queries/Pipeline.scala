@@ -127,6 +127,32 @@ object Pipeline {
              |SELECT id_a, id_b, count(DISTINCT s) AS n_shared_spans
              |FROM pair GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)),
 
+    // longest duplicated substring per pair (Lee et al.'s length report):
+    // verified span matches chain through a gaps-and-islands pass — a
+    // shared run of length L is exactly L-span+1 consecutive matches at
+    // one offset. The oracle replays the islands construction hash-free
+    // over a direct substring self-join.
+    "dedup_longest_substring" -> Q(
+      (s, d) => Dedup.longestSharedSubstring(
+          t(s, d, "documents"), "doc_id", "text", span = 30, minLen = 60)
+        .orderBy("id_a", "id_b"),
+      Some("""WITH sp AS (SELECT doc_id,
+             |    unnest([{'pos': i, 's': substring(text, CAST(i AS INT), 30)}
+             |            for i in generate_series(1, length(text) - 29)],
+             |           recursive := true)
+             |  FROM documents),
+             |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.pos AS pa,
+             |    a.pos - b.pos AS d
+             |  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |isl AS (SELECT id_a, id_b, d, pa,
+             |    pa - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d ORDER BY pa) AS g
+             |  FROM m),
+             |run AS (SELECT id_a, id_b, COUNT(*) + 29 AS len
+             |  FROM isl GROUP BY id_a, id_b, d, g)
+             |SELECT id_a, id_b, MAX(len) AS longest_len FROM run
+             |GROUP BY id_a, id_b HAVING MAX(len) >= 60
+             |ORDER BY id_a, id_b""".stripMargin)),
+
     "dedup_minhash_lsh" -> Q(
       (s, d) => Dedup.minhashPairs(t(s, d, "documents"), "doc_id", "text",
           shingleWidth = 3, numHashes = 16, bands = 4, threshold = 0.5)

@@ -49,6 +49,29 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), full)
   }
 
+  test("longest shared substring: islands chain, offsets separate, collisions rejected") {
+    import spark.implicits._
+    // docs 1/2 share "the quick brown fox jumps " (26 chars, trailing
+    // space included — both continue with a space) at DIFFERENT
+    // positions (the run chains at one constant offset) plus a short
+    // " zebra" match that must not extend or win; docs 4/5 share TWO
+    // disjoint runs (12 and 14 chars) — longest reports the max, never
+    // the sum
+    val docs = Seq(
+      (1L, "xx the quick brown fox jumps yy zebra"),
+      (2L, "the quick brown fox jumps qq zebra"),
+      (3L, "no overlap here at all, none"),
+      (4L, "AAAABBBBCCCC....DDDDEEEEFFFFGG"),
+      (5L, "AAAABBBBCCCCzzzzDDDDEEEEFFFFGG"))
+      .toDF("doc_id", "text")
+    val out = Dedup.longestSharedSubstring(docs, "doc_id", "text",
+        span = 6, minLen = 10)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(out((1L, 2L)) == 26, out)
+    assert(out((4L, 5L)) == 14, out)
+    assert(out.size == 2, out)
+  }
+
   test("minhash LSH pairs are ordered, thresholded, and include true near-dups") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
