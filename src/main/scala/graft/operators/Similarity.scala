@@ -596,4 +596,35 @@ object Similarity {
       .withColumn("cos_sim", cosineSimilarity(col("src_vec"), col("dst_vec")))
     graft.functions.TopK.rank(scored, k, "src_id", "dst_id", "cos_sim")
   }
+
+  /** kNN classifier probe — the standard quality metric for an embedding
+    * model: every vector's label is predicted from the MAJORITY label of
+    * its k nearest neighbors (itself excluded) and scored against its own
+    * label, per class. Built entirely on the LSH-banded [[knnGraph]] —
+    * candidates come from bucket joins, never an all-pairs scan, so the
+    * probe runs at corpus scale exactly where the graph does. Ties break
+    * deterministically (most votes, then smallest label); vectors whose
+    * buckets yielded no neighbor count as not-correct (a recall miss is
+    * an accuracy miss, the honest reading for an approximate probe).
+    * Returns (label, n, n_correct) per class.
+    */
+  def knnLabelAccuracy(corpus: DataFrame, k: Int, nPlanes: Int,
+      nTables: Int = 8, cId: String = "vec_id", cVec: String = "embedding",
+      cLabel: String = "label"): DataFrame = {
+    val edges = knnGraph(corpus, k, nPlanes, nTables, cId, cVec)
+    val votes = edges.join(
+        corpus.select(col(cId).as("neighbor_id"), col(cLabel).as("n_label")),
+        Seq("neighbor_id"))
+      .groupBy(col("src_id"), col("n_label")).agg(count(lit(1)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("src_id").orderBy(col("v").desc, col("n_label"))
+    val pred = votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("src_id").as(cId), col("n_label").as("_pred"))
+    corpus.select(col(cId), col(cLabel)).join(pred, Seq(cId), "left")
+      .groupBy(col(cLabel))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_pred") === col(cLabel), 1L).otherwise(0L))
+          .as("n_correct"))
+  }
 }

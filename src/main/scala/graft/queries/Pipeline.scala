@@ -778,6 +778,44 @@ object Pipeline {
            |WHERE rnk <= 4 ORDER BY src_id, rnk""".stripMargin
       }),
 
+    // kNN classifier probe: per-class accuracy of majority-label
+    // prediction from each vector's LSH-banded k nearest neighbors —
+    // the standard embedding-quality metric, runnable at corpus scale
+    // because candidates come from bucket joins, never all-pairs. The
+    // oracle replays the same multi-table LSH + vote, in SQL.
+    "eval_knn_label_accuracy" -> Q(
+      (s, d) => Similarity.knnLabelAccuracy(t(s, d, "embeddings"),
+          k = 4, nPlanes = 6, nTables = 8)
+        .orderBy("label"),
+      Some {
+        s"""WITH cb AS (SELECT vec_id, ${oLshBuckets("embedding")} AS bks FROM embeddings),
+           |ce AS (SELECT vec_id, unnest(bks) AS bucket,
+           |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
+           |cand AS (SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+           |  FROM ce a JOIN ce b ON a.tbl = b.tbl AND a.bucket = b.bucket
+           |  WHERE a.vec_id <> b.vec_id),
+           |sc AS (SELECT c.src_id, c.dst_id,
+           |  ${oCos("ea.embedding", "eb.embedding")} AS cos_sim
+           |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.src_id
+           |  JOIN embeddings eb ON eb.vec_id = c.dst_id),
+           |knn AS (SELECT src_id, dst_id FROM (
+           |  SELECT src_id, dst_id,
+           |    ROW_NUMBER() OVER (PARTITION BY src_id
+           |      ORDER BY cos_sim DESC, dst_id) AS rnk FROM sc) x
+           |  WHERE rnk <= 4),
+           |votes AS (SELECT k.src_id, e.label AS n_label, COUNT(*) AS v
+           |  FROM knn k JOIN embeddings e ON e.vec_id = k.dst_id
+           |  GROUP BY 1, 2),
+           |pred AS (SELECT src_id, n_label AS p FROM (
+           |  SELECT src_id, n_label,
+           |    ROW_NUMBER() OVER (PARTITION BY src_id
+           |      ORDER BY v DESC, n_label) AS r FROM votes) x WHERE r = 1)
+           |SELECT e.label, COUNT(*) AS n,
+           |  SUM(CASE WHEN p.p = e.label THEN 1 ELSE 0 END) AS n_correct
+           |FROM embeddings e LEFT JOIN pred p ON p.src_id = e.vec_id
+           |GROUP BY e.label ORDER BY e.label""".stripMargin
+      }),
+
     "ann_ivf_topk" -> Q(
       (s, d) => {
         val e = t(s, d, "embeddings")

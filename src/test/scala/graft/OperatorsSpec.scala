@@ -72,6 +72,26 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size == 2, out)
   }
 
+  test("knn label accuracy: clean clusters score, a mislabeled point misses") {
+    import spark.implicits._
+    // two tight cosine clusters; vec 5 sits geometrically in cluster 0
+    // but carries label 1 — its majority vote must be 0 (a miss for
+    // class 1), while every correctly-labeled point scores
+    val rows = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0),
+      (2L, Array(0.99f, 0.05f, 0f, 0f), 0),
+      (3L, Array(0.98f, -0.05f, 0f, 0f), 0),
+      (11L, Array(0f, 0f, 1f, 0f), 1),
+      (12L, Array(0f, 0f, 0.99f, 0.05f), 1),
+      (13L, Array(0f, 0f, 0.98f, -0.05f), 1),
+      (5L, Array(0.97f, 0.02f, 0f, 0f), 1))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Similarity.knnLabelAccuracy(df, k = 3, nPlanes = 2, nTables = 8)
+      .collect().map(r => (r.getInt(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0) == ((3L, 3L)), out)
+    assert(out(1) == ((4L, 3L)), out)
+  }
+
   test("minhash LSH pairs are ordered, thresholded, and include true near-dups") {
     val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5).collect()
     assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
