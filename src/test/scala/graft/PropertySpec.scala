@@ -71,6 +71,32 @@ object PropertySpec extends Properties("Hashing") {
       }
     }
 
+  // small alphabet forces repeats and hash-equal windows; the operator
+  // must land EXACTLY on the brute-force longest common substring
+  // whenever that LCS reaches the seed span, and stay silent otherwise
+  private val repeatyText = Gen.listOfN(24, Gen.oneOf('a', 'b', 'c')).map(_.mkString)
+
+  property("longestSharedSubstring equals brute-force LCS at/above the span") =
+    forAll(repeatyText, repeatyText, Gen.choose(2, 4)) { (s1, s2, span) =>
+      def lcs(a: String, b: String): Int = {
+        var best = 0
+        for (i <- a.indices; j <- b.indices) {
+          var k = 0
+          while (i + k < a.length && j + k < b.length && a(i + k) == b(j + k)) k += 1
+          best = math.max(best, k)
+        }
+        best
+      }
+      val expect = lcs(s1, s2)
+      val out = operators.Dedup.longestSharedSubstring(
+          Seq((1L, s1), (2L, s2)).toDF("doc_id", "text"),
+          "doc_id", "text", span = span, minLen = span)
+        .collect()
+      if (expect >= span)
+        out.length == 1 && out(0).getLong(2) == expect.toLong
+      else out.isEmpty
+    }
+
   property("minhash of superset dominates elementwise") = forAll(hashSet) { hs =>
     val sub = hs.take(math.max(1, hs.length / 2))
     val Array(r) = Seq((hs, sub)).toDF("all", "sub").select(
