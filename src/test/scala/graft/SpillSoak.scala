@@ -83,6 +83,22 @@ object SpillSoak {
       (r.getLong(0), r.getLong(1))
     }
 
+    // 3. Exact-substring pairs (r15): ~138M rolling-hash window rows
+    // (500k docs × ~276 windows) shuffle once on the fingerprint, then
+    // bucket-join and substring-verify. The hot-span cap bounds
+    // boilerplate buckets exactly as a production run would. Same
+    // commutative fingerprint over (id_a, id_b, n_shared_spans).
+    val (subSec, subFp) = timed {
+      val pairs = operators.Dedup.exactSubstringPairs(
+        docs, "doc_id", "text", span = 30, maxOccurrences = Some(16))
+      val r = pairs.agg(
+        count(lit(1)).as("n"),
+        sum(xxhash64(col("id_a"), col("id_b"),
+          col("n_shared_spans"))).as("fp"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+
     val heap = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     println(s"""{"metric":"spill_soak","heap_mb":$heap,""" +
       s""""mem_fraction":"${sys.env.getOrElse("SPILL_MEM_FRACTION", "0.6")}",""" +
@@ -90,6 +106,8 @@ object SpillSoak {
       s""""dedup_fp":${dedupFp._2},""" +
       s""""knn_sec":${fmt(knnSec)},"knn_edges":${knnFp._1},""" +
       s""""knn_fp":${knnFp._2},""" +
+      s""""substr_sec":${fmt(subSec)},"substr_pairs":${subFp._1},""" +
+      s""""substr_fp":${subFp._2},""" +
       s""""spilled_mem_mb":${fmt(spilledMem.get / 1048576.0)},""" +
       s""""spilled_disk_mb":${fmt(spilledDisk.get / 1048576.0)}}""")
     spark.stop()
