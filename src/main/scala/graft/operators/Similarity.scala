@@ -627,4 +627,32 @@ object Similarity {
         sum(when(col("_pred") === col(cLabel), 1L).otherwise(0L))
           .as("n_correct"))
   }
+
+  /** Recall@k of the LSH tier against exact brute-force ground truth —
+    * the self-measurement every approximate index owes its operator
+    * before anyone trusts it at scale. Per query: how many of the true
+    * top-k (cosine, ties by id — the same deterministic order both
+    * tiers rank by) the LSH candidates recovered. Scale shape: ground
+    * truth IS the expensive side by definition, so recall is measured
+    * on a bounded QUERY SAMPLE (the `queries` frame) — one broadcast
+    * corpus pass for the exact side, the normal bucket probe for the
+    * approximate side; nothing all-pairs over the corpus itself.
+    * Returns (q_id, k_eval, n_hits): k_eval <= k when the corpus is
+    * smaller than k.
+    */
+  def annRecall(queries: DataFrame, corpus: DataFrame, k: Int, nPlanes: Int,
+      nTables: Int = 8, multiProbe: Int = 0,
+      qId: String = "q_id", qVec: String = "q_vec",
+      cId: String = "vec_id", cVec: String = "embedding"): DataFrame = {
+    val exact = bruteForceTopK(queries, corpus, k, qId, qVec, cId, cVec)
+    val approx = lshTopK(queries, corpus, k, nPlanes, nTables,
+      qId, qVec, cId, cVec, multiProbe)
+    exact.select(col(qId), col("neighbor_id"))
+      .join(approx.select(col(qId), col("neighbor_id"))
+          .withColumn("_hit", lit(1L)),
+        Seq(qId, "neighbor_id"), "left")
+      .groupBy(col(qId))
+      .agg(count(lit(1)).as("k_eval"),
+        sum(coalesce(col("_hit"), lit(0L))).as("n_hits"))
+  }
 }

@@ -778,6 +778,44 @@ object Pipeline {
            |WHERE rnk <= 4 ORDER BY src_id, rnk""".stripMargin
       }),
 
+    // recall@k self-measurement: per sampled query, how many of the
+    // exact brute-force top-k the LSH tier recovered — the number an
+    // approximate index owes its operator. Oracle replays both tiers.
+    "eval_ann_recall" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.annRecall(q, e, k = 5, nPlanes = 6, nTables = 8)
+          .orderBy("q_id")
+      },
+      Some {
+        s"""WITH gt AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 16) x WHERE rnk <= 5),
+           |cb AS (SELECT vec_id, embedding, ${oLshBuckets("embedding")} AS bks FROM embeddings),
+           |ce AS (SELECT vec_id, embedding, unnest(bks) AS bucket,
+           |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
+           |qe AS (SELECT vec_id AS q_id, embedding AS q_vec, bucket, tbl
+           |  FROM ce WHERE vec_id < 16),
+           |cand AS (SELECT DISTINCT q.q_id, q.q_vec, c.vec_id, c.embedding
+           |  FROM ce c JOIN qe q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |  WHERE q.q_id <> c.vec_id),
+           |ap AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q_id, vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${oCos("q_vec", "embedding")} DESC, vec_id) AS rnk
+           |  FROM cand) x WHERE rnk <= 5)
+           |SELECT gt.q_id, COUNT(*) AS k_eval,
+           |  SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           |FROM gt LEFT JOIN ap ON ap.q_id = gt.q_id
+           |  AND ap.neighbor_id = gt.neighbor_id
+           |GROUP BY gt.q_id ORDER BY gt.q_id""".stripMargin
+      }),
+
     // kNN classifier probe: per-class accuracy of majority-label
     // prediction from each vector's LSH-banded k nearest neighbors —
     // the standard embedding-quality metric, runnable at corpus scale

@@ -72,6 +72,28 @@ class OperatorsSpec extends AnyFunSuite {
     assert(out.size == 2, out)
   }
 
+  test("ann recall: bounded by k, monotone in multiprobe, full at high tables") {
+    import spark.implicits._
+    val vecs = (0 until 20).map(i =>
+      (i.toLong, Array.tabulate(8)(j => math.sin(i * 8 + j).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val q = df.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+    def run(tables: Int, planes: Int, probe: Int) =
+      Similarity.annRecall(q, df, k = 3, nPlanes = planes, nTables = tables,
+          multiProbe = probe)
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    val base = run(2, 4, 0)
+    val probed = run(2, 4, 2)
+    assert(base.size == 4 && base.values.forall { case (k, h) => k == 3 && h <= 3 })
+    // multiprobe candidates are a superset -> recall never decreases
+    assert(base.keys.forall(qid => probed(qid)._2 >= base(qid)._2),
+      s"base=$base probed=$probed")
+    // 16 one-plane tables collide nearly everything -> full recall
+    val full = run(16, 1, 0)
+    assert(full.values.forall(_._2 == 3), full)
+  }
+
   test("knn label accuracy: clean clusters score, a mislabeled point misses") {
     import spark.implicits._
     // two tight cosine clusters; vec 5 sits geometrically in cluster 0
