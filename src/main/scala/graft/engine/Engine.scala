@@ -685,6 +685,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reExecuteStmt = """(?is)\s*execute\s+(\w+)\s*(?:\((.*)\))?\s*""".r
   private val reDeallocate =
     """(?is)\s*deallocate\s+(?:prepare\s+)?(\w+)\s*""".r
+  // pg session-reset verbs: connection pools (pgbouncer in session mode,
+  // HikariCP's rollback path) issue DISCARD ALL / RESET ALL on recycle —
+  // an unknown-statement error there breaks pooling outright.
+  private val reDiscard =
+    """(?is)\s*discard\s+(all|plans|sequences|temp|temporary)\s*""".r
+  private val reResetStmt = """(?is)\s*reset\s+(\S+)\s*""".r
+  /** conf keys set through SET (non-mock): what RESET ALL must undo */
+  private val setConfKeys = mutable.Set[String]()
 
   private val reDescribe = """\\d\s+(\w+)""".r
   private val reStat = """\\stat(?:\s+(\w+))?(?:\s+(\w+))?\s*""".r
@@ -2026,6 +2034,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
+    case reDiscard(what) => discard(what.toLowerCase)
+    case reResetStmt(key) => resetVar(key)
     case reExplainAnalyze(body) => explainAnalyze(body)
     case reExplain(body) =>
       import spark.implicits._
@@ -2741,7 +2751,56 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       require(tables.contains(table), s"table not found: $table")
       mockRowCounts(table) = value.toLong
       refresh(table)
-    } else spark.conf.set(key, value)
+    } else {
+      spark.conf.set(key, value)
+      setConfKeys.synchronized { setConfKeys += key }
+    }
+    emptyResult
+  }
+
+  /** `RESET <var>` / `RESET ALL` (pg): undo SET — conf keys unset back
+    * to their session defaults, mocked row counts cleared (their views
+    * re-register unhinted). Like PRAGMA/SET, the conf space is
+    * engine-global (one shared SparkSession) — documented divergence.
+    */
+  private def resetVar(key: String): DataFrame = {
+    if (key.equalsIgnoreCase("all")) {
+      setConfKeys.synchronized {
+        setConfKeys.foreach(k => scala.util.Try(spark.conf.unset(k)))
+        setConfKeys.clear()
+      }
+      mockRowCounts.keys.toSeq.foreach { t =>
+        mockRowCounts.remove(t)
+        if (tables.contains(t)) refresh(t)
+      }
+    } else if (key.toLowerCase.startsWith("mock_rowcount_")) {
+      val t = key.substring("mock_rowcount_".length)
+      mockRowCounts.remove(t)
+      if (tables.contains(t)) refresh(t)
+    } else {
+      scala.util.Try(spark.conf.unset(key))
+      setConfKeys.synchronized { setConfKeys -= key }
+    }
+    emptyResult
+  }
+
+  /** `DISCARD ALL|PLANS|SEQUENCES|TEMP` (pg): the pool-recycle reset.
+    * ALL clears this SESSION's prepared statements, cursors (spills
+    * reclaimed), and transaction characteristics — pg refuses it inside
+    * a transaction block. PLANS/SEQUENCES/TEMP are accepted no-ops: the
+    * engine caches no plans, has no sequences, and temp views are
+    * process-level (documented).
+    */
+  private def discard(what: String): DataFrame = {
+    val s = sess
+    if (what == "all") {
+      if (s.txnOpen) throw new IllegalArgumentException(
+        "DISCARD ALL cannot run inside a transaction block")
+      s.prepared.clear()
+      s.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
+      s.cursors.clear()
+      s.defaultSnapshotReads = false; s.defaultReadOnly = false
+    }
     emptyResult
   }
 

@@ -1280,6 +1280,19 @@ class ServerSpec extends AnyFunSuite {
       }, "write past the pin must be a serialization failure")
       assert(status(a.query("ROLLBACK")) == 'I')
       assert(one(a.query("select count(*) from stb")) == "3")
+      // DISCARD ALL (pool recycle) clears A's prepared statements and
+      // cursors without touching B's
+      a.query("BEGIN"); a.query("declare cy cursor for select 5 as v")
+      a.query("COMMIT")
+      assert(!a.query("prepare pd as select 9 as v").exists(_._1 == 'E'))
+      assert(!b.query("prepare pd as select 10 as v").exists(_._1 == 'E'))
+      assert(!a.query("DISCARD ALL").exists(_._1 == 'E'))
+      assert(a.query("execute pd").exists(_._1 == 'E'),
+        "DISCARD ALL must drop A's prepared statements")
+      assert(a.query("fetch cy").exists(_._1 == 'E'),
+        "DISCARD ALL must close A's cursors")
+      assert(one(b.query("execute pd")) == "10",
+        "DISCARD ALL on A must not touch B's session")
     } finally {
       a.close()
       b.close()
