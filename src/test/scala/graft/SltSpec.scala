@@ -113,6 +113,9 @@ class SltSpec extends AnyFunSuite {
     "default.slt",
     // round-12: DML RETURNING (pg extension) + incremental matview
     // refresh + SCROLL cursors
-    "returning.slt", "incr_matview.slt", "scroll_cursor.slt", "dml_cte.slt")
+    "returning.slt", "incr_matview.slt", "scroll_cursor.slt", "dml_cte.slt",
+    // round-15: LATERAL surface (correlated FROM subqueries, left join
+    // lateral, lateral table functions)
+    "lateral.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
