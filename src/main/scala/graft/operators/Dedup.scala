@@ -105,7 +105,14 @@ object Dedup {
     val cand = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
     val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
     val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
-    cand.join(ta, Seq("id_a")).join(tb, Seq("id_b"))
+    // the text join-backs are pinned to sort-merge: the text table is
+    // corpus-sized (at real scale it can never broadcast, and even on a
+    // single node its ~20x parquet→JVM inflation OOMs the driver when
+    // the compressed footprint slips under the broadcast threshold —
+    // the 16 GB spill soak found exactly that), and SMJ is the fully
+    // spill-safe shape for both sides
+    cand.hint("merge").join(ta, Seq("id_a"))
+      .hint("merge").join(tb, Seq("id_b"))
       .withColumn("_span_a",
         expr(s"substring(_text_a, pos_a + 1, $span)"))
       .filter(col("_span_a") ===

@@ -29,12 +29,6 @@ object SpillSoak {
       // 0.05 of a 3g heap ≈ 150 MB shared by 8 concurrent tasks.
       .config("spark.memory.fraction",
         sys.env.getOrElse("SPILL_MEM_FRACTION", "0.6"))
-      // the exact-substring verify joins candidate ids back to the text
-      // table; under the 64 MB broadcast threshold Spark materializes
-      // that ~1.2 GB broadcast through the driver, and local mode's
-      // 1 GB default result cap kills it where a cluster driver's
-      // provisioned cap would not — raise to a realistic cluster value
-      .config("spark.driver.maxResultSize", "4g")
       .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
