@@ -82,6 +82,52 @@ object Dedup {
       .filter(col("longest_len") >= minLen)
   }
 
+  /** Incremental exact-substring pairs: only pairs TOUCHING the new
+    * batch (batch↔corpus and batch↔batch) — the arriving-corpus
+    * counterpart of [[exactSubstringPairs]], mirroring
+    * [[minhashPairsIncremental]]'s contract. The probe side carries only
+    * the batch's windows, so per-batch cost is
+    * O(batch windows + corpus-side collisions), never a corpus
+    * re-pairing; the hot-span cap is computed over corpus ∪ batch
+    * (boilerplate is boilerplate regardless of which side it lands on).
+    */
+  def exactSubstringIncremental(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: String, span: Int,
+      maxOccurrences: Option[Int] = None): DataFrame = {
+    val all = corpus.unionByName(batch)
+    val spansAll = all.select(col(idCol),
+      posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
+    val spAll = maxOccurrences match {
+      case None => spansAll
+      case Some(cap) =>
+        val sizes = spansAll.groupBy("h").agg(count(lit(1)).as("_hsz"))
+        spansAll.join(sizes.filter(col("_hsz") <= cap), Seq("h")).drop("_hsz")
+    }
+    val spBatch = batch.select(col(idCol),
+      posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
+    val x = spAll.select(col(idCol).as("id_x"), col("pos").as("pos_x"), col("h"))
+    val p = spBatch.select(col(idCol).as("id_p"), col("pos").as("pos_p"), col("h"))
+    // orient to id_a < id_b (positions follow their ids); a batch-batch
+    // match arrives from both directions — distinct collapses it
+    val cand = x.join(p, Seq("h")).filter(col("id_x") =!= col("id_p"))
+      .select(
+        least(col("id_x"), col("id_p")).as("id_a"),
+        greatest(col("id_x"), col("id_p")).as("id_b"),
+        when(col("id_x") < col("id_p"), col("pos_x")).otherwise(col("pos_p")).as("pos_a"),
+        when(col("id_x") < col("id_p"), col("pos_p")).otherwise(col("pos_x")).as("pos_b"))
+      .distinct()
+    val ta = all.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
+    val tb = all.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
+    cand.hint("merge").join(ta, Seq("id_a"))
+      .hint("merge").join(tb, Seq("id_b"))
+      .withColumn("_span_a",
+        expr(s"substring(_text_a, pos_a + 1, $span)"))
+      .filter(col("_span_a") ===
+        expr(s"substring(_text_b, pos_b + 1, $span)"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(countDistinct(col("_span_a")).as("n_shared_spans"))
+  }
+
   /** Shared machinery of the exact-substring tier: rolling-hash window
     * fingerprints, ONE shuffle on the fingerprint, bucket-join into
     * candidates, then verification against the REAL substring (hash

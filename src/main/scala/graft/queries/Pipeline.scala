@@ -127,6 +127,28 @@ object Pipeline {
              |SELECT id_a, id_b, count(DISTINCT s) AS n_shared_spans
              |FROM pair GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)),
 
+    // incremental exact-substring: only pairs touching the new batch
+    // (the arriving-corpus twin of dedup_exact_substring, same contract
+    // as dedup_incremental) — hash-free oracle restricted to
+    // batch-touching pairs
+    "dedup_exact_substring_incr" -> Q(
+      (s, d) => {
+        val docs = t(s, d, "documents")
+        Dedup.exactSubstringIncremental(
+            docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+            "doc_id", "text", span = 30)
+          .orderBy("id_a", "id_b")
+      },
+      Some("""WITH sp AS (SELECT doc_id,
+             |    unnest([substring(text, CAST(i AS INT), 30)
+             |            for i in generate_series(1, length(text) - 29)]) AS s
+             |  FROM documents),
+             |pair AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.s
+             |  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id
+             |  WHERE a.doc_id >= 400 OR b.doc_id >= 400)
+             |SELECT id_a, id_b, count(DISTINCT s) AS n_shared_spans
+             |FROM pair GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)),
+
     // longest duplicated substring per pair (Lee et al.'s length report):
     // verified span matches chain through a gaps-and-islands pass — a
     // shared run of length L is exactly L-span+1 consecutive matches at

@@ -49,6 +49,34 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), full)
   }
 
+  test("incremental exact-substring: only batch-touching pairs, both directions collapse") {
+    import spark.implicits._
+    // corpus docs 1/2 share a span with EACH OTHER (must NOT re-pair) and
+    // with batch doc 10; batch docs 10/11 pair with each other too
+    val corpus = Seq(
+      (1L, "shared-prefix-alpha corpus one"),
+      (2L, "shared-prefix-alpha corpus two"),
+      (3L, "nothing in common at all here!")).toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "shared-prefix-alpha batch  ten"),
+      (11L, "shared-prefix-alpha batch ele.")).toDF("doc_id", "text")
+    val out = Dedup.exactSubstringIncremental(corpus, batch,
+        "doc_id", "text", span = 19)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((1L, 10L), (1L, 11L), (2L, 10L), (2L, 11L), (10L, 11L)),
+      out) // (1,2) is corpus-corpus: already known, not re-paired
+    // and the batch result agrees with the full recompute restricted to
+    // batch-touching pairs
+    val full = Dedup.exactSubstringPairs(corpus.unionByName(batch),
+        "doc_id", "text", span = 19)
+      .filter(col("id_b") >= 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incr = Dedup.exactSubstringIncremental(corpus, batch,
+        "doc_id", "text", span = 19)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(incr == full, s"incr=$incr full=$full")
+  }
+
   test("longest shared substring: islands chain, offsets separate, collisions rejected") {
     import spark.implicits._
     // docs 1/2 share "the quick brown fox jumps " (26 chars, trailing
