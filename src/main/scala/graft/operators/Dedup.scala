@@ -82,6 +82,54 @@ object Dedup {
       .filter(col("longest_len") >= minLen)
   }
 
+  /** Dedup by REMOVAL — the action Lee et al. actually take on training
+    * data: every duplicated run of at least `minLen` code points is CUT
+    * from the doc with the LARGER id (the earliest copy survives, docs
+    * stay in the corpus). Runs come from the same verified span-match
+    * islands as [[longestSharedSubstring]]; a doc's qualifying runs
+    * merge into disjoint intervals and the kept segments reassemble with
+    * two aggregate HOFs — per-doc work is bounded by that doc's MATCH
+    * count (boilerplate capped upstream), never its length times the
+    * corpus. Returns every input row as (idCol, text_stripped,
+    * stripped_chars); untouched docs pass through verbatim.
+    */
+  def stripSharedSpans(df: DataFrame, idCol: String, textCol: String,
+      span: Int, minLen: Int,
+      maxOccurrences: Option[Int] = None): DataFrame = {
+    require(minLen >= span, "minLen must be >= the seed span width")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id_a", "id_b", "d").orderBy("pos_b")
+    // islands keyed on pos_b — the runs as seen by the doc being cut
+    val runs = spanMatches(df, idCol, textCol, span, maxOccurrences)
+      .withColumn("d", col("pos_a") - col("pos_b"))
+      .withColumn("g", col("pos_b") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), col("d"), col("g"))
+      .agg(min(col("pos_b")).cast("long").as("s"),
+        (min(col("pos_b")) + count(lit(1)) + lit(span - 1)).as("e"))
+      .filter(col("e") - col("s") >= minLen)
+    val ivs = runs.groupBy(col("id_b").as(idCol))
+      .agg(sort_array(collect_list(struct(col("s"), col("e")))).as("_ivs"))
+    df.select(col(idCol), col(textCol))
+      .join(ivs, Seq(idCol), "left")
+      .withColumn("_merged", expr(
+        """aggregate(_ivs, cast(array() as array<struct<s: bigint, e: bigint>>),
+          |  (acc, iv) -> if(size(acc) > 0 and element_at(acc, -1).e >= iv.s,
+          |    concat(slice(acc, 1, size(acc) - 1),
+          |      array(named_struct('s', element_at(acc, -1).s,
+          |        'e', greatest(element_at(acc, -1).e, iv.e)))),
+          |    concat(acc, array(iv))))""".stripMargin))
+      .withColumn("text_stripped", coalesce(expr(
+        s"""aggregate(_merged, named_struct('p', cast(0 as bigint), 't', ''),
+           |  (acc, iv) -> named_struct('p', iv.e, 't',
+           |    concat(acc.t, substring($textCol, cast(acc.p as int) + 1,
+           |      cast(iv.s - acc.p as int)))),
+           |  acc -> concat(acc.t, substring($textCol, cast(acc.p as int) + 1)))
+           |""".stripMargin), col(textCol)))
+      .select(col(idCol), col("text_stripped"),
+        (length(col(textCol)) - length(col("text_stripped")))
+          .cast("long").as("stripped_chars"))
+  }
+
   /** Incremental exact-substring pairs: only pairs TOUCHING the new
     * batch (batch↔corpus and batch↔batch) — the arriving-corpus
     * counterpart of [[exactSubstringPairs]], mirroring

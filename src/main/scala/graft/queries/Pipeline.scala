@@ -127,6 +127,43 @@ object Pipeline {
              |SELECT id_a, id_b, count(DISTINCT s) AS n_shared_spans
              |FROM pair GROUP BY id_a, id_b ORDER BY id_a, id_b""".stripMargin)),
 
+    // dedup by REMOVAL (the action Lee et al. take): duplicated runs
+    // >= minLen are cut from the later doc; first copy survives. The
+    // oracle is a per-character coverage formulation — a position is
+    // removed iff any qualifying run covers it — deliberately a
+    // DIFFERENT construction from the Spark interval-merge fold, so a
+    // merge bug cannot hide behind an identical oracle bug.
+    "dedup_strip_spans" -> Q(
+      (s, d) => Dedup.stripSharedSpans(
+          t(s, d, "documents"), "doc_id", "text", span = 30, minLen = 60)
+        .orderBy("doc_id"),
+      Some("""WITH sp AS (SELECT doc_id,
+             |    unnest([{'pos': i - 1, 's': substring(text, CAST(i AS INT), 30)}
+             |            for i in generate_series(1, length(text) - 29)],
+             |           recursive := true)
+             |  FROM documents),
+             |m AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, b.pos AS pb,
+             |    a.pos - b.pos AS d
+             |  FROM sp a JOIN sp b ON a.s = b.s AND a.doc_id < b.doc_id),
+             |isl AS (SELECT id_a, id_b, d, pb,
+             |    pb - ROW_NUMBER() OVER (PARTITION BY id_a, id_b, d ORDER BY pb) AS g
+             |  FROM m),
+             |run AS (SELECT id_b, MIN(pb) AS s, MIN(pb) + COUNT(*) + 29 AS e
+             |  FROM isl GROUP BY id_a, id_b, d, g
+             |  HAVING COUNT(*) + 29 >= 60),
+             |chars AS (SELECT doc_id, text,
+             |    unnest([i for i in generate_series(0, length(text) - 1)]) AS p
+             |  FROM documents),
+             |keep AS (SELECT c.doc_id, c.p, substring(c.text, CAST(c.p + 1 AS INT), 1) AS ch
+             |  FROM chars c WHERE NOT EXISTS (SELECT 1 FROM run r
+             |    WHERE r.id_b = c.doc_id AND c.p >= r.s AND c.p < r.e)),
+             |strip AS (SELECT doc_id, string_agg(ch, '' ORDER BY p) AS txt
+             |  FROM keep GROUP BY doc_id)
+             |SELECT d.doc_id, COALESCE(st.txt, '') AS text_stripped,
+             |  length(d.text) - length(COALESCE(st.txt, '')) AS stripped_chars
+             |FROM documents d LEFT JOIN strip st ON st.doc_id = d.doc_id
+             |ORDER BY d.doc_id""".stripMargin)),
+
     // incremental exact-substring: only pairs touching the new batch
     // (the arriving-corpus twin of dedup_exact_substring, same contract
     // as dedup_incremental) — hash-free oracle restricted to

@@ -49,6 +49,35 @@ class OperatorsSpec extends AnyFunSuite {
     assert(full == Set((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L)), full)
   }
 
+  test("strip shared spans: later copy cut, intervals merge, first copy survives") {
+    import spark.implicits._
+    val docs = Seq(
+      // doc 1 is the first copy: survives verbatim
+      (1L, "KEEPME the-shared-sentence-here tail-one"),
+      // doc 2 repeats the run: it gets cut there, rest intact
+      (2L, "ab the-shared-sentence-here cd"),
+      // doc 3 shares overlapping runs with 1 AND 2 -> intervals merge
+      (3L, "xx the-shared-sentence-here cd!"),
+      (4L, "completely unrelated document")).toDF("doc_id", "text")
+    val out = Dedup.stripSharedSpans(docs, "doc_id", "text",
+        span = 8, minLen = 12)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L)._1 == "KEEPME the-shared-sentence-here tail-one", out)
+    assert(out(1L)._2 == 0)
+    assert(out(4L)._1 == "completely unrelated document" && out(4L)._2 == 0)
+    // doc 2 shares " the-shared-sentence-here " (with surrounding spaces
+    // differing at the edges) — whatever the exact run, the stripped
+    // text must contain no 12-char substring of doc 1 anymore
+    def sharesRun(a: String, b: String, n: Int): Boolean =
+      (0 to a.length - n).exists(i => b.contains(a.substring(i, i + n)))
+    assert(!sharesRun(out(1L)._1, out(2L)._1, 12),
+      s"doc 2 still shares a >=12 run: ${out(2L)}")
+    assert(!sharesRun(out(1L)._1, out(3L)._1, 12), out(3L))
+    assert(out(2L)._2 > 0 && out(3L)._2 > 0, out)
+    // every stripped doc's remains are a subsequence of the original
+    assert(out(2L)._1.startsWith("ab") , out(2L))
+  }
+
   test("incremental exact-substring: only batch-touching pairs, both directions collapse") {
     import spark.implicits._
     // corpus docs 1/2 share a span with EACH OTHER (must NOT re-pair) and
