@@ -149,7 +149,8 @@ object Dedup {
       case None => spansAll
       case Some(cap) =>
         val sizes = spansAll.groupBy("h").agg(count(lit(1)).as("_hsz"))
-        spansAll.join(sizes.filter(col("_hsz") <= cap), Seq("h")).drop("_hsz")
+        spansAll.hint("merge").join(sizes.filter(col("_hsz") <= cap), Seq("h"))
+          .drop("_hsz")
     }
     val spBatch = batch.select(col(idCol),
       posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
@@ -157,7 +158,10 @@ object Dedup {
     val p = spBatch.select(col(idCol).as("id_p"), col("pos").as("pos_p"), col("h"))
     // orient to id_a < id_b (positions follow their ids); a batch-batch
     // match arrives from both directions — distinct collapses it
-    val cand = x.join(p, Seq("h")).filter(col("id_x") =!= col("id_p"))
+    // same static-estimate trap as spanMatches: pin the fingerprint
+    // join to the designed sort-merge shuffle
+    val cand = x.hint("merge").join(p, Seq("h"))
+      .filter(col("id_x") =!= col("id_p"))
       .select(
         least(col("id_x"), col("id_p")).as("id_a"),
         greatest(col("id_x"), col("id_p")).as("id_b"),
@@ -192,11 +196,19 @@ object Dedup {
       case None => spans
       case Some(cap) =>
         val sizes = spans.groupBy("h").agg(count(lit(1)).as("_hsz"))
-        spans.join(sizes.filter(col("_hsz") <= cap), Seq("h")).drop("_hsz")
+        spans.hint("merge").join(sizes.filter(col("_hsz") <= cap), Seq("h"))
+          .drop("_hsz")
     }
     val a = sp.select(col(idCol).as("id_a"), col("pos").as("pos_a"), col("h"))
     val b = sp.select(col(idCol).as("id_b"), col("pos").as("pos_b"), col("h"))
-    val cand = a.join(b, Seq("h")).filter(col("id_a") < col("id_b"))
+    // the fingerprint bucket-join IS the design's one shuffle — pin it
+    // to sort-merge: the spans side is Generate-derived (window count ×
+    // corpus), but its STATIC estimate descends from the parquet scan's
+    // compressed bytes, slips under the broadcast threshold, and Spark
+    // then tries to broadcast a ~138M-row side through the driver (the
+    // 16 GB spill soak died exactly there)
+    val cand = a.hint("merge").join(b, Seq("h"))
+      .filter(col("id_a") < col("id_b"))
     val ta = df.select(col(idCol).as("id_a"), col(textCol).as("_text_a"))
     val tb = df.select(col(idCol).as("id_b"), col(textCol).as("_text_b"))
     // the text join-backs are pinned to sort-merge: the text table is
