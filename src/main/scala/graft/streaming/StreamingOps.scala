@@ -282,6 +282,49 @@ object StreamingOps {
       .toDF()
   }
 
+  /** Streaming twin of the exact-substring dedup tier
+    * ([[graft.operators.Dedup.exactSubstringPairs]]) for live ingestion:
+    * every arriving doc's rolling-hash windows key into per-fingerprint
+    * state holding the FIRST (doc, pos, span string) that produced the
+    * fingerprint; later docs whose window lands in the bucket emit a
+    * VERIFIED (dup_id, first_id, span) evidence row — verified against
+    * the stored span STRING, so a 31-bit collision never emits (the same
+    * necessary-not-sufficient contract as the batch operator; first-wins
+    * rep semantics match [[nearDupStream]]). State mass: one cell per
+    * distinct span fingerprint (id + pos + span chars) — the same mass
+    * the batch pipeline shuffles, held in the state store.
+    */
+  def exactSubstringStream(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", span: Int = 30): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val spans = docs.select(col(idCol).cast("long").as("id"),
+        col(textCol).as("_t"),
+        posexplode(graft.functions.Hashing.charSpanHashes(col(textCol), span))
+          .as(Seq("pos", "h")))
+      .withColumn("s", expr(s"substring(_t, pos + 1, $span)"))
+      .select(col("id"), col("pos"), col("h"), col("s"))
+      .as[SpanRow]
+    spans.groupByKey(_.h)
+      .flatMapGroupsWithState[SpanRep, SpanDup](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, it, state) =>
+          val out = scala.collection.mutable.ArrayBuffer[SpanDup]()
+          // deterministic fold order inside a micro-batch
+          it.toArray.sortBy(r => (r.id, r.pos)).foreach { r =>
+            state.getOption match {
+              case None => state.update(SpanRep(r.id, r.pos, r.s))
+              case Some(rep) if rep.repId == r.id => () // same doc / re-delivery
+              case Some(rep) =>
+                if (rep.s == r.s) out += SpanDup(r.id, rep.repId, r.s)
+            }
+          }
+          out.iterator
+      }
+      .toDF("doc_id", "dup_of", "span")
+  }
+
   /** Streaming curation — the streaming twin of `Curation.curate`'s
     * filter/redact/dedup stages, for ingesting a live crawl: the quality
     * gate and PII redaction are STATELESS narrow expressions that fuse
@@ -353,6 +396,15 @@ case class BucketRep(repId: Long, repSig: Seq[Long])
 
 /** Emitted near-duplicate: `doc_id` duplicates `dup_of`. */
 case class NearDup(doc_id: Long, dup_of: Long, est_jaccard: Double)
+
+/** One rolling-hash window of a streaming doc (exactSubstringStream). */
+case class SpanRow(id: Long, pos: Int, h: Long, s: String)
+
+/** First (doc, pos, span) seen for a fingerprint — the bucket rep. */
+case class SpanRep(repId: Long, repPos: Int, s: String)
+
+/** Verified shared-span evidence: doc_id duplicates dup_of's span. */
+case class SpanDup(doc_id: Long, dup_of: Long, span: String)
 
 /** One quality-passing, redacted doc entering streaming dedup. */
 case class CurateDoc(id: Long, redacted: String, n_redacted: Int, h: Long)

@@ -281,6 +281,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(!streamed.exists(_._1 >= 1000000L))
   }
 
+  test("streaming exact-substring evidence is verified and catches every copy") {
+    import spark.implicits._
+    val srcDir = "/root/repo/target/graft-tmp/stream_substr"
+    val docs = Tables.df(spark, sf, "documents")
+      .select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .limit(40)
+    // exact copies (id-shifted) arrive alongside: every copy shares all
+    // its windows with the original and must emit evidence against it
+    val copies = docs.filter(length(col("text")) >= 30)
+      .select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+    docs.unionAll(copies).coalesce(1).write.mode("overwrite").parquet(srcDir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .parquet(srcDir)
+    val out = StreamingOps.runToMemory(
+      StreamingOps.exactSubstringStream(stream, span = 30),
+      "substr_stream_test", outputMode = "append")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(out.nonEmpty)
+    // every evidence row is TRUE: the span occurs in both docs' texts
+    val txt = docs.unionAll(copies).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    out.foreach { case (id, rep, s) =>
+      assert(s.length == 30 && txt(id).contains(s) && txt(rep).contains(s),
+        s"false evidence: ($id, $rep, '$s')")
+    }
+    // every exact copy emits evidence (its windows all collide with the
+    // original's buckets, and the rep's span string verifies)
+    val flagged = out.map(_._1).toSet
+    val copyIds = copies.collect().map(_.getLong(0)).toSet
+    assert(copyIds.subsetOf(flagged),
+      s"copies without evidence: ${copyIds.diff(flagged).take(5)}")
+  }
+
   test("streaming near-dup flags exact and near copies, not distinct docs") {
     import spark.implicits._
     val srcDir = "/root/repo/target/graft-tmp/stream_neardup"
