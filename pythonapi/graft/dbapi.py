@@ -424,6 +424,7 @@ class Connection:
         self._suspended: set[Cursor] = set()
         self._autocommit = True
         self._in_txn = False
+        self._isolation: "str | None" = None
 
     # -- wire plumbing shared by cursors --
     def _frame(self, tag: bytes, payload: bytes) -> bytes:
@@ -513,6 +514,35 @@ class Connection:
                 "commit() or rollback() first")
         self._autocommit = bool(value)
 
+    _ISOLATION_LEVELS = (
+        "read uncommitted", "read committed", "repeatable read",
+        "serializable")
+
+    @property
+    def isolation_level(self) -> "str | None":
+        """psycopg-style: None = server default (read committed). When
+        set, the lazily-opened transaction of a non-autocommit connection
+        begins with ``BEGIN ISOLATION LEVEL <level>`` — repeatable
+        read/serializable get the engine's per-session snapshot reads."""
+        return self._isolation
+
+    @isolation_level.setter
+    def isolation_level(self, value: "str | None") -> None:
+        self._check_open()
+        if self._in_txn:
+            raise ProgrammingError(
+                "cannot change isolation_level inside a transaction: "
+                "commit() or rollback() first")
+        if value is None:
+            self._isolation = None
+            return
+        norm = " ".join(str(value).lower().split())
+        if norm not in self._ISOLATION_LEVELS:
+            raise ProgrammingError(
+                f"unknown isolation level: {value!r} "
+                f"(one of {', '.join(self._ISOLATION_LEVELS)})")
+        self._isolation = norm
+
     def _run_txn_verb(self, sql: str) -> None:
         """BEGIN/COMMIT/ROLLBACK through the unnamed portal — no Sync, so
         suspended cursor portals survive."""
@@ -552,7 +582,9 @@ class Connection:
             return
         if self._autocommit or self._in_txn:
             return
-        self._run_txn_verb("BEGIN")
+        iso = getattr(self, "_isolation", None)
+        self._run_txn_verb(
+            "BEGIN" if iso is None else f"BEGIN ISOLATION LEVEL {iso.upper()}")
         self._in_txn = True
 
     def commit(self) -> None:

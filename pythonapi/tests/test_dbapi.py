@@ -195,6 +195,46 @@ def test_types(con) -> None:
     cur.close()
 
 
+def test_isolation_level(port: int) -> None:
+    # psycopg-style isolation_level: a repeatable-read connection's lazy
+    # BEGIN pins snapshot reads — a second connection's committed insert
+    # stays invisible until commit(); the default connection sees it live
+    a = dbapi.connect(port=port)
+    b = dbapi.connect(port=port)
+    try:
+        cb = b.cursor()
+        cb.execute("create table iso_py(v int)")
+        cb.execute("insert into iso_py values (1)")
+        try:
+            a.isolation_level = "chaotic read"
+            raise SystemExit("expected ProgrammingError for bad level")
+        except dbapi.ProgrammingError:
+            pass
+        a.isolation_level = "REPEATABLE  READ"  # normalized
+        assert a.isolation_level == "repeatable read"
+        a.autocommit = False
+        ca = a.cursor()
+        ca.execute("select count(*) from iso_py")  # opens the RR txn, pins
+        assert ca.fetchone()[0] == 1
+        cb.execute("insert into iso_py values (2)")  # autocommit commit
+        ca.execute("select count(*) from iso_py")
+        assert ca.fetchone()[0] == 1, "snapshot read saw a foreign commit"
+        # inside the open txn the level is locked
+        try:
+            a.isolation_level = "serializable"
+            raise SystemExit("expected ProgrammingError inside txn")
+        except dbapi.ProgrammingError:
+            pass
+        a.commit()
+        ca.execute("select count(*) from iso_py")
+        assert ca.fetchone()[0] == 2
+        a.commit()
+        a.autocommit = True
+    finally:
+        a.close()
+        b.close()
+
+
 def test_context_managers(port: int) -> None:
     with dbapi.connect(port=port) as con:
         with con.cursor() as cur:
@@ -240,6 +280,7 @@ def main() -> None:
     test_transactions(con)
     test_types(con)
     con.close()
+    test_isolation_level(port)
     test_context_managers(port)
     test_pandas_read_sql(port)
     print("DBAPI OK")
