@@ -1145,17 +1145,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private case object IvmAvg extends IvmKind
 
   /** `kinds` covers every view output column in order; `bareGroups` maps
-    * group output name → (owning table, base column name) when every
-    * grouping expression is a bare column of some referenced table — the
-    * precondition for the targeted per-group re-aggregation a MIN/MAX
-    * extremum eviction needs. `bases` lists every referenced engine
+    * group output name → (owning table, base column name) for every
+    * grouping expression that IS a bare column of some referenced table
+    * (a possibly-empty subset — computed group keys simply don't appear).
+    * MIN/MAX extremum eviction pushes the evicted keys into each owning
+    * table as a semi-filter and trims the recompute to the evicted
+    * groups afterwards, so partial (or zero) coverage only costs scan
+    * width, never correctness. `bases` lists every referenced engine
     * table (distinct): one table is the classic single-base case; more
     * admits a fact ⋈ dims body, where the refresh-time delta replays the
     * body with ONLY the moved table overlaid (inner joins distribute
     * over union, so Δ(F ⋈ D) = ΔF ⋈ D while D holds still).
     */
   private case class IvmShape(bases: Seq[String], kinds: Seq[(String, IvmKind)],
-      bareGroups: Option[Seq[(String, String, String)]]) {
+      bareGroups: Seq[(String, String, String)]) {
     def groupCols: Seq[String] = kinds.collect { case (n, IvmGroup) => n }
     def minMaxCols: Seq[(String, IvmKind)] =
       kinds.filter(k => k._2 == IvmMin || k._2 == IvmMax)
@@ -1330,11 +1333,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             // exprId through the Project/Filter/Join chain to an
             // UNTOUCHED column of a referenced table's leaf: an attribute
             // minted by a nested projection (upper(g) AS g2) doesn't
-            // exist in any base — the eviction recompute would either
-            // fail to resolve it or, if the alias shadows a real base
-            // column, semi-join on the wrong column and yield silently
-            // wrong rows after a delete. The trace also names the OWNING
-            // table, so eviction can check the key lives on the moved one.
+            // exist in any base — a semi-filter on the alias would, if it
+            // shadows a real base column, push the wrong column down and
+            // yield silently wrong rows after a delete. The trace names
+            // the OWNING table so eviction pushes each key into the right
+            // base; untraced keys just don't push (the recompute is
+            // trimmed on the view's own group outputs either way).
             def traceToBase(a0: Attribute, p: LogicalPlan): Option[(String, String)] = p match {
               case proj: org.apache.spark.sql.catalyst.plans.logical.Project =>
                 proj.projectList.find(_.exprId == a0.exprId).flatMap {
@@ -1365,15 +1369,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   .map(att => (refs.head, att.name))
               case _ => None
             }
-            val bare = {
-              val traced = groupOuts.map(ne => underlying(ne) match {
-                case att: Attribute =>
-                  traceToBase(att, child).map { case (tb, bc) =>
-                    (ne.name, tb, bc) }
-                case _ => None
-              })
-              if (traced.forall(_.isDefined)) Some(traced.map(_.get)) else None
-            }
+            val bare = groupOuts.flatMap(ne => underlying(ne) match {
+              case att: Attribute =>
+                traceToBase(att, child).map { case (tb, bc) =>
+                  (ne.name, tb, bc) }
+              case _ => None
+            })
             Some(IvmShape(refs, kinds.map(_.get), bare))
           } else None
         case _ => None
@@ -1544,26 +1545,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     def deltaDf(base: String, paths: Seq[String]): DataFrame =
       spark.read.schema(
         StructType.fromDDL(history(base).last.ddl)).parquet(paths: _*)
-    val (aAgg, dAgg, evictBase, factBare)
-        : (Option[DataFrame], Option[DataFrame], String,
-           Option[Seq[(String, String)]]) =
+    val (aAgg, dAgg): (Option[DataFrame], Option[DataFrame]) =
       if (moved.length == 1) {
         val (base, v0) = moved.head
         val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
-        // extremum eviction needs a per-group re-aggregation pushed into
-        // the base scan — only expressible when every group key is a bare
-        // column of the MOVED table (a dim key can't semi-filter the fact)
-        val fb = shape.bareGroups.filter(_.forall(_._2 == base))
-          .map(_.map { case (out, _, bcol) => (out, bcol) })
+        // a GLOBAL (ungrouped) extremum with deletes would re-aggregate
+        // the whole body anyway — that IS the full recompute, take it
         if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
-            (shape.groupCols.isEmpty || fb.isEmpty)) return None
+            shape.groupCols.isEmpty) return None
         if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
         (if (addFiles.nonEmpty)
            Some(replayWith(Seq(base -> deltaDf(base, addFiles)))) else None,
          if (delDirs.nonEmpty)
            Some(replayWith(Seq(base -> deltaDf(base, delDirs.map(_.toString)))))
-         else None,
-         base, fb)
+         else None)
       } else {
         // SEVERAL bases moved: telescoping cross-delta.
         //   new(F₁⋈…⋈Fₙ) − old(F₁⋈…⋈Fₙ)
@@ -1577,25 +1572,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // delete window contributes the SAME term shape at its own
         // position, entered negated through the dAgg merge (r15:
         // several delete windows fold group-wise exactly like the add
-        // terms; COUNT/SUM/AVG are fully linear). The one remaining
-        // bail is MIN/MAX under deletes in MORE THAN ONE window:
-        // extremum eviction's bare-group semi-filter can only be keyed
-        // on a single deleting table, so those recompute fully.
+        // terms; COUNT/SUM/AVG are fully linear). MIN/MAX under
+        // deletes — in ANY number of windows — ride extremum eviction:
+        // the folded delete term's per-group min/max is the extremum
+        // over ALL removed contributions (any net-removed contribution
+        // appears in ≥1 delete term, so detection never under-fires),
+        // and the eviction recompute below re-aggregates flagged groups
+        // from the LIVE bases, which is window-count-agnostic. The only
+        // bail left is a GLOBAL (ungrouped) extremum with deletes — its
+        // one "group" is the whole body, i.e. the full recompute.
         val wins = moved.map { case (b, v) =>
           val (adds, dels) = windowOf(b, v).getOrElse(return None)
           (b, v, adds, dels)
         }
         val delWins = wins.filter(_._4.nonEmpty)
-        if (delWins.length > 1 && shape.minMaxCols.nonEmpty) return None
-        // extremum eviction under deletes: same bare-group contract as
-        // the single-moved path, keyed on the DELETING table (its
-        // columns are the only ones a semi-filter can push back down)
-        val fbMulti = delWins.headOption.flatMap { case (db, _, _, _) =>
-          shape.bareGroups.filter(_.forall(_._2 == db))
-            .map(_.map { case (out, _, bcol) => (out, bcol) })
-        }
         if (delWins.nonEmpty && shape.minMaxCols.nonEmpty &&
-            (shape.groupCols.isEmpty || fbMulti.isEmpty)) return None
+            shape.groupCols.isEmpty) return None
         if (wins.forall(w => w._3.isEmpty && w._4.isEmpty))
           return Some((old, oldAux))
         // every table that can appear as a suffix needs its anchored
@@ -1615,8 +1607,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // recomputes from its combined sidecar; everything casts back
         // to the decomposed frame's own types. Shared by the add terms
         // and (r15) the per-window delete terms — subtraction is as
-        // linear as addition for COUNT/SUM/AVG, and MIN/MAX never
-        // reach a multi-term delete fold (bailed above).
+        // linear as addition for COUNT/SUM/AVG; a MIN/MAX fold over the
+        // delete terms yields the extremum over all removed
+        // contributions, exactly what eviction detection needs.
         def foldTerms(ts: Seq[DataFrame]): Option[DataFrame] =
           ts.headOption.map { head =>
             val tmplSchema = head.schema
@@ -1649,8 +1642,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               (b -> deltaDf(b, dels.map(_.toString))) +: suffixOlds(i)))
         })
         val combined = foldTerms(terms)
-        (combined, delTerm,
-          delWins.headOption.map(_._1).getOrElse(moved.head._1), fbMulti)
+        (combined, delTerm)
       }
     def pre(df: DataFrame, p: String) =
       df.select(df.columns.map(c => col(c).as(s"$p$c")).toIndexedSeq: _*)
@@ -1737,22 +1729,37 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val okRows = survivors.filter(!col("__ivm_evict")).drop("__ivm_evict")
     val combined =
       if (dAgg.isEmpty || shape.minMaxCols.isEmpty) okRows
-      // belt-and-braces Try: bareGroups is now traced to real base
-      // columns, but any residual resolution failure here must degrade
-      // to a full recompute, never error the REFRESH statement
+      // belt-and-braces Try: bareGroups is traced to real base columns,
+      // but any residual resolution failure here must degrade to a full
+      // recompute, never error the REFRESH statement
       else scala.util.Try {
-        val bg = factBare.get
         val keys = survivors.filter(col("__ivm_evict"))
           .select(groupCols.map(col): _*).localCheckpoint()
-        val renamed = keys.select(bg.map { case (out, bcol) =>
-          col(out).as(bcol) }.toIndexedSeq: _*)
-        val baseDf = spark.table(evictBase)
-        val filtered = baseDf.join(broadcast(renamed),
-          bg.map { case (_, bcol) => baseDf(bcol) <=> renamed(bcol) }
-            .reduce(_ && _), "left_semi")
-        val recomputed = replayWith(Seq(evictBase -> filtered))
+        // push the evicted keys into EVERY base that owns some group key
+        // as a bare column (broadcast semi — the key set is tiny). A
+        // base owning only part of the key — or none — filters to a
+        // SUPERSET of the evicted groups' rows (or reads live in full),
+        // so the replay is trimmed to exactly the evicted groups on the
+        // view's own group outputs afterwards. Correctness never depends
+        // on the pushdown; the filters only narrow the rescans.
+        val overlays = shape.bases.flatMap { b =>
+          val owned = shape.bareGroups.filter(_._2.equalsIgnoreCase(b))
+          if (owned.isEmpty) None
+          else {
+            val renamed = keys.select(owned.map { case (out, _, bcol) =>
+              col(out).as(bcol) }.toIndexedSeq: _*).dropDuplicates()
+            val baseDf = spark.table(b)
+            Some(b -> baseDf.join(broadcast(renamed),
+              owned.map { case (_, _, bcol) => baseDf(bcol) <=> renamed(bcol) }
+                .reduce(_ && _), "left_semi"))
+          }
+        }
+        val recomputed = replayWith(overlays)
+        val trimmed = recomputed.join(broadcast(keys),
+          groupCols.map(g => recomputed(g) <=> keys(g)).reduce(_ && _),
+          "left_semi")
         okRows.unionByName(
-          recomputed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
+          trimmed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
             .map(col): _*)).localCheckpoint()
       }.getOrElse(return None)
     Some((combined.select(viewSchema.fieldNames.toSeq.map(col): _*),

@@ -133,6 +133,40 @@ object IvmBench {
       w
     }
 
+    // EXTREMUM over the join under deletes (r15): deleting the stored
+    // minimum flags its group for eviction; the evicted brands push into
+    // the DIM as a broadcast semi-filter, the join narrows the fact
+    // behind it, and the rescan is trimmed to exactly the evicted
+    // groups — so the refresh pays one fact scan joined against a
+    // handful of dim rows plus the view merge, never the view-wide
+    // re-aggregation shuffle of a full recompute
+    engine.run("create materialized view ivm_jxm as " +
+      "select p_brand, count(*) as n, min(l_extendedprice) as lo, " +
+      "max(l_extendedprice) as hi " +
+      "from ivm_fact join ivm_dim on l_partkey = p_partkey group by p_brand")
+    val jxm = (1 to rounds).map { i =>
+      val mn = engine.run("select min(l_extendedprice) as m from ivm_fact")
+        .collect()(0).get(0)
+      engine.run(s"delete from ivm_fact where l_extendedprice = $mn")
+      val (w, mode) = timed("refresh materialized view ivm_jxm")
+      require(mode == "incremental",
+        s"round $i expected extremum evict, got $mode")
+      w
+    }
+    // ... and with deletes in BOTH windows (fact extremum + dim row):
+    // the folded delete term still carries the extremum over all removed
+    // contributions, so detection fires and the same rescan applies
+    val jxmdd = (1 to rounds).map { i =>
+      val mn = engine.run("select min(l_extendedprice) as m from ivm_fact")
+        .collect()(0).get(0)
+      engine.run(s"delete from ivm_fact where l_extendedprice = $mn")
+      engine.run(s"delete from ivm_dim where p_partkey = ${i * 29}")
+      val (w, mode) = timed("refresh materialized view ivm_jxm")
+      require(mode == "incremental",
+        s"round $i expected extremum both-deleted, got $mode")
+      w
+    }
+
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
     // archives the file diff needs; the refresh falls back to full and
@@ -144,7 +178,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
