@@ -79,4 +79,30 @@ object Sampling {
         .when(b < trainPct + validPct, "valid")
         .otherwise("test"))
   }
+
+  /** Leak-free train/valid/test split across NEAR-DUPLICATE clusters: a
+    * near-dup of a test document in the training set is memorized eval
+    * contamination that survives `split(groupCol = source)` whenever the
+    * duplicate crossed sources (mirrors, scrapes, quotations). This runs
+    * the MinHash+LSH pair graph → connected components (the dedup
+    * pipeline's own machinery), labels every document with its cluster
+    * representative (isolated docs are their own cluster), and buckets
+    * the CLUSTER id — so an entire near-dup family lands in one split by
+    * construction.
+    *
+    * Scale: pair graph + components are the already-spillable dedup path
+    * (signatures → band-bucket join → pointer-jump CC, no O(n²) stage);
+    * the label join is one shuffle on the id and the split itself is a
+    * narrow map. Adds `cluster_id` and `split` columns.
+    */
+  def splitByCluster(df: DataFrame, idCol: String, textCol: String,
+      trainPct: Int, validPct: Int, threshold: Double = 0.5,
+      salt: String = ""): DataFrame = {
+    val reps = Dedup.representatives(df, idCol, textCol, threshold)
+      .withColumnRenamed("keep_id", "__rep")
+    val labeled = df.join(reps, Seq(idCol), "left")
+      .withColumn("cluster_id", coalesce(col("__rep"), col(idCol)))
+      .drop("__rep")
+    split(labeled, "cluster_id", trainPct, validPct, salt)
+  }
 }

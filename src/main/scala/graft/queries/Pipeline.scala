@@ -1257,6 +1257,51 @@ object Pipeline {
               |  FROM documents) mx
               |ORDER BY doc_id""".stripMargin)),
 
+    // leak-free split across NEAR-DUP clusters: the MinHash pair graph's
+    // connected components label each doc with its cluster representative
+    // (isolated docs are their own cluster) and the CLUSTER id buckets —
+    // a near-dup family can never straddle train/test. Oracle recomputes
+    // the pair graph, a recursive-CTE transitive closure, and the same
+    // mix/bucket arithmetic.
+    "sample_split_no_leak" -> Q(
+      (s, d) => graft.operators.Sampling.splitByCluster(
+          t(s, d, "documents"), "doc_id", "text", trainPct = 80, validPct = 10,
+          threshold = 0.5, salt = "nl")
+        .select(col("doc_id"), col("cluster_id"), col("split"))
+        .orderBy("doc_id"),
+      Some(s"""WITH RECURSIVE $shingleCte,
+              |sig AS (SELECT doc_id, shash,
+              |  [list_min([(${aCoef("j")} * h + ${bCoef("j")}) % $P for h in shash])
+              |   for j in generate_series(0, 15)] AS sg FROM hs),
+              |bnd AS (SELECT doc_id, shash,
+              |  [list_reduce(list_prepend(CAST(0 AS BIGINT), list_slice(sg, b*4+1, b*4+4)),
+              |     (acc, v) -> (acc * 31 + v) % $P) for b in generate_series(0, 3)] AS bands FROM sig),
+              |ex AS (SELECT doc_id, shash, unnest(bands) AS band_key,
+              |  unnest(generate_series(1, len(bands))) AS band_idx FROM bnd),
+              |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              |  FROM ex a JOIN ex b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+              |  WHERE a.doc_id < b.doc_id),
+              |pairs AS (SELECT c.id_a, c.id_b
+              |  FROM cand c JOIN hs a ON a.doc_id = c.id_a JOIN hs b ON b.doc_id = c.id_b
+              |  WHERE $jacc >= 0.5),
+              |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              |  UNION ALL SELECT id_b, id_a FROM pairs),
+              |ids AS (SELECT DISTINCT s AS id FROM edges),
+              |reach(id, r) AS (
+              |  SELECT id, id FROM ids
+              |  UNION
+              |  SELECT e.s, rc.r FROM edges e JOIN reach rc ON e.d = rc.id),
+              |keep AS (SELECT id AS doc_id, MIN(r) AS keep_id FROM reach GROUP BY id),
+              |cl AS (SELECT dd.doc_id, COALESCE(k.keep_id, dd.doc_id) AS cluster_id
+              |  FROM documents dd LEFT JOIN keep k ON dd.doc_id = k.doc_id),
+              |mx AS (SELECT doc_id, cluster_id,
+              |  ${polyHash("(CAST(cluster_id AS VARCHAR) || 'nl')")} AS h0, $mixCols FROM cl)
+              |SELECT doc_id, cluster_id,
+              |  CASE WHEN mixed % 100 < 80 THEN 'train'
+              |       WHEN mixed % 100 < 90 THEN 'valid'
+              |       ELSE 'test' END AS split
+              |FROM mx ORDER BY doc_id""".stripMargin)),
+
     "sample_stratified" -> Q(
       (s, d) => graft.operators.Sampling.stratified(
           t(s, d, "documents"), "lang", "doc_id", n = 20, salt = "st")

@@ -319,6 +319,30 @@ class OperatorsSpec extends AnyFunSuite {
     assert(meanWin > meanAll)
   }
 
+  test("splitByCluster: near-dup pairs never straddle splits; isolated docs self-cluster") {
+    import graft.operators.{Dedup, Sampling}
+    val out = Sampling.splitByCluster(docs, "doc_id", "text",
+      trainPct = 80, validPct = 10, threshold = 0.5, salt = "nl")
+      .select("doc_id", "cluster_id", "split").collect()
+    assert(out.length == docs.count())
+    val byId = out.map(r => r.getLong(0) -> ((r.getLong(1), r.getString(2)))).toMap
+    // every LSH-verified near-dup pair shares both cluster AND split —
+    // the leak `split(source)` permits when a dup crosses sources
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text", threshold = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert(byId(a)._1 == byId(b)._1, s"pair ($a,$b) split into two clusters")
+      assert(byId(a)._2 == byId(b)._2, s"pair ($a,$b) straddles splits")
+    }
+    // docs outside the pair graph are their own cluster and still split
+    val paired = pairs.iterator.flatMap(p => Iterator(p._1, p._2)).toSet
+    val iso = byId.keySet -- paired
+    assert(iso.nonEmpty)
+    iso.foreach(i => assert(byId(i)._1 == i, s"isolated $i got cluster ${byId(i)._1}"))
+    assert(out.map(_.getString(2)).toSet == Set("train", "valid", "test"))
+  }
+
   test("multimodal feature extraction preserves ids and byte counts") {
     val media = Multimodal.asMedia(docs, "doc_id", "text")
     // features share lineage with `docs` now (expression, not an RDD
