@@ -1129,8 +1129,11 @@ private object Pgwire {
     * rows.
     */
   private[graft] def isReadOnly(stmt: String): Boolean =
-    Set("SELECT", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE", "TABLE")
-      .contains(keyword(stmt)) || stmt.trim.startsWith("\\")
+    (Set("SELECT", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE", "TABLE")
+      .contains(keyword(stmt)) || stmt.trim.startsWith("\\")) &&
+      // nextval/setval mutate engine sequence state (and persist it to
+      // the manifest) even inside a SELECT — route them to the write lock
+      """(?i)\b(nextval|setval)\s*\(""".r.findFirstIn(stmt).isEmpty
 
   /** DML results are a single rows_affected row; extract its value. */
   private def rowsAffected(rows: Array[org.apache.spark.sql.Row]): String =

@@ -336,7 +336,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // `as '...'`, dollar-quoted `as $$...$$`, or bare `return <expr>`
   private val reCreateFunction =
     """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+(?:as\s+(?:'(.*)'|\$\$(.*)\$\$)|return\s+(.*))\s*""".r
-  private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(values\s*.*|select\s+.*)""".r
+  private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(?:overriding\s+(system|user)\s+value\s+)?(values\s*.*|select\s+.*)""".r
   private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
   // extension: the reference binder has no UPDATE arm (src/binder/mod.rs
   // dispatch, 231-268) — we complete the DML triangle
@@ -374,7 +374,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*""".r
   private val reAlterRenameTable =
     """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*""".r
-  private val reTruncate = """(?is)\s*truncate\s+(?:table\s+)?(\w+)\s*""".r
+  private val reTruncate =
+    """(?is)\s*truncate\s+(?:table\s+)?(\w+)\s*(restart\s+identity|continue\s+identity)?\s*""".r
   // time travel (extension; delta/iceberg surface): commit log + archived
   // snapshots per table, queryable with VERSION AS OF / TIMESTAMP AS OF
   private val reDescribeHistory =
@@ -590,6 +591,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reDropMatView =
     """(?is)\s*drop\s+materialized\s+view\s+(\w+)\s*""".r
   private val reDrop = """(?is)\s*drop\s+(table|view|function)\s+(\w+)\s*""".r
+  // pg sequences: CREATE/ALTER/DROP SEQUENCE plus the four classic
+  // functions (nextval/currval/setval/lastval) — the surface SERIAL and
+  // GENERATED ... AS IDENTITY columns desugar to
+  private val reCreateSequence =
+    """(?is)\s*create\s+sequence\s+(?:(if\s+not\s+exists)\s+)?(\w+)\s*(.*?)\s*""".r
+  private val reAlterSequence =
+    """(?is)\s*alter\s+sequence\s+(\w+)\s+(.+?)\s*""".r
+  private val reDropSequence =
+    """(?is)\s*drop\s+sequence\s+(?:(if\s+exists)\s+)?(\w+)\s*""".r
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
@@ -1770,6 +1780,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case """\dt""" => systemTable("pg_tables")
     // shell sugar parity with the reference REPL (src/db.rs:64-81)
     case """\di""" => systemTable("pg_indexes")
+    case """\ds""" => systemTable("pg_sequences")
     case reDescribe(name) =>
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
@@ -1854,7 +1865,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       functions(name.toLowerCase) = (ps, body)
       saveManifest()
       emptyResult
-    case reInsertValues(table, colList, source) =>
+    case reInsertValues(table, colList, ovr, source) =>
+      // GENERATED ALWAYS identity columns refuse explicit values unless
+      // OVERRIDING SYSTEM VALUE says so (pg). OVERRIDING USER VALUE
+      // (pg: silently ignore the given identity values) errors honestly
+      // rather than diverge silently — omit the column instead.
+      require(ovr == null || !ovr.equalsIgnoreCase("user"),
+        "OVERRIDING USER VALUE is not supported: omit the identity column " +
+          "(or write DEFAULT) to take the sequence value")
+      checkIdentityAlways(table, Option(colList), source,
+        overridingSystem = ovr != null)
       val oc = SqlText.indexOfTopLevelPhrase(source, Seq("on", "conflict"))
       if (oc < 0) insert(table, Option(colList), source)
       else {
@@ -1882,8 +1902,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       alterRenameColumn(table, from, to)
     case reAlterRenameTable(from, to) if tables.contains(from) =>
       alterRenameTable(from, to)
-    case reTruncate(table) if tables.contains(table) =>
-      truncate(table)
+    case reTruncate(table, idMode) if tables.contains(table) =>
+      val res = truncate(table)
+      // pg TRUNCATE ... RESTART IDENTITY: owned sequences restart at
+      // their START value (CONTINUE IDENTITY is the default, a no-op)
+      if (idMode != null && idMode.toLowerCase.startsWith("restart"))
+        sequences.synchronized {
+          sequences.values
+            .filter(_.owner.exists(_._1.equalsIgnoreCase(table)))
+            .foreach { s => s.last = s.start; s.called = false }
+          saveManifest()
+        }
+      res
     case reDescribeHistory(table) => describeHistory(table)
     case reVacuum(table, retain) =>
       require(tables.contains(table), s"no such table: $table")
@@ -2038,6 +2068,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reSavepoint(name) => savepoint(name)
     case reRollbackTo(name) => rollbackToSavepoint(name)
     case reRelease(name) => releaseSavepoint(name)
+    case reCreateSequence(ine, name, opts) =>
+      createSequence(name, opts, ifNotExists = ine != null)
+    case reAlterSequence(name, opts) => alterSequence(name, opts)
+    case reDropSequence(ie, name) => dropSequence(name, ifExists = ie != null)
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
@@ -2155,9 +2189,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         saved.foreach { case (n, df) =>
           try df.createOrReplaceTempView(n) catch { case _: Exception => } }
       }
-    case q if q.toLowerCase.startsWith("select") || q.toLowerCase.startsWith("with") ||
-        q.toLowerCase.startsWith("values") || q.toLowerCase.startsWith("table") =>
+    case qRaw if qRaw.toLowerCase.startsWith("select") || qRaw.toLowerCase.startsWith("with") ||
+        qRaw.toLowerCase.startsWith("values") || qRaw.toLowerCase.startsWith("table") =>
       {
+          // sequence functions compute ONCE per textual occurrence and
+          // substitute as literals — pg's semantics for a scalar SELECT,
+          // and for currval/lastval anywhere (stable in-statement);
+          // per-row nextval over a FROM source is refused inside
+          // rewriteSeqFns with a pointer to the SERIAL/DEFAULT path
+          val q = if (usesSequenceFn(qRaw))
+            rewriteSeqFns(qRaw, allowNextval =
+              SqlText.indexOfTopLevelPhrase(qRaw, Seq("from")) < 0)
+          else qRaw
           // QUALIFY (DuckDB/Snowflake extension) is rewritten to plain
           // SQL before anything else — recursively, so subquery and CTE
           // bodies carrying their own QUALIFY work too
@@ -2192,7 +2235,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // internal.slt): registered lazily, only when the statement
           // names one
           Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
-              "contributors", "graft_history")
+              "pg_sequences", "contributors", "graft_history")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
           // repeatable read: pin/substitute table versions (analysis
@@ -2807,9 +2850,314 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
       s.cursors.clear()
       s.defaultSnapshotReads = false; s.defaultReadOnly = false
+      s.seqCurr.clear(); s.seqLast = None
+    } else if (what == "sequences") {
+      // pg: forget this session's currval/lastval state (the sequences
+      // themselves are engine-global and keep their positions)
+      s.seqCurr.clear(); s.seqLast = None
     }
     emptyResult
   }
+
+  // ---- sequences -----------------------------------------------------------
+
+  /** One sequence's engine-global state machine (pg semantics): the
+    * first nextval returns `start` (is_called latches), later calls step
+    * by `increment` inside [minV, maxV], erroring or wrapping (CYCLE) at
+    * the bound. DELIBERATELY non-transactional, like pg: nextval never
+    * rolls back (gaps are the contract — the alternative serializes every
+    * concurrent insert on the sequence), so SeqState lives outside the
+    * txn undo set. `owner` marks SERIAL/IDENTITY auto-sequences, dropped
+    * with their table and restarted by TRUNCATE ... RESTART IDENTITY.
+    */
+  private case class SeqState(var last: Long, var called: Boolean,
+      var increment: Long, var minV: Long, var maxV: Long, var cycle: Boolean,
+      var start: Long, owner: Option[(String, String)])
+  private val sequences = mutable.LinkedHashMap[String, SeqState]()
+  /** table → lowercase columns declared GENERATED ALWAYS AS IDENTITY:
+    * an INSERT naming one errors without OVERRIDING SYSTEM VALUE (pg).
+    */
+  private val identityAlways = mutable.Map[String, Set[String]]()
+
+  private def seqState(name: String): SeqState =
+    sequences.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+      s"""relation "$name" does not exist"""))
+
+  private def seqReadOnlyGate(fn: String): Unit = {
+    val s = sess
+    if (s.txnOpen && s.txnReadOnly) throw new IllegalArgumentException(
+      s"cannot execute $fn() in a read-only transaction")
+  }
+
+  /** Advance `name` once and return the value (pg nextval). */
+  private def seqNext(name: String): Long = sequences.synchronized {
+    seqReadOnlyGate("nextval")
+    val s = seqState(name)
+    // when !called, `last` holds the PENDING value (start at creation,
+    // n after setval(n,false), the restart point after RESTART) — pg's
+    // is_called latch
+    val v =
+      if (!s.called) { s.called = true; s.last }
+      else if (s.increment > 0 && s.last > s.maxV - s.increment) {
+        // overflow-safe bound test: s.last + inc > maxV
+        if (s.cycle) s.minV else throw new IllegalArgumentException(
+          s"""nextval: reached maximum value of sequence "$name" (${s.maxV})""")
+      } else if (s.increment < 0 && s.last < s.minV - s.increment) {
+        if (s.cycle) s.maxV else throw new IllegalArgumentException(
+          s"""nextval: reached minimum value of sequence "$name" (${s.minV})""")
+      } else s.last + s.increment
+    s.last = v
+    val ss = sess
+    ss.seqCurr(name.toLowerCase) = v
+    ss.seqLast = Some(name.toLowerCase)
+    saveManifest()
+    v
+  }
+
+  /** Reserve `k` consecutive values and return the FIRST; row i of a bulk
+    * insert takes first + i·increment. One reservation per statement —
+    * the block never straddles two statements, so concurrent writers
+    * can't interleave inside it. CYCLE sequences refuse block mode (a
+    * wrapped block would hand out duplicate "unique" ids silently; pg
+    * would too, but pg at least steps row-by-row — we error instead).
+    */
+  private def seqNextBlock(name: String, k: Long): Long = sequences.synchronized {
+    require(k > 0, "sequence block reservation needs k > 0")
+    seqReadOnlyGate("nextval")
+    val s = seqState(name)
+    require(!s.cycle, s"bulk insert through CYCLE sequence \"$name\" is " +
+      "not supported: a wrapped block would silently duplicate ids")
+    val first = if (!s.called) { s.called = true; s.last } else {
+      if (s.increment > 0 && s.last > s.maxV - s.increment)
+        throw new IllegalArgumentException(
+          s"""nextval: reached maximum value of sequence "$name" (${s.maxV})""")
+      if (s.increment < 0 && s.last < s.minV - s.increment)
+        throw new IllegalArgumentException(
+          s"""nextval: reached minimum value of sequence "$name" (${s.minV})""")
+      s.last + s.increment
+    }
+    val span = s.increment * (k - 1) // k-1 further steps past `first`
+    val lastV = first + span
+    if (s.increment > 0 && (lastV < first || lastV > s.maxV))
+      throw new IllegalArgumentException(
+        s"""nextval: reached maximum value of sequence "$name" (${s.maxV})""")
+    if (s.increment < 0 && (lastV > first || lastV < s.minV))
+      throw new IllegalArgumentException(
+        s"""nextval: reached minimum value of sequence "$name" (${s.minV})""")
+    s.last = lastV
+    val ss = sess
+    ss.seqCurr(name.toLowerCase) = lastV // pg: currval = last value obtained
+    ss.seqLast = Some(name.toLowerCase)
+    saveManifest()
+    first
+  }
+
+  /** pg setval(seq, n [, is_called]): set last_value; is_called=false
+    * makes the NEXT nextval return n itself. Sets the session's currval
+    * like pg does.
+    */
+  private def seqSet(name: String, n: Long, called: Boolean): Long =
+    sequences.synchronized {
+      seqReadOnlyGate("setval")
+      val s = seqState(name)
+      require(n >= s.minV && n <= s.maxV,
+        s"""setval: value $n is out of bounds for sequence "$name" """ +
+          s"(${s.minV}..${s.maxV})")
+      s.last = n
+      s.called = called
+      val ss = sess
+      ss.seqCurr(name.toLowerCase) = n
+      ss.seqLast = Some(name.toLowerCase)
+      saveManifest()
+      n
+    }
+
+  private def seqCurrval(name: String): Long = {
+    seqState(name) // dropped/missing sequence errors first, like pg
+    sess.seqCurr.getOrElse(name.toLowerCase, throw new IllegalArgumentException(
+      s"""currval of sequence "$name" is not yet defined in this session"""))
+  }
+
+  private def seqLastval(): Long = {
+    val n = sess.seqLast.getOrElse(throw new IllegalArgumentException(
+      "lastval is not yet defined in this session"))
+    seqCurrval(n)
+  }
+
+  private val reSeqFnProbe = """(?i)\b(nextval|currval|setval|lastval)\s*\(""".r
+  private[graft] def usesSequenceFn(sql: String): Boolean =
+    reSeqFnProbe.findFirstIn(sql).isDefined
+
+  /** Substitute every sequence-function call in `sql` with its computed
+    * literal. Correct wherever each textual occurrence means one
+    * evaluation: scalar SELECTs and VALUES tuples (pg evaluates one call
+    * per tuple there too). currval/lastval are STABLE within a statement,
+    * so their substitution is also correct per-row under a FROM;
+    * per-row nextval over a FROM source is refused (`allowNextval`) —
+    * the sanctioned bulk path is a SERIAL/DEFAULT column, which assigns
+    * a distinct value per row distributively.
+    */
+  private val reSeqCall =
+    """(?i)\b(nextval|currval|setval|lastval)\s*\(([^()]*)\)""".r
+  private def rewriteSeqFns(sql: String, allowNextval: Boolean): String =
+    reSeqCall.replaceAllIn(sql, m => {
+      val fn = m.group(1).toLowerCase
+      val args = SqlText.splitTopLevel(m.group(2)).map(_.trim)
+        .filter(_.nonEmpty)
+      def seqArg(a: String): String = {
+        val base = a.replaceAll("(?i)::\\s*regclass\\s*$", "").trim
+        require(base.length >= 2 && base.startsWith("'") && base.endsWith("'"),
+          s"$fn expects a quoted sequence name, got: $a")
+        base.substring(1, base.length - 1)
+      }
+      val v = fn match {
+        case "nextval" =>
+          require(args.length == 1, "nextval(regclass) takes one argument")
+          require(allowNextval, "per-row nextval over a FROM source is not " +
+            "supported: use a SERIAL/IDENTITY column or a DEFAULT " +
+            "nextval(...) so values assign distributively")
+          seqNext(seqArg(args.head))
+        case "currval" =>
+          require(args.length == 1, "currval(regclass) takes one argument")
+          seqCurrval(seqArg(args.head))
+        case "lastval" =>
+          require(args.isEmpty, "lastval() takes no arguments")
+          seqLastval()
+        case _ =>
+          require(args.length == 2 || args.length == 3,
+            "setval(regclass, bigint [, boolean]) takes two or three arguments")
+          require(allowNextval, "per-row setval over a FROM source is not supported")
+          val called = args.lift(2)
+            .map(a => java.lang.Boolean.parseBoolean(a.trim)).getOrElse(true)
+          seqSet(seqArg(args.head), args(1).trim.toLong, called)
+      }
+      java.util.regex.Matcher.quoteReplacement(s"CAST($v AS BIGINT)")
+    })
+
+  private def createSequence(name: String, opts: String,
+      ifNotExists: Boolean, owner: Option[(String, String)] = None): DataFrame = {
+    val key = name.toLowerCase
+    if (sequences.contains(key)) {
+      if (ifNotExists) return emptyResult
+      throw new IllegalArgumentException(s"sequence already exists: $name")
+    }
+    require(!tables.contains(name) && !views.contains(name),
+      s"table or view already exists: $name")
+    def longOpt(kw: String): Option[Long] =
+      s"""(?i)\\b$kw\\s+(?:with\\s+|by\\s+)?(-?\\d+)""".r
+        .findFirstMatchIn(opts).map(_.group(1).toLong)
+    val noMin = """(?i)\bno\s+minvalue\b""".r.findFirstIn(opts).isDefined
+    val noMax = """(?i)\bno\s+maxvalue\b""".r.findFirstIn(opts).isDefined
+    val cycle = """(?i)\bcycle\b""".r.findFirstIn(opts).isDefined &&
+      !"""(?i)\bno\s+cycle\b""".r.findFirstIn(opts).isDefined
+    // AS <type> narrows the default bounds (pg); CACHE is accepted and
+    // ignored (a single-writer engine has no per-backend cache to size)
+    val (tMin, tMax) = """(?i)\bas\s+(\w+)""".r.findFirstMatchIn(opts)
+      .map(_.group(1).toLowerCase) match {
+      case Some("smallint") | Some("int2") => (Short.MinValue.toLong, Short.MaxValue.toLong)
+      case Some("int") | Some("integer") | Some("int4") => (Int.MinValue.toLong, Int.MaxValue.toLong)
+      case _ => (Long.MinValue, Long.MaxValue)
+    }
+    val inc = longOpt("increment").getOrElse(1L)
+    require(inc != 0L, "INCREMENT must not be zero")
+    val minV = if (noMin) (if (inc > 0) 1L else tMin)
+      else longOpt("minvalue").getOrElse(if (inc > 0) 1L else tMin)
+    val maxV = if (noMax) (if (inc > 0) tMax else -1L)
+      else longOpt("maxvalue").getOrElse(if (inc > 0) tMax else -1L)
+    require(minV <= maxV, s"MINVALUE ($minV) must be no greater than MAXVALUE ($maxV)")
+    val start = longOpt("start").getOrElse(if (inc > 0) minV else maxV)
+    require(start >= minV && start <= maxV,
+      s"START value ($start) cannot be outside [$minV, $maxV]")
+    sequences(key) = SeqState(last = start, called = false, inc, minV, maxV,
+      cycle, start, owner)
+    saveManifest()
+    emptyResult
+  }
+
+  private def alterSequence(name: String, opts: String): DataFrame =
+    sequences.synchronized {
+      val s = seqState(name)
+      def longOpt(kw: String): Option[Long] =
+        s"""(?i)\\b$kw\\s+(?:with\\s+|by\\s+)?(-?\\d+)""".r
+          .findFirstMatchIn(opts).map(_.group(1).toLong)
+      longOpt("increment").foreach { i =>
+        require(i != 0L, "INCREMENT must not be zero"); s.increment = i }
+      longOpt("minvalue").foreach(s.minV = _)
+      longOpt("maxvalue").foreach(s.maxV = _)
+      require(s.minV <= s.maxV, "MINVALUE must be no greater than MAXVALUE")
+      if ("""(?i)\bno\s+cycle\b""".r.findFirstIn(opts).isDefined) s.cycle = false
+      else if ("""(?i)\bcycle\b""".r.findFirstIn(opts).isDefined) s.cycle = true
+      // START WITH changes the base a BARE restart returns to (pg keeps
+      // start_value separate from the restart point)
+      longOpt("start").foreach(s.start = _)
+      if ("""(?i)\brestart\b""".r.findFirstIn(opts).isDefined) {
+        val at = longOpt("restart").getOrElse(s.start)
+        require(at >= s.minV && at <= s.maxV,
+          s"RESTART value ($at) cannot be outside [${s.minV}, ${s.maxV}]")
+        s.last = at
+        s.called = false
+      }
+      saveManifest()
+      emptyResult
+    }
+
+  private def dropSequence(name: String, ifExists: Boolean): DataFrame = {
+    val key = name.toLowerCase
+    if (!sequences.contains(key)) {
+      if (ifExists) return emptyResult
+      throw new IllegalArgumentException(s"""sequence "$name" does not exist""")
+    }
+    // pg dependency tracking: a column default still calling nextval on
+    // this sequence would break at the next INSERT — refuse, name the dep
+    val needle = s"""(?i)nextval\\s*\\(\\s*'${java.util.regex.Pattern.quote(name)}'""".r
+    defaults.foreach { case (t, ds) =>
+      ds.foreach { case (c, e) =>
+        if (needle.findFirstIn(e).isDefined) throw new IllegalArgumentException(
+          s"cannot drop sequence $name because other objects depend on it " +
+            s"(default of $t.$c)")
+      }
+    }
+    sequences.remove(key)
+    saveManifest()
+    emptyResult
+  }
+
+  /** pg's GENERATED ALWAYS contract: an INSERT naming an always-identity
+    * column errors unless every VALUES field at its position is the
+    * DEFAULT keyword (pg allows writing DEFAULT into the slot) or the
+    * statement carries OVERRIDING SYSTEM VALUE.
+    */
+  private def checkIdentityAlways(table: String, colList: Option[String],
+      source: String, overridingSystem: Boolean): Unit = {
+    if (overridingSystem) return
+    val always = identityAlways.getOrElse(table, Set.empty)
+    if (always.isEmpty || !tables.contains(table)) return
+    val declared = colList.map(_.split(",").map(_.trim).toSeq)
+      .getOrElse(tables(table)._1.fields.map(_.name).toSeq)
+    declared.zipWithIndex
+      .filter { case (cn, _) => always.contains(cn.toLowerCase) }
+      .foreach { case (cn, i) =>
+        val s = source.trim
+        val allDefault = s.toLowerCase.startsWith("values") &&
+          SqlText.splitTopLevel(s.substring("values".length)).forall { t =>
+            val tt = t.trim
+            tt.startsWith("(") && tt.endsWith(")") && {
+              val fs = SqlText.splitTopLevel(tt.substring(1, tt.length - 1))
+              i < fs.length && fs(i).trim.equalsIgnoreCase("default")
+            }
+          }
+        if (!allDefault) throw new IllegalArgumentException(
+          s"""cannot insert a non-DEFAULT value into column "$cn": column """ +
+            "is an identity column defined as GENERATED ALWAYS " +
+            "(use OVERRIDING SYSTEM VALUE to override)")
+      }
+  }
+
+  /** The nextval('<seq>') DEFAULT shape the bulk-insert stamp recognizes. */
+  private val reNextvalDefault =
+    """(?i)^\s*nextval\s*\(\s*'(\w+)'\s*(?:::\s*regclass\s*)?\)\s*$""".r
+  private def nextvalDefaultSeq(dflt: String): Option[String] =
+    reNextvalDefault.findFirstMatchIn(dflt).map(_.group(1))
 
   // ---- DDL ---------------------------------------------------------------
 
@@ -2915,6 +3263,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val pk = mutable.Buffer[String]()
     val colDefaults = mutable.LinkedHashMap[String, String]()
     var colChecks = Vector.empty[(String, String)]
+    // SERIAL / GENERATED ... AS IDENTITY desugar to an OWNED sequence +
+    // DEFAULT nextval (pg's own desugaring) — collected here, created
+    // after the table registers
+    val pendingSeqs = mutable.Buffer[(String, String, String)]()
+    val alwaysCols = mutable.Set[String]()
+    val reIdent =
+      """(?i)\bgenerated\s+(always|by\s+default)\s+as\s+identity\s*(?:\(([^)]*)\))?""".r
+    val reSerial = """(?i)^\s*(small|big)?serial\b""".r
     val fields = parts.flatMap { p =>
       val toks = p.trim.split("\\s+", 2)
       if (toks(0).equalsIgnoreCase("primary")) {
@@ -2933,19 +3289,48 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         None
       } else {
         val colName = toks(0)
-        // constraint clauses come out FIRST (check, then default) so a
+        // the identity/serial clause comes out BEFORE the keyword scans:
+        // "GENERATED BY DEFAULT AS IDENTITY" contains the DEFAULT
+        // keyword and would spoof splitDefault into a bogus expression
+        var spec = toks(1)
+        val identM = reIdent.findFirstMatchIn(spec)
+        val serialM = reSerial.findFirstMatchIn(spec)
+        identM.foreach(_ => spec = reIdent.replaceFirstIn(spec, " "))
+        serialM.foreach { m =>
+          val ty = Option(m.group(1)).map(_.toLowerCase) match {
+            case Some("big") => "bigint"
+            case Some("small") => "smallint"
+            case _ => "int"
+          }
+          spec = reSerial.replaceFirstIn(spec, ty)
+        }
+        // constraint clauses come out next (check, then default) so a
         // literal containing 'not null' / 'primary key' / 'check' can't
         // spoof the keyword scans that follow
-        val (rest0, chkOpt) = splitCheck(toks(1))
+        val (rest0, chkOpt) = splitCheck(spec)
         chkOpt.foreach { case (nm, e) =>
           colChecks = addCheckEntry(colChecks, nm,
             s"${name}_${colName.toLowerCase}_check", e, name)
         }
         val (rest, defOpt) = splitDefault(rest0)
-        defOpt.foreach(d => colDefaults(colName.toLowerCase) = d)
+        if (identM.isDefined || serialM.isDefined) {
+          require(defOpt.isEmpty,
+            s"column $colName: identity/serial excludes an explicit DEFAULT")
+          var sq = s"${name}_${colName}_seq".toLowerCase
+          while (sequences.contains(sq) || tables.contains(sq) ||
+              pendingSeqs.exists(_._1 == sq)) sq += "1"
+          val seqOpts = identM.flatMap(m => Option(m.group(2))).getOrElse("")
+          pendingSeqs += ((sq, seqOpts, colName))
+          colDefaults(colName.toLowerCase) = s"nextval('$sq')"
+          if (identM.exists(_.group(1).equalsIgnoreCase("always")))
+            alwaysCols += colName.toLowerCase
+        } else defOpt.foreach(d => colDefaults(colName.toLowerCase) = d)
         val lower = rest.toLowerCase
         if (lower.contains("primary key")) pk += colName
-        val notNull = lower.contains("not null") || lower.contains("primary key")
+        // identity/serial columns are NOT NULL by construction (pg)
+        val notNull = lower.contains("not null") ||
+          lower.contains("primary key") ||
+          identM.isDefined || serialM.isDefined
         Some(StructField(colName, parseType(rest), nullable = !notNull))
       }
     }
@@ -2959,6 +3344,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     tables(name) = (schema, pk.toSeq)
     if (colDefaults.nonEmpty) defaults(name) = colDefaults.toMap
     if (colChecks.nonEmpty) checks(name) = colChecks
+    pendingSeqs.foreach { case (sq, seqOpts, colName) =>
+      createSequence(sq, seqOpts, ifNotExists = false,
+        owner = Some((name, colName)))
+    }
+    if (alwaysCols.nonEmpty) identityAlways(name) = alwaysCols.toSet
     history(name) = Vector(
       Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
@@ -3131,6 +3521,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     defaults.remove(from).foreach(d => defaults(to) = d)
     rowCounts.remove(from).foreach(n => rowCounts(to) = n)
     colStatsLedger.remove(from).foreach(cs => colStatsLedger(to) = cs)
+    identityAlways.remove(from).foreach(s => identityAlways(to) = s)
+    // owned sequences follow their table (keeps DROP TABLE / TRUNCATE
+    // RESTART IDENTITY working after a rename; the sequence NAME stays,
+    // like pg)
+    sequences.keys.toSeq.foreach { sq =>
+      val st = sequences(sq)
+      st.owner.filter(_._1.equalsIgnoreCase(from)).foreach { case (_, c) =>
+        sequences(sq) = st.copy(owner = Some((to, c)))
+      }
+    }
     register(to)
     archiveCurrent(to)
     recordCommit(to, s"rename from $from")
@@ -3186,6 +3586,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       defaults.remove(name)
       rowCounts.remove(name)
       colStatsLedger.remove(name)
+      identityAlways.remove(name)
+      // serial/identity sequences are OWNED: they drop with their table
+      // (pg); explicitly-created sequences survive
+      sequences.filterInPlace { case (_, st) =>
+        !st.owner.exists(_._1.equalsIgnoreCase(name)) }
       spark.sql(s"DROP TABLE IF EXISTS `$name`")
       val dir = Paths.get(tableDir(name))
       if (Files.exists(dir)) deleteRecursively(dir, keepRoot = false)
@@ -3219,10 +3624,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(schema.fields.map(_.name).toSeq)
     val defs = defaults.getOrElse(table, Map.empty)
+    // sequence functions in the source text: VALUES substitutes one
+    // computed literal per occurrence (pg evaluates one call per tuple
+    // too — the expandDefaultKeyword pass just planted a nextval(...)
+    // per tuple for DEFAULT fields of serial columns); a SELECT source
+    // may use them only without a top-level FROM (per-row nextval over
+    // a relation is refused with a pointer to the DEFAULT path)
+    val expanded0 = expandDefaultKeyword(declared, defs, source)
+    val expanded = if (usesSequenceFn(expanded0)) {
+      val isValues = expanded0.trim.toLowerCase.startsWith("values")
+      rewriteSeqFns(expanded0, allowNextval = isValues ||
+        SqlText.indexOfTopLevelPhrase(expanded0, Seq("from")) < 0)
+    } else expanded0
     // the INSERT source may read an archived version (restore idiom:
     // INSERT INTO t SELECT * FROM t VERSION AS OF k)
-    val (source2, ttViews) =
-      rewriteTimeTravel(expandDefaultKeyword(declared, defs, source))
+    val (source2, ttViews) = rewriteTimeTravel(expanded)
     // repeatable read: the INSERT source reads the transaction's snapshot
     // (the target table itself was just un-pinned by txnTouch, so a
     // self-referencing INSERT sees the pre-statement live state)
@@ -3231,20 +3647,58 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     require(declared.length == src.columns.length,
       s"INSERT column count mismatch: ${declared.length} vs ${src.columns.length}")
     val renamed = src.toDF(declared: _*)
-    val aligned = schema.fields.map { f =>
-      if (declared.contains(f.name)) (f.dataType, renamed.schema(f.name).dataType) match {
+    def alignCol(f: StructField, in: DataFrame,
+        seqVal: Option[Column]): Column =
+      if (declared.contains(f.name)) (f.dataType, in.schema(f.name).dataType) match {
         // VECTOR(n) columns accept the reference's string literal form
         // ('[1, 2.0, 3]', src/binder/insert.rs vector path)
         case (at: ArrayType, StringType) => from_json(col(f.name), at).as(f.name)
         case _ => col(f.name).cast(f.dataType).as(f.name)
       }
-      else defs.get(f.name.toLowerCase) match {
-        // omitted column: its DEFAULT expression, NULL without one (pg)
-        case Some(d) => expr(inlineFunctions(d)).cast(f.dataType).as(f.name)
-        case None => lit(null).cast(f.dataType).as(f.name)
+      else seqVal match {
+        case Some(v) => v.cast(f.dataType).as(f.name)
+        case None => defs.get(f.name.toLowerCase) match {
+          // omitted column: its DEFAULT expression, NULL without one (pg)
+          case Some(d) => expr(inlineFunctions(d)).cast(f.dataType).as(f.name)
+          case None => lit(null).cast(f.dataType).as(f.name)
+        }
       }
+    // OMITTED serial/identity columns (DEFAULT nextval): values must be
+    // DISTINCT PER ROW, which a per-statement expression can't give —
+    // reserve one block per sequence and stamp first + idx·increment
+    // over a distributed zipWithIndex (two narrow passes, no global
+    // window, no driver loop). The source materializes ONCE
+    // (localCheckpoint) so the reserved block matches the stamped rows
+    // exactly even when the source is nondeterministic.
+    val seqCols: Seq[(String, String)] = schema.fields.toSeq
+      .filter(f => !declared.contains(f.name))
+      .flatMap(f => defs.get(f.name.toLowerCase).flatMap(nextvalDefaultSeq)
+        .map(f.name -> _))
+    if (seqCols.isEmpty)
+      renamed.select(schema.fields.map(f =>
+        alignCol(f, renamed, None)).toIndexedSeq: _*)
+    else {
+      val mat = renamed.localCheckpoint()
+      val k = mat.count()
+      var ord = "__graft_seq_ord"
+      while (mat.columns.contains(ord)) ord += "_x"
+      val stamped =
+        if (k == 0) mat.withColumn(ord, lit(0L))
+        else spark.createDataFrame(
+          mat.rdd.zipWithIndex().map { case (r, i) =>
+            org.apache.spark.sql.Row.fromSeq(r.toSeq :+ i) },
+          mat.schema.add(ord, LongType, nullable = false))
+      val blocks: Map[String, Column] = seqCols.map { case (cn, sq) =>
+        if (k == 0) cn -> lit(null)
+        else {
+          val inc = sequences.synchronized(seqState(sq).increment)
+          val first = seqNextBlock(sq, k)
+          cn -> (lit(first) + col(ord) * lit(inc))
+        }
+      }.toMap
+      stamped.select(schema.fields.map(f =>
+        alignCol(f, stamped, blocks.get(f.name))).toIndexedSeq: _*)
     }
-    renamed.select(aligned.toIndexedSeq: _*)
   }
 
   /** `INSERT ... VALUES (1, DEFAULT)`: replace a bare DEFAULT field with
@@ -3638,6 +4092,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             defaults.getOrElse(table, Map.empty)
               .getOrElse(f.name.toLowerCase, "NULL")
           else e0
+          // a sequence default in UPDATE would need per-updated-row
+          // values (pg steps the sequence per row) — refuse clearly
+          // instead of leaking Spark's "undefined function nextval"
+          require(!usesSequenceFn(e), "UPDATE through a sequence " +
+            s"(column ${f.name}) is not supported: per-row nextval does " +
+            "not assign distributively; write explicit values instead")
           when(c, expr(inlineFunctions(e)).cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
@@ -3773,6 +4233,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       require(declared.length == valueExprs.length,
         s"MERGE: INSERT column count mismatch: ${declared.length} vs ${valueExprs.length}")
       val byCol = declared.map(_.toLowerCase).zip(valueExprs).toMap
+      byCol.foreach { case (cn, e) =>
+        // same contract as UPDATE: per-row sequence stepping inside a
+        // MERGE arm is not distributively assignable — refuse clearly
+        require(!usesSequenceFn(e), "MERGE INSERT through a sequence " +
+          s"(column $cn) is not supported: insert through the plain " +
+          "INSERT path, whose DEFAULT stamp assigns distributively")
+      }
       srcPinned.as(src)
         .join(target, onExpr, "left_anti")
         .select(schema.fields.map { f =>
@@ -4162,6 +4629,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "pg_indexes" =>
         indexes.map { case (n, (t, c, m, o)) => (n, t, c, m, o) }.toSeq
           .toDF("indexname", "tablename", "columnname", "method", "options")
+      case "pg_sequences" =>
+        // pg's sequence view: last_value is NULL until the first nextval
+        sequences.toSeq.map { case (n, s) =>
+          (n, s.start, s.minV, s.maxV, s.increment, s.cycle,
+            if (s.called) Some(s.last) else None,
+            s.owner.map { case (t, c) => s"$t.$c" })
+        }.toDF("sequencename", "start_value", "min_value", "max_value",
+          "increment_by", "cycle", "last_value", "owned_by")
       case "pg_attribute" =>
         tables.toSeq.flatMap { case (t, (schema, pk)) =>
           schema.fields.zipWithIndex.map { case (f, i) =>
@@ -4307,6 +4782,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val defaultsJson = obj(defaults.map { case (t, ds) =>
       s"${q(t)}: ${obj(ds.map { case (c, e) => s"${q(c)}: ${q(e)}" })}"
     })
+    val sequencesJson = obj(sequences.map { case (n, s) =>
+      val ownerPart = s.owner.map { case (t, c) =>
+        s", ${q("owner_table")}: ${q(t)}, ${q("owner_col")}: ${q(c)}" }
+        .getOrElse("")
+      s"${q(n)}: {${q("last")}: ${s.last}, ${q("called")}: ${s.called}, " +
+        s"${q("increment")}: ${s.increment}, ${q("min")}: ${s.minV}, " +
+        s"${q("max")}: ${s.maxV}, ${q("cycle")}: ${s.cycle}, " +
+        s"${q("start")}: ${s.start}$ownerPart}"
+    })
+    val identityAlwaysJson = obj(identityAlways.map { case (t, cols) =>
+      s"${q(t)}: [${cols.toSeq.sorted.map(q).mkString(",")}]"
+    })
     val historyJson = obj(history.map { case (t, commits) =>
       s"${q(t)}: [${commits.map(c =>
         s"{${q("ts")}: ${c.ts}, ${q("op")}: ${q(c.op)}, " +
@@ -4324,6 +4811,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""${q("col_stats")}: $colStatsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
+        s"""${q("sequences")}: $sequencesJson, """ +
+        s"""${q("identity_always")}: $identityAlwaysJson, """ +
         s"""${q("history")}: $historyJson}""")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -4420,6 +4909,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         defaults(e.getKey) = fields(e.getValue)
           .map(c => c.getKey -> c.getValue.asText()).toMap
       }
+    if (root.has("sequences"))
+      fields(root.get("sequences")).foreach { e =>
+        val v = e.getValue
+        sequences(e.getKey) = SeqState(v.get("last").asLong(),
+          v.get("called").asBoolean(), v.get("increment").asLong(),
+          v.get("min").asLong(), v.get("max").asLong(),
+          v.get("cycle").asBoolean(), v.get("start").asLong(),
+          if (v.has("owner_table"))
+            Some((v.get("owner_table").asText(), v.get("owner_col").asText()))
+          else None)
+      }
+    if (root.has("identity_always"))
+      fields(root.get("identity_always")).foreach(e =>
+        identityAlways(e.getKey) = texts(e.getValue).toSet)
     if (root.has("history"))
       fields(root.get("history")).foreach { e =>
         history(e.getKey) = (0 until e.getValue.size()).map { i =>

@@ -89,4 +89,11 @@ final class Session private[engine] (private[graft] val id: Long) {
     */
   private[engine] val prepared =
     scala.collection.concurrent.TrieMap[String, String]()
+  /** Sequence session state (pg): `currval('s')` returns the last value
+    * nextval/setval obtained FOR THIS SESSION (error before the first
+    * call), `lastval()` the most recent of those across sequences.
+    * Cleared by DISCARD ALL / DISCARD SEQUENCES (pool recycle).
+    */
+  private[engine] val seqCurr = mutable.Map[String, Long]()
+  private[engine] var seqLast: Option[String] = None
 }

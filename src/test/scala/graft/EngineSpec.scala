@@ -359,6 +359,43 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
   }
 
+  test("sequences survive a restart: position, identity columns, ownership") {
+    val dir = freshDir("/root/repo/target/graft-tmp/seq-reopen-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create sequence sqr start with 5 increment by 3")
+    assert(first.run("select nextval('sqr')").collect()(0).getLong(0) == 5L)
+    first.run("create table sit(id bigint generated always as identity, v varchar)")
+    first.run("insert into sit (v) values ('a'), ('b')")
+    // the reopened engine continues the SAME positions (manifest), keeps
+    // the GENERATED ALWAYS refusal, and still owns the auto-sequence
+    val again = new Engine(spark, dir)
+    // currval is SESSION state, not manifest state: undefined after
+    // reopen until something in THIS session touches the sequence
+    val ex2 = intercept[Exception](again.run("select currval('sit_id_seq')"))
+    assert(ex2.getMessage.contains("not yet defined"), ex2.getMessage)
+    assert(again.run("select nextval('sqr')").collect()(0).getLong(0) == 8L)
+    again.run("insert into sit (v) values ('c')")
+    assert(again.run("select id from sit order by id").collect()
+      .map(_.getLong(0)).toSeq == Seq(1L, 2L, 3L))
+    // ... and the serial default's block reservation DID define it (pg:
+    // currval is the last value obtained for the session, however)
+    assert(again.run("select currval('sit_id_seq')").collect()(0)
+      .getLong(0) == 3L)
+    val ex = intercept[Exception](
+      again.run("insert into sit (id, v) values (99, 'x')"))
+    assert(ex.getMessage.contains("GENERATED ALWAYS"), ex.getMessage)
+    // pg_sequences surfaces both, with ownership; \ds sugar reads it
+    val owned = again.run(
+      "select owned_by from pg_sequences where sequencename = 'sit_id_seq'")
+      .collect()(0).getString(0)
+    assert(owned == "sit.id", owned)
+    assert(again.run("""\ds""").collect().length == 2)
+    // DROP TABLE through the reopened engine reclaims the owned sequence
+    again.run("drop table sit")
+    assert(again.run("select count(*) from pg_sequences").collect()(0)
+      .getLong(0) == 1L)
+  }
+
   test("a matview mutated out-of-band falls back to full refresh (anchor latch)") {
     engine.run("create table ltbase(g varchar, v int)")
     engine.run("insert into ltbase values ('a', 1)")

@@ -1300,6 +1300,49 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
+  test("sequence currval is per session; DISCARD SEQUENCES clears only its own") {
+    val dir = freshDir("/root/repo/target/graft-tmp/seqsess-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-seqsess-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new PgClient(server.getLocalPort)
+    val b = new PgClient(server.getLocalPort)
+    try {
+      a.startup(); b.startup()
+      def one(ms: Seq[(Char, Array[Byte])]): String =
+        new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
+          StandardCharsets.UTF_8)
+      a.query("create sequence sq")
+      // the SEQUENCE is engine-global (A then B interleave 1, 2) but
+      // currval is session state: B's call doesn't move A's
+      assert(one(a.query("select nextval('sq')")) == "1")
+      assert(one(b.query("select nextval('sq')")) == "2")
+      assert(one(a.query("select currval('sq')")) == "1")
+      assert(one(b.query("select currval('sq')")) == "2")
+      // a session that never called nextval has no currval (pg)
+      val c = new PgClient(server.getLocalPort)
+      try {
+        c.startup()
+        assert(c.query("select currval('sq')").exists(_._1 == 'E'),
+          "currval must be undefined in a fresh session")
+      } finally c.close()
+      // DISCARD SEQUENCES (pool recycle) clears A's currval, not B's
+      assert(!a.query("DISCARD SEQUENCES").exists(_._1 == 'E'))
+      assert(a.query("select currval('sq')").exists(_._1 == 'E'),
+        "DISCARD SEQUENCES must clear the session's currval")
+      assert(one(b.query("select currval('sq')")) == "2",
+        "DISCARD SEQUENCES on A must not touch B")
+      // ... and the sequence itself kept its position
+      assert(one(a.query("select nextval('sq')")) == "3")
+    } finally {
+      a.close()
+      b.close()
+      server.close()
+    }
+  }
+
   test("disconnect mid-transaction rolls back, pg semantics") {
     val dir = freshDir("/root/repo/target/graft-tmp/disc-warehouse")
     val engine = new Engine(spark, dir)

@@ -116,6 +116,10 @@ class SltSpec extends AnyFunSuite {
     "returning.slt", "incr_matview.slt", "scroll_cursor.slt", "dml_cte.slt",
     // round-15: LATERAL surface (correlated FROM subqueries, left join
     // lateral, lateral table functions)
-    "lateral.slt")
+    "lateral.slt",
+    // round-15: pg sequences — CREATE/ALTER/DROP SEQUENCE, nextval/
+    // currval/setval/lastval, SERIAL + IDENTITY sugar, OVERRIDING
+    // SYSTEM VALUE, TRUNCATE RESTART IDENTITY, non-transactionality
+    "sequence.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
