@@ -3462,6 +3462,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
     defaults.get(table).foreach(d => defaults(table) = d - field.toLowerCase)
+    // CHECK constraints referencing the column go with it (pg drops
+    // column-level constraints on DROP COLUMN) — a lingering check would
+    // brick every later write on an unresolvable column
+    checks.get(table).foreach { cs =>
+      val kept = cs.filterNot { case (_, e) =>
+        s"(?i)\\b${java.util.regex.Pattern.quote(field)}\\b".r
+          .findFirstIn(e).isDefined }
+      if (kept.isEmpty) checks.remove(table) else checks(table) = kept
+    }
     register(table)
     rewriteSwap(table, narrowed, s"drop column $field")
     saveManifest()
@@ -3875,7 +3884,42 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * silently break the layout Spark trusts at read time); a plain table
     * appends parquet files directly.
     */
-  private def appendTo(table: String, df: DataFrame): Unit = {
+  /** The constraint guard the `checks` map documents: wrap a frame bound
+    * for `table` so the SAME job that writes it errors on a violating
+    * row — each CHECK becomes an `assert_true` predicate (pg 3VL: only a
+    * FALSE check violates, NULL passes) and NOT NULL rides the schema's
+    * nullable flags; passing rows filter through unchanged (assert_true
+    * returns NULL when the condition holds, so the filter keeps every
+    * surviving row). Zero extra passes, zero effect on the observe
+    * metrics stacked above (a guard never drops a row — it throws).
+    * Applied at the appendTo/rewriteSwap choke points, so INSERT, COPY
+    * FROM, upsert, UPDATE, MERGE, and matview refresh all share it; the
+    * constraint set is fixed at CREATE TABLE, so re-verifying carried
+    * rows in a rewrite can never fail on data that once passed.
+    */
+  private def constraintGuard(table: String, df: DataFrame): DataFrame = {
+    val (schema, _) = tables.getOrElse(table, return df)
+    val chks = checks.getOrElse(table, Vector.empty)
+      .filter { case (_, e) => // only checks whose columns are present
+        scala.util.Try(df.select(expr(inlineFunctions(e)))).isSuccess }
+    val nn = schema.fields.filter(!_.nullable).map(_.name)
+      .filter(n => df.columns.exists(_.equalsIgnoreCase(n)))
+    if (chks.isEmpty && nn.isEmpty) return df
+    val guards: Seq[Column] = chks.map { case (nm, e) =>
+      assert_true(
+        coalesce(expr(inlineFunctions(e)).cast("boolean"), lit(true)),
+        lit(s"""new row for relation "$table" violates check constraint "$nm""""))
+        .isNull
+    } ++ nn.map { c =>
+      assert_true(col(c).isNotNull,
+        lit(s"""null value in column "$c" of relation "$table" violates """ +
+          "not-null constraint")).isNull
+    }
+    df.filter(guards.reduce(_ && _))
+  }
+
+  private def appendTo(table: String, df0: DataFrame): Unit = {
+    val df = constraintGuard(table, df0)
     txnTouch(table) // before the first data file lands
     // the row-count ledger rides the write as an observe metric — no
     // second scan; a missing baseline stays missing (no stats). The
@@ -3952,8 +3996,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * after the new directory is in place, and a stale aside from a
     * previous crash is cleared first.
     */
-  private def rewriteSwap(table: String, rewritten0: DataFrame,
+  private def rewriteSwap(table: String, rewrittenRaw: DataFrame,
       op: String): Unit = {
+    val rewritten0 = constraintGuard(table, rewrittenRaw)
     txnTouch(table) // before the live directory moves
     // a rewrite materializes the COMPLETE post-state: counting it as it
     // writes keeps the row-count ledger exact for delete/update/merge/

@@ -120,6 +120,9 @@ class SltSpec extends AnyFunSuite {
     // round-15: pg sequences — CREATE/ALTER/DROP SEQUENCE, nextval/
     // currval/setval/lastval, SERIAL + IDENTITY sugar, OVERRIDING
     // SYSTEM VALUE, TRUNCATE RESTART IDENTITY, non-transactionality
-    "sequence.slt")
+    "sequence.slt",
+    // round-15: CHECK + NOT NULL actually enforced at the write
+    // choke points (the checks map's documented contract, now real)
+    "constraint.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
