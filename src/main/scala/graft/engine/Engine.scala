@@ -374,6 +374,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+column\s+(\w+)\s+to\s+(\w+)\s*""".r
   private val reAlterRenameTable =
     """(?is)\s*alter\s+table\s+(\w+)\s+rename\s+to\s+(\w+)\s*""".r
+  // constraint maintenance on live tables (pg): ADD validates existing
+  // rows with one scan, DROP removes by name, SET NOT NULL validates
+  // then flips the schema flag (metadata-only — parquet nullability is
+  // advisory, the write-path guard is what enforces)
+  private val reAlterAddConstraint =
+    """(?is)\s*alter\s+table\s+(\w+)\s+add\s+((?:constraint\s+\w+\s+)?check\s*\(.+)""".r
+  private val reAlterDropConstraint =
+    """(?is)\s*alter\s+table\s+(\w+)\s+drop\s+constraint\s+(?:(if\s+exists)\s+)?(\w+)\s*""".r
+  private val reAlterNotNull =
+    """(?is)\s*alter\s+table\s+(\w+)\s+alter\s+(?:column\s+)?(\w+)\s+(set|drop)\s+not\s+null\s*""".r
   private val reTruncate =
     """(?is)\s*truncate\s+(?:table\s+)?(\w+)\s*(restart\s+identity|continue\s+identity)?\s*""".r
   // time travel (extension; delta/iceberg surface): commit log + archived
@@ -1902,6 +1912,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       alterRenameColumn(table, from, to)
     case reAlterRenameTable(from, to) if tables.contains(from) =>
       alterRenameTable(from, to)
+    case reAlterAddConstraint(table, clause) if tables.contains(table) =>
+      alterAddConstraint(table, clause)
+    case reAlterDropConstraint(table, ie, name) if tables.contains(table) =>
+      alterDropConstraint(table, name, ifExists = ie != null)
+    case reAlterNotNull(table, colName, mode) if tables.contains(table) =>
+      alterNotNull(table, colName, set = mode.equalsIgnoreCase("set"))
     case reTruncate(table, idMode) if tables.contains(table) =>
       val res = truncate(table)
       // pg TRUNCATE ... RESTART IDENTITY: owned sequences restart at
@@ -3129,13 +3145,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def checkIdentityAlways(table: String, colList: Option[String],
       source: String, overridingSystem: Boolean): Unit = {
-    if (overridingSystem) return
-    val always = identityAlways.getOrElse(table, Set.empty)
-    if (always.isEmpty || !tables.contains(table)) return
+    if (!tables.contains(table)) return
+    val always =
+      if (overridingSystem) Set.empty[String] // bypasses IDENTITY only
+      else identityAlways.getOrElse(table, Set.empty)
+    val gens = generatedCols.getOrElse(table, Map.empty).keySet
+    if (always.isEmpty && gens.isEmpty) return
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(tables(table)._1.fields.map(_.name).toSeq)
     declared.zipWithIndex
-      .filter { case (cn, _) => always.contains(cn.toLowerCase) }
+      .filter { case (cn, _) =>
+        always.contains(cn.toLowerCase) || gens.contains(cn.toLowerCase) }
       .foreach { case (cn, i) =>
         val s = source.trim
         val allDefault = s.toLowerCase.startsWith("values") &&
@@ -3147,10 +3167,115 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             }
           }
         if (!allDefault) throw new IllegalArgumentException(
-          s"""cannot insert a non-DEFAULT value into column "$cn": column """ +
-            "is an identity column defined as GENERATED ALWAYS " +
-            "(use OVERRIDING SYSTEM VALUE to override)")
+          if (gens.contains(cn.toLowerCase))
+            s"""cannot insert a non-DEFAULT value into column "$cn": it """ +
+              "is a generated column" // pg: OVERRIDING does not bypass
+          else
+            s"""cannot insert a non-DEFAULT value into column "$cn": column """ +
+              "is an identity column defined as GENERATED ALWAYS " +
+              "(use OVERRIDING SYSTEM VALUE to override)")
       }
+  }
+
+  // ---- generated columns ---------------------------------------------------
+
+  /** table → (lowercase column → generating expression text) for
+    * `GENERATED ALWAYS AS (expr) STORED` columns (pg 12). The value is
+    * ALWAYS the expression over the row's other columns: every DML
+    * projection chains [[withGenerated]] so post-images (the write, the
+    * RETURNING rows, the IVM update deltas) all carry freshly computed
+    * values. Expressions are validated at CREATE: deterministic, no
+    * sequence functions, no references to other generated columns —
+    * which also makes the recompute idempotent.
+    */
+  private val generatedCols = mutable.LinkedHashMap[String, Map[String, String]]()
+
+  /** Recompute `table`'s generated columns over `df` (a frame carrying
+    * the table's schema columns): each generated output becomes its
+    * expression over the OTHER columns' current values — chained after
+    * an assignment projection this yields pg's contract (generated
+    * values derive from the post-image). No-op for tables without
+    * generated columns.
+    */
+  private def withGenerated(table: String, df: DataFrame): DataFrame = {
+    val gens = generatedCols.getOrElse(table, Map.empty)
+    if (gens.isEmpty) return df
+    df.select(df.columns.map { n =>
+      gens.get(n.toLowerCase) match {
+        case Some(e) =>
+          val dt = tables(table)._1.fields
+            .find(_.name.equalsIgnoreCase(n)).get.dataType
+          expr(inlineFunctions(e)).cast(dt).as(n)
+        case None => col(n)
+      }
+    }.toIndexedSeq: _*)
+  }
+
+  /** Split a column-spec tail on `GENERATED ALWAYS AS (expr) STORED`:
+    * returns the spec with the clause removed and the expression text.
+    * Balanced-paren, quote-aware scan — the expression may contain
+    * nested calls, commas, and keyword-lookalike literals.
+    */
+  private def splitGenerated(spec: String): (String, Option[String]) = {
+    val m = """(?i)\bgenerated\s+always\s+as\s*\(""".r.findFirstMatchIn(spec)
+      .getOrElse(return (spec, None))
+    val open = m.end - 1
+    var depth = 0
+    var inQ = false
+    var close = -1
+    var i = open
+    while (i < spec.length && close < 0) {
+      val ch = spec.charAt(i)
+      if (inQ) { if (ch == '\'') inQ = false }
+      else ch match {
+        case '\'' => inQ = true
+        case '(' => depth += 1
+        case ')' => depth -= 1; if (depth == 0) close = i
+        case _ =>
+      }
+      i += 1
+    }
+    require(close > open, s"unbalanced GENERATED expression in: $spec")
+    val tail = spec.substring(close + 1)
+    val stored = """(?i)^\s*stored\b""".r.findFirstMatchIn(tail)
+    require(stored.isDefined,
+      "GENERATED ALWAYS AS (expr) requires STORED (virtual generated " +
+        "columns are not supported)")
+    val cleaned = spec.substring(0, m.start) + " " +
+      tail.substring(stored.get.end)
+    (cleaned, Some(spec.substring(open + 1, close).trim))
+  }
+
+  /** Validate a generated column's expression at CREATE/ALTER time:
+    * resolvable over the table's schema, deterministic, no sequence
+    * functions, and no references to OTHER generated columns (pg
+    * forbids chains; it also keeps [[withGenerated]] single-pass).
+    */
+  private def validateGenerated(table: String, colName: String, e: String,
+      schema: StructType, otherGens: Iterable[String]): Unit = {
+    require(!usesSequenceFn(e),
+      s"generated column $colName: sequence functions are not allowed")
+    otherGens.filterNot(_ == colName.toLowerCase).foreach { g =>
+      require(s"(?i)\\b${java.util.regex.Pattern.quote(g)}\\b".r
+          .findFirstIn(e).isEmpty,
+        s"generated column $colName cannot reference another generated " +
+          s"column ($g)")
+    }
+    require(s"(?i)\\b${java.util.regex.Pattern.quote(colName)}\\b".r
+        .findFirstIn(e).isEmpty,
+      s"generated column $colName cannot reference itself")
+    val probe = spark.createDataFrame(
+      java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+    val analyzed =
+      try probe.select(expr(inlineFunctions(e))).queryExecution.analyzed
+      catch {
+        case ex: Exception => throw new IllegalArgumentException(
+          s"generated column $colName: expression does not resolve over " +
+            s"$table's columns: ${ex.getMessage}", ex)
+      }
+    require(analyzed.expressions.forall(_.deterministic),
+      s"generated column $colName: expression must be deterministic (pg " +
+        "requires immutable generation expressions)")
   }
 
   /** The nextval('<seq>') DEFAULT shape the bulk-insert stamp recognizes. */
@@ -3268,6 +3393,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // after the table registers
     val pendingSeqs = mutable.Buffer[(String, String, String)]()
     val alwaysCols = mutable.Set[String]()
+    val pendingGens = mutable.LinkedHashMap[String, String]()
     val reIdent =
       """(?i)\bgenerated\s+(always|by\s+default)\s+as\s+identity\s*(?:\(([^)]*)\))?""".r
     val reSerial = """(?i)^\s*(small|big)?serial\b""".r
@@ -3304,15 +3430,25 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           }
           spec = reSerial.replaceFirstIn(spec, ty)
         }
+        // ... as does GENERATED ALWAYS AS (expr) STORED, whose expression
+        // may contain keyword-lookalike payload ('check', 'default')
+        val (specG, genOpt) = splitGenerated(spec)
+        genOpt.foreach { g =>
+          require(identM.isEmpty && serialM.isEmpty,
+            s"column $colName: a column is identity OR generated, not both")
+          pendingGens(colName.toLowerCase) = g
+        }
         // constraint clauses come out next (check, then default) so a
         // literal containing 'not null' / 'primary key' / 'check' can't
         // spoof the keyword scans that follow
-        val (rest0, chkOpt) = splitCheck(spec)
+        val (rest0, chkOpt) = splitCheck(specG)
         chkOpt.foreach { case (nm, e) =>
           colChecks = addCheckEntry(colChecks, nm,
             s"${name}_${colName.toLowerCase}_check", e, name)
         }
         val (rest, defOpt) = splitDefault(rest0)
+        require(genOpt.isEmpty || defOpt.isEmpty,
+          s"column $colName: GENERATED excludes an explicit DEFAULT (pg)")
         if (identM.isDefined || serialM.isDefined) {
           require(defOpt.isEmpty,
             s"column $colName: identity/serial excludes an explicit DEFAULT")
@@ -3335,6 +3471,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
     }
     val schema = StructType(fields.toSeq)
+    // validate generation expressions BEFORE anything registers, so a
+    // bad expression leaves no half-created table behind
+    pendingGens.foreach { case (cn, e) =>
+      validateGenerated(name, cn, e, schema, pendingGens.keys)
+    }
     bucketSpec.foreach { case (c, n) =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"CLUSTERED BY: unknown column $c in $name")
@@ -3349,6 +3490,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         owner = Some((name, colName)))
     }
     if (alwaysCols.nonEmpty) identityAlways(name) = alwaysCols.toSet
+    if (pendingGens.nonEmpty) generatedCols(name) = pendingGens.toMap
     history(name) = Vector(
       Commit(System.currentTimeMillis(), "create table", schema.toDDL))
     Files.createDirectories(Paths.get(tableDir(name)))
@@ -3409,6 +3551,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val (schema, pk) = tables(table)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
       s"column already exists: $colName")
+    // ADD COLUMN ... GENERATED ALWAYS AS (expr) STORED (pg): existing
+    // rows backfill with the computed expression through the same swap
+    // commit a filled DEFAULT takes; new writes recompute per statement
+    locally {
+      val (specG, genOpt) = splitGenerated(typeSpec)
+      genOpt.foreach { g =>
+        val dt = parseType(specG)
+        validateGenerated(table, colName, g, schema,
+          generatedCols.getOrElse(table, Map.empty).keys)
+        val filled = spark.table(table)
+          .withColumn(colName, expr(inlineFunctions(g)).cast(dt))
+        tables(table) = (schema.add(StructField(colName, dt, nullable = true)), pk)
+        generatedCols(table) = generatedCols.getOrElse(table, Map.empty) +
+          (colName.toLowerCase -> g)
+        register(table)
+        rewriteSwap(table, filled, s"add column $colName")
+        saveManifest()
+        return emptyResult
+      }
+    }
     val (spec, defOpt) = splitDefault(typeSpec)
     val notNull = spec.toLowerCase.contains("not null")
     defOpt match {
@@ -3450,6 +3612,74 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * The bucket column and PK members are load-bearing and refuse to
     * drop (pg parity: dependent constraints block a drop).
     */
+  /** ALTER TABLE ... ADD [CONSTRAINT name] CHECK (expr): pg validates the
+    * EXISTING rows with one scan before the constraint lands — a limit-1
+    * probe for any row where the check is FALSE (3VL: NULL passes).
+    */
+  private def alterAddConstraint(table: String, clause: String): DataFrame = {
+    val (rem, c) = splitCheck(clause.trim)
+    require(c.isDefined && rem.trim.isEmpty,
+      s"malformed ADD CONSTRAINT clause: ${clause.trim}")
+    val (nm, e) = c.get
+    val cur = checks.getOrElse(table, Vector.empty)
+    val appended = addCheckEntry(cur, nm, s"${table}_check", e, table)
+    val name = appended.last._1
+    val violating = spark.table(table)
+      .filter(!coalesce(expr(inlineFunctions(e)).cast("boolean"), lit(true)))
+      .limit(1).count()
+    require(violating == 0,
+      s"""check constraint "$name" of relation "$table" is violated by some row""")
+    checks(table) = appended
+    saveManifest()
+    emptyResult
+  }
+
+  private def alterDropConstraint(table: String, name: String,
+      ifExists: Boolean): DataFrame = {
+    val cur = checks.getOrElse(table, Vector.empty)
+    if (!cur.exists(_._1.equalsIgnoreCase(name))) {
+      if (ifExists) return emptyResult
+      throw new IllegalArgumentException(
+        s"""constraint "$name" of relation "$table" does not exist""")
+    }
+    val kept = cur.filterNot(_._1.equalsIgnoreCase(name))
+    if (kept.isEmpty) checks.remove(table) else checks(table) = kept
+    saveManifest()
+    emptyResult
+  }
+
+  /** ALTER TABLE ... ALTER [COLUMN] c SET|DROP NOT NULL: SET validates
+    * the existing rows first (pg); both directions are metadata-only —
+    * the schema's nullable flag is what the write-path guard reads, and
+    * parquet files carry their own (advisory) nullability.
+    */
+  private def alterNotNull(table: String, colName: String,
+      set: Boolean): DataFrame = {
+    val (schema, pk) = tables(table)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(colName))
+      .getOrElse(throw new IllegalArgumentException(s"no such column: $colName"))
+    if (set) {
+      if (!field.nullable) return emptyResult // already NOT NULL
+      val nulls = spark.table(table).filter(col(field.name).isNull)
+        .limit(1).count()
+      require(nulls == 0,
+        s"""column "${field.name}" of relation "$table" contains null values""")
+    } else {
+      require(!pk.exists(_.equalsIgnoreCase(colName)),
+        s"""column "${field.name}" is in a primary key""") // pg refuses
+      if (field.nullable) return emptyResult
+    }
+    tables(table) = (StructType(schema.fields.map(f =>
+      if (f.name.equalsIgnoreCase(colName)) f.copy(nullable = !set) else f)),
+      pk)
+    register(table)
+    archiveCurrent(table)
+    recordCommit(table,
+      s"alter column ${field.name} ${if (set) "set" else "drop"} not null")
+    saveManifest()
+    emptyResult
+  }
+
   private def alterDropColumn(table: String, colName: String): DataFrame = {
     val (schema, pk) = tables(table)
     val field = schema.fieldNames.find(_.equalsIgnoreCase(colName))
@@ -3459,6 +3689,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"cannot drop the CLUSTERED BY column $colName")
     require(!pk.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop primary key column $colName")
+    // a generated column may be dropped; a column another generated
+    // expression READS may not (pg refuses the dependent drop)
+    generatedCols.get(table).foreach { gens =>
+      gens.foreach { case (g, e) =>
+        require(g == field.toLowerCase ||
+            s"(?i)\\b${java.util.regex.Pattern.quote(field)}\\b".r
+              .findFirstIn(e).isEmpty,
+          s"cannot drop column $field: generated column $g depends on it")
+      }
+      val kept = gens - field.toLowerCase
+      if (kept.isEmpty) generatedCols.remove(table)
+      else generatedCols(table) = kept
+    }
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
     defaults.get(table).foreach(d => defaults(table) = d - field.toLowerCase)
@@ -3489,6 +3732,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       .getOrElse(throw new IllegalArgumentException(s"no such column: $from"))
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column already exists: $to")
+    // BEFORE any catalog mutation: renaming a column a generated
+    // expression READS would orphan the expression text — refuse (pg
+    // tracks the dependency through its parse trees); renaming the
+    // generated column itself re-keys its entry below
+    generatedCols.get(table).foreach { gens =>
+      gens.foreach { case (g, e) =>
+        require(g == from.toLowerCase ||
+            s"(?i)\\b${java.util.regex.Pattern.quote(from)}\\b".r
+              .findFirstIn(e).isEmpty,
+          s"cannot rename column $from: generated column $g references it")
+      }
+    }
     val renamed = spark.table(table).withColumnRenamed(field, to)
     tables(table) = (StructType(schema.map(f =>
       if (f.name == field) f.copy(name = to) else f)),
@@ -3499,6 +3754,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     defaults.get(table).foreach { d =>
       d.get(from.toLowerCase).foreach(e =>
         defaults(table) = d - from.toLowerCase + (to.toLowerCase -> e))
+    }
+    generatedCols.get(table).foreach { gens =>
+      gens.get(from.toLowerCase).foreach(e =>
+        generatedCols(table) = gens - from.toLowerCase + (to.toLowerCase -> e))
     }
     register(table)
     rewriteSwap(table, renamed, s"rename column $field to $to")
@@ -3531,6 +3790,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     rowCounts.remove(from).foreach(n => rowCounts(to) = n)
     colStatsLedger.remove(from).foreach(cs => colStatsLedger(to) = cs)
     identityAlways.remove(from).foreach(s => identityAlways(to) = s)
+    generatedCols.remove(from).foreach(g => generatedCols(to) = g)
     // owned sequences follow their table (keeps DROP TABLE / TRUNCATE
     // RESTART IDENTITY working after a rename; the sequence NAME stays,
     // like pg)
@@ -3596,6 +3856,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       rowCounts.remove(name)
       colStatsLedger.remove(name)
       identityAlways.remove(name)
+      generatedCols.remove(name)
       // serial/identity sequences are OWNED: they drop with their table
       // (pg); explicitly-created sequences survive
       sequences.filterInPlace { case (_, st) =>
@@ -3684,8 +3945,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       .flatMap(f => defs.get(f.name.toLowerCase).flatMap(nextvalDefaultSeq)
         .map(f.name -> _))
     if (seqCols.isEmpty)
-      renamed.select(schema.fields.map(f =>
-        alignCol(f, renamed, None)).toIndexedSeq: _*)
+      withGenerated(table, renamed.select(schema.fields.map(f =>
+        alignCol(f, renamed, None)).toIndexedSeq: _*))
     else {
       val mat = renamed.localCheckpoint()
       val k = mat.count()
@@ -3705,8 +3966,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           cn -> (lit(first) + col(ord) * lit(inc))
         }
       }.toMap
-      stamped.select(schema.fields.map(f =>
-        alignCol(f, stamped, blocks.get(f.name))).toIndexedSeq: _*)
+      withGenerated(table, stamped.select(schema.fields.map(f =>
+        alignCol(f, stamped, blocks.get(f.name))).toIndexedSeq: _*))
     }
   }
 
@@ -3833,6 +4094,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         assigns.keys.foreach(c => require(
           schema.fieldNames.exists(_.equalsIgnoreCase(c)),
           s"ON CONFLICT SET: unknown column $c in $table"))
+        generatedCols.getOrElse(table, Map.empty).keys.foreach(g =>
+          require(!assigns.contains(g),
+            s"""column "$g" can only be updated to DEFAULT: it is a """ +
+              "generated column"))
         // `excluded.col` → the proposed row's column, joined in under a
         // reserved prefix; `<table>.col` → bare col (the joined frame is
         // unqualified). Quote-aware: either form in a string literal
@@ -3853,8 +4118,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             case None => col(f.name).as(f.name)
           }
         }.toIndexedSeq
-        val updatedExisting = existing.join(exc, matchCond, "left_outer")
-          .select(assignedSel: _*)
+        // post-image recompute for generated columns in every emitted
+        // frame (rewrite, RETURNING, IVM add delta)
+        def postSel(df: DataFrame): DataFrame =
+          withGenerated(table, df.select(assignedSel: _*))
+        val updatedExisting = postSel(existing.join(exc, matchCond, "left_outer"))
         val inserts = newRows
           .join(existing.select(keys.map(col): _*).dropDuplicates(keys),
             keys, "left_anti")
@@ -3864,12 +4132,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // post-image (the same assignment projection, inner-joined to
           // just the matches) plus the inserted rows — pre-swap snapshot
           if (returningExprs.isDefined)
-            captureReturning(existing.join(exc, matchCond, "inner")
-              .select(assignedSel: _*).unionByName(inserts).localCheckpoint())
+            captureReturning(postSel(existing.join(exc, matchCond, "inner"))
+              .unionByName(inserts).localCheckpoint())
           recordUpsertDelta(
             existing.join(exc, matchCond, "left_semi"),
-            existing.join(exc, matchCond, "inner")
-              .select(assignedSel: _*).unionByName(inserts))
+            postSel(existing.join(exc, matchCond, "inner"))
+              .unionByName(inserts))
           rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
           refresh(table)
           // pg: every proposed row is either inserted or updated
@@ -4124,11 +4392,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val dups = assignSeq.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
     require(dups.isEmpty,
       s"UPDATE: multiple assignments to column ${dups.mkString(", ")}")
-    val assigns = assignSeq.toMap
-    assigns.keys.foreach { k =>
+    val assigns0 = assignSeq.toMap
+    assigns0.keys.foreach { k =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
         s"UPDATE: unknown column $k in $table")
     }
+    // a generated column can only be SET to DEFAULT (pg) — and DEFAULT
+    // is just "recompute", which withGenerated does regardless, so the
+    // assignment drops out of the projection
+    val gens = generatedCols.getOrElse(table, Map.empty)
+    assigns0.foreach { case (k, e0) =>
+      if (gens.contains(k)) require(e0.equalsIgnoreCase("default"),
+        s"""column "$k" can only be updated to DEFAULT: it is a """ +
+          "generated column")
+    }
+    val assigns = assigns0.filterNot { case (k, _) => gens.contains(k) }
     val projected = schema.fields.map { f =>
       assigns.get(f.name.toLowerCase) match {
         case Some(e0) =>
@@ -4148,17 +4426,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case None => col(f.name)
       }
     }
+    // generated columns recompute from the POST-image in every frame
+    // this statement emits: the rewrite, the RETURNING rows, and the
+    // IVM add-side delta all chain the same projection
+    def post(df: DataFrame): DataFrame =
+      withGenerated(table, df.select(projected.toIndexedSeq: _*))
     val affObs = org.apache.spark.sql.Observation()
-    val rewritten = spark.table(table)
-      .observe(affObs, count(when(c, lit(1))).as("n"))
-      .select(projected.toIndexedSeq: _*)
+    val rewritten = post(spark.table(table)
+      .observe(affObs, count(when(c, lit(1))).as("n")))
     // RETURNING renders the POST-image of the updated rows: the same
     // assignment projection over just the matching rows (where `c` holds,
     // the per-column `when(c, ...)` guards reduce to the assignments),
     // materialized before the swap replaces the files being read
     if (returningExprs.isDefined)
-      captureReturning(spark.table(table).filter(c)
-        .select(projected.toIndexedSeq: _*).localCheckpoint())
+      captureReturning(post(spark.table(table).filter(c)).localCheckpoint())
     // IVM update-delta: while any matview is anchored on this table,
     // record the matched rows' PRE-image (the subtract side) and
     // POST-image (the add side — over matched rows the when(c,..) guards
@@ -4170,7 +4451,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Files.createDirectories(historyDir(table))
       spark.table(table).filter(c)
         .write.mode("overwrite").parquet(deleteDeltaDir(table, newV).toString)
-      spark.table(table).filter(c).select(projected.toIndexedSeq: _*)
+      post(spark.table(table).filter(c))
         .write.mode("overwrite").parquet(updateAddDir(table, newV).toString)
     }
     rewriteSwap(table, rewritten, "update")
@@ -4250,6 +4531,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       assignSeq.foreach { case (k, _) =>
         require(schema.fieldNames.exists(_.equalsIgnoreCase(k)),
           s"MERGE: unknown column $k in $tgt")
+        require(!generatedCols.getOrElse(tgt, Map.empty).contains(k),
+          s"""column "$k" can only be updated to DEFAULT: it is a """ +
+            "generated column")
       }
       assignSeq.toMap
     }.getOrElse(Map.empty)
@@ -4260,7 +4544,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val survivors =
       if (matchedDelete) joined.filter(!matchedCol)
         .select(schema.fields.map(f => col(s"$tgt.${f.name}").as(f.name)).toIndexedSeq: _*)
-      else joined.select(schema.fields.map { f =>
+      else withGenerated(tgt, joined.select(schema.fields.map { f =>
         val base = col(s"$tgt.${f.name}")
         assigns.get(f.name.toLowerCase) match {
           case Some(e) =>
@@ -4268,7 +4552,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               .otherwise(base).as(f.name)
           case None => base.as(f.name)
         }
-      }.toIndexedSeq: _*)
+      }.toIndexedSeq: _*))
 
     val insObs = org.apache.spark.sql.Observation()
     val insertedRaw = insertClause.map { case (colsOpt, valuesStr) =>
@@ -4285,14 +4569,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           s"(column $cn) is not supported: insert through the plain " +
           "INSERT path, whose DEFAULT stamp assigns distributively")
       }
-      srcPinned.as(src)
+      declared.foreach(cn =>
+        require(!generatedCols.getOrElse(tgt, Map.empty)
+            .contains(cn.toLowerCase),
+          s"""cannot insert a non-DEFAULT value into column "$cn": it is """ +
+            "a generated column"))
+      withGenerated(tgt, srcPinned.as(src)
         .join(target, onExpr, "left_anti")
         .select(schema.fields.map { f =>
           byCol.get(f.name.toLowerCase) match {
             case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
             case None => lit(null).cast(f.dataType).as(f.name)
           }
-        }.toIndexedSeq: _*)
+        }.toIndexedSeq: _*))
     }
     val inserted = insertedRaw.map(_.observe(insObs, count(lit(1)).as("n")))
 
@@ -4310,14 +4599,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       pre.write.mode("overwrite").parquet(deleteDeltaDir(tgt, newV).toString)
       val postUpdate =
         if (updateSet.isEmpty) None
-        else Some(target.join(source, onExpr, "inner")
+        else Some(withGenerated(tgt, target.join(source, onExpr, "inner")
           .select(schema.fields.map { f =>
             val base = col(s"$tgt.${f.name}")
             assigns.get(f.name.toLowerCase) match {
               case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
               case None => base.as(f.name)
             }
-          }.toIndexedSeq: _*))
+          }.toIndexedSeq: _*)))
       val adds = (postUpdate.toSeq ++ insertedRaw.toSeq)
         .reduceOption(_ unionByName _)
         .getOrElse(spark.table(tgt).limit(0))
@@ -4497,9 +4786,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def copyFrom(table: String, path: String, opts: Option[String]): DataFrame = {
-    val (schema, _) = tables(table)
+    val (fullSchema, _) = tables(table)
+    // pg: generated columns are never in the COPY file — the read schema
+    // excludes them and the values compute after (appendTo re-guards)
+    val gens = generatedCols.getOrElse(table, Map.empty)
+    val schema = StructType(fullSchema.fields
+      .filterNot(f => gens.contains(f.name.toLowerCase)))
     val o = copyOptions(opts)
-    val df = o("format") match {
+    val df0 = o("format") match {
       case "json" | "jsonl" => spark.read.schema(schema).json(path)
       case "parquet" => spark.read.schema(schema).parquet(path)
       case "orc" => spark.read.schema(schema).orc(path)
@@ -4507,6 +4801,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         PgText.decodeLines(spark.read.text(path), schema, textDelimiter(o))
       case _ => spark.read.options(o - "format").schema(schema).csv(path)
     }
+    val df = if (gens.isEmpty) df0 else withGenerated(table,
+      df0.select(fullSchema.fields.map(f =>
+        if (gens.contains(f.name.toLowerCase))
+          lit(null).cast(f.dataType).as(f.name)
+        else col(f.name)).toIndexedSeq: _*))
     // single pass: rows_affected observed on the same job that writes (the
     // former count() pre-pass re-read the whole source)
     val obs = org.apache.spark.sql.Observation()
@@ -4839,6 +5138,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val identityAlwaysJson = obj(identityAlways.map { case (t, cols) =>
       s"${q(t)}: [${cols.toSeq.sorted.map(q).mkString(",")}]"
     })
+    val generatedJson = obj(generatedCols.map { case (t, gs) =>
+      s"${q(t)}: ${obj(gs.map { case (c, e) => s"${q(c)}: ${q(e)}" })}"
+    })
     val historyJson = obj(history.map { case (t, commits) =>
       s"${q(t)}: [${commits.map(c =>
         s"{${q("ts")}: ${c.ts}, ${q("op")}: ${q(c.op)}, " +
@@ -4858,6 +5160,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
         s"""${q("sequences")}: $sequencesJson, """ +
         s"""${q("identity_always")}: $identityAlwaysJson, """ +
+        s"""${q("generated")}: $generatedJson, """ +
         s"""${q("history")}: $historyJson}""")
     Files.move(tmp, manifestPath,
       java.nio.file.StandardCopyOption.ATOMIC_MOVE,
@@ -4968,6 +5271,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (root.has("identity_always"))
       fields(root.get("identity_always")).foreach(e =>
         identityAlways(e.getKey) = texts(e.getValue).toSet)
+    if (root.has("generated"))
+      fields(root.get("generated")).foreach { e =>
+        generatedCols(e.getKey) = fields(e.getValue)
+          .map(c => c.getKey -> c.getValue.asText()).toMap
+      }
     if (root.has("history"))
       fields(root.get("history")).foreach { e =>
         history(e.getKey) = (0 until e.getValue.size()).map { i =>

@@ -396,6 +396,30 @@ class EngineSpec extends AnyFunSuite {
       .getLong(0) == 1L)
   }
 
+  test("generated columns survive a restart and compute through COPY FROM") {
+    val dir = freshDir("/root/repo/target/graft-tmp/gen-reopen-warehouse")
+    val first = new Engine(spark, dir)
+    first.run("create table gt(a int, b int, s int generated always as (a + b) stored)")
+    first.run("insert into gt (a, b) values (1, 2)")
+    // the reopened engine keeps the expression (manifest): recompute on
+    // UPDATE, refusal on explicit INSERT
+    val again = new Engine(spark, dir)
+    again.run("update gt set a = 10 where b = 2")
+    assert(again.run("select s from gt").collect()(0).getInt(0) == 12)
+    val ex = intercept[Exception](
+      again.run("insert into gt values (1, 1, 99)"))
+    assert(ex.getMessage.contains("generated column"), ex.getMessage)
+    // COPY FROM expects the file WITHOUT the generated column (pg) and
+    // computes it on the way in
+    val csv = java.nio.file.Files.createTempDirectory("gencsv")
+    java.nio.file.Files.writeString(csv.resolve("rows.csv"), "3,4\n5,6\n")
+    again.run(s"copy gt from '${csv.resolve("rows.csv")}' (format csv)")
+    val got = again.run("select a, b, s from gt order by a").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((3, 4, 7), (5, 6, 11), (10, 2, 12)), got)
+    again.run("drop table gt")
+  }
+
   test("a matview mutated out-of-band falls back to full refresh (anchor latch)") {
     engine.run("create table ltbase(g varchar, v int)")
     engine.run("insert into ltbase values ('a', 1)")

@@ -123,6 +123,11 @@ class SltSpec extends AnyFunSuite {
     "sequence.slt",
     // round-15: CHECK + NOT NULL actually enforced at the write
     // choke points (the checks map's documented contract, now real)
-    "constraint.slt")
+    "constraint.slt",
+    // round-15: GENERATED ALWAYS AS (expr) STORED columns — post-image
+    // recompute in every DML arm, dependency rules, IVM interplay
+    "generated.slt",
+    // round-15: ADD/DROP CONSTRAINT + SET/DROP NOT NULL on live tables
+    "alter_constraint.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
