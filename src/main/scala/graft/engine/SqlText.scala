@@ -18,7 +18,67 @@ private[graft] object SqlText {
     * `SELECT * EXCEPT (...)` strips the helpers — so the result is pure
     * text and nests anywhere a subquery does. No-op without QUALIFY.
     */
-  def rewriteQualify(sql: String): String = {
+  /** pg's `UNNEST(expr) WITH ORDINALITY [[AS] alias [(val, ord)]]` → a
+    * lateral posexplode subquery yielding the element column plus a
+    * 1-BASED ordinal, under pg's default names (`unnest`, `ordinality`)
+    * when unaliased. Only the WITH ORDINALITY form rewrites: it exists
+    * solely in FROM position, so the text match cannot hit select-list
+    * payload (a bare select-list `unnest(...)` should keep erroring as
+    * the unknown function it is here). Quote-aware; nested occurrences
+    * inside the argument rewrite recursively.
+    */
+  def rewriteUnnestOrdinality(sql: String): String = {
+    val lw = sql.toLowerCase
+    if (!lw.contains("unnest") || !lw.contains("ordinality")) return sql
+    val reHead = """(?i)\Aunnest\s*\(""".r
+    val reTail =
+      """(?i)\A\s*with\s+ordinality(?:\s+(?:as\s+)?(\w+)(?:\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?)?""".r
+    val out = new StringBuilder
+    var i = 0
+    var inStr = false
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (inStr) {
+        out += ch
+        if (ch == '\'') {
+          if (i + 1 < sql.length && sql(i + 1) == '\'') { out += '\''; i += 1 }
+          else inStr = false
+        }
+        i += 1
+      } else if (ch == '\'') { inStr = true; out += ch; i += 1 }
+      else {
+        val boundary = i == 0 ||
+          (!sql(i - 1).isLetterOrDigit && sql(i - 1) != '_')
+        val head =
+          if (boundary && (ch == 'u' || ch == 'U'))
+            reHead.findFirstMatchIn(sql.substring(i))
+          else None
+        head match {
+          case Some(h) =>
+            val open = i + h.end - 1
+            val close = matchingParen(sql, open)
+            reTail.findFirstMatchIn(sql.substring(close + 1)) match {
+              case Some(t) =>
+                val e = rewriteUnnestOrdinality(sql.substring(open + 1, close))
+                val alias = Option(t.group(1)).getOrElse("unnest")
+                val c1 = Option(t.group(2)).getOrElse("unnest")
+                val c2 = Option(t.group(3)).getOrElse("ordinality")
+                out.append(s"lateral (select col as $c1, pos + 1 as $c2 " +
+                  s"from (select posexplode($e) as (pos, col)) __graft_unn) $alias")
+                i = close + 1 + t.end
+              case None => out += ch; i += 1
+            }
+          case None => out += ch; i += 1
+        }
+      }
+    }
+    out.toString
+  }
+
+  def rewriteQualify(sql0: String): String = {
+    // statement-to-statement dialect rewrites compose here so every
+    // dispatch site (query, view body, matview body, EXPLAIN) gets both
+    val sql = rewriteUnnestOrdinality(sql0)
     if (!sql.toLowerCase.contains("qualify")) return sql
     // recurse into parenthesized groups first (subqueries, CTE bodies)
     val sb = new StringBuilder
