@@ -83,6 +83,38 @@ object SqlTextPropertySpec extends Properties("SqlText") {
       SqlText.splitTopLevel(cleaned.mkString(" , ")) == cleaned
     }
 
+  private val unnestForm: Gen[(String, String)] = for {
+    arr <- Gen.oneOf("arr", "array(1, 2)", "array(id, id * 2)",
+      "split(s, ',')")
+    alias <- Gen.oneOf("", " as u", " u", " as u(v, o)", " u(v, o)",
+      " AS U ( V , O )")
+  } yield (arr, s"unnest($arr) with ordinality$alias")
+
+  property("rewriteUnnestOrdinality is the identity without the keyword pair") =
+    forAll(sqlGen) { s => SqlText.rewriteUnnestOrdinality(s) == s }
+
+  property("rewriteUnnestOrdinality rewrites every structural form") =
+    forAll(unnestForm) { case (arr, u) =>
+      val out = SqlText.rewriteUnnestOrdinality(s"select 1 from t, $u where x = 1")
+      out.contains(s"posexplode($arr)") && out.contains("pos + 1") &&
+        out.contains("lateral (select col as") &&
+        !out.toLowerCase.matches("(?s).*\\bwith\\s+ordinality\\b.*") &&
+        out.endsWith("where x = 1") // the statement tail survives intact
+    }
+
+  property("rewriteUnnestOrdinality never fires inside a string literal") =
+    forAll(unnestForm) { case (_, u) =>
+      val s = s"select '$u' from t"
+      SqlText.rewriteUnnestOrdinality(s) == s
+    }
+
+  property("rewriteUnnestOrdinality leaves a bare unnest (no ordinality) alone") =
+    forAll(Gen.oneOf("select unnest(array(1,2))",
+      "select a from t, unnest(arr) u",
+      "select unnest(x) as u from t where ordinality = 1")) { s =>
+      SqlText.rewriteUnnestOrdinality(s) == s
+    }
+
   property("rewriteQualify eliminates every top-level QUALIFY keyword") =
     forAll(Gen.oneOf(
       "select a, b from t qualify row_number() over (order by b) = 1",
