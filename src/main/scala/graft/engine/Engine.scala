@@ -3937,9 +3937,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // DISTINCT PER ROW, which a per-statement expression can't give —
     // reserve one block per sequence and stamp first + idx·increment
     // over a distributed zipWithIndex (two narrow passes, no global
-    // window, no driver loop). The source materializes ONCE
-    // (localCheckpoint) so the reserved block matches the stamped rows
-    // exactly even when the source is nondeterministic.
+    // window, no driver loop). The reservation only needs the ROW COUNT
+    // to match the stamped rows: a DETERMINISTIC source re-evaluates to
+    // the same count, so it stamps directly (no materialization — at
+    // warehouse scale checkpointing a huge insert batch is the memory
+    // hazard); a nondeterministic source (rand() etc.) materializes
+    // ONCE via localCheckpoint first. Which ROW gets which id is
+    // explicitly unordered, like pg under parallel insert.
     val seqCols: Seq[(String, String)] = schema.fields.toSeq
       .filter(f => !declared.contains(f.name))
       .flatMap(f => defs.get(f.name.toLowerCase).flatMap(nextvalDefaultSeq)
@@ -3948,7 +3952,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       withGenerated(table, renamed.select(schema.fields.map(f =>
         alignCol(f, renamed, None)).toIndexedSeq: _*))
     else {
-      val mat = renamed.localCheckpoint()
+      val deterministicSrc = scala.util.Try(
+        renamed.queryExecution.analyzed.expressions.forall(_.deterministic))
+        .getOrElse(false)
+      val mat = if (deterministicSrc) renamed else renamed.localCheckpoint()
       val k = mat.count()
       var ord = "__graft_seq_ord"
       while (mat.columns.contains(ord)) ord += "_x"
