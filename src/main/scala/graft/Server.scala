@@ -1132,8 +1132,15 @@ private object Pgwire {
     (Set("SELECT", "VALUES", "SHOW", "EXPLAIN", "DESCRIBE", "TABLE")
       .contains(keyword(stmt)) || stmt.trim.startsWith("\\")) &&
       // nextval/setval mutate engine sequence state (and persist it to
-      // the manifest) even inside a SELECT — route them to the write lock
-      """(?i)\b(nextval|setval)\s*\(""".r.findFirstIn(stmt).isEmpty
+      // the manifest) even inside a SELECT — route them to the write
+      // lock. Quote-aware: the text inside a string literal is payload.
+      {
+        val mask = graft.engine.SqlText.quotedMask(stmt)
+        val m = """(?i)\b(nextval|setval)\s*\(""".r.pattern.matcher(stmt)
+        var found = false
+        while (!found && m.find()) if (!mask(m.start)) found = true
+        !found
+      }
 
   /** DML results are a single rows_affected row; extract its value. */
   private def rowsAffected(rows: Array[org.apache.spark.sql.Row]): String =

@@ -2943,7 +2943,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val s = seqState(name)
     require(!s.cycle, s"bulk insert through CYCLE sequence \"$name\" is " +
       "not supported: a wrapped block would silently duplicate ids")
-    val first = if (!s.called) { s.called = true; s.last } else {
+    // Compute `first` WITHOUT mutating state: a refused oversized block
+    // (or one past MAXVALUE) must leave the sequence exactly as it was,
+    // else a failed bulk insert silently consumes the START value and
+    // the next nextval skips it.
+    val first = if (!s.called) s.last else {
       if (s.increment > 0 && s.last > s.maxV - s.increment)
         throw new IllegalArgumentException(
           s"""nextval: reached maximum value of sequence "$name" (${s.maxV})""")
@@ -2960,6 +2964,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (s.increment < 0 && (lastV > first || lastV < s.minV))
       throw new IllegalArgumentException(
         s"""nextval: reached minimum value of sequence "$name" (${s.minV})""")
+    s.called = true
     s.last = lastV
     val ss = sess
     ss.seqCurr(name.toLowerCase) = lastV // pg: currval = last value obtained
@@ -3001,8 +3006,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private val reSeqFnProbe = """(?i)\b(nextval|currval|setval|lastval)\s*\(""".r
-  private[graft] def usesSequenceFn(sql: String): Boolean =
-    reSeqFnProbe.findFirstIn(sql).isDefined
+  /** Quote-aware: `nextval(...)` TEXT inside a string literal (e.g.
+    * `SELECT 'use nextval(''sq'')'`) is payload, not a call — substituting
+    * it would corrupt the literal and its doubled-quote arg fails seqArg.
+    */
+  private[graft] def usesSequenceFn(sql: String): Boolean = {
+    val mask = SqlText.quotedMask(sql)
+    val m = reSeqFnProbe.pattern.matcher(sql)
+    var found = false
+    while (!found && m.find()) if (!mask(m.start)) found = true
+    found
+  }
 
   /** Substitute every sequence-function call in `sql` with its computed
     * literal. Correct wherever each textual occurrence means one
@@ -3015,8 +3029,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private val reSeqCall =
     """(?i)\b(nextval|currval|setval|lastval)\s*\(([^()]*)\)""".r
-  private def rewriteSeqFns(sql: String, allowNextval: Boolean): String =
+  private def rewriteSeqFns(sql: String, allowNextval: Boolean): String = {
+    // Skip matches that START inside a string literal: that text is
+    // payload (`SELECT 'use nextval(''sq'')'`), not a call.
+    val mask = SqlText.quotedMask(sql)
     reSeqCall.replaceAllIn(sql, m => {
+      if (mask(m.start))
+        java.util.regex.Matcher.quoteReplacement(m.matched)
+      else rewriteOneSeqCall(m, allowNextval)
+    })
+  }
+
+  private def rewriteOneSeqCall(m: scala.util.matching.Regex.Match,
+      allowNextval: Boolean): String = {
       val fn = m.group(1).toLowerCase
       val args = SqlText.splitTopLevel(m.group(2)).map(_.trim)
         .filter(_.nonEmpty)
@@ -3048,7 +3073,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           seqSet(seqArg(args.head), args(1).trim.toLong, called)
       }
       java.util.regex.Matcher.quoteReplacement(s"CAST($v AS BIGINT)")
-    })
+  }
 
   private def createSequence(name: String, opts: String,
       ifNotExists: Boolean, owner: Option[(String, String)] = None): DataFrame = {
@@ -3153,11 +3178,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (always.isEmpty && gens.isEmpty) return
     val declared = colList.map(_.split(",").map(_.trim).toSeq)
       .getOrElse(tables(table)._1.fields.map(_.name).toSeq)
+    // Strip the ON CONFLICT tail first: with it attached, the last VALUES
+    // tuple ends in "do nothing"/"do update ..." instead of ")", so a
+    // legitimate (DEFAULT, ...) insert would be spuriously refused.
+    val src = {
+      val oc = SqlText.indexOfTopLevelPhrase(source, Seq("on", "conflict"))
+      if (oc >= 0) source.substring(0, oc) else source
+    }
     declared.zipWithIndex
       .filter { case (cn, _) =>
         always.contains(cn.toLowerCase) || gens.contains(cn.toLowerCase) }
       .foreach { case (cn, i) =>
-        val s = source.trim
+        val s = src.trim
         val allDefault = s.toLowerCase.startsWith("values") &&
           SqlText.splitTopLevel(s.substring("values".length)).forall { t =>
             val tt = t.trim
@@ -3952,9 +3984,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       withGenerated(table, renamed.select(schema.fields.map(f =>
         alignCol(f, renamed, None)).toIndexedSeq: _*))
     else {
-      val deterministicSrc = scala.util.Try(
-        renamed.queryExecution.analyzed.expressions.forall(_.deterministic))
-        .getOrElse(false)
+      // Walk the WHOLE analyzed plan (and each expression tree): toDF
+      // plants an alias-only Project at the root, so a root-only probe
+      // classifies every source deterministic and a rand()-filtered or
+      // TABLESAMPLE source would be re-evaluated with a different row
+      // count by count() / zipWithIndex / the write — stamped ids then
+      // overrun the reserved block and later inserts reuse them.
+      val deterministicSrc = scala.util.Try {
+        val plan = renamed.queryExecution.analyzed
+        !plan.exists {
+          case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+          case p => p.expressions.exists(e => e.exists(!_.deterministic))
+        }
+      }.getOrElse(false)
       val mat = if (deterministicSrc) renamed else renamed.localCheckpoint()
       val k = mat.count()
       var ord = "__graft_seq_ord"
@@ -4823,8 +4865,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     rowCountResult(observedCount(obs))
   }
 
-  private def copyTo(table: String, path: String, opts: Option[String]): DataFrame =
-    copyToDf(spark.table(table), path, opts)
+  private def copyTo(table: String, path: String, opts: Option[String]): DataFrame = {
+    // pg parity: COPY TO's default column list EXCLUDES generated columns,
+    // keeping it symmetric with copyFrom's read schema — otherwise the
+    // natural `COPY t TO f; COPY t FROM f` round-trip shifts every column
+    // after a non-trailing generated one into the wrong field.
+    val gens = generatedCols.getOrElse(table, Map.empty)
+    val df0 = spark.table(table)
+    val df = if (gens.isEmpty) df0
+      else df0.select(df0.columns.filterNot(c =>
+        gens.contains(c.toLowerCase)).map(col).toIndexedSeq: _*)
+    copyToDf(df, path, opts)
+  }
 
   /** COPY ... TO body over an arbitrary frame — shared by the table form
     * and the pg `COPY (query) TO` form.

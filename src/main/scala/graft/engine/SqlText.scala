@@ -142,13 +142,12 @@ private[graft] object SqlText {
     sb.toString
   }
 
-  /** Replace the first `regex` match that lies OUTSIDE single-quoted
-    * string literals with the literal `replacement`; matches inside
-    * literals (with '' escapes) are skipped, so payload text that merely
-    * looks like SQL can never be corrupted.
+  /** Per-character bitmap: true where the character lies inside a
+    * single-quoted string literal (quotes themselves and '' escapes
+    * included). Lets regex-based probes/rewrites skip matches whose
+    * START falls inside payload text that merely looks like SQL.
     */
-  def replaceFirstOutsideQuotes(sql: String, regex: String,
-      replacement: String): String = {
+  def quotedMask(sql: String): Array[Boolean] = {
     val quoted = new Array[Boolean](sql.length)
     var inStr = false; var i = 0
     while (i < sql.length) {
@@ -163,6 +162,17 @@ private[graft] object SqlText {
       } else if (ch == '\'') { quoted(i) = true; inStr = true }
       i += 1
     }
+    quoted
+  }
+
+  /** Replace the first `regex` match that lies OUTSIDE single-quoted
+    * string literals with the literal `replacement`; matches inside
+    * literals (with '' escapes) are skipped, so payload text that merely
+    * looks like SQL can never be corrupted.
+    */
+  def replaceFirstOutsideQuotes(sql: String, regex: String,
+      replacement: String): String = {
+    val quoted = quotedMask(sql)
     val m = java.util.regex.Pattern.compile(regex).matcher(sql)
     while (m.find()) {
       if (!quoted(m.start))

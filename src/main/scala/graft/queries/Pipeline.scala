@@ -869,7 +869,7 @@ object Pipeline {
            |      ORDER BY ${oCos("q_vec", "embedding")} DESC, vec_id) AS rnk
            |  FROM cand) x WHERE rnk <= 5)
            |SELECT gt.q_id, COUNT(*) AS k_eval,
-           |  SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS n_hits
+           |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
            |FROM gt LEFT JOIN ap ON ap.q_id = gt.q_id
            |  AND ap.neighbor_id = gt.neighbor_id
            |GROUP BY gt.q_id ORDER BY gt.q_id""".stripMargin
@@ -908,7 +908,7 @@ object Pipeline {
            |    ROW_NUMBER() OVER (PARTITION BY src_id
            |      ORDER BY v DESC, n_label) AS r FROM votes) x WHERE r = 1)
            |SELECT e.label, COUNT(*) AS n,
-           |  SUM(CASE WHEN p.p = e.label THEN 1 ELSE 0 END) AS n_correct
+           |  CAST(SUM(CASE WHEN p.p = e.label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
            |FROM embeddings e LEFT JOIN pred p ON p.src_id = e.vec_id
            |GROUP BY e.label ORDER BY e.label""".stripMargin
       }),

@@ -34,6 +34,69 @@ class QueriesSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Returns the aliases of uncast `SUM(...) AS <alias>` expressions in
+    * `sql` whose alias names a column in `intCols`. DuckDB widens an
+    * uncast SUM over integers to HUGEINT, which pandas renders as
+    * float64 — the driver's hash gate then compares "5.0" against
+    * Spark's "5" and fails even though values match (the r15 red rows).
+    * Every integer-sum oracle must wrap in CAST(... AS BIGINT).
+    */
+  private def uncastIntSums(sql: String, intCols: Set[String]): Seq[String] = {
+    val up = sql.toUpperCase
+    val bad = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = up.indexOf("SUM(")
+    while (i >= 0) {
+      val wordStart = i == 0 || !(up(i - 1).isLetterOrDigit || up(i - 1) == '_')
+      if (wordStart) {
+        // is this SUM( immediately wrapped by CAST( ?
+        val before = up.substring(0, i).reverse.dropWhile(_.isWhitespace)
+        val castWrapped = before.startsWith("(TSAC") // "CAST(" reversed
+        if (!castWrapped) {
+          // find the matching close paren of SUM's open paren
+          var depth = 0; var j = i + 3
+          while (j < up.length && (depth > 0 || j == i + 3)) {
+            if (up(j) == '(') depth += 1 else if (up(j) == ')') depth -= 1
+            j += 1
+          }
+          val tail = sql.substring(j).dropWhile(_.isWhitespace)
+          if (tail.length > 3 && tail.substring(0, 2).equalsIgnoreCase("AS") &&
+              tail(2).isWhitespace) {
+            val alias = tail.drop(3).dropWhile(_.isWhitespace)
+              .takeWhile(c => c.isLetterOrDigit || c == '_').toLowerCase
+            if (intCols.contains(alias)) bad += alias
+          }
+        }
+      }
+      i = up.indexOf("SUM(", i + 1)
+    }
+    bad.toSeq
+  }
+
+  test("oracle lint: integer-typed gate columns must CAST their SUMs") {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val violations = SparkEntry.registry.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+      q.oracle.toSeq.flatMap { sql =>
+        val intCols = q.fn(spark, sf).schema.fields.collect {
+          case f if Set[org.apache.spark.sql.types.DataType](
+            ByteType, ShortType, IntegerType, LongType).contains(f.dataType) =>
+            f.name.toLowerCase
+        }.toSet
+        uncastIntSums(sql, intCols).map(a => s"$name:$a")
+      }
+    }
+    assert(violations.isEmpty,
+      s"uncast integer SUM in oracle SQL (wrap in CAST(... AS BIGINT)): ${violations.mkString(", ")}")
+  }
+
+  test("oracle lint fires on a deliberately uncast integer SUM") {
+    val sql = "SELECT g, SUM(CASE WHEN x THEN 1 ELSE 0 END) AS n_hits FROM t GROUP BY g"
+    assert(uncastIntSums(sql, Set("n_hits")) == Seq("n_hits"))
+    // and stays quiet once cast, or when the column is float-typed
+    val cast = "SELECT g, CAST(SUM(CASE WHEN x THEN 1 ELSE 0 END) AS BIGINT) AS n_hits FROM t GROUP BY g"
+    assert(uncastIntSums(cast, Set("n_hits")).isEmpty)
+    assert(uncastIntSums(sql, Set("other_col")).isEmpty)
+  }
+
   test("q1_agg groups are the 4 flag/status combos plus") {
     val rows = SparkEntry.registry("q1_agg").fn(spark, sf).collect()
     assert(rows.length >= 3 && rows.length <= 6)

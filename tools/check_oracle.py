@@ -58,7 +58,21 @@ def main():
         if ok:
             for c in got.columns:
                 g, w = got[c], want[c]
-                if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
+                # Match the driver's strictness: an integer column on one
+                # side vs a float column on the other hashes differently
+                # ("5" vs "5.0") even when values are equal — DuckDB widens
+                # uncast SUM(int) to HUGEINT->float64. Fail it here so the
+                # local gate can never pass what the driver fails.
+                gi = pd.api.types.is_integer_dtype(g)
+                wi = pd.api.types.is_integer_dtype(w)
+                gf = pd.api.types.is_float_dtype(g)
+                wf = pd.api.types.is_float_dtype(w)
+                if (gi and wf) or (gf and wi):
+                    ok = False
+                    detail = (f" col={c} dtype mismatch got={g.dtype} want={w.dtype}"
+                              f" (cast the oracle aggregate, e.g. CAST(SUM(..) AS BIGINT))")
+                    break
+                if gf or wf:
                     eq = ((g.isna() & w.isna()) | (g.astype(float).values == w.astype(float).values))
                 else:
                     eq = (g.isna() & w.isna()) | (g.values == w.values)
