@@ -4262,6 +4262,40 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * `src/executor/delete.rs`).
     */
   private def delete(table: String, cond: Option[String]): DataFrame = {
+    // file-granular fast path: rewrite ONLY the files that can contain a
+    // matching row, hard-link the rest (see cowTouchedFiles) — a
+    // selective DELETE costs O(matched files) I/O, not O(table)
+    val matchedCol = cond.map(c =>
+      coalesce(expr(inlineFunctions(c)), lit(false)))
+    matchedCol.flatMap(m => cowTouchedFiles(table, m)).foreach {
+      case (touched, untouched) =>
+        val m = matchedCol.get
+        val schema = tables(table)._1
+        def touchedScan: DataFrame =
+          if (touched.isEmpty) spark.table(table).limit(0)
+          else spark.read.schema(schema).parquet(touched.map(_.toString): _*)
+        val totalObs = org.apache.spark.sql.Observation()
+        val keptObs = org.apache.spark.sql.Observation()
+        val survivors =
+          if (touched.isEmpty) None
+          else Some(touchedScan
+            .observe(totalObs, count(lit(1)).as("n"))
+            .filter(!m)
+            .observe(keptObs, count(lit(1)).as("n")))
+        def affected: DataFrame = touchedScan.filter(m)
+        if (returningExprs.isDefined) captureReturning(affected.localCheckpoint())
+        if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+          val newV = history.get(table).map(_.length).getOrElse(1)
+          val dd = deleteDeltaDir(table, newV)
+          Files.createDirectories(dd.getParent)
+          affected.write.mode("overwrite").parquet(dd.toString)
+        }
+        def removed: Long =
+          if (touched.isEmpty) 0L
+          else observedCount(totalObs) - observedCount(keptObs)
+        rewriteSwapPartial(table, survivors, untouched, "delete")(removed)
+        return rowCountResult(removed)
+    }
     val cur = spark.table(table)
     // both counts ride the single rewrite job as observe metrics: total on
     // the scan side, kept on the filtered side (the former triple pass —
@@ -4295,6 +4329,101 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     rewriteSwap(table, remaining, "delete")
     rowCountResult(observedCount(totalObs) - observedCount(keptObs))
+  }
+
+  /** File-granular copy-on-write planning: which of `table`'s live data
+    * files can contain rows matching `matched`? One predicate-pushed scan
+    * of the hidden `_metadata.file_path` column answers exactly — the
+    * parquet reader prunes non-matching files/row-groups from their
+    * footer min/max stats, so the probe itself reads only candidate row
+    * groups (the same footer evaluation Delta/Iceberg do, delegated to
+    * the scan; the reference's delete-vector intent —
+    * `/root/reference/src/storage/secondary/transaction.rs:26-50` — is
+    * the same "don't rewrite what didn't change" idea). The collect is
+    * bounded by the table's FILE count (a driver already holds the file
+    * listing to plan any scan), never by rows.
+    *
+    * Returns (touched, untouched) live files, or None when the partial
+    * path doesn't apply: bucketed tables (bucket ids live in file names —
+    * the whole-table bucketed rewrite is the layout-preserving form),
+    * single-file tables, or when ≥80% of files match (linking a handful
+    * of survivors costs more than it saves).
+    */
+  private def cowTouchedFiles(table: String, matched: Column)
+      : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
+    if (buckets.contains(table)) return None
+    val live = Paths.get(tableDir(table))
+    if (!Files.isDirectory(live)) return None
+    val all: Seq[java.nio.file.Path] = {
+      val s = Files.list(live)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      } finally s.close()
+    }
+    if (all.size < 2) return None
+    val touchedNames = scala.util.Try {
+      spark.table(table).filter(matched)
+        .select(col("_metadata.file_path")).distinct()
+        .collect().map { r =>
+          val p = r.getString(0)
+          p.substring(p.lastIndexOf('/') + 1)
+        }.toSet
+    }.getOrElse(return None)
+    val (touched, untouched) =
+      all.partition(p => touchedNames.contains(p.getFileName.toString))
+    if (touched.size * 5 >= all.size * 4) None
+    else Some((touched, untouched))
+  }
+
+  /** Commit a FILE-GRANULAR rewrite: materialize the rewritten survivors
+    * of the touched files into the temp dir (None when no file matched),
+    * HARD-LINK every untouched file beside them — same inode, zero I/O —
+    * then run the identical two-rename swap + version-archival as
+    * [[rewriteSwap]]. A selective DELETE/UPDATE now costs O(matched
+    * files), not O(table): at 100 TB a one-row DELETE rewrites one file
+    * and links the rest, while the archived version still holds the
+    * complete pre-state (the moved live dir owns the shared inodes too,
+    * so time travel, RESTORE and VACUUM are unchanged).
+    *
+    * The row-count ledger is DECREMENTED by `ledgerDelta` (evaluated
+    * after the write job, when the observe metrics exist) instead of
+    * replaced; column min/max/NDV stats are left as-is — a delete keeps
+    * them conservative supersets, an update may stale them slightly until
+    * the next full rewrite or ANALYZE adopts fresh ones (estimates only,
+    * never correctness).
+    */
+  private def rewriteSwapPartial(table: String, survivors: Option[DataFrame],
+      untouched: Seq[java.nio.file.Path], op: String)(ledgerDelta: => Long): Unit = {
+    txnTouch(table) // before any mutation, same ordering as rewriteSwap
+    val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
+    val live = Paths.get(tableDir(table))
+    val aside = Paths.get(s"$warehouse/.$table.old.tmp")
+    if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
+    survivors match {
+      case Some(df) =>
+        constraintGuard(table, df).write.mode("overwrite").parquet(tmp.toString)
+      case None => Files.createDirectories(tmp)
+    }
+    // untouched files carry fresh UUID part names from their own write
+    // jobs — they can never collide with the survivors' new part names
+    untouched.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))
+    if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
+    Files.move(live, aside)
+    try Files.move(tmp, live)
+    catch { case e: Throwable => Files.move(aside, live); throw e }
+    history.get(table) match {
+      case Some(log) =>
+        val dst = versionDir(table, log.length - 1)
+        if (Files.exists(dst)) deleteRecursively(dst, keepRoot = false)
+        Files.createDirectories(dst.getParent)
+        Files.move(aside, dst)
+      case None => deleteRecursively(aside, keepRoot = false)
+    }
+    refresh(table)
+    recordCommit(table, op)
+    rowCounts.get(table).foreach(prev => rowCounts(table) = prev - ledgerDelta)
+    pushStats(table)
   }
 
   /** Materialize `rewritten` into a sibling temp dir, then swap it in as
@@ -4480,6 +4609,34 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // IVM add-side delta all chain the same projection
     def post(df: DataFrame): DataFrame =
       withGenerated(table, df.select(projected.toIndexedSeq: _*))
+    // file-granular fast path (condition present): rewrite only files
+    // that can contain a matching row, hard-link the rest — on untouched
+    // rows the when(c, ..) guards are identities, so skipping those
+    // files is exact. rows_affected observes the touched-file scan.
+    if (cond.isDefined) cowTouchedFiles(table, c).foreach {
+      case (touched, untouched) =>
+        def touchedScan: DataFrame =
+          if (touched.isEmpty) spark.table(table).limit(0)
+          else spark.read.schema(schema).parquet(touched.map(_.toString): _*)
+        val affPart = org.apache.spark.sql.Observation()
+        val rewrittenTouched =
+          if (touched.isEmpty) None
+          else Some(post(touchedScan
+            .observe(affPart, count(when(c, lit(1))).as("n"))))
+        if (returningExprs.isDefined)
+          captureReturning(post(touchedScan.filter(c)).localCheckpoint())
+        if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+          val newV = history.get(table).map(_.length).getOrElse(1)
+          Files.createDirectories(historyDir(table))
+          touchedScan.filter(c)
+            .write.mode("overwrite").parquet(deleteDeltaDir(table, newV).toString)
+          post(touchedScan.filter(c))
+            .write.mode("overwrite").parquet(updateAddDir(table, newV).toString)
+        }
+        rewriteSwapPartial(table, rewrittenTouched, untouched, "update")(0L)
+        return rowCountResult(
+          if (touched.isEmpty) 0L else observedCount(affPart))
+    }
     val affObs = org.apache.spark.sql.Observation()
     val rewritten = post(spark.table(table)
       .observe(affObs, count(when(c, lit(1))).as("n")))

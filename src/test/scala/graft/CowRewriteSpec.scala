@@ -1,0 +1,130 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Engine
+import java.nio.file.{Files, Path, Paths}
+import java.nio.file.attribute.BasicFileAttributes
+
+/** File-granular copy-on-write DML: a selective DELETE/UPDATE rewrites
+  * only the files that can contain matching rows and HARD-LINKS the rest
+  * into the new version — O(matched files) I/O, not O(table). These
+  * tests pin the physical contract (inode identity of untouched files)
+  * on top of the value-level results the slt suite already covers.
+  */
+class CowRewriteSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val whDir = "/root/repo/target/graft-tmp/cow-warehouse"
+
+  private lazy val engine = {
+    val p = Paths.get(whDir)
+    if (Files.exists(p)) {
+      Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    new Engine(spark, whDir)
+  }
+
+  private def dataFiles(table: String): Map[String, Object] = {
+    val dir = Paths.get(s"$whDir/$table")
+    val s = Files.list(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => p.getFileName.toString ->
+          Files.readAttributes(p, classOf[BasicFileAttributes]).fileKey())
+        .toMap
+    } finally s.close()
+  }
+
+  test("selective DELETE rewrites only matching files; others keep their inode") {
+    engine.run("create table cowt(v int)")
+    // three separate inserts: three disjoint file families with disjoint
+    // min/max footers, so the predicate prunes to one family
+    engine.run("insert into cowt select cast(id as int) from range(0, 1000)")
+    engine.run("insert into cowt select cast(id as int) from range(1000, 2000)")
+    engine.run("insert into cowt select cast(id as int) from range(2000, 3000)")
+    val before = dataFiles("cowt")
+    assert(before.size >= 3, s"expected multi-file table, got ${before.size}")
+    val affected = engine.run("delete from cowt where v = 1500")
+      .collect()(0).getLong(0)
+    assert(affected == 1L)
+    val after = dataFiles("cowt")
+    // every surviving original file is the SAME inode (hard link), and at
+    // least the files of the untouched ranges survive untouched
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept.nonEmpty, "no original file survived — full rewrite happened")
+    kept.foreach { n => assert(after(n) == before(n), s"$n inode changed") }
+    val rewrittenCount = before.size - kept.size
+    assert(rewrittenCount >= 1 && rewrittenCount < before.size,
+      s"expected a strict subset rewritten, got $rewrittenCount of ${before.size}")
+    // values are exact
+    val n = engine.run("select count(*) as n, sum(v) as s from cowt").collect()(0)
+    assert(n.getLong(0) == 2999L)
+    assert(n.getLong(1) == (0L until 3000L).sum - 1500L)
+    // and the archived pre-image still reads completely (time travel)
+    val past = engine.run(
+      "select count(*) as n from cowt version as of 3").collect()(0).getLong(0)
+    assert(past == 3000L, s"pre-delete version read $past rows")
+  }
+
+  test("no-match DELETE links everything and reports 0 rows") {
+    engine.run("create table cown(v int)")
+    engine.run("insert into cown select cast(id as int) from range(0, 100)")
+    engine.run("insert into cown select cast(id as int) from range(100, 200)")
+    val before = dataFiles("cown")
+    val affected = engine.run("delete from cown where v = 99999")
+      .collect()(0).getLong(0)
+    assert(affected == 0L)
+    val after = dataFiles("cown")
+    assert(after.keySet == before.keySet)
+    before.foreach { case (name, key) => assert(after(name) == key, s"$name inode changed") }
+    assert(engine.run("select count(*) as n from cown").collect()(0).getLong(0) == 200L)
+  }
+
+  test("selective UPDATE rewrites only matching files; values and count exact") {
+    engine.run("create table cowu(k int, v int)")
+    engine.run("insert into cowu select cast(id as int), 0 from range(0, 1000)")
+    engine.run("insert into cowu select cast(id as int), 0 from range(1000, 2000)")
+    engine.run("insert into cowu select cast(id as int), 0 from range(2000, 3000)")
+    val before = dataFiles("cowu")
+    val affected = engine.run("update cowu set v = 7 where k = 2500")
+      .collect()(0).getLong(0)
+    assert(affected == 1L)
+    val after = dataFiles("cowu")
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept.nonEmpty, "no original file survived — full rewrite happened")
+    kept.foreach { n => assert(after(n) == before(n), s"$n inode changed") }
+    val r = engine.run(
+      "select count(*) as n, sum(v) as s from cowu").collect()(0)
+    assert(r.getLong(0) == 3000L && r.getLong(1) == 7L, r.toString)
+    val updated = engine.run("select v from cowu where k = 2500")
+      .collect()(0).getInt(0)
+    assert(updated == 7)
+  }
+
+  test("unselective DELETE falls back to the full rewrite and stays exact") {
+    engine.run("create table cowf(v int)")
+    engine.run("insert into cowf select cast(id as int) from range(0, 500)")
+    engine.run("insert into cowf select cast(id as int) from range(500, 1000)")
+    val affected = engine.run("delete from cowf where v >= 0")
+      .collect()(0).getLong(0)
+    assert(affected == 1000L)
+    assert(engine.run("select count(*) as n from cowf").collect()(0).getLong(0) == 0L)
+  }
+
+  test("COW delete feeds IVM deltas exactly (incremental matview refresh)") {
+    engine.run("create table cowb(g varchar, x int)")
+    engine.run("insert into cowb values ('a', 1), ('a', 2)")
+    engine.run("insert into cowb values ('b', 10), ('b', 20)")
+    engine.run("insert into cowb values ('c', 100)")
+    engine.run(
+      "create materialized view cowmv as select g, count(*) as n, sum(x) as s from cowb group by g")
+    engine.run("delete from cowb where x = 10")
+    engine.run("refresh materialized view cowmv")
+    val got = engine.run("select g, n, s from cowmv order by g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 3L), ("b", 1L, 20L), ("c", 1L, 100L)), got.toString)
+  }
+}
