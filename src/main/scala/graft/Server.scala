@@ -488,8 +488,16 @@ private object Pgwire {
           return
         case _ =>
           val rest = new Array[Byte](len - 8)
-          in.readFully(rest) // user/database/options accepted, unused
+          in.readFully(rest)
           if (code != ProtocolV3) { error(s"unsupported protocol $code"); out.flush(); return }
+          // startup parameters: alternating NUL-terminated key/value pairs
+          // (terminated by an empty key). pgJDBC ships TimeZone/DateStyle/
+          // client_encoding here, BEFORE any SET — display GUCs land on
+          // this connection's session overlay; user/database are ignored.
+          val parts = new String(rest, StandardCharsets.UTF_8)
+            .split("\u0000", -1)
+          parts.grouped(2).takeWhile(p => p.length == 2 && p(0).nonEmpty)
+            .foreach(p => engine.applyStartupParam(gsess, p(0), p(1)))
           negotiating = false
       }
     }
@@ -527,12 +535,11 @@ private object Pgwire {
         d.writeShort(fmtCode(fmts, i))      // text / negotiated binary
       }
     }
-    // timestamps render in the SESSION time zone (pg semantics), not the
-    // JVM default — the two differ whenever spark.sql.session.timeZone is
-    // set explicitly (Tables.configure pins UTC)
-    def sessionZone(): java.time.ZoneId =
-      java.time.ZoneId.of(engine.spark.conf.get(
-        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
+    // timestamps render in THIS CONNECTION's time zone (pg semantics):
+    // the session's SET TimeZone / startup-packet overlay first, then the
+    // engine conf (Tables.configure pins UTC), then the JVM default —
+    // two clients in different zones render independently (r16)
+    def sessionZone(): java.time.ZoneId = engine.renderZone(gsess)
     def sendDataRow(schema: StructType, r: org.apache.spark.sql.Row,
         fmts: Array[Int], zone: java.time.ZoneId): Unit = msg('D') { d =>
       d.writeShort(r.length)

@@ -612,6 +612,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     """(?is)\s*drop\s+sequence\s+(?:(if\s+exists)\s+)?(\w+)\s*""".r
   private val rePragma = """(?is)\s*pragma\s+(\w+)\s*(?:=\s*(.*))?\s*""".r
   private val reSet = """(?is)\s*set\s+(\S+)\s*=\s*(.*\S)\s*""".r
+  // pg spellings without '=': SET TIME ZONE <zone|LOCAL|DEFAULT> and
+  // SET [SESSION] <name> TO <value> (pgJDBC/psycopg emit both)
+  private val reSetTimeZone = """(?is)\s*set\s+time\s+zone\s+(.+?)\s*""".r
+  private val reSetTo =
+    """(?is)\s*set\s+(?:session\s+)?(\S+)\s+to\s+(.*\S)\s*""".r
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reAnalyze = """(?is)\s*analyze\s+table\s+(\w+)\b.*""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
@@ -2091,6 +2096,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
     case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
+    case reSetTimeZone(v) =>
+      val z = v.trim.stripPrefix("'").stripSuffix("'")
+      if (z.equalsIgnoreCase("local") || z.equalsIgnoreCase("default"))
+        resetVar("timezone")
+      else setVar("timezone", z)
+    case reSetTo(key, value) =>
+      setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
     case reDiscard(what) => discard(what.toLowerCase)
     case reResetStmt(key) => resetVar(key)
     case reExplainAnalyze(body) => explainAnalyze(body)
@@ -2616,15 +2628,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * reference plans but never executes). Any other statement shape, or
     * `pragma disable_vector_index`, runs the exact full scan.
     */
-  private var vectorIndexEnabled = true
-
   private val reVectorTopK =
     ("""(?is)^\s*select\s+(.+?)\s+from\s+(\w+)\s+order\s+by\s+""" +
       """(\w+)\s*(?:<->|<=>|<#>)\s*'(\[[^']*\])'\s*::\s*vector\s*\(\s*\d+\s*\)""" +
       """\s*(?:asc\s*)?limit\s+(\d+)\s*$""").r
 
   private def vectorIndexScan(sql: String): Option[DataFrame] = {
-    if (!vectorIndexEnabled) return None
+    if (!sess.vectorIndexEnabled) return None
     sql.trim.replaceAll(";\\s*$", "") match {
       case reVectorTopK(_, tbl, vecCol, vecLit, _) if tables.contains(tbl) =>
         indexes.values.collectFirst {
@@ -2782,9 +2792,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         spark.conf.set("spark.sql.cbo.enabled", "false")
       // pgvector-parity switch: with a vector index present, the canonical
       // ORDER BY distance LIMIT k statement runs the approximate IndexScan
-      // tier; disabling restores exact full scans (pg: `enable_indexscan`)
-      case "enable_vector_index" => vectorIndexEnabled = true
-      case "disable_vector_index" => vectorIndexEnabled = false
+      // tier; disabling restores exact full scans (pg: `enable_indexscan`).
+      // SESSION-scoped (r16, pg GUC semantics): one connection's toggle
+      // must not re-plan another connection's queries.
+      case "enable_vector_index" => sess.vectorIndexEnabled = true
+      case "disable_vector_index" => sess.vectorIndexEnabled = false
       // engine-owned valves over Spark's WITH RECURSIVE safety limits
       // (the engine raises the row default to 100M at construction)
       case "cte_recursion_row_limit" =>
@@ -2802,22 +2814,73 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case other =>
         throw new IllegalArgumentException(s"no such pragma: $other")
     }
-    spark.conf.set(s"graft.pragma.$key", value.getOrElse("true"))
+    sess.pragmas(key.toLowerCase) = value.getOrElse("true")
     emptyResult
+  }
+
+  /** pg display/locale GUCs that must be SESSION-scoped: they shape how
+    * THIS connection's results render, so two clients setting different
+    * values must not interfere. Everything else SET still writes the one
+    * shared SparkSession's conf (it changes execution semantics of the
+    * shared engine — documented divergence) but is recorded on the
+    * session too so RESET/DISCARD can undo per connection.
+    */
+  private val sessionDisplayConfs = Set("timezone", "datestyle",
+    "intervalstyle", "extra_float_digits", "application_name",
+    "client_encoding", "client_min_messages", "search_path")
+
+  /** Parse a pg TimeZone GUC value; region ids verbatim, common
+    * abbreviations (utc, gmt, est...) case-folded up — ZoneId.of is
+    * case-sensitive where pg is not.
+    */
+  private[graft] def parseZone(v: String): java.time.ZoneId =
+    scala.util.Try(java.time.ZoneId.of(v)).getOrElse(
+      scala.util.Try(java.time.ZoneId.of(v.toUpperCase,
+        java.time.ZoneId.SHORT_IDS)).getOrElse(
+        throw new IllegalArgumentException(
+          s"""invalid value for parameter "TimeZone": "$v"""")))
+
+  /** The zone THIS session's results render in (pgwire timestamp text /
+    * binary epoch math): the session's SET TimeZone overlay first, then
+    * the engine-global spark conf, then the JVM default.
+    */
+  private[graft] def renderZone(session: Session): java.time.ZoneId =
+    session.confOverlay.get("timezone").map(parseZone).getOrElse(
+      java.time.ZoneId.of(spark.conf.get("spark.sql.session.timeZone",
+        java.util.TimeZone.getDefault.getID)))
+
+  /** Absorb a pgwire STARTUP parameter (pgJDBC ships TimeZone, DateStyle,
+    * client_encoding, application_name, extra_float_digits in the startup
+    * packet, before any SET): display GUCs land on the connection's
+    * session overlay; anything else is ignored (user/database/options).
+    * Lenient on bad values — a weird zone must not fail the connect.
+    */
+  private[graft] def applyStartupParam(session: Session, key: String,
+      value: String): Unit = {
+    val k = key.toLowerCase
+    if (sessionDisplayConfs.contains(k) &&
+        (k != "timezone" || scala.util.Try(parseZone(value)).isSuccess))
+      session.confOverlay(k) = value
   }
 
   /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats
     * mock: a table mocked small enough to broadcast gets a broadcast hint
     * at view-registration time, visibly flipping join strategy in EXPLAIN.
-    * Any other SET is a session conf passthrough.
+    * Display GUCs land on the session overlay only; any other SET is a
+    * shared conf passthrough recorded on the session.
     */
   private def setVar(key: String, value: String): DataFrame = {
-    if (key.toLowerCase.startsWith("mock_rowcount_")) {
+    val k = key.toLowerCase
+    if (k.startsWith("mock_rowcount_")) {
       val table = key.substring("mock_rowcount_".length)
       require(tables.contains(table), s"table not found: $table")
       mockRowCounts(table) = value.toLong
       refresh(table)
+    } else if (sessionDisplayConfs.contains(k)) {
+      if (k == "timezone") parseZone(value) // a bad zone errors AT SET, like pg
+      sess.confOverlay(k) = value
     } else {
+      sess.confOverlay(k) = value
       spark.conf.set(key, value)
       setConfKeys.synchronized { setConfKeys += key }
     }
@@ -2831,6 +2894,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def resetVar(key: String): DataFrame = {
     if (key.equalsIgnoreCase("all")) {
+      sess.confOverlay.clear()
+      sess.pragmas.clear()
+      sess.vectorIndexEnabled = true
       setConfKeys.synchronized {
         setConfKeys.foreach(k => scala.util.Try(spark.conf.unset(k)))
         setConfKeys.clear()
@@ -2844,8 +2910,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       mockRowCounts.remove(t)
       if (tables.contains(t)) refresh(t)
     } else {
-      scala.util.Try(spark.conf.unset(key))
-      setConfKeys.synchronized { setConfKeys -= key }
+      sess.confOverlay.remove(key.toLowerCase)
+      if (!sessionDisplayConfs.contains(key.toLowerCase)) {
+        scala.util.Try(spark.conf.unset(key))
+        setConfKeys.synchronized { setConfKeys -= key }
+      }
     }
     emptyResult
   }
@@ -2867,6 +2936,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s.cursors.clear()
       s.defaultSnapshotReads = false; s.defaultReadOnly = false
       s.seqCurr.clear(); s.seqLast = None
+      s.confOverlay.clear(); s.pragmas.clear(); s.vectorIndexEnabled = true
     } else if (what == "sequences") {
       // pg: forget this session's currval/lastval state (the sequences
       // themselves are engine-global and keep their positions)

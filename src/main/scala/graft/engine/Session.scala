@@ -96,4 +96,27 @@ final class Session private[engine] (private[graft] val id: Long) {
     */
   private[engine] val seqCurr = mutable.Map[String, Long]()
   private[engine] var seqLast: Option[String] = None
+  /** Session-scoped SET overlay (r16). Display/locale confs — TimeZone,
+    * DateStyle and friends — land ONLY here, never on the one shared
+    * SparkSession, so two pgwire clients in different zones render
+    * timestamps independently (pgJDBC issues SET TimeZone at connect;
+    * with a global conf they corrupted each other's timestamp text).
+    * Non-display keys still write the global conf (they change
+    * execution semantics of the single shared session — documented
+    * divergence) but record their value here too, so RESET/DISCARD can
+    * undo per session. TrieMap: reads happen on the Server's shared
+    * read-lock paths.
+    */
+  private[graft] val confOverlay =
+    scala.collection.concurrent.TrieMap[String, String]()
+  /** Per-session pragma map + the vector-index planner toggle (pg GUC
+    * semantics: a pragma set on one connection must not re-plan another
+    * connection's queries). Engine-execution valves that necessarily
+    * live on the shared SparkSession (optimizer flags, CTE recursion
+    * limits) keep their global effect — documented — but their declared
+    * value is still recorded here per session.
+    */
+  private[engine] val pragmas =
+    scala.collection.concurrent.TrieMap[String, String]()
+  private[engine] var vectorIndexEnabled = true
 }

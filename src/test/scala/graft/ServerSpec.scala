@@ -332,8 +332,14 @@ class ServerSpec extends AnyFunSuite {
       (buf += m).toSeq
     }
     /** StartupMessage; returns the BackendKeyData (pid, secret). */
-    def startup(): (Int, Int) = {
-      val params = "user\u0000graft\u0000\u0000".getBytes(StandardCharsets.UTF_8)
+    def startup(): (Int, Int) = startupWith()
+    /** StartupMessage carrying extra parameters (pgJDBC ships TimeZone,
+      * DateStyle, client_encoding here, before any SET).
+      */
+    def startupWith(extra: (String, String)*): (Int, Int) = {
+      val kv = (Seq("user" -> "graft") ++ extra)
+        .map { case (k, v) => k + "\u0000" + v + "\u0000" }.mkString
+      val params = (kv + "\u0000").getBytes(StandardCharsets.UTF_8)
       out.writeInt(8 + params.length); out.writeInt(196608); out.write(params); out.flush()
       val hello = untilReady()
       val key = hello.collectFirst { case ('K', b) => b }.get
@@ -1375,6 +1381,49 @@ class ServerSpec extends AnyFunSuite {
       assert(one(b.query("select count(*) from dt")) == "2")
     } finally {
       b.close()
+      server.close()
+    }
+  }
+
+  test("per-session TimeZone: two connections render the same timestamp differently") {
+    val dir = freshDir("/root/repo/target/graft-tmp/tz2-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-tz2-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new PgClient(server.getLocalPort)
+    val b = new PgClient(server.getLocalPort)
+    val c = new PgClient(server.getLocalPort)
+    try {
+      a.startup(); b.startup()
+      def one(ms: Seq[(Char, Array[Byte])]): String =
+        new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
+          StandardCharsets.UTF_8)
+      val q = "select timestamp '2024-06-01 12:34:56' as ts"
+      // A moves to New York; B stays on the engine default (UTC)
+      a.query("SET TimeZone = 'America/New_York'")
+      assert(one(a.query(q)) == "2024-06-01 08:34:56", "A renders in its zone")
+      assert(one(b.query(q)) == "2024-06-01 12:34:56",
+        "A's SET TimeZone leaked into B's rendering")
+      // B then picks its own zone; A keeps its setting (pg SET TIME ZONE form)
+      b.query("SET TIME ZONE 'Asia/Tokyo'")
+      assert(one(b.query(q)) == "2024-06-01 21:34:56", "B renders in its zone")
+      assert(one(a.query(q)) == "2024-06-01 08:34:56", "B's zone clobbered A")
+      // RESET restores the engine default for A only
+      a.query("RESET timezone")
+      assert(one(a.query(q)) == "2024-06-01 12:34:56")
+      assert(one(b.query(q)) == "2024-06-01 21:34:56")
+      // startup-packet TimeZone (pgJDBC ships it before any SET)
+      c.startupWith("TimeZone" -> "Europe/Berlin")
+      assert(one(c.query(q)) == "2024-06-01 14:34:56",
+        "startup-packet TimeZone ignored")
+      // a bogus zone errors at SET, pg-style, and leaves the session usable
+      val bad = a.query("SET TimeZone = 'Not/AZone'")
+      assert(bad.exists(_._1 == 'E'), "invalid zone accepted")
+      assert(one(a.query(q)) == "2024-06-01 12:34:56")
+    } finally {
+      a.close(); b.close(); c.close()
       server.close()
     }
   }
