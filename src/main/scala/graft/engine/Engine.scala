@@ -1574,10 +1574,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       if (moved.length == 1) {
         val (base, v0) = moved.head
         val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
-        // a GLOBAL (ungrouped) extremum with deletes would re-aggregate
-        // the whole body anyway — that IS the full recompute, take it
-        if (delDirs.nonEmpty && shape.minMaxCols.nonEmpty &&
-            shape.groupCols.isEmpty) return None
+        // a GLOBAL (ungrouped) extremum with deletes proceeds through the
+        // merge: eviction is checked LAZILY on the merged row (r16) — only
+        // a delete that ties-or-beats the stored extremum forces the full
+        // recompute; any other delete stays incremental
         if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
         (if (addFiles.nonEmpty)
            Some(replayWith(Seq(base -> deltaDf(base, addFiles)))) else None,
@@ -1603,16 +1603,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // over ALL removed contributions (any net-removed contribution
         // appears in ≥1 delete term, so detection never under-fires),
         // and the eviction recompute below re-aggregates flagged groups
-        // from the LIVE bases, which is window-count-agnostic. The only
-        // bail left is a GLOBAL (ungrouped) extremum with deletes — its
-        // one "group" is the whole body, i.e. the full recompute.
+        // from the LIVE bases, which is window-count-agnostic. A GLOBAL
+        // (ungrouped) extremum with deletes merges incrementally too
+        // (r16): eviction is checked lazily on the merged row, and only
+        // a delete that ties-or-beats the stored extremum falls back to
+        // the full recompute (its one "group" IS the whole body).
         val wins = moved.map { case (b, v) =>
           val (adds, dels) = windowOf(b, v).getOrElse(return None)
           (b, v, adds, dels)
         }
-        val delWins = wins.filter(_._4.nonEmpty)
-        if (delWins.nonEmpty && shape.minMaxCols.nonEmpty &&
-            shape.groupCols.isEmpty) return None
         if (wins.forall(w => w._3.isEmpty && w._4.isEmpty))
           return Some((old, oldAux))
         // every table that can appear as a suffix needs its anchored
@@ -1754,6 +1753,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val okRows = survivors.filter(!col("__ivm_evict")).drop("__ivm_evict")
     val combined =
       if (dAgg.isEmpty || shape.minMaxCols.isEmpty) okRows
+      // ungrouped extremum (r16): the one "group" is the whole body, so a
+      // FIRED eviction is by definition the full recompute — take it
+      // honestly. But eviction now checks LAZILY against the merged row
+      // (the stored extremum is a k=1 eviction sidecar): a delete whose
+      // own max/min never ties-or-beats the stored one merges
+      // incrementally like any COUNT/SUM — the common case for churny
+      // fact deletes. Cheap: `merged` is already localCheckpoint()ed.
+      else if (groupCols.isEmpty) {
+        if (!survivors.filter(col("__ivm_evict")).isEmpty) return None
+        okRows
+      }
       // belt-and-braces Try: bareGroups is traced to real base columns,
       // but any residual resolution failure here must degrade to a full
       // recompute, never error the REFRESH statement

@@ -167,6 +167,40 @@ object IvmBench {
       w
     }
 
+    // UNGROUPED extremum under interior deletes (r16): the one "group"
+    // is the whole body, so until r16 ANY delete forced the full
+    // recompute. Lazy eviction now compares the delete window's own
+    // min/max against the stored extremum on the merged row — an
+    // interior delete (strictly inside [lo, hi]) merges incrementally
+    // like a COUNT/SUM, flat in the base size
+    engine.run("create materialized view ivm_gx as " +
+      "select count(*) as n, min(l_extendedprice) as lo, " +
+      "max(l_extendedprice) as hi from ivm_fact")
+    val gx = (1 to rounds).map { i =>
+      // guard interiority explicitly: rows at the stored extremes stay,
+      // so the delete can never evict by construction
+      val ex = engine.run(
+        "select min(l_extendedprice), max(l_extendedprice) from ivm_fact")
+        .collect()(0)
+      engine.run(s"delete from ivm_fact where l_orderkey = ${i * 192} " +
+        s"and l_extendedprice > ${ex.get(0)} and l_extendedprice < ${ex.get(1)}")
+      val (w, mode) = timed("refresh materialized view ivm_gx")
+      require(mode == "incremental",
+        s"round $i expected ungrouped-extremum interior delete, got $mode")
+      w
+    }
+    // ... and deleting the stored extremum itself recomputes, honestly
+    val gxFull = (1 to rounds).map { i =>
+      val mn = engine.run("select min(l_extendedprice) as m from ivm_fact")
+        .collect()(0).get(0)
+      engine.run(s"delete from ivm_fact where l_extendedprice = $mn")
+      val (w, mode) = timed("refresh materialized view ivm_gx")
+      require(mode == "full",
+        s"round $i expected ungrouped-extremum eviction full, got $mode")
+      w
+    }
+    engine.run("drop materialized view ivm_gx")
+
     // full: every DML shape is delta-decomposed now, so the poison is a
     // VACUUMED delta window — append one row, then drop the version
     // archives the file diff needs; the refresh falls back to full and
@@ -178,7 +212,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"global_extremum_delete_sec":${fmt(gx.min)},"global_extremum_evict_full_sec":${fmt(gxFull.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
