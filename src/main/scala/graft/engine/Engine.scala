@@ -235,26 +235,48 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * min/max externalize losslessly through plain literal strings in
     * every CatalogColumnStat version.
     */
+  /** Columns whose NDV/min/max ride every write job as observe metrics.
+    * r16: ALL numeric columns under a per-table cap, not just declared
+    * PK / CLUSTERED BY — a fact table's dimension FKs are exactly the
+    * equi-join keys a 12-way reorder hangs on, and nobody declares them.
+    * PK/bucket columns keep priority under the cap (their NDV is the
+    * strongest CBO signal); the cap bounds the per-row observe cost on
+    * wide tables (4 aggregate updates per column per written row).
+    */
+  private val autoStatColCap = 12
   private def autoStatCols(table: String): Seq[String] = {
     val schema = tables.get(table).map(_._1).getOrElse(return Nil)
-    val wanted = (tables.get(table).map(_._2).getOrElse(Nil) ++
+    val declared = (tables.get(table).map(_._2).getOrElse(Nil) ++
       buckets.get(table).map(_._1)).distinct
-    wanted.filter { c =>
-      schema.fields.exists(f => f.name.equalsIgnoreCase(c) &&
-        (f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]))
-    }
+    def numeric(c: String) = schema.fields.exists(f =>
+      f.name.equalsIgnoreCase(c) &&
+        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    val rest = schema.fields.toSeq.map(_.name)
+      .filterNot(n => declared.exists(_.equalsIgnoreCase(n)))
+    (declared ++ rest).filter(numeric).take(autoStatColCap)
   }
 
   /** The observe metrics the auto-stat columns add to a write job:
     * per column an approx NDV (HLL rides the same pass), min, max, and
-    * null count.
+    * null count. A REWRITE job scans the complete post-state anyway, so
+    * it additionally sketches equi-height histogram bin edges
+    * (approx_percentile, single-pass) — CBO then estimates skewed
+    * predicates from bins without anyone running ANALYZE (r16).
     */
-  private def colObsMetrics(cols: Seq[String]): Seq[Column] =
+  private val autoHistBins = 64
+  private def colObsMetrics(cols: Seq[String],
+      withHist: Boolean = false): Seq[Column] =
     cols.flatMap { c =>
       Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
         min(col(c)).as(s"__min_$c"),
         max(col(c)).as(s"__max_$c"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c"))
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c")) ++
+        (if (withHist)
+          Seq(percentile_approx(col(c).cast("double"),
+            array((0 to autoHistBins).map(i =>
+              lit(i.toDouble / autoHistBins)): _*),
+            lit(10000)).as(s"__hist_$c"))
+        else Nil)
     }
 
   private def observedAny(o: org.apache.spark.sql.Observation,
@@ -279,8 +301,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val mn = observedAny(obs, s"__min_$c").map(_.toString)
         val mx = observedAny(obs, s"__max_$c").map(_.toString)
         val nul = observedAny(obs, s"__nul_$c").map(_.asInstanceOf[Long])
+        // a rewrite's sketched bin edges become an equi-height histogram:
+        // per-bin NDV approximated as total NDV / bins (pg's ANALYZE is a
+        // sample-based approximation too; estimates only, never
+        // correctness)
+        val hist: Option[String] = if (!rewrite) None else
+          observedAny(obs, s"__hist_$c").flatMap { raw =>
+            scala.util.Try {
+              val edges = raw.asInstanceOf[scala.collection.Seq[Any]]
+                .map(_.toString.toDouble).toIndexedSeq
+              val n = observedAny(obs, "n").map(_.asInstanceOf[Long]).getOrElse(0L)
+              val rows = n - nul.getOrElse(0L)
+              val binNdv = math.max(1L,
+                ndv.getOrElse(1L) / math.max(1, edges.length - 1))
+              val bins = edges.sliding(2).map(p =>
+                org.apache.spark.sql.catalyst.plans.logical
+                  .HistogramBin(p(0), p(1), binNdv)).toArray
+              org.apache.spark.sql.catalyst.plans.logical.HistogramSerializer
+                .serialize(org.apache.spark.sql.catalyst.plans.logical
+                  .Histogram(rows.toDouble / math.max(1, bins.length), bins))
+            }.toOption
+          }
         val merged =
-          if (rewrite) ColLedger(ndv, mn, mx, nul)
+          if (rewrite) ColLedger(ndv, mn, mx, nul, hist)
           else ledger.get(c) match {
             case Some(old) =>
               def num(s: String) = new java.math.BigDecimal(s)
@@ -4532,7 +4575,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obsN = org.apache.spark.sql.Observation()
     val statCols = autoStatCols(table).filter(rewritten0.columns.contains)
     val rewritten = rewritten0.observe(obsN,
-      count(lit(1)).as("n"), colObsMetrics(statCols): _*)
+      count(lit(1)).as("n"), colObsMetrics(statCols, withHist = true): _*)
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")

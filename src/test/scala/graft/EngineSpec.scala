@@ -916,10 +916,14 @@ class EngineSpec extends AnyFunSuite {
     // 1 row, small enough to broadcast under a tight threshold — the
     // SAME query against a stats-less twin keeps the sort-merge join.
     // (This is the join-shape decision a 100x cluster plan hangs on.)
+    // incompressible pads: the dims must be ABOVE the broadcast threshold
+    // on raw size, so only the stats-driven 1-row estimate can flip them
     e.run("create table dimk(k int primary key, pad varchar)")
-    e.run("insert into dimk select id, repeat('y', 60) from range(0, 20000)")
-    e.run("create table dimn(k int, pad varchar)") // no PK -> no col stats
-    e.run("insert into dimn select id, repeat('y', 60) from range(0, 20000)")
+    e.run("insert into dimk select id, md5(cast(id as string)) || " +
+      "md5(cast(id + 1 as string)) from range(0, 20000)")
+    e.run("create table dimn(k int, pad varchar)") // no PK, auto FK stats
+    e.run("insert into dimn select id, md5(cast(id as string)) || " +
+      "md5(cast(id + 1 as string)) from range(0, 20000)")
     e.run("create table factc(fk int, v int)")
     e.run("insert into factc select id % 1000, id from range(0, 50000)")
     val oldThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
@@ -933,9 +937,32 @@ class EngineSpec extends AnyFunSuite {
       val withStats = planOf("dimk")
       assert(withStats.contains("BroadcastHashJoin"),
         s"PK NDV did not shrink the filtered dim below the threshold:\n$withStats")
-      val withoutStats = planOf("dimn")
-      assert(!withoutStats.contains("BroadcastHashJoin"),
-        s"stats-less twin broadcast anyway (pin is vacuous):\n$withoutStats")
+      // r16: the NON-PK twin broadcasts too — auto-stats now cover every
+      // numeric column under the cap, so the undeclared FK join key
+      // plans from a real NDV without any ANALYZE
+      val nonPk = planOf("dimn")
+      assert(nonPk.contains("BroadcastHashJoin"),
+        s"non-PK numeric column missed the auto-stats ride:\n$nonPk")
+      // the genuine stats-less control lives OUTSIDE the engine write
+      // path: raw catalog parquet tables over the same files (BOTH
+      // sides — the engine-written fact now carries stats too) keep the
+      // sort-merge join, so the pin is not vacuous
+      spark.sql("DROP TABLE IF EXISTS dimr")
+      spark.sql("DROP TABLE IF EXISTS factr")
+      spark.sql("CREATE TABLE dimr (k INT, pad STRING) USING parquet " +
+        s"LOCATION '$dir/dimn'")
+      spark.sql("CREATE TABLE factr (fk INT, v INT) USING parquet " +
+        s"LOCATION '$dir/factc'")
+      try {
+        val withoutStats = spark.sql(
+          "select count(*) from factr join dimr on factr.fk = dimr.k " +
+            "where dimr.k = 42").queryExecution.executedPlan.toString
+        assert(!withoutStats.contains("BroadcastHashJoin"),
+          s"stats-less twin broadcast anyway (pin is vacuous):\n$withoutStats")
+      } finally {
+        spark.sql("DROP TABLE IF EXISTS dimr")
+        spark.sql("DROP TABLE IF EXISTS factr")
+      }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", oldThresh)
       spark.conf.set("spark.sql.adaptive.enabled", oldAqe)
