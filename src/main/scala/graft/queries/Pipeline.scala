@@ -875,6 +875,53 @@ object Pipeline {
            |GROUP BY gt.q_id ORDER BY gt.q_id""".stripMargin
       }),
 
+    // the same recall probe with multiprobe LSH (r16): each query probes
+    // its bucket plus the buckets one sign-bit away (masks 0, 1, 2 for
+    // multiProbe = 2) — the recall-vs-candidates knob an operator turns
+    // before re-banding. The candidate set is a superset of the
+    // single-probe one, so per-query n_hits can only grow (the
+    // monotonicity property SimilarityPropertySpec pins); the oracle
+    // replays the same XOR-mask expansion on the query side.
+    "eval_ann_recall_multiprobe" -> Q(
+      (s, d) => {
+        val e = t(s, d, "embeddings")
+        val q = e.filter(col("vec_id") < 16)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_vec"))
+        Similarity.annRecall(q, e, k = 5, nPlanes = 6, nTables = 8,
+            multiProbe = 2)
+          .orderBy("q_id")
+      },
+      Some {
+        s"""WITH gt AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q.vec_id AS q_id, c.vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q.vec_id
+           |      ORDER BY ${oCos("q.embedding", "c.embedding")} DESC, c.vec_id) AS rnk
+           |  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+           |  WHERE q.vec_id < 16) x WHERE rnk <= 5),
+           |cb AS (SELECT vec_id, embedding, ${oLshBuckets("embedding")} AS bks FROM embeddings),
+           |ce AS (SELECT vec_id, embedding, unnest(bks) AS bucket,
+           |  unnest(generate_series(1, len(bks))) AS tbl FROM cb),
+           |qe AS (SELECT q_id, q_vec, tbl, unnest([
+           |    xor(bucket, CAST(0 AS BIGINT)),
+           |    xor(bucket, CAST(1 AS BIGINT)),
+           |    xor(bucket, CAST(2 AS BIGINT))]) AS bucket
+           |  FROM (SELECT vec_id AS q_id, embedding AS q_vec, bucket, tbl
+           |        FROM ce WHERE vec_id < 16)),
+           |cand AS (SELECT DISTINCT q.q_id, q.q_vec, c.vec_id, c.embedding
+           |  FROM ce c JOIN qe q ON c.tbl = q.tbl AND c.bucket = q.bucket
+           |  WHERE q.q_id <> c.vec_id),
+           |ap AS (SELECT q_id, neighbor_id FROM (
+           |  SELECT q_id, vec_id AS neighbor_id,
+           |    ROW_NUMBER() OVER (PARTITION BY q_id
+           |      ORDER BY ${oCos("q_vec", "embedding")} DESC, vec_id) AS rnk
+           |  FROM cand) x WHERE rnk <= 5)
+           |SELECT gt.q_id, COUNT(*) AS k_eval,
+           |  CAST(SUM(CASE WHEN ap.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hits
+           |FROM gt LEFT JOIN ap ON ap.q_id = gt.q_id
+           |  AND ap.neighbor_id = gt.neighbor_id
+           |GROUP BY gt.q_id ORDER BY gt.q_id""".stripMargin
+      }),
+
     // kNN classifier probe: per-class accuracy of majority-label
     // prediction from each vector's LSH-banded k nearest neighbors —
     // the standard embedding-quality metric, runnable at corpus scale
