@@ -4473,6 +4473,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * of survivors costs more than it saves).
     */
   private def cowTouchedFiles(table: String, matched: Column)
+      : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] =
+    cowPartition(table, () => spark.table(table).filter(matched)
+      .select(col("_metadata.file_path")).distinct()
+      .collect().map { r =>
+        val p = r.getString(0)
+        p.substring(p.lastIndexOf('/') + 1)
+      }.toSet)
+
+  /** The shared planning core: list the live data files and split them
+    * against `probe`'s touched-file-name set (evaluated lazily, only
+    * once the table qualifies). Same fallbacks as documented above.
+    */
+  private def cowPartition(table: String, probe: () => Set[String])
       : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
     if (buckets.contains(table)) return None
     val live = Paths.get(tableDir(table))
@@ -4485,14 +4498,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       } finally s.close()
     }
     if (all.size < 2) return None
-    val touchedNames = scala.util.Try {
-      spark.table(table).filter(matched)
-        .select(col("_metadata.file_path")).distinct()
-        .collect().map { r =>
-          val p = r.getString(0)
-          p.substring(p.lastIndexOf('/') + 1)
-        }.toSet
-    }.getOrElse(return None)
+    val touchedNames = scala.util.Try(probe()).getOrElse(return None)
     val (touched, untouched) =
       all.partition(p => touchedNames.contains(p.getFileName.toString))
     if (touched.size * 5 >= all.size * 4) None
@@ -4951,14 +4957,67 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       recordCommit(tgt, "merge")
       rowCountResult(observedCount(insObs))
     } else {
-      val rewritten = inserted match {
-        case Some(ins) => survivors.unionByName(ins)
-        case None => survivors
+      // file-granular fast path (r16): only target files holding a row
+      // that MATCHES some source row need rewriting — one semi-join
+      // probe over _metadata.file_path finds them; unmatched rows in
+      // other files are linked unchanged. Inserts still anti-join the
+      // FULL target (a match in an untouched file must suppress the
+      // insert) and land as new files beside the rewritten ones.
+      val partial = cowPartition(tgt, () => {
+        val withFile = spark.table(tgt)
+          .select((col("_metadata.file_path").as("__cow_file") +:
+            schema.fields.map(f => col(f.name)).toSeq): _*).as(tgt)
+        withFile.join(source, onExpr, "left_semi")
+          .select(col("__cow_file")).distinct()
+          .collect().map { r =>
+            val p = r.getString(0)
+            p.substring(p.lastIndexOf('/') + 1)
+          }.toSet
+      })
+      partial match {
+        case Some((touched, untouched)) =>
+          val matchPartObs = org.apache.spark.sql.Observation()
+          val touchedSurvivors =
+            if (touched.isEmpty) None
+            else {
+              val touchedScan = spark.read.schema(schema)
+                .parquet(touched.map(_.toString): _*).as(tgt)
+              val joinedT = touchedScan.join(source, onExpr, "left_outer")
+                .observe(matchPartObs, count(when(matchedCol, 1)).as("n"))
+              Some(
+                if (matchedDelete) joinedT.filter(!matchedCol)
+                  .select(schema.fields.map(f =>
+                    col(s"$tgt.${f.name}").as(f.name)).toIndexedSeq: _*)
+                else withGenerated(tgt, joinedT.select(schema.fields.map { f =>
+                  val base = col(s"$tgt.${f.name}")
+                  assigns.get(f.name.toLowerCase) match {
+                    case Some(e) =>
+                      when(matchedCol, expr(inlineFunctions(e)).cast(f.dataType))
+                        .otherwise(base).as(f.name)
+                    case None => base.as(f.name)
+                  }
+                }.toIndexedSeq: _*)))
+            }
+          val rewritten = (touchedSurvivors.toSeq ++ inserted.toSeq)
+            .reduceOption(_ unionByName _)
+          def nMatched: Long =
+            if (touched.isEmpty) 0L else observedCount(matchPartObs)
+          def nInserted: Long =
+            if (inserted.isEmpty || rewritten.isEmpty) 0L
+            else observedCount(insObs)
+          rewriteSwapPartial(tgt, rewritten, untouched, "merge")(
+            (if (matchedDelete) nMatched else 0L) - nInserted)
+          rowCountResult(nMatched + nInserted)
+        case None =>
+          val rewritten = inserted match {
+            case Some(ins) => survivors.unionByName(ins)
+            case None => survivors
+          }
+          rewriteSwap(tgt, rewritten, "merge")
+          val nMatched = observedCount(matchObs)
+          val nInserted = if (inserted.isEmpty) 0L else observedCount(insObs)
+          rowCountResult(nMatched + nInserted)
       }
-      rewriteSwap(tgt, rewritten, "merge")
-      val nMatched = observedCount(matchObs)
-      val nInserted = if (inserted.isEmpty) 0L else observedCount(insObs)
-      rowCountResult(nMatched + nInserted)
     }
   }
 

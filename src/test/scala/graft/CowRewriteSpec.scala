@@ -114,6 +114,54 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("select count(*) as n from cowf").collect()(0).getLong(0) == 0L)
   }
 
+  test("selective MERGE rewrites only matched files; anti-join sees the whole target") {
+    engine.run("create table cowm(k int, v int)")
+    engine.run("insert into cowm select cast(id as int), 0 from range(0, 1000)")
+    engine.run("insert into cowm select cast(id as int), 0 from range(1000, 2000)")
+    engine.run("insert into cowm select cast(id as int), 0 from range(2000, 3000)")
+    engine.run("create table cowsrc(k int, v int)")
+    // k=2500 and k=100 match rows in two file families (both rewritten,
+    // suppressing their inserts); the middle family is untouched; k=9999
+    // matches nothing and must insert
+    engine.run("insert into cowsrc values (2500, 77), (100, 88), (9999, 99)")
+    val before = dataFiles("cowm")
+    val affected = engine.run(
+      "merge into cowm using cowsrc on cowm.k = cowsrc.k " +
+        "when matched then update set v = cowsrc.v " +
+        "when not matched then insert (k, v) values (cowsrc.k, cowsrc.v)")
+      .collect()(0).getLong(0)
+    assert(affected == 3L, s"2 matched + 1 inserted, got $affected")
+    val after = dataFiles("cowm")
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept.nonEmpty, "no original file survived — full rewrite happened")
+    kept.foreach { n => assert(after(n) == before(n), s"$n inode changed") }
+    val r = engine.run("select count(*) as n, sum(v) as s from cowm").collect()(0)
+    assert(r.getLong(0) == 3001L, r.toString) // 3000 + the one true insert
+    assert(r.getLong(1) == 77L + 88L + 99L, r.toString)
+    // the matched-in-untouched-file row updated in place
+    assert(engine.run("select v from cowm where k = 100").collect()(0).getInt(0) == 88)
+    assert(engine.run("select count(*) as n from cowm where k = 9999")
+      .collect()(0).getLong(0) == 1L)
+  }
+
+  test("MERGE ... WHEN MATCHED THEN DELETE goes file-granular too") {
+    engine.run("create table cowmd(k int)")
+    engine.run("insert into cowmd select cast(id as int) from range(0, 500)")
+    engine.run("insert into cowmd select cast(id as int) from range(500, 1000)")
+    engine.run("create table cowmds(k int)")
+    engine.run("insert into cowmds values (750)")
+    val before = dataFiles("cowmd")
+    val affected = engine.run(
+      "merge into cowmd using cowmds on cowmd.k = cowmds.k " +
+        "when matched then delete").collect()(0).getLong(0)
+    assert(affected == 1L)
+    val after = dataFiles("cowmd")
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept.nonEmpty, "no original file survived — full rewrite happened")
+    kept.foreach { n => assert(after(n) == before(n), s"$n inode changed") }
+    assert(engine.run("select count(*) as n from cowmd").collect()(0).getLong(0) == 999L)
+  }
+
   test("COW delete feeds IVM deltas exactly (incremental matview refresh)") {
     engine.run("create table cowb(g varchar, x int)")
     engine.run("insert into cowb values ('a', 1), ('a', 2)")
