@@ -458,9 +458,29 @@ private object Pgwire {
       out.writeInt(4 + buf.size)
       buf.writeTo(out)
     }
+    // pg reports GUC_REPORT parameter changes with ParameterStatus ('S')
+    // before ReadyForQuery — pgJDBC tracks the session TimeZone for
+    // timestamp decoding from exactly these messages, so a SET TimeZone
+    // that goes unreported desynchronizes the client's decoder.
+    def reportedVals(): Map[String, String] = Map(
+      "TimeZone" -> engine.renderZone(gsess).getId,
+      "DateStyle" -> gsess.confOverlay.getOrElse("datestyle", "ISO, MDY"),
+      "client_encoding" -> gsess.confOverlay.getOrElse("client_encoding", "UTF8"),
+      "application_name" -> gsess.confOverlay.getOrElse("application_name", ""))
+    var lastReported: Map[String, String] = Map.empty
+
     // status byte from the engine: 'T' in an open transaction, 'E' in an
-    // aborted one, 'I' idle — pgJDBC and friends track txn state from it
-    def ready(): Unit = { msg('Z')(_.writeByte(engine.txnStatus(gsess))); out.flush() }
+    // aborted one, 'I' idle — pgJDBC and friends track txn state from it.
+    // Changed report-GUCs flush as ParameterStatus just before it.
+    def ready(): Unit = {
+      val now = reportedVals()
+      now.foreach { case (k, v) =>
+        if (lastReported.get(k).exists(_ != v))
+          msg('S') { d => cstr(d, k); cstr(d, v) }
+      }
+      lastReported = now
+      msg('Z')(_.writeByte(engine.txnStatus(gsess))); out.flush()
+    }
     def error(message: String): Unit = msg('E') { d =>
       d.writeByte('S'); cstr(d, "ERROR")
       d.writeByte('V'); cstr(d, "ERROR")
@@ -516,10 +536,11 @@ private object Pgwire {
     def dropPortal(p: Portal): Unit = p.closeSpool()
     try {
     msg('R')(_.writeInt(0)) // AuthenticationOk — trust, like the reference
-    Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
-      "client_encoding" -> "UTF8", "DateStyle" -> "ISO, MDY",
-      "integer_datetimes" -> "on", "standard_conforming_strings" -> "on")
+    (Seq("server_version" -> "15.0 (graft)", "server_encoding" -> "UTF8",
+      "integer_datetimes" -> "on", "standard_conforming_strings" -> "on") ++
+      reportedVals().toSeq) // TimeZone/DateStyle/encoding: session values
       .foreach { case (k, v) => msg('S') { d => cstr(d, k); cstr(d, v) } }
+    lastReported = reportedVals()
     msg('K') { d => d.writeInt(pid); d.writeInt(secret) } // BackendKeyData
     ready()
 

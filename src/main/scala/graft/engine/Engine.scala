@@ -660,6 +660,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private val reSetTimeZone = """(?is)\s*set\s+time\s+zone\s+(.+?)\s*""".r
   private val reSetTo =
     """(?is)\s*set\s+(?:session\s+)?(\S+)\s+to\s+(.*\S)\s*""".r
+  // pg `SHOW <guc>` (pgJDBC issues SHOW transaction_isolation on
+  // getTransactionIsolation; psql \timing scripts SHOW TimeZone). Only
+  // recognized GUCs answer here — SHOW TABLES etc. fall through to Spark.
+  private val reShowVar = """(?is)\s*show\s+([\w.]+)\s*""".r
+  private val reShowTimeZone = """(?is)\s*show\s+time\s+zone\s*""".r
+  private val showableGucs = Set("timezone", "datestyle", "intervalstyle",
+    "extra_float_digits", "application_name", "client_encoding",
+    "client_min_messages", "search_path", "transaction_isolation",
+    "server_version", "standard_conforming_strings", "integer_datetimes")
+
+  private def showVar(key: String): DataFrame = {
+    val k = key.toLowerCase
+    val s = sess
+    val v = k match {
+      case "timezone" => renderZone(s).getId
+      case "transaction_isolation" =>
+        val snap = if (s.txnOpen) s.txnSnapshotReads else s.defaultSnapshotReads
+        if (snap) "repeatable read" else "read committed"
+      case "server_version" => "15.0 (graft)"
+      case "datestyle" => s.confOverlay.getOrElse(k, "ISO, MDY")
+      case "client_encoding" => s.confOverlay.getOrElse(k, "UTF8")
+      case "extra_float_digits" => s.confOverlay.getOrElse(k, "1")
+      case "search_path" => s.confOverlay.getOrElse(k, "public")
+      case "standard_conforming_strings" | "integer_datetimes" => "on"
+      case other => s.confOverlay.getOrElse(other,
+        spark.conf.getOption(key).getOrElse(throw new IllegalArgumentException(
+          s"""unrecognized configuration parameter "$key"""")))
+    }
+    val sq = spark
+    import sq.implicits._
+    Seq(v).toDF(k)
+  }
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reAnalyze = """(?is)\s*analyze\s+table\s+(\w+)\b.*""".r
   private val reExplain = """(?is)\s*explain\s+(.*)""".r
@@ -2156,6 +2188,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       else setVar("timezone", z)
     case reSetTo(key, value) =>
       setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
+    case reShowTimeZone() => showVar("timezone")
+    case reShowVar(key) if showableGucs.contains(key.toLowerCase) ||
+        sess.confOverlay.contains(key.toLowerCase) => showVar(key)
     case reDiscard(what) => discard(what.toLowerCase)
     case reResetStmt(key) => resetVar(key)
     case reExplainAnalyze(body) => explainAnalyze(body)

@@ -1427,4 +1427,45 @@ class ServerSpec extends AnyFunSuite {
       server.close()
     }
   }
+
+  test("SHOW gucs answer per session; SET TimeZone emits ParameterStatus") {
+    val dir = freshDir("/root/repo/target/graft-tmp/show-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-show-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val a = new PgClient(server.getLocalPort)
+    try {
+      a.startup()
+      def one(ms: Seq[(Char, Array[Byte])]): String =
+        new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
+          StandardCharsets.UTF_8)
+      // pgJDBC probes these two on connect / getTransactionIsolation
+      assert(one(a.query("SHOW transaction_isolation")) == "read committed")
+      assert(one(a.query("show server_version")).contains("graft"))
+      assert(one(a.query("SHOW TimeZone")) == "UTC") // engine default
+      // a SET TimeZone answers through SHOW and arrives as
+      // ParameterStatus('S', TimeZone) before ReadyForQuery — pgJDBC
+      // re-points its timestamp decoder from exactly this message
+      val ms = a.query("SET TimeZone = 'Asia/Tokyo'")
+      val params = ms.collect { case ('S', b) =>
+        val parts = new String(b, StandardCharsets.UTF_8).split("\u0000")
+        parts(0) -> parts(1)
+      }.toMap
+      assert(params.get("TimeZone").contains("Asia/Tokyo"),
+        s"no ParameterStatus(TimeZone) after SET: $params")
+      assert(one(a.query("SHOW TIME ZONE")) == "Asia/Tokyo")
+      // SET SESSION CHARACTERISTICS flips what SHOW reports
+      a.query("SET SESSION CHARACTERISTICS AS TRANSACTION ISOLATION LEVEL REPEATABLE READ")
+      assert(one(a.query("SHOW transaction_isolation")) == "repeatable read")
+      // SHOW TABLES still reaches Spark (the GUC handler must not shadow it)
+      engine.run("create table showt(v int)")
+      val st = a.query("SHOW TABLES")
+      assert(st.exists(_._1 == 'D'), "SHOW TABLES returned no rows")
+    } finally {
+      a.close()
+      server.close()
+    }
+  }
 }
