@@ -4345,8 +4345,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             existing.join(exc, matchCond, "left_semi"),
             postSel(existing.join(exc, matchCond, "inner"))
               .unionByName(inserts))
-          rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
-          refresh(table)
+          // file-granular fast path (r16): only files holding a row whose
+          // key CONFLICTS with a proposed row rewrite; the rest hard-link.
+          // Inserts anti-joined the FULL target above, so they are exact
+          // regardless of which files rewrite. newRows is cached: the
+          // probe's extra semi-join reads the same materialized rows.
+          val partial = cowPartition(table, () => {
+            val withFile = spark.table(table)
+              .select((col("_metadata.file_path").as("__cow_file") +:
+                schema.fields.map(f => col(f.name)).toSeq): _*)
+            withFile.join(exc, matchCond, "left_semi")
+              .select(col("__cow_file")).distinct()
+              .collect().map { r =>
+                val p = r.getString(0)
+                p.substring(p.lastIndexOf('/') + 1)
+              }.toSet
+          })
+          partial match {
+            case Some((touched, untouched)) =>
+              val insObs = org.apache.spark.sql.Observation()
+              val insertsObs = inserts.observe(insObs, count(lit(1)).as("n"))
+              val rewrittenTouched =
+                if (touched.isEmpty) insertsObs
+                else postSel(spark.read.schema(schema)
+                    .parquet(touched.map(_.toString): _*)
+                    .join(exc, matchCond, "left_outer"))
+                  .unionByName(insertsObs)
+              rewriteSwapPartial(table, Some(rewrittenTouched), untouched,
+                "upsert")(-observedCount(insObs))
+            case None =>
+              rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
+              refresh(table)
+          }
           // pg: every proposed row is either inserted or updated
           rowCountResult(newRows.count())
         } finally newRows.unpersist()

@@ -162,6 +162,42 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("select count(*) as n from cowmd").collect()(0).getLong(0) == 999L)
   }
 
+  test("ON CONFLICT DO UPDATE rewrites only conflicting files; inserts append") {
+    engine.run("create table cowup(k int, v int)")
+    engine.run("insert into cowup select cast(id as int), 0 from range(0, 1000)")
+    engine.run("insert into cowup select cast(id as int), 0 from range(1000, 2000)")
+    engine.run("insert into cowup select cast(id as int), 0 from range(2000, 3000)")
+    val before = dataFiles("cowup")
+    val affected = engine.run(
+      "insert into cowup values (1500, 42), (5000, 7) " +
+        "on conflict (k) do update set v = excluded.v")
+      .collect()(0).getLong(0)
+    assert(affected == 2L) // pg: every proposed row inserted or updated
+    val after = dataFiles("cowup")
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept.nonEmpty, "no original file survived — full rewrite happened")
+    kept.foreach { n => assert(after(n) == before(n), s"$n inode changed") }
+    val r = engine.run(
+      "select count(*) as n, sum(v) as s from cowup").collect()(0)
+    assert(r.getLong(0) == 3001L && r.getLong(1) == 49L, r.toString)
+  }
+
+  test("VACUUM after a COW delete: shared inodes survive, live table intact") {
+    engine.run("create table cowv(v int)")
+    engine.run("insert into cowv select cast(id as int) from range(0, 500)")
+    engine.run("insert into cowv select cast(id as int) from range(500, 1000)")
+    engine.run("delete from cowv where v = 750") // links untouched files
+    engine.run("vacuum cowv retain 0 versions")  // drops archived versions
+    // the live directory's hard links own the inodes — reads stay whole
+    val r = engine.run("select count(*) as n, sum(v) as s from cowv").collect()(0)
+    assert(r.getLong(0) == 999L)
+    assert(r.getLong(1) == (0L until 1000L).sum - 750L)
+    // and another COW delete on the post-vacuum state still works
+    assert(engine.run("delete from cowv where v = 250")
+      .collect()(0).getLong(0) == 1L)
+    assert(engine.run("select count(*) as n from cowv").collect()(0).getLong(0) == 998L)
+  }
+
   test("COW delete feeds IVM deltas exactly (incremental matview refresh)") {
     engine.run("create table cowb(g varchar, x int)")
     engine.run("insert into cowb values ('a', 1), ('a', 2)")

@@ -1,0 +1,60 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine.Engine
+
+/** Per-session GUC semantics at the ENGINE level (r16): one session's
+  * pragma toggles and SET overlay must not re-plan or re-render another
+  * session's statements (pg GUC scoping). The wire-level twin lives in
+  * ServerSpec ("per-session TimeZone", "SHOW gucs").
+  */
+class SessionGucSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private lazy val engine = {
+    val dir = "/root/repo/target/graft-tmp/sessguc-warehouse"
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p)
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+    new Engine(spark, dir)
+  }
+
+  test("pragma disable_vector_index is session-scoped") {
+    engine.run("create table vgx (a vector(2) not null, b varchar(10) not null)")
+    engine.run("insert into vgx values ('[0, 0]', 'p0'), ('[10, 10]', 'p1'), " +
+      "('[20, 20]', 'p2'), ('[30, 30]', 'p3')")
+    engine.run("CREATE INDEX vgx_hnsw ON vgx USING hnsw (a) " +
+      "WITH (nlists = 4, nprobe = 1)")
+    val q = "select b from vgx order by a <-> '[1, 1]'::VECTOR(2) limit 3"
+    val a = engine.newSession()
+    val b = engine.newSession()
+    // both start on the approximate index tier: nprobe=1 ranks one cell
+    assert(engine.run(q, a).collect().length == 1)
+    assert(engine.run(q, b).collect().length == 1)
+    // A disables; A gets the exact scan, B keeps the index tier
+    engine.run("pragma disable_vector_index", a)
+    assert(engine.run(q, a).collect().length == 3, "A should scan exactly")
+    assert(engine.run(q, b).collect().length == 1,
+      "A's pragma re-planned B's query — GUC leaked across sessions")
+    // DISCARD ALL restores A's default
+    engine.run("discard all", a)
+    assert(engine.run(q, a).collect().length == 1)
+  }
+
+  test("SET overlay and SHOW are per session; RESET ALL clears only the caller") {
+    val a = engine.newSession()
+    val b = engine.newSession()
+    engine.run("SET TimeZone = 'Asia/Tokyo'", a)
+    assert(engine.run("show timezone", a).collect()(0).getString(0) == "Asia/Tokyo")
+    assert(engine.run("show timezone", b).collect()(0).getString(0) == "UTC")
+    engine.run("SET datestyle TO 'German'", b)
+    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "German")
+    assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, MDY")
+    engine.run("RESET ALL", a)
+    assert(engine.run("show timezone", a).collect()(0).getString(0) == "UTC")
+    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "German")
+  }
+}
