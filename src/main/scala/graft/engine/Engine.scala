@@ -4453,6 +4453,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // file-granular fast path: rewrite ONLY the files that can contain a
     // matching row, hard-link the rest (see cowTouchedFiles) — a
     // selective DELETE costs O(matched files) I/O, not O(table)
+    // unconditional DELETE is truncate-shaped (r16): no scan at all —
+    // rows_affected comes from the exact row-count ledger, the IVM
+    // pre-image delta hard-links the current data files (they ARE the
+    // deleted rows), and the commit swaps in an empty directory. O(#files)
+    // metadata work at any table size. RETURNING falls back to the scan
+    // path (the pre-image rows must materialize anyway), as does a table
+    // without a ledger baseline (rows_affected must be exact).
+    if (cond.isEmpty && returningExprs.isEmpty && rowCounts.contains(table) &&
+        !buckets.contains(table)) {
+      val n = rowCounts(table)
+      if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+        val newV = history.get(table).map(_.length).getOrElse(1)
+        val dd = deleteDeltaDir(table, newV)
+        if (Files.isDirectory(dd)) deleteRecursively(dd, keepRoot = false)
+        Files.createDirectories(dd)
+        val s = Files.list(Paths.get(tableDir(table)))
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+            .foreach(f => Files.createLink(dd.resolve(f.getFileName), f))
+        } finally s.close()
+      }
+      rewriteSwapPartial(table, None, Seq.empty, "delete")(n)
+      return rowCountResult(n)
+    }
     val matchedCol = cond.map(c =>
       coalesce(expr(inlineFunctions(c)), lit(false)))
     matchedCol.flatMap(m => cowTouchedFiles(table, m)).foreach {

@@ -198,6 +198,29 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("select count(*) as n from cowv").collect()(0).getLong(0) == 998L)
   }
 
+  test("unconditional DELETE is scan-free: ledger count, empty swap, linked delta") {
+    engine.run("create table cowt0(g varchar, x int)")
+    engine.run("insert into cowt0 values ('a', 1), ('a', 2), ('b', 10)")
+    engine.run(
+      "create materialized view cowt0mv as select g, count(*) as n from cowt0 group by g")
+    val affected = engine.run("delete from cowt0").collect()(0).getLong(0)
+    assert(affected == 3L)
+    assert(engine.run("select count(*) as n from cowt0").collect()(0).getLong(0) == 0L)
+    // the linked pre-image delta keeps the matview refresh incremental
+    val mode = engine.run("refresh materialized view cowt0mv")
+      .collect()(0).getString(0)
+    assert(mode == "incremental", mode)
+    assert(engine.run("select count(*) as n from cowt0mv").collect()(0).getLong(0) == 0L)
+    // time travel still reads the archived pre-state
+    val past = engine.run("select count(*) as n from cowt0 version as of 1")
+      .collect()(0).getLong(0)
+    assert(past == 3L)
+    // and the table keeps working: insert + delete again
+    engine.run("insert into cowt0 values ('c', 5)")
+    assert(engine.run("select g from cowt0").collect()(0).getString(0) == "c")
+    assert(engine.run("delete from cowt0").collect()(0).getLong(0) == 1L)
+  }
+
   test("COW delete feeds IVM deltas exactly (incremental matview refresh)") {
     engine.run("create table cowb(g varchar, x int)")
     engine.run("insert into cowb values ('a', 1), ('a', 2)")
