@@ -465,7 +465,9 @@ private object Pgwire {
     def reportedVals(): Map[String, String] = Map(
       "TimeZone" -> engine.renderZone(gsess).getId,
       "DateStyle" -> gsess.confOverlay.getOrElse("datestyle", "ISO, MDY"),
-      "client_encoding" -> gsess.confOverlay.getOrElse("client_encoding", "UTF8"),
+      // the server ONLY emits UTF-8 bytes — reporting anything else would
+      // desynchronize the client's decoder (non-UTF8 SETs are refused)
+      "client_encoding" -> "UTF8",
       "application_name" -> gsess.confOverlay.getOrElse("application_name", ""))
     var lastReported: Map[String, String] = Map.empty
 
@@ -556,11 +558,19 @@ private object Pgwire {
         d.writeShort(fmtCode(fmts, i))      // text / negotiated binary
       }
     }
-    // timestamps render in THIS CONNECTION's time zone (pg semantics):
-    // the session's SET TimeZone / startup-packet overlay first, then the
-    // engine conf (Tables.configure pins UTC), then the JVM default —
-    // two clients in different zones render independently (r16)
-    def sessionZone(): java.time.ZoneId = engine.renderZone(gsess)
+    // DATA timestamps are oid 1114 — timestamp WITHOUT time zone — which
+    // pg renders IDENTICALLY under any TimeZone GUC. So values always
+    // render in the ENGINE zone (the zone Spark parsed their literals in;
+    // Tables.configure pins UTC), never the session's: a per-session
+    // render zone would silently shift every value a non-UTC pgJDBC
+    // client reads back (it ships its JVM TimeZone in the startup
+    // packet), and one client's SET TimeZone must never restyle
+    // another's bytes. The session TimeZone GUC still exists — SET /
+    // SHOW / ParameterStatus — exactly like pg, where it too leaves
+    // oid-1114 text untouched.
+    def sessionZone(): java.time.ZoneId =
+      java.time.ZoneId.of(engine.spark.conf.get(
+        "spark.sql.session.timeZone", java.util.TimeZone.getDefault.getID))
     def sendDataRow(schema: StructType, r: org.apache.spark.sql.Row,
         fmts: Array[Int], zone: java.time.ZoneId): Unit = msg('D') { d =>
       d.writeShort(r.length)

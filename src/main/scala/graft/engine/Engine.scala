@@ -680,13 +680,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         if (snap) "repeatable read" else "read committed"
       case "server_version" => "15.0 (graft)"
       case "datestyle" => s.confOverlay.getOrElse(k, "ISO, MDY")
-      case "client_encoding" => s.confOverlay.getOrElse(k, "UTF8")
+      case "client_encoding" => "UTF8" // the server only emits UTF-8
       case "extra_float_digits" => s.confOverlay.getOrElse(k, "1")
       case "search_path" => s.confOverlay.getOrElse(k, "public")
       case "standard_conforming_strings" | "integer_datetimes" => "on"
-      case other => s.confOverlay.getOrElse(other,
-        spark.conf.getOption(key).getOrElse(throw new IllegalArgumentException(
-          s"""unrecognized configuration parameter "$key"""")))
+      case "intervalstyle" => s.confOverlay.getOrElse(k, "postgres")
+      case "application_name" => s.confOverlay.getOrElse(k, "")
+      case "client_min_messages" => s.confOverlay.getOrElse(k, "notice")
+      case other => s.confOverlay.get(other)
+        .orElse(s.pragmas.get(other)) // `SHOW <pragma>` reads the session map
+        .orElse(spark.conf.getOption(key))
+        .getOrElse(throw new IllegalArgumentException(
+          s"""unrecognized configuration parameter "$key""""))
     }
     val sq = spark
     import sq.implicits._
@@ -2190,7 +2195,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
     case reShowTimeZone() => showVar("timezone")
     case reShowVar(key) if showableGucs.contains(key.toLowerCase) ||
-        sess.confOverlay.contains(key.toLowerCase) => showVar(key)
+        sess.confOverlay.contains(key.toLowerCase) ||
+        sess.pragmas.contains(key.toLowerCase) => showVar(key)
     case reDiscard(what) => discard(what.toLowerCase)
     case reResetStmt(key) => resetVar(key)
     case reExplainAnalyze(body) => explainAnalyze(body)
@@ -2943,11 +2949,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * session overlay; anything else is ignored (user/database/options).
     * Lenient on bad values — a weird zone must not fail the connect.
     */
+  /** UTF-8 spellings pg accepts for client_encoding; everything the
+    * server emits is UTF-8, so any other encoding is refused (a SET) or
+    * ignored (a startup param) rather than falsely acknowledged.
+    */
+  private def isUtf8Name(v: String): Boolean =
+    Set("utf8", "utf-8", "unicode").contains(v.trim.toLowerCase)
+
   private[graft] def applyStartupParam(session: Session, key: String,
       value: String): Unit = {
     val k = key.toLowerCase
-    if (sessionDisplayConfs.contains(k) &&
-        (k != "timezone" || scala.util.Try(parseZone(value)).isSuccess))
+    val acceptable = k match {
+      case "timezone" => scala.util.Try(parseZone(value)).isSuccess
+      case "client_encoding" => isUtf8Name(value)
+      case _ => true
+    }
+    if (sessionDisplayConfs.contains(k) && acceptable)
       session.confOverlay(k) = value
   }
 
@@ -2966,6 +2983,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       refresh(table)
     } else if (sessionDisplayConfs.contains(k)) {
       if (k == "timezone") parseZone(value) // a bad zone errors AT SET, like pg
+      require(k != "client_encoding" || isUtf8Name(value),
+        s"conversion between $value and UTF8 is not supported")
       sess.confOverlay(k) = value
     } else {
       sess.confOverlay(k) = value
@@ -4354,12 +4373,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             val withFile = spark.table(table)
               .select((col("_metadata.file_path").as("__cow_file") +:
                 schema.fields.map(f => col(f.name)).toSeq): _*)
-            withFile.join(exc, matchCond, "left_semi")
-              .select(col("__cow_file")).distinct()
-              .collect().map { r =>
-                val p = r.getString(0)
-                p.substring(p.lastIndexOf('/') + 1)
-              }.toSet
+            fileBasenames(withFile.join(exc, matchCond, "left_semi")
+              .select(col("__cow_file")))
           })
           partial match {
             case Some((touched, untouched)) =>
@@ -4472,7 +4487,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         try {
           import scala.jdk.CollectionConverters._
           s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-            .foreach(f => Files.createLink(dd.resolve(f.getFileName), f))
+            .foreach(f => linkOrCopy(dd.resolve(f.getFileName), f))
         } finally s.close()
       }
       rewriteSwapPartial(table, None, Seq.empty, "delete")(n)
@@ -4484,9 +4499,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case (touched, untouched) =>
         val m = matchedCol.get
         val schema = tables(table)._1
+        // aliased like the catalog relation, so table-qualified column
+        // references (DELETE FROM t WHERE t.x = 1) resolve in the
+        // rewrite exactly as they did in the probe
         def touchedScan: DataFrame =
-          if (touched.isEmpty) spark.table(table).limit(0)
-          else spark.read.schema(schema).parquet(touched.map(_.toString): _*)
+          (if (touched.isEmpty) spark.table(table).limit(0)
+           else spark.read.schema(schema)
+             .parquet(touched.map(_.toString): _*)).as(table)
         val totalObs = org.apache.spark.sql.Observation()
         val keptObs = org.apache.spark.sql.Observation()
         val survivors =
@@ -4564,12 +4583,33 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def cowTouchedFiles(table: String, matched: Column)
       : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] =
-    cowPartition(table, () => spark.table(table).filter(matched)
-      .select(col("_metadata.file_path")).distinct()
-      .collect().map { r =>
-        val p = r.getString(0)
-        p.substring(p.lastIndexOf('/') + 1)
-      }.toSet)
+    cowPartition(table, () => fileBasenames(spark.table(table)
+      .filter(matched).select(col("_metadata.file_path"))))
+
+  /** Distinct source-file BASENAMES of a one-column frame of
+    * `_metadata.file_path` values. The paths arrive URI-encoded
+    * (space → %20), so decode before matching against the directory
+    * listing. Driver-bounded by the table's file count.
+    */
+  private def fileBasenames(paths: DataFrame): Set[String] =
+    paths.distinct().collect().map { r =>
+      val p = r.getString(0)
+      java.net.URLDecoder.decode(
+        p.substring(p.lastIndexOf('/') + 1), "UTF-8")
+    }.toSet
+
+  /** Hard-link `src` at `dst`; on a filesystem without link support fall
+    * back to a byte copy — COW degrades to copy-on-write-by-copy instead
+    * of failing the statement.
+    */
+  private def linkOrCopy(dst: java.nio.file.Path,
+      src: java.nio.file.Path): Unit =
+    try Files.createLink(dst, src)
+    catch {
+      case _: UnsupportedOperationException |
+           _: java.nio.file.FileSystemException =>
+        Files.copy(src, dst)
+    }
 
   /** The shared planning core: list the live data files and split them
     * against `probe`'s touched-file-name set (evaluated lazily, only
@@ -4626,7 +4666,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     // untouched files carry fresh UUID part names from their own write
     // jobs — they can never collide with the survivors' new part names
-    untouched.foreach(f => Files.createLink(tmp.resolve(f.getFileName), f))
+    untouched.foreach(f => linkOrCopy(tmp.resolve(f.getFileName), f))
     if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
     Files.move(live, aside)
     try Files.move(tmp, live)
@@ -4834,9 +4874,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // files is exact. rows_affected observes the touched-file scan.
     if (cond.isDefined) cowTouchedFiles(table, c).foreach {
       case (touched, untouched) =>
+        // aliased so table-qualified references in SET/WHERE resolve
         def touchedScan: DataFrame =
-          if (touched.isEmpty) spark.table(table).limit(0)
-          else spark.read.schema(schema).parquet(touched.map(_.toString): _*)
+          (if (touched.isEmpty) spark.table(table).limit(0)
+           else spark.read.schema(schema)
+             .parquet(touched.map(_.toString): _*)).as(table)
         val affPart = org.apache.spark.sql.Observation()
         val rewrittenTouched =
           if (touched.isEmpty) None
@@ -5057,12 +5099,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val withFile = spark.table(tgt)
           .select((col("_metadata.file_path").as("__cow_file") +:
             schema.fields.map(f => col(f.name)).toSeq): _*).as(tgt)
-        withFile.join(source, onExpr, "left_semi")
-          .select(col("__cow_file")).distinct()
-          .collect().map { r =>
-            val p = r.getString(0)
-            p.substring(p.lastIndexOf('/') + 1)
-          }.toSet
+        fileBasenames(withFile.join(source, onExpr, "left_semi")
+          .select(col("__cow_file")))
       })
       partial match {
         case Some((touched, untouched)) =>

@@ -198,6 +198,23 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("select count(*) as n from cowv").collect()(0).getLong(0) == 998L)
   }
 
+  test("table-qualified predicates resolve through the COW rewrite scan") {
+    engine.run("create table cowq(k int, v int)")
+    engine.run("insert into cowq select cast(id as int), 0 from range(0, 500)")
+    engine.run("insert into cowq select cast(id as int), 0 from range(500, 1000)")
+    // the probe resolves cowq.k against the catalog relation; the
+    // rewrite reads raw files and must carry the same alias (the r16
+    // review catch: unaliased touchedScan threw 'cannot resolve cowq.k')
+    assert(engine.run("update cowq set v = cowq.v + 7 where cowq.k = 750")
+      .collect()(0).getLong(0) == 1L)
+    assert(engine.run("select v from cowq where k = 750")
+      .collect()(0).getInt(0) == 7)
+    assert(engine.run("delete from cowq where cowq.k = 750")
+      .collect()(0).getLong(0) == 1L)
+    assert(engine.run("select count(*) as n from cowq")
+      .collect()(0).getLong(0) == 999L)
+  }
+
   test("unconditional DELETE is scan-free: ledger count, empty swap, linked delta") {
     engine.run("create table cowt0(g varchar, x int)")
     engine.run("insert into cowt0 values ('a', 1), ('a', 2), ('b', 10)")

@@ -1385,7 +1385,7 @@ class ServerSpec extends AnyFunSuite {
     }
   }
 
-  test("per-session TimeZone: two connections render the same timestamp differently") {
+  test("timestamp text is zone-independent; TimeZone GUC is per session") {
     val dir = freshDir("/root/repo/target/graft-tmp/tz2-warehouse")
     val engine = new Engine(spark, dir)
     val server = new ServerSocket(0)
@@ -1401,27 +1401,36 @@ class ServerSpec extends AnyFunSuite {
         new String(ms.collect { case ('D', bytes) => bytes }.head.drop(6),
           StandardCharsets.UTF_8)
       val q = "select timestamp '2024-06-01 12:34:56' as ts"
-      // A moves to New York; B stays on the engine default (UTC)
+      // oid 1114 (timestamp WITHOUT time zone): pg renders it identically
+      // under ANY TimeZone GUC — a SET must never shift the value a
+      // client wrote (the r16 review catch: a session render zone would
+      // hand every non-UTC pgJDBC client back a shifted timestamp)
       a.query("SET TimeZone = 'America/New_York'")
-      assert(one(a.query(q)) == "2024-06-01 08:34:56", "A renders in its zone")
-      assert(one(b.query(q)) == "2024-06-01 12:34:56",
-        "A's SET TimeZone leaked into B's rendering")
-      // B then picks its own zone; A keeps its setting (pg SET TIME ZONE form)
+      assert(one(a.query(q)) == "2024-06-01 12:34:56",
+        "timestamp-without-tz text must not follow the TimeZone GUC")
+      assert(one(b.query(q)) == "2024-06-01 12:34:56")
+      // ... but the GUC itself IS per session: SHOW answers each
+      // connection's own value and B's SET doesn't touch A's
       b.query("SET TIME ZONE 'Asia/Tokyo'")
-      assert(one(b.query(q)) == "2024-06-01 21:34:56", "B renders in its zone")
-      assert(one(a.query(q)) == "2024-06-01 08:34:56", "B's zone clobbered A")
-      // RESET restores the engine default for A only
+      assert(one(a.query("SHOW TimeZone")) == "America/New_York")
+      assert(one(b.query("SHOW TimeZone")) == "Asia/Tokyo")
       a.query("RESET timezone")
-      assert(one(a.query(q)) == "2024-06-01 12:34:56")
-      assert(one(b.query(q)) == "2024-06-01 21:34:56")
+      assert(one(a.query("SHOW TimeZone")) == "UTC")
+      assert(one(b.query("SHOW TimeZone")) == "Asia/Tokyo")
       // startup-packet TimeZone (pgJDBC ships it before any SET)
       c.startupWith("TimeZone" -> "Europe/Berlin")
-      assert(one(c.query(q)) == "2024-06-01 14:34:56",
-        "startup-packet TimeZone ignored")
+      assert(one(c.query("SHOW TimeZone")) == "Europe/Berlin")
+      assert(one(c.query(q)) == "2024-06-01 12:34:56")
       // a bogus zone errors at SET, pg-style, and leaves the session usable
       val bad = a.query("SET TimeZone = 'Not/AZone'")
       assert(bad.exists(_._1 == 'E'), "invalid zone accepted")
-      assert(one(a.query(q)) == "2024-06-01 12:34:56")
+      assert(one(a.query("SHOW TimeZone")) == "UTC")
+      // non-UTF8 client_encoding is refused (the server only emits UTF-8)
+      assert(a.query("SET client_encoding = 'LATIN1'").exists(_._1 == 'E'))
+      assert(one(a.query("SHOW client_encoding")) == "UTF8")
+      // unset display GUCs answer their pg defaults, not an error
+      assert(one(a.query("SHOW application_name")) == "")
+      assert(one(a.query("SHOW IntervalStyle")) == "postgres")
     } finally {
       a.close(); b.close(); c.close()
       server.close()
