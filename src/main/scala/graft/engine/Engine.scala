@@ -665,20 +665,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // recognized GUCs answer here — SHOW TABLES etc. fall through to Spark.
   private val reShowVar = """(?is)\s*show\s+([\w.]+)\s*""".r
   private val reShowTimeZone = """(?is)\s*show\s+time\s+zone\s*""".r
+  private val reShowAll = """(?is)\s*show\s+all\s*""".r
   private val showableGucs = Set("timezone", "datestyle", "intervalstyle",
     "extra_float_digits", "application_name", "client_encoding",
     "client_min_messages", "search_path", "transaction_isolation",
-    "server_version", "standard_conforming_strings", "integer_datetimes")
+    "server_version", "server_version_num", "standard_conforming_strings",
+    "integer_datetimes")
 
-  private def showVar(key: String): DataFrame = {
+  /** Current setting text for one GUC — shared by SHOW, SHOW ALL and
+    * `current_setting(...)`. Throws pg's message for an unknown name.
+    */
+  private def gucValue(key: String): String = {
     val k = key.toLowerCase
     val s = sess
-    val v = k match {
+    k match {
       case "timezone" => renderZone(s).getId
       case "transaction_isolation" =>
         val snap = if (s.txnOpen) s.txnSnapshotReads else s.defaultSnapshotReads
         if (snap) "repeatable read" else "read committed"
       case "server_version" => "15.0 (graft)"
+      case "server_version_num" => "150000"
       case "datestyle" => s.confOverlay.getOrElse(k, "ISO, MDY")
       case "client_encoding" => "UTF8" // the server only emits UTF-8
       case "extra_float_digits" => s.confOverlay.getOrElse(k, "1")
@@ -693,9 +699,49 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         .getOrElse(throw new IllegalArgumentException(
           s"""unrecognized configuration parameter "$key""""))
     }
+  }
+
+  private def showVar(key: String): DataFrame = {
     val sq = spark
     import sq.implicits._
-    Seq(v).toDF(k)
+    Seq(gucValue(key)).toDF(key.toLowerCase)
+  }
+
+  /** pg `SHOW ALL`: (name, setting) for every answerable GUC — the fixed
+    * set plus this session's SET overlay and pragmas.
+    */
+  private def showAll(): DataFrame = {
+    val s = sess
+    val names = (showableGucs ++ s.confOverlay.keySet ++ s.pragmas.keySet)
+      .toSeq.sorted
+    val sq = spark
+    import sq.implicits._
+    names.map(n => (n, scala.util.Try(gucValue(n)).getOrElse("")))
+      .toDF("name", "setting")
+  }
+
+  /** pg `current_setting('name' [, missing_ok])` — STABLE within a
+    * statement, so bind-time literal substitution is exact (the same
+    * contract as currval/lastval above). Quote-aware: the text inside a
+    * string literal is payload.
+    */
+  private val reCurrentSetting =
+    """(?i)\bcurrent_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
+  private[graft] def rewriteCurrentSetting(sql: String): String = {
+    if (!sql.toLowerCase.contains("current_setting")) return sql
+    val mask = SqlText.quotedMask(sql)
+    reCurrentSetting.replaceAllIn(sql, m => {
+      if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+      else {
+        val missingOk = Option(m.group(2)).exists(_.equalsIgnoreCase("true"))
+        val v = try Some(gucValue(m.group(1))) catch {
+          case e: IllegalArgumentException => if (missingOk) None else throw e
+        }
+        java.util.regex.Matcher.quoteReplacement(v
+          .map(x => "'" + x.replace("'", "''") + "'")
+          .getOrElse("CAST(NULL AS STRING)"))
+      }
+    })
   }
   private val reExplainAnalyze = """(?is)\s*explain\s+analyze\s+(.*)""".r
   private val reAnalyze = """(?is)\s*analyze\s+table\s+(\w+)\b.*""".r
@@ -2194,6 +2240,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reSetTo(key, value) =>
       setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
     case reShowTimeZone() => showVar("timezone")
+    case reShowAll() => showAll()
     case reShowVar(key) if showableGucs.contains(key.toLowerCase) ||
         sess.confOverlay.contains(key.toLowerCase) ||
         sess.pragmas.contains(key.toLowerCase) => showVar(key)
@@ -2319,10 +2366,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // and for currval/lastval anywhere (stable in-statement);
           // per-row nextval over a FROM source is refused inside
           // rewriteSeqFns with a pointer to the SERIAL/DEFAULT path
-          val q = if (usesSequenceFn(qRaw))
-            rewriteSeqFns(qRaw, allowNextval =
-              SqlText.indexOfTopLevelPhrase(qRaw, Seq("from")) < 0)
-          else qRaw
+          val qcs = rewriteCurrentSetting(qRaw)
+          val q = if (usesSequenceFn(qcs))
+            rewriteSeqFns(qcs, allowNextval =
+              SqlText.indexOfTopLevelPhrase(qcs, Seq("from")) < 0)
+          else qcs
           // QUALIFY (DuckDB/Snowflake extension) is rewritten to plain
           // SQL before anything else — recursively, so subquery and CTE
           // bodies carrying their own QUALIFY work too

@@ -44,6 +44,30 @@ class SessionGucSpec extends AnyFunSuite {
     assert(engine.run(q, a).collect().length == 1)
   }
 
+  test("current_setting() substitutes the session value; SHOW ALL lists GUCs") {
+    val a = engine.newSession()
+    engine.run("SET TimeZone = 'Asia/Tokyo'", a)
+    val r = engine.run(
+      "select current_setting('TimeZone') as tz, " +
+        "current_setting('server_version_num') as vn", a).collect()(0)
+    assert(r.getString(0) == "Asia/Tokyo" && r.getString(1) == "150000")
+    // missing_ok=true → NULL; without it → pg's error
+    assert(engine.run("select current_setting('no_such_guc', true) as v", a)
+      .collect()(0).isNullAt(0))
+    val ex = intercept[Exception] {
+      engine.run("select current_setting('no_such_guc') as v", a).collect()
+    }
+    assert(ex.getMessage.contains("unrecognized configuration parameter"))
+    // payload text inside a literal is NOT substituted
+    assert(engine.run("select 'current_setting(''x'')' as s", a)
+      .collect()(0).getString(0) == "current_setting('x')")
+    // SHOW ALL carries (name, setting) incl. this session's overlay
+    val all = engine.run("show all", a).collect()
+      .map(row => row.getString(0) -> row.getString(1)).toMap
+    assert(all("timezone") == "Asia/Tokyo")
+    assert(all.contains("transaction_isolation"))
+  }
+
   test("SET overlay and SHOW are per session; RESET ALL clears only the caller") {
     val a = engine.newSession()
     val b = engine.newSession()
