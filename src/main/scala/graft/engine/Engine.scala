@@ -2405,7 +2405,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // internal.slt): registered lazily, only when the statement
           // names one
           Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
-              "pg_sequences", "contributors", "graft_history")
+              "pg_sequences", "pg_settings", "contributors", "graft_history")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
           // repeatable read: pin/substitute table versions (analysis
@@ -5569,6 +5569,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // the reference hardcodes its project's contributor logins
         // (src/executor/system_table_scan.rs:27-35); this engine does the same
         Seq("spark-graft").toDF("login")
+      case "pg_settings" =>
+        // the view monitoring tools read; same rows as SHOW ALL, with
+        // pg's source column ('session' for SET values, 'default' else)
+        val s = sess
+        (showableGucs ++ s.confOverlay.keySet ++ s.pragmas.keySet).toSeq
+          .sorted.map { n =>
+            (n, scala.util.Try(gucValue(n)).getOrElse(""),
+              if (s.confOverlay.contains(n) || s.pragmas.contains(n))
+                "session" else "default")
+          }.toDF("name", "setting", "source")
       case "graft_history" =>
         // every table's commit log — the SQL-queryable twin of DESCRIBE
         // HISTORY (timestamps are a column, so tests and tools can project

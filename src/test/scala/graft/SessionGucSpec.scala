@@ -66,6 +66,11 @@ class SessionGucSpec extends AnyFunSuite {
       .map(row => row.getString(0) -> row.getString(1)).toMap
     assert(all("timezone") == "Asia/Tokyo")
     assert(all.contains("transaction_isolation"))
+    // pg_settings is the same data as a queryable system table
+    val ps = engine.run(
+      "select setting, source from pg_settings where name = 'timezone'", a)
+      .collect()(0)
+    assert(ps.getString(0) == "Asia/Tokyo" && ps.getString(1) == "session")
   }
 
   test("SET overlay and SHOW are per session; RESET ALL clears only the caller") {
