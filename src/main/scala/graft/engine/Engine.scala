@@ -727,10 +727,22 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private val reCurrentSetting =
     """(?i)\bcurrent_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
+  private val reVersionFn = """(?i)\bversion\s*\(\s*\)""".r
   private[graft] def rewriteCurrentSetting(sql: String): String = {
-    if (!sql.toLowerCase.contains("current_setting")) return sql
-    val mask = SqlText.quotedMask(sql)
-    reCurrentSetting.replaceAllIn(sql, m => {
+    val lower = sql.toLowerCase
+    val withVersion =
+      if (!lower.contains("version")) sql
+      else {
+        // pg version(): psql \conninfo and several ORMs probe it
+        val mask = SqlText.quotedMask(sql)
+        reVersionFn.replaceAllIn(sql, m =>
+          if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
+          else "'PostgreSQL 15.0 (graft Spark engine)'")
+      }
+    val sql2 = withVersion
+    if (!sql2.toLowerCase.contains("current_setting")) return sql2
+    val mask = SqlText.quotedMask(sql2)
+    reCurrentSetting.replaceAllIn(sql2, m => {
       if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
       else {
         val missingOk = Option(m.group(2)).exists(_.equalsIgnoreCase("true"))

@@ -61,6 +61,11 @@ class SessionGucSpec extends AnyFunSuite {
     // payload text inside a literal is NOT substituted
     assert(engine.run("select 'current_setting(''x'')' as s", a)
       .collect()(0).getString(0) == "current_setting('x')")
+    // version() answers the pg-shaped banner (psql \conninfo probes it)
+    assert(engine.run("select version() as v", a)
+      .collect()(0).getString(0).startsWith("PostgreSQL 15.0"))
+    assert(engine.run("select 'version()' as s", a)
+      .collect()(0).getString(0) == "version()")
     // SHOW ALL carries (name, setting) incl. this session's overlay
     val all = engine.run("show all", a).collect()
       .map(row => row.getString(0) -> row.getString(1)).toMap
