@@ -707,17 +707,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     Seq(gucValue(key)).toDF(key.toLowerCase)
   }
 
-  /** pg `SHOW ALL`: (name, setting) for every answerable GUC — the fixed
-    * set plus this session's SET overlay and pragmas.
+  /** (name, setting, source) for every answerable GUC — the fixed set
+    * plus THIS session's SET overlay and pragmas; source is 'session'
+    * for session-set values, 'default' otherwise. Shared by SHOW ALL
+    * and the pg_settings system table so the two can never diverge.
     */
-  private def showAll(): DataFrame = {
+  private def gucRows(): Seq[(String, String, String)] = {
     val s = sess
-    val names = (showableGucs ++ s.confOverlay.keySet ++ s.pragmas.keySet)
-      .toSeq.sorted
+    (showableGucs ++ s.confOverlay.keySet ++ s.pragmas.keySet).toSeq.sorted
+      .map { n =>
+        (n, scala.util.Try(gucValue(n)).getOrElse(""),
+          if (s.confOverlay.contains(n) || s.pragmas.contains(n)) "session"
+          else "default")
+      }
+  }
+
+  /** pg `SHOW ALL`: (name, setting) rows. */
+  private def showAll(): DataFrame = {
     val sq = spark
     import sq.implicits._
-    names.map(n => (n, scala.util.Try(gucValue(n)).getOrElse("")))
-      .toDF("name", "setting")
+    gucRows().map { case (n, v, _) => (n, v) }.toDF("name", "setting")
   }
 
   /** pg `current_setting('name' [, missing_ok])` — STABLE within a
@@ -726,8 +735,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * string literal is payload.
     */
   private val reCurrentSetting =
-    """(?i)\bcurrent_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
-  private val reVersionFn = """(?i)\bversion\s*\(\s*\)""".r
+    """(?i)\b(?:pg_catalog\s*\.\s*)?current_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
+  private val reVersionFn =
+    """(?i)\b(?:pg_catalog\s*\.\s*)?version\s*\(\s*\)""".r
   private[graft] def rewriteCurrentSetting(sql: String): String = {
     val lower = sql.toLowerCase
     val withVersion =
@@ -2417,9 +2427,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // internal.slt): registered lazily, only when the statement
           // names one
           Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
-              "pg_sequences", "pg_settings", "contributors", "graft_history")
+              "pg_sequences", "contributors", "graft_history")
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
+          // pg_settings is the one SESSION-DEPENDENT system table: a
+          // shared view name would race two concurrent read-locked
+          // sessions into each other's GUC snapshots, so it registers
+          // under a per-session name and the reference is rewritten
+          if ("""\bpg_settings\b""".r.findFirstIn(inlined.toLowerCase).isDefined) {
+            val vn = s"__graft_pg_settings_${sess.id}"
+            systemTable("pg_settings").createOrReplaceTempView(vn)
+            inlined = inlined.replaceAll("(?i)\\bpg_settings\\b", vn)
+          }
           // repeatable read: pin/substitute table versions (analysis
           // happens here, inside the try, while the tt views still exist)
           snapshotPin(vectorIndexScan(q2).getOrElse(spark.sql(inlined)))
@@ -3016,16 +3035,41 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def isUtf8Name(v: String): Boolean =
     Set("utf8", "utf-8", "unicode").contains(v.trim.toLowerCase)
 
+  /** Normalize a DateStyle SET to pg's canonical "ISO, MDY" form.
+    * pgJDBC kills the connection on any ParameterStatus(DateStyle) not
+    * starting with uppercase "ISO" — and the engine renders ISO text
+    * unconditionally — so only the ISO family is accepted; SQL/Postgres/
+    * German output styles are refused honestly rather than acknowledged
+    * while the bytes stay ISO.
+    */
+  private def normalizeDateStyle(v: String): String = {
+    var style = "ISO"; var order = "MDY"
+    v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).foreach {
+      case "iso" => style = "ISO"
+      case "sql" | "postgres" | "german" =>
+        throw new IllegalArgumentException(
+          s"""DateStyle "$v" is not supported: output is always ISO""")
+      case "mdy" | "us" | "noneuro" | "noneuropean" => order = "MDY"
+      case "dmy" | "euro" | "european" => order = "DMY"
+      case "ymd" => order = "YMD"
+      case other => throw new IllegalArgumentException(
+        s"""invalid value for parameter "DateStyle": "$other"""")
+    }
+    s"$style, $order"
+  }
+
   private[graft] def applyStartupParam(session: Session, key: String,
       value: String): Unit = {
     val k = key.toLowerCase
-    val acceptable = k match {
-      case "timezone" => scala.util.Try(parseZone(value)).isSuccess
-      case "client_encoding" => isUtf8Name(value)
-      case _ => true
+    val normalized: Option[String] = k match {
+      case "timezone" =>
+        if (scala.util.Try(parseZone(value)).isSuccess) Some(value) else None
+      case "client_encoding" => if (isUtf8Name(value)) Some(value) else None
+      case "datestyle" => scala.util.Try(normalizeDateStyle(value)).toOption
+      case _ => Some(value)
     }
-    if (sessionDisplayConfs.contains(k) && acceptable)
-      session.confOverlay(k) = value
+    if (sessionDisplayConfs.contains(k))
+      normalized.foreach(session.confOverlay(k) = _)
   }
 
   /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats
@@ -3043,9 +3087,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       refresh(table)
     } else if (sessionDisplayConfs.contains(k)) {
       if (k == "timezone") parseZone(value) // a bad zone errors AT SET, like pg
-      require(k != "client_encoding" || isUtf8Name(value),
-        s"conversion between $value and UTF8 is not supported")
-      sess.confOverlay(k) = value
+      if (k == "client_encoding" && !isUtf8Name(value))
+        throw new IllegalArgumentException(
+          s"conversion between $value and UTF8 is not supported")
+      sess.confOverlay(k) =
+        if (k == "datestyle") normalizeDateStyle(value) else value
     } else {
       sess.confOverlay(k) = value
       spark.conf.set(key, value)
@@ -5468,7 +5514,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   def inlineFunctions(sql: String): String = {
     // type-alias parity: the reference collapses bare VARCHAR/TEXT to its
     // string type (`src/types/mod.rs:114`); Spark requires VARCHAR(n)
-    var out = rewriteVectorOps(sql)
+    // current_setting()/version() substitute here too, so INSERT/UPDATE/
+    // upsert sources and SET expressions get them — not just top-level
+    // SELECTs (they are statement-stable, so any chokepoint is exact)
+    var out = rewriteVectorOps(rewriteCurrentSetting(sql))
       .replaceAll("(?i)\\bas\\s+varchar\\s*([,)])", "AS STRING$1")
       .replaceAll("(?i)\\bas\\s+text\\s*([,)])", "AS STRING$1")
     var changed = true
@@ -5583,14 +5632,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         Seq("spark-graft").toDF("login")
       case "pg_settings" =>
         // the view monitoring tools read; same rows as SHOW ALL, with
-        // pg's source column ('session' for SET values, 'default' else)
-        val s = sess
-        (showableGucs ++ s.confOverlay.keySet ++ s.pragmas.keySet).toSeq
-          .sorted.map { n =>
-            (n, scala.util.Try(gucValue(n)).getOrElse(""),
-              if (s.confOverlay.contains(n) || s.pragmas.contains(n))
-                "session" else "default")
-          }.toDF("name", "setting", "source")
+        // pg's source column
+        gucRows().toDF("name", "setting", "source")
       case "graft_history" =>
         // every table's commit log — the SQL-queryable twin of DESCRIBE
         // HISTORY (timestamps are a column, so tests and tools can project

@@ -61,11 +61,31 @@ class SessionGucSpec extends AnyFunSuite {
     // payload text inside a literal is NOT substituted
     assert(engine.run("select 'current_setting(''x'')' as s", a)
       .collect()(0).getString(0) == "current_setting('x')")
-    // version() answers the pg-shaped banner (psql \conninfo probes it)
+    // version() answers the pg-shaped banner (psql \conninfo probes it),
+    // including SQLAlchemy's pg_catalog-qualified form
     assert(engine.run("select version() as v", a)
+      .collect()(0).getString(0).startsWith("PostgreSQL 15.0"))
+    assert(engine.run("select pg_catalog.version() as v", a)
       .collect()(0).getString(0).startsWith("PostgreSQL 15.0"))
     assert(engine.run("select 'version()' as s", a)
       .collect()(0).getString(0) == "version()")
+    // ... and both substitute inside DML sources, not just top-level
+    // SELECTs (the r16 review catch: alignedSource skipped the rewrite)
+    engine.run("create table gucaud(who varchar, ver varchar)", a)
+    engine.run("SET application_name = 'etl-job'", a)
+    engine.run("insert into gucaud select current_setting('application_name'), " +
+      "version()", a)
+    val aud = engine.run("select who, ver from gucaud", a).collect()(0)
+    assert(aud.getString(0) == "etl-job" && aud.getString(1).startsWith("PostgreSQL"))
+    // DateStyle normalizes to pg's canonical form (pgJDBC kills the
+    // connection on a reported style not starting with uppercase ISO)
+    engine.run("SET datestyle = 'iso, dmy'", a)
+    assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, DMY")
+    val dsEx = intercept[Exception] {
+      engine.run("SET datestyle = 'German'", a)
+    }
+    assert(dsEx.getMessage.contains("ISO"), dsEx.getMessage)
+    engine.run("RESET datestyle", a)
     // SHOW ALL carries (name, setting) incl. this session's overlay
     val all = engine.run("show all", a).collect()
       .map(row => row.getString(0) -> row.getString(1)).toMap
@@ -84,11 +104,11 @@ class SessionGucSpec extends AnyFunSuite {
     engine.run("SET TimeZone = 'Asia/Tokyo'", a)
     assert(engine.run("show timezone", a).collect()(0).getString(0) == "Asia/Tokyo")
     assert(engine.run("show timezone", b).collect()(0).getString(0) == "UTC")
-    engine.run("SET datestyle TO 'German'", b)
-    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "German")
+    engine.run("SET datestyle TO 'ISO, YMD'", b)
+    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "ISO, YMD")
     assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, MDY")
     engine.run("RESET ALL", a)
     assert(engine.run("show timezone", a).collect()(0).getString(0) == "UTC")
-    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "German")
+    assert(engine.run("show datestyle", b).collect()(0).getString(0) == "ISO, YMD")
   }
 }
