@@ -735,13 +735,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * string literal is payload.
     */
   private val reCurrentSetting =
-    """(?i)\b(?:pg_catalog\s*\.\s*)?current_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
+    """(?i)(?<![\w.])(?:pg_catalog\s*\.\s*)?current_setting\s*\(\s*'([^']*)'\s*(?:,\s*(true|false)\s*)?\)""".r
   private val reVersionFn =
-    """(?i)\b(?:pg_catalog\s*\.\s*)?version\s*\(\s*\)""".r
+    """(?i)(?<![\w.])(?:pg_catalog\s*\.\s*)?version\s*\(\s*\)""".r
   private[graft] def rewriteCurrentSetting(sql: String): String = {
     val lower = sql.toLowerCase
     val withVersion =
-      if (!lower.contains("version")) sql
+      // a user-defined version() (CREATE FUNCTION) shadows the builtin
+      if (!lower.contains("version") || functions.contains("version")) sql
       else {
         // pg version(): psql \conninfo and several ORMs probe it
         val mask = SqlText.quotedMask(sql)
@@ -750,7 +751,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           else "'PostgreSQL 15.0 (graft Spark engine)'")
       }
     val sql2 = withVersion
-    if (!sql2.toLowerCase.contains("current_setting")) return sql2
+    if (!sql2.toLowerCase.contains("current_setting") ||
+        functions.contains("current_setting")) return sql2
     val mask = SqlText.quotedMask(sql2)
     reCurrentSetting.replaceAllIn(sql2, m => {
       if (mask(m.start)) java.util.regex.Matcher.quoteReplacement(m.matched)
@@ -2253,14 +2255,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reDropSequence(ie, name) => dropSequence(name, ifExists = ie != null)
     case reDrop(kind, name) => drop(kind.toLowerCase, name)
     case rePragma(key, value) => pragma(key, Option(value))
-    case reSet(key, value) => setVar(key, value.stripPrefix("'").stripSuffix("'"))
+    case reSet(key, value) =>
+      // unquoted DEFAULT is pg's RESET spelling (quoted 'default' is a value)
+      if (value.equalsIgnoreCase("default")) resetVar(key)
+      else setVar(key, value.stripPrefix("'").stripSuffix("'"))
     case reSetTimeZone(v) =>
       val z = v.trim.stripPrefix("'").stripSuffix("'")
       if (z.equalsIgnoreCase("local") || z.equalsIgnoreCase("default"))
         resetVar("timezone")
       else setVar("timezone", z)
     case reSetTo(key, value) =>
-      setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
+      if (value.trim.equalsIgnoreCase("default")) resetVar(key)
+      else setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
     case reShowTimeZone() => showVar("timezone")
     case reShowAll() => showAll()
     case reShowVar(key) if showableGucs.contains(key.toLowerCase) ||
@@ -2388,11 +2394,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // and for currval/lastval anywhere (stable in-statement);
           // per-row nextval over a FROM source is refused inside
           // rewriteSeqFns with a pointer to the SERIAL/DEFAULT path
-          val qcs = rewriteCurrentSetting(qRaw)
-          val q = if (usesSequenceFn(qcs))
-            rewriteSeqFns(qcs, allowNextval =
-              SqlText.indexOfTopLevelPhrase(qcs, Seq("from")) < 0)
-          else qcs
+          // (current_setting()/version() substitute inside
+          // inlineFunctions below — the chokepoint every path shares)
+          val q = if (usesSequenceFn(qRaw))
+            rewriteSeqFns(qRaw, allowNextval =
+              SqlText.indexOfTopLevelPhrase(qRaw, Seq("from")) < 0)
+          else qRaw
           // QUALIFY (DuckDB/Snowflake extension) is rewritten to plain
           // SQL before anything else — recursively, so subquery and CTE
           // bodies carrying their own QUALIFY work too
@@ -2433,15 +2440,25 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // pg_settings is the one SESSION-DEPENDENT system table: a
           // shared view name would race two concurrent read-locked
           // sessions into each other's GUC snapshots, so it registers
-          // under a per-session name and the reference is rewritten
+          // under a per-session name, the reference is rewritten
+          // QUOTE-AWARE ('pg_settings' in a literal is payload), and the
+          // view drops with the statement (no catalog growth under
+          // connection churn). Reachable from this SELECT path only —
+          // CTAS/INSERT sources don't resolve it, documented.
+          var psView: Option[String] = None
           if ("""\bpg_settings\b""".r.findFirstIn(inlined.toLowerCase).isDefined) {
             val vn = s"__graft_pg_settings_${sess.id}"
             systemTable("pg_settings").createOrReplaceTempView(vn)
-            inlined = inlined.replaceAll("(?i)\\bpg_settings\\b", vn)
+            psView = Some(vn)
+            inlined = mapOutsideQuotes(inlined,
+              _.replaceAll("(?i)\\bpg_settings\\b", vn))
           }
+          try {
           // repeatable read: pin/substitute table versions (analysis
           // happens here, inside the try, while the tt views still exist)
           snapshotPin(vectorIndexScan(q2).getOrElse(spark.sql(inlined)))
+          } finally psView.foreach(v =>
+            scala.util.Try(spark.catalog.dropTempView(v)))
           } finally ttViews.foreach(v => spark.catalog.dropTempView(v))
       }
     case reAnalyze(t) if tables.contains(t) =>
@@ -3043,8 +3060,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * while the bytes stay ISO.
     */
   private def normalizeDateStyle(v: String): String = {
-    var style = "ISO"; var order = "MDY"
-    v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty).foreach {
+    // pg preserves the component a SET leaves unspecified (SET 'ISO'
+    // after 'ISO, DMY' keeps DMY) and rejects an empty value
+    var style = "ISO"
+    var order = sess.confOverlay.get("datestyle")
+      .map(_.split(",")(1).trim).getOrElse("MDY")
+    val toks = v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
+    if (toks.isEmpty) throw new IllegalArgumentException(
+      s"""invalid value for parameter "DateStyle": "$v"""")
+    toks.foreach {
       case "iso" => style = "ISO"
       case "sql" | "postgres" | "german" =>
         throw new IllegalArgumentException(

@@ -85,7 +85,20 @@ class SessionGucSpec extends AnyFunSuite {
       engine.run("SET datestyle = 'German'", a)
     }
     assert(dsEx.getMessage.contains("ISO"), dsEx.getMessage)
+    // SET 'ISO' alone preserves the session's order component (pg)
+    assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, DMY")
+    engine.run("SET datestyle = 'ISO'", a)
+    assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, DMY")
+    // SET ... TO DEFAULT is pg's RESET spelling
+    engine.run("SET datestyle TO DEFAULT", a)
+    assert(engine.run("show datestyle", a).collect()(0).getString(0) == "ISO, MDY")
     engine.run("RESET datestyle", a)
+    // a user-defined version() shadows the builtin banner
+    engine.run(
+      "create function version() returns varchar language sql return 'graft-custom'", a)
+    assert(engine.run("select version() as v", a)
+      .collect()(0).getString(0) == "graft-custom")
+    engine.run("drop function version", a)
     // SHOW ALL carries (name, setting) incl. this session's overlay
     val all = engine.run("show all", a).collect()
       .map(row => row.getString(0) -> row.getString(1)).toMap
@@ -96,6 +109,12 @@ class SessionGucSpec extends AnyFunSuite {
       "select setting, source from pg_settings where name = 'timezone'", a)
       .collect()(0)
     assert(ps.getString(0) == "Asia/Tokyo" && ps.getString(1) == "session")
+    // the per-session rename is quote-aware: the literal survives, and
+    // a predicate comparing against it still matches
+    val lit = engine.run(
+      "select 'pg_settings' as src, count(*) as n from pg_settings", a)
+      .collect()(0)
+    assert(lit.getString(0) == "pg_settings" && lit.getLong(1) > 0)
   }
 
   test("SET overlay and SHOW are per session; RESET ALL clears only the caller") {
