@@ -128,6 +128,9 @@ class SltSpec extends AnyFunSuite {
     // recompute in every DML arm, dependency rules, IVM interplay
     "generated.slt",
     // round-15: ADD/DROP CONSTRAINT + SET/DROP NOT NULL on live tables
-    "alter_constraint.slt")
+    "alter_constraint.slt",
+    // round-16: session GUC surface — SET/SHOW/RESET/DEFAULT, DateStyle
+    // normalization, current_setting()/version(), SHOW ALL, pg_settings
+    "guc.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
