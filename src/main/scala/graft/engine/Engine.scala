@@ -2446,12 +2446,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // connection churn). Reachable from this SELECT path only —
           // CTAS/INSERT sources don't resolve it, documented.
           var psView: Option[String] = None
-          if ("""\bpg_settings\b""".r.findFirstIn(inlined.toLowerCase).isDefined) {
-            val vn = s"__graft_pg_settings_${sess.id}"
+          val rePgSettings = "(?i)(?:\\bpg_catalog\\s*\\.\\s*)?\\bpg_settings\\b"
+          val psRewritten = mapOutsideQuotes(inlined,
+            _.replaceAll(rePgSettings, "__graft_pg_settings_ref"))
+          if (psRewritten != inlined) {
+            // per-STATEMENT view name: two threads sharing one session
+            // (the embedded default) must not create/drop each other's
+            // snapshot mid-analysis
+            val vn = s"__graft_pg_settings_${sess.id}_${ttCounter.incrementAndGet()}"
             systemTable("pg_settings").createOrReplaceTempView(vn)
             psView = Some(vn)
-            inlined = mapOutsideQuotes(inlined,
-              _.replaceAll("(?i)\\bpg_settings\\b", vn))
+            inlined = psRewritten.replace("__graft_pg_settings_ref", vn)
           }
           try {
           // repeatable read: pin/substitute table versions (analysis
@@ -3059,12 +3064,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * German output styles are refused honestly rather than acknowledged
     * while the bytes stay ISO.
     */
-  private def normalizeDateStyle(v: String): String = {
+  private def normalizeDateStyle(v: String,
+      current: Option[String]): String = {
     // pg preserves the component a SET leaves unspecified (SET 'ISO'
-    // after 'ISO, DMY' keeps DMY) and rejects an empty value
+    // after 'ISO, DMY' keeps DMY) and rejects an empty value. `current`
+    // is the TARGET session's stored value — passed explicitly because
+    // applyStartupParam runs on the connection-accept thread, where the
+    // thread-local session is still the shared default (reading it
+    // there leaked another session's order component into a fresh
+    // connection).
     var style = "ISO"
-    var order = sess.confOverlay.get("datestyle")
-      .map(_.split(",")(1).trim).getOrElse("MDY")
+    var order = current.map(_.split(",")(1).trim).getOrElse("MDY")
     val toks = v.split(",").map(_.trim.toLowerCase).filter(_.nonEmpty)
     if (toks.isEmpty) throw new IllegalArgumentException(
       s"""invalid value for parameter "DateStyle": "$v"""")
@@ -3089,7 +3099,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "timezone" =>
         if (scala.util.Try(parseZone(value)).isSuccess) Some(value) else None
       case "client_encoding" => if (isUtf8Name(value)) Some(value) else None
-      case "datestyle" => scala.util.Try(normalizeDateStyle(value)).toOption
+      case "datestyle" => scala.util.Try(normalizeDateStyle(value,
+        session.confOverlay.get("datestyle"))).toOption
       case _ => Some(value)
     }
     if (sessionDisplayConfs.contains(k))
@@ -3115,7 +3126,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         throw new IllegalArgumentException(
           s"conversion between $value and UTF8 is not supported")
       sess.confOverlay(k) =
-        if (k == "datestyle") normalizeDateStyle(value) else value
+        if (k == "datestyle")
+          normalizeDateStyle(value, sess.confOverlay.get("datestyle"))
+        else value
     } else {
       sess.confOverlay(k) = value
       spark.conf.set(key, value)

@@ -109,12 +109,26 @@ class SessionGucSpec extends AnyFunSuite {
       "select setting, source from pg_settings where name = 'timezone'", a)
       .collect()(0)
     assert(ps.getString(0) == "Asia/Tokyo" && ps.getString(1) == "session")
-    // the per-session rename is quote-aware: the literal survives, and
+    // the per-statement rename is quote-aware: the literal survives, and
     // a predicate comparing against it still matches
     val lit = engine.run(
       "select 'pg_settings' as src, count(*) as n from pg_settings", a)
       .collect()(0)
     assert(lit.getString(0) == "pg_settings" && lit.getLong(1) > 0)
+    // pg_catalog-qualified form resolves too (psql internals qualify)
+    assert(engine.run(
+      "select count(*) as n from pg_catalog.pg_settings", a)
+      .collect()(0).getLong(0) > 0)
+    // concurrent statements on ONE session must not drop each other's
+    // snapshot mid-analysis (per-statement view names)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 4).map(_ => new Thread(() =>
+      try (1 to 5).foreach { _ =>
+        assert(engine.run("select count(*) from pg_settings", a)
+          .collect()(0).getLong(0) > 0)
+      } catch { case t: Throwable => errs.add(t) }))
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, s"concurrent pg_settings reads failed: ${errs.peek()}")
   }
 
   test("SET overlay and SHOW are per session; RESET ALL clears only the caller") {
