@@ -198,6 +198,22 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("select count(*) as n from cowv").collect()(0).getLong(0) == 998L)
   }
 
+  test("RETURNING flows through the COW paths: pre-image delete, post-image update") {
+    engine.run("create table cowr(k int, v int)")
+    engine.run("insert into cowr select cast(id as int), 0 from range(0, 500)")
+    engine.run("insert into cowr select cast(id as int), 0 from range(500, 1000)")
+    val upd = engine.run("update cowr set v = 9 where k = 750 returning k, v")
+      .collect()
+    assert(upd.length == 1 && upd(0).getInt(0) == 750 && upd(0).getInt(1) == 9,
+      upd.mkString(","))
+    val del = engine.run("delete from cowr where k = 750 returning k, v")
+      .collect()
+    assert(del.length == 1 && del(0).getInt(0) == 750 && del(0).getInt(1) == 9,
+      del.mkString(","))
+    assert(engine.run("select count(*) as n from cowr")
+      .collect()(0).getLong(0) == 999L)
+  }
+
   test("table-qualified predicates resolve through the COW rewrite scan") {
     engine.run("create table cowq(k int, v int)")
     engine.run("insert into cowq select cast(id as int), 0 from range(0, 500)")

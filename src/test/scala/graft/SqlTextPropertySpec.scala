@@ -26,6 +26,29 @@ object SqlTextPropertySpec extends Properties("SqlText") {
   property("mapOutsideQuotes with identity is the identity") =
     forAll(sqlGen) { s => SqlText.mapOutsideQuotes(s, identity) == s }
 
+  // quotedMask is load-bearing for five rewrites (sequence fns,
+  // current_setting/version, pg_settings rename, Server.isReadOnly):
+  // it must mark EXACTLY the literal spans — agreeing with
+  // mapOutsideQuotes, whose outside-segments are by construction the
+  // unmasked characters
+  property("quotedMask marks exactly what mapOutsideQuotes protects") =
+    forAll(sqlGen) { s =>
+      val mask = SqlText.quotedMask(s)
+      // rebuild the outside text two ways: (a) unmasked chars, (b) the
+      // segments mapOutsideQuotes hands to its callback
+      val viaMask = s.zipWithIndex.collect {
+        case (c, i) if !mask(i) => c }.mkString
+      val sb = new StringBuilder
+      SqlText.mapOutsideQuotes(s, seg => { sb.append(seg); seg })
+      viaMask == sb.toString
+    }
+
+  property("quotedMask masks every quote char and all literal interiors") =
+    forAll(sqlGen) { s =>
+      val mask = SqlText.quotedMask(s)
+      s.zipWithIndex.forall { case (c, i) => c != '\'' || mask(i) }
+    }
+
   property("mapOutsideQuotes never touches literal contents") =
     forAll(sqlGen) { s =>
       val mapped = SqlText.mapOutsideQuotes(s, _.toUpperCase)
