@@ -505,17 +505,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       skipWs()
       if (i >= s.length || s(i) != '(') return None
       var depth = 0
-      var inStr = false
+      var q: Char = 0
       val bodyStart = i + 1
       var bodyEnd = -1
       while (i < s.length && bodyEnd < 0) {
         val c = s(i)
-        if (inStr) {
-          if (c == '\'') {
-            if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+        if (q != 0) {
+          if (c == q) {
+            if (i + 1 < s.length && s(i + 1) == q) i += 1 else q = 0
           }
         } else c match {
-          case '\'' => inStr = true
+          case '\'' | '"' => q = c
           case '(' => depth += 1
           case ')' => depth -= 1; if (depth == 0) bodyEnd = i
           case _ =>
@@ -693,9 +693,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case "intervalstyle" => s.confOverlay.getOrElse(k, "postgres")
       case "application_name" => s.confOverlay.getOrElse(k, "")
       case "client_min_messages" => s.confOverlay.getOrElse(k, "notice")
+      // ONLY this session's SET overlay and pragmas answer here — no
+      // spark.conf fallback: it would expose arbitrary engine-global
+      // Spark configuration to every pgwire client (current_setting(
+      // 'spark.master')), and unknown-GUC errors would diverge from pg
+      // for names that happen to collide with Spark confs.
       case other => s.confOverlay.get(other)
         .orElse(s.pragmas.get(other)) // `SHOW <pragma>` reads the session map
-        .orElse(spark.conf.getOption(key))
         .getOrElse(throw new IllegalArgumentException(
           s"""unrecognized configuration parameter "$key""""))
     }
@@ -2675,19 +2679,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val out = new StringBuilder
     val created = mutable.Buffer[String]()
     var i = 0
-    var inStr = false
+    var q: Char = 0
     while (i < sql.length) {
       val c = sql.charAt(i)
-      if (inStr) {
+      if (q != 0) {
         out += c
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
-            out += '\''; i += 1
-          } else inStr = false
+        if (c == q) {
+          if (i + 1 < sql.length && sql.charAt(i + 1) == q) {
+            out += q; i += 1
+          } else q = 0
         }
         i += 1
-      } else if (c == '\'') {
-        inStr = true; out += c; i += 1
+      } else if (c == '\'' || c == '"') {
+        q = c; out += c; i += 1
       } else {
         val boundary = i == 0 || {
           val p = sql.charAt(i - 1); !p.isLetterOrDigit && p != '_'
@@ -3137,20 +3141,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     emptyResult
   }
 
+  /** Unset the engine-global Spark confs THIS session's SET statements
+    * recorded (its `confOverlay` holds the lowercased keys), leaving
+    * keys other sessions set alone — RESET ALL / DISCARD ALL are
+    * session commands in pg, so session A recycling a pooled connection
+    * must not undo session B's SETs. A key BOTH sessions set is still
+    * one engine-global slot (documented divergence); last reset wins it.
+    */
+  private def resetSessionConfs(): Unit = setConfKeys.synchronized {
+    val mine = setConfKeys.filter(k => sess.confOverlay.contains(k.toLowerCase))
+    mine.foreach(k => scala.util.Try(spark.conf.unset(k)))
+    setConfKeys --= mine
+  }
+
   /** `RESET <var>` / `RESET ALL` (pg): undo SET — conf keys unset back
     * to their session defaults, mocked row counts cleared (their views
-    * re-register unhinted). Like PRAGMA/SET, the conf space is
-    * engine-global (one shared SparkSession) — documented divergence.
+    * re-register unhinted). Like PRAGMA/SET, the conf VALUE space is
+    * engine-global (one shared SparkSession) — documented divergence —
+    * but RESET ALL unsets only the keys THIS session recorded
+    * ([[resetSessionConfs]]), never another session's.
     */
   private def resetVar(key: String): DataFrame = {
     if (key.equalsIgnoreCase("all")) {
+      resetSessionConfs() // reads confOverlay: must run before the clear
       sess.confOverlay.clear()
       sess.pragmas.clear()
       sess.vectorIndexEnabled = true
-      setConfKeys.synchronized {
-        setConfKeys.foreach(k => scala.util.Try(spark.conf.unset(k)))
-        setConfKeys.clear()
-      }
       mockRowCounts.keys.toSeq.foreach { t =>
         mockRowCounts.remove(t)
         if (tables.contains(t)) refresh(t)
@@ -3171,10 +3187,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   /** `DISCARD ALL|PLANS|SEQUENCES|TEMP` (pg): the pool-recycle reset.
     * ALL clears this SESSION's prepared statements, cursors (spills
-    * reclaimed), and transaction characteristics — pg refuses it inside
-    * a transaction block. PLANS/SEQUENCES/TEMP are accepted no-ops: the
-    * engine caches no plans, has no sequences, and temp views are
-    * process-level (documented).
+    * reclaimed), transaction characteristics, sequence currval state,
+    * and — like pg's embedded RESET ALL — unsets the Spark confs this
+    * session SET (its own keys only, [[resetSessionConfs]]); pg refuses
+    * it inside a transaction block. PLANS/TEMP are accepted no-ops: the
+    * engine caches no plans, and temp views are process-level
+    * (documented).
     */
   private def discard(what: String): DataFrame = {
     val s = sess
@@ -3186,6 +3204,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s.cursors.clear()
       s.defaultSnapshotReads = false; s.defaultReadOnly = false
       s.seqCurr.clear(); s.seqLast = None
+      resetSessionConfs() // reads confOverlay: before the clear
       s.confOverlay.clear(); s.pragmas.clear(); s.vectorIndexEnabled = true
     } else if (what == "sequences") {
       // pg: forget this session's currval/lastval state (the sequences
@@ -4304,19 +4323,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       withGenerated(table, renamed.select(schema.fields.map(f =>
         alignCol(f, renamed, None)).toIndexedSeq: _*))
     else {
-      // Walk the WHOLE analyzed plan (and each expression tree): toDF
-      // plants an alias-only Project at the root, so a root-only probe
-      // classifies every source deterministic and a rand()-filtered or
-      // TABLESAMPLE source would be re-evaluated with a different row
-      // count by count() / zipWithIndex / the write — stamped ids then
-      // overrun the reserved block and later inserts reuse them.
-      val deterministicSrc = scala.util.Try {
-        val plan = renamed.queryExecution.analyzed
-        !plan.exists {
-          case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
-          case p => p.expressions.exists(e => e.exists(!_.deterministic))
-        }
-      }.getOrElse(false)
+      val deterministicSrc = planDeterministic(renamed)
       val mat = if (deterministicSrc) renamed else renamed.localCheckpoint()
       val k = mat.count()
       var ord = "__graft_seq_ord"
@@ -4512,7 +4519,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // Inserts anti-joined the FULL target above, so they are exact
           // regardless of which files rewrite. newRows is cached: the
           // probe's extra semi-join reads the same materialized rows.
-          val partial = cowPartition(table, () => {
+          // A nondeterministic SET expression takes the whole-table
+          // rewrite instead — probe and rewrite are separate draws.
+          val partial = if (!planDeterministic(updatedExisting) ||
+              !planDeterministic(inserts)) None
+          else cowPartition(table, () => {
             val withFile = spark.table(table)
               .select((col("_metadata.file_path").as("__cow_file") +:
                 schema.fields.map(f => col(f.name)).toSeq): _*)
@@ -4618,8 +4629,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // metadata work at any table size. RETURNING falls back to the scan
     // path (the pre-image rows must materialize anyway), as does a table
     // without a ledger baseline (rows_affected must be exact).
-    if (cond.isEmpty && returningExprs.isEmpty && rowCounts.contains(table) &&
-        !buckets.contains(table)) {
+    // (bucketed tables included: an empty directory satisfies the
+    // bucket layout trivially, and subsequent inserts re-bucket)
+    if (cond.isEmpty && returningExprs.isEmpty && rowCounts.contains(table)) {
       val n = rowCounts(table)
       if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
         val newV = history.get(table).map(_.length).getOrElse(1)
@@ -4671,6 +4683,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         rewriteSwapPartial(table, survivors, untouched, "delete")(removed)
         return rowCountResult(removed)
     }
+    // nondeterministic condition (rand() etc.): the scan path below would
+    // draw the predicate independently for the rewrite filter, RETURNING
+    // and the IVM delta — three different row sets, where pg evaluates
+    // once per row. Stamp the verdict as a column and materialize it, so
+    // every frame (survivors, deleted pre-image, the count) reads the
+    // SAME draw. O(table) materialization, but this shape rewrites
+    // O(table) anyway.
+    matchedCol.filterNot(m =>
+        planDeterministic(spark.table(table).filter(m))).foreach { m =>
+      val cur0 = spark.table(table)
+      var flag = "__graft_del_flag"
+      while (cur0.columns.contains(flag)) flag += "_x"
+      val snap = cur0.withColumn(flag, m).localCheckpoint()
+      val survivors = snap.filter(!col(flag)).drop(flag)
+      val affected = snap.filter(col(flag)).drop(flag)
+      if (returningExprs.isDefined) captureReturning(affected)
+      if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+        val newV = history.get(table).map(_.length).getOrElse(1)
+        val dd = deleteDeltaDir(table, newV)
+        Files.createDirectories(dd.getParent)
+        affected.write.mode("overwrite").parquet(dd.toString)
+      }
+      val removed = affected.count()
+      rewriteSwap(table, survivors, "delete")
+      return rowCountResult(removed)
+    }
     val cur = spark.table(table)
     // both counts ride the single rewrite job as observe metrics: total on
     // the scan side, kept on the filtered side (the former triple pass —
@@ -4719,27 +4757,74 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * listing to plan any scan), never by rows.
     *
     * Returns (touched, untouched) live files, or None when the partial
-    * path doesn't apply: bucketed tables (bucket ids live in file names —
-    * the whole-table bucketed rewrite is the layout-preserving form),
-    * single-file tables, or when ≥80% of files match (linking a handful
-    * of survivors costs more than it saves).
+    * path doesn't apply: single-file tables, a nondeterministic
+    * predicate (probe and rewrite would draw different row sets), or
+    * when ≥80% of files match (linking a handful of survivors costs
+    * more than it saves). Bucketed tables partition at BUCKET
+    * granularity instead — see [[cowPartition]].
     */
   private def cowTouchedFiles(table: String, matched: Column)
-      : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] =
+      : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
+    // the probe and the rewrite evaluate `matched` in SEPARATE jobs — a
+    // nondeterministic predicate (rand() < x) would draw different row
+    // sets in each, so rows "matched" inside files the probe classified
+    // untouched would be hard-linked unchanged and silently survive.
+    // Fall back to the single-scan rewrite, whose nondeterministic arm
+    // (see delete/update) materializes the verdict exactly once.
+    if (!planDeterministic(spark.table(table).filter(matched))) return None
     cowPartition(table, () => fileBasenames(spark.table(table)
       .filter(matched).select(col("_metadata.file_path"))))
+  }
+
+  /** Walk the WHOLE analyzed plan (and each expression tree): toDF /
+    * filter plant alias-only nodes at the root, so a root-only probe
+    * would classify a rand()-filtered or TABLESAMPLE source as
+    * deterministic. Shared by the sequence-stamping insert path (a
+    * nondeterministic source must materialize before its row count is
+    * used twice) and the copy-on-write planners (probe and rewrite are
+    * separate jobs — two draws). An unanalyzable frame answers false,
+    * the conservative direction for every caller.
+    */
+  private def planDeterministic(df: DataFrame): Boolean =
+    scala.util.Try {
+      val plan = df.queryExecution.analyzed
+      !plan.exists {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+        case p => p.expressions.exists(e => e.exists(!_.deterministic))
+      }
+    }.getOrElse(false)
 
   /** Distinct source-file BASENAMES of a one-column frame of
     * `_metadata.file_path` values. The paths arrive URI-encoded
-    * (space → %20), so decode before matching against the directory
-    * listing. Driver-bounded by the table's file count.
+    * (space → %20), so PERCENT-decode before matching against the
+    * directory listing — URLDecoder is form-decoding and would turn a
+    * literal '+' in a part name into a space, so that file would never
+    * match the listing and its rows would silently escape the rewrite.
+    * Driver-bounded by the table's file count.
     */
   private def fileBasenames(paths: DataFrame): Set[String] =
     paths.distinct().collect().map { r =>
       val p = r.getString(0)
-      java.net.URLDecoder.decode(
-        p.substring(p.lastIndexOf('/') + 1), "UTF-8")
+      percentDecode(p.substring(p.lastIndexOf('/') + 1))
     }.toSet
+
+  /** RFC-3986 percent-decoding only: %XX unescapes, '+' stays '+'. */
+  private def percentDecode(s: String): String = {
+    if (!s.contains('%')) return s
+    val out = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val ch = s(i)
+      if (ch == '%' && i + 2 < s.length &&
+          Character.digit(s(i + 1), 16) >= 0 &&
+          Character.digit(s(i + 2), 16) >= 0) {
+        out.write(Character.digit(s(i + 1), 16) * 16 +
+          Character.digit(s(i + 2), 16))
+        i += 3
+      } else { out.write(ch.toString.getBytes("UTF-8")); i += 1 }
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
 
   /** Hard-link `src` at `dst`; on a filesystem without link support fall
     * back to a byte copy — COW degrades to copy-on-write-by-copy instead
@@ -4757,10 +4842,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** The shared planning core: list the live data files and split them
     * against `probe`'s touched-file-name set (evaluated lazily, only
     * once the table qualifies). Same fallbacks as documented above.
+    *
+    * On a CLUSTERED BY table the unit of copy-on-write is the BUCKET,
+    * not the file: the reader trusts "every row of bucket b lives in
+    * files named _0000b", so a touched file promotes its WHOLE bucket
+    * into the rewrite (its survivors re-hash to the same bucket id) and
+    * only fully-untouched buckets hard-link — a bucket-key-selective
+    * DELETE on the engine's recommended 100 TB layout costs O(touched
+    * buckets), not O(table). Bucket ids parse from part-file names by
+    * the same routine the bucketed scan uses; an unparsable name bails
+    * to the full rewrite.
     */
   private def cowPartition(table: String, probe: () => Set[String])
       : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
-    if (buckets.contains(table)) return None
     val live = Paths.get(tableDir(table))
     if (!Files.isDirectory(live)) return None
     val all: Seq[java.nio.file.Path] = {
@@ -4771,9 +4865,24 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       } finally s.close()
     }
     if (all.size < 2) return None
+    val bucketOf: Option[Map[java.nio.file.Path, Int]] =
+      if (!buckets.contains(table)) None
+      else {
+        val parsed = all.map(p => p ->
+          org.apache.spark.sql.graftbridge.Bridge
+            .bucketIdFromFileName(p.getFileName.toString))
+        if (parsed.exists(_._2.isEmpty)) return None // foreign name → full rewrite
+        Some(parsed.map { case (p, b) => p -> b.get }.toMap)
+      }
     val touchedNames = scala.util.Try(probe()).getOrElse(return None)
-    val (touched, untouched) =
-      all.partition(p => touchedNames.contains(p.getFileName.toString))
+    val (touched, untouched) = bucketOf match {
+      case Some(bOf) =>
+        val touchedBuckets = all.filter(p =>
+          touchedNames.contains(p.getFileName.toString)).map(bOf).toSet
+        all.partition(p => touchedBuckets.contains(bOf(p)))
+      case None =>
+        all.partition(p => touchedNames.contains(p.getFileName.toString))
+    }
     if (touched.size * 5 >= all.size * 4) None
     else Some((touched, untouched))
   }
@@ -4804,7 +4913,26 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
     survivors match {
       case Some(df) =>
-        constraintGuard(table, df).write.mode("overwrite").parquet(tmp.toString)
+        val guarded = constraintGuard(table, df)
+        buckets.get(table) match {
+          case Some((c, n)) =>
+            // a bucketed table's rewritten slice must itself be written
+            // BUCKETED (ids live in part-file names) — same scratch-
+            // catalog-table trick as rewriteSwap; the rewritten rows
+            // re-hash to their original bucket ids, so they land beside
+            // the hard-linked files of the untouched buckets under the
+            // same catalog spec
+            var scratch = s"graft_rewrite_${table}"
+            while (tables.contains(scratch)) scratch += "_x"
+            spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+            guarded.write.mode("overwrite")
+              .bucketBy(n, c).sortBy(c)
+              .option("path", tmp.toAbsolutePath.toString)
+              .saveAsTable(scratch)
+            spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+          case None =>
+            guarded.write.mode("overwrite").parquet(tmp.toString)
+        }
       case None => Files.createDirectories(tmp)
     }
     // untouched files carry fresh UUID part names from their own write
@@ -4986,21 +5114,27 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""column "$k" can only be updated to DEFAULT: it is a """ +
           "generated column")
     }
-    val assigns = assigns0.filterNot { case (k, _) => gens.contains(k) }
-    val projected = schema.fields.map { f =>
-      assigns.get(f.name.toLowerCase) match {
-        case Some(e0) =>
+    // resolve each assignment's final expression text up front (shared
+    // by the guarded rewrite projection AND the unconditional matched-
+    // rows projection of the nondeterministic path below)
+    val resolvedAssigns: Map[String, String] =
+      assigns0.filterNot { case (k, _) => gens.contains(k) }
+        .map { case (k, e0) =>
           // SET col = DEFAULT (pg): the column default, NULL without one
           val e = if (e0.equalsIgnoreCase("default"))
-            defaults.getOrElse(table, Map.empty)
-              .getOrElse(f.name.toLowerCase, "NULL")
+            defaults.getOrElse(table, Map.empty).getOrElse(k, "NULL")
           else e0
           // a sequence default in UPDATE would need per-updated-row
           // values (pg steps the sequence per row) — refuse clearly
           // instead of leaking Spark's "undefined function nextval"
           require(!usesSequenceFn(e), "UPDATE through a sequence " +
-            s"(column ${f.name}) is not supported: per-row nextval does " +
+            s"(column $k) is not supported: per-row nextval does " +
             "not assign distributively; write explicit values instead")
+          k -> e
+        }
+    val projected = schema.fields.map { f =>
+      resolvedAssigns.get(f.name.toLowerCase) match {
+        case Some(e) =>
           when(c, expr(inlineFunctions(e)).cast(f.dataType))
             .otherwise(col(f.name)).as(f.name)
         case None => col(f.name)
@@ -5011,6 +5145,37 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // IVM add-side delta all chain the same projection
     def post(df: DataFrame): DataFrame =
       withGenerated(table, df.select(projected.toIndexedSeq: _*))
+    // nondeterministic WHERE or SET (rand() etc.): the paths below
+    // evaluate the condition and the assignments once per emitted frame
+    // (rewrite, RETURNING, IVM pre/post) — independent draws, where pg
+    // evaluates once per row. Stamp the condition's verdict, materialize
+    // it, apply the assignments UNCONDITIONALLY to just the matched rows
+    // and materialize that too: one draw each, shared by every frame.
+    if (!planDeterministic(post(spark.table(table).filter(c)))) {
+      var flag = "__graft_upd_flag"
+      while (schema.fieldNames.exists(_.equalsIgnoreCase(flag))) flag += "_x"
+      val snap = spark.table(table).withColumn(flag, c).localCheckpoint()
+      val keep = snap.filter(!col(flag)).drop(flag)
+      val pre = snap.filter(col(flag)).drop(flag)
+      val postMatched = withGenerated(table, pre.select(schema.fields.map { f =>
+        resolvedAssigns.get(f.name.toLowerCase) match {
+          case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
+          case None => col(f.name)
+        }
+      }.toIndexedSeq: _*)).localCheckpoint()
+      if (returningExprs.isDefined) captureReturning(postMatched)
+      if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+        val newV = history.get(table).map(_.length).getOrElse(1)
+        Files.createDirectories(historyDir(table))
+        pre.write.mode("overwrite")
+          .parquet(deleteDeltaDir(table, newV).toString)
+        postMatched.write.mode("overwrite")
+          .parquet(updateAddDir(table, newV).toString)
+      }
+      val n = postMatched.count()
+      rewriteSwap(table, keep.unionByName(postMatched), "update")
+      return rowCountResult(n)
+    }
     // file-granular fast path (condition present): rewrite only files
     // that can contain a matching row, hard-link the rest — on untouched
     // rows the when(c, ..) guards are identities, so skipping those
@@ -5238,7 +5403,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // other files are linked unchanged. Inserts still anti-join the
       // FULL target (a match in an untouched file must suppress the
       // insert) and land as new files beside the rewritten ones.
-      val partial = cowPartition(tgt, () => {
+      // Probe and rewrite are separate jobs, so a nondeterministic ON /
+      // SET / INSERT expression takes the single-scan rewrite instead
+      // (same contract as cowTouchedFiles).
+      val partial = if (!planDeterministic(survivors) ||
+          inserted.exists(i => !planDeterministic(i))) None
+      else cowPartition(tgt, () => {
         val withFile = spark.table(tgt)
           .select((col("_metadata.file_path").as("__cow_file") +:
             schema.fields.map(f => col(f.name)).toSeq): _*).as(tgt)
@@ -5306,15 +5476,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * inside a string literal or subexpression stays in the SET list.
     */
   private def splitSetWhere(s: String): (String, Option[String]) = {
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var q: Char = 0; var i = 0
     while (i < s.length) {
       val ch = s(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+      if (q != 0) {
+        // double-quoted too: Spark reads "..." as a string literal, so a
+        // ' where ' inside it must not split the SET list
+        if (ch == q) {
+          if (i + 1 < s.length && s(i + 1) == q) i += 1 else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && i + 5 <= s.length &&
@@ -5330,10 +5502,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   /** Start offsets of top-level MERGE `WHEN` clauses in `s` (the text
-    * after `ON`): a boundary is the word `when` outside single-quoted
-    * literals, parens, and CASE...END bodies, immediately followed by
-    * `matched` or `not` — so `CASE WHEN` inside an assignment or
-    * a `' when '` string payload never splits a clause.
+    * after `ON`): a boundary is the word `when` outside string
+    * literals (single- or double-quoted), parens, and CASE...END
+    * bodies, immediately followed by `matched` or `not` — so `CASE
+    * WHEN` inside an assignment or a `' when '` string payload never
+    * splits a clause.
     */
   private[graft] def whenBoundaries(s: String): Seq[Int] = {
     def word(j: Int, w: String): Boolean =
@@ -5343,15 +5516,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         (j + w.length == s.length ||
           !(s(j + w.length).isLetterOrDigit || s(j + w.length) == '_'))
     val bounds = mutable.Buffer[Int]()
-    var depth = 0; var inStr = false; var caseDepth = 0; var i = 0
+    var depth = 0; var q: Char = 0; var caseDepth = 0; var i = 0
     while (i < s.length) {
       val ch = s(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+      if (q != 0) {
+        if (ch == q) {
+          if (i + 1 < s.length && s(i + 1) == q) i += 1 else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 =>

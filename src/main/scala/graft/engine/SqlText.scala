@@ -35,17 +35,17 @@ private[graft] object SqlText {
       """(?i)\A\s*with\s+ordinality(?:\s+(?:as\s+)?(\w+)(?:\s*\(\s*(\w+)\s*,\s*(\w+)\s*\))?)?""".r
     val out = new StringBuilder
     var i = 0
-    var inStr = false
+    var q: Char = 0 // 0 = outside; '\'' or '"' = inside that literal kind
     while (i < sql.length) {
       val ch = sql(i)
-      if (inStr) {
+      if (q != 0) {
         out += ch
-        if (ch == '\'') {
-          if (i + 1 < sql.length && sql(i + 1) == '\'') { out += '\''; i += 1 }
-          else inStr = false
+        if (ch == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) { out += q; i += 1 }
+          else q = 0
         }
         i += 1
-      } else if (ch == '\'') { inStr = true; out += ch; i += 1 }
+      } else if (ch == '\'' || ch == '"') { q = ch; out += ch; i += 1 }
       else {
         val boundary = i == 0 ||
           (!sql(i - 1).isLetterOrDigit && sql(i - 1) != '_')
@@ -82,17 +82,17 @@ private[graft] object SqlText {
     if (!sql.toLowerCase.contains("qualify")) return sql
     // recurse into parenthesized groups first (subqueries, CTE bodies)
     val sb = new StringBuilder
-    var i = 0; var inStr = false
+    var i = 0; var q: Char = 0
     while (i < sql.length) {
       val ch = sql(i)
-      if (inStr) {
+      if (q != 0) {
         sb += ch
-        if (ch == '\'') {
-          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
-          else inStr = false
+        if (ch == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) { sb += q; i += 1 }
+          else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true; sb += ch
+        case '\'' | '"' => q = ch; sb += ch
         case '(' =>
           val close = matchingParen(sql, i)
           sb += '('
@@ -117,24 +117,28 @@ private[graft] object SqlText {
     }
   }
 
-  /** Apply `f` to the statement segments OUTSIDE single-quoted string
-    * literals, leaving the literals (with '' escapes) untouched.
+  /** Apply `f` to the statement segments OUTSIDE string literals —
+    * single-quoted AND double-quoted (Spark's default dialect treats
+    * `"..."` as a string literal, not an identifier, so a rewrite that
+    * touched it would corrupt payload). Doubled quotes ('' / "") escape
+    * inside their own kind; the other quote kind is payload inside a
+    * literal.
     */
   def mapOutsideQuotes(sql: String, f: String => String): String = {
     val sb = new StringBuilder
     val seg = new StringBuilder
-    var i = 0; var inStr = false
+    var i = 0; var q: Char = 0 // 0 = outside; '\'' or '"' = inside that kind
     while (i < sql.length) {
       val ch = sql(i)
-      if (inStr) {
+      if (q != 0) {
         sb += ch
-        if (ch == '\'') {
-          if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
-          else inStr = false
+        if (ch == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) { sb += q; i += 1 }
+          else q = 0
         }
-      } else if (ch == '\'') {
+      } else if (ch == '\'' || ch == '"') {
         sb.append(f(seg.toString)); seg.clear()
-        inStr = true; sb += ch
+        q = ch; sb += ch
       } else seg += ch
       i += 1
     }
@@ -143,32 +147,34 @@ private[graft] object SqlText {
   }
 
   /** Per-character bitmap: true where the character lies inside a
-    * single-quoted string literal (quotes themselves and '' escapes
-    * included). Lets regex-based probes/rewrites skip matches whose
-    * START falls inside payload text that merely looks like SQL.
+    * string literal — single- or double-quoted (quotes themselves and
+    * doubled-quote escapes included; Spark's default dialect reads
+    * `"..."` as a literal too). Lets regex-based probes/rewrites skip
+    * matches whose START falls inside payload text that merely looks
+    * like SQL.
     */
   def quotedMask(sql: String): Array[Boolean] = {
     val quoted = new Array[Boolean](sql.length)
-    var inStr = false; var i = 0
+    var q: Char = 0; var i = 0
     while (i < sql.length) {
       val ch = sql(i)
-      if (inStr) {
+      if (q != 0) {
         quoted(i) = true
-        if (ch == '\'') {
-          if (i + 1 < sql.length && sql(i + 1) == '\'') {
+        if (ch == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) {
             quoted(i + 1) = true; i += 1
-          } else inStr = false
+          } else q = 0
         }
-      } else if (ch == '\'') { quoted(i) = true; inStr = true }
+      } else if (ch == '\'' || ch == '"') { quoted(i) = true; q = ch }
       i += 1
     }
     quoted
   }
 
-  /** Replace the first `regex` match that lies OUTSIDE single-quoted
-    * string literals with the literal `replacement`; matches inside
-    * literals (with '' escapes) are skipped, so payload text that merely
-    * looks like SQL can never be corrupted.
+  /** Replace the first `regex` match that lies OUTSIDE string literals
+    * (single- or double-quoted) with the literal `replacement`; matches
+    * inside literals (with doubled-quote escapes) are skipped, so payload
+    * text that merely looks like SQL can never be corrupted.
     */
   def replaceFirstOutsideQuotes(sql: String, regex: String,
       replacement: String): String = {
@@ -183,15 +189,15 @@ private[graft] object SqlText {
 
   /** Index of the ')' matching the '(' at `open` (quote-aware). */
   def matchingParen(s: String, open: Int): Int = {
-    var depth = 0; var inStr = false; var i = open
+    var depth = 0; var q: Char = 0; var i = open
     while (i < s.length) {
       val ch = s(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+      if (q != 0) {
+        if (ch == q) {
+          if (i + 1 < s.length && s(i + 1) == q) i += 1 else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1; if (depth == 0) return i
         case _ =>
@@ -216,18 +222,18 @@ private[graft] object SqlText {
         (pos == 0 || { val c = lower(pos - 1); !c.isLetterOrDigit && c != '_' }) &&
         (pos + w.length >= lower.length || {
           val c = lower(pos + w.length); !c.isLetterOrDigit && c != '_' })
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var qc: Char = 0; var i = 0
     var qStart = -1 // index of the QUALIFY keyword
     var predEnd = -1 // index where the trailing ORDER BY/LIMIT/OFFSET begins
     var setOp = false
     while (i < q.length) {
       val ch = q(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < q.length && q(i + 1) == '\'') i += 1 else inStr = false
+      if (qc != 0) {
+        if (ch == qc) {
+          if (i + 1 < q.length && q(i + 1) == qc) i += 1 else qc = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => qc = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 =>
@@ -272,16 +278,16 @@ private[graft] object SqlText {
     if (!lower.startsWith("order")) return (trailing, Nil, Nil)
     val byIdx = lower.indexOf("by") + 2
     // cut the sort list at a top-level LIMIT/OFFSET keyword
-    var depth = 0; var inStr = false; var i = byIdx; var cut = -1
+    var depth = 0; var q: Char = 0; var i = byIdx; var cut = -1
     while (i < trailing.length && cut < 0) {
       val ch = trailing(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < trailing.length && trailing(i + 1) == '\'') i += 1
-          else inStr = false
+      if (q != 0) {
+        if (ch == q) {
+          if (i + 1 < trailing.length && trailing(i + 1) == q) i += 1
+          else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && {
@@ -320,15 +326,15 @@ private[graft] object SqlText {
     */
   def injectSelectColumn(body: String, expr: String): String = {
     val lower = body.toLowerCase
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var q: Char = 0; var i = 0
     while (i < body.length) {
       val ch = body(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < body.length && body(i + 1) == '\'') i += 1 else inStr = false
+      if (q != 0) {
+        if (ch == q) {
+          if (i + 1 < body.length && body(i + 1) == q) i += 1 else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && lower.startsWith("from", i) &&
@@ -353,15 +359,15 @@ private[graft] object SqlText {
         (pos == 0 || { val c = lower(pos - 1); !c.isLetterOrDigit && c != '_' }) &&
         (pos + w.length >= lower.length || {
           val c = lower(pos + w.length); !c.isLetterOrDigit && c != '_' })
-    var depth = 0; var inStr = false; var i = 0
+    var depth = 0; var q: Char = 0; var i = 0
     while (i < s.length) {
       val ch = s(i)
-      if (inStr) {
-        if (ch == '\'') {
-          if (i + 1 < s.length && s(i + 1) == '\'') i += 1 else inStr = false
+      if (q != 0) {
+        if (ch == q) {
+          if (i + 1 < s.length && s(i + 1) == q) i += 1 else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true
+        case '\'' | '"' => q = ch
         case '(' => depth += 1
         case ')' => depth -= 1
         case _ if depth == 0 && wordAt(i, phrase.head) =>
@@ -381,18 +387,20 @@ private[graft] object SqlText {
 
   def splitTopLevel(s: String): Seq[String] = {
     val parts = mutable.Buffer[String]()
-    var depth = 0; var inStr = false; val cur = new StringBuilder
+    var depth = 0; var q: Char = 0; val cur = new StringBuilder
     var i = 0
     while (i < s.length) {
       val ch = s(i)
-      if (inStr) {
+      if (q != 0) {
         cur += ch
-        if (ch == '\'') {
-          if (i + 1 < s.length && s(i + 1) == '\'') { cur += '\''; i += 1 }
-          else inStr = false
+        if (ch == q) {
+          if (i + 1 < s.length && s(i + 1) == q) { cur += q; i += 1 }
+          else q = 0
         }
       } else ch match {
-        case '\'' => inStr = true; cur += ch
+        // '"' too: Spark's default dialect reads "..." as a string
+        // literal, so a comma inside it must not split the list
+        case '\'' | '"' => q = ch; cur += ch
         case '(' => depth += 1; cur += ch
         case ')' => depth -= 1; cur += ch
         case ',' if depth == 0 => parts += cur.toString; cur.clear()

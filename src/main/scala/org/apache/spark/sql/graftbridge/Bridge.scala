@@ -22,4 +22,13 @@ object Bridge {
       : org.apache.spark.sql.DataFrame =
     org.apache.spark.sql.classic.Dataset.ofRows(
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
+  /** Bucket id encoded in a bucketed part-file name (`..._00003.c000...`),
+    * parsed by the SAME routine the bucketed reader trusts — the engine's
+    * bucket-granular copy-on-write must group files exactly as a scan
+    * would, or a mismatch would silently mix rewritten and stale rows
+    * within one bucket.
+    */
+  def bucketIdFromFileName(name: String): Option[Int] =
+    org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(name)
 }

@@ -254,6 +254,149 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine.run("delete from cowt0").collect()(0).getLong(0) == 1L)
   }
 
+  private def bucketIdOf(name: String): Int =
+    org.apache.spark.sql.graftbridge.Bridge.bucketIdFromFileName(name)
+      .getOrElse(fail(s"unparsable bucket file name: $name"))
+
+  test("bucket-key DELETE on a CLUSTERED BY table rewrites only the touched bucket") {
+    engine.run("create table cowbkt(k int, v int) clustered by (k) into 8 buckets")
+    engine.run("insert into cowbkt select cast(id as int), 0 from range(0, 400)")
+    engine.run("insert into cowbkt select cast(id as int), 0 from range(400, 800)")
+    val before = dataFiles("cowbkt")
+    assert(before.keySet.map(bucketIdOf).size == 8,
+      s"expected files across all 8 buckets")
+    val affected = engine.run("delete from cowbkt where k = 5")
+      .collect()(0).getLong(0)
+    assert(affected == 1L)
+    val after = dataFiles("cowbkt")
+    val gone = before.keySet -- after.keySet
+    val goneBuckets = gone.map(bucketIdOf)
+    assert(goneBuckets.size == 1, s"expected ONE rewritten bucket, got $goneBuckets")
+    // every file of the 7 untouched buckets survives as the same inode
+    val keptExpected = before.keySet.filterNot(n => goneBuckets.contains(bucketIdOf(n)))
+    assert(after.keySet.intersect(before.keySet) == keptExpected,
+      "a file of an untouched bucket was rewritten, or a touched-bucket file survived")
+    keptExpected.foreach(n => assert(after(n) == before(n), s"$n inode changed"))
+    // new files all belong to the rewritten bucket
+    (after.keySet -- before.keySet).foreach(n =>
+      assert(goneBuckets.contains(bucketIdOf(n)), s"new file $n outside the touched bucket"))
+    // values exact; the bucketed read (bucket-pruned) agrees
+    val r = engine.run("select count(*) as n, sum(k) as s from cowbkt").collect()(0)
+    assert(r.getLong(0) == 799L && r.getLong(1) == (0L until 800L).sum - 5L, r.toString)
+    assert(engine.run("select count(*) as n from cowbkt where k = 5")
+      .collect()(0).getLong(0) == 0L)
+    assert(engine.run("select count(*) as n from cowbkt where k = 6")
+      .collect()(0).getLong(0) == 1L)
+    // time travel still reads the complete pre-state through shared inodes
+    assert(engine.run("select count(*) as n from cowbkt version as of 2")
+      .collect()(0).getLong(0) == 800L)
+  }
+
+  test("bucket-key UPDATE and MERGE stay bucket-granular; inserts re-bucket") {
+    engine.run("create table cowbku(k int, v int) clustered by (k) into 8 buckets")
+    engine.run("insert into cowbku select cast(id as int), 0 from range(0, 400)")
+    engine.run("insert into cowbku select cast(id as int), 0 from range(400, 800)")
+    val before = dataFiles("cowbku")
+    assert(engine.run("update cowbku set v = 9 where k = 100")
+      .collect()(0).getLong(0) == 1L)
+    val afterU = dataFiles("cowbku")
+    val goneU = (before.keySet -- afterU.keySet).map(bucketIdOf)
+    assert(goneU.size == 1, s"UPDATE rewrote buckets $goneU")
+    afterU.keySet.intersect(before.keySet)
+      .foreach(n => assert(afterU(n) == before(n), s"$n inode changed"))
+    assert(engine.run("select v from cowbku where k = 100").collect()(0).getInt(0) == 9)
+    // MERGE: one matched update + one insert; the insert lands in its
+    // own hash bucket even when that bucket's files are hard-linked
+    engine.run("create table cowbks(k int, v int)")
+    engine.run("insert into cowbks values (200, 77), (9999, 88)")
+    val beforeM = dataFiles("cowbku")
+    val m = engine.run("merge into cowbku using cowbks on cowbku.k = cowbks.k " +
+      "when matched then update set v = cowbks.v " +
+      "when not matched then insert (k, v) values (cowbks.k, cowbks.v)")
+      .collect()(0).getLong(0)
+    assert(m == 2L)
+    val afterM = dataFiles("cowbku")
+    assert(afterM.keySet.intersect(beforeM.keySet).nonEmpty, "full rewrite happened")
+    assert(engine.run("select v from cowbku where k = 200").collect()(0).getInt(0) == 77)
+    assert(engine.run("select v from cowbku where k = 9999").collect()(0).getInt(0) == 88)
+    val r = engine.run("select count(*) as n from cowbku").collect()(0)
+    assert(r.getLong(0) == 801L)
+    // the catalog layout survived every partial rewrite: a co-bucketed
+    // self-join on the bucket key plans with NO shuffle exchange
+    val plan = engine.run(
+      "explain select count(*) from cowbku a join cowbku b on a.k = b.k")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed self-join re-shuffled:\n$plan")
+  }
+
+  test("nondeterministic DELETE predicate skips the COW path (full rewrite)") {
+    engine.run("create table cownd(v int)")
+    engine.run("insert into cownd select cast(id as int) from range(0, 1000)")
+    engine.run("insert into cownd select cast(id as int) from range(1000, 2000)")
+    engine.run("insert into cownd select cast(id as int) from range(2000, 3000)")
+    val before = dataFiles("cownd")
+    // rand() < 2.0 always holds, but the PLAN is nondeterministic: the
+    // probe and the rewrite would be independent draws, so the planner
+    // must refuse the file-granular path even though v >= 2000 prunes
+    val affected = engine.run(
+      "delete from cownd where v >= 2000 and rand() < 2.0")
+      .collect()(0).getLong(0)
+    assert(affected == 1000L)
+    val after = dataFiles("cownd")
+    assert(after.keySet.intersect(before.keySet).isEmpty,
+      "COW hard-linked files under a nondeterministic predicate")
+    assert(engine.run("select count(*) as n from cownd")
+      .collect()(0).getLong(0) == 2000L)
+  }
+
+  test("DELETE WHERE rand(): RETURNING, the count and the table read ONE draw") {
+    engine.run("create table cowrd(k int)")
+    engine.run("insert into cowrd select cast(id as int) from range(0, 500)")
+    engine.run("insert into cowrd select cast(id as int) from range(500, 1000)")
+    val ret = engine.run("delete from cowrd where rand() < 0.5 returning k")
+      .collect().map(_.getInt(0)).toSet
+    val remaining = engine.run("select k from cowrd")
+      .collect().map(_.getInt(0)).toSet
+    assert(ret.intersect(remaining).isEmpty,
+      s"${ret.intersect(remaining).size} rows were both 'deleted' and kept")
+    assert(ret.size + remaining.size == 1000,
+      s"${1000 - ret.size - remaining.size} rows vanished without being returned")
+  }
+
+  test("UPDATE SET rand(): RETURNING post-image equals the stored post-image") {
+    engine.run("create table cowru(k int, v double)")
+    engine.run("insert into cowru select cast(id as int), 0.0 from range(0, 100)")
+    engine.run("insert into cowru select cast(id as int), 0.0 from range(100, 200)")
+    val ret = engine.run("update cowru set v = rand() where k < 100 returning k, v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ret.size == 100)
+    val stored = engine.run("select k, v from cowru where k < 100")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ret == stored, "RETURNING drew different SET values than the table stored")
+    assert(ret.values.forall(v => v > 0.0 && v < 1.0))
+    // unmatched rows untouched
+    assert(engine.run("select sum(v) as s from cowru where k >= 100")
+      .collect()(0).getDouble(0) == 0.0)
+  }
+
+  test("nondeterministic DELETE feeds the IVM delta the SAME draw") {
+    engine.run("create table cowndv(g varchar, x int)")
+    engine.run("insert into cowndv select 'a', cast(id as int) from range(0, 200)")
+    engine.run("insert into cowndv select 'b', cast(id as int) from range(0, 200)")
+    engine.run("create materialized view cowndmv as " +
+      "select g, count(*) as n from cowndv group by g")
+    engine.run("delete from cowndv where rand() < 0.5")
+    val mode = engine.run("refresh materialized view cowndmv")
+      .collect()(0).getString(0)
+    assert(mode == "incremental", mode)
+    val mv = engine.run("select g, n from cowndmv order by g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = engine.run("select g, count(*) as n from cowndv group by g").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mv == base, s"matview $mv diverged from base $base after a rand() delete")
+  }
+
   test("COW delete feeds IVM deltas exactly (incremental matview refresh)") {
     engine.run("create table cowb(g varchar, x int)")
     engine.run("insert into cowb values ('a', 1), ('a', 2)")

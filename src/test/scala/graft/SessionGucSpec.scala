@@ -144,4 +144,55 @@ class SessionGucSpec extends AnyFunSuite {
     assert(engine.run("show timezone", a).collect()(0).getString(0) == "UTC")
     assert(engine.run("show datestyle", b).collect()(0).getString(0) == "ISO, YMD")
   }
+
+  test("RESET ALL / DISCARD ALL unset only the caller's Spark conf keys") {
+    val a = engine.newSession()
+    val b = engine.newSession()
+    engine.run("set graft.test.ra_a = '1'", a)
+    engine.run("set graft.test.ra_b = '2'", b)
+    assert(spark.conf.getOption("graft.test.ra_a").contains("1"))
+    assert(spark.conf.getOption("graft.test.ra_b").contains("2"))
+    engine.run("reset all", a)
+    assert(spark.conf.getOption("graft.test.ra_a").isEmpty,
+      "RESET ALL left the caller's own conf key set")
+    assert(spark.conf.getOption("graft.test.ra_b").contains("2"),
+      "RESET ALL in session A unset session B's conf key")
+    assert(engine.run("show graft.test.ra_b", b)
+      .collect()(0).getString(0) == "2")
+    // DISCARD ALL (pool recycle) embeds the same scoped RESET ALL
+    engine.run("discard all", b)
+    assert(spark.conf.getOption("graft.test.ra_b").isEmpty,
+      "DISCARD ALL left the caller's conf key set")
+  }
+
+  test("SHOW / current_setting refuse engine-global Spark confs this session never set") {
+    val a = engine.newSession()
+    // spark.master is always present in the engine-global conf — it must
+    // NOT leak through SHOW or current_setting to a pgwire client
+    intercept[Exception] {
+      engine.run("show spark.master", a).collect()
+    }
+    intercept[Exception] {
+      engine.run("select current_setting('spark.master') as v", a).collect()
+    }
+    // the missing_ok form answers NULL instead of erroring
+    assert(engine.run("select current_setting('spark.master', true) as v", a)
+      .collect()(0).isNullAt(0))
+    // a key THIS session set still answers (from its own overlay)
+    engine.run("set graft.test.show_own = 'x'", a)
+    assert(engine.run("show graft.test.show_own", a)
+      .collect()(0).getString(0) == "x")
+    engine.run("reset all", a)
+  }
+
+  test("double-quoted literals survive the pg_settings rewrite") {
+    val a = engine.newSession()
+    // Spark's default dialect reads "pg_settings" as a STRING LITERAL;
+    // the per-statement view rename must leave it alone or the
+    // comparison silently turns false
+    val n = engine.run(
+      "select count(*) as n from pg_settings where 'pg_settings' = \"pg_settings\"", a)
+      .collect()(0).getLong(0)
+    assert(n > 0, "the double-quoted literal was rewritten to the temp view name")
+  }
 }

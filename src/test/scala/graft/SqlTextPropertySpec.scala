@@ -13,10 +13,15 @@ import graft.engine.SqlText
 object SqlTextPropertySpec extends Properties("SqlText") {
 
   // words, literals with escaped quotes, parens, separators — no bare
-  // quote chars outside the literal generator, so inputs stay balanced
+  // quote chars outside the literal generator, so inputs stay balanced.
+  // Double-quoted forms included: Spark's default dialect reads "..."
+  // as a string literal too, so the scanners must protect it equally
+  // (r17 — the pg_settings rewrite used to corrupt "pg_settings").
   private val literal: Gen[String] = Gen.oneOf(
     "'a b'", "'it''s'", "'qualify'", "'order by limit'", "''",
-    "'union (select)'", "'information_schema.tables'")
+    "'union (select)'", "'information_schema.tables'",
+    "\"a b\"", "\"it\"\"s\"", "\"pg_settings\"", "\"\"",
+    "'has \" inside'", "\"has ' inside\"")
   private val word: Gen[String] = Gen.oneOf(
     "select", "col", "t1", "sum(x)", "1", "=", ",", "from", "where")
   private val atom: Gen[String] = Gen.frequency(3 -> word, 1 -> literal)
@@ -46,7 +51,17 @@ object SqlTextPropertySpec extends Properties("SqlText") {
   property("quotedMask masks every quote char and all literal interiors") =
     forAll(sqlGen) { s =>
       val mask = SqlText.quotedMask(s)
-      s.zipWithIndex.forall { case (c, i) => c != '\'' || mask(i) }
+      s.zipWithIndex.forall { case (c, i) =>
+        (c != '\'' && c != '"') || mask(i) }
+    }
+
+  property("rewrites never fire inside a double-quoted literal") =
+    forAll(Gen.oneOf("\"pg_settings\"", "\"x pg_settings y\"",
+        "\"it\"\"s pg_settings\"")) { lit =>
+      val sql = s"select * from pg_settings where name = $lit"
+      val out = SqlText.mapOutsideQuotes(sql,
+        _.replaceAll("(?i)\\bpg_settings\\b", "V"))
+      out == s"select * from V where name = $lit"
     }
 
   property("mapOutsideQuotes never touches literal contents") =
