@@ -141,6 +141,13 @@ object Bench {
       .mkString("{", ",", "}")
     val spreads = perQuery.map { case (k, _, sp, _, _) => "\"" + k + "\":" + fmt(sp) }
       .mkString("{", ",", "}")
+    // every round's wall time, in round order (r17): best-of hides which
+    // draw produced the headline — the raw samples make a cross-round
+    // delta attributable (overlapping intervals = noise, disjoint = real)
+    val roundsSec = queries.map { case (name, _) =>
+      val ordered = samples(name).reverse.map(_._1)
+      "\"" + name + "\":[" + ordered.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val mets = perQuery.map { case (k, _, _, _, m) =>
       "\"" + k + "\":{\"exec_sec\":" + fmt(m(0) / 1e3) +
         ",\"gc_sec\":" + fmt(m(1) / 1e3) +
@@ -154,7 +161,7 @@ object Bench {
       else "{\"min\":" + fmt(cs.head) + ",\"median\":" + fmt(cs(cs.size / 2)) +
         ",\"max\":" + fmt(cs.last) + ",\"n\":" + cs.size + "}"
     val total = perQuery.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"spread":$spreads,"canary":$canaryJson,"task_metrics":$mets}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","rounds":$rounds,"rounds_sec":$roundsSec,"spread":$spreads,"canary":$canaryJson,"task_metrics":$mets}""")
     // Tail-safe summary: the driver keeps only the LAST ~2000 chars of
     // stdout, which truncates the big line above mid-`task_metrics`. This
     // short second line always survives the tail capture and preserves the

@@ -211,10 +211,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             val nulls =
               if (pkCols.contains(c)) Some(BigInt(0))
               else l.flatMap(_.nullCount).map(BigInt(_))
+            // min/max only for types CatalogColumnStat can re-read from
+            // the external string form (fromExternalString THROWS for
+            // string/binary at plan time — belt over colObsMetrics'
+            // braces, in case an old ledger carried one)
+            val mmOk = tables.get(table).map(_._1)
+              .flatMap(_.fields.find(_.name.equalsIgnoreCase(c)))
+              .exists(f => minMaxableType(f.dataType))
             if (ndv.isEmpty && l.forall(x => x.min.isEmpty && x.max.isEmpty))
               None
-            else Some(c -> CatalogColumnStat(ndv, l.flatMap(_.min),
-              l.flatMap(_.max), nulls, None, None,
+            else Some(c -> CatalogColumnStat(ndv,
+              if (mmOk) l.flatMap(_.min) else None,
+              if (mmOk) l.flatMap(_.max) else None, nulls, None, None,
               // equi-height histogram (ANALYZE-collected, ledgered
               // serialized): CBO's filter/join selectivity on skewed
               // data estimates from bins instead of a uniform NDV guess
@@ -229,49 +237,67 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     } catch { case _: Exception => } // stats are advisory, never fail a commit
   }
 
-  /** Columns the commit write passes auto-collect stats for: declared
-    * PK columns and the CLUSTERED BY column (the ones joins key on),
-    * restricted to integral/floating/decimal types — the set whose
-    * min/max externalize losslessly through plain literal strings in
-    * every CatalogColumnStat version.
-    */
   /** Columns whose NDV/min/max ride every write job as observe metrics.
     * r16: ALL numeric columns under a per-table cap, not just declared
     * PK / CLUSTERED BY — a fact table's dimension FKs are exactly the
     * equi-join keys a 12-way reorder hangs on, and nobody declares them.
-    * PK/bucket columns keep priority under the cap (their NDV is the
-    * strongest CBO signal); the cap bounds the per-row observe cost on
-    * wide tables (4 aggregate updates per column per written row).
+    * r17: string/date/timestamp columns join the ride (NDV + nulls;
+    * min/max where externalizable). PK/bucket columns keep priority
+    * under the cap (their NDV is the strongest CBO signal), then
+    * numerics, then string/date; the cap bounds the per-row observe
+    * cost on wide tables (2-4 aggregate updates per column per row).
     */
   private val autoStatColCap = 12
   private def autoStatCols(table: String): Seq[String] = {
     val schema = tables.get(table).map(_._1).getOrElse(return Nil)
     val declared = (tables.get(table).map(_._2).getOrElse(Nil) ++
       buckets.get(table).map(_._1)).distinct
-    def numeric(c: String) = schema.fields.exists(f =>
-      f.name.equalsIgnoreCase(c) &&
-        f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    def typ(c: String) = schema.fields
+      .find(_.name.equalsIgnoreCase(c)).map(_.dataType)
+    def numeric(c: String) =
+      typ(c).exists(_.isInstanceOf[org.apache.spark.sql.types.NumericType])
+    // r17: string/date/timestamp keys ride too — a string FK is as
+    // common a join key as a numeric one, and its NDV is what the CBO
+    // reorder needs (strings contribute NDV + null count only; dates/
+    // timestamps also min/max — see colObsMetrics for why)
+    def keyish(c: String) = typ(c).exists {
+      case StringType | DateType | TimestampType => true
+      case _ => false
+    }
     val rest = schema.fields.toSeq.map(_.name)
       .filterNot(n => declared.exists(_.equalsIgnoreCase(n)))
-    (declared ++ rest).filter(numeric).take(autoStatColCap)
+    (declared.filter(c => numeric(c) || keyish(c)) ++
+      rest.filter(numeric) ++ rest.filter(keyish)).take(autoStatColCap)
   }
 
   /** The observe metrics the auto-stat columns add to a write job:
-    * per column an approx NDV (HLL rides the same pass), min, max, and
-    * null count. A REWRITE job scans the complete post-state anyway, so
-    * it additionally sketches equi-height histogram bin edges
-    * (approx_percentile, single-pass) — CBO then estimates skewed
+    * per column an approx NDV (HLL rides the same pass) and null count;
+    * min/max only where CatalogColumnStat can externalize them through
+    * literal strings (numeric/date/timestamp/boolean — a string min
+    * would make toPlanStat THROW at read time, poisoning every query on
+    * the table). A REWRITE job scans the complete post-state anyway, so
+    * numeric columns additionally sketch equi-height histogram bin
+    * edges (approx_percentile, single-pass) — CBO then estimates skewed
     * predicates from bins without anyone running ANALYZE (r16).
     */
   private val autoHistBins = 64
-  private def colObsMetrics(cols: Seq[String],
+  private def minMaxableType(dt: org.apache.spark.sql.types.DataType)
+      : Boolean = dt match {
+    case _: org.apache.spark.sql.types.NumericType => true
+    case DateType | TimestampType | BooleanType => true
+    case _ => false
+  }
+  private def colObsMetrics(cols: Seq[String], schema: StructType,
       withHist: Boolean = false): Seq[Column] =
     cols.flatMap { c =>
+      val dt = schema.fields.find(_.name.equalsIgnoreCase(c)).map(_.dataType)
       Seq(approx_count_distinct(col(c)).as(s"__ndv_$c"),
-        min(col(c)).as(s"__min_$c"),
-        max(col(c)).as(s"__max_$c"),
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nul_$c")) ++
-        (if (withHist)
+        (if (dt.exists(minMaxableType))
+          Seq(min(col(c)).as(s"__min_$c"), max(col(c)).as(s"__max_$c"))
+        else Nil) ++
+        (if (withHist && dt.exists(
+            _.isInstanceOf[org.apache.spark.sql.types.NumericType]))
           Seq(percentile_approx(col(c).cast("double"),
             array((0 to autoHistBins).map(i =>
               lit(i.toDouble / autoHistBins)): _*),
@@ -326,13 +352,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           if (rewrite) ColLedger(ndv, mn, mx, nul, hist)
           else ledger.get(c) match {
             case Some(old) =>
-              def num(s: String) = new java.math.BigDecimal(s)
+              // numeric compare when both sides parse; ISO date/
+              // timestamp external strings order lexicographically
+              def leq(a: String, b: String) = scala.util.Try(
+                new java.math.BigDecimal(a)
+                  .compareTo(new java.math.BigDecimal(b)) <= 0)
+                .getOrElse(a <= b)
               ColLedger(
                 (old.ndv ++ ndv).reduceOption(_ max _),
                 (old.min ++ mn).reduceOption((a, b) =>
-                  if (num(a).compareTo(num(b)) <= 0) a else b),
+                  if (leq(a, b)) a else b),
                 (old.max ++ mx).reduceOption((a, b) =>
-                  if (num(a).compareTo(num(b)) >= 0) a else b),
+                  if (leq(a, b)) b else a),
                 (old.nullCount ++ nul).reduceOption(_ + _),
                 // pg keeps a histogram until the next ANALYZE refreshes
                 // it: appends make it stale-but-useful
@@ -3114,8 +3145,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats
     * mock: a table mocked small enough to broadcast gets a broadcast hint
     * at view-registration time, visibly flipping join strategy in EXPLAIN.
-    * Display GUCs land on the session overlay only; any other SET is a
-    * shared conf passthrough recorded on the session.
+    * Display GUCs land on the session overlay only; `spark.*` execution
+    * confs apply engine-globally from the EMBEDDED session and are
+    * refused from remote ones (r17 — see the branch below); anything
+    * else is a pg custom GUC, session-local in the overlay.
     */
   private def setVar(key: String, value: String): DataFrame = {
     val k = key.toLowerCase
@@ -3133,10 +3166,30 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         if (k == "datestyle")
           normalizeDateStyle(value, sess.confOverlay.get("datestyle"))
         else value
-    } else {
+    } else if (k.startsWith("spark.")) {
+      // Spark execution confs are ENGINE-GLOBAL: one shared SparkSession
+      // (and its single SQLConf) serves every connection, so a
+      // per-session value is impossible to isolate — applying it would
+      // silently re-plan every other session's statements, and a
+      // statement-scoped set→run→restore races concurrent read-lock
+      // holders. The EMBEDDED session (REPL/tests/direct API — the DBA
+      // surface, pg's ALTER SYSTEM analogue) applies them globally;
+      // remote sessions get a crisp refusal instead of a silent lie.
+      // Boundary documented in COVERAGE.md.
+      if (sess ne defaultSession) throw new IllegalArgumentException(
+        s"""parameter "$key" is engine-global: Spark execution """ +
+          "configuration cannot take a per-session value on the shared " +
+          "SparkSession; set it from the embedded session or the engine " +
+          "launch configuration")
       sess.confOverlay(k) = value
       spark.conf.set(key, value)
       setConfKeys.synchronized { setConfKeys += key }
+    } else {
+      // pg custom-GUC semantics (SET myapp.tag = '...'): session-LOCAL,
+      // stored only in this session's overlay — readable back via
+      // SHOW / current_setting / pg_settings, never visible to other
+      // sessions, never written into the engine-global Spark conf
+      sess.confOverlay(k) = value
     }
     emptyResult
   }
@@ -3176,8 +3229,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       mockRowCounts.remove(t)
       if (tables.contains(t)) refresh(t)
     } else {
-      sess.confOverlay.remove(key.toLowerCase)
-      if (!sessionDisplayConfs.contains(key.toLowerCase)) {
+      val hadIt = sess.confOverlay.remove(key.toLowerCase).isDefined
+      // unset the engine-global conf only when THIS session put it there
+      // (or from the embedded DBA session) — a remote RESET of a key it
+      // never set must not undo the engine's or another session's value
+      if (!sessionDisplayConfs.contains(key.toLowerCase) &&
+          (hadIt || (sess eq defaultSession))) {
         scala.util.Try(spark.conf.unset(key))
         setConfKeys.synchronized { setConfKeys -= key }
       }
@@ -4601,7 +4658,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obsN = org.apache.spark.sql.Observation()
     val statCols = autoStatCols(table).filter(df.columns.contains)
     val counted = df.observe(obsN,
-      count(lit(1)).as("n"), colObsMetrics(statCols): _*)
+      count(lit(1)).as("n"), colObsMetrics(statCols, df.schema): _*)
     if (buckets.contains(table)) counted.write.insertInto(table)
     else counted.write.mode("append").parquet(tableDir(table))
     rowCounts.get(table).foreach(prev =>
@@ -4982,7 +5039,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val obsN = org.apache.spark.sql.Observation()
     val statCols = autoStatCols(table).filter(rewritten0.columns.contains)
     val rewritten = rewritten0.observe(obsN,
-      count(lit(1)).as("n"), colObsMetrics(statCols, withHist = true): _*)
+      count(lit(1)).as("n"),
+      colObsMetrics(statCols, rewritten0.schema, withHist = true): _*)
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")

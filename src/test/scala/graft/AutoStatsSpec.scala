@@ -39,8 +39,43 @@ class AutoStatsSpec extends AnyFunSuite {
     assert(fk.min.contains("0") && fk.max.contains("36"), fk.toString)
     val ndv = fk.distinctCount.map(_.toLong).getOrElse(0L)
     assert(ndv >= 33 && ndv <= 41, s"fk NDV $ndv not ~37")
-    // the string column stays off the numeric auto-stat ride
-    assert(!cs.contains("name") || cs("name").distinctCount.isEmpty)
+    // r17: the string column rides too — NDV only, never min/max
+    // (CatalogColumnStat cannot externalize string bounds)
+    assert(cs.contains("name") && cs("name").distinctCount.isDefined)
+    assert(cs("name").min.isEmpty && cs("name").max.isEmpty)
+  }
+
+  test("string FK and date columns feed CBO from the insert itself (r17)") {
+    engine.run("create table asd(k varchar, d date, v int)")
+    engine.run("insert into asd select concat('u', cast(id % 37 as string)), " +
+      "date_add(date '2024-01-01', cast(id % 50 as int)), cast(id as int) " +
+      "from range(0, 5000)")
+    val cs = colStats("asd")
+    val k = cs("k")
+    val kNdv = k.distinctCount.map(_.toLong).getOrElse(0L)
+    assert(kNdv >= 33 && kNdv <= 41, s"string FK NDV $kNdv not ~37")
+    assert(k.min.isEmpty && k.max.isEmpty, "string min/max must not externalize")
+    val d = cs("d")
+    assert(d.min.contains("2024-01-01") && d.max.contains("2024-02-19"),
+      d.toString)
+    val dNdv = d.distinctCount.map(_.toLong).getOrElse(0L)
+    assert(dNdv >= 45 && dNdv <= 55, s"date NDV $dNdv not ~50")
+    // the CBO consumes it: a join on the string FK against a 37-row dim
+    // carries a finite, NDV-derived row estimate (≈ 5000 matched rows)
+    // instead of an unknown/default guess
+    engine.run("create table asdim(k varchar, lbl varchar)")
+    engine.run("insert into asdim select concat('u', cast(id as string)), " +
+      "'L' from range(0, 37)")
+    val cost = engine.run(
+      "explain select * from asd join asdim on asd.k = asdim.k")
+      .collect().map(_.getString(0)).mkString("\n")
+    val joinRow = cost.linesIterator
+      .find(l => l.contains("Join") && l.contains("rowCount="))
+    assert(joinRow.isDefined, s"no row-counted Join in:\n$cost")
+    val est = "rowCount=([0-9.E+\\-]+)".r.findFirstMatchIn(joinRow.get)
+      .map(_.group(1).toDouble).getOrElse(-1.0)
+    assert(est >= 2500 && est <= 10000,
+      s"join estimate $est not NDV-derived (~5000): $joinRow")
   }
 
   test("a full rewrite adopts an equi-height histogram opportunistically") {

@@ -145,24 +145,45 @@ class SessionGucSpec extends AnyFunSuite {
     assert(engine.run("show datestyle", b).collect()(0).getString(0) == "ISO, YMD")
   }
 
-  test("RESET ALL / DISCARD ALL unset only the caller's Spark conf keys") {
+  test("custom GUCs are session-local; RESET ALL clears only the caller's") {
     val a = engine.newSession()
     val b = engine.newSession()
-    engine.run("set graft.test.ra_a = '1'", a)
-    engine.run("set graft.test.ra_b = '2'", b)
-    assert(spark.conf.getOption("graft.test.ra_a").contains("1"))
-    assert(spark.conf.getOption("graft.test.ra_b").contains("2"))
+    engine.run("set myapp.tag = 'A'", a)
+    engine.run("set myapp.tag = 'B'", b)
+    // pg custom-GUC semantics: each session reads its own value...
+    assert(engine.run("show myapp.tag", a).collect()(0).getString(0) == "A")
+    assert(engine.run("show myapp.tag", b).collect()(0).getString(0) == "B")
+    // ...and none leaks into the engine-global Spark conf
+    assert(spark.conf.getOption("myapp.tag").isEmpty,
+      "a session custom GUC leaked into the shared Spark conf")
     engine.run("reset all", a)
-    assert(spark.conf.getOption("graft.test.ra_a").isEmpty,
-      "RESET ALL left the caller's own conf key set")
-    assert(spark.conf.getOption("graft.test.ra_b").contains("2"),
-      "RESET ALL in session A unset session B's conf key")
-    assert(engine.run("show graft.test.ra_b", b)
-      .collect()(0).getString(0) == "2")
-    // DISCARD ALL (pool recycle) embeds the same scoped RESET ALL
+    intercept[Exception] {
+      engine.run("show myapp.tag", a).collect()
+    }
+    assert(engine.run("show myapp.tag", b).collect()(0).getString(0) == "B",
+      "RESET ALL in session A cleared session B's custom GUC")
+    // DISCARD ALL (pool recycle) embeds the same session-scoped reset
     engine.run("discard all", b)
-    assert(spark.conf.getOption("graft.test.ra_b").isEmpty,
-      "DISCARD ALL left the caller's conf key set")
+    intercept[Exception] {
+      engine.run("show myapp.tag", b).collect()
+    }
+  }
+
+  test("Spark execution confs refuse per-session SET; embedded stays the DBA surface") {
+    val a = engine.newSession()
+    val ex = intercept[IllegalArgumentException] {
+      engine.run("set spark.sql.shuffle.partitions = 7", a)
+    }
+    assert(ex.getMessage.contains("engine-global"), ex.getMessage)
+    // a remote RESET of a spark key it never set must not undo the
+    // engine-global value
+    engine.run("set spark.graft.test_global = 'keep'") // embedded default
+    engine.run("reset spark.graft.test_global", a)     // remote no-op
+    assert(spark.conf.getOption("spark.graft.test_global").contains("keep"),
+      "a remote RESET unset an engine-global conf it never owned")
+    // the embedded session's own RESET ALL does clean it up
+    engine.run("reset all")
+    assert(spark.conf.getOption("spark.graft.test_global").isEmpty)
   }
 
   test("SHOW / current_setting refuse engine-global Spark confs this session never set") {
