@@ -4900,15 +4900,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * against `probe`'s touched-file-name set (evaluated lazily, only
     * once the table qualifies). Same fallbacks as documented above.
     *
-    * On a CLUSTERED BY table the unit of copy-on-write is the BUCKET,
-    * not the file: the reader trusts "every row of bucket b lives in
-    * files named _0000b", so a touched file promotes its WHOLE bucket
-    * into the rewrite (its survivors re-hash to the same bucket id) and
-    * only fully-untouched buckets hard-link — a bucket-key-selective
-    * DELETE on the engine's recommended 100 TB layout costs O(touched
-    * buckets), not O(table). Bucket ids parse from part-file names by
-    * the same routine the bucketed scan uses; an unparsable name bails
-    * to the full rewrite.
+    * File granularity holds on a CLUSTERED BY table too (r17): the
+    * reader's invariant is "every row of a file named _0000b hashes to
+    * bucket b", and the partial rewrite preserves it WITHOUT promoting
+    * whole buckets — touched files' surviving/updated rows re-enter
+    * through the bucketed scratch writer ([[rewriteSwapPartial]]), which
+    * re-hashes each row into a correctly-named new file (even an UPDATE
+    * that moves a row ACROSS buckets lands it right), while hard-linked
+    * untouched files keep their names and contents. Whole-bucket
+    * granularity would make a one-key DELETE cost O(table/buckets) —
+    * linear in table size at fixed bucket count; file granularity keeps
+    * it O(matched files), flat (CowBench bucketed rows).
     */
   private def cowPartition(table: String, probe: () => Set[String])
       : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
@@ -4922,24 +4924,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       } finally s.close()
     }
     if (all.size < 2) return None
-    val bucketOf: Option[Map[java.nio.file.Path, Int]] =
-      if (!buckets.contains(table)) None
-      else {
-        val parsed = all.map(p => p ->
-          org.apache.spark.sql.graftbridge.Bridge
-            .bucketIdFromFileName(p.getFileName.toString))
-        if (parsed.exists(_._2.isEmpty)) return None // foreign name → full rewrite
-        Some(parsed.map { case (p, b) => p -> b.get }.toMap)
-      }
     val touchedNames = scala.util.Try(probe()).getOrElse(return None)
-    val (touched, untouched) = bucketOf match {
-      case Some(bOf) =>
-        val touchedBuckets = all.filter(p =>
-          touchedNames.contains(p.getFileName.toString)).map(bOf).toSet
-        all.partition(p => touchedBuckets.contains(bOf(p)))
-      case None =>
-        all.partition(p => touchedNames.contains(p.getFileName.toString))
-    }
+    val (touched, untouched) =
+      all.partition(p => touchedNames.contains(p.getFileName.toString))
     if (touched.size * 5 >= all.size * 4) None
     else Some((touched, untouched))
   }

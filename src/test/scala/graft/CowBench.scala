@@ -65,11 +65,31 @@ object CowBench {
     val fullS = timed("delete from cow_s where l_quantity >= 0")
     val fullB = timed("delete from cow_b where l_quantity >= 0")
 
+    // r17 bucket-granular COW: same claim on the engine's recommended
+    // 100 TB layout (CLUSTERED BY). A bucket-key-equality DELETE should
+    // rewrite ONE bucket's files and hard-link the other 15, so its wall
+    // time should stay ~flat as the base grows mult×.
+    def mkBucketed(name: String, copies: Int): Unit = {
+      engine.run(s"create table $name(l_orderkey bigint, l_quantity double) " +
+        "clustered by (l_orderkey) into 16 buckets")
+      (0 until copies).foreach(m => engine.run(
+        s"insert into $name select l_orderkey + ${m * 100000000L}, " +
+          s"l_quantity from li_src"))
+    }
+    mkBucketed("cowbk_s", 1)
+    mkBucketed("cowbk_b", mult)
+    engine.run("select count(*) from cowbk_s").collect()
+    engine.run("select count(*) from cowbk_b").collect()
+    val bselS = timed(s"delete from cowbk_s where l_orderkey = $key")
+    val bselB = timed(s"delete from cowbk_b where l_orderkey = $key")
+
     println(s"""{"metric":"cow_selective_delete","unit":"sec",""" +
       s""""rows_small":$nS,"rows_big":$nB,""" +
       s""""selective_small":${fmt(selS)},"selective_big":${fmt(selB)},""" +
       s""""full_small":${fmt(fullS)},"full_big":${fmt(fullB)},""" +
-      s""""selective_ratio":${fmt(selB / selS)},"full_ratio":${fmt(fullB / fullS)}}""")
+      s""""selective_ratio":${fmt(selB / selS)},"full_ratio":${fmt(fullB / fullS)},""" +
+      s""""bucketed_selective_small":${fmt(bselS)},"bucketed_selective_big":${fmt(bselB)},""" +
+      s""""bucketed_selective_ratio":${fmt(bselB / bselS)}}""")
     spark.stop()
   }
 }

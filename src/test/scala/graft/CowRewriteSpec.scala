@@ -258,7 +258,7 @@ class CowRewriteSpec extends AnyFunSuite {
     org.apache.spark.sql.graftbridge.Bridge.bucketIdFromFileName(name)
       .getOrElse(fail(s"unparsable bucket file name: $name"))
 
-  test("bucket-key DELETE on a CLUSTERED BY table rewrites only the touched bucket") {
+  test("bucket-key DELETE on a CLUSTERED BY table rewrites only matching files") {
     engine.run("create table cowbkt(k int, v int) clustered by (k) into 8 buckets")
     engine.run("insert into cowbkt select cast(id as int), 0 from range(0, 400)")
     engine.run("insert into cowbkt select cast(id as int), 0 from range(400, 800)")
@@ -269,15 +269,17 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0)
     assert(affected == 1L)
     val after = dataFiles("cowbkt")
+    // file-granular even under the bucket layout: ONLY the file(s)
+    // holding k=5 rewrite — same-bucket files without the key hard-link
     val gone = before.keySet -- after.keySet
     val goneBuckets = gone.map(bucketIdOf)
-    assert(goneBuckets.size == 1, s"expected ONE rewritten bucket, got $goneBuckets")
-    // every file of the 7 untouched buckets survives as the same inode
-    val keptExpected = before.keySet.filterNot(n => goneBuckets.contains(bucketIdOf(n)))
-    assert(after.keySet.intersect(before.keySet) == keptExpected,
-      "a file of an untouched bucket was rewritten, or a touched-bucket file survived")
-    keptExpected.foreach(n => assert(after(n) == before(n), s"$n inode changed"))
-    // new files all belong to the rewritten bucket
+    assert(goneBuckets.size == 1, s"k=5 lives in one bucket, rewrote $goneBuckets")
+    assert(gone.size < before.keySet.count(n => goneBuckets.contains(bucketIdOf(n))),
+      "the whole bucket was rewritten — COW should stay file-granular")
+    val kept = after.keySet.intersect(before.keySet)
+    assert(kept == before.keySet -- gone)
+    kept.foreach(n => assert(after(n) == before(n), s"$n inode changed"))
+    // survivors re-hash into the SAME bucket: new files carry its id
     (after.keySet -- before.keySet).foreach(n =>
       assert(goneBuckets.contains(bucketIdOf(n)), s"new file $n outside the touched bucket"))
     // values exact; the bucketed read (bucket-pruned) agrees
@@ -292,7 +294,24 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 800L)
   }
 
-  test("bucket-key UPDATE and MERGE stay bucket-granular; inserts re-bucket") {
+  test("UPDATE moving a row ACROSS buckets re-homes it under the layout") {
+    engine.run("create table cowbmv(k int, v int) clustered by (k) into 8 buckets")
+    engine.run("insert into cowbmv select cast(id as int), 0 from range(0, 400)")
+    engine.run("insert into cowbmv select cast(id as int), 0 from range(400, 800)")
+    // SET k = k + 1 on one row: the post-image hashes to a DIFFERENT
+    // bucket; the bucketed scratch writer must land it in that bucket's
+    // file name, or a bucket-pruned point read would miss the row
+    assert(engine.run("update cowbmv set k = 1000 where k = 5")
+      .collect()(0).getLong(0) == 1L)
+    assert(engine.run("select count(*) as n from cowbmv where k = 5")
+      .collect()(0).getLong(0) == 0L)
+    assert(engine.run("select count(*) as n from cowbmv where k = 1000")
+      .collect()(0).getLong(0) == 1L, "bucket-pruned read missed the moved row")
+    assert(engine.run("select count(*) as n from cowbmv")
+      .collect()(0).getLong(0) == 800L)
+  }
+
+  test("bucket-key UPDATE and MERGE stay file-granular; inserts re-bucket") {
     engine.run("create table cowbku(k int, v int) clustered by (k) into 8 buckets")
     engine.run("insert into cowbku select cast(id as int), 0 from range(0, 400)")
     engine.run("insert into cowbku select cast(id as int), 0 from range(400, 800)")
