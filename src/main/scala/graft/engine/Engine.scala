@@ -3181,8 +3181,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           "configuration cannot take a per-session value on the shared " +
           "SparkSession; set it from the embedded session or the engine " +
           "launch configuration")
-      sess.confOverlay(k) = value
+      // apply FIRST: a static/immutable conf throws here, and the
+      // overlay must not claim a value that never landed
       spark.conf.set(key, value)
+      sess.confOverlay(k) = value
       setConfKeys.synchronized { setConfKeys += key }
     } else {
       // pg custom-GUC semantics (SET myapp.tag = '...'): session-LOCAL,
@@ -3229,12 +3231,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       mockRowCounts.remove(t)
       if (tables.contains(t)) refresh(t)
     } else {
-      val hadIt = sess.confOverlay.remove(key.toLowerCase).isDefined
-      // unset the engine-global conf only when THIS session put it there
-      // (or from the embedded DBA session) — a remote RESET of a key it
-      // never set must not undo the engine's or another session's value
+      sess.confOverlay.remove(key.toLowerCase)
+      // only the EMBEDDED session ever writes the engine-global conf
+      // (remote spark.* SETs are refused; custom GUCs are overlay-only),
+      // so only it may unset one — a remote RESET of a custom GUC that
+      // happens to shadow an engine-global launch conf must not clear it
       if (!sessionDisplayConfs.contains(key.toLowerCase) &&
-          (hadIt || (sess eq defaultSession))) {
+          (sess eq defaultSession)) {
         scala.util.Try(spark.conf.unset(key))
         setConfKeys.synchronized { setConfKeys -= key }
       }
@@ -4561,6 +4564,33 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             keys, "left_anti")
           .select(ordered: _*)
         try {
+          if (!planDeterministic(updatedExisting) ||
+              !planDeterministic(inserts)) {
+            // nondeterministic SET (rand() etc.): the frames below would
+            // each draw the assignments independently — RETURNING and the
+            // IVM add delta disagreeing with what the rewrite stored.
+            // Draw ONCE: materialize the matched rows' post-image (the
+            // keys are equality-matched, so WHICH rows conflict is
+            // deterministic) and the inserts, and derive every frame —
+            // RETURNING, both IVM sides, the rewrite — from those.
+            val postMatched = postSel(existing.join(exc, matchCond, "inner"))
+              .localCheckpoint()
+            val insertsCk = inserts.localCheckpoint()
+            if (returningExprs.isDefined)
+              captureReturning(postMatched.unionByName(insertsCk))
+            recordUpsertDelta(
+              existing.join(exc, matchCond, "left_semi"),
+              postMatched.unionByName(insertsCk))
+            val unmatched = existing
+              .join(newRows.select(keys.map(col): _*).dropDuplicates(keys),
+                keys, "left_anti")
+              .select(ordered: _*)
+            rewriteSwap(table,
+              unmatched.unionByName(postMatched).unionByName(insertsCk),
+              "upsert")
+            refresh(table)
+            return rowCountResult(newRows.count())
+          }
           // pg returns every proposed row under DO UPDATE: updated rows'
           // post-image (the same assignment projection, inner-joined to
           // just the matches) plus the inserted rows — pre-swap snapshot
@@ -4576,11 +4606,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // Inserts anti-joined the FULL target above, so they are exact
           // regardless of which files rewrite. newRows is cached: the
           // probe's extra semi-join reads the same materialized rows.
-          // A nondeterministic SET expression takes the whole-table
-          // rewrite instead — probe and rewrite are separate draws.
-          val partial = if (!planDeterministic(updatedExisting) ||
-              !planDeterministic(inserts)) None
-          else cowPartition(table, () => {
+          val partial = cowPartition(table, () => {
             val withFile = spark.table(table)
               .select((col("_metadata.file_path").as("__cow_file") +:
                 schema.fields.map(f => col(f.name)).toSeq): _*)
@@ -4865,22 +4891,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       percentDecode(p.substring(p.lastIndexOf('/') + 1))
     }.toSet
 
-  /** RFC-3986 percent-decoding only: %XX unescapes, '+' stays '+'. */
+  /** RFC-3986 percent-decoding only: %XX unescapes, '+' stays '+'.
+    * Literal characters append as CHARS (a per-char getBytes would split
+    * surrogate pairs — a non-BMP codepoint in a name must round-trip);
+    * only contiguous %XX runs collect as bytes and decode as UTF-8.
+    */
   private def percentDecode(s: String): String = {
     if (!s.contains('%')) return s
-    val out = new java.io.ByteArrayOutputStream(s.length)
+    val sb = new StringBuilder(s.length)
+    val bytes = new java.io.ByteArrayOutputStream()
+    def flush(): Unit = if (bytes.size() > 0) {
+      sb.append(new String(bytes.toByteArray, "UTF-8")); bytes.reset()
+    }
     var i = 0
     while (i < s.length) {
       val ch = s(i)
       if (ch == '%' && i + 2 < s.length &&
           Character.digit(s(i + 1), 16) >= 0 &&
           Character.digit(s(i + 2), 16) >= 0) {
-        out.write(Character.digit(s(i + 1), 16) * 16 +
+        bytes.write(Character.digit(s(i + 1), 16) * 16 +
           Character.digit(s(i + 2), 16))
         i += 3
-      } else { out.write(ch.toString.getBytes("UTF-8")); i += 1 }
+      } else { flush(); sb += ch; i += 1 }
     }
-    new String(out.toByteArray, "UTF-8")
+    flush()
+    sb.toString
   }
 
   /** Hard-link `src` at `dst`; on a filesystem without link support fall
@@ -4931,6 +4966,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     else Some((touched, untouched))
   }
 
+  /** Materialize `df` into a swap's tmp dir honoring the table's layout:
+    * plain parquet, or — for a CLUSTERED BY table — through a scratch
+    * external catalog table carrying the same bucketBy/sortBy spec
+    * (bucket ids live in part-file names, so only the bucketed writer
+    * produces a directory that stays valid under the catalog entry after
+    * the swap; the scratch name dodges user tables and drops immediately,
+    * external → the files survive). ONE copy shared by the full and the
+    * file-granular rewrite commits, so the dance can never diverge.
+    */
+  private def writeTmp(table: String, df: DataFrame,
+      tmp: java.nio.file.Path): Unit = buckets.get(table) match {
+    case Some((c, n)) =>
+      var scratch = s"graft_rewrite_${table}"
+      while (tables.contains(scratch)) scratch += "_x"
+      spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+      if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
+      df.write.mode("overwrite")
+        .bucketBy(n, c).sortBy(c)
+        .option("path", tmp.toAbsolutePath.toString)
+        .saveAsTable(scratch)
+      spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
+    case None =>
+      df.write.mode("overwrite").parquet(tmp.toString)
+  }
+
   /** Commit a FILE-GRANULAR rewrite: materialize the rewritten survivors
     * of the touched files into the temp dir (None when no file matched),
     * HARD-LINK every untouched file beside them — same inode, zero I/O —
@@ -4956,27 +5016,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
     if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
     survivors match {
-      case Some(df) =>
-        val guarded = constraintGuard(table, df)
-        buckets.get(table) match {
-          case Some((c, n)) =>
-            // a bucketed table's rewritten slice must itself be written
-            // BUCKETED (ids live in part-file names) — same scratch-
-            // catalog-table trick as rewriteSwap; the rewritten rows
-            // re-hash to their original bucket ids, so they land beside
-            // the hard-linked files of the untouched buckets under the
-            // same catalog spec
-            var scratch = s"graft_rewrite_${table}"
-            while (tables.contains(scratch)) scratch += "_x"
-            spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
-            guarded.write.mode("overwrite")
-              .bucketBy(n, c).sortBy(c)
-              .option("path", tmp.toAbsolutePath.toString)
-              .saveAsTable(scratch)
-            spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
-          case None =>
-            guarded.write.mode("overwrite").parquet(tmp.toString)
-        }
+      case Some(df) => writeTmp(table, constraintGuard(table, df), tmp)
       case None => Files.createDirectories(tmp)
     }
     // untouched files carry fresh UUID part names from their own write
@@ -5031,26 +5071,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val tmp = Paths.get(s"$warehouse/.$table.rewrite.tmp")
     val live = Paths.get(tableDir(table))
     val aside = Paths.get(s"$warehouse/.$table.old.tmp")
-    buckets.get(table) match {
-      case Some((c, n)) =>
-        // a bucketed table must be REWRITTEN bucketed: bucket ids live in
-        // the part-file names, so writing through a scratch external table
-        // with the same spec produces a directory that stays valid under
-        // the same catalog entry after the swap. The scratch catalog name
-        // is dodged around user tables and dropped immediately (external →
-        // files survive).
-        var scratch = s"graft_rewrite_${table}"
-        while (tables.contains(scratch)) scratch += "_x"
-        spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
-        if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
-        rewritten.write.mode("overwrite")
-          .bucketBy(n, c).sortBy(c)
-          .option("path", tmp.toAbsolutePath.toString)
-          .saveAsTable(scratch)
-        spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
-      case None =>
-        rewritten.write.mode("overwrite").parquet(tmp.toString)
-    }
+    writeTmp(table, rewritten, tmp)
     if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
     Files.move(live, aside)
     try Files.move(tmp, live)
@@ -5320,9 +5341,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val target = spark.table(tgt).as(tgt)
     // repeatable read: the MERGE source reads the txn's snapshot (the
     // TARGET's drift is the serialization check in rewriteSwap→txnTouch)
-    val srcPinned = snapshotPin(spark.table(src))
+    val srcPinned0 = snapshotPin(spark.table(src))
+    // a nondeterministic SOURCE (a view over rand() etc.) would be drawn
+    // independently by the cardinality check, the rewrite, the IVM
+    // frames and the insert anti-join — materialize it ONCE instead
+    val srcPinned =
+      if (planDeterministic(srcPinned0)) srcPinned0
+      else srcPinned0.localCheckpoint()
     val source = srcPinned.withColumn("__s_marker", lit(1)).as(src)
     val insertOnly = updateSet.isEmpty && !matchedDelete
+    // with the source pinned, remaining nondeterminism can only live in
+    // the ON condition itself — and the join re-evaluates once per
+    // emitted frame (cardinality check, rewrite, IVM pre/post, insert
+    // anti-join), so different draws would rewrite one row set and
+    // subtract another. Spark's analyzer already refuses nondeterministic
+    // join conditions (INVALID_NON_DETERMINISTIC_EXPRESSIONS — the join
+    // CONSTRUCTION throws, so no frame can ever draw twice); probe it
+    // here to surface the refusal as one clear MERGE-shaped message
+    // instead of an analyzer error naming an internal plan.
+    val onDet = scala.util.Try(
+      planDeterministic(target.join(source, onExpr, "left_semi")))
+      .getOrElse(false)
+    require(onDet,
+      "MERGE: a nondeterministic ON condition is not supported — the " +
+        "join is re-evaluated per emitted frame; make the condition " +
+        "deterministic (a rand()-style filter belongs in the source query, " +
+        "which is materialized once)")
 
     // cardinality check (pg parity: "MERGE command cannot affect row a
     // second time"): more than one source match per target row is an
@@ -5375,7 +5419,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }.toIndexedSeq: _*))
 
     val insObs = org.apache.spark.sql.Observation()
-    val insertedRaw = insertClause.map { case (colsOpt, valuesStr) =>
+    val insertedRaw0 = insertClause.map { case (colsOpt, valuesStr) =>
       val declared = colsOpt.map(_.split(",").map(_.trim).toSeq)
         .getOrElse(schema.fields.map(_.name).toSeq)
       val valueExprs = splitTopLevel(valuesStr).map(_.trim)
@@ -5403,7 +5447,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           }
         }.toIndexedSeq: _*))
     }
+    // INSERT VALUES with rand() etc.: drawn ONCE, shared by the IVM add
+    // side and the rewrite/append (two frames read these rows)
+    val insertedRaw = insertedRaw0.map(df =>
+      if (planDeterministic(df)) df else df.localCheckpoint())
     val inserted = insertedRaw.map(_.observe(insObs, count(lit(1)).as("n")))
+    // nondeterministic SET: the survivors rewrite and the IVM post-image
+    // would draw the assignments independently — materialize the matched
+    // rows' post-image once and rebuild survivors as unmatched ∪ that
+    // one draw (WHICH rows matched is deterministic: ON is refused above
+    // unless deterministic)
+    val postMatchedCk: Option[DataFrame] =
+      if (assigns.isEmpty || planDeterministic(survivors)) None
+      else Some(withGenerated(tgt, target.join(source, onExpr, "inner")
+        .select(schema.fields.map { f =>
+          assigns.get(f.name.toLowerCase) match {
+            case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
+            case None => col(s"$tgt.${f.name}").as(f.name)
+          }
+        }.toIndexedSeq: _*)).localCheckpoint())
+    val survivorsFinal = postMatchedCk match {
+      case Some(pm) => target.join(source, onExpr, "left_anti")
+        .select(schema.fields.map(f =>
+          col(s"$tgt.${f.name}").as(f.name)).toIndexedSeq: _*)
+        .unionByName(pm)
+      case None => survivors
+    }
 
     // IVM merge-delta: while any matview is anchored on the target,
     // record the matched rows' pre-image (subtract side) and the
@@ -5419,14 +5488,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       pre.write.mode("overwrite").parquet(deleteDeltaDir(tgt, newV).toString)
       val postUpdate =
         if (updateSet.isEmpty) None
-        else Some(withGenerated(tgt, target.join(source, onExpr, "inner")
-          .select(schema.fields.map { f =>
-            val base = col(s"$tgt.${f.name}")
-            assigns.get(f.name.toLowerCase) match {
-              case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
-              case None => base.as(f.name)
-            }
-          }.toIndexedSeq: _*)))
+        // nondeterministic SET: reuse the ONE materialized draw the
+        // rewrite commits, never a fresh evaluation
+        else postMatchedCk.orElse(
+          Some(withGenerated(tgt, target.join(source, onExpr, "inner")
+            .select(schema.fields.map { f =>
+              val base = col(s"$tgt.${f.name}")
+              assigns.get(f.name.toLowerCase) match {
+                case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
+                case None => base.as(f.name)
+              }
+            }.toIndexedSeq: _*))))
       val adds = (postUpdate.toSeq ++ insertedRaw.toSeq)
         .reduceOption(_ unionByName _)
         .getOrElse(spark.table(tgt).limit(0))
@@ -5448,11 +5520,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // other files are linked unchanged. Inserts still anti-join the
       // FULL target (a match in an untouched file must suppress the
       // insert) and land as new files beside the rewritten ones.
-      // Probe and rewrite are separate jobs, so a nondeterministic ON /
-      // SET / INSERT expression takes the single-scan rewrite instead
-      // (same contract as cowTouchedFiles).
-      val partial = if (!planDeterministic(survivors) ||
-          inserted.exists(i => !planDeterministic(i))) None
+      // Probe and rewrite are separate jobs, so a nondeterministic SET
+      // expression takes the single-draw full rewrite instead (ON is
+      // refused unless deterministic; nondeterministic inserts/sources
+      // are checkpointed above, so their plans read back deterministic).
+      val partial = if (postMatchedCk.isDefined) None
       else cowPartition(tgt, () => {
         val withFile = spark.table(tgt)
           .select((col("_metadata.file_path").as("__cow_file") +:
@@ -5496,11 +5568,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           rowCountResult(nMatched + nInserted)
         case None =>
           val rewritten = inserted match {
-            case Some(ins) => survivors.unionByName(ins)
-            case None => survivors
+            case Some(ins) => survivorsFinal.unionByName(ins)
+            case None => survivorsFinal
           }
           rewriteSwap(tgt, rewritten, "merge")
-          val nMatched = observedCount(matchObs)
+          // single-draw arm: survivorsFinal bypasses the observe on
+          // `joined`, so count the checkpointed post-image directly
+          val nMatched = postMatchedCk.map(_.count())
+            .getOrElse(observedCount(matchObs))
           val nInserted = if (inserted.isEmpty) 0L else observedCount(insObs)
           rowCountResult(nMatched + nInserted)
       }

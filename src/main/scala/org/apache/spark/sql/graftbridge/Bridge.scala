@@ -24,10 +24,12 @@ object Bridge {
       spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 
   /** Bucket id encoded in a bucketed part-file name (`..._00003.c000...`),
-    * parsed by the SAME routine the bucketed reader trusts — the engine's
-    * bucket-granular copy-on-write must group files exactly as a scan
-    * would, or a mismatch would silently mix rewritten and stale rows
-    * within one bucket.
+    * parsed by the SAME routine the bucketed reader trusts. The engine's
+    * copy-on-write stays FILE-granular under bucket layouts (survivors
+    * re-hash through the bucketed writer); this accessor exists so tests
+    * (CowRewriteSpec) can validate the file-naming invariant the partial
+    * rewrite preserves — that every new file carries the bucket id its
+    * rows hash to — against the reader's own parse.
     */
   def bucketIdFromFileName(name: String): Option[Int] =
     org.apache.spark.sql.execution.datasources.BucketingUtils.getBucketId(name)

@@ -399,6 +399,54 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getDouble(0) == 0.0)
   }
 
+  test("ON CONFLICT DO UPDATE SET rand(): RETURNING equals the stored rows") {
+    engine.run("create table cowuprd(k int, v double)")
+    engine.run("insert into cowuprd select cast(id as int), 0.0 from range(0, 100)")
+    engine.run("insert into cowuprd select cast(id as int), 0.0 from range(100, 200)")
+    val ret = engine.run(
+      "insert into cowuprd values (50, -1.0), (150, -1.0), (900, -1.0) " +
+        "on conflict (k) do update set v = rand() returning k, v")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ret.size == 3, ret.toString)
+    val stored = engine.run("select k, v from cowuprd where k in (50, 150, 900)")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(ret == stored,
+      s"RETURNING drew different SET values than the table stored: $ret vs $stored")
+    assert(ret(50) > 0.0 && ret(150) > 0.0) // conflicting rows drew rand()
+    assert(ret(900) == -1.0)                // the true insert keeps its value
+    assert(engine.run("select count(*) as n from cowuprd")
+      .collect()(0).getLong(0) == 201L)
+  }
+
+  test("MERGE: nondeterministic SET/INSERT draw once; nondeterministic ON refused") {
+    engine.run("create table cowmrd(k int, v double)")
+    engine.run("insert into cowmrd select cast(id as int), 0.0 from range(0, 200)")
+    engine.run("create table cowmsrc(k int)")
+    engine.run("insert into cowmsrc values (5), (100), (900)")
+    engine.run("create materialized view cowmrdmv as " +
+      "select count(*) as n, sum(v) as s from cowmrd")
+    engine.run("merge into cowmrd using cowmsrc on cowmrd.k = cowmsrc.k " +
+      "when matched then update set v = rand() " +
+      "when not matched then insert (k, v) values (cowmsrc.k, rand())")
+    val mode = engine.run("refresh materialized view cowmrdmv")
+      .collect()(0).getString(0)
+    assert(mode == "incremental", mode)
+    val mv = engine.run("select n, s from cowmrdmv").collect()(0)
+    val base = engine.run("select count(*) as n, sum(v) as s from cowmrd")
+      .collect()(0)
+    assert(mv.getLong(0) == base.getLong(0), s"$mv vs $base")
+    assert(math.abs(mv.getDouble(1) - base.getDouble(1)) < 1e-9,
+      s"matview sum ${mv.getDouble(1)} != base ${base.getDouble(1)} — " +
+        "the merge drew its SET/INSERT values more than once")
+    // a nondeterministic ON condition cannot be made single-draw (the
+    // join re-evaluates per frame) — refused with a pointer
+    val ex = intercept[Exception] {
+      engine.run("merge into cowmrd using cowmsrc " +
+        "on cowmrd.k = cowmsrc.k and rand() < 0.5 when matched then delete")
+    }
+    assert(ex.getMessage.contains("nondeterministic ON"), ex.getMessage)
+  }
+
   test("nondeterministic DELETE feeds the IVM delta the SAME draw") {
     engine.run("create table cowndv(g varchar, x int)")
     engine.run("insert into cowndv select 'a', cast(id as int) from range(0, 200)")
