@@ -1239,10 +1239,11 @@ private object Pgwire {
             s"parameter $$$idx out of range (${params.length} bound)")
         out.append(params(idx - 1) match {
           case null => "NULL"
-          // double backslashes too: Spark's parser (escapedStringLiterals
-          // off) interprets \x escapes inside '...', which would silently
-          // eat the backslash of a bytea hex literal or any \-bearing text
-          case v => "'" + v.replace("\\", "\\\\").replace("'", "''") + "'"
+          // pg-conforming literal ('' the only escape): the engine's
+          // conformLiterals pass (r17) doubles backslashes once at parse
+          // time for EVERY statement — pre-doubling here would make the
+          // stored text carry two backslashes per one bound
+          case v => "'" + v.replace("'", "''") + "'"
         })
         i = j
       } else {

@@ -38,6 +38,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // to 100M; `pragma cte_recursion_row_limit = n` tunes it per session,
   // and the limit error names that pragma.
   spark.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
+  // pg literal semantics (r17): handled by SqlText.conformLiterals at
+  // statement entry — `spark.sql.parser.escapedStringLiterals=true`
+  // looks like the switch but ALSO stops collapsing the '' escape
+  // (probed: 'it''s' stays two quote chars), so the engine keeps
+  // Spark's parser default and instead doubles backslashes inside
+  // single-quoted literal content before dispatch.
 
   /** Statement-level concurrency gate for network front ends: reads
     * (SELECT-shaped statements) share the read lock and run concurrently —
@@ -796,8 +802,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val v = try Some(gucValue(m.group(1))) catch {
           case e: IllegalArgumentException => if (missingOk) None else throw e
         }
+        // substituted AFTER conformLiterals ran, so render the value in
+        // SPARK literal syntax: backslashes doubled, quotes '' -escaped
         java.util.regex.Matcher.quoteReplacement(v
-          .map(x => "'" + x.replace("'", "''") + "'")
+          .map(x => "'" + x.replace("\\", "\\\\").replace("'", "''") + "'")
           .getOrElse("CAST(NULL AS STRING)"))
       }
     })
@@ -2070,8 +2078,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val toks = spec.split("\\s+")
         if (toks.length >= 2) toks(0) else ""
       }.toSeq
-      val body = Option(bodyQ).orElse(Option(bodyD))
-        .getOrElse("select " + bodyR)
+      // conform the body's literals NOW: expansion splices it into text
+      // that already crossed conformLiterals, so it would otherwise be
+      // the one fragment parsed with Spark's C-escape semantics
+      val body = SqlText.conformLiterals(Option(bodyQ).orElse(Option(bodyD))
+        .getOrElse("select " + bodyR))
       functions(name.toLowerCase) = (ps, body)
       saveManifest()
       emptyResult
@@ -5847,7 +5858,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // current_setting()/version() substitute here too, so INSERT/UPDATE/
     // upsert sources and SET expressions get them — not just top-level
     // SELECTs (they are statement-stable, so any chokepoint is exact)
-    var out = rewriteVectorOps(rewriteCurrentSetting(sql))
+    // pg literal semantics first (standard_conforming_strings=on, as
+    // advertised): backslashes inside '...' double so Spark's C-style
+    // parser reads the client's raw bytes — once per parse, HERE, the
+    // one funnel every Spark-bound statement/expression text crosses
+    var out = rewriteVectorOps(rewriteCurrentSetting(
+        SqlText.conformLiterals(sql)))
       .replaceAll("(?i)\\bas\\s+varchar\\s*([,)])", "AS STRING$1")
       .replaceAll("(?i)\\bas\\s+text\\s*([,)])", "AS STRING$1")
     var changed = true

@@ -146,6 +146,51 @@ private[graft] object SqlText {
     sb.toString
   }
 
+  /** pg → Spark literal translation: double every backslash INSIDE a
+    * single-quoted literal, so Spark's C-style-escaping parser reads
+    * exactly the bytes a standard_conforming_strings=on client wrote
+    * ('' stays the one escape — untouched). Without this, a pg client's
+    * 'C:\temp\new' silently stored a TAB and a NEWLINE. Double-quoted
+    * segments pass through raw: they are Spark-native literal syntax
+    * (pg clients never send them — double quotes are identifiers there)
+    * and keep Spark's own escape semantics. Applied exactly once per
+    * parse, at the [[graft.engine.Engine.inlineFunctions]] chokepoint —
+    * never to text the engine consumes without Spark's parser (SET /
+    * PRAGMA values, COPY options), whose literals are already raw.
+    * (`spark.sql.parser.escapedStringLiterals=true` looks like the
+    * switch for this, but it ALSO stops collapsing '' — probed on
+    * Spark 4.1.2: 'it''s' comes back as two quote characters.)
+    */
+  def conformLiterals(sql: String): String = {
+    if (sql.indexOf('\\') < 0) return sql
+    val sb = new StringBuilder(sql.length + 8)
+    var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (q == '\'') {
+        if (ch == '\\') sb.append("\\\\")
+        else {
+          sb += ch
+          if (ch == '\'') {
+            if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
+            else q = 0
+          }
+        }
+      } else if (q == '"') {
+        sb += ch
+        if (ch == '"') {
+          if (i + 1 < sql.length && sql(i + 1) == '"') { sb += '"'; i += 1 }
+          else q = 0
+        }
+      } else {
+        sb += ch
+        if (ch == '\'' || ch == '"') q = ch
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
   /** Per-character bitmap: true where the character lies inside a
     * string literal — single- or double-quoted (quotes themselves and
     * doubled-quote escapes included; Spark's default dialect reads

@@ -1017,4 +1017,20 @@ class EngineSpec extends AnyFunSuite {
       .collect().map(_.getString(0)).toSeq
     assert(!ops.contains("delete"), ops)
   }
+
+  test("string literals are standard-conforming: backslash is literal (pg parity)") {
+    // the engine advertises standard_conforming_strings=on; before r17
+    // Spark's C-style escapes made 'C:\temp\new' store a TAB + NEWLINE —
+    // silent payload corruption for any pg client
+    engine.run("create table sconf(s varchar)")
+    engine.run("insert into sconf values ('C:\\temp\\new')")
+    val v = engine.run("select s from sconf").collect()(0).getString(0)
+    assert(v == "C:\\temp\\new", s"stored [${v}]")
+    assert(engine.run("select 'a\\nb' as x").collect()(0).getString(0) == "a\\nb")
+    // '' stays the one escape, and predicates compare raw bytes
+    assert(engine.run("select 'it''s' as x").collect()(0).getString(0) == "it's")
+    assert(engine.run("select count(*) as n from sconf where s like 'C:%'")
+      .collect()(0).getLong(0) == 1L)
+    engine.run("drop table sconf")
+  }
 }

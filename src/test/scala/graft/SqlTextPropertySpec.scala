@@ -55,6 +55,27 @@ object SqlTextPropertySpec extends Properties("SqlText") {
         (c != '\'' && c != '"') || mask(i) }
     }
 
+  property("conformLiterals doubles backslashes inside single quotes ONLY") =
+    forAll(Gen.oneOf(
+      ("select 'a\\b' as x", "select 'a\\\\b' as x"),
+      ("update t set v = 'C:\\temp' where k = 1",
+        "update t set v = 'C:\\\\temp' where k = 1"),
+      ("select \"a\\nb\"", "select \"a\\nb\""), // Spark-native syntax: raw
+      ("select 'it''s \\' || 'x'", "select 'it''s \\\\' || 'x'"),
+      ("select '\\' as a, b", "select '\\\\' as a, b"),
+      ("select x \\ y", "select x \\ y"))) { case (in, want) =>
+      SqlText.conformLiterals(in) == want
+    }
+
+  property("conformLiterals never moves literal boundaries") =
+    forAll(sqlGen) { s =>
+      // backslash-free inputs are untouched, and the masked structure of
+      // any input survives conformance (content-only rewrite)
+      val out = SqlText.conformLiterals(s)
+      out == s || SqlText.quotedMask(out).count(identity) >=
+        SqlText.quotedMask(s).count(identity)
+    }
+
   property("rewrites never fire inside a double-quoted literal") =
     forAll(Gen.oneOf("\"pg_settings\"", "\"x pg_settings y\"",
         "\"it\"\"s pg_settings\"")) { lit =>
