@@ -209,6 +209,28 @@ class ServerSpec extends AnyFunSuite {
       assert(cols(ext(5)._2) == Seq("2", "p;q"))
       assert(new String(ext(6)._2, StandardCharsets.UTF_8).startsWith("SELECT 1"))
 
+      // a text parameter with backslashes round-trips byte-identical:
+      // the bind renders a standard-conforming literal and the engine's
+      // conformLiterals pass owns the Spark escaping (r17) — neither
+      // drops nor doubles a backslash
+      frame('P') { d =>
+        d.write(cs("stbs")); d.write(cs("select $1 as p")); d.writeShort(0)
+      }
+      frame('B') { d =>
+        d.write(cs("")); d.write(cs("stbs"))
+        d.writeShort(0); d.writeShort(1)
+        val v = "C:\\temp\\new ''quoted''".getBytes(StandardCharsets.UTF_8)
+        d.writeInt(v.length); d.write(v)
+        d.writeShort(0)
+      }
+      frame('E') { d => d.write(cs("")); d.writeInt(0) }
+      frame('S')(_ => ())
+      out.flush()
+      val bs = untilReady()
+      val bsRow = bs.find(_._1 == 'D').map(m => cols(m._2))
+      assert(bsRow.contains(Seq("C:\\temp\\new ''quoted''")),
+        s"backslash param corrupted: $bsRow")
+
       // error inside a batch: messages after the failure are discarded
       // until Sync, which restores ReadyForQuery
       frame('P') { d => d.write(cs("")); d.write(cs("select nope from pgw")); d.writeShort(0) }
