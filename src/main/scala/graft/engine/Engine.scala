@@ -2304,15 +2304,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case reSet(key, value) =>
       // unquoted DEFAULT is pg's RESET spelling (quoted 'default' is a value)
       if (value.equalsIgnoreCase("default")) resetVar(key)
-      else setVar(key, value.stripPrefix("'").stripSuffix("'"))
+      else setVar(key, unquoteSetValue(value))
     case reSetTimeZone(v) =>
-      val z = v.trim.stripPrefix("'").stripSuffix("'")
+      val z = unquoteSetValue(v)
       if (z.equalsIgnoreCase("local") || z.equalsIgnoreCase("default"))
         resetVar("timezone")
       else setVar("timezone", z)
     case reSetTo(key, value) =>
       if (value.trim.equalsIgnoreCase("default")) resetVar(key)
-      else setVar(key, value.trim.stripPrefix("'").stripSuffix("'"))
+      else setVar(key, unquoteSetValue(value))
     case reShowTimeZone() => showVar("timezone")
     case reShowAll() => showAll()
     case reShowVar(key) if showableGucs.contains(key.toLowerCase) ||
@@ -3151,6 +3151,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }
     if (sessionDisplayConfs.contains(k))
       normalized.foreach(session.confOverlay(k) = _)
+  }
+
+  /** A SET value: quoted values unwrap AND collapse the '' escape (pg:
+    * SET application_name = 'it''s me' stores it's me — the former bare
+    * strip kept the doubled quotes in the stored value); unquoted values
+    * (numbers, bare keywords) pass through trimmed. SET values never
+    * cross Spark's parser, so backslashes stay raw, like pg.
+    */
+  private def unquoteSetValue(v0: String): String = {
+    val v = v0.trim
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
+      v.substring(1, v.length - 1).replace("''", "'")
+    else v
   }
 
   /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats

@@ -206,6 +206,21 @@ class SessionGucSpec extends AnyFunSuite {
     engine.run("reset all", a)
   }
 
+  test("SET value unquoting collapses the '' escape; backslashes stay raw") {
+    val a = engine.newSession()
+    engine.run("set application_name = 'it''s me'", a)
+    assert(engine.run("show application_name", a)
+      .collect()(0).getString(0) == "it's me")
+    engine.run("set myapp.path = 'C:\\temp'", a)
+    assert(engine.run("show myapp.path", a)
+      .collect()(0).getString(0) == "C:\\temp")
+    // and the value substitutes back through current_setting() in Spark
+    // literal syntax (conformLiterals ran before the substitution)
+    assert(engine.run("select current_setting('myapp.path') as v", a)
+      .collect()(0).getString(0) == "C:\\temp")
+    engine.run("reset all", a)
+  }
+
   test("double-quoted literals survive the pg_settings rewrite") {
     val a = engine.newSession()
     // Spark's default dialect reads "pg_settings" as a STRING LITERAL;
