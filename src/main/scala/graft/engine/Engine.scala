@@ -973,7 +973,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   def run(sql: String): DataFrame = {
-    val stmt = sql.trim.replaceAll(";\\s*$", "")
+    // comments go first (quote-aware, hint-preserving): every downstream
+    // scanner, splitter and rewrite assumes an apostrophe opens a
+    // literal — true only once comment text is gone
+    val stmt = SqlText.stripComments(sql).trim.replaceAll(";\\s*$", "")
     txnGate(stmt)
     try {
       val lw = stmt.toLowerCase
@@ -2078,11 +2081,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val toks = spec.split("\\s+")
         if (toks.length >= 2) toks(0) else ""
       }.toSeq
-      // conform the body's literals NOW: expansion splices it into text
-      // that already crossed conformLiterals, so it would otherwise be
-      // the one fragment parsed with Spark's C-escape semantics
-      val body = SqlText.conformLiterals(Option(bodyQ).orElse(Option(bodyD))
-        .getOrElse("select " + bodyR))
+      // the quoted `as '...'` form arrives with its interior '' escapes
+      // still doubled (the regex captured the raw span) — collapse them
+      // FIRST or the conformance scan below inverts its quote state at
+      // each ''; then conform the body's literals NOW: expansion splices
+      // it into text that already crossed conformLiterals, so it would
+      // otherwise be the one fragment parsed with C-escape semantics
+      val body = SqlText.conformLiterals(
+        Option(bodyQ).map(_.replace("''", "'"))
+          .orElse(Option(bodyD))
+          .getOrElse("select " + bodyR))
       functions(name.toLowerCase) = (ps, body)
       saveManifest()
       emptyResult
@@ -4611,8 +4619,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               .select(ordered: _*)
             rewriteSwap(table,
               unmatched.unionByName(postMatched).unionByName(insertsCk),
-              "upsert")
-            refresh(table)
+              "upsert") // refreshes the catalog entry itself
             return rowCountResult(newRows.count())
           }
           // pg returns every proposed row under DO UPDATE: updated rows'
@@ -4650,8 +4657,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               rewriteSwapPartial(table, Some(rewrittenTouched), untouched,
                 "upsert")(-observedCount(insObs))
             case None =>
-              rewriteSwap(table, updatedExisting.unionByName(inserts), "upsert")
-              refresh(table)
+              rewriteSwap(table, updatedExisting.unionByName(inserts),
+                "upsert") // refreshes the catalog entry itself
           }
           // pg: every proposed row is either inserted or updated
           rowCountResult(newRows.count())
@@ -5381,16 +5388,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // subtract another. Spark's analyzer already refuses nondeterministic
     // join conditions (INVALID_NON_DETERMINISTIC_EXPRESSIONS — the join
     // CONSTRUCTION throws, so no frame can ever draw twice); probe it
-    // here to surface the refusal as one clear MERGE-shaped message
-    // instead of an analyzer error naming an internal plan.
-    val onDet = scala.util.Try(
-      planDeterministic(target.join(source, onExpr, "left_semi")))
-      .getOrElse(false)
-    require(onDet,
-      "MERGE: a nondeterministic ON condition is not supported — the " +
-        "join is re-evaluated per emitted frame; make the condition " +
-        "deterministic (a rand()-style filter belongs in the source query, " +
-        "which is materialized once)")
+    // here to surface the refusal as one clear MERGE-shaped message.
+    // ONLY that error converts — a typo'd column or a type error must
+    // keep its real analyzer message, not masquerade as nondeterminism.
+    try target.join(source, onExpr, "left_semi")
+    catch {
+      case e: Exception if e.getMessage != null &&
+          e.getMessage.contains("INVALID_NON_DETERMINISTIC") =>
+        throw new IllegalArgumentException(
+          "MERGE: a nondeterministic ON condition is not supported — the " +
+            "join is re-evaluated per emitted frame; make the condition " +
+            "deterministic (a rand()-style filter belongs in the source " +
+            "query, which is materialized once)")
+    }
 
     // cardinality check (pg parity: "MERGE command cannot affect row a
     // second time"): more than one source match per target row is an

@@ -146,6 +146,60 @@ private[graft] object SqlText {
     sb.toString
   }
 
+  /** Remove SQL comments OUTSIDE string literals — `-- ...` to end of
+    * line and NESTED `/* ... */` blocks (pg and Spark both nest) — each
+    * replaced by one space so token boundaries survive. Optimizer HINTS
+    * (`/*+ ... */`, Spark syntax pg never emits) copy through verbatim.
+    * Literal handling matches the other scanners: both quote kinds,
+    * doubled-quote escapes. Applied ONCE at statement entry
+    * (Engine.run), so every downstream quote-state machine — the
+    * rewrites, the splitters, [[conformLiterals]] — sees comment-free
+    * text: an apostrophe inside a comment ("/* client's hint */") used
+    * to flip their quote state and misread (or mis-conform) every
+    * literal after it.
+    */
+  def stripComments(sql: String): String = {
+    if (sql.indexOf("--") < 0 && !sql.contains("/*")) return sql
+    val sb = new StringBuilder(sql.length)
+    var i = 0; var q: Char = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (q != 0) {
+        sb += ch
+        if (ch == q) {
+          if (i + 1 < sql.length && sql(i + 1) == q) { sb += q; i += 1 }
+          else q = 0
+        }
+        i += 1
+      } else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        while (i < sql.length && sql(i) != '\n') i += 1
+        sb += ' ' // comment (+ its newline) collapses to one space
+        if (i < sql.length) i += 1
+      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*' &&
+          i + 2 < sql.length && sql(i + 2) == '+') {
+        val close = sql.indexOf("*/", i + 3)
+        val end = if (close < 0) sql.length else close + 2
+        sb.append(sql.substring(i, end)) // hint: verbatim
+        i = end
+      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        var depth = 1; i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql(i) == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        sb += ' '
+      } else {
+        sb += ch
+        if (ch == '\'' || ch == '"') q = ch
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** pg → Spark literal translation: double every backslash INSIDE a
     * single-quoted literal, so Spark's C-style-escaping parser reads
     * exactly the bytes a standard_conforming_strings=on client wrote

@@ -1033,4 +1033,42 @@ class EngineSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 1L)
     engine.run("drop table sconf")
   }
+
+  test("comments strip quote-aware: an apostrophe in a comment can't corrupt literals") {
+    engine.run("create table scmt(s varchar)")
+    // the classic trap: the comment's apostrophe used to flip the quote
+    // state, so the literal scanned as outside-quotes and its backslash
+    // went through Spark's C-escape (TAB) — stripComments runs first now
+    engine.run("/* client's note */ insert into scmt values ('C:\\temp')")
+    assert(engine.run("select s from scmt -- trailing comment")
+      .collect()(0).getString(0) == "C:\\temp")
+    // line comment ahead of the statement; literal containing '--'
+    engine.run("-- lead\ninsert into scmt values ('a--b')")
+    assert(engine.run("select count(*) as n from scmt where s = 'a--b'")
+      .collect()(0).getLong(0) == 1L)
+    // Spark optimizer hints survive verbatim
+    assert(engine.run("select /*+ REPARTITION(2) */ count(*) as n from scmt")
+      .collect()(0).getLong(0) == 2L)
+    engine.run("drop table scmt")
+  }
+
+  test("quoted CREATE FUNCTION body: '' collapses, literals conform") {
+    engine.run("create function cfq() returns varchar language sql " +
+      "as 'select ''it''''s \\ ok'''")
+    assert(engine.run("select cfq() as v").collect()(0).getString(0)
+      == "it's \\ ok")
+    engine.run("drop function cfq")
+  }
+
+  test("MERGE ON analysis errors keep their real message (not 'nondeterministic')") {
+    engine.run("create table mgt(k int)")
+    engine.run("create table mgs(k int)")
+    val e = intercept[Exception] {
+      engine.run("merge into mgt using mgs on mgt.wrong_col = mgs.k " +
+        "when matched then delete")
+    }
+    assert(!e.getMessage.contains("nondeterministic"), e.getMessage)
+    assert(e.getMessage.toLowerCase.contains("wrong_col"), e.getMessage)
+    engine.run("drop table mgt"); engine.run("drop table mgs")
+  }
 }

@@ -55,6 +55,28 @@ object SqlTextPropertySpec extends Properties("SqlText") {
         (c != '\'' && c != '"') || mask(i) }
     }
 
+  property("stripComments removes comments, keeps literals and hints") =
+    forAll(Gen.oneOf(
+      ("select 1 -- tail", "select 1  "),
+      ("-- lead\nselect 2", " select 2"),
+      ("select '--x' as a", "select '--x' as a"),
+      ("select '/* lit */' as a", "select '/* lit */' as a"),
+      ("/* a'b */ select 'x'", "  select 'x'"),
+      ("select /* a /* nested */ c */ 1", "select   1"),
+      ("select /*+ REPARTITION(2) */ x from t",
+        "select /*+ REPARTITION(2) */ x from t"),
+      ("select 'a' /* unterminated", "select 'a'  "),
+      ("select \"a--b\"", "select \"a--b\""))) { case (in, want) =>
+      SqlText.stripComments(in) == want
+    }
+
+  property("stripComments then conformLiterals never mis-conforms after a commented apostrophe") =
+    forAll(Gen.oneOf("client's hint", "don''t", "a -- b")) { c =>
+      val sql = s"/* $c */ insert into t values ('C:\\temp')"
+      SqlText.conformLiterals(SqlText.stripComments(sql)) ==
+        s"  insert into t values ('C:\\\\temp')"
+    }
+
   property("conformLiterals doubles backslashes inside single quotes ONLY") =
     forAll(Gen.oneOf(
       ("select 'a\\b' as x", "select 'a\\\\b' as x"),
