@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.engine.Engine
+import graft.engine.{Engine, SqlText}
 
 /** Interactive shell + batch runner — the analogue of the reference's
   * REPL binary (`/root/reference/src/main.rs`): an interactive prompt over
@@ -147,7 +147,14 @@ object Main {
         else if (buf.isEmpty && t.startsWith("\\")) execute(engine, t, out)
         else {
           buf.append(line).append("\n")
-          if (t.endsWith(";")) { execute(engine, buf.toString, out); buf.clear() }
+          // shared-lexer dispatch (r18, same as the server line protocol):
+          // a ';' inside a block comment or $tag$ body keeps buffering
+          val (stmts, rest) = SqlText.splitWithRemainder(buf.toString)
+          if (stmts.nonEmpty) {
+            buf.clear()
+            if (rest.trim.nonEmpty) buf.append(rest)
+            stmts.foreach(s => execute(engine, s, out))
+          }
         }
       }
     }

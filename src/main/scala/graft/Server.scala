@@ -106,13 +106,18 @@ object Server {
           execute(engine, lsess, trimmed, out)
         else {
           buf.append(line).append('\n')
-          // quote-blind ';' scan is fine here: the terminator must END the
-          // line, and a statement whose final line ends inside a string
-          // literal is malformed anyway
-          if (trimmed.endsWith(";")) {
-            val stmt = buf.toString.trim.stripSuffix(";")
+          // dispatch on the shared lexer's word, not a bare endsWith(";")
+          // (r18): the former test split inside multi-line block comments
+          // and dollar-quoted bodies — `SELECT 1 /* note;` ran early and
+          // the orphan `*/` line errored. Complete statements execute in
+          // order; the unterminated remainder keeps buffering.
+          val (done, rest) = graft.engine.SqlText.splitWithRemainder(buf.toString)
+          if (done.nonEmpty) {
+            // a whitespace-only remainder clears outright, so the next
+            // line still qualifies for the buf-empty \command path
             buf.clear()
-            if (stmt.nonEmpty) execute(engine, lsess, stmt, out)
+            if (rest.trim.nonEmpty) buf.append(rest)
+            done.foreach(stmt => execute(engine, lsess, stmt, out))
           }
         }
         line = in.readLine()
@@ -1286,54 +1291,12 @@ private object Pgwire {
     * block comments, and `$$` dollar quoting (the SQL-UDF body form) — a
     * ';' inside any of those does not split.
     */
-  private[graft] def splitStatements(sql: String): Seq[String] = {
-    val out = collection.mutable.Buffer[String]()
-    val cur = new StringBuilder
-    var i = 0
-    var inStr = false
-    var inIdent = false
-    var inLineComment = false
-    var inBlockComment = false
-    var inDollar = false
-    while (i < sql.length) {
-      val c = sql.charAt(i)
-      if (inStr) {
-        cur.append(c)
-        if (c == '\'') {
-          if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
-          else inStr = false
-        }
-      } else if (inIdent) {
-        cur.append(c); if (c == '"') inIdent = false
-      } else if (inLineComment) {
-        cur.append(c); if (c == '\n') inLineComment = false
-      } else if (inBlockComment) {
-        cur.append(c)
-        if (c == '*' && i + 1 < sql.length && sql.charAt(i + 1) == '/') {
-          cur.append('/'); i += 1; inBlockComment = false
-        }
-      } else if (inDollar) {
-        cur.append(c)
-        if (c == '$' && i + 1 < sql.length && sql.charAt(i + 1) == '$') {
-          cur.append('$'); i += 1; inDollar = false
-        }
-      } else c match {
-        case '\'' => inStr = true; cur.append(c)
-        case '"' => inIdent = true; cur.append(c)
-        case '-' if i + 1 < sql.length && sql.charAt(i + 1) == '-' =>
-          inLineComment = true; cur.append(c)
-        case '/' if i + 1 < sql.length && sql.charAt(i + 1) == '*' =>
-          inBlockComment = true; cur.append(c)
-        case '$' if i + 1 < sql.length && sql.charAt(i + 1) == '$' =>
-          inDollar = true; cur.append(c); cur.append('$'); i += 1
-        case ';' => out += cur.toString; cur.clear()
-        case _ => cur.append(c)
-      }
-      i += 1
-    }
-    out += cur.toString
-    out.iterator.map(_.trim).filter(_.nonEmpty).toSeq
-  }
+  private[graft] def splitStatements(sql: String): Seq[String] =
+    // the shared SqlText lexer (r18): one state machine for pgwire, the
+    // line protocol and every engine scanner — tagged $fn$ bodies and
+    // NESTED block comments included (the former local machine knew
+    // only bare $$ and flat /* */)
+    graft.engine.SqlText.splitStatements(sql)
 
   /** Spark type → Postgres type OID (text-format rendering, so the OID is
     * advisory; drivers use it to pick client-side parsers).

@@ -415,7 +415,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // body forms (reference src/binder/create_function.rs): quoted
   // `as '...'`, dollar-quoted `as $$...$$`, or bare `return <expr>`
   private val reCreateFunction =
-    """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+(?:as\s+(?:'(.*)'|\$\$(.*)\$\$)|return\s+(.*))\s*""".r
+    """(?is)\s*create\s+function\s+(\w+)\s*\(([^)]*)\)\s*returns\s+\w+\s+language\s+sql\s+(?:as\s+(?:'(.*)'|\$(\w*)\$(.*)\$\4\$)|return\s+(.*))\s*""".r
   private val reInsertValues = """(?is)\s*insert\s+into\s+(\w+)\s*(?:\(([^)]*)\))?\s*(?:overriding\s+(system|user)\s+value\s+)?(values\s*.*|select\s+.*)""".r
   private val reDelete = """(?is)\s*delete\s+from\s+(\w+)(?:\s+where\s+(.*))?\s*""".r
   // extension: the reference binder has no UPDATE arm (src/binder/mod.rs
@@ -2073,7 +2073,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         Option(opts).getOrElse(""))
       saveManifest()
       emptyResult
-    case reCreateFunction(name, params, bodyQ, bodyD, bodyR) =>
+    case reCreateFunction(name, params, bodyQ, _, bodyD, bodyR) =>
       // a type-only spec (`INT`) is an UNNAMED parameter — reachable via $n
       // only; recording its type as a "name" would corrupt bodies that
       // mention the type word (e.g. `cast($1 as int)`)
@@ -3169,9 +3169,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def unquoteSetValue(v0: String): String = {
     val v = v0.trim
-    if (v.length >= 2 && v.head == '\'' && v.last == '\'')
-      v.substring(1, v.length - 1).replace("''", "'")
-    else v
+    if (v.length >= 2 && v.head == '\'' && v.last == '\'') {
+      // pg parity (r18): an interior quote must be doubled — `SET x =
+      // 'a'b'` is a syntax error, not the value a'b (the former bare
+      // strip accepted it). Scan the interior left to right consuming
+      // '' pairs; a lone quote is malformed.
+      val interior = v.substring(1, v.length - 1)
+      var i = 0
+      while (i < interior.length) {
+        if (interior.charAt(i) == '\'') {
+          if (i + 1 >= interior.length || interior.charAt(i + 1) != '\'')
+            throw new IllegalArgumentException(
+              s"""syntax error at or near "'"""" + s" in SET value $v")
+          i += 2
+        } else i += 1
+      }
+      interior.replace("''", "'")
+    } else v
   }
 
   /** `SET mock_rowcount_<t> = n` mirrors the reference's planner-test stats

@@ -125,25 +125,152 @@ private[graft] object SqlText {
     * literal.
     */
   def mapOutsideQuotes(sql: String, f: String => String): String = {
+    val st = scanStates(sql)
+    def payload(i: Int): Boolean =
+      st(i) == StSq || st(i) == StDq || st(i) == StDollar
     val sb = new StringBuilder
     val seg = new StringBuilder
-    var i = 0; var q: Char = 0 // 0 = outside; '\'' or '"' = inside that kind
+    var i = 0
     while (i < sql.length) {
-      val ch = sql(i)
-      if (q != 0) {
-        sb += ch
-        if (ch == q) {
-          if (i + 1 < sql.length && sql(i + 1) == q) { sb += q; i += 1 }
-          else q = 0
-        }
-      } else if (ch == '\'' || ch == '"') {
-        sb.append(f(seg.toString)); seg.clear()
-        q = ch; sb += ch
-      } else seg += ch
+      if (payload(i)) {
+        if (seg.nonEmpty) { sb.append(f(seg.toString)); seg.clear() }
+        sb += sql(i)
+      } else seg += sql(i)
       i += 1
     }
     sb.append(f(seg.toString))
     sb.toString
+  }
+
+  // ---- the one lexical state machine (r18) --------------------------------
+
+  /** Per-character lexical states. ONE scanner assigns them; every
+    * consumer below (stripComments, conformLiterals, quotedMask,
+    * mapOutsideQuotes, splitStatements) derives from the same pass, so
+    * the scanners can never disagree about what is payload — the r17
+    * hole (dollar-quoted bodies read as top-level SQL by some scanners,
+    * as payload by others) is closed by construction. Delimiters carry
+    * their region's state (the opening `'` is IN the literal, the `--`
+    * dashes are IN the comment).
+    */
+  final val StOut: Byte = 0    // plain SQL text
+  final val StSq: Byte = 1     // '...'  ('' escapes)
+  final val StDq: Byte = 2     // "..."  ("" escapes; Spark reads as literal)
+  final val StDollar: Byte = 3 // $tag$ ... $tag$ (pg dollar quoting)
+  final val StLine: Byte = 4   // -- to end of line (newline NOT included)
+  final val StBlock: Byte = 5  // /* ... */ nested (pg and Spark both nest)
+  final val StHint: Byte = 6   // /*+ ... */ optimizer hint (kept verbatim)
+
+  /** Match a dollar-quote delimiter `$tag$` at `i` (empty or
+    * identifier-shaped tag, pg rules); returns the index AFTER the
+    * closing `$`, or -1. `$1` positional parameters never match: a
+    * digit cannot start a tag and is not a closing `$`.
+    */
+  private def dollarTagEnd(s: String, i: Int): Int = {
+    if (i >= s.length || s(i) != '$') return -1
+    var j = i + 1
+    if (j < s.length && (s(j).isLetter || s(j) == '_')) {
+      j += 1
+      while (j < s.length && (s(j).isLetterOrDigit || s(j) == '_')) j += 1
+    }
+    if (j < s.length && s(j) == '$') j + 1 else -1
+  }
+
+  /** One pass over `sql` assigning each character its lexical state.
+    * Unterminated regions (a quote or comment left open) run to the end
+    * of the text — the conservative direction for every consumer: an
+    * incomplete statement is never split, never comment-stripped into
+    * something else.
+    */
+  def scanStates(sql: String): Array[Byte] = {
+    val st = new Array[Byte](sql.length)
+    var i = 0
+    while (i < sql.length) {
+      val ch = sql(i)
+      if (ch == '\'') {
+        st(i) = StSq; i += 1
+        var open = true
+        while (open && i < sql.length) {
+          st(i) = StSq
+          if (sql(i) == '\'') {
+            if (i + 1 < sql.length && sql(i + 1) == '\'') {
+              st(i + 1) = StSq; i += 2
+            } else { open = false; i += 1 }
+          } else i += 1
+        }
+      } else if (ch == '"') {
+        st(i) = StDq; i += 1
+        var open = true
+        while (open && i < sql.length) {
+          st(i) = StDq
+          if (sql(i) == '"') {
+            if (i + 1 < sql.length && sql(i + 1) == '"') {
+              st(i + 1) = StDq; i += 2
+            } else { open = false; i += 1 }
+          } else i += 1
+        }
+      } else if (ch == '$' && dollarTagEnd(sql, i) > 0) {
+        val tagEnd = dollarTagEnd(sql, i)
+        val tag = sql.substring(i, tagEnd)
+        val close = sql.indexOf(tag, tagEnd)
+        val end = if (close < 0) sql.length else close + tag.length
+        java.util.Arrays.fill(st, i, end, StDollar)
+        i = end
+      } else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
+        while (i < sql.length && sql(i) != '\n') { st(i) = StLine; i += 1 }
+        // the newline itself stays StOut: it is whitespace, not comment
+      } else if (ch == '/' && i + 2 < sql.length && sql(i + 1) == '*' &&
+          sql(i + 2) == '+') {
+        val close = sql.indexOf("*/", i + 3)
+        val end = if (close < 0) sql.length else close + 2
+        java.util.Arrays.fill(st, i, end, StHint)
+        i = end
+      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+        val start = i
+        var depth = 1; i += 2
+        while (i < sql.length && depth > 0) {
+          if (sql(i) == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
+            depth += 1; i += 2
+          } else if (sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/') {
+            depth -= 1; i += 2
+          } else i += 1
+        }
+        java.util.Arrays.fill(st, start, i, StBlock)
+      } else {
+        st(i) = StOut; i += 1
+      }
+    }
+    st
+  }
+
+  /** Split a multi-statement buffer on `;` in plain text (outside
+    * literals, dollar bodies and comments) — the pgwire simple-query
+    * splitter, shared (r18) with the line protocol. Trimmed, empties
+    * dropped; text after the last `;` is its own statement.
+    */
+  def splitStatements(sql: String): Seq[String] = {
+    val (done, rest) = splitWithRemainder(sql)
+    (done :+ rest).map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** Like [[splitStatements]] but the text AFTER the last plain-text `;`
+    * comes back verbatim as the remainder — the line protocol buffers it
+    * until more input completes it (its former `endsWith(";")` test
+    * split inside multi-line block comments and dollar bodies).
+    */
+  def splitWithRemainder(sql: String): (Seq[String], String) = {
+    val st = scanStates(sql)
+    val out = mutable.Buffer[String]()
+    var from = 0
+    var i = 0
+    while (i < sql.length) {
+      if (st(i) == StOut && sql(i) == ';') {
+        out += sql.substring(from, i)
+        from = i + 1
+      }
+      i += 1
+    }
+    (out.toSeq.map(_.trim).filter(_.nonEmpty), sql.substring(from))
   }
 
   /** Remove SQL comments OUTSIDE string literals — `-- ...` to end of
@@ -160,41 +287,19 @@ private[graft] object SqlText {
     */
   def stripComments(sql: String): String = {
     if (sql.indexOf("--") < 0 && !sql.contains("/*")) return sql
+    val st = scanStates(sql)
     val sb = new StringBuilder(sql.length)
-    var i = 0; var q: Char = 0
+    var i = 0
     while (i < sql.length) {
-      val ch = sql(i)
-      if (q != 0) {
-        sb += ch
-        if (ch == q) {
-          if (i + 1 < sql.length && sql(i + 1) == q) { sb += q; i += 1 }
-          else q = 0
-        }
-        i += 1
-      } else if (ch == '-' && i + 1 < sql.length && sql(i + 1) == '-') {
-        while (i < sql.length && sql(i) != '\n') i += 1
-        sb += ' ' // comment (+ its newline) collapses to one space
-        if (i < sql.length) i += 1
-      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*' &&
-          i + 2 < sql.length && sql(i + 2) == '+') {
-        val close = sql.indexOf("*/", i + 3)
-        val end = if (close < 0) sql.length else close + 2
-        sb.append(sql.substring(i, end)) // hint: verbatim
-        i = end
-      } else if (ch == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
-        var depth = 1; i += 2
-        while (i < sql.length && depth > 0) {
-          if (sql(i) == '/' && i + 1 < sql.length && sql(i + 1) == '*') {
-            depth += 1; i += 2
-          } else if (sql(i) == '*' && i + 1 < sql.length && sql(i + 1) == '/') {
-            depth -= 1; i += 2
-          } else i += 1
-        }
-        sb += ' '
-      } else {
-        sb += ch
-        if (ch == '\'' || ch == '"') q = ch
-        i += 1
+      st(i) match {
+        case StLine =>
+          while (i < sql.length && st(i) == StLine) i += 1
+          sb += ' ' // comment (+ its newline) collapses to one space
+          if (i < sql.length && sql(i) == '\n') i += 1
+        case StBlock =>
+          while (i < sql.length && st(i) == StBlock) i += 1
+          sb += ' '
+        case _ => sb += sql(i); i += 1 // payload, literals, $..$, hints
       }
     }
     sb.toString
@@ -217,29 +322,15 @@ private[graft] object SqlText {
     */
   def conformLiterals(sql: String): String = {
     if (sql.indexOf('\\') < 0) return sql
+    val st = scanStates(sql)
     val sb = new StringBuilder(sql.length + 8)
-    var i = 0; var q: Char = 0
+    var i = 0
     while (i < sql.length) {
-      val ch = sql(i)
-      if (q == '\'') {
-        if (ch == '\\') sb.append("\\\\")
-        else {
-          sb += ch
-          if (ch == '\'') {
-            if (i + 1 < sql.length && sql(i + 1) == '\'') { sb += '\''; i += 1 }
-            else q = 0
-          }
-        }
-      } else if (q == '"') {
-        sb += ch
-        if (ch == '"') {
-          if (i + 1 < sql.length && sql(i + 1) == '"') { sb += '"'; i += 1 }
-          else q = 0
-        }
-      } else {
-        sb += ch
-        if (ch == '\'' || ch == '"') q = ch
-      }
+      // only single-quoted payload doubles; "..." keeps Spark's own
+      // escapes, and a $tag$ body is raw payload the CREATE FUNCTION
+      // capture conforms itself at splice time (Engine.scala:2089)
+      if (sql(i) == '\\' && st(i) == StSq) sb.append("\\\\")
+      else sb += sql(i)
       i += 1
     }
     sb.toString
@@ -253,21 +344,9 @@ private[graft] object SqlText {
     * like SQL.
     */
   def quotedMask(sql: String): Array[Boolean] = {
-    val quoted = new Array[Boolean](sql.length)
-    var q: Char = 0; var i = 0
-    while (i < sql.length) {
-      val ch = sql(i)
-      if (q != 0) {
-        quoted(i) = true
-        if (ch == q) {
-          if (i + 1 < sql.length && sql(i + 1) == q) {
-            quoted(i + 1) = true; i += 1
-          } else q = 0
-        }
-      } else if (ch == '\'' || ch == '"') { quoted(i) = true; q = ch }
-      i += 1
-    }
-    quoted
+    val st = scanStates(sql)
+    Array.tabulate(sql.length)(i =>
+      st(i) == StSq || st(i) == StDq || st(i) == StDollar)
   }
 
   /** Replace the first `regex` match that lies OUTSIDE string literals

@@ -57,6 +57,21 @@ class ServerSpec extends AnyFunSuite {
       // rows that would read as a terminator are space-stuffed
       assert(send("select 'OK 1' as s;") == Seq(" OK 1", "OK 1"))
       assert(send("select ' pad' as s;") == Seq("  pad", "OK 1"))
+      // r18: a ';' inside a multi-line block comment keeps buffering —
+      // the statement executes as ONE once the comment closes (the old
+      // endsWith(";") test dispatched the truncated first line)
+      out.println("select v /* note; ")
+      assert(send("*/ from srv where v = 1;") == Seq("1", "OK 1"))
+      // ... and inside a multi-line dollar-quoted function body
+      out.println("create function apost(x varchar) returns varchar")
+      out.println("language sql as $fn$select x || ';'")
+      assert(send("$fn$;").last == "OK 0")
+      assert(send("select apost(s) as r from srv where v = 1;") ==
+        Seq("a;", "OK 1"))
+      // two statements on one line both run, in order: each DML answers
+      // its rows_affected row + OK terminator back to back
+      out.println("insert into srv values (4, 'd'); delete from srv where v = 4;")
+      assert(Seq.fill(4)(in.readLine()) == Seq("1", "OK 1", "1", "OK 1"))
     } finally {
       client.close()
       server.close()

@@ -196,6 +196,61 @@ object SqlTextPropertySpec extends Properties("SqlText") {
       SqlText.rewriteUnnestOrdinality(s) == s
     }
 
+  // ---- dollar quoting + the shared splitter (r18) -------------------------
+
+  private val dollarBody: Gen[String] = Gen.oneOf(
+    "select 'it''s'", "a -- not a comment", "x /* not a comment */ y",
+    "semi;colon", "back\\slash", "don't")
+  private val dollarTag: Gen[String] = Gen.oneOf("$$", "$fn$", "$body_1$")
+
+  property("stripComments keeps dollar-quoted payload verbatim") =
+    forAll(dollarBody, dollarTag) { (b, t) =>
+      val sql = s"create function f(x int) as $t$b$t"
+      SqlText.stripComments(sql) == sql
+    }
+
+  property("conformLiterals never touches a dollar-quoted body") =
+    forAll(dollarBody, dollarTag) { (b, t) =>
+      val sql = s"create function f(x int) as $t$b$t language sql"
+      SqlText.conformLiterals(sql) == sql
+    }
+
+  property("quotedMask masks dollar bodies; scanners agree after one") =
+    forAll(dollarBody, dollarTag) { (b, t) =>
+      val sql = s"select 1 ; $t$b$t ; select 'x''y' from t9"
+      val mask = SqlText.quotedMask(sql)
+      val span = sql.indexOf(t)
+      // every char of the $tag$...$tag$ span is masked, and the rewrite
+      // machinery downstream of it still sees the structural from
+      (span until sql.lastIndexOf(t) + t.length).forall(mask) &&
+        SqlText.replaceFirstOutsideQuotes(sql, "(?i)\\bfrom\\s+t9\\b",
+          "from V").endsWith("from V")
+    }
+
+  property("splitStatements honors literals, comments and dollar bodies") =
+    forAll(Gen.oneOf(
+      ("select 1; select 2", Seq("select 1", "select 2")),
+      ("select 'a;b'; select 2", Seq("select 'a;b'", "select 2")),
+      ("select 1 /* a;b */; select 2", Seq("select 1 /* a;b */", "select 2")),
+      ("select 1 /* a /* n;st */ b */; select 2",
+        Seq("select 1 /* a /* n;st */ b */", "select 2")),
+      ("create function f() as $q$x;y$q$; select 2",
+        Seq("create function f() as $q$x;y$q$", "select 2")),
+      ("select 1 -- t;ail\n; select 2", Seq("select 1 -- t;ail", "select 2")),
+      ("select $1; select $2", Seq("select $1", "select $2")))) {
+      case (in, want) => SqlText.splitStatements(in) == want
+    }
+
+  property("splitWithRemainder buffers an unterminated tail") =
+    forAll(Gen.oneOf(
+      ("select 1; select", (Seq("select 1"), " select")),
+      ("select 1 /* note;", (Seq.empty[String], "select 1 /* note;")),
+      ("select $$a;", (Seq.empty[String], "select $$a;")),
+      ("select 'a; -- b", (Seq.empty[String], "select 'a; -- b")),
+      ("select 1;", (Seq("select 1"), "")))) { case (in, want) =>
+      SqlText.splitWithRemainder(in) == want
+    }
+
   property("rewriteQualify eliminates every top-level QUALIFY keyword") =
     forAll(Gen.oneOf(
       "select a, b from t qualify row_number() over (order by b) = 1",
