@@ -97,6 +97,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * so a stray unbucketed file would silently mis-join.
     */
   private val buckets = mutable.LinkedHashMap[String, (String, Int)]()
+  /** directory-partitioned tables: name → partition columns, in layout
+    * order (r18). The 100 TB fact layout: one directory per partition
+    * value (`ds=2025-01-01/`), optionally bucketed inside. Partition
+    * columns sit LAST in the stored schema (Spark normalizes the catalog
+    * entry that way; keeping our copy identical makes positional INSERT,
+    * `SELECT *` and the catalog agree). The catalog's partition METADATA
+    * is authoritative for scans — every path that changes the directory
+    * set re-registers (see [[refresh]]), and scans prune on it
+    * (PartitionFilters in EXPLAIN, asserted by EngineSpec).
+    */
+  private val partitions = mutable.LinkedHashMap[String, Seq[String]]()
   /** materialized views: name → defining query. The data is a regular
     * `tables` entry (scans read parquet like any table); this map marks
     * the kind (pg_tables, drop-statement routing) and feeds REFRESH.
@@ -164,15 +175,29 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def register(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
     val path = Paths.get(tableDir(name)).toAbsolutePath.toString
-    buckets.get(name) match {
-      case Some((c, n)) =>
+    (partitions.get(name), buckets.get(name)) match {
+      case (None, Some((c, n))) =>
         // bucketed + sorted: co-bucketed joins plan no Exchange and no
         // re-Sort — the planner reads the spec from the catalog entry
         spark.sql(
           s"""CREATE TABLE `$name` (${tables(name)._1.toDDL}) USING parquet
              |CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS
              |LOCATION '$path'""".stripMargin)
-      case None =>
+      case (Some(ps), bOpt) =>
+        // partitioned (optionally bucketed inside each partition dir):
+        // the catalog's partition list IS the scan's file index, so the
+        // registration re-syncs it from the directories (RECOVER) —
+        // swaps that drop or add whole partitions re-enter here
+        val bClause = bOpt.map { case (c, n) =>
+          s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS" }
+          .getOrElse("")
+        spark.sql(
+          s"""CREATE TABLE `$name` (${tables(name)._1.toDDL}) USING parquet
+             |PARTITIONED BY (${ps.map(p => s"`$p`").mkString(", ")})
+             |$bClause
+             |LOCATION '$path'""".stripMargin)
+        spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+      case (None, None) =>
         spark.catalog.createTable(name, "parquet", tables(name)._1,
           Map("path" -> path))
     }
@@ -181,8 +206,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   }
 
   private def refresh(name: String): Unit = {
-    spark.catalog.refreshTable(name)
-    applyMockHint(name)
+    // a partitioned table's swap can change the PARTITION SET (retention
+    // DELETE drops dirs, TRUNCATE empties); the catalog's partition list
+    // would go stale and scans would chase moved files — re-register
+    // (DROP + CREATE + RECOVER, O(#partitions) metadata). Plain appends
+    // go through insertInto, which registers new partitions itself.
+    if (partitions.contains(name)) register(name)
+    else {
+      spark.catalog.refreshTable(name)
+      applyMockHint(name)
+    }
   }
 
   /** Write the tracked row count (with real on-disk bytes) into the
@@ -400,12 +433,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // (SURVEY §4.3): two tables co-bucketed on the join key join with ZERO
   // exchange. The greedy cols group backtracks past the tail.
   private val reCreateTable =
-    """(?is)\s*create\s+table\s+(\w+)\s*\((.*)\)\s*(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s*)?""".r
+    // lazy column-list group: a greedy (.*) would swallow a trailing
+    // `PARTITIONED BY (c)` clause whole (its own parens complete the
+    // match); laziness grows until the TAIL parses, and any junk after
+    // a too-early close forces the backtrack past nested parens
+    """(?is)\s*create\s+table\s+(\w+)\s*\((.*?)\)\s*(?:partitioned\s+by\s*\(([^)]*)\)\s*)?(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s*)?""".r
   // CTAS (pg surface; the reference binder has CREATE TABLE only with a
   // column list): schema comes from the analyzed query, data writes in
-  // the same pass, optional bucket layout before AS (Spark/Hive order)
+  // the same pass, optional partition/bucket layout before AS
   private val reCreateTableAs =
-    """(?is)\s*create\s+table\s+(\w+)\s+(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s+)?as\s+(.+)""".r
+    """(?is)\s*create\s+table\s+(\w+)\s+(?:partitioned\s+by\s*\(([^)]*)\)\s+)?(?:clustered\s+by\s*\(\s*(\w+)\s*\)\s+into\s+(\d+)\s+buckets\s+)?as\s+(.+)""".r
   // optional column-alias list (reference create_view.rs binds
   // `CREATE VIEW v (a, b) AS ...` — tpch/q15.sql `revenue0`)
   private val reCreateView =
@@ -1763,9 +1800,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         spark.catalog.dropTempView(t)
         applyMockHint(t)
       }
-    def deltaDf(base: String, paths: Seq[String]): DataFrame =
-      spark.read.schema(
-        StructType.fromDDL(history(base).last.ddl)).parquet(paths: _*)
+    def deltaDf(base: String, paths: Seq[String]): DataFrame = {
+      val schema = StructType.fromDDL(history(base).last.ddl)
+      if (!partitions.contains(base))
+        return spark.read.schema(schema).parquet(paths: _*)
+      // partitioned base (r18): appended leaf files carry their
+      // partition values in k=v path segments — group them by version
+      // root (live dir or .history/<t>/vN) and read each group with
+      // basePath so those values resolve. Delete/update delta DIRS
+      // materialize the partition columns as data (or preserve the k=v
+      // tree for discovery) and read plain.
+      val liveRoot = Paths.get(tableDir(base)).toAbsolutePath
+      val histRoot = historyDir(base).toAbsolutePath
+      val (dirs, files) = paths.partition(p => Files.isDirectory(Paths.get(p)))
+      def rootOf(p: String): String = {
+        val ap = Paths.get(p).toAbsolutePath
+        if (ap.startsWith(histRoot)) // .history/<t>/vN/<k=v>/file
+          histRoot.resolve(ap.getName(histRoot.getNameCount).toString).toString
+        else liveRoot.toString
+      }
+      val frames = files.groupBy(rootOf).toSeq.map { case (root, fs) =>
+          spark.read.schema(schema).option("basePath", root).parquet(fs: _*) } ++
+        (if (dirs.nonEmpty)
+           Seq(spark.read.schema(schema).parquet(dirs: _*)) else Nil)
+      frames.reduce(_ unionByName _)
+    }
     val (aAgg, dAgg): (Option[DataFrame], Option[DataFrame]) =
       if (moved.length == 1) {
         val (base, v0) = moved.head
@@ -2052,11 +2111,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       if (Files.isDirectory(auxRoot(name)))
         deleteRecursively(auxRoot(name), keepRoot = false)
       drop("table", name)
-    case reCreateTableAs(name, bCol, bN, query) =>
-      createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query)
-    case reCreateTable(name, colsSpec, bCol, bN) =>
+    case reCreateTableAs(name, pCols, bCol, bN, query) =>
+      createTableAs(name, Option(bCol).map(c => (c, bN.toInt)), query,
+        parsePartitionCols(pCols))
+    case reCreateTable(name, colsSpec, pCols, bCol, bN) =>
       createTable(name, colsSpec,
-        Option(bCol).map(c => (c, bN.toInt)))
+        Option(bCol).map(c => (c, bN.toInt)), parsePartitionCols(pCols))
     case reCreateView(name, cols, rawBody) =>
       // column aliases rename positionally via a derived-table alias, so
       // the stored text stays pure SQL and re-plans like any other view
@@ -2799,6 +2859,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"cannot restore $table to version $v: the CLUSTERED BY column " +
           s"$c does not exist there")
     }
+    partitions.get(table).foreach(_.foreach { c =>
+      require(oldSchema.fieldNames.exists(_.equalsIgnoreCase(c)),
+        s"cannot restore $table to version $v: the PARTITIONED BY column " +
+          s"$c does not exist there")
+    })
     val prior = tables(table)
     tables(table) = (oldSchema,
       prior._2.filter(p => oldSchema.fieldNames.exists(_.equalsIgnoreCase(p))))
@@ -3852,8 +3917,45 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     cur :+ (name, e)
   }
 
+  private def parsePartitionCols(spec: String): Seq[String] =
+    Option(spec).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(Seq.empty)
+
+  /** Validate PARTITIONED BY columns against `schema` and pin the layout:
+    * the stored schema moves partition columns LAST (Spark's catalog
+    * normalization — our copy stays identical so positional INSERT and
+    * SELECT * agree with the catalog), and a column can't be both a
+    * partition and the bucket column.
+    */
+  private def adoptPartitionSpec(name: String, schema: StructType,
+      pCols: Seq[String], bucketSpec: Option[(String, Int)]): StructType = {
+    if (pCols.isEmpty) return schema
+    val resolved = pCols.map { p =>
+      schema.fields.find(_.name.equalsIgnoreCase(p)).getOrElse(
+        throw new IllegalArgumentException(
+          s"PARTITIONED BY: unknown column $p in $name"))
+    }
+    require(resolved.map(_.name.toLowerCase).distinct.length == resolved.length,
+      s"PARTITIONED BY: duplicate column in $name")
+    bucketSpec.foreach { case (c, _) =>
+      require(!resolved.exists(_.name.equalsIgnoreCase(c)),
+        s"column $c cannot be both a partition and the bucket column")
+    }
+    resolved.foreach { f =>
+      require(minMaxableType(f.dataType) || f.dataType == StringType ||
+          f.dataType == BooleanType,
+        s"PARTITIONED BY: unsupported partition column type " +
+          s"${f.dataType.simpleString} for ${f.name}")
+    }
+    partitions(name) = resolved.map(_.name)
+    val partNames = resolved.map(_.name.toLowerCase).toSet
+    StructType(schema.fields.filterNot(f =>
+      partNames.contains(f.name.toLowerCase)) ++ resolved)
+  }
+
   private def createTable(name: String, colsSpec: String,
-      bucketSpec: Option[(String, Int)] = None): DataFrame = {
+      bucketSpec: Option[(String, Int)] = None,
+      partitionCols: Seq[String] = Seq.empty): DataFrame = {
     // duplicate-create parity: the reference catalog rejects an existing
     // name (src/catalog/root.rs add_table)
     require(!tables.contains(name) && !views.contains(name),
@@ -3947,16 +4049,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         Some(StructField(colName, parseType(rest), nullable = !notNull))
       }
     }
-    val schema = StructType(fields.toSeq)
+    val schema0 = StructType(fields.toSeq)
     // validate generation expressions BEFORE anything registers, so a
     // bad expression leaves no half-created table behind
     pendingGens.foreach { case (cn, e) =>
-      validateGenerated(name, cn, e, schema, pendingGens.keys)
+      validateGenerated(name, cn, e, schema0, pendingGens.keys)
     }
     bucketSpec.foreach { case (c, n) =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      require(schema0.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"CLUSTERED BY: unknown column $c in $name")
       require(n > 0, s"CLUSTERED BY: bucket count must be positive, got $n")
+    }
+    val schema = adoptPartitionSpec(name, schema0, partitionCols, bucketSpec)
+    bucketSpec.foreach { case (c, n) =>
       buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
     }
     tables(name) = (schema, pk.toSeq)
@@ -3985,16 +4090,18 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * so UDF inlining, views, and the vector IndexScan tier all apply.
     */
   private def createTableAs(name: String, bucketSpec: Option[(String, Int)],
-      query: String): DataFrame = {
+      query: String, partitionCols: Seq[String] = Seq.empty): DataFrame = {
     require(!tables.contains(name) && !views.contains(name),
       s"table or view already exists: $name")
-    val df = run(query)
-    val schema = df.schema
+    val df0 = run(query)
     bucketSpec.foreach { case (c, n) =>
-      require(schema.fieldNames.exists(_.equalsIgnoreCase(c)),
+      require(df0.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
         s"CLUSTERED BY: unknown column $c in $name")
       require(n > 0, s"CLUSTERED BY: bucket count must be positive, got $n")
     }
+    val schema = adoptPartitionSpec(name, df0.schema, partitionCols, bucketSpec)
+    // the stored layout moved partition columns last: write in that order
+    val df = df0.select(schema.fieldNames.map(col).toIndexedSeq: _*)
     tables(name) = (schema, Seq.empty)
     bucketSpec.foreach { case (c, n) =>
       buckets(name) = (schema.fieldNames.find(_.equalsIgnoreCase(c)).get, n)
@@ -4013,6 +4120,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     } catch {
       case e: Exception => // failed write: don't leave a phantom catalog entry
         tables.remove(name); buckets.remove(name); history.remove(name)
+        partitions.remove(name)
         rowCounts.remove(name); colStatsLedger.remove(name)
         spark.sql(s"DROP TABLE IF EXISTS `$name`")
         throw e
@@ -4028,6 +4136,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val (schema, pk) = tables(table)
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(colName)),
       s"column already exists: $colName")
+    // partitioned layout: partition columns stay LAST in the schema
+    // (catalog normalization) — a new data column slots in before them
+    def added(f: StructField): StructType = partitions.get(table) match {
+      case Some(ps) =>
+        val pSet = ps.map(_.toLowerCase).toSet
+        val (data, parts) = schema.fields.partition(x =>
+          !pSet.contains(x.name.toLowerCase))
+        StructType((data :+ f) ++ parts)
+      case None => schema.add(f)
+    }
     // ADD COLUMN ... GENERATED ALWAYS AS (expr) STORED (pg): existing
     // rows backfill with the computed expression through the same swap
     // commit a filled DEFAULT takes; new writes recompute per statement
@@ -4039,7 +4157,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           generatedCols.getOrElse(table, Map.empty).keys)
         val filled = spark.table(table)
           .withColumn(colName, expr(inlineFunctions(g)).cast(dt))
-        tables(table) = (schema.add(StructField(colName, dt, nullable = true)), pk)
+        tables(table) = (added(StructField(colName, dt, nullable = true)), pk)
         generatedCols(table) = generatedCols.getOrElse(table, Map.empty) +
           (colName.toLowerCase -> g)
         register(table)
@@ -4053,7 +4171,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     defOpt match {
       case None =>
         require(!notNull, "ADD COLUMN ... NOT NULL requires a DEFAULT")
-        tables(table) = (schema.add(StructField(colName, parseType(spec),
+        tables(table) = (added(StructField(colName, parseType(spec),
           nullable = true)), pk)
         register(table)
         // metadata-only, but still a commit: the pre-ADD version's log
@@ -4071,7 +4189,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val filled = spark.table(table)
           .withColumn(colName, expr(inlineFunctions(d)).cast(dt))
         tables(table) =
-          (schema.add(StructField(colName, dt, nullable = !notNull)), pk)
+          (added(StructField(colName, dt, nullable = !notNull)), pk)
         defaults(table) =
           defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
         register(table)
@@ -4164,6 +4282,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     require(schema.length > 1, "cannot drop the only column")
     require(!buckets.get(table).exists(_._1.equalsIgnoreCase(colName)),
       s"cannot drop the CLUSTERED BY column $colName")
+    require(!partitions.get(table).exists(_.exists(_.equalsIgnoreCase(colName))),
+      s"cannot drop the PARTITIONED BY column $colName")
     require(!pk.exists(_.equalsIgnoreCase(colName)),
       s"cannot drop primary key column $colName")
     // a generated column may be dropped; a column another generated
@@ -4209,6 +4329,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       .getOrElse(throw new IllegalArgumentException(s"no such column: $from"))
     require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
       s"column already exists: $to")
+    // the partition column's name is baked into every k=v directory —
+    // renaming it would orphan the layout (buckets re-hash on rewrite,
+    // directories don't)
+    require(!partitions.get(table).exists(_.exists(_.equalsIgnoreCase(from))),
+      s"cannot rename the PARTITIONED BY column $from")
     // BEFORE any catalog mutation: renaming a column a generated
     // expression READS would orphan the expression text — refuse (pg
     // tracks the dependency through its parse trees); renaming the
@@ -4253,6 +4378,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     Files.move(Paths.get(tableDir(from)), Paths.get(tableDir(to)))
     tables(to) = tables.remove(from).get
     buckets.remove(from).foreach(b => buckets(to) = b)
+    partitions.remove(from).foreach(p => partitions(to) = p)
     indexes.keys.toSeq.foreach { ix =>
       val (t, c, m, o) = indexes(ix)
       if (t.equalsIgnoreCase(from)) indexes(ix) = (to, c, m, o)
@@ -4328,6 +4454,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       checkForeignLock(name)
       tables.remove(name)
       buckets.remove(name)
+      partitions.remove(name)
       history.remove(name)
       defaults.remove(name)
       rowCounts.remove(name)
@@ -4664,8 +4791,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               val insertsObs = inserts.observe(insObs, count(lit(1)).as("n"))
               val rewrittenTouched =
                 if (touched.isEmpty) insertsObs
-                else postSel(spark.read.schema(schema)
-                    .parquet(touched.map(_.toString): _*)
+                else postSel(rawFileScan(table, touched)
                     .join(exc, matchCond, "left_outer"))
                   .unionByName(insertsObs)
               rewriteSwapPartial(table, Some(rewrittenTouched), untouched,
@@ -4730,7 +4856,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val statCols = autoStatCols(table).filter(df.columns.contains)
     val counted = df.observe(obsN,
       count(lit(1)).as("n"), colObsMetrics(statCols, df.schema): _*)
-    if (buckets.contains(table)) counted.write.insertInto(table)
+    // bucketed and/or partitioned layouts write through the catalog
+    // entry: the bucketed writer hashes rows into named bucket files,
+    // and the partitioned writer lands rows in their k=v directories
+    // AND registers any new partitions with the catalog
+    if (buckets.contains(table) || partitions.contains(table))
+      counted.write.insertInto(table)
     else counted.write.mode("append").parquet(tableDir(table))
     rowCounts.get(table).foreach(prev =>
       rowCounts(table) = prev + observedCount(obsN))
@@ -4766,18 +4897,45 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         val dd = deleteDeltaDir(table, newV)
         if (Files.isDirectory(dd)) deleteRecursively(dd, keepRoot = false)
         Files.createDirectories(dd)
-        val s = Files.list(Paths.get(tableDir(table)))
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
-            .foreach(f => linkOrCopy(dd.resolve(f.getFileName), f))
-        } finally s.close()
+        // recursive + relative (r18): a partitioned table's pre-image
+        // keeps its k=v structure so the delta read resolves the
+        // partition columns from the linked paths
+        val live = Paths.get(tableDir(table))
+        liveDataFiles(live).foreach { f =>
+          val dst = dd.resolve(live.relativize(f).toString)
+          Files.createDirectories(dst.getParent)
+          linkOrCopy(dst, f)
+        }
       }
       rewriteSwapPartial(table, None, Seq.empty, "delete")(n)
       return rowCountResult(n)
     }
     val matchedCol = cond.map(c =>
       coalesce(expr(inlineFunctions(c)), lit(false)))
+    // r18: partition-retention fast path — a deterministic predicate
+    // over only partition columns drops whole partition DIRECTORIES:
+    // survivors are never read or rewritten (hard links), and the only
+    // data-adjacent work is the column-less count of the dropped rows
+    // (rows_affected stays exact) plus the IVM pre-image when a matview
+    // anchors here. The 100 TB shape: `DELETE WHERE ds < '2025-01-01'`
+    // retires N days in O(#files) metadata regardless of row count.
+    matchedCol.flatMap(m => partitionPrune(table, m)).foreach {
+      case (matchedDirs, untouchedFiles) =>
+        def affected: DataFrame =
+          if (matchedDirs.isEmpty) spark.table(table).limit(0).as(table)
+          else rawFileScan(table, matchedDirs)
+        if (returningExprs.isDefined)
+          captureReturning(affected.localCheckpoint())
+        if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
+          val newV = history.get(table).map(_.length).getOrElse(1)
+          val dd = deleteDeltaDir(table, newV)
+          Files.createDirectories(dd.getParent)
+          affected.write.mode("overwrite").parquet(dd.toString)
+        }
+        val removed = if (matchedDirs.isEmpty) 0L else affected.count()
+        rewriteSwapPartial(table, None, untouchedFiles, "delete")(removed)
+        return rowCountResult(removed)
+    }
     matchedCol.flatMap(m => cowTouchedFiles(table, m)).foreach {
       case (touched, untouched) =>
         val m = matchedCol.get
@@ -4786,9 +4944,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // references (DELETE FROM t WHERE t.x = 1) resolve in the
         // rewrite exactly as they did in the probe
         def touchedScan: DataFrame =
-          (if (touched.isEmpty) spark.table(table).limit(0)
-           else spark.read.schema(schema)
-             .parquet(touched.map(_.toString): _*)).as(table)
+          if (touched.isEmpty) spark.table(table).limit(0).as(table)
+          else rawFileScan(table, touched)
         val totalObs = org.apache.spark.sql.Observation()
         val keptObs = org.apache.spark.sql.Observation()
         val survivors =
@@ -4967,6 +5124,108 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * back to a byte copy — COW degrades to copy-on-write-by-copy instead
     * of failing the statement.
     */
+  /** Partition-retention planning (r18): when `matched` is a
+    * deterministic predicate over ONLY partition columns, whole
+    * partition DIRECTORIES match or don't — no row inside a directory
+    * can disagree with its k=v path values. The predicate is evaluated
+    * driver-side over the parsed partition values (one local row per
+    * partition — metadata scale; the driver already lists every file to
+    * plan any scan), through the SAME Catalyst expression the generic
+    * path would use, so `<`, BETWEEN, IN, date casts all behave
+    * identically. Returns (matched partition dirs, untouched data
+    * files), or None when the shape doesn't apply (not partitioned,
+    * predicate reads a data column, nondeterministic draw).
+    */
+  private def partitionPrune(table: String, matched: Column)
+      : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
+    val pCols = partitions.getOrElse(table, return None)
+    val live = Paths.get(tableDir(table))
+    if (!Files.isDirectory(live)) return None
+    val probe = scala.util.Try(spark.table(table).filter(matched))
+      .getOrElse(return None)
+    if (!planDeterministic(probe)) return None
+    // every column the filter reads must be a partition column; an
+    // unanalyzable or reference-free (WHERE false) shape falls back
+    val refs: Set[String] = scala.util.Try {
+      probe.queryExecution.analyzed.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.references.map(_.name.toLowerCase).toSet
+      }.flatten.toSet
+    }.getOrElse(return None)
+    val pSet = pCols.map(_.toLowerCase).toSet
+    if (refs.isEmpty || !refs.subsetOf(pSet)) return None
+    val schema = tables(table)._1
+    val pFields = pCols.map(c => schema.fields.find(_.name.equalsIgnoreCase(c)).get)
+    // leaf partition dirs sit exactly #pCols levels below the root
+    def leaves(dir: java.nio.file.Path, depth: Int): Seq[java.nio.file.Path] =
+      if (depth == 0) Seq(dir)
+      else {
+        val s = Files.list(dir)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.filter(p => Files.isDirectory(p) &&
+              p.getFileName.toString.contains('=')).toSeq
+        } finally s.close()
+      }.flatMap(d => leaves(d, depth - 1))
+    val leafDirs = leaves(live, pCols.length)
+    // one local row per partition: dir path + its decoded k=v values,
+    // cast to the declared types and filtered by the user's predicate
+    val rows: Seq[org.apache.spark.sql.Row] = leafDirs.map { d =>
+      val rel = live.relativize(d)
+      val vals = (0 until pCols.length).map { i =>
+        val seg = rel.getName(i).toString
+        val raw = percentDecode(seg.substring(seg.indexOf('=') + 1))
+        if (raw == "__HIVE_DEFAULT_PARTITION__") null else raw
+      }
+      org.apache.spark.sql.Row.fromSeq(d.toString +: vals)
+    }
+    val strSchema = StructType(
+      StructField("__graft_dir", StringType, nullable = false) +:
+        pFields.map(f => StructField(f.name, StringType, nullable = true)))
+    import scala.jdk.CollectionConverters._
+    val pdf = pFields.foldLeft(
+        spark.createDataFrame(rows.asJava, strSchema))(
+        (df, f) => df.withColumn(f.name, col(f.name).cast(f.dataType)))
+      .as(table)
+    val matchedDirs = scala.util.Try(
+      pdf.filter(matched).select("__graft_dir").collect()
+        .map(r => Paths.get(r.getString(0))).toSeq).getOrElse(return None)
+    val matchedSet = matchedDirs.toSet
+    val untouched = liveDataFiles(live)
+      .filterNot(f => matchedSet.exists(d => f.startsWith(d)))
+    Some((matchedDirs, untouched))
+  }
+
+  /** All live data files under `root`, recursively — flat for plain
+    * tables, nested under k=v dirs for partitioned ones. O(#files)
+    * metadata (the same listing any scan plan performs).
+    */
+  private def liveDataFiles(root: java.nio.file.Path)
+      : Seq[java.nio.file.Path] = {
+    val s = Files.walk(root)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    } finally s.close()
+  }
+
+  /** Raw read of specific live data files with the table's schema — the
+    * COW survivor/pre-image scan. Partitioned tables read with basePath
+    * so the k=v path segments resolve the partition columns (a bare
+    * leaf-file read would leave them NULL). Aliased like the catalog
+    * relation so table-qualified predicates resolve as in the probe.
+    */
+  private def rawFileScan(table: String,
+      files: Seq[java.nio.file.Path]): DataFrame = {
+    val schema = tables(table)._1
+    val r = spark.read.schema(schema)
+    val withBase =
+      if (partitions.contains(table))
+        r.option("basePath", Paths.get(tableDir(table)).toAbsolutePath.toString)
+      else r
+    withBase.parquet(files.map(_.toString): _*).as(table)
+  }
+
   private def linkOrCopy(dst: java.nio.file.Path,
       src: java.nio.file.Path): Unit =
     try Files.createLink(dst, src)
@@ -4996,13 +5255,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       : Option[(Seq[java.nio.file.Path], Seq[java.nio.file.Path])] = {
     val live = Paths.get(tableDir(table))
     if (!Files.isDirectory(live)) return None
-    val all: Seq[java.nio.file.Path] = {
-      val s = Files.list(live)
-      try {
-        import scala.jdk.CollectionConverters._
-        s.iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
-      } finally s.close()
-    }
+    // recursive: a partitioned table's data files live under k=v dirs
+    val all: Seq[java.nio.file.Path] = liveDataFiles(live)
     if (all.size < 2) return None
     val touchedNames = scala.util.Try(probe()).getOrElse(return None)
     val (touched, untouched) =
@@ -5021,18 +5275,24 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * file-granular rewrite commits, so the dance can never diverge.
     */
   private def writeTmp(table: String, df: DataFrame,
-      tmp: java.nio.file.Path): Unit = buckets.get(table) match {
-    case Some((c, n)) =>
+      tmp: java.nio.file.Path): Unit = (buckets.get(table),
+      partitions.get(table)) match {
+    case (Some((c, n)), pOpt) =>
       var scratch = s"graft_rewrite_${table}"
       while (tables.contains(scratch)) scratch += "_x"
       spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
       if (Files.exists(tmp)) deleteRecursively(tmp, keepRoot = false)
-      df.write.mode("overwrite")
-        .bucketBy(n, c).sortBy(c)
+      val w0 = df.write.mode("overwrite")
+      // partitioned + bucketed: each k=v directory holds its own bucket
+      // files — partitionBy rides the same scratch-table write
+      val w = pOpt.map(ps => w0.partitionBy(ps: _*)).getOrElse(w0)
+      w.bucketBy(n, c).sortBy(c)
         .option("path", tmp.toAbsolutePath.toString)
         .saveAsTable(scratch)
       spark.sql(s"DROP TABLE IF EXISTS `$scratch`")
-    case None =>
+    case (None, Some(ps)) =>
+      df.write.mode("overwrite").partitionBy(ps: _*).parquet(tmp.toString)
+    case (None, None) =>
       df.write.mode("overwrite").parquet(tmp.toString)
   }
 
@@ -5065,8 +5325,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case None => Files.createDirectories(tmp)
     }
     // untouched files carry fresh UUID part names from their own write
-    // jobs — they can never collide with the survivors' new part names
-    untouched.foreach(f => linkOrCopy(tmp.resolve(f.getFileName), f))
+    // jobs — they can never collide with the survivors' new part names.
+    // Linked at their path RELATIVE to the live root (r18), so a
+    // partitioned table's untouched files stay in their k=v directories
+    // (flat tables: relative path == file name, unchanged behavior)
+    untouched.foreach { f =>
+      val dst = tmp.resolve(live.relativize(f).toString)
+      Files.createDirectories(dst.getParent)
+      linkOrCopy(dst, f)
+    }
     if (Files.exists(aside)) deleteRecursively(aside, keepRoot = false)
     Files.move(live, aside)
     try Files.move(tmp, live)
@@ -5140,11 +5407,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     pushStats(table)
   }
 
-  private def parquetFileCount(table: String): Long = {
-    val stream = Files.list(Paths.get(tableDir(table)))
-    try stream.filter(p => p.toString.endsWith(".parquet")).count()
-    finally stream.close()
-  }
+  private def parquetFileCount(table: String): Long =
+    liveDataFiles(Paths.get(tableDir(table))).length.toLong
 
   /** OPTIMIZE <table> [ZORDER BY (a, b)] [INTO n FILES] (extension): the
     * on-demand analogue of the reference's background LSM compaction
@@ -5295,9 +5559,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case (touched, untouched) =>
         // aliased so table-qualified references in SET/WHERE resolve
         def touchedScan: DataFrame =
-          (if (touched.isEmpty) spark.table(table).limit(0)
-           else spark.read.schema(schema)
-             .parquet(touched.map(_.toString): _*)).as(table)
+          if (touched.isEmpty) spark.table(table).limit(0).as(table)
+          else rawFileScan(table, touched)
         val affPart = org.apache.spark.sql.Observation()
         val rewrittenTouched =
           if (touched.isEmpty) None
@@ -5586,8 +5849,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val touchedSurvivors =
             if (touched.isEmpty) None
             else {
-              val touchedScan = spark.read.schema(schema)
-                .parquet(touched.map(_.toString): _*).as(tgt)
+              val touchedScan = rawFileScan(tgt, touched)
               val joinedT = touchedScan.join(source, onExpr, "left_outer")
                 .observe(matchPartObs, count(when(matchedCol, 1)).as("n"))
               Some(
@@ -6145,6 +6407,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val bucketsJson = obj(buckets.map { case (t, (c, n)) =>
       s"${q(t)}: {${q("column")}: ${q(c)}, ${q("n")}: $n}"
     })
+    val partitionsJson = obj(partitions.map { case (t, ps) =>
+      s"${q(t)}: [${ps.map(q).mkString(",")}]"
+    })
     val defaultsJson = obj(defaults.map { case (t, ds) =>
       s"${q(t)}: ${obj(ds.map { case (c, e) => s"${q(c)}: ${q(e)}" })}"
     })
@@ -6179,7 +6444,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""${q("row_counts")}: $rowCountsJson, """ +
         s"""${q("col_stats")}: $colStatsJson, """ +
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
-        s"""${q("buckets")}: $bucketsJson, ${q("defaults")}: $defaultsJson, """ +
+        s"""${q("buckets")}: $bucketsJson, """ +
+        s"""${q("partitions")}: $partitionsJson, """ +
+        s"""${q("defaults")}: $defaultsJson, """ +
         s"""${q("sequences")}: $sequencesJson, """ +
         s"""${q("identity_always")}: $identityAlwaysJson, """ +
         s"""${q("generated")}: $generatedJson, """ +
@@ -6243,6 +6510,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         buckets(e.getKey) =
           (e.getValue.get("column").asText(), e.getValue.get("n").asInt())
       }
+    // partition specs likewise: register() emits PARTITIONED BY from them
+    if (root.has("partitions"))
+      fields(root.get("partitions")).foreach(e =>
+        partitions(e.getKey) = texts(e.getValue))
     // row-count ledger too: register() pushes these into catalog stats
     if (root.has("row_counts"))
       fields(root.get("row_counts")).foreach(e =>

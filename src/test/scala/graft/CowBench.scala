@@ -83,13 +83,36 @@ object CowBench {
     val bselS = timed(s"delete from cowbk_s where l_orderkey = $key")
     val bselB = timed(s"delete from cowbk_b where l_orderkey = $key")
 
+    // r18 PARTITIONED BY: the retention-delete claim on the date-
+    // partitioned fact layout. `DELETE WHERE ds = month` drops whole
+    // k=v directories — survivors hard-link, no data file is read for
+    // the rewrite — so wall time should stay ~flat as rows grow mult×.
+    // The insert DISTRIBUTEs BY the partition expression so each month
+    // gets O(1) files per load (the layout a real pipeline would write).
+    def mkPartitioned(name: String, copies: Int): Unit = {
+      engine.run(s"create table $name(l_orderkey bigint, l_quantity double, " +
+        "ds varchar) partitioned by (ds)")
+      (0 until copies).foreach(m => engine.run(
+        s"insert into $name select l_orderkey + ${m * 100000000L}, " +
+          "l_quantity, substr(cast(l_shipdate as varchar), 1, 7) as ds " +
+          "from li_src distribute by substr(cast(l_shipdate as varchar), 1, 7)"))
+    }
+    mkPartitioned("cowpt_s", 1)
+    mkPartitioned("cowpt_b", mult)
+    engine.run("select count(*) from cowpt_s").collect()
+    engine.run("select count(*) from cowpt_b").collect()
+    val pselS = timed("delete from cowpt_s where ds = '1995-03'")
+    val pselB = timed("delete from cowpt_b where ds = '1995-03'")
+
     println(s"""{"metric":"cow_selective_delete","unit":"sec",""" +
       s""""rows_small":$nS,"rows_big":$nB,""" +
       s""""selective_small":${fmt(selS)},"selective_big":${fmt(selB)},""" +
       s""""full_small":${fmt(fullS)},"full_big":${fmt(fullB)},""" +
       s""""selective_ratio":${fmt(selB / selS)},"full_ratio":${fmt(fullB / fullS)},""" +
       s""""bucketed_selective_small":${fmt(bselS)},"bucketed_selective_big":${fmt(bselB)},""" +
-      s""""bucketed_selective_ratio":${fmt(bselB / bselS)}}""")
+      s""""bucketed_selective_ratio":${fmt(bselB / bselS)},""" +
+      s""""partition_drop_small":${fmt(pselS)},"partition_drop_big":${fmt(pselB)},""" +
+      s""""partition_drop_ratio":${fmt(pselB / pselS)}}""")
     spark.stop()
   }
 }

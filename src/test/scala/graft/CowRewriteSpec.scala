@@ -69,6 +69,69 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(past == 3000L, s"pre-delete version read $past rows")
   }
 
+  private def dataFilesRec(table: String): Map[String, Object] = {
+    val dir = Paths.get(s"$whDir/$table")
+    val s = Files.walk(dir)
+    try {
+      import scala.jdk.CollectionConverters._
+      s.iterator().asScala.filter(_.toString.endsWith(".parquet"))
+        .map(p => dir.relativize(p).toString ->
+          Files.readAttributes(p, classOf[BasicFileAttributes]).fileKey())
+        .toMap
+    } finally s.close()
+  }
+
+  test("partition-key DELETE drops whole directories; survivors keep inodes") {
+    engine.run("create table cowp(v int, ds varchar) partitioned by (ds)")
+    engine.run("insert into cowp select cast(id as int), 'd1' from range(0, 500)")
+    engine.run("insert into cowp select cast(id as int), 'd2' from range(0, 600)")
+    engine.run("insert into cowp select cast(id as int), 'd3' from range(0, 700)")
+    val before = dataFilesRec("cowp")
+    assert(before.keySet.exists(_.startsWith("ds=d1/")) &&
+      before.keySet.exists(_.startsWith("ds=d3/")))
+    val affected = engine.run("delete from cowp where ds <= 'd2'")
+      .collect()(0).getLong(0)
+    assert(affected == 1100L)
+    val after = dataFilesRec("cowp")
+    // EVERY survivor is an original inode under its original k=v path —
+    // a retention delete never rewrites a byte of the kept partitions
+    assert(after.nonEmpty && after.keySet.forall(_.startsWith("ds=d3/")))
+    after.foreach { case (n, key) =>
+      assert(before.get(n).contains(key), s"$n was rewritten, not linked") }
+    assert(engine.run("select count(*) as n from cowp")
+      .collect()(0).getLong(0) == 700L)
+    // the dropped partitions still read from the archived version
+    assert(engine.run("select count(*) as n from cowp version as of 3")
+      .collect()(0).getLong(0) == 1800L)
+    // scans prune: the partition filter reaches the scan node
+    val plan = engine.run("explain select v from cowp where ds = 'd3'")
+      .collect().map(_.getString(0)).mkString("\n")
+    assert(plan.contains("PartitionFilters:") && plan.contains("ds"),
+      s"no PartitionFilters in:\n$plan")
+  }
+
+  test("non-partition COW delete on a partitioned table links other partitions") {
+    engine.run("create table cowp2(v int, ds varchar) partitioned by (ds)")
+    engine.run("insert into cowp2 select cast(id as int), 'a' from range(0, 400)")
+    engine.run("insert into cowp2 select cast(id as int), 'b' from range(400, 800)")
+    val before = dataFilesRec("cowp2")
+    val affected = engine.run("delete from cowp2 where v = 600")
+      .collect()(0).getLong(0)
+    assert(affected == 1L)
+    val after = dataFilesRec("cowp2")
+    // partition a is untouched: same relative paths, same inodes
+    val keptA = after.filter(_._1.startsWith("ds=a/"))
+    assert(keptA.nonEmpty)
+    keptA.foreach { case (n, key) =>
+      assert(before.get(n).contains(key), s"$n inode changed") }
+    // the rewritten survivor landed back under its k=v directory with
+    // its partition value intact (basePath read preserved ds)
+    assert(engine.run("select count(*) as n from cowp2 where ds = 'b'")
+      .collect()(0).getLong(0) == 399L)
+    assert(engine.run("select sum(v) as s from cowp2")
+      .collect()(0).getLong(0) == (0L until 800L).sum - 600L)
+  }
+
   test("no-match DELETE links everything and reports 0 rows") {
     engine.run("create table cown(v int)")
     engine.run("insert into cown select cast(id as int) from range(0, 100)")
@@ -430,6 +493,39 @@ class CowRewriteSpec extends AnyFunSuite {
     // and time travel reads the complete bucketed pre-state
     assert(engine.run("select count(*) as n from cowbiv version as of 2")
       .collect()(0).getLong(0) == 399L)
+  }
+
+  test("partitioned base + IVM: append replay reads k=v values, drop delta exact") {
+    engine.run("create table cowpiv(g varchar, x int, ds varchar) " +
+      "partitioned by (ds)")
+    engine.run("insert into cowpiv select case when id % 2 = 0 then 'a' else 'b' end, " +
+      "cast(id as int), case when id < 100 then 'd1' else 'd2' end from range(0, 200)")
+    // the matview groups by the PARTITION column: if the append replay
+    // lost the k=v path values (bare leaf-file read), every group would
+    // collapse to NULL — this is the deltaDf basePath contract
+    engine.run("create materialized view cowpivmv as " +
+      "select ds, count(*) as n, sum(x) as s from cowpiv group by ds")
+    engine.run("insert into cowpiv select 'c', cast(id as int), 'd3' " +
+      "from range(200, 250)")
+    val m1 = engine.run("refresh materialized view cowpivmv")
+      .collect()(0).getString(0)
+    assert(m1 == "incremental", m1)
+    val got1 = engine.run("select ds, n, s from cowpivmv order by ds").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got1 == Seq(("d1", 100L, (0 until 100).sum.toLong),
+      ("d2", 100L, (100 until 200).sum.toLong),
+      ("d3", 50L, (200 until 250).sum.toLong)), got1.toString)
+    // partition-drop retention DELETE records its pre-image delta; the
+    // refresh subtracts the whole dropped directory's rows
+    assert(engine.run("delete from cowpiv where ds = 'd1'")
+      .collect()(0).getLong(0) == 100L)
+    val m2 = engine.run("refresh materialized view cowpivmv")
+      .collect()(0).getString(0)
+    assert(m2 == "incremental", m2)
+    val got2 = engine.run("select ds, n, s from cowpivmv order by ds").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got2 == Seq(("d2", 100L, (100 until 200).sum.toLong),
+      ("d3", 50L, (200 until 250).sum.toLong)), got2.toString)
   }
 
   test("ON CONFLICT DO UPDATE SET rand(): RETURNING equals the stored rows") {

@@ -131,6 +131,9 @@ class SltSpec extends AnyFunSuite {
     "alter_constraint.slt",
     // round-16: session GUC surface — SET/SHOW/RESET/DEFAULT, DateStyle
     // normalization, current_setting()/version(), SHOW ALL, pg_settings
-    "guc.slt")
+    "guc.slt",
+    // round-18: PARTITIONED BY tables — directory layout, pruned scans,
+    // partition-drop retention DELETE, ALTER interplay, buckets inside
+    "partition.slt")
     .foreach { f => test(s"slt $f") { runFile(f) } }
 }
