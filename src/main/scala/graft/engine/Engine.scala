@@ -108,6 +108,51 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * (PartitionFilters in EXPLAIN, asserted by EngineSpec).
     */
   private val partitions = mutable.LinkedHashMap[String, Seq[String]]()
+  /** pg-11-style zero-rewrite ADD COLUMN DEFAULT (r18): table → column →
+    * (fill literal SQL, basenames of files that PREDATE the ALTER).
+    * Those files lack the column physically; reads overlay
+    * `when(file ∈ set, fill)` so they see the once-evaluated default
+    * (pg stores the same "missing value" in pg_attribute), while files
+    * written after the ALTER carry real values — an explicit NULL
+    * inserted later stays NULL. Correctness never needs the set pruned:
+    * a basename absent from the directory simply never matches. The
+    * metadata survives rewrites for ARCHIVED versions (time travel
+    * reads the same inodes by the same names); the LIVE overlay turns
+    * itself off once no live file sits in any set ([[register]]), which
+    * also restores `_metadata`-based COW probing.
+    */
+  private case class MissingFill(lit: String, files: Set[String])
+  private val missingFill =
+    mutable.LinkedHashMap[String, Map[String, MissingFill]]()
+  /** tables whose live reads go through the fill overlay temp view; the
+    * raw catalog entry then lives under [[rawName]] so bucketed/
+    * partitioned writes can still insertInto a real table
+    */
+  private val overlayOn = mutable.Set[String]()
+  private def rawName(table: String) = s"__graft_raw_$table"
+  private def catName(table: String): String =
+    if (overlayOn(table)) rawName(table) else table
+
+  /** Apply the missing-value overlay over a frame that sits DIRECTLY on
+    * a file-source relation (metadata columns resolve only before any
+    * projection): each fill column reads its stored literal for rows
+    * whose source file predates its ALTER. Columns absent from the
+    * frame (older archived schemas) are skipped by construction.
+    */
+  private def withMissingFill(table: String, df: DataFrame): DataFrame = {
+    val fills = missingFill.getOrElse(table, Map.empty)
+    if (fills.isEmpty || !df.schema.fields.exists(f =>
+        fills.contains(f.name.toLowerCase))) return df
+    df.select(df.schema.fields.map { f =>
+      fills.get(f.name.toLowerCase) match {
+        case Some(mf) =>
+          when(col("_metadata.file_name").isInCollection(mf.files),
+            expr(mf.lit).cast(f.dataType))
+            .otherwise(col(f.name)).as(f.name)
+        case None => col(f.name)
+      }
+    }.toIndexedSeq: _*)
+  }
   /** materialized views: name → defining query. The data is a regular
     * `tables` entry (scans read parquet like any table); this map marks
     * the kind (pg_tables, drop-statement routing) and feeds REFRESH.
@@ -174,13 +219,42 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def register(name: String): Unit = {
     spark.sql(s"DROP TABLE IF EXISTS `$name`")
+    spark.sql(s"DROP TABLE IF EXISTS `${rawName(name)}`")
     val path = Paths.get(tableDir(name)).toAbsolutePath.toString
+    // overlay activity check (r18): the fill overlay is needed only
+    // while some LIVE file predates a fill column's ALTER; after any
+    // full rewrite the sets go inert and the table registers plainly
+    // again (restoring _metadata COW probes). Correctness never depends
+    // on this — an absent basename never matches the when().
+    val wasOverlay = overlayOn(name)
+    val fills0 = missingFill.getOrElse(name, Map.empty)
+    val liveActive = fills0.nonEmpty && {
+      val liveNames = liveDataFiles(Paths.get(tableDir(name)))
+        .map(_.getFileName.toString).toSet
+      fills0.values.exists(_.files.exists(liveNames))
+    }
+    if (liveActive) overlayOn += name
+    else {
+      overlayOn -= name
+      if (wasOverlay) scala.util.Try(spark.catalog.dropTempView(name))
+    }
+    val cat = catName(name)
+    // a fill column may be declared NOT NULL, but the raw files the
+    // overlay patches REALLY read as null — the raw relation must stay
+    // nullable (nullable=false over null data is undefined behavior);
+    // the overlay restores the declared totality, and writes enforce it
+    // through constraintGuard against the engine schema
+    val catSchema =
+      if (!liveActive) tables(name)._1
+      else StructType(tables(name)._1.fields.map(f =>
+        if (fills0.contains(f.name.toLowerCase)) f.copy(nullable = true)
+        else f))
     (partitions.get(name), buckets.get(name)) match {
       case (None, Some((c, n))) =>
         // bucketed + sorted: co-bucketed joins plan no Exchange and no
         // re-Sort — the planner reads the spec from the catalog entry
         spark.sql(
-          s"""CREATE TABLE `$name` (${tables(name)._1.toDDL}) USING parquet
+          s"""CREATE TABLE `$cat` (${catSchema.toDDL}) USING parquet
              |CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS
              |LOCATION '$path'""".stripMargin)
       case (Some(ps), bOpt) =>
@@ -192,15 +266,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           s"CLUSTERED BY (`$c`) SORTED BY (`$c`) INTO $n BUCKETS" }
           .getOrElse("")
         spark.sql(
-          s"""CREATE TABLE `$name` (${tables(name)._1.toDDL}) USING parquet
+          s"""CREATE TABLE `$cat` (${catSchema.toDDL}) USING parquet
              |PARTITIONED BY (${ps.map(p => s"`$p`").mkString(", ")})
              |$bClause
              |LOCATION '$path'""".stripMargin)
-        spark.sql(s"ALTER TABLE `$name` RECOVER PARTITIONS")
+        spark.sql(s"ALTER TABLE `$cat` RECOVER PARTITIONS")
       case (None, None) =>
-        spark.catalog.createTable(name, "parquet", tables(name)._1,
+        spark.catalog.createTable(cat, "parquet", catSchema,
           Map("path" -> path))
     }
+    if (liveActive)
+      withMissingFill(name, spark.table(cat)).createOrReplaceTempView(name)
     applyMockHint(name)
     pushStats(name) // a re-registration starts statless: restore them
   }
@@ -211,7 +287,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // would go stale and scans would chase moved files — re-register
     // (DROP + CREATE + RECOVER, O(#partitions) metadata). Plain appends
     // go through insertInto, which registers new partitions itself.
-    if (partitions.contains(name)) register(name)
+    // Tables with missing-fill metadata re-register too: a swap may
+    // have retired the last pre-ALTER file, flipping the overlay off.
+    if (partitions.contains(name) || missingFill.contains(name))
+      register(name)
     else {
       spark.catalog.refreshTable(name)
       applyMockHint(name)
@@ -272,7 +351,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         CatalogStatistics(BigInt(math.max(bytes, 1L)), Some(BigInt(n)),
           colStats)
       }
-      spark.sessionState.catalog.alterTableStats(TableIdentifier(table), stats)
+      spark.sessionState.catalog.alterTableStats(
+        TableIdentifier(catName(table)), stats)
     } catch { case _: Exception => } // stats are advisory, never fail a commit
   }
 
@@ -421,8 +501,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     */
   private def applyMockHint(name: String): Unit = mockRowCounts.get(name) match {
     case Some(n) if n <= 100000 =>
-      spark.read.schema(tables(name)._1)
-        .parquet(tableDir(name)).hint("broadcast").createOrReplaceTempView(name)
+      withMissingFill(name, spark.read.schema(tables(name)._1)
+        .parquet(tableDir(name))).hint("broadcast").createOrReplaceTempView(name)
     case _ =>
   }
 
@@ -2585,15 +2665,20 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // previous ANALYZE: a size delta WITHOUT a row-count delta (our
       // auto-stats count is already exact) makes it drop rowCount from
       // the new stats. Clear first so ANALYZE writes the complete pair.
+      // An overlay table ANALYZEs its RAW catalog entry (the temp view
+      // would refuse); stats land where the scans read them.
+      val stmtA = if (!overlayOn(t)) stmt
+        else stmt.replaceFirst("(?i)(table\\s+)" + t + "\\b",
+          "$1" + rawName(t))
       scala.util.Try(spark.sessionState.catalog.alterTableStats(
-        org.apache.spark.sql.catalyst.TableIdentifier(t), None))
+        org.apache.spark.sql.catalyst.TableIdentifier(catName(t)), None))
       // FOR COLUMNS also collects an equi-height histogram (the extra
       // percentile pass only runs on explicit ANALYZE, never on the
       // auto-stats path) — CBO then estimates skewed predicates from
       // bins instead of assuming a uniform value distribution
       val histWas = spark.conf.getOption("spark.sql.statistics.histogram.enabled")
       spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
-      val res = try spark.sql(stmt)
+      val res = try spark.sql(stmtA)
       finally histWas match {
         case Some(v) => spark.conf.set("spark.sql.statistics.histogram.enabled", v)
         case None => spark.conf.unset("spark.sql.statistics.histogram.enabled")
@@ -2603,8 +2688,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // row count as before, and FOR COLUMNS results verbatim
       // (min/max already in CatalogColumnStat's external string form)
       scala.util.Try {
-        val meta = spark.sessionState.catalog
-          .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(t))
+        val meta = spark.sessionState.catalog.getTableMetadata(
+          org.apache.spark.sql.catalyst.TableIdentifier(catName(t)))
         meta.stats.foreach { st =>
           st.rowCount.foreach(n => rowCounts(t) = n.toLong)
           if (st.colStats.nonEmpty) {
@@ -2691,7 +2776,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val dir = versionDir(table, v)
       require(Files.exists(dir),
         s"version $v of $table has been vacuumed")
-      spark.read.schema(StructType.fromDDL(log(v).ddl)).parquet(dir.toString)
+      // archived snapshots hard-link the same files by the same names,
+      // so the missing-fill overlay applies identically (a version
+      // whose schema predates the fill column skips it by construction)
+      withMissingFill(table,
+        spark.read.schema(StructType.fromDDL(log(v).ddl)).parquet(dir.toString))
     }
   }
 
@@ -2717,8 +2806,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     var changed = false
     val pinned = df.queryExecution.analyzed.transformUpWithSubqueries {
       case lr: org.apache.spark.sql.execution.datasources.LogicalRelation
-          if lr.catalogTable.exists(ct => tables.contains(ct.identifier.table)) =>
+          if lr.catalogTable.exists(ct => tables.contains(
+            ct.identifier.table.stripPrefix("__graft_raw_"))) =>
+        // an overlay table's raw relation registers under __graft_raw_<t>
+        // (r18); the pin keys on the ENGINE name either way
         val t = lr.catalogTable.get.identifier.table
+          .stripPrefix("__graft_raw_")
         val cur = math.max(history.getOrElse(t, Vector.empty).length - 1, 0)
         val v = s.txnReadSnap.getOrElseUpdate(t, cur)
         if (v == cur) lr
@@ -3960,6 +4053,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // name (src/catalog/root.rs add_table)
     require(!tables.contains(name) && !views.contains(name),
       s"table or view already exists: $name")
+    require(!name.startsWith("__graft_"), s"reserved name prefix: $name")
     // split on top-level commas, quote-aware (parens nest inside
     // DECIMAL(p,s) and CHECK exprs; a DEFAULT ',' literal is payload)
     val parts = SqlText.splitTopLevel(colsSpec).filter(_.trim.nonEmpty)
@@ -4093,6 +4187,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       query: String, partitionCols: Seq[String] = Seq.empty): DataFrame = {
     require(!tables.contains(name) && !views.contains(name),
       s"table or view already exists: $name")
+    require(!name.startsWith("__graft_"), s"reserved name prefix: $name")
     val df0 = run(query)
     bucketSpec.foreach { case (c, n) =>
       require(df0.schema.fieldNames.exists(_.equalsIgnoreCase(c)),
@@ -4181,21 +4276,76 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         recordCommit(table, s"add column $colName")
         emptyResult
       case Some(d) =>
-        // pg semantics: existing rows take the default. pg 11+ stores it
-        // as a per-column "missing value" (zero rewrite); without that
-        // metadata tier this engine FILLS the rows through the same swap
-        // commit as DELETE — O(table), honest, and NOT NULL works too.
+        // pg semantics: existing rows take the default. Like pg 11+, a
+        // NON-VOLATILE default becomes per-column "missing value"
+        // metadata — evaluated exactly ONCE here, stored as a literal —
+        // and NO row is rewritten: pre-ALTER files (recorded by
+        // basename) read the fill at scan time through the overlay. An
+        // N-TB table takes this ALTER as a metadata commit. A volatile
+        // default (nextval, rand) fills through the O(table) swap
+        // commit, exactly as pg rewrites for volatile defaults.
         val dt = parseType(spec)
-        val filled = spark.table(table)
-          .withColumn(colName, expr(inlineFunctions(d)).cast(dt))
-        tables(table) =
-          (added(StructField(colName, dt, nullable = !notNull)), pk)
-        defaults(table) =
-          defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
-        register(table)
-        rewriteSwap(table, filled, s"add column $colName")
-        emptyResult
+        val fillProbe = scala.util.Try(
+          spark.range(1).select(expr(inlineFunctions(d)).cast(dt).as("v")))
+        val litOpt = fillProbe.toOption
+          .filter(planDeterministic)
+          .flatMap(f => scala.util.Try(f.collect()(0).get(0)).toOption
+            .flatMap(v => sqlLiteralOpt(v, dt)))
+        litOpt match {
+          case Some(litText) =>
+            require(!notNull || !litText.startsWith("CAST(NULL"),
+              s"column $colName: NOT NULL requires a non-null DEFAULT")
+            val files = liveDataFiles(Paths.get(tableDir(table)))
+              .map(_.getFileName.toString).toSet
+            tables(table) =
+              (added(StructField(colName, dt, nullable = !notNull)), pk)
+            defaults(table) =
+              defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
+            if (files.nonEmpty)
+              missingFill(table) = missingFill.getOrElse(table, Map.empty) +
+                (colName.toLowerCase -> MissingFill(litText, files))
+            register(table)
+            // metadata-only, but still a commit (same shape as the bare
+            // ADD COLUMN above): the archived version pins the narrower
+            // schema; every data file keeps its inode
+            archiveCurrent(table)
+            recordCommit(table, s"add column $colName")
+            saveManifest()
+            emptyResult
+          case None =>
+            val filled = spark.table(table)
+              .withColumn(colName, expr(inlineFunctions(d)).cast(dt))
+            tables(table) =
+              (added(StructField(colName, dt, nullable = !notNull)), pk)
+            defaults(table) =
+              defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
+            register(table)
+            rewriteSwap(table, filled, s"add column $colName")
+            emptyResult
+        }
     }
+  }
+
+  /** Render a collected value as a self-contained Spark SQL literal for
+    * the missing-value overlay (round-trip exact; floats/decimals go
+    * through a string cast so shortest-round-trip text re-reads the
+    * same bits). None → the caller falls back to the rewrite path.
+    */
+  private def sqlLiteralOpt(v: Any, dt: DataType): Option[String] = v match {
+    case null => Some(s"CAST(NULL AS ${dt.sql})")
+    case s: String =>
+      Some("'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'")
+    case b: Boolean => Some(b.toString)
+    case n @ (_: Byte | _: Short | _: Int | _: Long) =>
+      Some(s"CAST($n AS ${dt.sql})")
+    case f: Float => Some(s"CAST('$f' AS FLOAT)")
+    case d: Double => Some(s"CAST('$d' AS DOUBLE)")
+    case d: java.math.BigDecimal => Some(s"CAST('$d' AS ${dt.sql})")
+    case d: scala.math.BigDecimal => Some(s"CAST('$d' AS ${dt.sql})")
+    case d: java.sql.Date => Some(s"DATE '$d'")
+    case d: java.time.LocalDate => Some(s"DATE '$d'")
+    case t: java.sql.Timestamp => Some(s"TIMESTAMP '$t'")
+    case _ => None // arrays/binary/etc: rewrite path handles them
   }
 
   /** DROP COLUMN: rewrites the data with the column projected out,
@@ -4302,6 +4452,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
     defaults.get(table).foreach(d => defaults(table) = d - field.toLowerCase)
+    missingFill.get(table).foreach { m =>
+      val kept = m - field.toLowerCase
+      if (kept.isEmpty) missingFill.remove(table) else missingFill(table) = kept
+    }
     // CHECK constraints referencing the column go with it (pg drops
     // column-level constraints on DROP COLUMN) — a lingering check would
     // brick every later write on an unresolvable column
@@ -4374,11 +4528,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     require(!tables.contains(to) && !views.contains(to),
       s"table or view already exists: $to")
     spark.sql(s"DROP TABLE IF EXISTS `$from`")
+    spark.sql(s"DROP TABLE IF EXISTS `${rawName(from)}`")
     spark.catalog.dropTempView(from)
     Files.move(Paths.get(tableDir(from)), Paths.get(tableDir(to)))
     tables(to) = tables.remove(from).get
     buckets.remove(from).foreach(b => buckets(to) = b)
     partitions.remove(from).foreach(p => partitions(to) = p)
+    missingFill.remove(from).foreach(m => missingFill(to) = m)
+    overlayOn -= from // register(to) recomputes activity under the new name
     indexes.keys.toSeq.foreach { ix =>
       val (t, c, m, o) = indexes(ix)
       if (t.equalsIgnoreCase(from)) indexes(ix) = (to, c, m, o)
@@ -4455,6 +4612,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       tables.remove(name)
       buckets.remove(name)
       partitions.remove(name)
+      missingFill.remove(name)
+      overlayOn -= name
+      spark.sql(s"DROP TABLE IF EXISTS `${rawName(name)}`")
       history.remove(name)
       defaults.remove(name)
       rowCounts.remove(name)
@@ -4861,7 +5021,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // and the partitioned writer lands rows in their k=v directories
     // AND registers any new partitions with the catalog
     if (buckets.contains(table) || partitions.contains(table))
-      counted.write.insertInto(table)
+      counted.write.insertInto(catName(table))
     else counted.write.mode("append").parquet(tableDir(table))
     rowCounts.get(table).foreach(prev =>
       rowCounts(table) = prev + observedCount(obsN))
@@ -5223,7 +5383,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       if (partitions.contains(table))
         r.option("basePath", Paths.get(tableDir(table)).toAbsolutePath.toString)
       else r
-    withBase.parquet(files.map(_.toString): _*).as(table)
+    // missing-fill columns patch here too: a COW survivor rewritten
+    // from a pre-ALTER file must materialize the fill, not NULL
+    withMissingFill(table, withBase.parquet(files.map(_.toString): _*))
+      .as(table)
   }
 
   private def linkOrCopy(dst: java.nio.file.Path,
@@ -6410,6 +6573,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val partitionsJson = obj(partitions.map { case (t, ps) =>
       s"${q(t)}: [${ps.map(q).mkString(",")}]"
     })
+    val missingFillJson = obj(missingFill.map { case (t, cols) =>
+      s"${q(t)}: ${obj(cols.map { case (c, mf) =>
+        s"${q(c)}: {${q("lit")}: ${q(mf.lit)}, " +
+          s"${q("files")}: [${mf.files.toSeq.sorted.map(q).mkString(",")}]}"
+      })}"
+    })
     val defaultsJson = obj(defaults.map { case (t, ds) =>
       s"${q(t)}: ${obj(ds.map { case (c, e) => s"${q(c)}: ${q(e)}" })}"
     })
@@ -6446,6 +6615,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         s"""${q("functions")}: $functionsJson, ${q("indexes")}: $indexesJson, """ +
         s"""${q("buckets")}: $bucketsJson, """ +
         s"""${q("partitions")}: $partitionsJson, """ +
+        s"""${q("missing_fill")}: $missingFillJson, """ +
         s"""${q("defaults")}: $defaultsJson, """ +
         s"""${q("sequences")}: $sequencesJson, """ +
         s"""${q("identity_always")}: $identityAlwaysJson, """ +
@@ -6514,6 +6684,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (root.has("partitions"))
       fields(root.get("partitions")).foreach(e =>
         partitions(e.getKey) = texts(e.getValue))
+    // missing-value fills too: register() decides overlay activity
+    if (root.has("missing_fill"))
+      fields(root.get("missing_fill")).foreach { e =>
+        missingFill(e.getKey) = fields(e.getValue).map { ce =>
+          ce.getKey -> MissingFill(ce.getValue.get("lit").asText(),
+            texts(ce.getValue.get("files")).toSet)
+        }.toMap
+      }
     // row-count ledger too: register() pushes these into catalog stats
     if (root.has("row_counts"))
       fields(root.get("row_counts")).foreach(e =>

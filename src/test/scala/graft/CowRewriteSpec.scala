@@ -132,6 +132,87 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == (0L until 800L).sum - 600L)
   }
 
+  test("ADD COLUMN DEFAULT is zero-rewrite: every inode survives, reads see the fill") {
+    engine.run("create table mfv(v int)")
+    engine.run("insert into mfv select cast(id as int) from range(0, 300)")
+    engine.run("insert into mfv select cast(id as int) from range(300, 600)")
+    val before = dataFiles("mfv")
+    // non-volatile DEFAULT: pg-11-style missing-value metadata — the
+    // ALTER is a metadata commit, no data file is touched
+    engine.run("alter table mfv add column tag varchar default 'legacy'")
+    engine.run("alter table mfv add column flag int not null default 7")
+    val after = dataFiles("mfv")
+    assert(after == before, "ADD COLUMN DEFAULT rewrote data files")
+    // every pre-ALTER row reads the fills
+    val agg = engine.run("select count(*) as n from mfv " +
+      "where tag = 'legacy' and flag = 7").collect()(0).getLong(0)
+    assert(agg == 600L)
+    // post-ALTER rows carry real values — an explicit NULL stays NULL
+    engine.run("insert into mfv values (900, null, 1)")
+    engine.run("insert into mfv values (901, 'fresh', 2)")
+    assert(engine.run("select count(*) as n from mfv where tag is null")
+      .collect()(0).getLong(0) == 1L)
+    // omitted columns take the default on INSERT, like any DEFAULT
+    engine.run("insert into mfv (v) values (902)")
+    assert(engine.run("select tag, flag from mfv where v = 902").collect()(0)
+      .toSeq == Seq("legacy", 7))
+    // aggregation over the fill column sees one consistent world
+    val byTag = engine.run("select tag, count(*) as n from mfv group by tag " +
+      "order by tag nulls first").collect()
+      .map(r => (Option(r.getString(0)).getOrElse("<null>"), r.getLong(1))).toSeq
+    assert(byTag == Seq(("<null>", 1L), ("fresh", 1L), ("legacy", 601L)), byTag)
+    // DML through the fill: a COW delete's survivors materialize fills
+    assert(engine.run("delete from mfv where v = 100")
+      .collect()(0).getLong(0) == 1L)
+    assert(engine.run("select count(*) as n from mfv where tag = 'legacy'")
+      .collect()(0).getLong(0) == 600L)
+    // time travel: the pre-ALTER version has no tag column at all
+    val v1cols = engine.run("select * from mfv version as of 2").columns.toSeq
+    assert(v1cols == Seq("v"))
+    // ... and post-ALTER versions read the fill from the SAME old files
+    // (hard links by the same names): v4 = right after both ALTERs,
+    // v7 = after the three inserts (602 rows, 601 legacy), both pre-delete
+    assert(engine.run("select count(*) as n from mfv version as of 4 " +
+      "where tag = 'legacy'").collect()(0).getLong(0) == 600L)
+    assert(engine.run("select count(*) as n from mfv version as of 7 " +
+      "where tag = 'legacy'").collect()(0).getLong(0) == 601L)
+    // NOT NULL is enforced on writes against the declared schema
+    intercept[Exception] {
+      engine.run("insert into mfv values (903, 'x', null)").collect()
+    }
+  }
+
+  test("volatile ADD COLUMN DEFAULT still fills through the rewrite") {
+    engine.run("create table mfvol(v int)")
+    engine.run("insert into mfvol select cast(id as int) from range(0, 50)")
+    val before = dataFiles("mfvol")
+    engine.run("alter table mfvol add column r double default rand()")
+    val after = dataFiles("mfvol")
+    assert(after.keySet.intersect(before.keySet).isEmpty,
+      "volatile default must rewrite (per-row draws)")
+    val r = engine.run("select count(*) as n, min(r) as lo, max(r) as hi " +
+      "from mfvol").collect()(0)
+    assert(r.getLong(0) == 50L && r.getDouble(1) >= 0.0 && r.getDouble(2) < 1.0)
+  }
+
+  test("missing-fill metadata survives an engine restart") {
+    val dir = s"$whDir-restart"
+    val p = Paths.get(dir)
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder[Path]())
+        .forEach(f => Files.deleteIfExists(f))
+    }
+    val e1 = new Engine(spark, dir)
+    e1.run("create table mfr(v int)")
+    e1.run("insert into mfr select cast(id as int) from range(0, 100)")
+    e1.run("alter table mfr add column tag varchar default 'old'")
+    e1.run("insert into mfr values (500, 'new')")
+    val e2 = new Engine(spark, dir) // reopen: manifest reload
+    val got = e2.run("select tag, count(*) as n from mfr group by tag order by tag")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("new", 1L), ("old", 100L)), got.toString)
+  }
+
   test("no-match DELETE links everything and reports 0 rows") {
     engine.run("create table cown(v int)")
     engine.run("insert into cown select cast(id as int) from range(0, 100)")
