@@ -1515,6 +1515,35 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def planBody(body: String): DataFrame =
     spark.sql(inlineFunctions(rewriteQualify(body)))
 
+  /** For each engine table the body references: does the body's join
+    * tree DISTRIBUTE over union on that table's position? Inner joins
+    * distribute on both inputs, LEFT/RIGHT OUTER on their probe input
+    * only (a null-supplying delta can retro-actively un-null-extend
+    * probe rows), anything else on neither. A moved base that
+    * distributes replays through the standard delta machinery; one that
+    * doesn't needs the two-term signed arm (or a full recompute).
+    */
+  private def ivmDistributing(body: String): Map[String, Boolean] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
+    val acc = mutable.Map[String, Boolean]()
+    def walk(p: LogicalPlan, dist: Boolean): Unit = p match {
+      case sa: SubqueryAlias if tables.contains(sa.alias) =>
+        acc(sa.alias.toLowerCase) = dist
+      case j: Join =>
+        val (ld, rd) = j.joinType match {
+          case Inner => (dist, dist)
+          case LeftOuter => (dist, false)
+          case RightOuter => (false, dist)
+          case _ => (false, false)
+        }
+        walk(j.left, ld); walk(j.right, rd)
+      case other => other.children.foreach(walk(_, dist))
+    }
+    scala.util.Try(walk(planBody(body).queryExecution.analyzed, dist = true))
+    acc.toMap
+  }
+
   /** The body's Aggregate extended with the hidden bookkeeping columns
     * (see IvmShape.hiddenCols) — built on the ANALYZED plan so the same
     * grouping/argument expressions feed the hidden aggregates, then
@@ -1617,10 +1646,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // INNER joins distribute over union on either input, so replaying
       // the body with one side's delta overlaid IS the view delta as
       // long as every other input held still (checked at refresh time).
-      // Outer joins null-extend and do not distribute — bail.
+      // LEFT/RIGHT OUTER joins (r18) distribute on their PROBE side
+      // only — each probe row matches-or-null-extends independently of
+      // the others — so they are admitted here and the refresh gates on
+      // WHICH side actually moved ([[ivmDistributing]]): a probe-side
+      // delta replays like an inner join's; a null-side delta takes the
+      // two-term signed arm; FULL outer never distributes — bail.
       case j: Join =>
-        j.joinType == Inner && j.condition.forall(clean) &&
-          j.children.forall(linear)
+        (j.joinType == Inner ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.LeftOuter ||
+          j.joinType == org.apache.spark.sql.catalyst.plans.RightOuter) &&
+          j.condition.forall(clean) && j.children.forall(linear)
       case _ => false
     }
     scala.util.Try {
@@ -1905,8 +1941,99 @@ class Engine(val spark: SparkSession, val warehouse: String) {
            Seq(spark.read.schema(schema).parquet(dirs: _*)) else Nil)
       frames.reduce(_ unionByName _)
     }
+    // r18 outer joins: which bases sit on a DISTRIBUTING side of every
+    // join above them? Those replay through the standard windows; a
+    // single moved base on the null-supplying side of the body's one
+    // outer join takes the two-term signed arm below; anything else
+    // recomputes fully.
+    val distMap = ivmDistributing(body)
+    val movedDistributes =
+      moved.forall(m => distMap.getOrElse(m._1.toLowerCase, false))
+    /** Null-side arm: only probe rows that join some delta row change
+      * their output at all (every other probe row's match set is
+      * untouched), so the view delta is exactly
+      *   agg(A ⟗new) − agg(A ⟗old),  A = probe ⋉ Δbase,
+      * two decomposed replays whose PROBE SUBTREE is substituted with
+      * the materialized A: the new-side term enters the merge as an add
+      * window, the old-side term as a delete window (the signed fold and
+      * MIN/MAX extremum eviction below are window-shape-agnostic). A is
+      * computed as a LeftSemi join inside ONE analyzed overlay plan, so
+      * attribute ids stay consistent; both terms re-alias A's output to
+      * their own probe ids — the snapshotPin substitution pattern.
+      */
+    def outerNullSideTerms(base: String, v0: Int, addFiles: Seq[String],
+        delDirs: Seq[java.nio.file.Path])
+        : Option[(Option[DataFrame], Option[DataFrame])] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Join, JoinHint, LogicalPlan, Project}
+      import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, LeftSemi, RightOuter}
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      def outerJoins(p: LogicalPlan): Seq[Join] =
+        p.collect { case j: Join if j.joinType != Inner && j.joinType != LeftSemi => j }
+      val deltaAll = deltaDf(base, addFiles ++ delDirs.map(_.toString))
+      val pDeltaOpt = scala.util.Try {
+        try {
+          deltaAll.createOrReplaceTempView(base)
+          planBody(body).queryExecution.analyzed
+        } finally { spark.catalog.dropTempView(base); applyMockHint(base) }
+      }.toOption
+      pDeltaOpt.flatMap { pDelta =>
+        outerJoins(pDelta) match {
+          case Seq(jD) if jD.joinType == LeftOuter || jD.joinType == RightOuter =>
+            val (probeD, nullD) =
+              if (jD.joinType == LeftOuter) (jD.left, jD.right)
+              else (jD.right, jD.left)
+            val aTry = scala.util.Try(org.apache.spark.sql.GraftSqlBridge
+              .ofRows(spark, Join(probeD, nullD, LeftSemi, jD.condition,
+                JoinHint.NONE)).localCheckpoint())
+            aTry.toOption.flatMap { aDf =>
+              val aOut = aDf.queryExecution.analyzed.output
+              def term(overlays: Seq[(String, DataFrame)]): Option[DataFrame] =
+                scala.util.Try {
+                  val dec = try {
+                    overlays.foreach { case (t, df) =>
+                      df.createOrReplaceTempView(t) }
+                    ivmDecomposedBody(body).queryExecution.analyzed
+                  } finally overlays.foreach { case (t, _) =>
+                    spark.catalog.dropTempView(t); applyMockHint(t)
+                  }
+                  outerJoins(dec) match {
+                    case Seq(jj) =>
+                      val probe =
+                        if (jj.joinType == LeftOuter) jj.left else jj.right
+                      if (probe.output.map(a => (a.name.toLowerCase, a.dataType)) !=
+                          aOut.map(a => (a.name.toLowerCase, a.dataType))) None
+                      else {
+                        val aliased = Project(
+                          probe.output.zip(aOut).map { case (o, n) =>
+                            Alias(n, o.name)(exprId = o.exprId,
+                              qualifier = o.qualifier) },
+                          aDf.queryExecution.analyzed)
+                        val nj =
+                          if (jj.joinType == LeftOuter) jj.copy(left = aliased)
+                          else jj.copy(right = aliased)
+                        val np = dec.transformUp { case x if x eq jj => nj }
+                        Some(org.apache.spark.sql.GraftSqlBridge.ofRows(spark, np))
+                      }
+                    case _ => None
+                  }
+                }.toOption.flatten
+              for {
+                tNew <- term(Seq.empty) // probe := A, null side live
+                tOld <- term(Seq(base -> versionState(base, v0)))
+              } yield (Option(tNew), Option(tOld))
+            }
+          case _ => None
+        }
+      }
+    }
     val (aAgg, dAgg): (Option[DataFrame], Option[DataFrame]) =
-      if (moved.length == 1) {
+      if (moved.length == 1 && !movedDistributes) {
+        val (base, v0) = moved.head
+        val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
+        if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
+        outerNullSideTerms(base, v0, addFiles, delDirs).getOrElse(return None)
+      } else if (!movedDistributes) return None
+      else if (moved.length == 1) {
         val (base, v0) = moved.head
         val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
         // a GLOBAL (ungrouped) extremum with deletes proceeds through the

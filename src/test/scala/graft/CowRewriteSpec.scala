@@ -609,6 +609,81 @@ class CowRewriteSpec extends AnyFunSuite {
       ("d3", 50L, (200 until 250).sum.toLong)), got2.toString)
   }
 
+  test("IVM over LEFT OUTER join: probe and null-side deltas both incremental") {
+    engine.run("create table ojfact(k int, g varchar, x int)")
+    engine.run("create table ojdim(k int, d varchar)")
+    engine.run("insert into ojfact values (1, 'a', 10), (2, 'a', 20), (3, 'b', 30)")
+    engine.run("insert into ojdim values (1, 'd1'), (2, 'd2')")
+    engine.run("create materialized view ojmv as " +
+      "select g, count(*) as n, sum(x) as s, count(d) as cd " +
+      "from ojfact left join ojdim on ojfact.k = ojdim.k group by g")
+    def state(): Seq[(String, Long, Long, Long)] =
+      engine.run("select g, n, s, cd from ojmv order by g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    def refresh(): String =
+      engine.run("refresh materialized view ojmv").collect()(0).getString(0)
+    assert(state() == Seq(("a", 2L, 30L, 2L), ("b", 1L, 30L, 0L)))
+    // null-side APPEND: a previously null-extended probe row now matches
+    engine.run("insert into ojdim values (3, 'd3')")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 2L, 30L, 2L), ("b", 1L, 30L, 1L)))
+    // null-side append creating MULTIPLICITY: k=1 matches two dim rows
+    engine.run("insert into ojdim values (1, 'd1b')")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 3L, 40L, 3L), ("b", 1L, 30L, 1L)))
+    // null-side DELETE: multiplicity retracts
+    engine.run("delete from ojdim where d = 'd1b'")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 2L, 30L, 2L), ("b", 1L, 30L, 1L)))
+    // null-side DELETE that re-null-extends a probe row
+    engine.run("delete from ojdim where k = 3")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 2L, 30L, 2L), ("b", 1L, 30L, 0L)))
+    // probe-side APPEND distributes: the standard replay arm
+    engine.run("insert into ojfact values (4, 'b', 40)")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 2L, 30L, 2L), ("b", 2L, 70L, 0L)))
+    // probe-side DELETE (recorded pre-image delta)
+    engine.run("delete from ojfact where k = 2")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 1L, 10L, 1L), ("b", 2L, 70L, 0L)))
+    // every state above equals a from-scratch recompute of the body
+    val fresh = engine.run("select g, count(*) as n, sum(x) as s, count(d) as cd " +
+      "from ojfact left join ojdim on ojfact.k = ojdim.k group by g order by g")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(state() == fresh)
+    // BOTH sides moved since anchor → honest full recompute, still exact
+    engine.run("insert into ojfact values (5, 'c', 50)")
+    engine.run("insert into ojdim values (5, 'd5')")
+    assert(refresh() == "full")
+    assert(state().exists(_ == ("c", 1L, 50L, 1L)))
+  }
+
+  test("IVM RIGHT OUTER mirrors; FULL OUTER recomputes") {
+    engine.run("create table rjfact(k int, x int)")
+    engine.run("create table rjdim(k int, g varchar)")
+    engine.run("insert into rjfact values (1, 10)")
+    engine.run("insert into rjdim values (1, 'a'), (2, 'b')")
+    // RIGHT outer: rjdim is the probe side, rjfact null-supplying
+    engine.run("create materialized view rjmv as " +
+      "select g, count(x) as cx from rjfact right join rjdim " +
+      "on rjfact.k = rjdim.k group by g")
+    engine.run("insert into rjfact values (2, 20)") // null-side delta
+    assert(engine.run("refresh materialized view rjmv")
+      .collect()(0).getString(0) == "incremental")
+    val got = engine.run("select g, cx from rjmv order by g").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == Seq(("a", 1L), ("b", 1L)), got.toString)
+    // FULL OUTER is a refusal shape: correct, via recompute
+    engine.run("create materialized view fjmv as " +
+      "select count(*) as n from rjfact full outer join rjdim " +
+      "on rjfact.k = rjdim.k")
+    engine.run("insert into rjdim values (3, 'c')")
+    assert(engine.run("refresh materialized view fjmv")
+      .collect()(0).getString(0) == "full")
+    assert(engine.run("select n from fjmv").collect()(0).getLong(0) == 3L)
+  }
+
   test("ON CONFLICT DO UPDATE SET rand(): RETURNING equals the stored rows") {
     engine.run("create table cowuprd(k int, v double)")
     engine.run("insert into cowuprd select cast(id as int), 0.0 from range(0, 100)")

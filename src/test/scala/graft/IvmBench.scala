@@ -167,6 +167,34 @@ object IvmBench {
       w
     }
 
+    // LEFT OUTER join body (r18): probe-side deltas distribute (same
+    // replay as inner); a NULL-SIDE delta takes the two-term signed arm
+    // — agg(A ⟗ dim_new) − agg(A ⟗ dim_old) over just the affected
+    // probe rows A — so a dim append/delete refreshes at
+    // O(A ⋈ dim + view), flat in the fact size
+    engine.run("create materialized view ivm_oj as " +
+      "select p_brand, count(*) as n, sum(l_quantity) as q, " +
+      "count(p_partkey) as matched " +
+      "from ivm_fact left join ivm_dim on l_partkey = p_partkey " +
+      "group by p_brand")
+    val ojProbe = (1 to rounds).map { i =>
+      engine.run("insert into ivm_fact select * from li_src limit 1000")
+      val (w, mode) = timed("refresh materialized view ivm_oj")
+      require(mode == "incremental",
+        s"round $i expected outer probe-side incremental, got $mode")
+      w
+    }
+    val ojNull = (1 to rounds).map { i =>
+      if (i % 2 == 1)
+        engine.run("insert into ivm_dim select * from part_src limit 100")
+      else engine.run(s"delete from ivm_dim where p_partkey = ${i * 37}")
+      val (w, mode) = timed("refresh materialized view ivm_oj")
+      require(mode == "incremental",
+        s"round $i expected outer null-side incremental, got $mode")
+      w
+    }
+    engine.run("drop materialized view ivm_oj")
+
     // UNGROUPED extremum under interior deletes (r16): the one "group"
     // is the whole body, so until r16 ANY delete forced the full
     // recompute. Lazy eviction now compares the delete window's own
@@ -212,7 +240,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"global_extremum_delete_sec":${fmt(gx.min)},"global_extremum_evict_full_sec":${fmt(gxFull.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"outer_probe_sec":${fmt(ojProbe.min)},"outer_nullside_sec":${fmt(ojNull.min)},"global_extremum_delete_sec":${fmt(gx.min)},"global_extremum_evict_full_sec":${fmt(gxFull.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
