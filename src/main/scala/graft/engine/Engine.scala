@@ -1076,6 +1076,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     wl.lock()
     try {
       if (s.txnOpen) run("rollback", s)
+      dropSessionTemps(s) // pg: temp objects vanish on disconnect
       s.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
       s.cursors.clear()
       releaseTxnLocks(s)
@@ -1089,11 +1090,52 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     try run(sql) finally sessionTL.set(prev)
   }
 
+  /** Rewrite this session's temp aliases to their mangled real names —
+    * word-bounded, outside string literals, not after a `.` (x.t is a
+    * column) and not inside a longer identifier. Qualified references
+    * (t.col) rewrite consistently with their FROM site. No-op (and
+    * zero-cost) for sessions without temp objects. Known edge, shared
+    * with pg's shadowing confusion: a bare COLUMN named exactly like
+    * one of the session's own temp tables would rewrite too.
+    */
+  private def rewriteTempRefs(stmt: String): String = {
+    val temps = sess.tempObjects
+    if (temps.isEmpty) return stmt
+    SqlText.mapOutsideQuotes(stmt, seg => {
+      var out = seg
+      temps.foreach { case (alias, (mangled, _)) =>
+        out = out.replaceAll(
+          "(?i)(?<![\\w.])" + java.util.regex.Pattern.quote(alias) + "(?![\\w])",
+          java.util.regex.Matcher.quoteReplacement(mangled))
+      }
+      out
+    })
+  }
+
+  private val reCreateTemp =
+    """(?is)\s*create\s+(?:global\s+|local\s+)?temp(?:orary)?\s+(table|view)\s+(\w+)(.*)""".r
+
   def run(sql: String): DataFrame = {
     // comments go first (quote-aware, hint-preserving): every downstream
     // scanner, splitter and rewrite assumes an apostrophe opens a
     // literal — true only once comment text is gone
-    val stmt = SqlText.stripComments(sql).trim.replaceAll(";\\s*$", "")
+    val stmt1 = SqlText.stripComments(sql).trim.replaceAll(";\\s*$", "")
+    // per-session temp namespace (r18): CREATE TEMP mangles the new name
+    // (registered only after the create succeeds); everything else
+    // rewrites existing alias references. The create's BODY still
+    // rewrites with the PRE-create aliases, so a self-named source
+    // reads the object the alias meant before this statement.
+    var registerTemp: Option[(String, (String, String))] = None
+    val stmt = stmt1 match {
+      case reCreateTemp(kind, nm, rest) =>
+        val alias = nm.toLowerCase
+        require(!sess.tempObjects.contains(alias),
+          s"temporary table or view already exists: $nm")
+        val mangled = s"graft_temp_${sess.id}_$alias"
+        registerTemp = Some(alias -> (mangled, kind.toLowerCase))
+        s"create ${kind.toLowerCase} $mangled${rewriteTempRefs(rest)}"
+      case other => rewriteTempRefs(other)
+    }
     txnGate(stmt)
     try {
       val lw = stmt.toLowerCase
@@ -1112,7 +1154,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           } finally { returningExprs = None; returningRows = None }
         }
       }
-      dispatch(stmt)
+      val res = dispatch(stmt)
+      registerTemp.foreach(sess.tempObjects += _) // only a SUCCESSFUL create
+      res
     } catch {
       case e: Throwable =>
         // pg: any error inside an open transaction aborts it — commands
@@ -2663,6 +2707,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         df.createOrReplaceTempView(n)
         created += n
       }
+      snapshotOverlayDepth.incrementAndGet()
       try {
         snaps.foreach { case (t, df) => putView(t, df) }
         val keep = ctes.flatMap { case (n, b) =>
@@ -2700,6 +2745,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // tail plan references
         run(rebuilt).localCheckpoint()
       } finally {
+        snapshotOverlayDepth.decrementAndGet()
         created.foreach(n =>
           try spark.catalog.dropTempView(n) catch { case _: Exception => })
         // anything we shadowed (a mock-hint broadcast view, a user temp
@@ -2780,9 +2826,38 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             inlined = psRewritten.replace("__graft_pg_settings_ref", vn)
           }
           try {
+          // r18 plan cache: a repeated identical read-only statement —
+          // the hot pgwire EXECUTE loop — reuses the fully planned
+          // DataFrame, skipping parse+analyze+optimize. The key is the
+          // FULLY REWRITTEN text (params, sequence values,
+          // current_setting, temp aliases all substituted), so any
+          // session state that reaches the plan reaches the key; the
+          // epoch invalidates on every commit/DDL/SET (a pinned file
+          // listing must never serve post-append reads). Excluded:
+          // system/info-table snapshots (re-registered per statement),
+          // time-travel views (unique per call), nondeterministic plans
+          // (each EXECUTE must draw fresh), and any statement planned
+          // while a DML-CTE's statement-start snapshot overlay is up —
+          // that plan binds the PRE-STATEMENT image of every referenced
+          // table under its ordinary name, so serving it to a later
+          // identical SELECT would resurrect deleted rows.
+          val cacheable = snapshotOverlayDepth.get == 0 &&
+            ttViews.isEmpty && !inlined.contains("__graft_") &&
+            !Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
+              "pg_sequences", "contributors", "graft_history")
+              .exists(n => s"\\b$n\\b".r
+                .findFirstIn(inlined.toLowerCase).isDefined)
+          val cacheKey = s"${sess.vectorIndexEnabled}:$inlined"
+          val epoch = planCacheEpoch.get
+          val hit = if (cacheable) planCacheGet(cacheKey, epoch) else None
           // repeatable read: pin/substitute table versions (analysis
           // happens here, inside the try, while the tt views still exist)
-          snapshotPin(vectorIndexScan(q2).getOrElse(spark.sql(inlined)))
+          snapshotPin(hit.getOrElse {
+            val df = vectorIndexScan(q2).getOrElse(spark.sql(inlined))
+            if (cacheable && planDeterministic(df))
+              planCachePut(cacheKey, epoch, df)
+            df
+          })
           } finally psView.foreach(v =>
             scala.util.Try(spark.catalog.dropTempView(v)))
           } finally ttViews.foreach(v => spark.catalog.dropTempView(v))
@@ -2838,6 +2913,40 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // ---- time travel (extension: delta/iceberg surface over the swap layout)
 
   private val ttCounter = new java.util.concurrent.atomic.AtomicLong()
+
+  // ---- prepared/repeated-statement plan cache (r18) ------------------------
+  // fully-rewritten text → (epoch, planned DataFrame). The epoch bumps on
+  // every catalog save (all DDL and every DML commit route through
+  // saveManifest) and on SET/RESET/PRAGMA/DISCARD, so a cached plan can
+  // never pin a stale file listing, view definition, mock hint or
+  // execution conf. LRU-bounded; reads happen under the statement READ
+  // lock (concurrent sessions), hence the synchronized access-order map.
+  private val planCacheEpoch = new java.util.concurrent.atomic.AtomicLong()
+  /** >0 while a DML-CTE's statement-start snapshot overlay shadows
+    * engine tables with their pre-statement image — every nested
+    * plan built in that window is overlay-bound and must not cache.
+    */
+  private val snapshotOverlayDepth = new java.util.concurrent.atomic.AtomicInteger()
+  private[engine] def bumpPlanEpoch(): Unit = planCacheEpoch.incrementAndGet()
+  private val planCache =
+    new java.util.LinkedHashMap[String, (Long, DataFrame)](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, (Long, DataFrame)]): Boolean =
+        size > 64
+    }
+  /** observable by tests: proves an EXECUTE loop actually skipped
+    * re-planning rather than re-parsing quickly
+    */
+  private[graft] val planCacheHits = new java.util.concurrent.atomic.AtomicLong()
+  private def planCacheGet(key: String, epoch: Long): Option[DataFrame] =
+    planCache.synchronized {
+      val hit = Option(planCache.get(key))
+        .collect { case (e, df) if e == epoch => df }
+      if (hit.isDefined) planCacheHits.incrementAndGet()
+      hit
+    }
+  private def planCachePut(key: String, epoch: Long, df: DataFrame): Unit =
+    planCache.synchronized { planCache.put(key, (epoch, df)); () }
 
   /** Append one commit to `table`'s log (schema captured NOW = the
     * post-commit state) and persist — the log is load-bearing across
@@ -3317,6 +3426,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * gains/loses the AdaptiveSparkPlan wrapper under the toggle.
     */
   private def pragma(key: String, value: Option[String]): DataFrame = {
+    bumpPlanEpoch()
     key.toLowerCase match {
       case "enable_optimizer" =>
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -3482,6 +3592,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * else is a pg custom GUC, session-local in the overlay.
     */
   private def setVar(key: String, value: String): DataFrame = {
+    bumpPlanEpoch() // confs/mock hints may re-plan cached statements
     val k = key.toLowerCase
     if (k.startsWith("mock_rowcount_")) {
       val table = key.substring("mock_rowcount_".length)
@@ -3548,6 +3659,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * ([[resetSessionConfs]]), never another session's.
     */
   private def resetVar(key: String): DataFrame = {
+    bumpPlanEpoch()
     if (key.equalsIgnoreCase("all")) {
       resetSessionConfs() // reads confOverlay: must run before the clear
       sess.confOverlay.clear()
@@ -3581,11 +3693,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * reclaimed), transaction characteristics, sequence currval state,
     * and — like pg's embedded RESET ALL — unsets the Spark confs this
     * session SET (its own keys only, [[resetSessionConfs]]); pg refuses
-    * it inside a transaction block. PLANS/TEMP are accepted no-ops: the
-    * engine caches no plans, and temp views are process-level
-    * (documented).
+    * it inside a transaction block. TEMP (r18) drops the session's temp
+    * tables/views ([[dropSessionTemps]]), and ALL includes it, like pg.
+    * PLANS is effectively real too: the bumpPlanEpoch below invalidates
+    * every cached plan.
     */
   private def discard(what: String): DataFrame = {
+    bumpPlanEpoch()
     val s = sess
     if (what == "all") {
       if (s.txnOpen) throw new IllegalArgumentException(
@@ -3597,6 +3711,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s.seqCurr.clear(); s.seqLast = None
       resetSessionConfs() // reads confOverlay: before the clear
       s.confOverlay.clear(); s.pragmas.clear(); s.vectorIndexEnabled = true
+      dropSessionTemps(s) // DISCARD ALL includes DISCARD TEMP (pg)
+    } else if (what == "temp" || what == "temporary") {
+      dropSessionTemps(s)
     } else if (what == "sequences") {
       // pg: forget this session's currval/lastval state (the sequences
       // themselves are engine-global and keep their positions)
@@ -4759,8 +4876,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         deleteRecursively(historyDir(name), keepRoot = false)
     } else views.remove(name)
     spark.catalog.dropTempView(name)
+    // a session dropping its own temp object by alias arrives here with
+    // the mangled name — retire the alias with it
+    sess.tempObjects.filterInPlace { case (_, (m, _)) => m != name }
     saveManifest()
     emptyResult
+  }
+
+  /** Drop every temp object `s` created (reverse creation order: temp
+    * views may read earlier temp tables) — disconnect and DISCARD
+    * TEMP/ALL, pg semantics. Failures are swallowed: a temp object a
+    * concurrent path already removed must not block session teardown.
+    */
+  private def dropSessionTemps(s: Session): Unit = {
+    s.tempObjects.toSeq.reverse.foreach { case (_, (m, kind)) =>
+      scala.util.Try(drop(kind, m))
+    }
+    s.tempObjects.clear()
   }
 
   // ---- DML ---------------------------------------------------------------
@@ -6536,9 +6668,17 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     import spark.implicits._
     name match {
       case "pg_tables" =>
-        (tables.keys.map(t =>
-          ("postgres", t, if (matviews.contains(t)) "matview" else "table")) ++
-          views.keys.map(v => ("postgres", v, "view"))).toSeq
+        // temp objects: only the OWNING session sees its own, under the
+        // alias it used, in pg's temp schema; other sessions' mangled
+        // names are hidden outright (pg_temp_N invisibility)
+        val aliasOf = sess.tempObjects.map { case (a, (m, _)) => m -> a }
+        def vis(n: String, kind: String): Option[(String, String, String)] =
+          if (n.startsWith("graft_temp_"))
+            aliasOf.get(n).map(a => ("pg_temp", a, kind))
+          else Some(("postgres", n, kind))
+        (tables.keys.flatMap(t =>
+          vis(t, if (matviews.contains(t)) "matview" else "table")) ++
+          views.keys.flatMap(v => vis(v, "view"))).toSeq
           .toDF("schemaname", "tablename", "kind")
       case "pg_indexes" =>
         indexes.map { case (n, (t, c, m, o)) => (n, t, c, m, o) }.toSeq
@@ -6648,6 +6788,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private def manifestPath = Paths.get(s"$warehouse/_catalog.json")
 
   private def saveManifest(): Unit = {
+    bumpPlanEpoch() // any catalog/data change invalidates cached plans
     // Full JSON string escaping: view/function bodies are raw user SQL, so
     // multi-line or tab-bearing text is normal. Jackson rejects unescaped
     // control characters, so leaving them raw would make the warehouse

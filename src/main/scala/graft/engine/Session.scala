@@ -119,4 +119,15 @@ final class Session private[engine] (private[graft] val id: Long) {
   private[engine] val pragmas =
     scala.collection.concurrent.TrieMap[String, String]()
   private[engine] var vectorIndexEnabled = true
+  /** Per-session temp namespace (r18): lowercase alias → (mangled real
+    * object name, kind "table"|"view"). CREATE TEMP TABLE/VIEW creates
+    * the real object under `graft_temp_<sid>_<alias>`; every statement
+    * this session runs rewrites alias references to the mangled name
+    * (pg's temp-schema-first resolution: a temp table shadows a
+    * same-named permanent one). Other sessions never learn the alias,
+    * so two connections' same-named temps cannot collide; the objects
+    * drop on disconnect and on DISCARD TEMP/ALL, like pg.
+    */
+  private[engine] val tempObjects =
+    mutable.LinkedHashMap[String, (String, String)]()
 }

@@ -437,6 +437,112 @@ class ServerSpec extends AnyFunSuite {
     def close(): Unit = sock.close()
   }
 
+  test("per-session temp namespace: same-named temps, no collision, gone on disconnect") {
+    val dir = freshDir("/root/repo/target/graft-tmp/temps-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-temps-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+
+    def connect(): (Socket, PrintWriter, BufferedReader) = {
+      val c = new Socket("127.0.0.1", server.getLocalPort)
+      c.setSoTimeout(120000)
+      (c, new PrintWriter(new java.io.OutputStreamWriter(
+        c.getOutputStream, StandardCharsets.UTF_8), true),
+        new BufferedReader(new InputStreamReader(
+          c.getInputStream, StandardCharsets.UTF_8)))
+    }
+    def send(out: PrintWriter, in: BufferedReader, stmt: String): Seq[String] = {
+      out.println(stmt)
+      val lines = collection.mutable.Buffer[String]()
+      var l = in.readLine()
+      while (l != null && !l.startsWith("OK ") && !l.startsWith("ERR ")) {
+        lines += l; l = in.readLine()
+      }
+      lines += l
+      lines.toSeq
+    }
+    val (c1, o1, i1) = connect()
+    val (c2, o2, i2) = connect()
+    try {
+      // a permanent table both sessions can see
+      assert(send(o1, i1, "create table perm(v int);").last == "OK 0")
+      // same-named temp tables on two connections: no collision, and
+      // each session reads its OWN rows
+      assert(send(o1, i1, "create temp table scratch(v int);").last == "OK 0")
+      assert(send(o2, i2, "create temp table scratch(v varchar);").last == "OK 0")
+      assert(send(o1, i1, "insert into scratch values (1), (2);").last == "OK 1")
+      assert(send(o2, i2, "insert into scratch values ('a');").last == "OK 1")
+      assert(send(o1, i1, "select count(*) from scratch;") == Seq("2", "OK 1"))
+      assert(send(o2, i2, "select v from scratch;") == Seq("a", "OK 1"))
+      // a temp table SHADOWS a same-named permanent one (pg temp schema
+      // resolves first); the other session still reads the permanent
+      assert(send(o1, i1, "insert into perm values (10);").last == "OK 1")
+      assert(send(o1, i1, "create temp table perm(v int);").last == "OK 0")
+      assert(send(o1, i1, "select count(*) from perm;") == Seq("0", "OK 1"))
+      assert(send(o2, i2, "select count(*) from perm;") == Seq("1", "OK 1"))
+      // \dt shows the owner's temps under their alias, not the other's
+      val dt1 = send(o1, i1, "\\dt")
+      assert(dt1.exists(_.contains("scratch")) && !dt1.exists(_.contains("graft_temp")))
+      val dt2 = send(o2, i2, "\\dt").filter(_.contains("scratch"))
+      assert(dt2.length == 1)
+      // temp views work and resolve the session's own temp tables
+      assert(send(o1, i1,
+        "create temp view sv as select v * 10 as w from scratch;").last == "OK 0")
+      assert(send(o1, i1, "select sum(w) from sv;") == Seq("30", "OK 1"))
+      // DISCARD TEMP drops session 2's temp; session 1 unaffected
+      assert(send(o2, i2, "discard temp;").last == "OK 0")
+      assert(send(o2, i2, "select count(*) from scratch;").last.startsWith("ERR "))
+      assert(send(o1, i1, "select count(*) from scratch;") == Seq("2", "OK 1"))
+      // disconnect drops session 1's temps; a fresh connection sees none
+      c1.close()
+      Thread.sleep(500) // teardown runs on the connection thread
+      val (c3, o3, i3) = connect()
+      try {
+        assert(send(o3, i3, "select count(*) from scratch;").last.startsWith("ERR "))
+        // the permanent table survives, un-shadowed
+        assert(send(o3, i3, "select count(*) from perm;") == Seq("1", "OK 1"))
+        val dt3 = send(o3, i3, "\\dt")
+        assert(!dt3.exists(l => l.contains("scratch") || l.contains("graft_temp")))
+      } finally c3.close()
+    } finally {
+      c2.close()
+      server.close()
+    }
+  }
+
+  test("prepared EXECUTE loop reuses the cached plan; any commit invalidates") {
+    val dir = freshDir("/root/repo/target/graft-tmp/plancache-warehouse")
+    val engine = new Engine(spark, dir)
+    engine.run("create table pc(v int)")
+    engine.run("insert into pc values (1), (2), (3)")
+    engine.run("prepare pq as select sum(v) as s from pc where v >= $1")
+    val h0 = engine.planCacheHits.get
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 5L)
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 5L)
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 5L)
+    assert(engine.planCacheHits.get >= h0 + 2,
+      "repeated EXECUTE did not reuse the cached plan")
+    // a commit invalidates: the next EXECUTE re-plans and sees new data
+    engine.run("insert into pc values (10)")
+    val h1 = engine.planCacheHits.get
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 15L)
+    assert(engine.planCacheHits.get == h1, "served a stale plan after a commit")
+    // DDL between EXECUTEs invalidates too
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 15L)
+    engine.run("alter table pc add column w int")
+    val h2 = engine.planCacheHits.get
+    assert(engine.run("execute pq(2)").collect()(0).getLong(0) == 15L)
+    assert(engine.planCacheHits.get == h2, "served a stale plan after DDL")
+    // different arguments are different entries, both correct
+    assert(engine.run("execute pq(10)").collect()(0).getLong(0) == 10L)
+    // nondeterministic statements never cache: fresh draw each run
+    val a = engine.run("select rand() as r").collect()(0).getDouble(0)
+    val b = engine.run("select rand() as r").collect()(0).getDouble(0)
+    assert(a != b, "nondeterministic statement drew the same value twice")
+  }
+
   test("pgwire CancelRequest kills the running statement; session survives") {
     val dir = freshDir("/root/repo/target/graft-tmp/cancel-warehouse")
     val engine = new Engine(spark, dir)
