@@ -67,6 +67,27 @@ object Relational {
       Some("""SELECT c_custkey, c_name, c_acctbal FROM customer
              |WHERE NOT (c_acctbal < 0) ORDER BY c_custkey""".stripMargin)),
 
+    // -- 2.1 partitioned layout (r18): write a month-partitioned copy,
+    // read back through a partition-pruned scan (PartitionFilters lists
+    // exactly one k=v directory), aggregate — DuckDB recomputes from the
+    // flat table, so the round-trip proves dir values AND pruning exact
+    "partitioned_scan_prune" -> Q(
+      (s, d) => {
+        val out = "/root/repo/target/graft-tmp/part_lineitem"
+        t(s, d, "lineitem")
+          .withColumn("ds", date_format(col("l_shipdate"), "yyyy-MM"))
+          .write.mode("overwrite").partitionBy("ds").parquet(out)
+        s.read.parquet(out)
+          .filter(col("ds") === "1995-03")
+          .groupBy(col("ds"))
+          .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+          .orderBy("ds")
+      },
+      Some("""SELECT strftime(l_shipdate, '%Y-%m') AS ds, COUNT(*) AS n,
+             |CAST(SUM(CAST(round(l_quantity * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 AS qty
+             |FROM lineitem WHERE strftime(l_shipdate, '%Y-%m') = '1995-03'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // -- 2.1 copy_to + copy_from: CSV round-trip through a managed dir
     "copy_csv_roundtrip" -> Q(
       (s, d) => {
