@@ -1593,11 +1593,28 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * grouping/argument expressions feed the hidden aggregates, then
     * re-wrapped as a DataFrame.
     */
+  /** SELECT DISTINCT is GROUP BY every output with no visible aggregates
+    * (r18): the analyzed `Distinct` node normalizes to that equivalent
+    * Aggregate so the whole IVM machinery — shape recognition, hidden
+    * `__ivm_n` bookkeeping, decomposed signed replays, the `__ivm_n > 0`
+    * survivor filter — applies unchanged. A new duplicate raises the
+    * group's count (the visible row stays put), deleting the last copy
+    * drives the count to zero and the row out of the view.
+    */
+  private def ivmNormalizeDistinct(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = p match {
+    case org.apache.spark.sql.catalyst.plans.logical.Distinct(child) =>
+      org.apache.spark.sql.catalyst.plans.logical.Aggregate(
+        child.output, child.output, child)
+    case other => other
+  }
+
   private def ivmDecomposedBody(body: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression, Literal => CLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val analyzed = planBody(body).queryExecution.analyzed
+    val analyzed = ivmNormalizeDistinct(planBody(body).queryExecution.analyzed)
     val extended = analyzed match {
       case agg @ Aggregate(_, aexprs, _, _) =>
         val extra = mutable.Buffer[NamedExpression]()
@@ -1704,7 +1721,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case _ => false
     }
     scala.util.Try {
-      planBody(body).queryExecution.analyzed match {
+      ivmNormalizeDistinct(planBody(body).queryExecution.analyzed) match {
         case Aggregate(gexprs, aexprs, child, _)
             if linear(child) && gexprs.forall(clean) =>
           val refs = child.collect {

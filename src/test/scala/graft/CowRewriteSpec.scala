@@ -659,6 +659,43 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(state().exists(_ == ("c", 1L, 50L, 1L)))
   }
 
+  test("IVM over SELECT DISTINCT: dup lifetimes exact, join body incremental") {
+    engine.run("create table djf(k int, g varchar, tag int)")
+    engine.run("create table djd(k int, d varchar)")
+    engine.run("insert into djf values (1, 'a', 1), (1, 'a', 2), (2, 'b', 3)")
+    engine.run("insert into djd values (1, 'x'), (2, 'y')")
+    // DISTINCT over an inner join: the (g, d) pair space
+    engine.run("create materialized view djv as " +
+      "select distinct g, d from djf join djd on djf.k = djd.k")
+    def state(): Seq[(String, String)] =
+      engine.run("select g, d from djv order by g, d").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    def refresh(): String =
+      engine.run("refresh materialized view djv").collect()(0).getString(0)
+    assert(state() == Seq(("a", "x"), ("b", "y")))
+    // fact append that only adds multiplicity: view unchanged, incremental
+    engine.run("insert into djf values (1, 'a', 4)")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", "x"), ("b", "y")))
+    // dim append creating a brand-new pair for an existing fact key
+    engine.run("insert into djd values (1, 'z')")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", "x"), ("a", "z"), ("b", "y")))
+    // deleting one of three (k=1) fact copies keeps both its pairs
+    engine.run("delete from djf where tag = 1")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", "x"), ("a", "z"), ("b", "y")))
+    // deleting the last copies of k=1 drops both pairs
+    engine.run("delete from djf where k = 1")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("b", "y")))
+    // matches a from-scratch evaluation of the body
+    val fresh = engine.run("select distinct g, d from djf join djd " +
+      "on djf.k = djd.k order by g, d").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(state() == fresh)
+  }
+
   test("IVM RIGHT OUTER mirrors; FULL OUTER recomputes") {
     engine.run("create table rjfact(k int, x int)")
     engine.run("create table rjdim(k int, g varchar)")

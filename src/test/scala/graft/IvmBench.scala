@@ -195,6 +195,20 @@ object IvmBench {
     }
     engine.run("drop materialized view ivm_oj")
 
+    // SELECT DISTINCT body (r18): group-by-everything with the hidden
+    // count carrying row lifetimes — appends that mostly add
+    // multiplicity still refresh at O(delta + touched groups)
+    engine.run("create materialized view ivm_dist as " +
+      "select distinct l_returnflag, l_linestatus, l_shipmode from ivm_fact")
+    val dist = (1 to rounds).map { i =>
+      engine.run("insert into ivm_fact select * from li_src limit 1000")
+      val (w, mode) = timed("refresh materialized view ivm_dist")
+      require(mode == "incremental",
+        s"round $i expected distinct incremental, got $mode")
+      w
+    }
+    engine.run("drop materialized view ivm_dist")
+
     // UNGROUPED extremum under interior deletes (r16): the one "group"
     // is the whole body, so until r16 ANY delete forced the full
     // recompute. Lazy eviction now compares the delete window's own
@@ -240,7 +254,7 @@ object IvmBench {
       require(mode == "full", s"round $i expected full, got $mode")
       w
     }
-    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"outer_probe_sec":${fmt(ojProbe.min)},"outer_nullside_sec":${fmt(ojNull.min)},"global_extremum_delete_sec":${fmt(gx.min)},"global_extremum_evict_full_sec":${fmt(gxFull.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
+    println(s"""{"metric":"ivm_refresh","base_rows":$baseRows,"delta_rows":1000,"rounds":$rounds,"incremental_sec":${fmt(inc.min)},"delete_delta_sec":${fmt(del.min)},"update_delta_sec":${fmt(upd.min)},"join_incremental_sec":${fmt(jinc.min)},"join_delete_sec":${fmt(jdel.min)},"join_cross_sec":${fmt(jx.min)},"join_cross_delete_sec":${fmt(jxd.min)},"join_both_delete_sec":${fmt(jxdd.min)},"join_extremum_evict_sec":${fmt(jxm.min)},"join_extremum_both_delete_sec":${fmt(jxmdd.min)},"outer_probe_sec":${fmt(ojProbe.min)},"outer_nullside_sec":${fmt(ojNull.min)},"distinct_sec":${fmt(dist.min)},"global_extremum_delete_sec":${fmt(gx.min)},"global_extremum_evict_full_sec":${fmt(gxFull.min)},"full_sec":${fmt(full.min)},"speedup":${fmt(full.min / inc.min)}}""")
     spark.stop()
   }
 }
