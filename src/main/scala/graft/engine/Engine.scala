@@ -1525,6 +1525,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   private case object IvmMin extends IvmKind
   private case object IvmMax extends IvmKind
   private case object IvmAvg extends IvmKind
+  /** A deterministic EXPRESSION over bare COUNT/SUM/AVG aggregates
+    * (`sum(x) + 1`, `sum(a) / nullif(sum(b), 0)`, r18): each inner
+    * aggregate rides its own additive sidecar column and the visible
+    * value recomputes from the MERGED sidecars at refresh — the stored
+    * view value is never arithmetically inverted. `inner(i)` names the
+    * i-th aggregate (document order) as "count" | "sum" | "avg";
+    * MIN/MAX inside an expression stay unprovable (they would need
+    * per-sidecar extremum eviction).
+    */
+  private case class IvmExpr(inner: Seq[String]) extends IvmKind
 
   /** `kinds` covers every view output column in order; `bareGroups` maps
     * group output name → (owning table, base column name) for every
@@ -1551,6 +1561,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     def hiddenCols: Seq[String] = "__ivm_n" +: kinds.flatMap {
       case (n, IvmAvg) => Seq(s"__ivm_s_$n", s"__ivm_c_$n")
       case (n, IvmSum) => Seq(s"__ivm_c_$n")
+      // every IvmExpr inner aggregate: an additive value column, plus a
+      // count sidecar for sum/avg (empty-group null-out / the divisor)
+      case (n, IvmExpr(inner)) => inner.zipWithIndex.flatMap {
+        case ("count", i) => Seq(s"__ivm_x${i}_$n")
+        case (_, i) => Seq(s"__ivm_x${i}_$n", s"__ivm_xc${i}_$n")
+      }
       case _ => Nil
     }
     def auxCols: Seq[String] = groupCols ++ hiddenCols
@@ -1633,7 +1649,28 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   s"__ivm_c_${ne.name}")()
               case _ =>
             }
-            case _ =>
+            // an expression AROUND aggregates (IvmExpr): one additive
+            // sidecar per inner aggregate, in document order, names
+            // mirrored by IvmShape.hiddenCols — count rides as itself,
+            // sum/avg ride as a (sum, count) pair
+            case e2 =>
+              e2.collect { case ae: AggregateExpression => ae }
+                .zipWithIndex.foreach { case (ae, i) =>
+                  ae.aggregateFunction match {
+                    case _: Count =>
+                      extra += Alias(ae, s"__ivm_x${i}_${ne.name}")()
+                    case Sum(x, _) =>
+                      extra += Alias(ae, s"__ivm_x${i}_${ne.name}")()
+                      extra += Alias(Count(Seq(x)).toAggregateExpression(),
+                        s"__ivm_xc${i}_${ne.name}")()
+                    case Average(x, _) =>
+                      extra += Alias(new Sum(x).toAggregateExpression(),
+                        s"__ivm_x${i}_${ne.name}")()
+                      extra += Alias(Count(Seq(x)).toAggregateExpression(),
+                        s"__ivm_xc${i}_${ne.name}")()
+                    case _ =>
+                  }
+                }
           }
         }
         agg.copy(aggregateExpressions = aexprs ++ extra.toSeq)
@@ -1745,9 +1782,34 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   case _: Average => Some(ne.name -> IvmAvg)
                   case _ => None
                 }
-              // an expression AROUND an aggregate (sum(x)+1) does not
-              // merge by its own operator — recompute
-              case _ => None
+              // an expression AROUND aggregates (sum(x)+1, r18): provable
+              // when every inner aggregate is a bare clean COUNT/SUM/AVG
+              // and no base column leaks out naked (the expression must
+              // be fully determined by the merged sidecars) — the merge
+              // recomputes the expression over the sidecar columns.
+              // MIN/MAX inside stay unprovable (no sidecar eviction).
+              case e2 =>
+                def naked(
+                    x: org.apache.spark.sql.catalyst.expressions.Expression)
+                    : Boolean = x match {
+                  case _: AggregateExpression => false
+                  case _: Attribute => true
+                  case o => o.children.exists(naked)
+                }
+                val inner =
+                  e2.collect { case ae: AggregateExpression => ae }.map { ae =>
+                    if (ae.isDistinct || ae.filter.nonEmpty || !clean(ae)) None
+                    else ae.aggregateFunction match {
+                      case _: Count => Some("count")
+                      case _: Sum => Some("sum")
+                      case _: Average => Some("avg")
+                      case _ => None
+                    }
+                  }
+                if (inner.nonEmpty && inner.forall(_.isDefined) &&
+                    !naked(e2) && clean(e2))
+                  Some(ne.name -> IvmExpr(inner.map(_.get)))
+                else None
             }
           }
           // every grouping expression must be visible as an output (the
@@ -2173,6 +2235,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                 case (n, IvmAvg) =>
                   (sum(col(s"__ivm_s_$n")) / sum(col(s"__ivm_c_$n")))
                     .cast(tmplSchema(n).dataType).as(n)
+                // an IvmExpr's visible value in a folded term is never
+                // read — the merge recomputes it from the sidecars —
+                // but the column must survive the fold with its type
+                case (n, IvmExpr(_)) =>
+                  first(col(n)).cast(tmplSchema(n).dataType).as(n)
               } ++ shape.hiddenCols.map(h =>
                 sum(col(h)).cast(tmplSchema(h).dataType).as(h))
               u.groupBy(groupCols.map(col): _*)
@@ -2227,6 +2294,73 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     def sNew(n: String): Column =
       nz(col(s"x___ivm_s_$n")) + nz(acol(s"__ivm_s_$n")) - nz(dcol(s"__ivm_s_$n"))
     val nNew = nz(col("x___ivm_n")) + nz(acol("__ivm_n")) - nz(dcol("__ivm_n"))
+    // IvmExpr sidecars merge additively like counts/sums
+    def xNew(h: String): Column =
+      nz(col(s"x_$h")) + nz(acol(h)) - nz(dcol(h))
+    // the analyzed body's output expressions, for IvmExpr recomputation
+    lazy val bodyOutExprs = ivmNormalizeDistinct(
+        planBody(body).queryExecution.analyzed) match {
+      case org.apache.spark.sql.catalyst.plans.logical
+          .Aggregate(_, aex, _, _) =>
+        aex.map(ne => ne.name -> (ne match {
+          case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+          case o => o
+        })).toMap
+      case _ => Map.empty[String,
+        org.apache.spark.sql.catalyst.expressions.Expression]
+    }
+    // the PARSED (unanalyzed) select-list, positionally aligned with the
+    // analyzed aggregateExpressions — substitution happens pre-analysis
+    // because surgically editing an ANALYZED expression corrupts Spark's
+    // With/CommonExpressionRef structures (nullif and friends), while a
+    // uniformly-unresolved expression re-analyzes cleanly in the select
+    lazy val parsedOutList: Seq[
+        org.apache.spark.sql.catalyst.expressions.NamedExpression] = {
+      import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project}
+      spark.sessionState.sqlParser
+        .parsePlan(inlineFunctions(rewriteQualify(body)))
+        .collectFirst {
+          case a: Aggregate => a.aggregateExpressions
+          case p: Project => p.projectList // global agg: no GROUP BY
+        }.getOrElse(Seq.empty)
+    }
+    /** The IvmExpr output at position `idx` recomputed over MERGED
+      * sidecars: each inner aggregate call (document order, matching the
+      * decomposed names) substitutes its additive sidecar — count
+      * directly, sum nulled when its count sidecar reaches zero, avg as
+      * sum/count — each cast back to the analyzed aggregate's own type
+      * so the surrounding expression keeps its original semantics.
+      */
+    def exprMerged(n: String, idx: Int, inner: Seq[String]): Column = {
+      import org.apache.spark.sql.catalyst.analysis.{UnresolvedAlias, UnresolvedFunction}
+      import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+      import org.apache.spark.sql.catalyst.expressions.Alias
+      val aggTypes = bodyOutExprs(n).collect {
+        case ae: AggregateExpression => ae.dataType
+      }
+      val parsed = parsedOutList(idx) match {
+        case ua: UnresolvedAlias => ua.child
+        case al: Alias => al.child
+        case o => o
+      }
+      var i = -1
+      val sub = parsed.transformDown {
+        case f: UnresolvedFunction
+            if Set("count", "sum", "avg", "mean")
+              .contains(f.nameParts.last.toLowerCase) =>
+          i += 1
+          val x = xNew(s"__ivm_x${i}_$n")
+          lazy val xc = xNew(s"__ivm_xc${i}_$n")
+          val v = inner(i) match {
+            case "count" => x
+            case "sum" => when(xc === 0, lit(null)).otherwise(x)
+            case "avg" => when(xc === 0, lit(null)).otherwise(x / xc)
+          }
+          org.apache.spark.sql.graftbridge.Bridge
+            .expression(v.cast(aggTypes(i)))
+      }
+      org.apache.spark.sql.graftbridge.Bridge.column(sub)
+    }
     // cast back everywhere: +/least on decimals widens precision, and
     // the view's column types must stay put across refreshes
     val mergedView: Seq[Column] = viewSchema.fields.toSeq.map { f =>
@@ -2243,11 +2377,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             .otherwise(sNew(f.name) / cNew(f.name))
         case IvmMin => least(col(s"o_${f.name}"), acol(f.name))
         case IvmMax => greatest(col(s"o_${f.name}"), acol(f.name))
+        case IvmExpr(inner) =>
+          exprMerged(f.name, shape.kinds.indexWhere(_._1 == f.name), inner)
       }).cast(f.dataType).as(f.name)
     }
     val mergedHidden: Seq[Column] = shape.hiddenCols.map { h =>
       val v = if (h == "__ivm_n") nNew
         else if (h.startsWith("__ivm_s_")) sNew(h.stripPrefix("__ivm_s_"))
+        else if (h.startsWith("__ivm_x")) xNew(h) // IvmExpr sidecars
         else cNew(h.stripPrefix("__ivm_c_"))
       v.cast(auxSchema(h).dataType).as(h)
     }
@@ -2346,7 +2483,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // non-mergeable aggregates) recomputes fully. An eligible shape's
       // full recompute runs the DECOMPOSED body once (checkpointed) so
       // the sidecar rides the same aggregation.
-      val (df, aux, mode) = incrementalRefresh(name, body) match {
+      // belt-and-braces: an incremental-merge failure of ANY kind (a
+      // sidecar misalignment, an analysis surprise in a substituted
+      // expression) must degrade to the always-correct full recompute,
+      // never error the REFRESH statement
+      val (df, aux, mode) = scala.util.Try(incrementalRefresh(name, body))
+          .toOption.flatten match {
         case Some((v, a)) => (v, Some(a), "incremental")
         case None => ivmShape(body) match {
           case Some(s) =>

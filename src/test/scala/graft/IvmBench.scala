@@ -199,7 +199,7 @@ object IvmBench {
     // count carrying row lifetimes — appends that mostly add
     // multiplicity still refresh at O(delta + touched groups)
     engine.run("create materialized view ivm_dist as " +
-      "select distinct l_returnflag, l_linestatus, l_shipmode from ivm_fact")
+      "select distinct l_returnflag, l_linestatus, l_linenumber from ivm_fact")
     val dist = (1 to rounds).map { i =>
       engine.run("insert into ivm_fact select * from li_src limit 1000")
       val (w, mode) = timed("refresh materialized view ivm_dist")
