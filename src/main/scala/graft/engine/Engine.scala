@@ -1550,8 +1550,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * over union, so Δ(F ⋈ D) = ΔF ⋈ D while D holds still).
     */
   private case class IvmShape(bases: Seq[String], kinds: Seq[(String, IvmKind)],
-      bareGroups: Seq[(String, String, String)]) {
+      bareGroups: Seq[(String, String, String)],
+      having: Option[Column] = None, havingExtras: Seq[String] = Nil) {
     def groupCols: Seq[String] = kinds.collect { case (n, IvmGroup) => n }
+    /** The VIEW's own columns: the maintained relation minus the
+      * having-only aggregates (stored in aux, never materialized).
+      */
+    def viewOf(full: DataFrame): DataFrame = having match {
+      case Some(cond) => full.filter(cond).drop(havingExtras: _*)
+      case None => full
+    }
     def minMaxCols: Seq[(String, IvmKind)] =
       kinds.filter(k => k._2 == IvmMin || k._2 == IvmMax)
     /** Hidden sidecar columns: a per-group row count, plus sum/count
@@ -1569,7 +1577,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       }
       case _ => Nil
     }
-    def auxCols: Seq[String] = groupCols ++ hiddenCols
+    /** Under HAVING the sidecar carries EVERY maintained column — the
+      * view holds only qualifying groups, so a filtered-out group's
+      * aggregates (needed if it later qualifies) live nowhere else.
+      */
+    def auxCols: Seq[String] =
+      (if (having.isDefined) kinds.map(_._1) else groupCols) ++ hiddenCols
   }
 
   private def planBody(body: String): DataFrame =
@@ -1626,11 +1639,67 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     case other => other
   }
 
+  /** Strip a HAVING wrapper (r18): the analyzed body is either
+    * `Filter(cond, Aggregate)` (cond over select-list outputs) or
+    * `Project(attrs, Filter(cond, Aggregate))` (the analyzer appended
+    * having-only aggregates to the Aggregate and trims them above).
+    * Returns the inner Aggregate with the appended outputs RENAMED
+    * `__ivm_h<i>` — they become maintained aux-only columns — plus the
+    * condition rewritten as an unresolved Column over the renamed
+    * output names, for re-application to the MERGED relation. The view
+    * materializes only qualifying groups; the sidecar keeps every
+    * group, so a group crossing the threshold in either direction
+    * enters/leaves the view incrementally.
+    */
+  private def ivmNormalizeHaving(
+      p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+         Option[Column], Seq[String]) = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Project, Filter => LFilter}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, SubqueryExpression}
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+    def rewrite(agg: Aggregate, cond: Expression,
+        keep: Option[Set[Long]]): Option[
+        (org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+         Option[Column], Seq[String])] = {
+      if (!cond.deterministic ||
+          cond.exists(_.isInstanceOf[SubqueryExpression])) return None
+      var i = -1
+      val renamed = agg.aggregateExpressions.map { ne =>
+        if (keep.forall(_.contains(ne.exprId.id))) ne
+        else {
+          i += 1
+          Alias(ne match { case a: Alias => a.child; case o => o },
+            s"__ivm_h$i")()
+        }
+      }
+      // final column name per ORIGINAL output exprId, for the cond map
+      val nameById = agg.aggregateExpressions.zip(renamed)
+        .map { case (orig, nw) => orig.exprId.id -> nw.name }.toMap
+      if (!cond.references.forall(a => nameById.contains(a.exprId.id)))
+        return None
+      val extras = renamed.map(_.name).filter(_.startsWith("__ivm_h"))
+      val condCol = org.apache.spark.sql.graftbridge.Bridge.column(
+        cond.transform { case a: AttributeReference =>
+          UnresolvedAttribute(Seq(nameById(a.exprId.id))) })
+      Some((agg.copy(aggregateExpressions = renamed),
+        Some(condCol), extras))
+    }
+    (p match {
+      case LFilter(cond, agg: Aggregate) => rewrite(agg, cond, None)
+      case Project(projList, LFilter(cond, agg: Aggregate))
+          if projList.forall(_.isInstanceOf[AttributeReference]) =>
+        rewrite(agg, cond, Some(projList.map(_.exprId.id).toSet))
+      case _ => None
+    }).getOrElse((p, None, Nil))
+  }
+
   private def ivmDecomposedBody(body: String): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression, Literal => CLit}
     import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Average, Count, Sum}
     import org.apache.spark.sql.catalyst.plans.logical.Aggregate
-    val analyzed = ivmNormalizeDistinct(planBody(body).queryExecution.analyzed)
+    val analyzed = ivmNormalizeDistinct(
+      ivmNormalizeHaving(planBody(body).queryExecution.analyzed)._1)
     val extended = analyzed match {
       case agg @ Aggregate(_, aexprs, _, _) =>
         val extra = mutable.Buffer[NamedExpression]()
@@ -1758,7 +1827,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case _ => false
     }
     scala.util.Try {
-      ivmNormalizeDistinct(planBody(body).queryExecution.analyzed) match {
+      val (normH, havingCond, havingExtras) =
+        ivmNormalizeHaving(planBody(body).queryExecution.analyzed)
+      ivmNormalizeDistinct(normH) match {
         case Aggregate(gexprs, aexprs, child, _)
             if linear(child) && gexprs.forall(clean) =>
           val refs = child.collect {
@@ -1825,7 +1896,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               refs.map(_.toLowerCase).distinct.length == refs.length &&
               kinds.forall(_.isDefined) && groupsCovered &&
               names.map(_.toLowerCase).distinct.length == names.length &&
-              !names.exists(_.toLowerCase.startsWith("__ivm_"))) {
+              !names.filterNot(havingExtras.contains)
+                .exists(_.toLowerCase.startsWith("__ivm_"))) {
             // a group output is only "bare" when its attribute traces by
             // exprId through the Project/Filter/Join chain to an
             // UNTOUCHED column of a referenced table's leaf: an attribute
@@ -1872,7 +1944,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
                   (ne.name, tb, bc) }
               case _ => None
             })
-            Some(IvmShape(refs, kinds.map(_.get), bare))
+            Some(IvmShape(refs, kinds.map(_.get), bare,
+              havingCond, havingExtras))
           } else None
         case _ => None
       }
@@ -2022,9 +2095,15 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val groupCols = shape.groupCols
     val auxSchema = StructType(ivmDecomposedBody(body)
       .select(shape.auxCols.map(col): _*).schema.fields)
-    val old = spark.table(name)
     val oldAux = spark.read.schema(auxSchema).parquet(aDirPath.toString)
-    if (moved.isEmpty) return Some((old, oldAux))
+    // under HAVING the maintained relation is the sidecar's visible part
+    // (the VIEW holds only qualifying groups — a filtered-out group's
+    // aggregates live in the sidecar alone); every (old, oldAux) return
+    // below re-derives the view via shape.viewOf
+    val old =
+      if (shape.having.isDefined) oldAux.select(shape.kinds.map(k => col(k._1)): _*)
+      else spark.table(name)
+    if (moved.isEmpty) return Some((shape.viewOf(old), oldAux))
     // overlay bases with SAME-NAMED temp views for the (eager) analysis
     // of the body — unqualified resolution prefers the temp view, so
     // every filter/projection in the body binds to the overlay — then
@@ -2153,7 +2232,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       if (moved.length == 1 && !movedDistributes) {
         val (base, v0) = moved.head
         val (addFiles, delDirs) = windowOf(base, v0).getOrElse(return None)
-        if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
+        if (addFiles.isEmpty && delDirs.isEmpty)
+          return Some((shape.viewOf(old), oldAux))
         outerNullSideTerms(base, v0, addFiles, delDirs).getOrElse(return None)
       } else if (!movedDistributes) return None
       else if (moved.length == 1) {
@@ -2163,7 +2243,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // merge: eviction is checked LAZILY on the merged row (r16) — only
         // a delete that ties-or-beats the stored extremum forces the full
         // recompute; any other delete stays incremental
-        if (addFiles.isEmpty && delDirs.isEmpty) return Some((old, oldAux))
+        if (addFiles.isEmpty && delDirs.isEmpty)
+          return Some((shape.viewOf(old), oldAux))
         (if (addFiles.nonEmpty)
            Some(replayWith(Seq(base -> deltaDf(base, addFiles)))) else None,
          if (delDirs.nonEmpty)
@@ -2198,7 +2279,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           (b, v, adds, dels)
         }
         if (wins.forall(w => w._3.isEmpty && w._4.isEmpty))
-          return Some((old, oldAux))
+          return Some((shape.viewOf(old), oldAux))
         // every table that can appear as a suffix needs its anchored
         // archive intact (VACUUM may have reclaimed it) → else full
         if (wins.drop(1).exists { case (ob, ov, _, _) =>
@@ -2298,8 +2379,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     def xNew(h: String): Column =
       nz(col(s"x_$h")) + nz(acol(h)) - nz(dcol(h))
     // the analyzed body's output expressions, for IvmExpr recomputation
-    lazy val bodyOutExprs = ivmNormalizeDistinct(
-        planBody(body).queryExecution.analyzed) match {
+    lazy val bodyOutExprs = ivmNormalizeDistinct(ivmNormalizeHaving(
+        planBody(body).queryExecution.analyzed)._1) match {
       case org.apache.spark.sql.catalyst.plans.logical
           .Aggregate(_, aex, _, _) =>
         aex.map(ne => ne.name -> (ne match {
@@ -2457,7 +2538,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           trimmed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
             .map(col): _*)).localCheckpoint()
       }.getOrElse(return None)
-    Some((combined.select(viewSchema.fieldNames.toSeq.map(col): _*),
+    Some((shape.viewOf(combined.select(viewSchema.fieldNames.toSeq.map(col): _*)),
       combined.select(shape.auxCols.map(col): _*)))
   }
 
@@ -2493,7 +2574,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case None => ivmShape(body) match {
           case Some(s) =>
             val dec = ivmDecomposedBody(body).localCheckpoint()
-            (dec.select(dec.columns.filterNot(_.startsWith("__ivm_"))
+            // viewOf applies any HAVING condition and drops its
+            // aux-only aggregates; the sidecar keeps every group
+            (s.viewOf(dec).select(dec.columns
+              .filterNot(_.startsWith("__ivm_"))
               .map(col).toIndexedSeq: _*),
               Some(dec.select(s.auxCols.map(col): _*)), "full")
           case None => (run(body), None, "full")

@@ -743,6 +743,42 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(state() == oracle())
   }
 
+  test("IVM HAVING over a join: thresholds cross both ways, sidecar keeps every group") {
+    engine.run("create table hjf(k int, g varchar, v int)")
+    engine.run("create table hjd(k int, w int)")
+    engine.run("insert into hjf values (1, 'a', 2), (1, 'a', 3), (2, 'b', 4)")
+    engine.run("insert into hjd values (1, 10), (2, 20)")
+    engine.run("create materialized view hjv as " +
+      "select g, sum(v * w) as s, count(*) as n " +
+      "from hjf join hjd on hjf.k = hjd.k group by g having sum(v * w) >= 60")
+    def state(): Seq[(String, Long, Long)] =
+      engine.run("select g, s, n from hjv order by g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    def refresh(): String =
+      engine.run("refresh materialized view hjv").collect()(0).getString(0)
+    def oracle(): Seq[(String, Long, Long)] =
+      engine.run("select g, sum(v * w) as s, count(*) as n " +
+        "from hjf join hjd on hjf.k = hjd.k group by g " +
+        "having sum(v * w) >= 60 order by g").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    // a: 2*10+3*10=50 (out), b: 4*20=80 (in)
+    assert(state() == Seq(("b", 80L, 1L)) && state() == oracle())
+    // fact append pushes a over the threshold: enters with FULL history
+    engine.run("insert into hjf values (1, 'a', 1)")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("a", 60L, 3L), ("b", 80L, 1L)) && state() == oracle())
+    // fact delete drops a back out
+    engine.run("delete from hjf where v = 3")
+    assert(refresh() == "incremental")
+    assert(state() == Seq(("b", 80L, 1L)) && state() == oracle())
+    // dim-side append (probe-distributing input moved)
+    engine.run("insert into hjd values (3, 100)")
+    engine.run("insert into hjf values (3, 'c', 1)")
+    assert(refresh() == "incremental")
+    assert(state() == oracle())
+    assert(state().exists(_._1 == "c"))
+  }
+
   test("IVM RIGHT OUTER mirrors; FULL OUTER recomputes") {
     engine.run("create table rjfact(k int, x int)")
     engine.run("create table rjdim(k int, g varchar)")
