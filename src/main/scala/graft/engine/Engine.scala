@@ -1685,13 +1685,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       Some((agg.copy(aggregateExpressions = renamed),
         Some(condCol), extras))
     }
-    (p match {
+    // a matview body's trailing ORDER BY orders nothing durable (the
+    // stored relation is unordered, like pg's REFRESH) — strip it so
+    // the shape beneath stays provable
+    val p1 = p match {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort
+          if s.global => s.child
+      case other => other
+    }
+    (p1 match {
       case LFilter(cond, agg: Aggregate) => rewrite(agg, cond, None)
       case Project(projList, LFilter(cond, agg: Aggregate))
           if projList.forall(_.isInstanceOf[AttributeReference]) =>
         rewrite(agg, cond, Some(projList.map(_.exprId.id).toSet))
       case _ => None
-    }).getOrElse((p, None, Nil))
+    }).getOrElse((p1, None, Nil))
   }
 
   private def ivmDecomposedBody(body: String): DataFrame = {

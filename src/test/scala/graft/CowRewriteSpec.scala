@@ -132,6 +132,39 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == (0L until 800L).sum - 600L)
   }
 
+  test("ADD COLUMN DEFAULT on a PARTITIONED BY table: zero rewrite, pruning intact") {
+    engine.run("create table pma(v int, ds varchar) partitioned by (ds)")
+    engine.run("insert into pma select cast(id as int), 'd1' from range(0, 200)")
+    engine.run("insert into pma select cast(id as int), 'd2' from range(0, 300)")
+    val before = dataFilesRec("pma")
+    engine.run("alter table pma add column tag varchar default 'old'")
+    // the ALTER is a metadata commit: same relative paths, same inodes
+    assert(dataFilesRec("pma") == before,
+      "ADD COLUMN DEFAULT rewrote a partitioned table")
+    // every pre-ALTER row reads the fill; partition values still resolve
+    assert(engine.run("select count(*) as n from pma where tag = 'old'")
+      .collect()(0).getLong(0) == 500L)
+    assert(engine.run("select count(*) as n from pma where ds = 'd2' and tag = 'old'")
+      .collect()(0).getLong(0) == 300L)
+    // new rows land under their partition with a real value; the
+    // partition column stays LAST in the user-visible schema order
+    engine.run("insert into pma (v, tag, ds) values (999, 'fresh', 'd1')")
+    assert(engine.run("select count(*) as n from pma where tag = 'fresh'")
+      .collect()(0).getLong(0) == 1L)
+    // the retention DELETE stays a metadata directory drop after the
+    // ALTER: d2's survivors keep their inodes
+    val preDel = dataFilesRec("pma")
+    assert(engine.run("delete from pma where ds = 'd1'")
+      .collect()(0).getLong(0) == 201L)
+    val after = dataFilesRec("pma")
+    assert(after.nonEmpty && after.keySet.forall(_.startsWith("ds=d2/")))
+    after.foreach { case (n, key) =>
+      assert(preDel.get(n).contains(key), s"$n was rewritten, not linked") }
+    // and the fill still applies to the surviving pre-ALTER partition
+    assert(engine.run("select count(*) as n from pma where tag = 'old'")
+      .collect()(0).getLong(0) == 300L)
+  }
+
   test("ADD COLUMN DEFAULT is zero-rewrite: every inode survives, reads see the fill") {
     engine.run("create table mfv(v int)")
     engine.run("insert into mfv select cast(id as int) from range(0, 300)")
