@@ -150,11 +150,12 @@ object Main {
           // shared-lexer dispatch (r18, same as the server line protocol):
           // a ';' inside a block comment or $tag$ body keeps buffering
           val (stmts, rest) = SqlText.splitWithRemainder(buf.toString)
-          if (stmts.nonEmpty) {
-            buf.clear()
-            if (rest.trim.nonEmpty) buf.append(rest)
-            stmts.foreach(s => execute(engine, s, out))
-          }
+          // always re-seed from the remainder: a lone ';' line must
+          // clear the buffer or \commands/exit stay disabled (see the
+          // server line protocol, same contract)
+          buf.clear()
+          if (rest.trim.nonEmpty) buf.append(rest)
+          stmts.foreach(s => execute(engine, s, out))
         }
       }
     }

@@ -112,13 +112,12 @@ object Server {
           // the orphan `*/` line errored. Complete statements execute in
           // order; the unterminated remainder keeps buffering.
           val (done, rest) = graft.engine.SqlText.splitWithRemainder(buf.toString)
-          if (done.nonEmpty) {
-            // a whitespace-only remainder clears outright, so the next
-            // line still qualifies for the buf-empty \command path
-            buf.clear()
-            if (rest.trim.nonEmpty) buf.append(rest)
-            done.foreach(stmt => execute(engine, lsess, stmt, out))
-          }
+          // ALWAYS re-seed the buffer from the remainder — a line that
+          // yields only empty statements (a lone ';') must clear it too,
+          // or \q and \commands stay disabled forever (buf never empties)
+          buf.clear()
+          if (rest.trim.nonEmpty) buf.append(rest)
+          done.foreach(stmt => execute(engine, lsess, stmt, out))
         }
         line = in.readLine()
       }

@@ -122,8 +122,13 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     * also restores `_metadata`-based COW probing.
     */
   private case class MissingFill(lit: String, files: Set[String])
+  /** column (lowercase) -> fill GENERATIONS, newest first: DROP COLUMN
+    * keeps the history (archived versions between the ADD and the DROP
+    * still read the fill through time travel) and a re-ADD of the same
+    * name prepends a new generation over its own disjoint file set.
+    */
   private val missingFill =
-    mutable.LinkedHashMap[String, Map[String, MissingFill]]()
+    mutable.LinkedHashMap[String, Map[String, Seq[MissingFill]]]()
   /** tables whose live reads go through the fill overlay temp view; the
     * raw catalog entry then lives under [[rawName]] so bucketed/
     * partitioned writes can still insertInto a real table
@@ -145,10 +150,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         fills.contains(f.name.toLowerCase))) return df
     df.select(df.schema.fields.map { f =>
       fills.get(f.name.toLowerCase) match {
-        case Some(mf) =>
-          when(col("_metadata.file_name").isInCollection(mf.files),
-            expr(mf.lit).cast(f.dataType))
-            .otherwise(col(f.name)).as(f.name)
+        case Some(mfs) =>
+          mfs.foldRight(col(f.name)) { (mf, acc) =>
+            when(col("_metadata.file_name").isInCollection(mf.files),
+              expr(mf.lit).cast(f.dataType)).otherwise(acc)
+          }.as(f.name)
         case None => col(f.name)
       }
     }.toIndexedSeq: _*)
@@ -231,7 +237,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val liveActive = fills0.nonEmpty && {
       val liveNames = liveDataFiles(Paths.get(tableDir(name)))
         .map(_.getFileName.toString).toSet
-      fills0.values.exists(_.files.exists(liveNames))
+      fills0.values.flatten.exists(_.files.exists(liveNames))
     }
     if (liveActive) overlayOn += name
     else {
@@ -1114,6 +1120,14 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private val reCreateTemp =
     """(?is)\s*create\s+(?:global\s+|local\s+)?temp(?:orary)?\s+(table|view)\s+(\w+)(.*)""".r
+  private val reTempMangled = """graft_temp_\d+_\w+""".r
+  /** System tables registered lazily per statement AND excluded from the
+    * plan cache — ONE list so the two sites can never drift (a snapshot
+    * view that became cacheable would serve stale catalog data).
+    */
+  private val lazySystemTables = Seq("pg_tables", "pg_indexes",
+    "pg_attribute", "pg_stat", "pg_sequences", "contributors",
+    "graft_history")
 
   def run(sql: String): DataFrame = {
     // comments go first (quote-aware, hint-preserving): every downstream
@@ -1135,6 +1149,21 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         registerTemp = Some(alias -> (mangled, kind.toLowerCase))
         s"create ${kind.toLowerCase} $mangled${rewriteTempRefs(rest)}"
       case other => rewriteTempRefs(other)
+    }
+    // pg hides other sessions' temp schemas outright: any direct textual
+    // reference to a mangled temp name this session does not own — a
+    // create squatting on the reserved prefix, a foreign DROP, a foreign
+    // read — is refused. This session's aliases were already rewritten
+    // to owned names above; the one being created this statement counts.
+    if (stmt.contains("graft_temp_")) {
+      val owned = sess.tempObjects.values.map(_._1).toSet ++
+        registerTemp.map(_._2._1)
+      SqlText.mapOutsideQuotes(stmt, seg => {
+        reTempMangled.findAllIn(seg).foreach(m =>
+          require(owned.contains(m),
+            s"permission denied: $m is a temporary object of another session"))
+        seg
+      })
     }
     txnGate(stmt)
     try {
@@ -3051,8 +3080,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // system tables resolve from plain SQL too (reference
           // internal.slt): registered lazily, only when the statement
           // names one
-          Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
-              "pg_sequences", "contributors", "graft_history")
+          lazySystemTables
             .filter(n => s"\\b$n\\b".r.findFirstIn(inlined.toLowerCase).isDefined)
             .foreach(n => systemTable(n).createOrReplaceTempView(n))
           // pg_settings is the one SESSION-DEPENDENT system table: a
@@ -3094,10 +3122,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // identical SELECT would resurrect deleted rows.
           val cacheable = snapshotOverlayDepth.get == 0 &&
             ttViews.isEmpty && !inlined.contains("__graft_") &&
-            !Seq("pg_tables", "pg_indexes", "pg_attribute", "pg_stat",
-              "pg_sequences", "contributors", "graft_history")
-              .exists(n => s"\\b$n\\b".r
-                .findFirstIn(inlined.toLowerCase).isDefined)
+            !lazySystemTables.exists(n => s"\\b$n\\b".r
+              .findFirstIn(inlined.toLowerCase).isDefined)
           val cacheKey = s"${sess.vectorIndexEnabled}:$inlined"
           val epoch = planCacheEpoch.get
           val hit = if (cacheable) planCacheGet(cacheKey, epoch) else None
@@ -3105,7 +3131,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // happens here, inside the try, while the tt views still exist)
           snapshotPin(hit.getOrElse {
             val df = vectorIndexScan(q2).getOrElse(spark.sql(inlined))
-            if (cacheable && planDeterministic(df))
+            if (cacheable && planDeterministic(df) && !planTimeDependent(df))
               planCachePut(cacheKey, epoch, df)
             df
           })
@@ -4796,9 +4822,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               (added(StructField(colName, dt, nullable = !notNull)), pk)
             defaults(table) =
               defaults.getOrElse(table, Map.empty) + (colName.toLowerCase -> d)
-            if (files.nonEmpty)
-              missingFill(table) = missingFill.getOrElse(table, Map.empty) +
-                (colName.toLowerCase -> MissingFill(litText, files))
+            if (files.nonEmpty) {
+              val gens = missingFill.getOrElse(table, Map.empty)
+              missingFill(table) = gens + (colName.toLowerCase ->
+                (MissingFill(litText, files) +:
+                  gens.getOrElse(colName.toLowerCase, Seq.empty)))
+            }
             register(table)
             // metadata-only, but still a commit (same shape as the bare
             // ADD COLUMN above): the archived version pins the narrower
@@ -4947,10 +4976,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     val narrowed = spark.table(table).drop(field)
     tables(table) = (StructType(schema.filterNot(_.name == field)), pk)
     defaults.get(table).foreach(d => defaults(table) = d - field.toLowerCase)
-    missingFill.get(table).foreach { m =>
-      val kept = m - field.toLowerCase
-      if (kept.isEmpty) missingFill.remove(table) else missingFill(table) = kept
-    }
+    // the fill HISTORY deliberately survives DROP COLUMN: live reads no
+    // longer carry the column (withMissingFill only fills columns present
+    // in the frame), but archived versions between the ADD and this DROP
+    // still owe the fill to time travel
+
     // CHECK constraints referencing the column go with it (pg drops
     // column-level constraints on DROP COLUMN) — a lingering check would
     // brick every later write on an unresolvable column
@@ -5591,18 +5621,31 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // retires N days in O(#files) metadata regardless of row count.
     matchedCol.flatMap(m => partitionPrune(table, m)).foreach {
       case (matchedDirs, untouchedFiles) =>
-        def affected: DataFrame =
+        val affected0: DataFrame =
           if (matchedDirs.isEmpty) spark.table(table).limit(0).as(table)
           else rawFileScan(table, matchedDirs)
-        if (returningExprs.isDefined)
-          captureReturning(affected.localCheckpoint())
+        // ONE pass over the dropped partitions, shared by RETURNING, the
+        // IVM pre-image and rows_affected (this used to scan up to three
+        // times: checkpoint, delta write, then a fresh count job)
+        val checkpointed =
+          if (returningExprs.isDefined) Some(affected0.localCheckpoint())
+          else None
+        checkpointed.foreach(captureReturning)
+        val src = checkpointed.getOrElse(affected0)
+        var removed = 0L
         if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
           val newV = history.get(table).map(_.length).getOrElse(1)
           val dd = deleteDeltaDir(table, newV)
           Files.createDirectories(dd.getParent)
-          affected.write.mode("overwrite").parquet(dd.toString)
-        }
-        val removed = if (matchedDirs.isEmpty) 0L else affected.count()
+          val obs = org.apache.spark.sql.Observation()
+          src.observe(obs, count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(dd.toString)
+          removed = observedCount(obs)
+        } else if (matchedDirs.nonEmpty)
+          // no filter on the raw scan: this is parquet's footer-count
+          // fast path (or a count of the checkpointed frame) — no data
+          // columns are read either way
+          removed = src.count()
         rewriteSwapPartial(table, None, untouchedFiles, "delete")(removed)
         return rowCountResult(removed)
     }
@@ -5748,6 +5791,23 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case p => p.expressions.exists(e => e.exists(!_.deterministic))
       }
     }.getOrElse(false)
+
+  /** now()/current_timestamp/current_date are DETERMINISTIC in Catalyst
+    * (folded once per execution by ComputeCurrentTime), so a memoized
+    * plan would pin the FIRST execution's clock forever — a repeated
+    * `WHERE ts > now() - interval '1' hour` would stop advancing. Such
+    * plans must never enter the plan cache. Conservative on analysis
+    * failure.
+    */
+  private def planTimeDependent(df: DataFrame): Boolean =
+    scala.util.Try {
+      import org.apache.spark.sql.catalyst.expressions._
+      df.queryExecution.analyzed.exists(_.expressions.exists(_.exists {
+        case _: CurrentTimestamp | _: CurrentDate | _: Now |
+             _: LocalTimestamp | _: CurrentTimeZone => true
+        case _ => false
+      }))
+    }.getOrElse(true)
 
   /** Distinct source-file BASENAMES of a one-column frame of
     * `_metadata.file_path` values. The paths arrive URI-encoded
@@ -7093,9 +7153,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s"${q(t)}: [${ps.map(q).mkString(",")}]"
     })
     val missingFillJson = obj(missingFill.map { case (t, cols) =>
-      s"${q(t)}: ${obj(cols.map { case (c, mf) =>
-        s"${q(c)}: {${q("lit")}: ${q(mf.lit)}, " +
-          s"${q("files")}: [${mf.files.toSeq.sorted.map(q).mkString(",")}]}"
+      s"${q(t)}: ${obj(cols.map { case (c, mfs) =>
+        s"${q(c)}: [" + mfs.map(mf =>
+          s"{${q("lit")}: ${q(mf.lit)}, " +
+            s"${q("files")}: [${mf.files.toSeq.sorted.map(q).mkString(",")}]}")
+          .mkString(",") + "]"
       })}"
     })
     val defaultsJson = obj(defaults.map { case (t, ds) =>
@@ -7207,8 +7269,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (root.has("missing_fill"))
       fields(root.get("missing_fill")).foreach { e =>
         missingFill(e.getKey) = fields(e.getValue).map { ce =>
-          ce.getKey -> MissingFill(ce.getValue.get("lit").asText(),
-            texts(ce.getValue.get("files")).toSet)
+          def one(n: com.fasterxml.jackson.databind.JsonNode) =
+            MissingFill(n.get("lit").asText(), texts(n.get("files")).toSet)
+          ce.getKey -> (if (ce.getValue.isArray) {
+            import scala.jdk.CollectionConverters._
+            ce.getValue.elements().asScala.map(one).toSeq
+          } else Seq(one(ce.getValue))) // pre-r18 single-generation form
         }.toMap
       }
     // row-count ledger too: register() pushes these into catalog stats
@@ -7322,4 +7388,16 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // constructor — textually after every field it touches (the class body
   // executes in order; an earlier call saw null mockRowCounts).
   loadManifest()
+  // temp objects never legitimately survive a restart (their sessions are
+  // gone), but a crash skips dropSessionTemps and the manifest resurrects
+  // them as orphans — hidden from pg_tables, squatting on the mangled
+  // names a restarted process's identically-numbered sessions will mint.
+  // Sweep them like pg's autovacuum cleans orphaned pg_temp_N schemas.
+  locally {
+    val orphans = (tables.keys ++ views.keys)
+      .filter(_.startsWith("graft_temp_")).toSeq.distinct
+    orphans.foreach { n =>
+      scala.util.Try(drop(if (views.contains(n)) "view" else "table", n))
+    }
+  }
 }

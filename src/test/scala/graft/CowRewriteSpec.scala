@@ -165,6 +165,40 @@ class CowRewriteSpec extends AnyFunSuite {
       .collect()(0).getLong(0) == 300L)
   }
 
+  test("fill history survives DROP COLUMN: time travel reads the default; re-ADD layers") {
+    engine.run("create table fh(v int)")
+    engine.run("insert into fh select cast(id as int) from range(0, 100)")
+    engine.run("alter table fh add column c int default 5")
+    // the version where c existed with the fill
+    val vFilled = engine.run("select count(*) from fh where c = 5")
+    assert(vFilled.collect()(0).getLong(0) == 100L)
+    val verAtFill = 2 // create=0, insert=1, metadata ALTER commit=2
+    engine.run("alter table fh drop column c")
+    // live reads no longer carry c; the ARCHIVED version still owes the
+    // fill to time travel (the history used to be deleted with the column)
+    val past = engine.run(
+      s"select count(*) as n from fh version as of $verAtFill where c = 5")
+      .collect()(0).getLong(0)
+    assert(past == 100L, s"time travel after DROP COLUMN lost the fill: $past")
+    // re-ADD the same name with a DIFFERENT default: a new generation
+    // layers over the new (post-drop-rewrite) files; the old archive
+    // still reads 5, the live table reads 9
+    engine.run("alter table fh add column c int default 9")
+    assert(engine.run("select count(*) as n from fh where c = 9")
+      .collect()(0).getLong(0) == 100L)
+    assert(engine.run(
+      s"select count(*) as n from fh version as of $verAtFill where c = 5")
+      .collect()(0).getLong(0) == 100L)
+    // restart keeps the layered history
+    val engine2 = new Engine(spark, whDir)
+    assert(engine2.run("select count(*) as n from fh where c = 9")
+      .collect()(0).getLong(0) == 100L)
+    assert(engine2.run(
+      s"select count(*) as n from fh version as of $verAtFill where c = 5")
+      .collect()(0).getLong(0) == 100L)
+    engine.run("drop table fh") // restore the shared engine's registry view
+  }
+
   test("ADD COLUMN DEFAULT is zero-rewrite: every inode survives, reads see the fill") {
     engine.run("create table mfv(v int)")
     engine.run("insert into mfv select cast(id as int) from range(0, 300)")

@@ -437,6 +437,48 @@ class ServerSpec extends AnyFunSuite {
     def close(): Unit = sock.close()
   }
 
+  test("line protocol: a lone ';' clears the buffer; \\commands stay reachable") {
+    val dir = freshDir("/root/repo/target/graft-tmp/lonesemi-warehouse")
+    val engine = new Engine(spark, dir)
+    val server = new ServerSocket(0)
+    val acceptor = new Thread(() => Server.serve(server, engine), "graft-semi-spec")
+    acceptor.setDaemon(true)
+    acceptor.start()
+    val c = new Socket("127.0.0.1", server.getLocalPort)
+    try {
+      c.setSoTimeout(120000)
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        c.getOutputStream, StandardCharsets.UTF_8), true)
+      val in = new BufferedReader(new InputStreamReader(
+        c.getInputStream, StandardCharsets.UTF_8))
+      def send(stmt: String): Seq[String] = {
+        out.println(stmt)
+        val lines = collection.mutable.Buffer[String]()
+        var l = in.readLine()
+        while (l != null && !l.startsWith("OK ") && !l.startsWith("ERR ")) {
+          lines += l; l = in.readLine()
+        }
+        lines += l
+        lines.toSeq
+      }
+      assert(send("create table lsv(v int);").last == "OK 0")
+      // an empty-statement line must CLEAR the line buffer (it used to
+      // linger, gluing itself onto the next statement and disabling
+      // \commands and \q for the rest of the session)
+      out.println(";")
+      val dt = send("\\dt")
+      assert(dt.exists(_.contains("lsv")) && dt.last.startsWith("OK "),
+        dt.toString)
+      assert(send("select count(*) from lsv;") == Seq("0", "OK 1"))
+      out.println(";")
+      out.println("\\q") // must terminate the session, not buffer
+      assert(in.readLine() == null, "\\q after ';' did not quit")
+    } finally {
+      c.close()
+      server.close()
+    }
+  }
+
   test("per-session temp namespace: same-named temps, no collision, gone on disconnect") {
     val dir = freshDir("/root/repo/target/graft-tmp/temps-warehouse")
     val engine = new Engine(spark, dir)
@@ -510,6 +552,42 @@ class ServerSpec extends AnyFunSuite {
       c2.close()
       server.close()
     }
+  }
+
+  test("review fixes: now() never caches, temp prefix reserved, orphan sweep") {
+    val dir = freshDir("/root/repo/target/graft-tmp/review-warehouse")
+    val engine = new Engine(spark, dir)
+    // a time-dependent plan must never be memoized: Catalyst marks
+    // now()/current_timestamp deterministic (folded once per execution),
+    // so a cached plan would pin the first clock reading forever
+    val t1 = engine.run("select cast(now() as string) as t, 1 as k")
+      .collect()(0).getString(0)
+    Thread.sleep(5)
+    val t2 = engine.run("select cast(now() as string) as t, 1 as k")
+      .collect()(0).getString(0)
+    assert(t1 != t2, "repeated now() served a cached clock reading")
+    // the mangled temp prefix is engine-reserved: a user cannot squat on
+    // it, and one session cannot touch another's temp objects directly
+    val ex = intercept[Exception](
+      engine.run("create table graft_temp_9999_x(a int)"))
+    assert(ex.getMessage.contains("temporary object of another session"),
+      ex.getMessage)
+    val s1 = engine.newSession()
+    engine.run("create temp table sweepme(v int)", s1)
+    engine.run("insert into sweepme values (1)", s1)
+    val mangled = s"graft_temp_${s1.id}_sweepme"
+    val ex2 = intercept[Exception](engine.run(s"drop table $mangled"))
+    assert(ex2.getMessage.contains("temporary object of another session"))
+    // crash (no closeSession): a NEW engine over the same warehouse
+    // sweeps the orphaned temp object instead of resurrecting it
+    val engine2 = new Engine(spark, dir)
+    val listed = engine2.run("select tablename from pg_tables")
+      .collect().map(_.getString(0)).toSet
+    assert(!listed.exists(_.startsWith("graft_temp_")), listed.toString)
+    val ex3 = intercept[Exception](engine2.run(s"select * from $mangled"))
+    assert(ex3.getMessage.contains("temporary object of another session") ||
+      ex3.getMessage.toLowerCase.contains("cannot be found") ||
+      ex3.getMessage.toLowerCase.contains("not found"), ex3.getMessage)
   }
 
   test("prepared EXECUTE loop reuses the cached plan; any commit invalidates") {
