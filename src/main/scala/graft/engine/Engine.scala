@@ -1120,7 +1120,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
 
   private val reCreateTemp =
     """(?is)\s*create\s+(?:global\s+|local\s+)?temp(?:orary)?\s+(table|view)\s+(\w+)(.*)""".r
-  private val reTempMangled = """graft_temp_\d+_\w+""".r
+  // the WHOLE prefix is reserved, case-insensitively (Spark resolves
+  // identifiers case-insensitively): the guard, pg_tables hiding and the
+  // constructor orphan sweep must share one predicate, or a name the
+  // guard lets through could be swept as an "orphan" on restart
+  private val reTempMangled = """(?i)graft_temp_\w+""".r
   /** System tables registered lazily per statement AND excluded from the
     * plan cache — ONE list so the two sites can never drift (a snapshot
     * view that became cacheable would serve stale catalog data).
@@ -1155,12 +1159,12 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // create squatting on the reserved prefix, a foreign DROP, a foreign
     // read — is refused. This session's aliases were already rewritten
     // to owned names above; the one being created this statement counts.
-    if (stmt.contains("graft_temp_")) {
+    if (stmt.toLowerCase.contains("graft_temp_")) {
       val owned = sess.tempObjects.values.map(_._1).toSet ++
         registerTemp.map(_._2._1)
       SqlText.mapOutsideQuotes(stmt, seg => {
         reTempMangled.findAllIn(seg).foreach(m =>
-          require(owned.contains(m),
+          require(owned.contains(m.toLowerCase),
             s"permission denied: $m is a temporary object of another session"))
         seg
       })
@@ -3533,6 +3537,32 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         }
       }
     }
+    // prune missing-fill GENERATIONS whose files no longer exist
+    // anywhere (live or archived): they were kept for time travel, and
+    // VACUUM just destroyed the versions that needed them. When the map
+    // empties, refresh() returns to the cheap refreshTable path.
+    missingFill.get(table).foreach { m =>
+      val alive = mutable.Set[String]()
+      def basenames(root: java.nio.file.Path): Unit =
+        if (Files.isDirectory(root)) {
+          val st = Files.walk(root)
+          try {
+            import scala.jdk.CollectionConverters._
+            st.iterator().asScala
+              .filter(p => Files.isRegularFile(p) &&
+                p.getFileName.toString.endsWith(".parquet"))
+              .foreach(p => alive += p.getFileName.toString)
+          } finally st.close()
+        }
+      basenames(Paths.get(tableDir(table)))
+      basenames(historyDir(table))
+      val kept = m.map { case (c, gens) =>
+        c -> gens.filter(_.files.exists(alive))
+      }.filter(_._2.nonEmpty)
+      if (kept.isEmpty) missingFill.remove(table)
+      else missingFill(table) = kept
+      saveManifest()
+    }
     rowCountResult(reclaimed)
   }
 
@@ -5804,7 +5834,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       import org.apache.spark.sql.catalyst.expressions._
       df.queryExecution.analyzed.exists(_.expressions.exists(_.exists {
         case _: CurrentTimestamp | _: CurrentDate | _: Now |
-             _: LocalTimestamp | _: CurrentTimeZone => true
+             _: LocalTimestamp | _: CurrentTime | _: CurrentTimeZone => true
         case _ => false
       }))
     }.getOrElse(true)
@@ -6984,7 +7014,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // names are hidden outright (pg_temp_N invisibility)
         val aliasOf = sess.tempObjects.map { case (a, (m, _)) => m -> a }
         def vis(n: String, kind: String): Option[(String, String, String)] =
-          if (n.startsWith("graft_temp_"))
+          if (n.toLowerCase.startsWith("graft_temp_"))
             aliasOf.get(n).map(a => ("pg_temp", a, kind))
           else Some(("postgres", n, kind))
         (tables.keys.flatMap(t =>
@@ -7395,7 +7425,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // Sweep them like pg's autovacuum cleans orphaned pg_temp_N schemas.
   locally {
     val orphans = (tables.keys ++ views.keys)
-      .filter(_.startsWith("graft_temp_")).toSeq.distinct
+      .filter(_.toLowerCase.startsWith("graft_temp_")).toSeq.distinct
     orphans.foreach { n =>
       scala.util.Try(drop(if (views.contains(n)) "view" else "table", n))
     }

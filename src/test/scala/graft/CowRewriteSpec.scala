@@ -196,6 +196,12 @@ class CowRewriteSpec extends AnyFunSuite {
     assert(engine2.run(
       s"select count(*) as n from fh version as of $verAtFill where c = 5")
       .collect()(0).getLong(0) == 100L)
+    // VACUUM destroys the archived versions the gen-1 fill served —
+    // the inert generation prunes with them; the LIVE generation (9)
+    // keeps reading (its files are the live files)
+    engine.run("vacuum fh retain 0 versions")
+    assert(engine.run("select count(*) as n from fh where c = 9")
+      .collect()(0).getLong(0) == 100L)
     engine.run("drop table fh") // restore the shared engine's registry view
   }
 

@@ -572,6 +572,11 @@ class ServerSpec extends AnyFunSuite {
       engine.run("create table graft_temp_9999_x(a int)"))
     assert(ex.getMessage.contains("temporary object of another session"),
       ex.getMessage)
+    // the WHOLE prefix is reserved, case-insensitively (Spark resolves
+    // identifiers case-insensitively) — non-numeric and uppercase
+    // spellings must refuse too, or the restart sweep could eat them
+    intercept[Exception](engine.run("create table graft_temp_data(v int)"))
+    intercept[Exception](engine.run("create table GRAFT_TEMP_1_T(v int)"))
     val s1 = engine.newSession()
     engine.run("create temp table sweepme(v int)", s1)
     engine.run("insert into sweepme values (1)", s1)
