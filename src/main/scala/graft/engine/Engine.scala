@@ -1125,6 +1125,19 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // constructor orphan sweep must share one predicate, or a name the
   // guard lets through could be swept as an "orphan" on restart
   private val reTempMangled = """(?i)graft_temp_\w+""".r
+  /** pg parity: a PERMANENT view/matview over temporary objects is
+    * refused — its stored body would reference session-mangled names
+    * that die on disconnect.
+    */
+  private def requireNoTempRefs(body: String, kind: String): Unit = {
+    SqlText.mapOutsideQuotes(body, seg => {
+      if (reTempMangled.findFirstIn(seg).isDefined)
+        throw new IllegalArgumentException(
+          s"cannot create a permanent $kind over temporary objects")
+      seg
+    })
+    ()
+  }
   /** System tables registered lazily per statement AND excluded from the
     * plan cache — ONE list so the two sites can never drift (a snapshot
     * view that became cacheable would serve stale catalog data).
@@ -2592,6 +2605,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       systemTable("pg_attribute").where(col("tablename") === name)
     case reStat(tbl, column) => stat(Option(tbl), Option(column))
     case reCreateMatView(name, query) =>
+      requireNoTempRefs(query, "materialized view")
       val res = createTableAs(name, None, query)
       matviews(name) = query.trim
       anchorMatview(name, query.trim)
@@ -2659,6 +2673,10 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case Some(cs) => s"SELECT * FROM ($rawBody) AS __v($cs)"
         case None => rawBody
       }
+      // a TEMP view (arriving mangled from the run() rewrite) may read
+      // temp tables; a PERMANENT one may not — it would outlive them
+      if (!name.toLowerCase.startsWith("graft_temp_"))
+        requireNoTempRefs(body, "view")
       views(name) = body
       spark.sql(inlineFunctions(rewriteQualify(body))).createOrReplaceTempView(name)
       saveManifest()

@@ -583,6 +583,19 @@ class ServerSpec extends AnyFunSuite {
     val mangled = s"graft_temp_${s1.id}_sweepme"
     val ex2 = intercept[Exception](engine.run(s"drop table $mangled"))
     assert(ex2.getMessage.contains("temporary object of another session"))
+    // pg parity: a permanent view or matview over a temp table is
+    // refused (its stored body would outlive the session's objects);
+    // a TEMP view over the same table works
+    val exv = intercept[Exception](
+      engine.run("create view pv as select * from sweepme", s1))
+    assert(exv.getMessage.contains("permanent view over temporary"),
+      exv.getMessage)
+    val exm = intercept[Exception](
+      engine.run("create materialized view pmv as select count(*) as n from sweepme", s1))
+    assert(exm.getMessage.contains("permanent materialized view over temporary"),
+      exm.getMessage)
+    engine.run("create temp view tv as select v * 2 as w from sweepme", s1)
+    assert(engine.run("select sum(w) from tv", s1).collect()(0).getLong(0) == 2L)
     // crash (no closeSession): a NEW engine over the same warehouse
     // sweeps the orphaned temp object instead of resurrecting it
     val engine2 = new Engine(spark, dir)
