@@ -799,8 +799,11 @@ class Engine(val spark: SparkSession, val warehouse: String) {
   // materialize-then-swap commit as DELETE/UPDATE
   private val reCreateMatView =
     """(?is)\s*create\s+materialized\s+view\s+(\w+)\s+as\s+(.+)""".r
+  // CONCURRENTLY is accepted and means what it means in pg — readers are
+  // not blocked — because every refresh here already lands as an atomic
+  // directory swap readers never observe mid-flight
   private val reRefreshMatView =
-    """(?is)\s*refresh\s+materialized\s+view\s+(\w+)\s*""".r
+    """(?is)\s*refresh\s+materialized\s+view\s+(?:concurrently\s+)?(\w+)\s*""".r
   private val reDropMatView =
     """(?is)\s*drop\s+materialized\s+view\s+(\w+)\s*""".r
   private val reDrop = """(?is)\s*drop\s+(table|view|function)\s+(\w+)\s*""".r
