@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
+
+/** Measurement harness for the optimization rounds (guide §1): for each
+  * requested query, writes `<outDir>/<name>_<tag>.txt` with the formatted
+  * physical plan plus planning-phase timings, and prints one summary line
+  * per query (wall, #jobs, #stages/tasks via listener deltas) so plan-shape
+  * claims in OPTIMIZATION_r18.md are reproducible from the repo.
+  *
+  * Usage: runMain graft.PlanDump <sfDir> <outDir> <tag> [nameFilter,...]
+  * Bench-flagged queries only unless a filter matches others explicitly.
+  */
+object PlanDump {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val outDir = args(1)
+    val tag = if (args.length > 2) args(2) else "before"
+    val only: String => Boolean = args.drop(3).headOption match {
+      case Some(pats) => name => pats.split(',').exists(name.contains)
+      case None => _ => true
+    }
+    val all = args.drop(3).nonEmpty // explicit filter reaches non-bench rows
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = Tables.configure(SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false"))
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+
+    // stage/task counters around each run
+    val stages = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); tasks.addAndGet(e.stageInfo.numTasks)
+      }
+      override def onJobStart(
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    })
+    // capture the FINAL (post-AQE) plan of the last executed query
+    @volatile var lastExec: QueryExecution = null
+    spark.listenerManager.register(new QueryExecutionListener {
+      override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
+        lastExec = qe
+      override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
+    })
+
+    val qs = (if (all) SparkEntry.queries
+              else SparkEntry.benchQueries).filter(kv => only(kv._1)).toSeq.sortBy(_._1)
+    qs.foreach { case (name, fn) =>
+      spark.catalog.clearCache()
+      val df = fn(spark, sfDir)
+      val qe = df.queryExecution
+      val pre = qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      val phases = qe.tracker.phases.map { case (k, v) =>
+        f"$k%-16s ${(v.endTimeMs - v.startTimeMs)}%5d ms"
+      }.mkString("\n")
+      // warm run (codegen/JIT), then a timed run
+      df.write.format("noop").mode("overwrite").save()
+      val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
+      spark.catalog.clearCache()
+      val w0 = System.nanoTime()
+      fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      val wall = (System.nanoTime() - w0) / 1e9
+      val (j1, s1, t1) = (jobs.get, stages.get, tasks.get)
+      val post =
+        if (lastExec != null)
+          lastExec.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+        else "<no executed plan captured>"
+      // per-operator metrics of the final executed plan (SQL-tab equivalent;
+      // the UI is disabled in this harness, so this is how operator-level
+      // time/rows claims in OPTIMIZATION_r18.md are made reproducible)
+      def metricTree(p: org.apache.spark.sql.execution.SparkPlan, depth: Int,
+          sb: StringBuilder): Unit = {
+        val ms = p.metrics.toSeq
+          .filter { case (_, m) => m.value != 0 }
+          .sortBy(_._1)
+          .map { case (k, m) => s"$k=${m.value}" }.mkString(" ")
+        sb.append("  " * depth).append(p.nodeName).append(": ").append(ms).append('\n')
+        val kids = p match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+            Seq(a.executedPlan)
+          case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+            Seq(q.plan)
+          case r: org.apache.spark.sql.execution.ReusedSubqueryExec => Seq(r.child)
+          case b: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => Seq(b.child)
+          case other => other.children
+        }
+        kids.foreach(metricTree(_, depth + 1, sb))
+        p.subqueries.foreach { sq =>
+          sb.append("  " * (depth + 1)).append("[subquery]\n")
+          metricTree(sq, depth + 2, sb)
+        }
+      }
+      val metricStr =
+        if (lastExec != null) {
+          val sb = new StringBuilder
+          try metricTree(lastExec.executedPlan, 0, sb)
+          catch { case e: Throwable => sb.append(s"<metric walk failed: $e>") }
+          sb.toString
+        } else ""
+      val nEx = "Exchange".r.findAllIn(post).size
+      val body =
+        s"""== $name ($tag) ==
+           |wall=${f"$wall%.3f"}s jobs=${j1 - j0} stages=${s1 - s0} tasks=${t1 - t0} exchanges(final-plan-text)=$nEx
+           |
+           |-- planning phases (first build) --
+           |$phases
+           |
+           |-- initial physical plan (pre-execution, AQE isFinalPlan=false) --
+           |$pre
+           |
+           |-- final executed plan (post-AQE) --
+           |$post
+           |
+           |-- executed operator metrics (timed run) --
+           |$metricStr
+           |""".stripMargin
+      Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), body)
+      println(f"[plandump] $name%-28s wall=$wall%7.3f jobs=${j1 - j0}%3d stages=${s1 - s0}%3d tasks=${t1 - t0}%5d")
+    }
+    spark.stop()
+  }
+}

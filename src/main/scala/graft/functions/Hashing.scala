@@ -52,6 +52,16 @@ object Hashing {
     z3.bitwiseXOR(shiftright(z3, 16))
   }
 
+  /** Half-away-from-zero round of a double Column to Long — the exact,
+    * codegen-friendly twin of `round(c).cast("long")` (Spark's Round on
+    * doubles pays a per-row `BigDecimal.valueOf`; see
+    * expr/RoundAway.scala for the bit-exactness argument).
+    */
+  def roundAwayLong(c: Column): Column =
+    org.apache.spark.sql.graftbridge.Bridge.column(
+      graft.expr.RoundAwayLong(
+        org.apache.spark.sql.graftbridge.Bridge.expression(c)))
+
   /** Whitespace word tokens (empty tokens dropped, lower-cased). */
   def tokens(s: Column): Column =
     filter(split(lower(s), " "), t => length(t) > 0)

@@ -76,7 +76,7 @@ object Search {
       .crossJoin(broadcast(stats))
       .withColumn("score_t", scoreT)
       .groupBy(col(idCol), col("dl"))
-      .agg((sum(round(col("score_t") * 1e6).cast("long")).cast("double") / 1e6)
+      .agg((sum(Hashing.roundAwayLong(col("score_t") * 1e6)).cast("double") / 1e6)
         .as("score"))
       .orderBy(col("score").desc, col(idCol))
       .limit(k)

@@ -149,7 +149,7 @@ object Similarity {
       val sums = corpus.select(assignExpr.as("cluster"),
           posexplode(col(cVec).cast("array<double>")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
-        .agg(sum(round(col("x") * 1e6).cast("long")).as("s"),
+        .agg(sum(graft.functions.Hashing.roundAwayLong(col("x") * 1e6)).as("s"),
           count(lit(1)).as("n"))
         .collect()
         .map(r => (r.getLong(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
@@ -316,7 +316,7 @@ object Similarity {
         round(aggregate(zip_with(col("yv"), vLit, (y, v) => {
           // corrected_j in natural units: (y_j·W − p·v_j) / (100·n·W)
           val dd = (y * w1k - col("_p") * v).cast("double") / scale
-          round(dd * dd * 1e12).cast("long")
+          graft.functions.Hashing.roundAwayLong(dd * dd * 1e12)
         }), lit(0L), (acc, t) => acc + t).cast("double") / 1e12, 6)
           .as("resid_norm2"))
   }
@@ -327,7 +327,7 @@ object Similarity {
       iters: Int): Pc1Fit = {
     val q = df.select(col(idCol).as("id"),
       transform(col(vecCol).cast("array<double>"),
-        x => round(x * 100).cast("long")).as("xq"))
+        x => graft.functions.Hashing.roundAwayLong(x * 100)).as("xq"))
     val head = q.select(size(col("xq"))).limit(1).collect()
     if (head.isEmpty) // empty corpus: empty result, not a crash
       return Pc1Fit(q.select(col("id"), col("xq").as("yv")), Array(BigInt(0)), 1, 0L)
@@ -483,7 +483,7 @@ object Similarity {
     transform(vec.cast("array<double>"), (x, j) => {
       val lo = element_at(mnLit, j + 1); val hi = element_at(mxLit, j + 1)
       when(hi === lo, 0)
-        .otherwise(round((x - lo) * 255.0 / (hi - lo), 0).cast("int"))
+        .otherwise(graft.functions.Hashing.roundAwayLong((x - lo) * 255.0 / (hi - lo)).cast("int"))
     })
 
   /** Approximate top-k through SQ8 reconstruction (asymmetric distance):

@@ -96,7 +96,7 @@ object Events {
           .rangeBetween(-600, 0)
         t(s, d, "events")
           .select(col("user_id"), col("event_id"), col("ts").cast("long").as("t_s"),
-            sum(round(col("value") * 1e6).cast("long")).over(w)
+            sum(roundAwayLong(col("value") * 1e6)).over(w)
               .cast("double").divide(1e6).as("moving_sum"))
           .orderBy("user_id", "t_s", "event_id")
       },
@@ -192,10 +192,15 @@ object Events {
         val z = (col("n") * col("x") - col("s1")).cast("double") /
           sqrt(col("den").cast("double"))
         t(s, d, "events")
-          .withColumn("x", round(col("value") * 1e2).cast("long"))
-          .withColumn("n", count(lit(1)).over(w))
-          .withColumn("s1", sum(col("x")).over(w))
-          .withColumn("s2", sum(col("x") * col("x")).over(w))
+          .withColumn("x", roundAwayLong(col("value") * 1e2))
+          // one select = ONE Window node for all three rolling aggregates
+          // (r18: the chained withColumn form planned s2 — whose input
+          // expression x*x needs a pre-projection — as a SECOND Window
+          // pass; CollapseWindow can't merge across that projection)
+          .select(col("*"),
+            count(lit(1)).over(w).as("n"),
+            sum(col("x")).over(w).as("s1"),
+            sum(col("x") * col("x")).over(w).as("s2"))
           .withColumn("den", col("n") * col("s2") - col("s1") * col("s1"))
           .select(col("user_id"), col("event_id"),
             when(col("n") < 2 || col("den") <= 0, lit(null).cast("double"))
@@ -240,7 +245,7 @@ object Events {
         // centi-scale: keeps sum(x²) < 2^63 for ~1e9 rows of |value|<1e4
         // (micro-scale squares overflow int64 — DuckDB would silently
         // promote to HUGEINT, Spark would wrap)
-        val x = round(col("value") * 1e2).cast("long")
+        val x = roundAwayLong(col("value") * 1e2)
         t(s, d, "events")
           .groupBy(col("event_type"))
           .agg(count(lit(1)).as("n"),

@@ -380,7 +380,7 @@ object Tpch {
         // second time unfiltered.
         val joined = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
-        val qtyThresh = (sum(round(col("l_quantity") * 1e6).cast("long")).over(wp)
+        val qtyThresh = (sum(roundAwayLong(col("l_quantity") * 1e6)).over(wp)
           .cast("double") / 1e6 / count(col("l_quantity")).over(wp)) * 0.2
         joined.withColumn("qty_thresh", qtyThresh)
           .filter(col("l_quantity") < col("qty_thresh"))

@@ -131,7 +131,7 @@ object TpchExt {
         val byPart = natPs.groupBy(col("ps_partkey"))
           .agg(dsum(col("ps_supplycost") * col("ps_availqty")).as("value"))
         val threshold = byPart.agg(
-          ((sum(round(col("value") * 1e6).cast("long")).cast("double") / 1e6)
+          ((sum(roundAwayLong(col("value") * 1e6)).cast("double") / 1e6)
             * 0.004).as("_threshold"))
         byPart.crossJoin(broadcast(threshold))
           .filter(col("value") > col("_threshold"))
@@ -244,10 +244,17 @@ object TpchExt {
         val perSupp = li.groupBy(col("l_orderkey"), col("l_suppkey"))
           .agg(sum(when(col("is_late"), 1L).otherwise(0L)).as("n_late_lines"))
         val w = Window.partitionBy(col("l_orderkey"))
-        val annotated = perSupp
-          .withColumn("n_supp", count(lit(1)).over(w))
-          .withColumn("n_late_supp",
-            sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(w))
+        // BOTH window aggregates in one select: the former chained
+        // withColumn pair planned as TWO Window nodes - two full passes
+        // over the per-(order,supplier) rows - where a single select
+        // collapses them into ONE Window node computing both counts in
+        // one pass (same partition spec; r18 plan diff: 2 Window -> 1,
+        // plans/r18/q21_waiting_suppliers_{before,after}.txt)
+        val annotated = perSupp.select(col("l_orderkey"), col("l_suppkey"),
+          col("n_late_lines"),
+          count(lit(1)).over(w).as("n_supp"),
+          sum(when(col("n_late_lines") > 0, 1L).otherwise(0L)).over(w)
+            .as("n_late_supp"))
         val o = t(s, d, "orders").filter(col("o_orderstatus") === "F")
           .select(col("o_orderkey"))
         val su = t(s, d, "supplier")

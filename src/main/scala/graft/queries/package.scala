@@ -29,9 +29,17 @@ package object queries {
 
   val Dec: DecimalType = DecimalType(28, 6)
 
+  /** Half-away-from-zero round of a double expression to Long — the exact
+    * codegen twin of `round(c).cast("long")` without Spark Round's
+    * per-row `BigDecimal.valueOf` (measured 7× slower; see
+    * expr/RoundAway.scala for the bit-exactness argument covering both
+    * the old Spark path and the DuckDB oracle's std::round).
+    */
+  def roundAwayLong(c: Column): Column = graft.functions.Hashing.roundAwayLong(c)
+
   /** Exact sum of a double expression via fixed-point micros. */
   def dsum(c: Column): Column =
-    sum(round(c * 1e6).cast("long")).cast("double") / 1e6
+    sum(roundAwayLong(c * 1e6)).cast("double") / 1e6
 
   /** SQL-side twin of [[dsum]] for oracle strings. */
   def oSum(expr: String): String =
@@ -39,7 +47,7 @@ package object queries {
 
   /** Exact average: micro-sum divided by count, both deterministic. */
   def davg(c: Column): Column =
-    sum(round(c * 1e6).cast("long")).cast("double") / 1e6 / count(c)
+    sum(roundAwayLong(c * 1e6)).cast("double") / 1e6 / count(c)
 
   def oAvg(expr: String): String =
     s"(CAST(SUM(CAST(round(($expr) * 1000000.0) AS BIGINT)) AS DOUBLE) / 1000000.0 / COUNT($expr))"

@@ -212,11 +212,13 @@ object StreamingOps {
           def micros(t: java.sql.Timestamp): Long =
             (t.getTime / 1000) * 1000000L + t.getNanos / 1000
           val out = it.toArray.sortBy(r => (micros(r._3), r._2)).map { r =>
-            // same quantization as the batch query: SQL round() is
-            // HALF_UP away from zero via BigDecimal — math.round would
-            // disagree on negative .5 halves (it rounds toward +inf)
-            val x = BigDecimal(r._4 * 1e2)
-              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+            // same quantization as the batch query's roundAwayLong
+            // (half away from zero on the binary value; Math.round alone
+            // would disagree on negative .5 halves — it rounds toward
+            // +inf — hence the sign split). Bit-identical to the old
+            // BigDecimal HALF_UP at scale 0: see expr/RoundAway.scala.
+            val y = r._4 * 1e2
+            val x = if (y >= 0) Math.round(y) else -Math.round(-y)
             val xs = (tail :+ x).takeRight(win)
             val n = xs.length.toLong
             val s1 = xs.sum
