@@ -127,7 +127,16 @@ object PlanDump {
            |$metricStr
            |""".stripMargin
       Files.writeString(Paths.get(s"$outDir/${name}_$tag.txt"), body)
-      println(f"[plandump] $name%-28s wall=$wall%7.3f jobs=${j1 - j0}%3d stages=${s1 - s0}%3d tasks=${t1 - t0}%5d")
+      // driver-JVM GC + heap + persistent-block telemetry: long one-JVM
+      // sessions (Verify runs all 206 queries in one) showed 5-15x
+      // slowdowns on queries that are fast in a fresh JVM — attribute it
+      val gcMs = scala.jdk.CollectionConverters.ListHasAsScala(
+        java.lang.management.ManagementFactory.getGarbageCollectorMXBeans)
+        .asScala.map(_.getCollectionTime).sum
+      val heapMb = java.lang.management.ManagementFactory.getMemoryMXBean
+        .getHeapMemoryUsage.getUsed / (1024 * 1024)
+      val nPersist = spark.sparkContext.getPersistentRDDs.size
+      println(f"[plandump] $name%-28s wall=$wall%7.3f jobs=${j1 - j0}%3d stages=${s1 - s0}%3d tasks=${t1 - t0}%5d gcCumMs=$gcMs%6d heapMb=$heapMb%5d persistRdds=$nPersist%3d")
     }
     spark.stop()
   }

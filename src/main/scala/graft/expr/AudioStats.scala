@@ -42,6 +42,14 @@ case class AudioStats(child: Expression)
 
   override def prettyName: String = "audio_stats"
 
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("channels", IntegerType, nullable = false),

@@ -31,6 +31,10 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "bpe_encode"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   // values must be boxed Integer: with an Int value type, a missing key's
   // java null would silently unbox to 0 — i.e. "rank 0" — and the encode

@@ -29,6 +29,14 @@ case class GifFrames(child: Expression, stride: Int)
 
   override def prettyName: String = "gif_frames"
 
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+
+  override def nullIntolerant: Boolean = true
+
   private val frameStruct = StructType(Seq(
     StructField("frame_idx", IntegerType, nullable = false),
     StructField("width", IntegerType, nullable = false),

@@ -25,6 +25,10 @@ case class LshBucketsExpr(child: Expression, nPlanes: Int, nTables: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "lsh_buckets"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   private lazy val elemIsFloat: Boolean = child.dataType match {
     case ArrayType(FloatType, _) => true

@@ -30,6 +30,14 @@ case class MediaFeatures(child: Expression)
 
   override def prettyName: String = "media_features"
 
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = StructType(Seq(
     StructField("n_bytes", IntegerType, nullable = false),
     StructField("byte_hash", LongType, nullable = false),

@@ -28,6 +28,14 @@ case class MediaResize(child: Expression, targetW: Int, targetH: Int)
 
   override def prettyName: String = "media_resize"
 
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+
+  override def nullIntolerant: Boolean = true
+
   override def dataType: DataType = BinaryType
 
   override def nullable: Boolean = true

@@ -27,6 +27,10 @@ case class PgTextFields(child: Expression, delim: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = true)
   override def prettyName: String = "pg_text_fields"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes

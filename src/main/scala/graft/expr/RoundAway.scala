@@ -44,6 +44,10 @@ case class RoundAwayLong(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "round_away_long"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case DoubleType => TypeCheckResult.TypeCheckSuccess

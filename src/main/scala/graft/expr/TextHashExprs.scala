@@ -27,6 +27,10 @@ case class WordShingleStrings(child: Expression, width: Int)
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "word_shingles"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(input: Any): Any = {
     import org.apache.spark.unsafe.types.UTF8String
@@ -62,6 +66,10 @@ case class ShingleHashes(child: Expression, width: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   private final val P = 2147483647L
 
@@ -116,6 +124,10 @@ case class MinHashSig(child: Expression, k: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_sig"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   private final val P = 2147483647L
 
@@ -151,6 +163,10 @@ case class ArrayJaccard(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "array_jaccard"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData].toLongArray()
@@ -176,6 +192,10 @@ case class SimHash48(child: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash48"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   private final val P = 2147483647L
 
@@ -238,6 +258,10 @@ case class CharSpanHashes(child: Expression, width: Int)
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "char_span_hashes"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
 
   private val P = 2147483647L
   // 31^(width-1) mod P, once per operator instance

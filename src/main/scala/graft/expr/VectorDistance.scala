@@ -91,6 +91,10 @@ abstract class VectorDistanceBase extends BinaryExpression {
 /** `<->` Euclidean (L2) distance. */
 case class L2Distance(left: Expression, right: Expression) extends VectorDistanceBase {
   override def prettyName: String = "l2_distance"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
   override protected def compute(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean, n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) { val d = elem(a, af, i) - elem(b, bf, i); acc += d * d; i += 1 }
@@ -106,6 +110,10 @@ case class L2Distance(left: Expression, right: Expression) extends VectorDistanc
 /** Cosine similarity (the reference's `<=>` is 1 - this). */
 case class CosineSim(left: Expression, right: Expression) extends VectorDistanceBase {
   override def prettyName: String = "cosine_sim"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
   override protected def compute(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean, n: Int): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
@@ -125,6 +133,10 @@ case class CosineSim(left: Expression, right: Expression) extends VectorDistance
 /** `<#>` negative inner product. */
 case class NegInnerProduct(left: Expression, right: Expression) extends VectorDistanceBase {
   override def prettyName: String = "neg_inner_product"
+  // null in => null out (nullSafeEval): declaring it lets the optimizer
+  // infer IsNotNull on the child attribute instead of wrapping this whole
+  // kernel in an interpreted isnotnull(<kernel>) filter (r18 optimization)
+  override def nullIntolerant: Boolean = true
   override protected def compute(a: ArrayData, af: Boolean, b: ArrayData, bf: Boolean, n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) { acc += elem(a, af, i) * elem(b, bf, i); i += 1 }

@@ -26,6 +26,22 @@ object Hashing {
     * Oracle: list_reduce(list_prepend(0, [ord(...) ...]), (a,c)->(a*31+c)%P)
     */
   def polyHash(s: Column): Column =
+    // r18: native O(len) kernel — the HOF spec below evaluates
+    // substring(s, i, 1) per character and UTF8String.substring seeks
+    // from the start each call, making a document fingerprint O(len²).
+    // coalesce preserves the HOF's NULL→0 (when(NULL>0) falls to the
+    // otherwise branch); HashingSpec pins native == HOF property-wise.
+    coalesce(
+      org.apache.spark.sql.graftbridge.Bridge.column(
+        graft.expr.PolyHashLong(
+          org.apache.spark.sql.graftbridge.Bridge.expression(s))),
+      lit(0L))
+
+  /** The cross-engine HOF spec of [[polyHash]] — the construction the
+    * DuckDB oracles replay with list_reduce; kept as the parity baseline
+    * the native kernel is property-tested against.
+    */
+  def polyHashHof(s: Column): Column =
     // guard: Spark sequence(1, 0) is a *descending* [1,0], not empty
     when(length(s) > 0,
       aggregate(

@@ -26,6 +26,30 @@ object CacheHygiene {
   def cacheUntilNextCompletion(df: DataFrame): DataFrame =
     cacheUntilCompletions(df, 1)
 
+  /** localCheckpoint + the ids of the persistent RDDs it registered, so
+    * iterative loops can release a round's blocks once the round stops
+    * reading them (r18: each fixed-point round otherwise leaks its
+    * checkpoint blocks for the session's lifetime — a 206-query Verify
+    * session accumulates dozens of pinned RDDs). A released
+    * localCheckpoint CANNOT recompute (lineage truncated): release ids
+    * strictly after the last action that reads that frame. The id diff is
+    * taken immediately around the checkpoint call; loops are
+    * driver-synchronous, so no concurrent persist lands in the window.
+    */
+  def checkpointTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
+    val sc = df.sparkSession.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val out = df.localCheckpoint()
+    val added = (sc.getPersistentRDDs.keySet -- before).toSeq
+    (out, added)
+  }
+
+  /** Drop the blocks of previously [[checkpointTracked]] rounds. */
+  def release(spark: org.apache.spark.sql.SparkSession, ids: Seq[Int]): Unit = {
+    val live = spark.sparkContext.getPersistentRDDs
+    ids.foreach(id => live.get(id).foreach(_.unpersist(blocking = false)))
+  }
+
   /** Variant for operators whose cached frame must survive `n` query
     * completions — e.g. an internal driver-side aggregate action PLUS the
     * caller's materialization (the PCA fit). An interleaved unrelated

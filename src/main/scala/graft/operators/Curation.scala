@@ -79,12 +79,28 @@ object Curation {
     val toks = tokens(col(textCol))
     val n = size(toks)
     val nd = size(array_distinct(toks))
-    val topCount = array_max(transform(array_distinct(toks),
-      d => size(filter(toks, t => t === d))))
+    // top-token count via sorted run-length max — O(n log n) per doc.
+    // The former formulation (for each DISTINCT token, count its
+    // occurrences by filtering the full token array) was O(distinct × n)
+    // per doc and measured 2.9 s single-task at sf0.1 (r18,
+    // plans/r18/curation_repetition_before.txt); equal tokens are
+    // adjacent after array_sort, so the longest run is the top count.
+    val topCount = aggregate(
+      array_sort(toks),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0).as("run"), lit(0).as("best")),
+      (acc, t) => {
+        val run = when(acc.getField("prev").isNotNull &&
+          acc.getField("prev") === t, acc.getField("run") + 1).otherwise(lit(1))
+        struct(t.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      // empty docs: old array_max(empty) was NULL; keep that contract
+      acc => when(acc.getField("best") > 0, acc.getField("best")))
     val grams2 = wordShinglesNative(col(textCol), 2)
     val n2 = size(grams2)
     val nd2 = size(array_distinct(grams2))
-    df.select(col(idCol),
+    Spread(df).select(col(idCol),
       n.as("n_tokens"),
       nd.as("n_distinct"),
       round(lit(1.0) - nd.cast("double") / n, 6).as("dup_token_frac"),
@@ -275,7 +291,8 @@ object Curation {
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    val occ = df.select(col(idCol),
+    // Spread: bigram shingling + explode is the per-row cost center (r18)
+    val occ = Spread(df).select(col(idCol),
         explode(wordShinglesNative(col(textCol), 2)).as("gram"))
       // a sub-width doc yields its whole text as one "shingle" — no space
       // means no bigram, so it drops out here

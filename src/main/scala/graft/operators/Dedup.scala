@@ -190,7 +190,9 @@ object Dedup {
     */
   private def spanMatches(df: DataFrame, idCol: String, textCol: String,
       span: Int, maxOccurrences: Option[Int]): DataFrame = {
-    val spans = df.select(col(idCol),
+    // Spread: the rolling-hash kernel + window explode otherwise run in
+    // one task on a single-row-group input (r18)
+    val spans = Spread(df).select(col(idCol),
       posexplode(charSpanHashes(col(textCol), span)).as(Seq("pos", "h")))
     val sp = maxOccurrences match {
       case None => spans
@@ -233,7 +235,9 @@ object Dedup {
   def minhashed(df: DataFrame, idCol: String, textCol: String,
       shingleWidth: Int, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    df.select(col(idCol),
+    // Spread: shingle hashing + k-mins signature is the per-row cost
+    // center; a single-row-group input would run it in ONE task (r18)
+    Spread(df).select(col(idCol),
         shingleHashes(col(textCol), shingleWidth).as("shingles"))
       .withColumn("sig", minhashSignature(col("shingles"), numHashes))
       .withColumn("bands", lshBandKeys(col("sig"), bands, rows))
@@ -356,7 +360,9 @@ object Dedup {
 
   /** 48-bit SimHash fingerprint per document. */
   def simhashed(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), simhash48(col(textCol)).as("fingerprint"))
+    // Spread: the 48-vote fingerprint kernel is the cost center; on a
+    // single-row-group input it would otherwise run in ONE task (r18)
+    Spread(df).select(col(idCol), simhash48(col(textCol)).as("fingerprint"))
 
   /** SimHash near-dup pairs within a hamming radius. Pairs are generated
     * inside blocking buckets (fingerprint high bits) to avoid n²; radius
@@ -408,16 +414,38 @@ object Dedup {
       col("blk_idx"), col("blk_key"))
     val b = keyed.select(col(idCol).as("id_b"), col("fingerprint").as("fp_b"),
       col("blk_idx"), col("blk_key"))
+    // Exactly-once pair emission (r18): a qualifying pair joins once per
+    // AGREEING block (measured at sf0.1: 9.0M join rows for 2.28M distinct
+    // pairs — near-dup fingerprints agree on ~4 of the 9 blocks on
+    // average), and the former `.distinct()` deduped them through a
+    // two-level hash aggregate + full-pair exchange (671 MB hash table,
+    // 8.6 s of aggTime, plans/r18/dedup_simhash_rotated_before.txt). The
+    // standard blocked-LSH trick removes the aggregate outright: keep a
+    // pair only at its FIRST agreeing block — every earlier block must
+    // differ, a pure codegen shift/mask comparison over the two
+    // fingerprints already in the row. Each qualifying pair then survives
+    // in exactly one joined row, so the output is distinct by
+    // construction and the exchange disappears; at corpus scale this
+    // deletes the only O(candidate-pairs) shuffle in the operator.
+    val firstAgreeingBlock = (0 until nBlocks).map { p =>
+      val mask = lit((1L << lens(p)) - 1)
+      when(col("blk_idx") > p,
+        shiftright(col("fp_a"), los(p)).bitwiseAND(mask) =!=
+          shiftright(col("fp_b"), los(p)).bitwiseAND(mask))
+        .otherwise(lit(true))
+    }.reduce(_ && _)
+    // ONE conjunction in evaluation order cheapest/most-selective first:
+    // id ordering (halves the rows with one comparison), hamming (one
+    // xor+popcount), then the 9-CASE first-block chain only on surviving
+    // near-dups. Separate .filter() calls would let CombineFilters AND
+    // them in reverse, putting the CASE chain in front of every joined
+    // row (observed in the first cut of this change: +2 s on the serial
+    // probe stage).
     a.join(b, Seq("blk_idx", "blk_key"))
-      .filter(col("id_a") < col("id_b"))
-      // verify hamming BEFORE the multi-block dedup: the r+1 blocks are
-      // only ~5 bits each (weak filters by pigeonhole necessity), so the
-      // candidate set is large while true near-dups are few — filtering
-      // first means the distinct's exchange carries accepted pairs only,
-      // not every block collision
       .withColumn("hamming", bit_count(expr("fp_a ^ fp_b")))
-      .filter(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming")).distinct()
+      .filter(col("id_a") < col("id_b") &&
+        col("hamming") <= maxHamming && firstAgreeingBlock)
+      .select(col("id_a"), col("id_b"), col("hamming"))
   }
 
   /** Connected components over a near-duplicate pair graph: every doc in a
@@ -454,6 +482,20 @@ object Dedup {
     val prevConstraint =
       conf.get("spark.sql.constraintPropagation.enabled", "true")
     conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // r18 block hygiene: each round's two localCheckpoints persist RDD
+    // blocks that the NEXT round no longer reads; without explicit
+    // release they pin block-manager memory for the session's lifetime
+    // (measured: 3-4 leaked persistent RDDs per clustering query — a
+    // 206-query Verify session accumulates dozens). Track the RDD ids
+    // each checkpoint adds and drop the PREVIOUS round's once the round
+    // ends; only the returned frame's own blocks survive. NB a released
+    // localCheckpoint cannot recompute (lineage is truncated), so a
+    // round's blocks are dropped strictly after the last action that
+    // reads them (the convergence check).
+    import CacheHygiene.checkpointTracked
+    def release(ids: Seq[Int]): Unit =
+      CacheHygiene.release(pairs.sparkSession, ids)
+    var prevRoundIds: Seq[Int] = Nil
     try {
     while (!converged && i < maxIters) {
       val viaNeighbor = edges.join(labels, edges("dst") === labels("id"))
@@ -468,23 +510,32 @@ object Dedup {
       // cleanly. Blocks live in the executor block manager; for
       // fault-tolerant long chains swap in reliable checkpoint() with a
       // checkpoint dir — same plan shape.
-      val propagated = labels.select(col("id"), col("rep")).unionAll(viaNeighbor)
-        .groupBy(col("id")).agg(min(col("rep")).as("rep"))
-        .localCheckpoint()
+      // `prev` rides along (min over the labels side only — viaNeighbor
+      // contributes NULLs): the convergence check then needs no join
+      // back to the previous labels frame, saving one join job per round
+      val (propagated, propIds) =
+        checkpointTracked(labels.select(col("id"), col("rep"), col("rep").as("_prev"))
+          .unionAll(viaNeighbor.withColumn("_prev", lit(null).cast("long")))
+          .groupBy(col("id")).agg(min(col("rep")).as("rep"),
+            min(col("_prev")).as("_prev")))
       // pointer jump: follow the label's own label. rep is always a node
       // id in this component, so the lookup is a self-join on the label
       // frame; taking the min keeps monotone descent toward the
       // component minimum (the fixpoint is unchanged, reached
       // exponentially faster)
-      val next = propagated.alias("l")
+      val (next, nextIds) = checkpointTracked(propagated.alias("l")
         .join(propagated.select(col("id").as("_jid"), col("rep").as("_jrep")),
           col("l.rep") === col("_jid"), "left")
         .select(col("l.id").as("id"),
-          least(col("l.rep"), coalesce(col("_jrep"), col("l.rep"))).as("rep"))
-        .localCheckpoint() // materialize once: convergence check + next round both read it
-      converged = next.join(labels.withColumnRenamed("rep", "prev"), "id")
-        .filter(col("rep") =!= col("prev")).isEmpty
-      labels = next
+          least(col("l.rep"), coalesce(col("_jrep"), col("l.rep"))).as("rep"),
+          col("l._prev").as("_prev")))
+      // materialized once: convergence check + next round both read `next`
+      converged = next.filter(col("rep") =!= col("_prev")).isEmpty
+      // everything this round stopped reading: last round's labels and
+      // this round's propagated (folded into `next`'s blocks above)
+      release(prevRoundIds ++ propIds)
+      prevRoundIds = nextIds
+      labels = next.select(col("id"), col("rep"))
       i += 1
     }
     } finally {

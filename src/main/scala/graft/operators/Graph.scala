@@ -82,21 +82,35 @@ object Graph {
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
       .distinct().cache()
     try {
-      var visited = sources.select(col(sourceCol).as("node")).distinct()
-        .withColumn("hops", lit(0)).localCheckpoint()
-      var frontier = visited
+      // r18 block hygiene: levels release the checkpoint blocks they
+      // stopped reading (see CacheHygiene.checkpointTracked — a released
+      // localCheckpoint cannot recompute, so releases happen strictly
+      // after the level's last read); only the returned frame's blocks
+      // survive the call.
+      import CacheHygiene.checkpointTracked
+      def release(ids: Seq[Int]): Unit =
+        CacheHygiene.release(edges.sparkSession, ids)
+      val (seed, seedIds) = checkpointTracked(
+        sources.select(col(sourceCol).as("node")).distinct()
+          .withColumn("hops", lit(0)))
+      var visited = seed
+      var visitedIds = seedIds
+      var frontier = seed
+      var frontierIds = Seq.empty[Int] // seed ids owned by visitedIds
       var h = 1
       var done = false
       while (h <= maxHops && !done) {
-        val next = frontier.join(e, frontier("node") === e("src"))
-          .select(e("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .withColumn("hops", lit(h))
-          .localCheckpoint()
-        if (next.isEmpty) done = true
+        val (next, nextIds) = checkpointTracked(
+          frontier.join(e, frontier("node") === e("src"))
+            .select(e("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti")
+            .withColumn("hops", lit(h)))
+        if (next.isEmpty) { done = true; release(nextIds) }
         else {
-          visited = visited.unionAll(next).localCheckpoint()
-          frontier = next
+          val (v2, v2Ids) = checkpointTracked(visited.unionAll(next))
+          release(visitedIds ++ frontierIds) // both fully folded into v2/next
+          visited = v2; visitedIds = v2Ids
+          frontier = next; frontierIds = nextIds
           h += 1
         }
       }

@@ -26,14 +26,26 @@ object Profile {
       exact: Boolean = true): DataFrame = {
     val ndv = (c: String) =>
       if (exact) countDistinct(col(c)) else approx_count_distinct(col(c))
-    val aggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
+    // r18 optimization: split the exact-NDV aggregate from the
+    // count/min/max aggregate. Fused, the string-buffered min/max forces
+    // the WHOLE aggregate into SortAggregate, and the COUNT(DISTINCT)
+    // Expand multiplies the rows being sorted by (#cols + 1) — measured
+    // at sf0.1: a 4.2M-row, 654 MB single-task sort, 3.5 s of a 7 s wall
+    // (plans/r18/stats_profile_before.txt). Separated, the NDV pass is a
+    // hash aggregate over the Expand (strings are fine as grouping keys)
+    // and the min/max pass is a streaming global SortAggregate with NO
+    // sort (no grouping keys) and NO Expand. At warehouse scale the same
+    // split turns an O(n·cols) spill-prone sort into one hash pass plus
+    // one streaming pass over pruned scans; both 1-row results broadcast.
+    val baseAggs = Seq(count(lit(1)).as("_n")) ++ cols.flatMap { c =>
       Seq(
         count(col(c)).as(s"_c_$c"),
-        ndv(c).as(s"_d_$c"),
         min(col(c)).cast("string").as(s"_mn_$c"),
         max(col(c)).cast("string").as(s"_mx_$c"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    val ndvAggs = cols.map(c => ndv(c).as(s"_d_$c"))
+    val one = df.agg(baseAggs.head, baseAggs.tail: _*)
+      .crossJoin(broadcast(df.agg(ndvAggs.head, ndvAggs.tail: _*)))
     val rows = cols.map { c =>
       struct(lit(c).as("column"),
         col("_n").as("n_rows"),

@@ -27,6 +27,35 @@ object PropertySpec extends Properties("Hashing") {
     }
   }
 
+  // r18: the native O(len) kernel must stay bit-identical to the HOF spec
+  // the DuckDB oracles replay — including non-BMP code points (the fold is
+  // over code points, not UTF-16 units), empty strings, and NULL→0.
+  private val anyChar = Gen.frequency(
+    8 -> Gen.alphaNumChar,
+    2 -> Gen.oneOf(' ', 'é', 'ß', '中', '文'),
+    1 -> Gen.oneOf("😀", "𝕏", "🚀").map(_.charAt(0))) // lone surrogates exercised below
+  private val anyDoc = Gen.oneOf(
+    Gen.const(""),
+    Gen.listOf(anyChar).map(_.mkString),
+    Gen.listOf(Gen.oneOf("a", " ", "😀", "𝕏中", "é")).map(_.mkString))
+
+  property("native polyHash == HOF spec on arbitrary unicode") =
+    forAll(Gen.listOfN(8, anyDoc)) { docs =>
+      docs.isEmpty || {
+        val rows = docs.toDF("s")
+          .select(Hashing.polyHash(col("s")).as("native"),
+            Hashing.polyHashHof(col("s")).as("hof"))
+          .collect()
+        rows.forall(r => r.getLong(0) == r.getLong(1))
+      }
+    }
+
+  property("native polyHash NULL -> 0 like the HOF") = {
+    val r = Seq[Option[String]](None, Some("abc")).toDF("s")
+      .select(Hashing.polyHash(col("s"))).collect()
+    r(0).getLong(0) == 0L && r(1).getLong(0) > 0L
+  }
+
   private val hashSet = Gen.nonEmptyListOf(Gen.choose(0L, Hashing.P - 1)).map(_.distinct)
 
   property("jaccard symmetric and bounded") = forAll(hashSet, hashSet) { (a, b) =>
