@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked process's stdout through unprefixed: sbt's default
+// LoggedOutput strategy wraps every line in "[info] ", which broke the
+// driver's parse of the bench one-line JSON two rounds running
+// (PERF_r17/r18 "parsed: null"). StdoutOutput keeps the JSON line bare.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

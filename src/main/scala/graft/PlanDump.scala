@@ -38,20 +38,44 @@ object PlanDump {
     val stages = new java.util.concurrent.atomic.AtomicLong
     val tasks = new java.util.concurrent.atomic.AtomicLong
     val jobs = new java.util.concurrent.atomic.AtomicLong
+    // per-job wall + callsite ledger (r19): multi-job iterative queries
+    // (CC loops, UnionLoop, eager checkpoints) spend their time OUTSIDE
+    // the final save's plan, so attribution needs job-level timing
+    val jobLog = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, String)]
+    val jobStarts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet(); tasks.addAndGet(e.stageInfo.numTasks)
       }
       override def onJobStart(
-          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        val p = Option(e.properties)
+        val site = p.flatMap(pp => Option(pp.getProperty("spark.job.description")))
+          .orElse(p.flatMap(pp => Option(pp.getProperty("callSite.short"))))
+          .map(_.take(90))
+          .getOrElse("?") +
+          p.flatMap(pp => Option(pp.getProperty("spark.sql.execution.id")))
+            .fold("")(id => s" [exec=$id]")
+        jobStarts.put(e.jobId, (e.time, site))
+      }
+      override def onJobEnd(
+          e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        val st = jobStarts.remove(e.jobId)
+        if (st != null) jobLog.add((e.jobId, e.time - st._1, st._2))
+      }
     })
-    // capture the FINAL (post-AQE) plan of the last executed query
+    // capture the FINAL (post-AQE) plan of the timed query. Only `save`
+    // executions count: iterative operators fire many internal actions
+    // (count/isEmpty/localCheckpoint) whose events would otherwise race
+    // the final noop write's on the async listener bus (r18 advice).
     @volatile var lastExec: QueryExecution = null
     spark.listenerManager.register(new QueryExecutionListener {
+      // the noop sink's funcName in Spark 4.1 is "overwrite" (v2 write
+      // path); "save" kept for v1-path robustness
       override def onSuccess(f: String, qe: QueryExecution, d: Long): Unit =
-        lastExec = qe
+        if (f == "overwrite" || f == "save") lastExec = qe
       override def onFailure(f: String, qe: QueryExecution, e: Exception): Unit = ()
     })
 
@@ -69,9 +93,16 @@ object PlanDump {
       df.write.format("noop").mode("overwrite").save()
       val (j0, s0, t0) = (jobs.get, stages.get, tasks.get)
       spark.catalog.clearCache()
+      // onSuccess is delivered asynchronously on the listener bus: reading
+      // lastExec right after the timed write could observe the WARM run's
+      // QueryExecution (r18 advice). Reset and poll for the timed run's.
+      lastExec = null
+      jobLog.clear()
       val w0 = System.nanoTime()
       fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       val wall = (System.nanoTime() - w0) / 1e9
+      val deadline = System.nanoTime() + 5L * 1000 * 1000 * 1000
+      while (lastExec == null && System.nanoTime() < deadline) Thread.sleep(10)
       val (j1, s1, t1) = (jobs.get, stages.get, tasks.get)
       val post =
         if (lastExec != null)
@@ -110,12 +141,25 @@ object PlanDump {
           sb.toString
         } else ""
       val nEx = "Exchange".r.findAllIn(post).size
+      // timed run's job ledger, slowest first — the attribution view for
+      // multi-job queries whose time is outside the final save's plan
+      val jobLines = {
+        import scala.jdk.CollectionConverters._
+        val all = jobLog.asScala.toSeq.sortBy(-_._2)
+        val top = all.take(25).map { case (id, ms, site) =>
+          f"  job=$id%4d ${ms}%6d ms  $site"
+        }.mkString("\n")
+        f"jobs=${all.size} sum=${all.map(_._2).sum} ms (wall gaps = driver/AQE time)\n$top"
+      }
       val body =
         s"""== $name ($tag) ==
            |wall=${f"$wall%.3f"}s jobs=${j1 - j0} stages=${s1 - s0} tasks=${t1 - t0} exchanges(final-plan-text)=$nEx
            |
            |-- planning phases (first build) --
            |$phases
+           |
+           |-- timed-run job ledger (slowest 25) --
+           |$jobLines
            |
            |-- initial physical plan (pre-execution, AQE isFinalPlan=false) --
            |$pre

@@ -55,12 +55,8 @@ case class RoundAwayLong(child: Expression) extends UnaryExpression {
       s"$prettyName expects a double input, got ${t.simpleString}")
   }
 
-  override def nullSafeEval(input: Any): Any = {
-    val x = input.asInstanceOf[Double]
-    if (x >= 0) Math.round(x)
-    else if (x <= Long.MinValue.toDouble) Long.MinValue
-    else -Math.round(-x)
-  }
+  override def nullSafeEval(input: Any): Any =
+    RoundAwayLong.scalar(input.asInstanceOf[Double])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
@@ -70,4 +66,15 @@ case class RoundAwayLong(child: Expression) extends UnaryExpression {
 
   override protected def withNewChildInternal(newChild: Expression): RoundAwayLong =
     copy(child = newChild)
+}
+
+object RoundAwayLong {
+  /** Scalar twin of the kernel, shared with the streaming z-score
+    * (StreamingOps.zscoreStream) so the stream and batch quantizations
+    * cannot diverge — including the ±2^63 saturation branches the first
+    * streaming copy omitted (r18 advice). */
+  def scalar(x: Double): Long =
+    if (x >= 0) Math.round(x)
+    else if (x <= Long.MinValue.toDouble) Long.MinValue
+    else -Math.round(-x)
 }

@@ -32,16 +32,24 @@ object CacheHygiene {
     * checkpoint blocks for the session's lifetime — a 206-query Verify
     * session accumulates dozens of pinned RDDs). A released
     * localCheckpoint CANNOT recompute (lineage truncated): release ids
-    * strictly after the last action that reads that frame. The id diff is
-    * taken immediately around the checkpoint call; loops are
-    * driver-synchronous, so no concurrent persist lands in the window.
+    * strictly after the last action that reads that frame.
+    *
+    * The id is read off the returned Dataset's own LogicalRDD leaf — NOT
+    * a before/after diff of getPersistentRDDs (the r18 version). The diff
+    * also captured any LAZY `.cache()` whose InMemoryRelation buffers
+    * first materialized inside the window — e.g. the loop-invariant edges
+    * cache in Dedup.connectedComponents, whose first scan happens inside
+    * round 1's eager checkpoint. Releasing that id after round 1 silently
+    * unpersisted the edge cache and re-ran the whole MinHash/LSH pair
+    * detection every subsequent round (the r18 dedup_clusters slowdown;
+    * numbers in OPTIMIZATION_r19.md).
     */
   def checkpointTracked(df: DataFrame): (DataFrame, Seq[Int]) = {
-    val sc = df.sparkSession.sparkContext
-    val before = sc.getPersistentRDDs.keySet
     val out = df.localCheckpoint()
-    val added = (sc.getPersistentRDDs.keySet -- before).toSeq
-    (out, added)
+    val ids = out.queryExecution.logical.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd.id
+    }
+    (out, ids)
   }
 
   /** Drop the blocks of previously [[checkpointTracked]] rounds. */

@@ -291,8 +291,12 @@ object Curation {
     */
   def lmPerplexity(df: DataFrame, idCol: String, textCol: String)
       : DataFrame = {
-    // Spread: bigram shingling + explode is the per-row cost center (r18)
-    val occ = Spread(df).select(col(idCol),
+    // No Spread here (r19, reverting an r18 regression): `occ` is
+    // consumed TWICE (bigram counts + the scoring join), so a repartition
+    // in front of the shingling runs twice and reshuffles the full
+    // document text both times — measured 1.7 s → 3.2 s at sf0.1. The
+    // shingling cost it parallelized is the smaller of the two.
+    val occ = df.select(col(idCol),
         explode(wordShinglesNative(col(textCol), 2)).as("gram"))
       // a sub-width doc yields its whole text as one "shingle" — no space
       // means no bigram, so it drops out here

@@ -23,10 +23,12 @@ object Graph {
     * mass (nodes with no out-edges) is dropped, the usual simplification.
     *
     * Scale shape: the edge list is annotated with per-source out-weight
-    * ONCE and cached (two scans of E total); each iteration is one
-    * map-side-combined aggregate shuffle of |E| contribution rows into
-    * node-keyed partials plus a node-sized outer join — the canonical
-    * distributed PR step. Rank state never lives on the driver. The rank
+    * ONCE and cached hash-partitioned on src (two scans of E total); each
+    * iteration is ONE map-side-combined aggregate shuffle of |E|
+    * contribution rows (plus a zero seed row per node, folding the old
+    * keep-absent-nodes outer join into the same aggregate) — the
+    * canonical distributed PR step with the minimum shuffle count. Rank
+    * state never lives on the driver. The rank
     * frame is `localCheckpoint()`ed every `checkpointEvery` iterations:
     * without it the lazy chain grows one join+aggregate per iteration and
     * Catalyst re-analysis cost goes quadratic in `iters` — the truncation
@@ -39,19 +41,33 @@ object Graph {
     val w = weightCol.map(col).getOrElse(lit(1L)).cast("long")
     val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"), w.as("w"))
     val outW = e.groupBy(col("src")).agg(sum(col("w")).as("out_w"))
-    val ew = CacheHygiene.cacheUntilNextCompletion(e.join(outW, "src"))
+    // r19 (guide §2.4, remove shuffles outright): the edge frame is cached
+    // HASH-PARTITIONED ON src. Locally the tiny ew broadcasts and this is
+    // one cheap extra exchange before the cache; at warehouse scale, where
+    // ranks stops fitting a broadcast, every iteration's contribution join
+    // becomes a sort-merge on src==node — with ew pre-partitioned (and
+    // ranks already hash-partitioned on node by the PREVIOUS iteration's
+    // aggregate) neither side re-shuffles, so the per-iteration cost drops
+    // from 2 full-|E| exchanges to zero.
+    val ew = CacheHygiene.cacheUntilNextCompletion(
+      e.join(outW, "src").repartition(col("src")))
     val nodes = CacheHygiene.cacheUntilNextCompletion(
       e.select(col("src").as("node"))
         .unionAll(e.select(col("dst").as("node"))).distinct())
     var ranks = nodes.withColumn("rank", lit(1000000L))
     for (i <- 1 to iters) {
+      // r19 (guide §2.4): the old step was contrib-aggregate THEN a
+      // left-outer join back to `nodes` to keep zero-in-degree nodes — two
+      // keyed shuffles per iteration. Seeding the aggregate with a zero
+      // row per node instead folds the join into the SAME aggregate: one
+      // keyed shuffle per iteration, bit-identical result (sum over the
+      // extra 0 == coalesce(sum, 0), integer math, order-free).
       val contrib = ew.join(ranks, ew("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr("((rank * 85) div 100 * w) div out_w").as("c"))
+      ranks = contrib.unionAll(nodes.withColumn("c", lit(0L)))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = nodes.join(contrib, Seq("node"), "left_outer")
-        .select(col("node"),
-          (lit(150000L) + coalesce(col("s"), lit(0L))).as("rank"))
+        .select(col("node"), (lit(150000L) + col("s")).as("rank"))
       // truncate lineage: materialize the node-sized rank frame on the
       // executors and restart the plan from it (skipped on the final
       // iteration — the caller's action is the materialization there)

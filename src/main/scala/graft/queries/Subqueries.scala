@@ -67,6 +67,42 @@ object Subqueries {
       |)
       |SELECT node, hops, count(*) AS n_paths FROM paths
       |GROUP BY node, hops ORDER BY node, hops""".stripMargin
+    // r19 Spark-side split of the same query (oracle text above is
+    // UNCHANGED): Spark's UnionLoop re-executes the full recursion-step
+    // subtree every level, so the `edges` CTE (scan + window + distinct)
+    // was derived 5x per run (guide §1.2 step 1: don't recompute what you
+    // can keep). Derive it once, cache it for the duration of the
+    // caller's action, and recurse over the cached view — the recursion
+    // itself and the result are identical (oracle-verified).
+    val recursiveEdges = """SELECT DISTINCT src, dst FROM (
+      |    SELECT event_type AS src,
+      |           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS dst
+      |    FROM events) x
+      |  WHERE dst IS NOT NULL AND dst <> src""".stripMargin
+    val recursiveOverView = """WITH RECURSIVE paths(node, hops) AS (
+      |  SELECT 'signup', 0
+      |  UNION ALL
+      |  SELECT e.dst, p.hops + 1 FROM paths p JOIN cte_rec_edges e ON e.src = p.node
+      |  WHERE p.hops < 4
+      |)
+      |SELECT node, hops, count(*) AS n_paths FROM paths
+      |GROUP BY node, hops ORDER BY node, hops""".stripMargin
+    val recursivePathsFn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame =
+      (s, d) => {
+        Tables.register(s, d)
+        // localCheckpoint (not cache): UnionLoop's per-iteration executions
+        // complete as their own QueryExecutions, so a next-completion-
+        // scoped cache would unpersist after level 1 and levels 2..5 would
+        // recompute anyway. The checkpointed LogicalRDD leaf is what every
+        // level scans. The view is dropped right after analysis so the
+        // only reference left is the returned plan — ContextCleaner
+        // unpersists the blocks once the caller lets go of the result.
+        s.sql(recursiveEdges).localCheckpoint()
+          .createOrReplaceTempView("cte_rec_edges")
+        val out = s.sql(recursiveOverView)
+        s.catalog.dropTempView("cte_rec_edges")
+        out
+      }
     val unionAll = """SELECT c_nationkey AS nationkey FROM customer
       |UNION ALL SELECT s_nationkey FROM supplier
       |ORDER BY nationkey""".stripMargin
@@ -87,7 +123,7 @@ object Subqueries {
       "subq_not_exists_correlated" -> Q(sql(notExistsCorr), Some(notExistsCorr)),
       "subq_scalar_correlated" -> Q(sql(scalarCorr), Some(scalarCorr)),
       "cte_chain" -> Q(sql(cteChain), Some(cteChain)),
-      "cte_recursive_paths" -> Q(sql(recursivePaths), Some(recursivePaths)),
+      "cte_recursive_paths" -> Q(recursivePathsFn, Some(recursivePaths)),
       "setop_union_all" -> Q(sql(unionAll), Some(unionAll)),
       "setop_union_distinct" -> Q(sql(unionDistinct), Some(unionDistinct)),
       "setop_intersect" -> Q(sql(intersect), Some(intersect)),

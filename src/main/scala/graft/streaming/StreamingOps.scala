@@ -212,13 +212,11 @@ object StreamingOps {
           def micros(t: java.sql.Timestamp): Long =
             (t.getTime / 1000) * 1000000L + t.getNanos / 1000
           val out = it.toArray.sortBy(r => (micros(r._3), r._2)).map { r =>
-            // same quantization as the batch query's roundAwayLong
-            // (half away from zero on the binary value; Math.round alone
-            // would disagree on negative .5 halves — it rounds toward
-            // +inf — hence the sign split). Bit-identical to the old
-            // BigDecimal HALF_UP at scale 0: see expr/RoundAway.scala.
-            val y = r._4 * 1e2
-            val x = if (y >= 0) Math.round(y) else -Math.round(-y)
+            // same quantization as the batch query's roundAwayLong —
+            // the SHARED scalar kernel (expr/RoundAway.scala), so the
+            // streaming and batch paths cannot diverge, including the
+            // ±2^63 saturation branch (r19, from r18 advice).
+            val x = graft.expr.RoundAwayLong.scalar(r._4 * 1e2)
             val xs = (tail :+ x).takeRight(win)
             val n = xs.length.toLong
             val s1 = xs.sum
