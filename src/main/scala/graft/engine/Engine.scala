@@ -1089,6 +1089,9 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       s.cursors.values.foreach(c => deleteRecursively(c.dir, keepRoot = false))
       s.cursors.clear()
       releaseTxnLocks(s)
+      // last statement's scoped checkpoints (nothing can read them now)
+      graft.operators.CacheHygiene.release(spark, s.pendingCkptRelease.toSeq)
+      s.pendingCkptRelease.clear()
     } finally wl.unlock()
   }
 
@@ -1149,7 +1152,44 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     "pg_attribute", "pg_stat", "pg_sequences", "contributors",
     "graft_history")
 
+  /** Statement-scoped localCheckpoint (r19, guide §5): the DML paths
+    * materialize intermediates (snapshots before a directory swap,
+    * RETURNING frames, nondeterministic sources drawn once) via
+    * localCheckpoint, whose blocks otherwise pin block-manager memory for
+    * the session's lifetime. Each checkpoint's RDD ids are recorded on
+    * the session and released when the NEXT top-level statement begins —
+    * by then the statement's writes are on disk and its result/RETURNING
+    * rows have been consumed (per-session execution is sequential).
+    * Everything that must outlive a statement lives on DISK by design
+    * (cursor spills, IVM delta parquet, the version log), never on a
+    * checkpointed frame.
+    */
+  private def ckptScoped(df: DataFrame): DataFrame = {
+    val (out, ids) = graft.operators.CacheHygiene.checkpointTracked(df)
+    sess.pendingCkptRelease ++= ids
+    out
+  }
+
+  /** `.checkpointScoped` = `.checkpointScoped` + statement-scoped block
+    * release (see [[ckptScoped]]) — the drop-in the DML paths use.
+    */
+  private implicit class CkptScopedOps(df: DataFrame) {
+    def checkpointScoped: DataFrame = ckptScoped(df)
+  }
+
   def run(sql: String): DataFrame = {
+    // release the PREVIOUS statement's scoped checkpoints (top-level
+    // entries only: nested run() calls — CTE DML members, matview
+    // bodies — must not drop the enclosing statement's blocks)
+    if (sess.runDepth == 0 && sess.pendingCkptRelease.nonEmpty) {
+      graft.operators.CacheHygiene.release(spark, sess.pendingCkptRelease.toSeq)
+      sess.pendingCkptRelease.clear()
+    }
+    sess.runDepth += 1
+    try runInner(sql) finally sess.runDepth -= 1
+  }
+
+  private def runInner(sql: String): DataFrame = {
     // comments go first (quote-aware, hint-preserving): every downstream
     // scanner, splitter and rewrite assumes an apostrophe opens a
     // literal — true only once comment text is gone
@@ -2243,7 +2283,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
               else (jD.right, jD.left)
             val aTry = scala.util.Try(org.apache.spark.sql.GraftSqlBridge
               .ofRows(spark, Join(probeD, nullD, LeftSemi, jD.condition,
-                JoinHint.NONE)).localCheckpoint())
+                JoinHint.NONE)).checkpointScoped)
             aTry.toOption.flatMap { aDf =>
               val aOut = aDf.queryExecution.analyzed.output
               def term(overlays: Seq[(String, DataFrame)]): Option[DataFrame] =
@@ -2544,7 +2584,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     }.reduceOption(_ || _).getOrElse(lit(false))
     val merged = withD
       .select((mergedView ++ mergedHidden :+ evictAny.as("__ivm_evict")).toIndexedSeq: _*)
-      .localCheckpoint()
+      .checkpointScoped
     val survivors =
       if (groupCols.isEmpty) merged // a global aggregate always has a row
       else merged.filter(col("__ivm_n") > 0)
@@ -2567,7 +2607,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       // recompute, never error the REFRESH statement
       else scala.util.Try {
         val keys = survivors.filter(col("__ivm_evict"))
-          .select(groupCols.map(col): _*).localCheckpoint()
+          .select(groupCols.map(col): _*).checkpointScoped
         // push the evicted keys into EVERY base that owns some group key
         // as a bare column (broadcast semi — the key set is tiny). A
         // base owning only part of the key — or none — filters to a
@@ -2593,7 +2633,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           "left_semi")
         okRows.unionByName(
           trimmed.select((viewSchema.fieldNames.toSeq ++ shape.hiddenCols)
-            .map(col): _*)).localCheckpoint()
+            .map(col): _*)).checkpointScoped
       }.getOrElse(return None)
     Some((shape.viewOf(combined.select(viewSchema.fieldNames.toSeq.map(col): _*)),
       combined.select(shape.auxCols.map(col): _*)))
@@ -2631,7 +2671,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         case Some((v, a)) => (v, Some(a), "incremental")
         case None => ivmShape(body) match {
           case Some(s) =>
-            val dec = ivmDecomposedBody(body).localCheckpoint()
+            val dec = ivmDecomposedBody(body).checkpointScoped
             // viewOf applies any HAVING condition and drops its
             // aux-only aggregates; the sidecar keeps every group
             (s.viewOf(dec).select(dec.columns
@@ -3025,7 +3065,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             val target = dmlTarget(b).filter(snaps.contains)
             target.foreach(spark.catalog.dropTempView(_))
             val res =
-              try run(b).localCheckpoint()
+              try run(b).checkpointScoped
               finally target.foreach(t => snaps(t).createOrReplaceTempView(t))
             putView(n, res)
             None
@@ -3048,7 +3088,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             .foreach(spark.catalog.dropTempView(_))
         // materialize before the finally drops the member views the lazy
         // tail plan references
-        run(rebuilt).localCheckpoint()
+        run(rebuilt).checkpointScoped
       } finally {
         snapshotOverlayDepth.decrementAndGet()
         created.foreach(n =>
@@ -5308,7 +5348,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         alignCol(f, renamed, None)).toIndexedSeq: _*))
     else {
       val deterministicSrc = planDeterministic(renamed)
-      val mat = if (deterministicSrc) renamed else renamed.localCheckpoint()
+      val mat = if (deterministicSrc) renamed else renamed.checkpointScoped
       val k = mat.count()
       var ord = "__graft_seq_ord"
       while (mat.columns.contains(ord)) ord += "_x"
@@ -5361,7 +5401,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // aligned source once (checkpoint), append that, and evaluate the
         // RETURNING list over the checkpointed frame — still one
         // execution of a SELECT source.
-        val mat = alignedSource(table, colList, source).localCheckpoint()
+        val mat = alignedSource(table, colList, source).checkpointScoped
         archiveCurrent(table)
         appendTo(table, mat)
         refresh(table)
@@ -5435,7 +5475,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           val toIns0 = toInsRaw.observe(obs, count(lit(1)).as("n"))
           // pg returns only the rows actually inserted under DO NOTHING
           val toIns = if (returningExprs.isDefined) {
-            val m = toIns0.localCheckpoint()
+            val m = toIns0.checkpointScoped
             captureReturning(m)
             m
           } else toIns0
@@ -5498,8 +5538,8 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             // deterministic) and the inserts, and derive every frame —
             // RETURNING, both IVM sides, the rewrite — from those.
             val postMatched = postSel(existing.join(exc, matchCond, "inner"))
-              .localCheckpoint()
-            val insertsCk = inserts.localCheckpoint()
+              .checkpointScoped
+            val insertsCk = inserts.checkpointScoped
             if (returningExprs.isDefined)
               captureReturning(postMatched.unionByName(insertsCk))
             recordUpsertDelta(
@@ -5519,7 +5559,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           // just the matches) plus the inserted rows — pre-swap snapshot
           if (returningExprs.isDefined)
             captureReturning(postSel(existing.join(exc, matchCond, "inner"))
-              .unionByName(inserts).localCheckpoint())
+              .unionByName(inserts).checkpointScoped)
           recordUpsertDelta(
             existing.join(exc, matchCond, "left_semi"),
             postSel(existing.join(exc, matchCond, "inner"))
@@ -5679,7 +5719,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
         // IVM pre-image and rows_affected (this used to scan up to three
         // times: checkpoint, delta write, then a fresh count job)
         val checkpointed =
-          if (returningExprs.isDefined) Some(affected0.localCheckpoint())
+          if (returningExprs.isDefined) Some(affected0.checkpointScoped)
           else None
         checkpointed.foreach(captureReturning)
         val src = checkpointed.getOrElse(affected0)
@@ -5719,7 +5759,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             .filter(!m)
             .observe(keptObs, count(lit(1)).as("n")))
         def affected: DataFrame = touchedScan.filter(m)
-        if (returningExprs.isDefined) captureReturning(affected.localCheckpoint())
+        if (returningExprs.isDefined) captureReturning(affected.checkpointScoped)
         if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
           val newV = history.get(table).map(_.length).getOrElse(1)
           val dd = deleteDeltaDir(table, newV)
@@ -5744,7 +5784,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       val cur0 = spark.table(table)
       var flag = "__graft_del_flag"
       while (cur0.columns.contains(flag)) flag += "_x"
-      val snap = cur0.withColumn(flag, m).localCheckpoint()
+      val snap = cur0.withColumn(flag, m).checkpointScoped
       val survivors = snap.filter(!col(flag)).drop(flag)
       val affected = snap.filter(col(flag)).drop(flag)
       if (returningExprs.isDefined) captureReturning(affected)
@@ -5777,7 +5817,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
       case Some(c) => cur.filter(coalesce(expr(inlineFunctions(c)), lit(false)))
       case None => cur
     }
-    if (returningExprs.isDefined) captureReturning(affected.localCheckpoint())
+    if (returningExprs.isDefined) captureReturning(affected.checkpointScoped)
     // IVM delete-delta: while any matview is anchored on this table,
     // record the matched pre-image so REFRESH can subtract it at
     // O(delta) instead of recomputing the view. Written BEFORE the swap,
@@ -6313,7 +6353,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     if (!planDeterministic(post(spark.table(table).filter(c)))) {
       var flag = "__graft_upd_flag"
       while (schema.fieldNames.exists(_.equalsIgnoreCase(flag))) flag += "_x"
-      val snap = spark.table(table).withColumn(flag, c).localCheckpoint()
+      val snap = spark.table(table).withColumn(flag, c).checkpointScoped
       val keep = snap.filter(!col(flag)).drop(flag)
       val pre = snap.filter(col(flag)).drop(flag)
       val postMatched = withGenerated(table, pre.select(schema.fields.map { f =>
@@ -6321,7 +6361,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
           case None => col(f.name)
         }
-      }.toIndexedSeq: _*)).localCheckpoint()
+      }.toIndexedSeq: _*)).checkpointScoped
       if (returningExprs.isDefined) captureReturning(postMatched)
       if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
         val newV = history.get(table).map(_.length).getOrElse(1)
@@ -6351,7 +6391,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
           else Some(post(touchedScan
             .observe(affPart, count(when(c, lit(1))).as("n"))))
         if (returningExprs.isDefined)
-          captureReturning(post(touchedScan.filter(c)).localCheckpoint())
+          captureReturning(post(touchedScan.filter(c)).checkpointScoped)
         if (matviewBase.values.exists(_._1.exists(_._1 == table))) {
           val newV = history.get(table).map(_.length).getOrElse(1)
           Files.createDirectories(historyDir(table))
@@ -6372,7 +6412,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // the per-column `when(c, ...)` guards reduce to the assignments),
     // materialized before the swap replaces the files being read
     if (returningExprs.isDefined)
-      captureReturning(post(spark.table(table).filter(c)).localCheckpoint())
+      captureReturning(post(spark.table(table).filter(c)).checkpointScoped)
     // IVM update-delta: while any matview is anchored on this table,
     // record the matched rows' PRE-image (the subtract side) and
     // POST-image (the add side — over matched rows the when(c,..) guards
@@ -6439,7 +6479,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // frames and the insert anti-join — materialize it ONCE instead
     val srcPinned =
       if (planDeterministic(srcPinned0)) srcPinned0
-      else srcPinned0.localCheckpoint()
+      else srcPinned0.checkpointScoped
     val source = srcPinned.withColumn("__s_marker", lit(1)).as(src)
     val insertOnly = updateSet.isEmpty && !matchedDelete
     // with the source pinned, remaining nondeterminism can only live in
@@ -6545,7 +6585,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
     // INSERT VALUES with rand() etc.: drawn ONCE, shared by the IVM add
     // side and the rewrite/append (two frames read these rows)
     val insertedRaw = insertedRaw0.map(df =>
-      if (planDeterministic(df)) df else df.localCheckpoint())
+      if (planDeterministic(df)) df else df.checkpointScoped)
     val inserted = insertedRaw.map(_.observe(insObs, count(lit(1)).as("n")))
     // nondeterministic SET: the survivors rewrite and the IVM post-image
     // would draw the assignments independently — materialize the matched
@@ -6560,7 +6600,7 @@ class Engine(val spark: SparkSession, val warehouse: String) {
             case Some(e) => expr(inlineFunctions(e)).cast(f.dataType).as(f.name)
             case None => col(s"$tgt.${f.name}").as(f.name)
           }
-        }.toIndexedSeq: _*)).localCheckpoint())
+        }.toIndexedSeq: _*)).checkpointScoped)
     val survivorsFinal = postMatchedCk match {
       case Some(pm) => target.join(source, onExpr, "left_anti")
         .select(schema.fields.map(f =>

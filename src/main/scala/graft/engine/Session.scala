@@ -62,6 +62,21 @@ private[engine] final class ScrollCursor(val snap: DataFrame, val ordCol: String
   * ROLLBACK / session close (which rolls back, like pg on disconnect).
   */
 final class Session private[engine] (private[graft] val id: Long) {
+  /** Statement-scoped localCheckpoint hygiene (r19, guide §5): every DML
+    * path's internal checkpoint registers its RDD ids here; the NEXT
+    * top-level [[Engine.run]] on this session releases them (deferred by
+    * one statement so RETURNING frames and the returned result stay
+    * materializable until the client has consumed them — pgwire is
+    * sequential per session). Without this, a long INSERT/UPDATE/MERGE
+    * session pins one or more block-manager RDDs per statement for its
+    * whole lifetime (r18 left this as the known remaining leak).
+    */
+  private[engine] val pendingCkptRelease = mutable.Buffer[Int]()
+  /** Re-entrancy depth of [[Engine.run]]: internal statements (CTE DML
+    * members, matview refresh bodies) must not release the enclosing
+    * statement's checkpoints mid-flight.
+    */
+  private[engine] var runDepth = 0
   private[engine] var txnOpen = false
   private[engine] var txnAborted = false
   private[engine] val txnUndo = mutable.LinkedHashMap[String, TxnUndo]()
