@@ -35,6 +35,13 @@ object Multimodal {
   /** Wrap a text table as fake media rows (payload = utf-8 bytes) so the
     * pipeline can be exercised on the driver testdata.
     */
+  // NB deliberately NO Spread here (measured r19): repartitioning the
+  // binary payloads costs more than the per-row decode it parallelizes at
+  // this corpus size (features 0.46 -> 0.75 s, frame_sample 0.49 -> 0.64,
+  // resize 0.42 -> 0.67 fresh-JVM; r18's 0.7-2 s estimates for this
+  // family came from a contaminated one-JVM sweep). At warehouse scale
+  // the scan parallelizes on its own row groups, which is also the case
+  // where a Spread would be a pass-through anyway.
   def asMedia(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(
       col(idCol).cast("long").as("media_id"),
